@@ -1,0 +1,440 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational core (SURVEY.md §2.B B2, D8–D16).
+  *
+  * All queries are declarative DataFrame plans — Catalyst handles
+  * predicate pushdown, column pruning, join selection (broadcast for the
+  * dim tables), partial/final aggregation and whole-stage codegen. Every
+  * query has a DuckDB-equivalent oracle in [[oracle]] with identical
+  * column names and deterministic ordering.
+  *
+  * Floating-point policy: aggregates of large-magnitude doubles (money
+  * sums) are rounded to 0 decimals, averages/ratios to 4, so that
+  * engine-order-dependent summation error (~1e-5 relative at sf0.01)
+  * cannot flip the hash compare. Sort keys use either exact values
+  * (integral doubles, raw column values) or the rounded output columns
+  * plus a unique tiebreaker, so row order is engine-independent.
+  *
+  * Scale notes (100 TB design): every aggregation here is a map-side
+  * partial + shuffle-on-group-key + final (Spark HashAggregate pairs);
+  * dim-table joins (region/nation/customer/part) are explicitly
+  * `broadcast()` so the fact table never shuffles for them; the only
+  * fact-fact join (lineitem ⋈ orders) shuffles on the join key, which is
+  * the minimum possible data movement for that join.
+  */
+object Relational {
+
+  /** D11: full-scan hash aggregation, TPC-H Q1 pricing summary shape.
+    * Map-side combine reduces 600k rows → 6 groups before the shuffle. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 0).as("sum_qty"),
+        round(sum($"l_extendedprice"), 0).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 0).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** D9: filter pushdown — comparison, IN, LIKE all reach the parquet
+    * scan (visible as PushedFilters in the formatted plan). */
+  def q2Filter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_type".isin("ECONOMY", "PROMO") &&
+        $"p_name".like("%red%") && $"p_size" >= 10)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  /** D10+D11+D14: customer ⋈ orders ⋈ lineitem, top-10 revenue orders
+    * (TPC-H Q3 shape). customer is broadcast; lineitem ⋈ orders shuffles
+    * on the order key only. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 0).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** D10: five-way star join lineitem⋈orders⋈customer⋈nation⋈region
+    * (TPC-H Q5 shape) — all dims broadcast, one fact-fact shuffle. */
+  def q4Join5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 0).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  /** D10: left-semi join (EXISTS) — orders having a high-quantity line. */
+  def q5Semi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigLines = Tables.lineitem(spark, dir).filter($"l_quantity" > 45.0)
+    Tables.orders(spark, dir)
+      .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_orderstatus", round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** D10: left-anti join (NOT EXISTS) — customers with no order since
+    * 2001, counted per market segment. */
+  def q6Anti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** D11: exact COUNT(DISTINCT) per group (expands to two-phase agg). */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** D12: approximate distinct (HLL++). No SQL oracle — the driver
+    * records a rows-only check; the exact counterpart is q7. */
+  def q8ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** D13+D14: row_number window → top-3 orders per market segment.
+    * Sort keys (o_totalprice, o_orderkey) are raw column values, so the
+    * ranking is engine-exact. */
+  def q9WindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"c_mktsegment", $"rk", $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
+  /** D13: running sum + lag/lead with a rows frame. Quantities are
+    * integral doubles, so running sums are FP-exact in any order. */
+  def q10WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, dir)
+      .filter($"l_suppkey" < 5)
+      .withColumn("running_qty", sum($"l_quantity").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
+      .withColumn("next_qty", lead($"l_quantity", 1).over(w))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"running_qty", $"prev_qty", $"next_qty")
+      .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+  }
+
+  /** D14: global sort + limit (top-k by price; Spark runs this as
+    * TakeOrderedAndProject — no full sort materialization). */
+  def q11SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", round($"l_extendedprice", 2).as("l_extendedprice"))
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(20)
+  }
+
+  /** D15: set ops — customers ordering in both 1995 and 1996 (INTERSECT)
+    * minus those ordering in 1997 (EXCEPT). */
+  def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def custIn(year: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(expr(s"year(o_orderdate) = $year"))
+        .select($"o_custkey")
+    custIn(1995).intersect(custIn(1996)).except(custIn(1997))
+      .orderBy($"o_custkey")
+  }
+
+  /** D16: string scalar functions — lower/upper/length/substring/split/
+    * regexp_extract/concat/replace (all codegen'd built-ins). */
+  def q13String(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_partkey" < 500)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("lname"),
+        upper($"p_brand").as("ubrand"),
+        length($"p_name").as("name_len"),
+        substring($"p_name", 1, 3).as("prefix3"),
+        split($"p_name", " ").getItem(0).as("first_word"),
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+        regexp_replace($"p_name", " ", "_").as("snake_name"))
+      .orderBy($"p_partkey")
+  }
+
+  /** D16: date/timestamp functions — year/month/quarter/date_trunc. */
+  def q14Date(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(
+        year($"o_orderdate").as("o_year"),
+        quarter($"o_orderdate").as("o_quarter"),
+        date_trunc("month", $"o_orderdate").as("month_start"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 0).as("sum_price"))
+      .orderBy($"o_year", $"o_quarter", $"month_start")
+  }
+
+  /** D16: JSON extraction on events.props + aggregation. */
+  def q15Json(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("double"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg($"value"), 4).as("avg_value"),
+        round(avg($"k"), 4).as("avg_k"),
+        round(sum($"k"), 0).as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  /** D16+D21: array/math functions over the embedding column — L2 norm
+    * via transform+aggregate (codegen'd higher-order functions, no UDF). */
+  def q16ArrayMath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .withColumn("dim", size($"embedding"))
+      .withColumn("norm",
+        sqrt(aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        max($"dim").as("dim"),
+        round(avg($"norm"), 4).as("avg_norm"),
+        round(min($"norm"), 4).as("min_norm"),
+        round(max($"norm"), 4).as("max_norm"))
+      .orderBy($"label")
+  }
+
+  /** D11: ROLLUP grouping sets over returnflag × linestatus. */
+  def q17Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), round(sum($"l_quantity"), 0).as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** D9+D11: conditional aggregation (TPC-H Q14 promo-revenue shape)
+    * with a broadcast part-dim join. */
+  def q18CaseWhen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(
+        round(sum(when($"p_type" === "PROMO",
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)), 0)
+          .as("promo_revenue"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 0).as("total_revenue"),
+        round(avg(when($"p_type" === "PROMO", 1.0).otherwise(0.0)), 4).as("promo_frac"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q2_filter" -> q2Filter,
+    "q3_join_agg" -> q3JoinAgg,
+    "q4_join5" -> q4Join5,
+    "q5_semi" -> q5Semi,
+    "q6_anti" -> q6Anti,
+    "q7_distinct" -> q7Distinct,
+    "q8_approx_distinct" -> q8ApproxDistinct,
+    "q9_window_topk" -> q9WindowTopk,
+    "q10_window_running" -> q10WindowRunning,
+    "q11_sort_limit" -> q11SortLimit,
+    "q12_setops" -> q12SetOps,
+    "q13_string" -> q13String,
+    "q14_date" -> q14Date,
+    "q15_json" -> q15Json,
+    "q16_array_math" -> q16ArrayMath,
+    "q17_rollup" -> q17Rollup,
+    "q18_casewhen" -> q18CaseWhen)
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 0) AS sum_qty,
+         round(sum(l_extendedprice), 0) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+         WHERE p_type IN ('ECONOMY','PROMO') AND p_name LIKE '%red%' AND p_size >= 10
+         ORDER BY p_partkey""",
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_join5" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
+    "q5_semi" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+         ORDER BY o_orderkey""",
+    "q6_anti" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q7_distinct" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+         CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q9_window_topk" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk,
+             o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey) t
+         WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
+    "q10_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         sum(l_quantity) OVER w AS running_qty,
+         lag(l_quantity, 1) OVER w AS prev_qty,
+         lead(l_quantity, 1) OVER w AS next_qty
+         FROM lineitem WHERE l_suppkey < 5
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+    "q11_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+         FROM lineitem
+         ORDER BY round(l_extendedprice, 2) DESC, l_orderkey, l_linenumber LIMIT 20""",
+    "q12_setops" ->
+      """(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         ORDER BY o_custkey""",
+    "q13_string" ->
+      """SELECT p_partkey,
+         lower(p_name) AS lname, upper(p_brand) AS ubrand,
+         CAST(length(p_name) AS INT) AS name_len,
+         substring(p_name, 1, 3) AS prefix3,
+         string_split(p_name, ' ')[1] AS first_word,
+         regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+         p_brand || ':' || p_type AS brand_type,
+         replace(p_name, ' ', '_') AS snake_name
+         FROM part WHERE p_partkey < 500 ORDER BY p_partkey""",
+    "q14_date" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 0) AS sum_price
+         FROM orders GROUP BY 1, 2, 3 ORDER BY o_year, o_quarter, month_start""",
+    "q15_json" ->
+      """SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(avg(value), 4) AS avg_value,
+         round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+         round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 0) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q16_array_math" ->
+      """SELECT label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(max(len(embedding)) AS INT) AS dim,
+         round(avg(norm), 4) AS avg_norm,
+         round(min(norm), 4) AS min_norm,
+         round(max(norm), 4) AS max_norm
+         FROM (SELECT label, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+               FROM embeddings) t
+         GROUP BY label ORDER BY label""",
+    "q17_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         round(sum(l_quantity), 0) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q18_casewhen" ->
+      """SELECT
+         round(sum(CASE WHEN p_type = 'PROMO'
+           THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 0) AS promo_revenue,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS total_revenue,
+         round(avg(CASE WHEN p_type = 'PROMO' THEN 1.0 ELSE 0.0 END), 4) AS promo_frac
+         FROM lineitem JOIN part ON l_partkey = p_partkey""")
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one per JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every query has either an oracle or is a documented rows-only check") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep the rows-only list explicit so additions are deliberate
+    assert(noOracle.subsetOf(Set("q8_approx_distinct")), s"missing oracle for $noOracle")
+  }
+
+  test("q1_agg aggregates to the six returnflag×linestatus groups") {
+    val rows = operators.Relational.q1Agg(spark, sf).collect()
+    assert(rows.length >= 4 && rows.length <= 9)
+    val qty = rows.map(_.getAs[Double]("sum_qty")).sum
+    val cnt = rows.map(_.getAs[Long]("count_order")).sum
+    assert(qty > 0 && cnt > 0)
+    assert(math.abs(qty / cnt - rows.map(r =>
+      r.getAs[Double]("avg_qty") * r.getAs[Long]("count_order")).sum / cnt) < 0.01)
+  }
+
+  test("q9_window_topk emits exactly rank 1..3 per segment") {
+    val rows = operators.Relational.q9WindowTopk(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    bySeg.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2, 3))
+      val prices = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("q12_setops respects set semantics (no duplicates)") {
+    val keys = operators.Relational.q12SetOps(spark, sf).collect().map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("approx distinct is within 5% of exact") {
+    val approx = operators.Relational.q8ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = operators.Relational.q7Distinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"$k: ${approx(k)} vs $e")
+    }
+  }
+}
