@@ -12,7 +12,11 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracle))
+      (operators.Relational.queries, operators.Relational.oracle),
+      (operators.Dedup.queries, operators.Dedup.oracle),
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+      (operators.Similarity.queries, operators.Similarity.oracle),
+      (operators.Multimodal.queries, operators.Multimodal.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

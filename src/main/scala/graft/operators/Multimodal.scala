@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column handling (SURVEY.md §2.B D21).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct alongside — the schema/partitioning/batching plumbing is real
+  * and tested; the actual image/audio decode is STUBBED (no codec
+  * libraries in this environment) behind [[decodeImageStub]], which
+  * produces a deterministic fake so tests are reproducible.
+  *
+  * Scale design: payload bytes stay columnar in parquet and are never
+  * shuffled — metadata extraction is a narrow map; feature extraction
+  * via [[extractFeatures]] runs `mapPartitions` so a real decoder would
+  * amortize per-batch setup (model load, codec init) across a partition,
+  * the same shape a Pandas-UDF/`mapInPandas` pipeline has in PySpark.
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media payload. */
+  case class MediaMeta(docId: Long, modality: String, nBytes: Int, contentMd5: String)
+
+  /** Decoded-media features. Deterministic STUB: a real deployment
+    * would decode `payload` (JPEG/PNG/WAV...) here; this environment has
+    * no codec libs, so dimensions derive from the content hash. */
+  case class DecodedMedia(docId: Long, width: Int, height: Int, nChannels: Int)
+
+  /** STUB decode — replace with a real codec at deployment. Keeps the
+    * signature a real decoder would have (bytes in, features out). */
+  def decodeImageStub(docId: Long, payload: Array[Byte]): DecodedMedia = {
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    // deterministic fake dimensions from the first hash bytes
+    val w = 64 + (java.lang.Byte.toUnsignedInt(md5(0)) % 192)
+    val h = 64 + (java.lang.Byte.toUnsignedInt(md5(1)) % 192)
+    DecodedMedia(docId, w, h, 3)
+  }
+
+  /** Documents with text re-encoded as an opaque binary payload +
+    * assigned modality — the fixture's stand-in for real media blobs. */
+  def withPayload(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")))
+  }
+
+  /** D21: metadata extraction over binary payloads — byte length, md5,
+    * modality, all as narrow column expressions. */
+  def m1BlobMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select(
+        $"doc_id", $"modality",
+        octet_length($"payload").as("n_bytes"),
+        md5($"payload").as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** D21: frame-sampling plumbing — treat the payload as fixed-size
+    * 256-byte "frames", sample every 4th frame offset (the batch shape
+    * a video pipeline has; the decode itself is the stub). */
+  def m2FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .filter($"modality" === "video")
+      .withColumn("n_frames", floor(octet_length($"payload") / 256).cast("int"))
+      .filter($"n_frames" > 0)
+      .withColumn("sampled_offsets",
+        sequence(lit(0), ($"n_frames" - 1) * 256, lit(1024)))
+      .select($"doc_id", $"n_frames", size($"sampled_offsets").as("n_sampled"),
+        element_at($"sampled_offsets", -1).as("last_offset"))
+      .orderBy($"doc_id")
+  }
+
+  /** D21 feature extraction through the stub decoder — mapPartitions so
+    * a real decoder initializes once per partition, not per row.
+    * Aggregated output keeps the query oracle-checkable. */
+  def m3DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded: Dataset[DecodedMedia] = withPayload(spark, dir)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (codec/model load)
+        it.map { case (id, bytes) => decodeImageStub(id, bytes) }
+      }
+    decoded.toDF()
+      .groupBy($"nChannels".as("n_channels"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        round(avg($"width"), 4).as("avg_width"),
+        round(avg($"height"), 4).as("avg_height"),
+        max($"width").as("max_width"))
+      .orderBy($"n_channels")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_blob_meta" -> m1BlobMeta,
+    "m2_frame_sample" -> m2FrameSample,
+    "m3_decode_features" -> m3DecodeFeatures)
+
+  val oracle: Map[String, String] = Map(
+    "m1_blob_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         CAST(strlen(text) AS INT) AS n_bytes,
+         md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
+    "m2_frame_sample" ->
+      """WITH f AS (SELECT doc_id, CAST(floor(strlen(text) / 256) AS INT) AS n_frames
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT doc_id, n_frames,
+           CAST(len(generate_series(0, (n_frames - 1) * 256, 1024)) AS INT) AS n_sampled,
+           list_extract(generate_series(0, (n_frames - 1) * 256, 1024), -1) AS last_offset
+         FROM f WHERE n_frames > 0 ORDER BY doc_id""",
+    "m3_decode_features" ->
+      """WITH d AS (SELECT doc_id,
+            64 + (CAST('0x' || substring(md5(text), 1, 2) AS INT) % 192) AS width,
+            64 + (CAST('0x' || substring(md5(text), 3, 2) AS INT) % 192) AS height
+          FROM documents)
+         SELECT 3 AS n_channels, CAST(count(*) AS BIGINT) AS n_media,
+           round(avg(width), 4) AS avg_width,
+           round(avg(height), 4) AS avg_height,
+           CAST(max(width) AS INT) AS max_width
+         FROM d""")
+}

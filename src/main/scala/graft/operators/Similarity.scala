@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over the embedding column (SURVEY.md §2.B D19).
+  *
+  * - Exact path: brute-force cosine top-k for a bounded query set —
+  *   broadcast the queries, stream the corpus once, per-partition
+  *   ranking via a window. Linear in corpus size, never materializes
+  *   the full pairwise matrix.
+  * - Scale path: random-hyperplane LSH (sign-bucket ANN) — bucket keys
+  *   are computed per row from deterministic hyperplanes, candidates
+  *   join only within (table, bucket), so the shuffle is keyed on
+  *   bucket values and the quadratic work is confined to buckets.
+  *
+  * Dot products use `zip_with` + `aggregate` over `array<float>` cast
+  * to double — codegen'd higher-order expressions, no UDF, and
+  * bit-identical to DuckDB's `list_inner_product` on `DOUBLE[]`
+  * (same element order, same sequential summation).
+  */
+object Similarity {
+
+  /** Sequential-sum dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** D19: exact brute-force cosine top-5 neighbors for query vectors
+    * (vec_id < 5). Queries are broadcast; the corpus is scanned once. */
+  def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val scored = emb.select($"vec_id".as("neighbor_id"), $"embedding")
+      .crossJoin(broadcast(q))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("cos", cosine($"q_emb", $"embedding"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Number of hyperplanes per LSH table (2^planes buckets). */
+  val lshPlanes = 4
+  /** Number of independent LSH tables (union of candidates). */
+  val lshTables = 4
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1), from
+    * MurmurHash3 of (table, plane, dim) — no RNG state, reproducible
+    * on any executor. */
+  private def planeComponent(table: Int, plane: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, d))
+    h.toDouble / Int.MaxValue
+  }
+
+  /** Bucket id of a vector in one LSH table: sign bits of the dot
+    * products with that table's hyperplanes. */
+  def lshBucket(emb: Column, table: Int, dim: Int): Column =
+    (0 until lshPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(table, p, d))): _*)
+      when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** D19 scale path: LSH-bucketed approximate top-5 — explode each
+    * vector to its `lshTables` (table, bucket) keys, equi-join within
+    * buckets, union candidates across tables, exact-rank the survivors.
+    * No SQL oracle (hyperplanes live in Scala); recall vs [[s1KnnBrute]]
+    * is asserted in SimilaritySpec. */
+  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val dim = 64 // fixture embedding width (FIXTURES.md)
+    val bucketCols = (0 until lshTables).map(t => lshBucket($"embedding", t, dim).as(s"b$t"))
+    val withBuckets = emb.select(($"vec_id" +: $"embedding" +: bucketCols): _*)
+    val keyed = withBuckets.select($"vec_id", $"embedding",
+      posexplode(array((0 until lshTables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bucket")))
+    val qs = keyed.filter($"vec_id" < 5)
+      .select($"tbl", $"bucket", $"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val cands = keyed
+      .select($"tbl", $"bucket", $"vec_id".as("neighbor_id"), $"embedding")
+      .join(qs, Seq("tbl", "bucket"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"q_emb", $"embedding")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine($"q_emb", $"embedding"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    cands.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** D19/D18: embedding-cosine near-duplicate pairs above a threshold,
+    * exact within a bounded id range (oracle-checkable); the unbounded
+    * variant would go through [[s2KnnLsh]]-style bucketing. */
+  def s3NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).filter($"vec_id" < 200)
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("emb_b"))
+    a.crossJoin(b)
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos", round(cosine($"emb_a", $"emb_b"), 4))
+      .filter($"cos" >= 0.35)
+      .select($"id_a", $"id_b", $"cos".as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** D19+D21: vector normalization + per-label centroid norms — nested
+    * array math as pure column expressions. */
+  def s4Centroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val unit = transform($"embedding", x => x.cast("double") / l2norm($"embedding"))
+    emb.withColumn("unit", unit)
+      .select($"label", posexplode($"unit").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"v").as("c"))
+      .groupBy($"label")
+      .agg(round(sqrt(sum($"c" * $"c")), 4).as("centroid_norm"),
+        count(lit(1)).as("dim"))
+      .orderBy($"label")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_brute" -> s1KnnBrute,
+    "s2_knn_lsh" -> s2KnnLsh,
+    "s3_neardup_pairs" -> s3NearDupPairs,
+    "s4_centroids" -> s4Centroids)
+
+  private val cosSql =
+    """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+  val oracle: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      s"""WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id != a.vec_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+          SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+            round(cos, 4) AS cos_sim
+          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "s3_neardup_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosSql, 4) AS cos_sim
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+          WHERE round($cosSql, 4) >= 0.35
+          ORDER BY id_a, id_b""",
+    "s4_centroids" ->
+      """WITH e AS (SELECT label, vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) /
+              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS unit
+          FROM embeddings),
+          c AS (SELECT label, pos, avg(v) AS c FROM (
+            SELECT label, unnest(unit) AS v,
+              generate_subscripts(unit, 1) - 1 AS pos FROM e) t
+            GROUP BY label, pos)
+          SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm,
+            CAST(count(*) AS BIGINT) AS dim
+          FROM c GROUP BY label ORDER BY label""")
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators (SURVEY.md §2.B D20): token counting
+  * (whitespace + BPE-ish regex), quality scoring, language-ID heuristic,
+  * document fingerprinting.
+  *
+  * All per-document features are narrow column expressions (codegen'd
+  * built-ins, no UDFs, no explode except where an aggregation follows),
+  * so they scale as a pure map over the corpus; the aggregations are
+  * standard partial+final hash aggregates keyed on low-cardinality
+  * columns (lang, source).
+  */
+object TextAnalysis {
+
+  /** Tokens = lowercased whitespace split (corpus is space-separated). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — a cheap deterministic proxy for a BPE
+    * tokenizer's token count. */
+  def bpeishCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** English-y stopword markers present in the fixture vocabulary. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+  /** Marker sets for the language-ID heuristic (deterministic order). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** D20: per-document text statistics (subset for bounded output). */
+  def t1TextStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 100)
+      .select(
+        $"doc_id",
+        length($"text").cast("int").as("n_chars_obs"),
+        size(toks).as("n_tokens"),
+        bpeishCount($"text").cast("int").as("n_bpeish"),
+        round(length(regexp_replace(lower($"text"), "[a-z0-9\\s]", "")).cast("double") /
+          length($"text"), 4).as("punct_ratio"),
+        round(countIn(toks, stopwords).cast("double") / size(toks), 4).as("stopword_ratio"),
+        round((length($"text") - size(toks) + 1).cast("double") / size(toks), 4)
+          .as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** D20: corpus quality scoring — rule-based score in [0,1] from
+    * length / stopword / repetition signals, aggregated per source. */
+  def t2Quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks)
+    val stopRatio = countIn(toks, stopwords).cast("double") / nTok
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val lengthOk = when(nTok.between(20, 80), 1.0).otherwise(0.0)
+    val score = round(lit(0.4) * lengthOk + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.3) * distinctRatio, 4)
+    Tables.documents(spark, dir)
+      .withColumn("quality", score)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"quality"), 4).as("avg_quality"),
+        count(when($"quality" >= 0.5, 1)).as("n_pass"))
+      .orderBy($"source")
+  }
+
+  /** D20: language-ID heuristic — marker-token hit counts per language,
+    * argmax with a deterministic preference order, 'und' when nothing
+    * matches. Checked against the fixture lang label. */
+  def t3LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val hits = langMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
+    // argmax by (count desc, fixed language order) via chained whens
+    val best = hits.foldLeft((lit("und"), lit(0))) { case ((bl, bc), (l, c)) =>
+      (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }._1
+    Tables.documents(spark, dir)
+      .withColumn("pred_lang", best)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** D20: token frequency — top 10 terms per source by count
+    * (explode + two-level aggregation + window top-k). */
+  def t4TermFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"source", $"term")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"source").orderBy($"n".desc, $"term")
+    tf.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"source", $"rk", $"term", $"n")
+      .orderBy($"source", $"rk")
+  }
+
+  /** D20: document fingerprinting — content md5 over normalized text
+    * plus a winnowing-style min-shingle-hash fingerprint. */
+  def t5Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("content_md5"),
+        array_min(transform(Dedup.shingles($"text"), s => md5(s))).as("min_shingle_hash"),
+        size(tokens($"text")).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_stats" -> t1TextStats,
+    "t2_quality" -> t2Quality,
+    "t3_langid" -> t3LangId,
+    "t4_term_freq" -> t4TermFreq,
+    "t5_fingerprint" -> t5Fingerprint)
+
+  private val toksSql = "string_split(lower(text), ' ')"
+  private def countInSql(words: Seq[String]) =
+    s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val oracle: Map[String, String] = Map(
+    "t1_text_stats" ->
+      s"""SELECT doc_id,
+          CAST(length(text) AS INT) AS n_chars_obs,
+          CAST(len($toksSql) AS INT) AS n_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpeish,
+          round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 1.0 /
+            length(text), 4) AS punct_ratio,
+          round(${countInSql(stopwords)} * 1.0 / len($toksSql), 4) AS stopword_ratio,
+          round((length(text) - len($toksSql) + 1) * 1.0 / len($toksSql), 4) AS avg_token_len
+          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "t2_quality" ->
+      s"""WITH q AS (SELECT source,
+            round(0.4 * (CASE WHEN len($toksSql) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * least(${countInSql(stopwords)} * 1.0 / len($toksSql) * 5.0, 1.0)
+              + 0.3 * (len(list_distinct($toksSql)) * 1.0 / len($toksSql)), 4) AS quality
+          FROM documents)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            round(avg(quality), 4) AS avg_quality,
+            CAST(count(*) FILTER (quality >= 0.5) AS BIGINT) AS n_pass
+          FROM q GROUP BY source ORDER BY source""",
+    "t3_langid" ->
+      s"""WITH h AS (SELECT lang,
+            ${langMarkers.map { case (l, ws) => s"${countInSql(ws)} AS hit_$l" }.mkString(", ")}
+          FROM documents),
+          p AS (SELECT lang, CASE
+            ${/* replicate the fold: later languages win only on strictly greater */ ""}
+            WHEN hit_fr > greatest(hit_en, hit_es, hit_de, 0) THEN 'fr'
+            WHEN hit_de > greatest(hit_en, hit_es, 0) THEN 'de'
+            WHEN hit_es > greatest(hit_en, 0) THEN 'es'
+            WHEN hit_en > 0 THEN 'en'
+            ELSE 'und' END AS pred_lang FROM h)
+          SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+    "t4_term_freq" ->
+      s"""WITH tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT source, unnest($toksSql) AS term FROM documents) t
+            GROUP BY source, term),
+          r AS (SELECT source, term, n,
+            row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rk FROM tf)
+          SELECT source, CAST(rk AS INT) AS rk, term, n FROM r
+          WHERE rk <= 10 ORDER BY source, rk""",
+    "t5_fingerprint" ->
+      s"""WITH sh AS (SELECT doc_id,
+            list_transform(generate_series(1, len($toksSql) - 2),
+              i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]) AS sh
+          FROM documents)
+          SELECT d.doc_id,
+            md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS content_md5,
+            list_min(list_transform(sh.sh, s -> md5(s))) AS min_shingle_hash,
+            CAST(len($toksSql) AS INT) AS n_tokens
+          FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+          ORDER BY d.doc_id""")
+}
