@@ -1,0 +1,234 @@
+package graft.ml.feature
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.{DenseMatrix, DenseVector, SQLDataTypes, Vector}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+
+import graft.ml.{Cov, Eigen}
+
+/** Principal Component Analysis, API-compatible with the reference's
+  * `com.nvidia.spark.ml.feature.PCA` (reference: PCA.scala:27-37,
+  * RapidsPCA.scala:30-210): same params (`k`, `inputCol`, `outputCol`,
+  * `meanCentering`, plus the GPU algorithm-selection switches `useGemm`,
+  * `useCuSolverSVD`, `gpuId` kept as inert compatibility params), same
+  * fit/transform/persistence protocol, deterministic canonical-sign
+  * eigenvectors.
+  *
+  * Differences from stock Spark ML PCA, matching the reference:
+  *  - `meanCentering=false` computes components of the uncentered second
+  *    moment (reference: RapidsRowMatrix.scala:163-165);
+  *  - eigenvector signs are canonical (largest-|entry| positive,
+  *    reference: rapidsml_jni.cu:37-64), so results are reproducible;
+  *  - `array<numeric>` input columns are accepted alongside `VectorUDT`
+  *    (the fixture embeddings are `array<float>`).
+  */
+trait GraftPCAParams extends Params {
+  final val k = new IntParam(this, "k", "number of principal components (> 0)",
+    ParamValidators.gtEq(1))
+  final val inputCol = new Param[String](this, "inputCol", "input column name")
+  final val outputCol = new Param[String](this, "outputCol", "output column name")
+  final val meanCentering = new BooleanParam(this, "meanCentering",
+    "center columns before computing covariance (reference RapidsPCA.scala:36-45)")
+  final val useGemm = new BooleanParam(this, "useGemm",
+    "compat: blocked-GEMM vs per-row accumulation (both JVM paths here)")
+  final val useCuSolverSVD = new BooleanParam(this, "useCuSolverSVD",
+    "compat: inert on JVM (reference RapidsPCA.scala:54-59)")
+  final val gpuId = new IntParam(this, "gpuId",
+    "compat: inert on JVM (reference RapidsPCA.scala:61-68)")
+
+  setDefault(meanCentering -> true, useGemm -> true, useCuSolverSVD -> false,
+    gpuId -> -1)
+
+  def getK: Int = $(k)
+  def getInputCol: String = $(inputCol)
+  def getOutputCol: String = $(outputCol)
+  def getMeanCentering: Boolean = $(meanCentering)
+
+  protected def validateAndTransformSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(inputCol)),
+      s"input column '${$(inputCol)}' not in ${schema.fieldNames.mkString(",")}")
+    val outType = schema($(inputCol)).dataType match {
+      case t if t == SQLDataTypes.VectorType => SQLDataTypes.VectorType
+      case _: ArrayType => ArrayType(DoubleType, containsNull = false)
+      case other => throw new IllegalArgumentException(
+        s"input column '${$(inputCol)}' must be VectorUDT or array<numeric>, got $other")
+    }
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"output column '${$(outputCol)}' already exists")
+    StructType(schema.fields :+ StructField($(outputCol), outType, nullable = false))
+  }
+}
+
+class GraftPCA(override val uid: String) extends Estimator[GraftPCAModel]
+    with GraftPCAParams with MLWritable {
+
+  def this() = this(Identifiable.randomUID("graftPca"))
+
+  def setK(value: Int): this.type = set(k, value)
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setMeanCentering(value: Boolean): this.type = set(meanCentering, value)
+  def setUseGemm(value: Boolean): this.type = set(useGemm, value)
+  def setUseCuSolverSVD(value: Boolean): this.type = set(useCuSolverSVD, value)
+  def setGpuId(value: Int): this.type = set(gpuId, value)
+
+  /** Fit: one distributed pass (count+mean+Gram, Cov.scala), then
+    * driver-local eigen post-processing (Eigen.scala). Mirrors the
+    * reference lifecycle (RapidsPCA.scala:111-125). */
+  override def fit(dataset: Dataset[_]): GraftPCAModel = {
+    transformSchema(dataset.schema, logging = true)
+    val rows = Cov.vectorRdd(dataset.toDF(), $(inputCol))
+    val stats = Cov.stats(rows)
+    val n = stats.mean.length
+    require($(k) <= n, s"k=${$(k)} must be <= numFeatures=$n")
+    val matrix = if ($(meanCentering)) stats.covariance else stats.gramNormalized
+    val res = Eigen.pca(matrix, $(k))
+    copyValues(new GraftPCAModel(uid, res.pc, res.explainedVariance)
+      .setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): GraftPCA = defaultCopy(extra)
+
+  override def write: MLWriter = new GraftPCA.Writer(this)
+}
+
+object GraftPCA extends MLReadable[GraftPCA] {
+  /** Explicitly-set params of an estimator or model, one parquet row.
+    * (The reference stores a JSON metadata file + a Matrix-UDT parquet,
+    * RapidsPCA.scala:218-228; we store plain columns so the artifact is
+    * readable by any parquet reader, DuckDB included.) */
+  private[feature] case class ParamsData(uid: String, k: Option[Int],
+      inputCol: Option[String], outputCol: Option[String],
+      meanCentering: Option[Boolean], useGemm: Option[Boolean],
+      useCuSolverSVD: Option[Boolean], gpuId: Option[Int])
+
+  private[feature] def paramsData(p: GraftPCAParams with Params): ParamsData =
+    ParamsData(p.uid, p.get(p.k), p.get(p.inputCol), p.get(p.outputCol),
+      p.get(p.meanCentering), p.get(p.useGemm), p.get(p.useCuSolverSVD),
+      p.get(p.gpuId))
+
+  private[feature] def restoreParams(t: GraftPCAParams, d: ParamsData): Unit = {
+    d.k.foreach(v => t.set(t.k, v))
+    d.inputCol.foreach(v => t.set(t.inputCol, v))
+    d.outputCol.foreach(v => t.set(t.outputCol, v))
+    d.meanCentering.foreach(v => t.set(t.meanCentering, v))
+    d.useGemm.foreach(v => t.set(t.useGemm, v))
+    d.useCuSolverSVD.foreach(v => t.set(t.useCuSolverSVD, v))
+    d.gpuId.foreach(v => t.set(t.gpuId, v))
+  }
+
+  private[feature] class Writer(instance: GraftPCA) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(paramsData(instance)).toDS()
+        .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    }
+  }
+
+  private class Reader extends MLReader[GraftPCA] {
+    override def load(path: String): GraftPCA = {
+      val spark = sparkSession
+      import spark.implicits._
+      val d = spark.read.parquet(s"$path/params").as[ParamsData].head()
+      val est = new GraftPCA(d.uid)
+      restoreParams(est, d)
+      est
+    }
+  }
+
+  override def read: MLReader[GraftPCA] = new Reader
+  override def load(path: String): GraftPCA = super.load(path)
+}
+
+/** Fitted PCA model: `pc` is n×k (column i = i-th principal component),
+  * `explainedVariance` the k variance ratios. Transform projects each
+  * row n→k via pcᵀ·v (reference: RapidsPCA.scala:186-189). */
+class GraftPCAModel(override val uid: String, val pc: DenseMatrix,
+    val explainedVariance: DenseVector)
+    extends Model[GraftPCAModel] with GraftPCAParams with MLWritable {
+
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+
+  /** pcᵀ·v without densifying sparse input; k×n work per row. */
+  private def project(v: Vector): DenseVector = {
+    val n = pc.numRows; val kk = pc.numCols
+    require(v.size == n, s"row width ${v.size} != fitted width $n")
+    val out = new Array[Double](kk)
+    val data = pc.values // column-major n×kk
+    v.foreachActive { (i, x) =>
+      if (x != 0.0) {
+        var j = 0
+        while (j < kk) { out(j) += data(j * n + i) * x; j += 1 }
+      }
+    }
+    new DenseVector(out)
+  }
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema, logging = true)
+    dataset.schema($(inputCol)).dataType match {
+      case t if t == SQLDataTypes.VectorType =>
+        val f = udf { v: Vector => project(v) }
+        dataset.withColumn($(outputCol), f(col($(inputCol))))
+      case _: ArrayType =>
+        val f = udf { arr: Seq[Double] =>
+          project(new DenseVector(arr.toArray)).values.toSeq
+        }
+        dataset.withColumn($(outputCol),
+          f(col($(inputCol)).cast("array<double>")))
+      case other => throw new IllegalArgumentException(s"bad input type $other")
+    }
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): GraftPCAModel =
+    copyValues(new GraftPCAModel(uid, pc, explainedVariance), extra)
+      .setParent(parent)
+
+  override def write: MLWriter = new GraftPCAModel.Writer(this)
+}
+
+object GraftPCAModel extends MLReadable[GraftPCAModel] {
+  private case class ModelData(params: GraftPCA.ParamsData, pcRows: Int,
+      pcCols: Int, pcValues: Array[Double], explainedVariance: Array[Double])
+
+  private[feature] class Writer(instance: GraftPCAModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      val d = ModelData(GraftPCA.paramsData(instance), instance.pc.numRows,
+        instance.pc.numCols, instance.pc.values,
+        instance.explainedVariance.values)
+      // single artifact file, as the reference (RapidsPCA.scala:224)
+      Seq(d).toDS().repartition(1).write.mode("overwrite")
+        .parquet(s"$path/data")
+    }
+  }
+
+  private class Reader extends MLReader[GraftPCAModel] {
+    override def load(path: String): GraftPCAModel = {
+      val spark = sparkSession
+      import spark.implicits._
+      val d = spark.read.parquet(s"$path/data").as[ModelData].head()
+      val model = new GraftPCAModel(d.params.uid,
+        new DenseMatrix(d.pcRows, d.pcCols, d.pcValues),
+        new DenseVector(d.explainedVariance))
+      GraftPCA.restoreParams(model, d.params)
+      model
+    }
+  }
+
+  override def read: MLReader[GraftPCAModel] = new Reader
+  override def load(path: String): GraftPCAModel = super.load(path)
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml.{Cov, Eigen}
+import graft.ml.feature.GraftPCA
+import graft.sources.Tables
+
+/** Oracle-checked query surface for the reference-parity ML operators
+  * (SURVEY.md §2.B D2–D6): column statistics, covariance/Gram matrix,
+  * PCA trace identity, PCA projection norm preservation.
+  *
+  * The distributed work (one treeAggregate pass over the rows, Cov.scala)
+  * runs on executors; only the n×n result is driver-local, exactly like
+  * the reference (RapidsRowMatrix.scala:75-124). The small result is
+  * re-parallelized into a DataFrame so the driver's parquet/DuckDB gate
+  * can check it.
+  */
+object PcaQueries {
+
+  /** Upper-triangle window checked against the oracle (full n×n would
+    * be 64·65/2 = 2080 rows of float-rounding risk for no extra
+    * coverage; the aggregation pass is identical for all cells). */
+  private val checkDims = 8
+
+  /** Half-away-from-zero, matching both Spark's and DuckDB's round(). */
+  private def rnd(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** D2: per-dimension mean + sample variance of the embedding column —
+    * the `Statistics.colStats` equivalent (reference:
+    * RapidsRowMatrix.scala:152-162), from the same single pass as the
+    * covariance. */
+  def p1ColStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Cov.stats(Tables.embeddings(spark, dir), "embedding")
+    val cov = stats.covariance
+    val rows = (0 until stats.mean.length).map { i =>
+      (i, rnd(stats.mean(i), 6), rnd(cov(i, i), 6))
+    }
+    rows.toDF("pos", "mean_v", "var_v").orderBy($"pos")
+  }
+
+  /** D3: sample covariance matrix entries (upper triangle, first
+    * [[checkDims]] dims) — the custom Gram aggregation with mean
+    * centering (reference semantics R7–R12). */
+  def p2Covariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cov = Cov.stats(Tables.embeddings(spark, dir), "embedding").covariance
+    val rows = for { i <- 0 until checkDims; j <- i until checkDims }
+      yield (i, j, rnd(cov(i, j), 6))
+    rows.toDF("i", "j", "cov").orderBy($"i", $"j")
+  }
+
+  /** D4: raw Gram matrix BᵀB entries (no centering, no normalization —
+    * the meanCentering=false accumulation path). */
+  def p3Gram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Cov.stats(Tables.embeddings(spark, dir), "embedding").secondMoment
+    val rows = for { i <- 0 until checkDims; j <- i until checkDims }
+      yield (i, j, rnd(g(i, j), 4))
+    rows.toDF("i", "j", "gram").orderBy($"i", $"j")
+  }
+
+  /** D5: PCA eigenvalue trace identity — Σλᵢ of the covariance equals
+    * Σ var(dim). DuckDB can't eigendecompose, but the trace is basis-
+    * invariant, so this checks the full eigen pipeline end-to-end. */
+  def p4PcaTrace(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cov = Cov.stats(Tables.embeddings(spark, dir), "embedding").covariance
+    val res = Eigen.pca(cov, cov.rows)
+    Seq(Tuple1(rnd(res.eigenvalues.sum, 4)))
+      .toDF("total_var")
+  }
+
+  /** D5+D6: full-rank PCA projection preserves row norms (orthogonal
+    * basis ⇒ ‖pcᵀv‖ = ‖v‖) — checks eigenvector orthonormality and the
+    * transform path against a plain SQL norm. */
+  def p5PcaProjectNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val model = new GraftPCA().setK(dim)
+      .setInputCol("embedding").setOutputCol("proj")
+      .fit(emb)
+    model.transform(emb.filter($"vec_id" < 50))
+      .select($"vec_id",
+        round(sqrt(Similarity.dot($"proj", $"proj")), 4).as("norm"))
+      .orderBy($"vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_colstats" -> p1ColStats,
+    "p2_covariance" -> p2Covariance,
+    "p3_gram" -> p3Gram,
+    "p4_pca_trace" -> p4PcaTrace,
+    "p5_pca_project_norm" -> p5PcaProjectNorm)
+
+  private val unnested =
+    """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+              CAST(unnest(embedding) AS DOUBLE) AS v
+       FROM embeddings"""
+
+  val oracle: Map[String, String] = Map(
+    "p1_colstats" ->
+      s"""WITH e AS ($unnested)
+          SELECT pos, round(avg(v), 6) AS mean_v, round(var_samp(v), 6) AS var_v
+          FROM e GROUP BY pos ORDER BY pos""",
+    "p2_covariance" ->
+      s"""WITH e AS ($unnested)
+          SELECT a.pos AS i, b.pos AS j, round(covar_samp(a.v, b.v), 6) AS cov
+          FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+          WHERE a.pos < $checkDims AND b.pos < $checkDims
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p3_gram" ->
+      s"""WITH e AS ($unnested)
+          SELECT a.pos AS i, b.pos AS j, round(sum(a.v * b.v), 4) AS gram
+          FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+          WHERE a.pos < $checkDims AND b.pos < $checkDims
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p4_pca_trace" ->
+      s"""WITH e AS ($unnested)
+          SELECT round(sum(vv), 4) AS total_var
+          FROM (SELECT var_samp(v) AS vv FROM e GROUP BY pos) t""",
+    "p5_pca_project_norm" ->
+      """SELECT vec_id,
+           round(sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 4) AS norm
+         FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""")
+}
