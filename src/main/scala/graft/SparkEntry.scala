@@ -17,7 +17,8 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
-      (operators.PcaQueries.queries, operators.PcaQueries.oracle))
+      (operators.PcaQueries.queries, operators.PcaQueries.oracle),
+      (streaming.EventStreams.queries, streaming.EventStreams.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Streaming analytics over the `events` table (SURVEY.md §2.B D22):
+  * tumbling/sliding window aggregation and gap-based sessionization.
+  *
+  * Each transform is a pure `DataFrame => DataFrame`, so the SAME code
+  * runs in batch (for the DuckDB oracle gate) and under Structured
+  * Streaming (`readStream`/`MemoryStream` + watermark — exercised in
+  * StreamingSpec). This is the batch-first design SURVEY.md §1.3 calls
+  * for: streaming is a deployment mode, not a separate operator set.
+  *
+  * Scale notes: all three group on (time-bucket, low-cardinality key),
+  * so state size is bounded by #windows·#keys, not by row count; the
+  * watermark bounds retained state in streaming mode. Partial
+  * aggregation happens map-side before the shuffle.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type: count + value sum. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in two
+    * windows; built-in `window()` does the fan-out. */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** Gap-based sessions (30-minute inactivity) per user: built-in
+    * `session_window` — its stateful merge is exactly the custom-state
+    * path `flatMapGroupsWithState` would hand-roll. */
+  def sessions(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked variant for streaming deployment: drop events more than
+    * `delay` late before windowing (D22's late-data-drop semantics). */
+  def tumblingStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    tumbling(events.withWatermark("ts", delay))
+
+  def sessionsStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    sessions(events.withWatermark("ts", delay))
+
+  // ---- batch query surface for the oracle gate ----
+
+  def e1Tumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tumbling(Tables.events(spark, dir)).orderBy($"window_start", $"event_type")
+  }
+
+  def e2Sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sliding(Tables.events(spark, dir)).orderBy($"window_start")
+  }
+
+  def e3Sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessions(Tables.events(spark, dir))
+      .orderBy($"user_id", $"session_start")
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_tumbling" -> e1Tumbling,
+    "e2_sliding" -> e2Sliding,
+    "e3_sessions" -> e3Sessions)
+
+  val oracle: Map[String, String] = Map(
+    "e1_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // sliding(1h, 30m): an event at t belongs to windows starting at
+    // floor30(t) and floor30(t) − 30min
+    "e2_sliding" ->
+      """WITH starts AS (
+           SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+         SELECT window_start, CAST(count(*) AS BIGINT) AS n_events
+         FROM starts GROUP BY 1 ORDER BY 1""",
+    // gaps-and-islands replay of session_window semantics
+    "e3_sessions" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM o)
+         SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")
+}

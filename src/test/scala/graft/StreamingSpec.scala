@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** The streaming transforms must produce the batch answer when the
+  * stream is drained (D22), and the watermark must drop late data. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def t(minutes: Int): Timestamp =
+    Timestamp.valueOf(java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+      .plusMinutes(minutes.toLong))
+
+  private val evs = Seq(
+    Ev(1, t(0), 1, "view", 1.0), Ev(2, t(10), 1, "view", 2.0),
+    Ev(3, t(65), 1, "click", 3.0),   // > 30min gap → new session, new hour
+    Ev(4, t(70), 2, "view", 4.0),
+    Ev(5, t(130), 2, "view", 5.0))   // third hour
+
+  test("streaming tumbling aggregation equals the batch answer when drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingStream(mem.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("tumb")
+        .orderBy($"window_start", $"event_type").collect()
+      val exp = EventStreams.tumbling(evs.toDF())
+        .orderBy($"window_start", $"event_type").collect()
+      assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+      assert(got.length == 4) // (h0 view), (h1 click), (h1 view), (h2 view)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the delay (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingStream(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark far past hour 0, closing its windows
+      mem.addData(Ev(6, t(600), 3, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late").count()
+      // this event is hours behind the watermark → must be discarded
+      mem.addData(Ev(7, t(5), 1, "view", 99.0))
+      q.processAllAvailable()
+      assert(spark.table("late").count() == closed)
+      val h0 = spark.table("late")
+        .filter($"window_start" === t(0) && $"event_type" === "view")
+        .select($"n_events").collect()
+      assert(h0.map(_.getLong(0)).toSeq == Seq(2), "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals the batch answer when drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionsStream(mem.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .orderBy($"user_id", $"session_start").collect()
+      val exp = EventStreams.sessions(evs.toDF())
+        .select($"session_start", $"user_id", $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start").collect()
+      assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+      // user 1: {e1,e2} then {e3}; user 2: {e4} then {e5}
+      assert(got.length == 4)
+    } finally q.stop()
+  }
+}
