@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
 
 /** Deduplication operators (SURVEY.md §2.B D17–D18).
@@ -10,55 +11,80 @@ import graft.sources.Tables
   * word 3-shingles with LSH banding, plus SimHash and exact n-gram
   * Jaccard on the LSH candidate pairs.
   *
-  * Hash choice: every hash is `md5` (identical bytes in Spark and
-  * DuckDB), and MinHash minima are taken over the md5 *hex strings*
-  * (lexicographic min) rather than converted integers — this keeps the
-  * whole pipeline oracle-checkable bit-for-bit in SQL while remaining a
-  * uniform hash for the MinHash estimator. Salted copies
-  * (`md5(i + ":" + shingle)`) give the k independent permutations.
+  * Hash design: one `md5` per shingle, split into two 32-bit words
+  * (h1, h2); MinHash component i is `min((h1 + i·h2) mod 2³²)` — the
+  * standard two-universal derived family (one strong hash, k cheap
+  * combinations) so signature cost is ONE digest per shingle instead of
+  * k. Everything is replayable bit-for-bit in DuckDB SQL.
   *
-  * Scale design (100 TB): everything here is shingle-local or
-  * signature-local — no all-pairs comparison ever happens. LSH banding
-  * turns near-dup search into a groupBy on band hashes followed by a
-  * self-equi-join on (band index, band hash), i.e., a shuffle keyed by
-  * band value whose cost is linear in corpus size plus the (small)
-  * candidate-pair set. Hot buckets (a band value shared by thousands of
-  * docs) would quadratically blow up the within-bucket join, so buckets
-  * are capped at [[maxBucket]] docs — standard practice, and the cap is
-  * logged via the `bucket_size` column rather than applied silently.
+  * Execution shape (chosen for 100 TB, verified via .explain):
+  *  - shingling is a pure array expression (`slice` + `zip_with`) whose
+  *    array arguments are bound once per row — linear in tokens, not
+  *    quadratic (Spark evaluates higher-order lambdas interpreted, so
+  *    any outer expression referenced INSIDE a lambda re-evaluates per
+  *    element; all lambdas here touch only their bound variables);
+  *  - signatures go through explode → project (codegen'd md5) →
+  *    groupBy(doc_id) with map-side partial `min`, so the shuffle
+  *    carries one row of 8 longs per (partition, doc) — not the text;
+  *  - LSH banding turns near-dup search into a self-equi-join keyed on
+  *    (band index, band hash): linear scan + a shuffle of the (small)
+  *    candidate set. Hot band values are capped at [[maxBucket]] docs
+  *    (skew guard) before the pair join.
   */
 object Dedup {
 
-  /** Number of MinHash components (salted md5 permutations). */
+  /** Number of MinHash components (derived from one md5 per shingle). */
   val numHashes = 8
   /** LSH bands: 4 bands × 2 rows — P(candidate) = 1-(1-j²)⁴. */
   val numBands = 4
   val rowsPerBand: Int = numHashes / numBands
   /** Within-bucket join guard for skewed band values. */
   val maxBucket = 1000
+  /** Modulus for the derived hash family (2³²). */
+  val hashMod = 4294967296L
 
   /** Lowercased whitespace tokens of the document text. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Word 3-shingles as strings (docs are ≥10 tokens; see FIXTURES.md). */
+  /** Word 3-shingles as strings. Array arguments (`slice` of the token
+    * array) are evaluated once per row; the zip lambdas only touch bound
+    * variables — O(tokens) per document. */
   def shingles(text: Column): Column = {
-    val t = tokens(text)
-    transform(sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    def t = tokens(text)
+    val n = greatest(size(t) - 2, lit(0))
+    zip_with(
+      zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(t, lit(3), n), (ab, c) => concat(ab, lit(" "), c))
   }
 
-  /** MinHash component i: lexicographic min of salted md5 hex digests. */
-  def minhash(sh: Column, i: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+  /** (doc_id, shingle) rows — the explode that all signature work hangs
+    * off. Duplicates preserved (min() is idempotent; d5 dedups). */
+  def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(shingles($"text")).as("s"))
+  }
 
-  /** DuckDB rendering of [[shingles]] / [[minhash]] for the oracles. */
-  private val shinglesSql =
-    """list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 2),
-       i -> string_split(lower(text), ' ')[i] || ' ' ||
-            string_split(lower(text), ' ')[i+1] || ' ' ||
-            string_split(lower(text), ' ')[i+2])"""
-  private def minhashSql(i: Int) =
-    s"list_min(list_transform(sh, s -> md5('$i:' || s)))"
+  /** Per-document MinHash signature columns sig0..sig{k-1} from a
+    * (doc_id, s) shingle frame: one md5 per shingle, k derived
+    * components, partial-aggregated min per doc. `min` is insensitive
+    * to duplicate shingles, so callers may pass raw or distinct rows. */
+  def signaturesOf(shRows: DataFrame): DataFrame = {
+    import shRows.sparkSession.implicits._
+    val sigCols = (0 until numHashes).map(i =>
+      min(($"h1" + lit(i) * $"h2") % hashMod).as(s"sig$i"))
+    shRows
+      .select($"doc_id", md5($"s").as("h"))
+      .select($"doc_id",
+        conv(substring($"h", 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring($"h", 9, 8), 16, 10).cast("long").as("h2"))
+      .groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(shingleRows(spark, dir))
 
   /** D17: exact dedup by normalized-text hash → representative id +
     * multiplicity per content group. */
@@ -81,40 +107,29 @@ object Dedup {
       .orderBy($"lang", $"source")
   }
 
-  /** D18: per-document MinHash signature (8 salted-md5 minima over word
-    * 3-shingles). One narrow map — no shuffle, no explode. */
+  /** D18: per-document MinHash signature. */
   def d3Minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigCols = (0 until numHashes).map(i => minhash($"sh", i).as(s"sig$i"))
-    Tables.documents(spark, dir)
-      .withColumn("sh", shingles($"text"))
-      .select($"doc_id" +: sigCols: _*)
-      .orderBy($"doc_id")
+    signatures(spark, dir).orderBy($"doc_id")
   }
 
-  /** Signature + band-hash frame used by the LSH queries. */
-  private def banded(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val withSigs = Tables.documents(spark, dir)
-      .withColumn("sh", shingles($"text"))
-      .select($"doc_id" +: (0 until numHashes).map(i => minhash($"sh", i).as(s"sig$i")): _*)
+  /** Band-hash columns band0..band{b-1} over signature columns. */
+  private def withBands(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       md5(concat_ws("|", parts: _*)).as(s"band$b")
     }
-    withSigs.select(($"doc_id" +: (0 until numHashes).map(i => col(s"sig$i"))) ++ bandCols: _*)
+    sigs.select(col("doc_id") +:
+      (0 until numHashes).map(i => col(s"sig$i")) ++: bandCols: _*)
   }
 
-  /** D18: LSH candidate pairs — explode to (band index, band hash),
-    * self-join within buckets, estimate similarity as the fraction of
-    * equal signature components. The join key is the band hash, so the
-    * shuffle is linear in corpus size; `est_sim` needs no second pass
-    * because the full signatures ride along. */
-  def d4LshPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sigs = banded(spark, dir)
-    val bands = sigs.select($"doc_id",
-      posexplode(array((0 until numBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+  /** LSH candidate (doc_a < doc_b) pairs from a signature frame. The
+    * caller persists `sigs` when it is consumed more than once. */
+  private def candidates(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    val bands = withBands(sigs).select($"doc_id",
+      posexplode(array((0 until numBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_hash")))
     // cap pathological buckets (skew guard; none expected on this corpus)
     val bucketOk = bands.groupBy($"band_idx", $"band_hash")
       .agg(count(lit(1)).as("bucket_size"))
@@ -122,9 +137,16 @@ object Dedup {
     val inBuckets = bands.join(bucketOk, Seq("band_idx", "band_hash"))
     val a = inBuckets.select($"band_idx", $"band_hash", $"doc_id".as("doc_a"))
     val b = inBuckets.select($"band_idx", $"band_hash", $"doc_id".as("doc_b"))
-    val cand = a.join(b, Seq("band_idx", "band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
+  }
+
+  /** D18: LSH candidate pairs with signature-overlap similarity. */
+  def d4LshPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = signatures(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 3× (bands + both sides)
     val sa = sigs.select($"doc_id".as("doc_a") +:
       (0 until numHashes).map(i => col(s"sig$i").as(s"a$i")): _*)
     val sb = sigs.select($"doc_id".as("doc_b") +:
@@ -132,7 +154,7 @@ object Dedup {
     val eq = (0 until numHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
       .reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    candidates(sigs).join(sa, "doc_a").join(sb, "doc_b")
       .select($"doc_a", $"doc_b", round(eq / numHashes, 4).as("est_sim"))
       .orderBy($"doc_a", $"doc_b")
   }
@@ -143,10 +165,10 @@ object Dedup {
     * are scored, so the quadratic step never touches the full corpus. */
   def d5Jaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docSh = Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(shingles($"text"))).as("s"))
+    val docSh = shingleRows(spark, dir).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // sigs + card + both join sides
     val card = docSh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val cand = d4LshPairs(spark, dir).select($"doc_a", $"doc_b")
+    val cand = candidates(signaturesOf(docSh))
     val inter = docSh.select($"doc_id".as("doc_a"), $"s")
       .join(cand, "doc_a")
       .join(docSh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
@@ -186,18 +208,34 @@ object Dedup {
     "d5_jaccard" -> d5Jaccard,
     "d6_simhash" -> d6Simhash)
 
-  private def sigSelect(prefix: String) =
-    (0 until numHashes).map(i => s"${minhashSql(i)} AS ${prefix}$i").mkString(", ")
+  // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
+
+  private val shinglesSql =
+    """list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 2),
+       i -> string_split(lower(text), ' ')[i] || ' ' ||
+            string_split(lower(text), ' ')[i+1] || ' ' ||
+            string_split(lower(text), ' ')[i+2])"""
+
+  private val sigAgg = (0 until numHashes)
+    .map(i => s"min((h1 + $i * h2) % $hashMod) AS sig$i").mkString(", ")
+
+  /** Shared oracle CTE chain: shingles → (h1,h2) → signatures. */
+  private val sigCte =
+    s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+        hh AS (SELECT doc_id,
+                 CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h1,
+                 CAST('0x' || substring(md5(s), 9, 8) AS BIGINT) AS h2
+               FROM shl),
+        sig AS (SELECT doc_id, $sigAgg FROM hh GROUP BY doc_id)"""
 
   private val bandSelect = (0 until numBands).map { b =>
-    val parts = (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
+    val parts = (0 until rowsPerBand)
+      .map(r => s"CAST(sig${b * rowsPerBand + r} AS VARCHAR)")
     s"md5(${parts.mkString(" || '|' || ")}) AS band$b"
   }.mkString(", ")
 
-  /** Shared oracle CTE: signatures + bands, mirroring [[banded]]. */
-  private val sigCte =
-    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-        sig AS (SELECT doc_id, ${sigSelect("sig")} FROM sh),
+  private val candCte =
+    s"""$sigCte,
         band AS (SELECT doc_id, ${(0 until numHashes).map(i => s"sig$i").mkString(", ")}, $bandSelect FROM sig),
         bucket AS (SELECT doc_id, band_idx, band_hash FROM band
                    UNPIVOT (band_hash FOR band_idx IN (${(0 until numBands).map(b => s"band$b").mkString(", ")}))),
@@ -214,10 +252,9 @@ object Dedup {
     "d2_distinct_meta" ->
       "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
     "d3_minhash" ->
-      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
-          SELECT doc_id, ${sigSelect("sig")} FROM sh ORDER BY doc_id""",
+      s"""$sigCte SELECT * FROM sig ORDER BY doc_id""",
     "d4_lsh_pairs" ->
-      s"""$sigCte
+      s"""$candCte
           SELECT c.doc_a, c.doc_b,
             round((${(0 until numHashes).map(i =>
               s"CASE WHEN sa.sig$i = sb.sig$i THEN 1.0 ELSE 0.0 END").mkString(" + ")}) / $numHashes.0, 4) AS est_sim
@@ -225,9 +262,8 @@ object Dedup {
                       JOIN sig sb ON c.doc_b = sb.doc_id
           ORDER BY doc_a, doc_b""",
     "d5_jaccard" ->
-      s"""$sigCte,
-          dsh AS (SELECT DISTINCT doc_id, unnest(sh) AS s
-                  FROM (SELECT doc_id, $shinglesSql AS sh FROM documents)),
+      s"""$candCte,
+          dsh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s FROM documents),
           card AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
           inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
                     FROM cand c JOIN dsh a ON a.doc_id = c.doc_a

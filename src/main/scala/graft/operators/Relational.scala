@@ -146,10 +146,22 @@ object Relational {
   def q9WindowTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, dir)
+    // two-phase top-k: c_mktsegment has ~5 values, so a single window
+    // would sort the whole fact table in 5 partitions regardless of
+    // cluster size. Phase 1 takes a local top-3 per (segment, salt)
+    // — 32× the parallelism — and phase 2 ranks only the survivors.
+    // The global top-3 of a segment always survives its salt bucket's
+    // local top-3, so results are identical to the one-window form.
+    val salted = Tables.orders(spark, dir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .withColumn("salt", pmod(crc32($"o_orderkey".cast("string")), lit(32)))
+    val wLocal = Window.partitionBy($"c_mktsegment", $"salt")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
     val w = Window.partitionBy($"c_mktsegment")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
-    Tables.orders(spark, dir)
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    salted
+      .withColumn("rk_local", row_number().over(wLocal))
+      .filter($"rk_local" <= 3)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"c_mktsegment", $"rk", $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))

@@ -82,14 +82,25 @@ object TextAnalysis {
     * matches. Checked against the fixture lang label. */
   def t3LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = tokens($"text")
-    val hits = langMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
-    // argmax by (count desc, fixed language order) via chained whens
-    val best = hits.foldLeft((lit("und"), lit(0))) { case ((bl, bc), (l, c)) =>
-      (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
-    }._1
+    // Hit counts land in their own projection; the argmax CASE below
+    // references only the (non-cheap, multiply-used) hit columns, which
+    // CollapseProject will not inline — each count is computed once per
+    // row. A fold of chained whens would duplicate every count
+    // expression at each level (exponential expression blow-up under
+    // interpreted higher-order evaluation).
+    val hitCols = langMarkers.map { case (l, ws) =>
+      countIn(tokens($"text"), ws).as(s"hit_$l")
+    }
+    // later languages win only on strictly greater (same as the fold
+    // en→es→de→fr with strict updates; mirrors the oracle CASE)
+    val pred = when($"hit_fr" > greatest($"hit_en", $"hit_es", $"hit_de", lit(0)), "fr")
+      .when($"hit_de" > greatest($"hit_en", $"hit_es", lit(0)), "de")
+      .when($"hit_es" > greatest($"hit_en", lit(0)), "es")
+      .when($"hit_en" > lit(0), "en")
+      .otherwise("und")
     Tables.documents(spark, dir)
-      .withColumn("pred_lang", best)
+      .select($"lang" +: hitCols: _*)
+      .withColumn("pred_lang", pred)
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"pred_lang")
@@ -115,12 +126,19 @@ object TextAnalysis {
     * plus a winnowing-style min-shingle-hash fingerprint. */
   def t5Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // min shingle hash via explode + partial-aggregated min (codegen'd
+    // md5 per shingle row) rather than an interpreted array pipeline;
+    // left join keeps sub-3-token docs with a null fingerprint, matching
+    // array_min(empty) = null semantics
+    val minSh = Dedup.shingleRows(spark, dir)
+      .groupBy($"doc_id").agg(min(md5($"s")).as("min_shingle_hash"))
     Tables.documents(spark, dir)
       .select(
         $"doc_id",
         md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("content_md5"),
-        array_min(transform(Dedup.shingles($"text"), s => md5(s))).as("min_shingle_hash"),
         size(tokens($"text")).as("n_tokens"))
+      .join(minSh, Seq("doc_id"), "left")
+      .select($"doc_id", $"content_md5", $"min_shingle_hash", $"n_tokens")
       .orderBy($"doc_id")
   }
 
