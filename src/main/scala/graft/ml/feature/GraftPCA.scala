@@ -34,7 +34,8 @@ trait GraftPCAParams extends Params {
   final val meanCentering = new BooleanParam(this, "meanCentering",
     "center columns before computing covariance (reference RapidsPCA.scala:36-45)")
   final val useGemm = new BooleanParam(this, "useGemm",
-    "compat: blocked-GEMM vs per-row accumulation (both JVM paths here)")
+    "blocked-GEMM (BLAS dgemm per row block, the reference default) vs " +
+      "per-row upper-triangle accumulation (reference RapidsPCA.scala:47-52)")
   final val useCuSolverSVD = new BooleanParam(this, "useCuSolverSVD",
     "compat: inert on JVM (reference RapidsPCA.scala:54-59)")
   final val gpuId = new IntParam(this, "gpuId",
@@ -82,7 +83,7 @@ class GraftPCA(override val uid: String) extends Estimator[GraftPCAModel]
   override def fit(dataset: Dataset[_]): GraftPCAModel = {
     transformSchema(dataset.schema, logging = true)
     val rows = Cov.vectorRdd(dataset.toDF(), $(inputCol))
-    val stats = Cov.stats(rows)
+    val stats = Cov.stats(rows, $(useGemm))
     val n = stats.mean.length
     require($(k) <= n, s"k=${$(k)} must be <= numFeatures=$n")
     val matrix = if ($(meanCentering)) stats.covariance else stats.gramNormalized

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** MinHash/LSH correctness: the Spark pipeline must reproduce an
+  * independent scalar replay of the same hash scheme, and the exact
+  * Jaccard scores it reports must match set arithmetic. */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def shinglesOf(text: String): Seq[String] = {
+    val t = text.toLowerCase.split(" ", -1).toSeq
+    if (t.length < 3) Seq.empty
+    else t.sliding(3).map(_.mkString(" ")).toSeq
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Scalar replay of Dedup.signaturesOf for one document. */
+  private def signatureOf(text: String): Seq[Long] = {
+    val hs = shinglesOf(text).map { s =>
+      val h = md5hex(s)
+      (java.lang.Long.parseLong(h.substring(0, 8), 16),
+        java.lang.Long.parseLong(h.substring(8, 16), 16))
+    }
+    (0 until Dedup.numHashes).map { i =>
+      hs.map { case (h1, h2) => (h1 + i * h2) % Dedup.hashMod }.min
+    }
+  }
+
+  test("Spark signatures equal the scalar replay bit-for-bit") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "the quick brown fox jumps over the lazy cat"))
+    val df = texts.toDF("doc_id", "text")
+    val shRows = df.select($"doc_id",
+      org.apache.spark.sql.functions.explode(Dedup.shingles($"text")).as("s"))
+    val got = Dedup.signaturesOf(shRows).collect()
+      .map(r => r.getLong(0) -> (1 to Dedup.numHashes).map(r.getLong(_)))
+      .toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) == signatureOf(text), s"doc $id signature mismatch")
+    }
+  }
+
+  test("shingles expression matches sliding-window semantics") {
+    import spark.implicits._
+    val texts = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "one two three"))
+    val got = texts.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == shinglesOf(t), s"doc $id")
+    }
+  }
+
+  test("d5 jaccard scores equal exact set arithmetic on the fixture corpus") {
+    import spark.implicits._
+    val pairs = Dedup.d5Jaccard(spark, sf).collect()
+    assert(pairs.nonEmpty, "fixture corpus has planted near-dups; d5 found none")
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (sa, sb) = (shinglesOf(texts(a)).toSet, shinglesOf(texts(b)).toSet)
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j >= 0.5 && math.abs(j - exact) < 5e-5,
+        s"pair ($a,$b): reported $j vs exact $exact")
+    }
+  }
+
+  test("identical documents collapse to one exact-dedup group") {
+    import spark.implicits._
+    val df = Seq((1L, "Same  Text here"), (2L, "same text HERE"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = df
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.lower($"text")), "\\s+", " ")))
+      .groupBy($"content_hash").count().collect()
+    assert(groups.length == 2 && groups.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
+}

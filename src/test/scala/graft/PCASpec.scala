@@ -144,6 +144,24 @@ class PCASpec extends AnyFunSuite {
       assert(math.abs(model.pc.values(i) - res.pc.values(i)) < tol)
   }
 
+  test("GEMM-blocked and per-row accumulation paths agree (useGemm param)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val gemm = Cov.stats(emb, "embedding", useGemm = true)
+    val spr = Cov.stats(emb, "embedding", useGemm = false)
+    assert(gemm.m == spr.m)
+    val (cg, cs) = (gemm.covariance, spr.covariance)
+    for (i <- 0 until cg.rows; j <- 0 until cg.cols)
+      assert(math.abs(cg(i, j) - cs(i, j)) < 1e-10, s"cov($i,$j)")
+    // mixed dense/sparse through the GEMM block buffer
+    import spark.implicits._
+    val m1 = new GraftPCA().setK(2).setInputCol("f").setOutputCol("o")
+      .setUseGemm(true).fit(handData.map(Tuple1(_)).toDF("f"))
+    val m2 = new GraftPCA().setK(2).setInputCol("f").setOutputCol("o")
+      .setUseGemm(false).fit(handData.map(Tuple1(_)).toDF("f"))
+    for (i <- m1.pc.values.indices)
+      assert(math.abs(m1.pc.values(i) - m2.pc.values(i)) < tol)
+  }
+
   test("model persistence round-trip (PCASuite.scala:192-206)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
     val model = new GraftPCAModel("pca_test",
