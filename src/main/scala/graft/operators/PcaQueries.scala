@@ -27,13 +27,22 @@ object PcaQueries {
   private def rnd(x: Double, scale: Int): Double =
     BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** One distributed pass per fixture dir per JVM: p1–p4 all consume the
+    * same (count, mean, Gram) statistics, and the fixtures are
+    * immutable, so the pass is memoized like a materialized view. */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Cov.Stats]
+  private def cachedStats(spark: SparkSession, dir: String): Cov.Stats =
+    statsCache.getOrElseUpdate(dir,
+      Cov.stats(Tables.embeddings(spark, dir), "embedding"))
+
   /** D2: per-dimension mean + sample variance of the embedding column —
     * the `Statistics.colStats` equivalent (reference:
     * RapidsRowMatrix.scala:152-162), from the same single pass as the
     * covariance. */
   def p1ColStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stats = Cov.stats(Tables.embeddings(spark, dir), "embedding")
+    val stats = cachedStats(spark, dir)
     val cov = stats.covariance
     val rows = (0 until stats.mean.length).map { i =>
       (i, rnd(stats.mean(i), 6), rnd(cov(i, i), 6))
@@ -46,7 +55,7 @@ object PcaQueries {
     * centering (reference semantics R7–R12). */
   def p2Covariance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cov = Cov.stats(Tables.embeddings(spark, dir), "embedding").covariance
+    val cov = cachedStats(spark, dir).covariance
     val rows = for { i <- 0 until checkDims; j <- i until checkDims }
       yield (i, j, rnd(cov(i, j), 6))
     rows.toDF("i", "j", "cov").orderBy($"i", $"j")
@@ -56,7 +65,7 @@ object PcaQueries {
     * the meanCentering=false accumulation path). */
   def p3Gram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = Cov.stats(Tables.embeddings(spark, dir), "embedding").secondMoment
+    val g = cachedStats(spark, dir).secondMoment
     val rows = for { i <- 0 until checkDims; j <- i until checkDims }
       yield (i, j, rnd(g(i, j), 4))
     rows.toDF("i", "j", "gram").orderBy($"i", $"j")
@@ -67,7 +76,7 @@ object PcaQueries {
     * invariant, so this checks the full eigen pipeline end-to-end. */
   def p4PcaTrace(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cov = Cov.stats(Tables.embeddings(spark, dir), "embedding").covariance
+    val cov = cachedStats(spark, dir).covariance
     val res = Eigen.pca(cov, cov.rows)
     Seq(Tuple1(rnd(res.eigenvalues.sum, 4)))
       .toDF("total_var")
