@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.PcaQueries.queries, operators.PcaQueries.oracle),
+      (operators.AsOf.queries, operators.AsOf.oracle),
       (streaming.EventStreams.queries, streaming.EventStreams.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** As-of (point-in-time) join — an operator Spark has no built-in for
+  * (SURVEY.md §2 extension; the reference has no joins at all).
+  *
+  * Semantics: for each left row, attach the payload of the single right
+  * row with the same key and the greatest `rightTime <= leftTime`
+  * (inclusive), or nulls when none exists — DuckDB `ASOF LEFT JOIN`.
+  *
+  * Execution shape (chosen for 100 TB): a naive formulation is a range
+  * join (`l.key = r.key AND r.t <= l.t` + a per-row max), which Spark
+  * executes as a broadcast-nested-loop or exploded equi-join — O(n·m)
+  * per key. This instead tags both sides, unions them, and runs ONE
+  * window pass per key ordered by (time, side): `last(payload,
+  * ignoreNulls)` over an unbounded-preceding frame is a running O(1)
+  * carry-forward, so total cost is one shuffle on the key plus a sort —
+  * linear in rows, skew-bounded by the hottest key, no pairwise blowup.
+  *
+  * Right rows must be unique per (key, time) — pre-aggregate ties (the
+  * caller chooses the tiebreak) or the carried payload is
+  * order-dependent.
+  */
+object AsOf {
+
+  /** Generic as-of join. `payload` = right-side columns to carry.
+    * Right rows sort before left rows at equal time, so a left row at
+    * exactly `t` matches a right row at `t` (inclusive bound). */
+  def asofJoin(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      col(leftKey).as("__key") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+        (leftCols.map(col) ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = right.select(
+      col(rightKey).as("__key") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ payload.map(col)): _*)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r).select(
+      (Seq(col("__side")) ++ leftCols.map(col) ++
+        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** D10-extension query: each event joined to the user's latest order
+    * at-or-before the event time, aggregated per event type. Orders are
+    * deduplicated to one per (custkey, orderdate) by max orderkey so
+    * the as-of match is unique. */
+  def q19Asof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"), max($"o_totalprice").as("o_totalprice"))
+    val joined = asofJoin(
+      Tables.events(spark, dir).select($"event_id", $"ts", $"user_id", $"event_type"),
+      "user_id", "ts",
+      orders, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+    joined.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count($"o_orderkey").as("n_matched"),
+        round(avg($"o_totalprice"), 2).as("avg_matched_price"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_asof" -> q19Asof)
+
+  val oracle: Map[String, String] = Map(
+    "q19_asof" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+            max(o_orderkey) AS o_orderkey, max(o_totalprice) AS o_totalprice
+          FROM orders GROUP BY 1, 2)
+         SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_matched,
+           round(avg(o.o_totalprice), 2) AS avg_matched_price
+         FROM events e
+         ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         GROUP BY e.event_type ORDER BY e.event_type""")
+}

@@ -54,6 +54,24 @@ object EventStreams {
   def sessionsStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     sessions(events.withWatermark("ts", delay))
 
+  /** Exactly-once event counts per type after id-dedup — in streaming
+    * mode `dropDuplicates` keeps per-id state bounded by the watermark
+    * (D17 × D22: streaming dedup, the first stage of any event
+    * ingestion pipeline). */
+  def dedupCounts(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  def dedupCountsStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_unique_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_unique_events"))
+
   // ---- batch query surface for the oracle gate ----
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame = {
@@ -73,10 +91,16 @@ object EventStreams {
       .select($"user_id", $"session_start", $"n_events", $"sum_value")
   }
 
+  def e4DedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupCounts(Tables.events(spark, dir)).orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling" -> e1Tumbling,
     "e2_sliding" -> e2Sliding,
-    "e3_sessions" -> e3Sessions)
+    "e3_sessions" -> e3Sessions,
+    "e4_dedup_counts" -> e4DedupCounts)
 
   val oracle: Map[String, String] = Map(
     "e1_tumbling" ->
@@ -93,6 +117,12 @@ object EventStreams {
            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
          SELECT window_start, CAST(count(*) AS BIGINT) AS n_events
          FROM starts GROUP BY 1 ORDER BY 1""",
+    "e4_dedup_counts" ->
+      """WITH d AS (SELECT DISTINCT ON (event_id) event_id, event_type, value
+                    FROM events ORDER BY event_id)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_events,
+           round(sum(value), 2) AS sum_value
+         FROM d GROUP BY event_type ORDER BY event_type""",
     // gaps-and-islands replay of session_window semantics
     "e3_sessions" ->
       """WITH o AS (

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOf
+
+/** As-of join vs a brute-force per-row scan oracle. */
+class AsOfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def t(m: Int): Timestamp =
+    Timestamp.valueOf(java.time.LocalDateTime.of(2026, 1, 1, 0, 0).plusMinutes(m.toLong))
+
+  test("asofJoin matches brute-force latest-at-or-before semantics") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, t(10), "e1"), (1L, t(30), "e2"), (1L, t(5), "e0"),
+      (2L, t(50), "e3"), (3L, t(1), "e4"))
+      .toDF("key", "ts", "name")
+    val right = Seq(
+      (1L, t(10), 100.0), (1L, t(20), 200.0),   // t(10) matches e1 inclusively
+      (2L, t(49), 300.0), (9L, t(0), 999.0))
+      .toDF("rkey", "rts", "price")
+    val got = AsOf.asofJoin(left, "key", "ts", right, "rkey", "rts", Seq("price"))
+      .select($"name", $"price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      "e0" -> None,            // before any order of key 1
+      "e1" -> Some(100.0),     // inclusive match at equal time
+      "e2" -> Some(200.0),     // latest of the two
+      "e3" -> Some(300.0),
+      "e4" -> None))           // key 3 has no right rows
+  }
+
+  test("q19_asof row-level spot check vs driver-side brute force") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id").collect()
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("k"), max($"o_totalprice").as("p"))
+      // o_orderdate is TIMESTAMP_NTZ; cast to session-TZ timestamp so the
+      // driver-side compare sees the same instants the union coercion does
+      .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_orderdate"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val expectedMatches = events.count { e =>
+      orders.get(e.getLong(2)).exists(_.exists(o =>
+        !o.getTimestamp(1).after(e.getTimestamp(1))))
+    }
+    val gotMatches = AsOf.q19Asof(spark, sf).collect().map(_.getLong(2)).sum
+    assert(gotMatches == expectedMatches,
+      s"matched-event count $gotMatches != brute force $expectedMatches")
+  }
+}

@@ -69,6 +69,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids (exactly-once counts)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupCountsStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("complete").start()
+    try {
+      mem.addData(evs: _*)
+      mem.addData(evs.head, evs(1))      // exact duplicates, same ids
+      q.processAllAvailable()
+      val h0views = spark.table("dedup")
+        .filter($"window_start" === t(0) && $"event_type" === "view")
+        .select($"n_unique_events").collect().map(_.getLong(0)).toSeq
+      assert(h0views == Seq(2), s"duplicates not dropped: $h0views")
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals the batch answer when drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
