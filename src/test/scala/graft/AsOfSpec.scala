@@ -35,6 +35,24 @@ class AsOfSpec extends AnyFunSuite {
       "e4" -> None))           // key 3 has no right rows
   }
 
+  test("rangeJoin matches brute-force banded semantics incl. bucket boundaries") {
+    import spark.implicits._
+    val w = 600L // 10 minutes
+    val left = Seq((1L, t(20), "a"), (1L, t(10), "b"), (2L, t(40), "c"))
+      .toDF("key", "ts", "name")
+    val right = Seq(
+      (1L, t(10), 1.0),  // exactly lower bound for a (20-10), equal time for b
+      (1L, t(20), 2.0),  // equal time for a, outside for b
+      (1L, t(9), 3.0),   // outside for a (> 10 min before), within for b
+      (2L, t(31), 4.0), (2L, t(29), 5.0)) // boundary: 29 outside [30,40]
+      .toDF("rkey", "rts", "v")
+    val got = graft.operators.RangeJoin
+      .rangeJoin(left, "key", "ts", right, "rkey", "rts", Seq("v"), w)
+      .select($"name", $"v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 3.0), ("c", 4.0)))
+  }
+
   test("q19_asof row-level spot check vs driver-side brute force") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sf)
