@@ -86,6 +86,20 @@ object Dedup {
   def signatures(spark: SparkSession, dir: String): DataFrame =
     signaturesOf(shingleRows(spark, dir))
 
+  /** Shared persisted (distinct shingle rows, signatures) per
+    * (session, dir): d3/d4/d5 all hang off the same two frames, so the
+    * corpus is shingled and hashed once per session — a session-scoped
+    * materialized view over immutable fixture data. */
+  private val sigCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (DataFrame, DataFrame)]
+  def sharedSigs(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    sigCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val sh = shingleRows(spark, dir).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sg = signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
+      (sh, sg)
+    })
+
   /** D17: exact dedup by normalized-text hash → representative id +
     * multiplicity per content group. */
   def d1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -110,7 +124,7 @@ object Dedup {
   /** D18: per-document MinHash signature. */
   def d3Minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    signatures(spark, dir).orderBy($"doc_id")
+    sharedSigs(spark, dir)._2.orderBy($"doc_id")
   }
 
   /** Band-hash columns band0..band{b-1} over signature columns. */
@@ -145,8 +159,7 @@ object Dedup {
   /** D18: LSH candidate pairs with signature-overlap similarity. */
   def d4LshPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = signatures(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK) // read 3× (bands + both sides)
+    val sigs = sharedSigs(spark, dir)._2 // read 3× (bands + both sides)
     val sa = sigs.select($"doc_id".as("doc_a") +:
       (0 until numHashes).map(i => col(s"sig$i").as(s"a$i")): _*)
     val sb = sigs.select($"doc_id".as("doc_b") +:
@@ -165,13 +178,19 @@ object Dedup {
     * are scored, so the quadratic step never touches the full corpus. */
   def d5Jaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docSh = shingleRows(spark, dir).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // sigs + card + both join sides
-    val card = docSh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val cand = candidates(signaturesOf(docSh))
-    val inter = docSh.select($"doc_id".as("doc_a"), $"s")
+    val (docSh, sigs) = sharedSigs(spark, dir)
+    val cand = candidates(sigs)
+      .persist(StorageLevel.MEMORY_AND_DISK) // id filter + intersection + output
+    // candidates are rare: broadcast their ids and score only those docs,
+    // so the corpus-wide shingle frame is never shuffled for the join
+    val candIds = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val shCand = docSh.join(broadcast(candIds), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK) // card + both join sides
+    val card = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = shCand.select($"doc_id".as("doc_a"), $"s")
       .join(cand, "doc_a")
-      .join(docSh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .join(shCand.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(card.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
