@@ -282,6 +282,32 @@ object Relational {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** D11: PIVOT — linestatus columns per returnflag (wide aggregation,
+    * compiles to one conditional-sum hash aggregate, no extra shuffle
+    * vs the long form). */
+  def q21Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum($"l_quantity"), 0))
+      .na.fill(0.0)
+      .select($"l_returnflag", $"F".as("qty_f"), $"O".as("qty_o"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** D11: exact interpolated percentiles per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`). */
+  def q22Percentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** D9+D11: conditional aggregation (TPC-H Q14 promo-revenue shape)
     * with a broadcast part-dim join. */
   def q18CaseWhen(spark: SparkSession, dir: String): DataFrame = {
@@ -315,9 +341,21 @@ object Relational {
     "q15_json" -> q15Json,
     "q16_array_math" -> q16ArrayMath,
     "q17_rollup" -> q17Rollup,
-    "q18_casewhen" -> q18CaseWhen)
+    "q18_casewhen" -> q18CaseWhen,
+    "q21_pivot" -> q21Pivot,
+    "q22_percentile" -> q22Percentile)
 
   val oracle: Map[String, String] = Map(
+    "q21_pivot" ->
+      """SELECT l_returnflag,
+           coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 0) AS qty_f,
+           coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 0) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q22_percentile" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 0) AS sum_qty,
@@ -436,6 +474,16 @@ object Relational {
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
                FROM embeddings) t
          GROUP BY label ORDER BY label""",
+    "q21_pivot" ->
+      """SELECT l_returnflag,
+           coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 0) AS qty_f,
+           coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 0) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q22_percentile" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q17_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(count(*) AS BIGINT) AS n_rows,
