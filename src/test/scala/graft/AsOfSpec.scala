@@ -53,6 +53,45 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Set(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 3.0), ("c", 4.0)))
   }
 
+  test("asofJoin and rangeJoin match brute force on random data (seed sweep)") {
+    import spark.implicits._
+    (0 until 5).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val left = Seq.tabulate(60)(i =>
+        (rng.nextInt(4).toLong, t(rng.nextInt(300)), i.toLong))
+      val right = Seq.tabulate(40)(i =>
+        (rng.nextInt(4).toLong, t(rng.nextInt(300)), i.toDouble))
+        // unique (key, time) as the contract requires
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val ldf = left.toDF("key", "ts", "lid")
+      val rdf = right.toDF("rkey", "rts", "v")
+
+      val gotAsof = graft.operators.AsOf
+        .asofJoin(ldf, "key", "ts", rdf, "rkey", "rts", Seq("v"))
+        .select($"lid", $"v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      left.foreach { case (k, ts, lid) =>
+        val exp = right.filter(r => r._1 == k && !r._2.after(ts))
+          .sortBy(_._2.getTime).lastOption.map(_._3)
+        assert(gotAsof(lid) == exp, s"seed $seed asof lid $lid")
+      }
+
+      val w = 3600L
+      val gotRange = graft.operators.RangeJoin
+        .rangeJoin(ldf, "key", "ts", rdf, "rkey", "rts", Seq("v"), w)
+        .select($"lid", $"v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val expRange = (for {
+        (k, ts, lid) <- left
+        (rk, rts, v) <- right
+        if rk == k && !rts.after(ts) &&
+          rts.getTime >= ts.getTime - w * 1000
+      } yield (lid, v)).toSet
+      assert(gotRange == expRange, s"seed $seed range")
+    }
+  }
+
   test("q19_asof row-level spot check vs driver-side brute force") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sf)
