@@ -159,30 +159,19 @@ class GraftPCAModel(override val uid: String, val pc: DenseMatrix,
   def setInputCol(value: String): this.type = set(inputCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
 
-  /** pcᵀ·v without densifying sparse input; k×n work per row. */
-  private def project(v: Vector): DenseVector = {
-    val n = pc.numRows; val kk = pc.numCols
-    require(v.size == n, s"row width ${v.size} != fitted width $n")
-    val out = new Array[Double](kk)
-    val data = pc.values // column-major n×kk
-    v.foreachActive { (i, x) =>
-      if (x != 0.0) {
-        var j = 0
-        while (j < kk) { out(j) += data(j * n + i) * x; j += 1 }
-      }
-    }
-    new DenseVector(out)
-  }
-
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
+    // precompute the transpose on the driver and close over ONLY the
+    // small matrix (reference: RapidsPCA.scala:187); multiply is one
+    // BLAS gemv per row, sparse-aware
+    val pcT = pc.transpose
     dataset.schema($(inputCol)).dataType match {
       case t if t == SQLDataTypes.VectorType =>
-        val f = udf { v: Vector => project(v) }
+        val f = udf { v: Vector => pcT.multiply(v) }
         dataset.withColumn($(outputCol), f(col($(inputCol))))
       case _: ArrayType =>
         val f = udf { arr: Seq[Double] =>
-          project(new DenseVector(arr.toArray)).values.toSeq
+          pcT.multiply(new DenseVector(arr.toArray)).values.toSeq
         }
         dataset.withColumn($(outputCol),
           f(col($(inputCol)).cast("array<double>")))
