@@ -163,11 +163,40 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** D21: symmetric int8 quantization of the embedding column +
+    * reconstruction-error statistics per label — the compression step a
+    * training pipeline applies before shipping embeddings. Quantization
+    * uses floor(x/scale + 0.5) (round-half-toward-+inf) so Spark and
+    * the SQL oracle agree on negative half-way points. Pure narrow map
+    * + one low-cardinality aggregation. */
+  def s5Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val scaled = emb.select($"label",
+      (array_max(transform($"embedding", x => abs(x.cast("double")))) / 127.0).as("scale"),
+      $"embedding")
+    val err = aggregate(
+      transform($"embedding", x => {
+        val xd = x.cast("double")
+        val q = least(greatest(floor(xd / $"scale" + 0.5), lit(-127.0)), lit(127.0))
+        abs(xd - q * $"scale")
+      }),
+      lit(0.0), (acc, e) => acc + e)
+    scaled
+      .select($"label", (err / size($"embedding")).as("mae"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg($"mae"), 6).as("avg_mae"),
+        round(max($"mae"), 6).as("max_mae"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1KnnBrute,
     "s2_knn_lsh" -> s2KnnLsh,
     "s3_neardup_pairs" -> s3NearDupPairs,
-    "s4_centroids" -> s4Centroids)
+    "s4_centroids" -> s4Centroids,
+    "s5_quantize" -> s5Quantize)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -191,6 +220,19 @@ object Similarity {
             ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
           WHERE round($cosSql, 4) >= 0.35
           ORDER BY id_a, id_b""",
+    "s5_quantize" ->
+      """WITH s AS (SELECT label,
+            list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+            embedding::DOUBLE[] AS emb
+          FROM embeddings),
+          m AS (SELECT label,
+            list_sum(list_transform(emb,
+              x -> abs(x - least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale)))
+              / len(emb) AS mae
+          FROM s)
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+            round(avg(mae), 6) AS avg_mae, round(max(mae), 6) AS max_mae
+          FROM m GROUP BY label ORDER BY label""",
     "s4_centroids" ->
       """WITH e AS (SELECT label, vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) /
