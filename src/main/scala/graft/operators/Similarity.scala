@@ -163,6 +163,84 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** IVF coarse quantizer: deterministic distributed Lloyd iterations —
+    * init = the first `k` vectors by id, assignment via a compiled
+    * nearest-centroid closure over the broadcast codebook, update via
+    * posexplode + per-(cluster, dim) average (one shuffle per
+    * iteration, partial-aggregated). Returns the codebook. */
+  def ivfCentroids(spark: SparkSession, emb: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    var cents = emb.filter($"vec_id" < k).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assignU = nearestCentroid(cents)
+      val updated = emb
+        .select(assignU($"embedding").as("c"), posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"c", $"pos").agg(avg($"v".cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      // empty cells keep their previous centroid so indices are stable
+      cents = cents.indices.map(c => updated.getOrElse(c, cents(c))).toArray
+    }
+    cents
+  }
+
+  /** Compiled nearest-centroid (squared L2) assignment. */
+  private def nearestCentroid(cents: Array[Array[Double]]) =
+    udf { (emb: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c); var d = 0.0; var i = 0
+        while (i < ct.length) {
+          val diff = emb(i) - ct(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Probed cluster ids (the `nprobe` nearest centroids) for a query. */
+  private def probes(cents: Array[Array[Double]], nprobe: Int) =
+    udf { (emb: Seq[Float]) =>
+      cents.indices.map { c =>
+        val ct = cents(c); var d = 0.0; var i = 0
+        while (i < ct.length) { val t = emb(i) - ct(i); d += t * t; i += 1 }
+        (d, c)
+      }.sortBy(_._1).take(nprobe).map(_._2).toArray
+    }
+
+  /** D19 scale path #2: IVF ANN — corpus partitioned into coarse
+    * k-means cells, queries probe their `nprobe` nearest cells, exact
+    * cosine ranking inside the probed cells only. Complements
+    * [[s2KnnLsh]]; recall vs brute force asserted in SimilaritySpec
+    * (no SQL oracle — the codebook lives in Scala). */
+  def s6KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(spark, emb, k = 16, iters = 2)
+    val assignU = nearestCentroid(cents)
+    val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding",
+      assignU($"embedding").as("cell"))
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(probes(cents, 4)($"embedding")).as("cell"))
+    val cands = corpus.join(qs, Seq("cell"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("cos", cosineF($"q_emb", $"embedding"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    cands.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** D21: symmetric int8 quantization of the embedding column +
     * reconstruction-error statistics per label — the compression step a
     * training pipeline applies before shipping embeddings. Quantization
@@ -196,7 +274,8 @@ object Similarity {
     "s2_knn_lsh" -> s2KnnLsh,
     "s3_neardup_pairs" -> s3NearDupPairs,
     "s4_centroids" -> s4Centroids,
-    "s5_quantize" -> s5Quantize)
+    "s5_quantize" -> s5Quantize,
+    "s6_knn_ivf" -> s6KnnIvf)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
