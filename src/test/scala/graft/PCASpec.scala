@@ -191,6 +191,25 @@ class PCASpec extends AnyFunSuite {
       !loaded.getMeanCentering)
   }
 
+  test("null feature rows fail fast with a clear error (reference throws too)") {
+    import spark.implicits._
+    val df = Seq(Some(Array(1.0, 2.0)), None, Some(Array(3.0, 4.0))).toDF("f")
+    val e = intercept[org.apache.spark.SparkException] {
+      new GraftPCA().setK(1).setInputCol("f").setOutputCol("o").fit(df)
+    }
+    assert(e.getMessage.contains("null") ||
+      Option(e.getCause).exists(_.getMessage.contains("null")))
+  }
+
+  test("k > numFeatures is rejected") {
+    import spark.implicits._
+    val df = handData.map(Tuple1(_)).toDF("f")
+    val e = intercept[IllegalArgumentException] {
+      new GraftPCA().setK(6).setInputCol("f").setOutputCol("o").fit(df)
+    }
+    assert(e.getMessage.contains("numFeatures"))
+  }
+
   test("fitted components are orthonormal on fixture embeddings") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val model = new GraftPCA().setK(4).setInputCol("embedding")

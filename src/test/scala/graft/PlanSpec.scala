@@ -42,6 +42,14 @@ class PlanSpec extends AnyFunSuite {
       "expected region/nation/customer-style dims broadcast")
   }
 
+  test("q19_asof and q20_range never fall back to nested-loop or cartesian joins") {
+    Seq("q19_asof", "q20_range").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plan degenerated to a pairwise join")
+    }
+  }
+
   test("d3_minhash shuffles signatures, not text") {
     val p = plan("d3_minhash")
     // the exchange below the final aggregate must carry doc_id + partial
