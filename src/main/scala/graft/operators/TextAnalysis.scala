@@ -142,12 +142,50 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** D20: TF-IDF top terms — document frequency from distinct
+    * (doc, term) pairs, tf·ln(N/df) scoring, window top-5 per source.
+    * Two partial-aggregated shuffles plus a broadcast of the (tiny)
+    * per-term df. ln() is IEEE-identical across engines. */
+  def t6Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val docTerm = docs.select($"doc_id", $"source", explode(tokens($"text")).as("term"))
+    val df_ = docTerm.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val tf = docTerm.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(df_), "term")
+      .withColumn("tfidf", round($"tf" * log(lit(nDocs.toDouble) / $"df"), 4))
+    val w = Window.partitionBy($"source").orderBy($"tfidf".desc, $"term")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"source", $"rk", $"term", $"tfidf")
+      .orderBy($"source", $"rk")
+  }
+
+  /** D20/D17: deterministic 10% stratified sample — hash-gated by
+    * md5(doc_id), reproducible on any engine/cluster, no RNG state.
+    * The sampling predicate is a pure narrow filter. */
+  def t7Sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 === 0)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
     "t4_term_freq" -> t4TermFreq,
-    "t5_fingerprint" -> t5Fingerprint)
+    "t5_fingerprint" -> t5Fingerprint,
+    "t6_tfidf" -> t6Tfidf,
+    "t7_sample" -> t7Sample)
 
   private val toksSql = "string_split(lower(text), ' ')"
   private def countInSql(words: Seq[String]) =
@@ -195,6 +233,26 @@ object TextAnalysis {
             row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rk FROM tf)
           SELECT source, CAST(rk AS INT) AS rk, term, n FROM r
           WHERE rk <= 10 ORDER BY source, rk""",
+    "t6_tfidf" ->
+      s"""WITH dt AS (SELECT doc_id, source, unnest($toksSql) AS term FROM documents),
+          idf AS (SELECT term, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, term FROM dt) GROUP BY term),
+          tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM dt GROUP BY source, term),
+          sc AS (SELECT tf.source, tf.term,
+                   round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / idf.df), 4) AS tfidf
+                 FROM tf JOIN idf ON tf.term = idf.term),
+          r AS (SELECT source, term, tfidf,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY tfidf DESC, term) AS rk FROM sc)
+          SELECT source, CAST(rk AS INT) AS rk, term, tfidf
+          FROM r WHERE rk <= 5 ORDER BY source, rk""",
+    "t7_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           round(avg(n_chars), 4) AS avg_chars
+         FROM documents
+         WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0
+         GROUP BY lang ORDER BY lang""",
     "t5_fingerprint" ->
       s"""WITH sh AS (SELECT doc_id,
             list_transform(generate_series(1, len($toksSql) - 2),
