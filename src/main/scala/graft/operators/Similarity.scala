@@ -7,19 +7,24 @@ import graft.sources.Tables
 
 /** Similarity search over the embedding column (SURVEY.md §2.B D19).
   *
-  * - Exact path: brute-force cosine top-k for a bounded query set —
+  * - Exact path (s1): brute-force cosine top-k for a bounded query set —
   *   broadcast the queries, stream the corpus once, per-partition
   *   ranking via a window. Linear in corpus size, never materializes
   *   the full pairwise matrix.
-  * - Scale path: random-hyperplane LSH (sign-bucket ANN) — bucket keys
-  *   are computed per row from deterministic hyperplanes, candidates
-  *   join only within (table, bucket), so the shuffle is keyed on
-  *   bucket values and the quadratic work is confined to buckets.
+  * - Scale path #1 (s2): random-hyperplane LSH (sign-bucket ANN) —
+  *   bucket keys computed per row from deterministic hyperplanes,
+  *   candidates join only within (table, bucket), so the shuffle is
+  *   keyed on bucket values and quadratic work is confined to buckets.
+  * - Scale path #2 (s6): IVF — coarse k-means cells, probed search.
+  * - Plus threshold near-dup pairs (s3), centroid analytics (s4), and
+  *   int8 quantization (s5).
   *
-  * Dot products use `zip_with` + `aggregate` over `array<float>` cast
-  * to double — codegen'd higher-order expressions, no UDF, and
-  * bit-identical to DuckDB's `list_inner_product` on `DOUBLE[]`
-  * (same element order, same sequential summation).
+  * Arithmetic: the expression-form dot ([[dot]]) and the compiled
+  * [[cosineF]] both widen float→double and sum sequentially in element
+  * order, so every score is bit-identical to DuckDB's
+  * `list_inner_product` on `DOUBLE[]` — which is what makes the s1/s3
+  * oracles hash-exact. (Spark's higher-order expressions are
+  * interpreted, so hot pair-scoring uses the compiled form.)
   */
 object Similarity {
 
