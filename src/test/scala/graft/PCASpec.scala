@@ -191,6 +191,26 @@ class PCASpec extends AnyFunSuite {
       !loaded.getMeanCentering)
   }
 
+  test("Cov.stats mean/variance agree with ML Summarizer (colStats semantics)") {
+    import spark.implicits._
+    import org.apache.spark.ml.stat.Summarizer
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val stats = Cov.stats(emb, "embedding")
+    val row = emb
+      .select(array_to_vector($"embedding".cast("array<double>")).as("v"))
+      .select(Summarizer.metrics("mean", "variance", "count").summary($"v").as("s"))
+      .select("s.mean", "s.variance", "s.count").head()
+    val mean = row.getAs[org.apache.spark.ml.linalg.Vector](0)
+    val variance = row.getAs[org.apache.spark.ml.linalg.Vector](1)
+    assert(row.getLong(2) == stats.m)
+    val cov = stats.covariance
+    for (i <- 0 until mean.size) {
+      assert(math.abs(mean(i) - stats.mean(i)) < 1e-12, s"mean($i)")
+      assert(math.abs(variance(i) - cov(i, i)) < 1e-9, s"var($i)")
+    }
+  }
+
   test("null feature rows fail fast with a clear error (reference throws too)") {
     import spark.implicits._
     val df = Seq(Some(Array(1.0, 2.0)), None, Some(Array(3.0, 4.0))).toDF("f")

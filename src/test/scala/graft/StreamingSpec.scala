@@ -87,6 +87,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source readStream drains to the batch answer (full IO path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evstream").toString
+    evs.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(evs.toDF().schema)
+      .parquet(dir)
+    val q = EventStreams.tumblingStream(stream)
+      .writeStream.format("memory").queryName("filetumb")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filetumb")
+        .orderBy($"window_start", $"event_type").collect()
+      val exp = EventStreams.tumbling(evs.toDF())
+        .orderBy($"window_start", $"event_type").collect()
+      assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals the batch answer when drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
