@@ -100,15 +100,45 @@ class GraftPCA(override val uid: String) extends Estimator[GraftPCAModel]
   override def write: MLWriter = new GraftPCA.Writer(this)
 }
 
+/** Explicitly-set params of an estimator or model, one parquet row.
+  * (The reference stores a JSON metadata file + a Matrix-UDT parquet,
+  * RapidsPCA.scala:218-228; we store plain columns so the artifact is
+  * readable by any parquet reader, DuckDB included.) Top-level so the
+  * encoder's generated code can reach the accessors (nested private
+  * classes force an interpreter fallback — or a hard failure under
+  * Pipeline.save's codegen path). */
+private[feature] case class ParamsData(uid: String, k: Option[Int],
+    inputCol: Option[String], outputCol: Option[String],
+    meanCentering: Option[Boolean], useGemm: Option[Boolean],
+    useCuSolverSVD: Option[Boolean], gpuId: Option[Int])
+
+/** Fitted-model artifact row: params + the n×k component matrix. */
+private[feature] case class ModelData(params: ParamsData, pcRows: Int,
+    pcCols: Int, pcValues: Array[Double], explainedVariance: Array[Double])
+
 object GraftPCA extends MLReadable[GraftPCA] {
-  /** Explicitly-set params of an estimator or model, one parquet row.
-    * (The reference stores a JSON metadata file + a Matrix-UDT parquet,
-    * RapidsPCA.scala:218-228; we store plain columns so the artifact is
-    * readable by any parquet reader, DuckDB included.) */
-  private[feature] case class ParamsData(uid: String, k: Option[Int],
-      inputCol: Option[String], outputCol: Option[String],
-      meanCentering: Option[Boolean], useGemm: Option[Boolean],
-      useCuSolverSVD: Option[Boolean], gpuId: Option[Int])
+
+  /** DefaultParamsWriter-layout metadata file, so Pipeline persistence
+    * can discover the stage class (`SharedReadWrite.load` reads
+    * `metadata/` to find the companion reader, which then loads our
+    * parquet artifact). Params are replicated in paramMap for
+    * inspectability; our own reader uses the parquet row. */
+  private[feature] def writeMetadata(path: String,
+      spark: org.apache.spark.sql.SparkSession, instance: Params): Unit = {
+    def jsonVal(v: Any): String = v match {
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case other => other.toString
+    }
+    val pairs = instance.params.flatMap(p => instance.get(p).map(v =>
+      s""""${p.name}":${jsonVal(v)}""")).mkString(",")
+    val json = s"""{"class":"${instance.getClass.getName}",""" +
+      s""""timestamp":${System.currentTimeMillis()},""" +
+      s""""sparkVersion":"${spark.version}","uid":"${instance.uid}",""" +
+      s""""paramMap":{$pairs},"defaultParamMap":{}}"""
+    import spark.implicits._
+    Seq(json).toDS().repartition(1).write.mode("overwrite")
+      .text(s"$path/metadata")
+  }
 
   private[feature] def paramsData(p: GraftPCAParams with Params): ParamsData =
     ParamsData(p.uid, p.get(p.k), p.get(p.inputCol), p.get(p.outputCol),
@@ -131,6 +161,7 @@ object GraftPCA extends MLReadable[GraftPCA] {
       import spark.implicits._
       Seq(paramsData(instance)).toDS()
         .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+      writeMetadata(path, spark, instance)
     }
   }
 
@@ -190,8 +221,6 @@ class GraftPCAModel(override val uid: String, val pc: DenseMatrix,
 }
 
 object GraftPCAModel extends MLReadable[GraftPCAModel] {
-  private case class ModelData(params: GraftPCA.ParamsData, pcRows: Int,
-      pcCols: Int, pcValues: Array[Double], explainedVariance: Array[Double])
 
   private[feature] class Writer(instance: GraftPCAModel) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
@@ -203,6 +232,7 @@ object GraftPCAModel extends MLReadable[GraftPCAModel] {
       // single artifact file, as the reference (RapidsPCA.scala:224)
       Seq(d).toDS().repartition(1).write.mode("overwrite")
         .parquet(s"$path/data")
+      GraftPCA.writeMetadata(path, spark, instance)
     }
   }
 

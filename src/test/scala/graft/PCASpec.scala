@@ -230,6 +230,38 @@ class PCASpec extends AnyFunSuite {
     assert(e.getMessage.contains("numFeatures"))
   }
 
+  test("GraftPCA composes in an org.apache.spark.ml.Pipeline with persistence") {
+    import spark.implicits._
+    val df = handData.map(Tuple1(_)).toDF("features")
+    val pipe = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(new GraftPCA().setK(2)
+        .setInputCol("features").setOutputCol("pca")))
+    val model = pipe.fit(df)
+    val out = model.transform(df)
+    assert(out.columns.contains("pca") && out.count() == 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val m = loaded.stages.head.asInstanceOf[GraftPCAModel]
+    assert(m.pc.values.sameElements(
+      model.stages.head.asInstanceOf[GraftPCAModel].pc.values))
+  }
+
+  test("wide vectors (1000 dims) fit through the blocked-GEMM path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = Seq.fill(300)(Vectors.dense(Array.fill(1000)(rng.nextGaussian())): Vector)
+      .map(Tuple1(_)).toDF("f")
+    val model = new GraftPCA().setK(5).setInputCol("f").setOutputCol("o").fit(df)
+    assert(model.pc.numRows == 1000 && model.pc.numCols == 5)
+    val ev = model.explainedVariance.values
+    assert(ev.forall(v => v > 0 && v < 1) && ev.sameElements(ev.sorted.reverse))
+    // projection output has width k
+    val first = model.transform(df).select("o").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(first.size == 5)
+  }
+
   test("fitted components are orthonormal on fixture embeddings") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val model = new GraftPCA().setK(4).setInputCol("embedding")
