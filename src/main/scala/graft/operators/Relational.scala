@@ -255,7 +255,8 @@ object Relational {
   }
 
   /** D16+D21: array/math functions over the embedding column — L2 norm
-    * via transform+aggregate (codegen'd higher-order functions, no UDF). */
+    * via transform+aggregate (array arguments bound once per row; the
+    * lambdas touch only bound variables, so the pass is linear). */
   def q16ArrayMath(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
