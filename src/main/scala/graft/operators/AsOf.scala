@@ -29,24 +29,33 @@ object AsOf {
 
   /** Generic as-of join. `payload` = right-side columns to carry.
     * Right rows sort before left rows at equal time, so a left row at
-    * exactly `t` matches a right row at `t` (inclusive bound). */
+    * exactly `t` matches a right row at `t` (inclusive bound).
+    *
+    * The payload is carried as ONE struct with a single
+    * `last(ignoreNulls)`: every carried column comes from the SAME
+    * matched right row even when individual payload values are null
+    * (per-column carries would mix columns across right rows). */
   def asofJoin(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.select(
       col(leftKey).as("__key") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
-        (leftCols.map(col) ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(c => right.schema(c)))).as("__pay") +:
+        leftCols.map(col): _*)
     val r = right.select(
       col(rightKey).as("__key") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ payload.map(col)): _*)
+        struct(payload.map(col): _*).as("__pay") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r).select(
       (Seq(col("__side")) ++ leftCols.map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+        Seq(last(col("__pay"), ignoreNulls = true).over(w).as("__pay"))): _*)
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__pay.$c").as(c)): _*)
   }
 
   /** D10-extension query: each event joined to the user's latest order

@@ -176,9 +176,14 @@ object Similarity {
   def ivfCentroids(spark: SparkSession, emb: DataFrame, k: Int,
       iters: Int): Array[Array[Double]] = {
     import spark.implicits._
-    var cents = emb.filter($"vec_id" < k).orderBy($"vec_id")
+    // seed = the first k rows OF THE FRAME PASSED IN (which may already be
+    // a sample), not `vec_id < k` — on a sampled frame that predicate
+    // keeps only the sampled ids below k and silently shrinks the codebook
+    var cents = emb.orderBy($"vec_id").limit(k)
       .select($"embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cents.length == k,
+      s"IVF seed produced ${cents.length} centroids, need $k (frame too small?)")
     for (_ <- 0 until iters) {
       val assignU = nearestCentroid(cents)
       val updated = emb
