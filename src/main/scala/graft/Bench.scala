@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: per-query wall time over the full query surface.
+  *
+  * Measurement protocol (each query independently):
+  *  1. one untimed warmup run — codegen JIT, parquet footer cache,
+  *     shuffle-file reuse all land here, not in the numbers;
+  *  2. `repeats` timed runs (default 3, `SPARK_GRAFT_BENCH_REPEATS`);
+  *  3. report the MEDIAN per query plus the relative spread
+  *     (max−min)/median, so a reader can tell signal from VM noise.
+  *
+  * A query that throws is reported in a `"failed"` array and excluded
+  * from the total — a regression-to-failure must never LOWER the
+  * reported total. One JSON line on stdout, as the driver expects.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     // split-size knob for deploy-time tuning. A/B at sf0.1 showed small
     // splits (2m) LOSE to the 128m default here — per-task overhead
     // outweighs scan parallelism on ~10MB files; the shuffles already
@@ -23,20 +38,37 @@ object Bench {
                else graft.sources.Tables.load(spark, sfDir, t)
       df.write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: full computation of every output column (count()
-      // would let Catalyst prune projections and under-report)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+    // noop sink: full computation of every output column (count()
+    // would let Catalyst prune projections and under-report)
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        run(fn) // per-query warmup, untimed
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          run(fn)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val med = times(times.length / 2)
+        medians(name) = med
+        spreads(name) = if (med > 0) (times.last - times.head) / med else 0.0
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = medians.values.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(medians)},"spread":${jmap(spreads)},""" +
+      s""""repeats":$repeats,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

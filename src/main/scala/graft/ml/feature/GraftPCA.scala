@@ -1,12 +1,14 @@
 package graft.ml.feature
 
+import breeze.linalg.{DenseMatrix => BDM}
 import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.attribute.AttributeGroup
 import org.apache.spark.ml.linalg.{DenseMatrix, DenseVector, SQLDataTypes, Vector}
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions.{col, udf}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, Metadata, StructField, StructType}
 
 import graft.ml.{Cov, Eigen}
 
@@ -60,7 +62,13 @@ trait GraftPCAParams extends Params {
     }
     require(!schema.fieldNames.contains($(outputCol)),
       s"output column '${$(outputCol)}' already exists")
-    StructType(schema.fields :+ StructField($(outputCol), outType, nullable = false))
+    // stamp size-k ML attribute-group metadata so downstream stages
+    // (assemblers, models) read the output width without a data pass
+    // (reference: RapidsPCA.scala:193-200 via updateAttributeGroupSize)
+    val meta = if (isSet(k)) new AttributeGroup($(outputCol), $(k)).toMetadata()
+               else Metadata.empty
+    StructType(schema.fields :+
+      StructField($(outputCol), outType, nullable = false, meta))
   }
 }
 

@@ -38,6 +38,8 @@ object AsOf {
   def asofJoin(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty,
+      "asofJoin needs at least one payload column (an empty carry is a no-op)")
     val leftCols = left.columns.toSeq
     val l = left.select(
       col(leftKey).as("__key") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
@@ -54,8 +56,11 @@ object AsOf {
     val carried = l.unionByName(r).select(
       (Seq(col("__side")) ++ leftCols.map(col) ++
         Seq(last(col("__pay"), ignoreNulls = true).over(w).as("__pay"))): _*)
+    // getField, not a "__pay.c" path string: payload names containing
+    // dots (legal in schemas) must not be parsed as nested-field paths
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__pay.$c").as(c)): _*)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__pay").getField(c).as(c)): _*)
   }
 
   /** D10-extension query: each event joined to the user's latest order

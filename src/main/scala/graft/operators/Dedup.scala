@@ -91,14 +91,20 @@ object Dedup {
     * corpus is shingled and hashed once per session — a session-scoped
     * materialized view over immutable fixture data. */
   private val sigCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (DataFrame, DataFrame)]
-  def sharedSigs(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    sigCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    .empty[(String, String), (DataFrame, DataFrame)]
+  def sharedSigs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // sessionUUID keying (identityHashCode can collide after GC reuse in
+    // a long-lived JVM); entries of stopped sessions hold dead persisted
+    // frames — evict them so a later session recomputes
+    sigCache.filterInPlace((_, v) =>
+      !v._1.sparkSession.sparkContext.isStopped)
+    sigCache.getOrElseUpdate((spark.sessionUUID, dir), {
       val sh = shingleRows(spark, dir).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       val sg = signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
       (sh, sg)
     })
+  }
 
   /** D17: exact dedup by normalized-text hash → representative id +
     * multiplicity per content group. */

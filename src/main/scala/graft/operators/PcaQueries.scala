@@ -29,7 +29,11 @@ object PcaQueries {
 
   /** One distributed pass per fixture dir per JVM: p1–p4 all consume the
     * same (count, mean, Gram) statistics, and the fixtures are
-    * immutable, so the pass is memoized like a materialized view. */
+    * immutable, so the pass is memoized like a materialized view.
+    * Keyed by dir alone deliberately: unlike Dedup.sigCache (which holds
+    * session-bound persisted DataFrames), the value is plain driver-local
+    * arrays, eagerly computed — valid across sessions and after the
+    * computing session stops. */
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[String, Cov.Stats]
   private def cachedStats(spark: SparkSession, dir: String): Cov.Stats =

@@ -54,7 +54,14 @@ object Similarity {
   }
 
   /** D19: exact brute-force cosine top-5 neighbors for query vectors
-    * (vec_id < 5). Queries are broadcast; the corpus is scanned once. */
+    * (vec_id < 5). Queries are broadcast; the corpus is scanned once.
+    *
+    * Two-phase ranking: a single window keyed on the 5 query ids would
+    * sort ALL corpus×query scores in 5 tasks regardless of cluster size
+    * (the q9 low-cardinality-window trap). Phase 1 takes a local top-5
+    * per (query, salt) — cluster-wide parallelism — and phase 2 ranks
+    * only the ≤ 5·salts survivors per query. A global top-5 row always
+    * survives its salt bucket's local top-5, so results are identical. */
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -64,8 +71,14 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter($"neighbor_id" =!= $"query_id")
       .withColumn("cos", cosineF($"q_emb", $"embedding"))
+      .withColumn("salt", pmod(crc32($"neighbor_id".cast("string")), lit(32)))
+    val wLocal = Window.partitionBy($"query_id", $"salt")
+      .orderBy($"cos".desc, $"neighbor_id")
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    scored.withColumn("rk", row_number().over(w))
+    scored
+      .withColumn("rk_local", row_number().over(wLocal))
+      .filter($"rk_local" <= 5)
+      .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
       .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
       .orderBy($"query_id", $"rk")

@@ -144,8 +144,10 @@ object TextAnalysis {
 
   /** D20: TF-IDF top terms — document frequency from distinct
     * (doc, term) pairs, tf·ln(N/df) scoring, window top-5 per source.
-    * Two partial-aggregated shuffles plus a broadcast of the (tiny)
-    * per-term df. ln() is IEEE-identical across engines. */
+    * Two partial-aggregated shuffles; the tf⋈df join on `term` stays a
+    * shuffle join — the per-term df table is VOCABULARY-sized (10⁷–10⁹
+    * terms on a web corpus), so a broadcast hint here would OOM the
+    * driver at scale. ln() is IEEE-identical across engines. */
   def t6Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -155,7 +157,7 @@ object TextAnalysis {
     val df_ = docTerm.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
     val tf = docTerm.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
-    val scored = tf.join(broadcast(df_), "term")
+    val scored = tf.join(df_, "term")
       .withColumn("tfidf", round($"tf" * log(lit(nDocs.toDouble) / $"df"), 4))
     val w = Window.partitionBy($"source").orderBy($"tfidf".desc, $"term")
     scored.withColumn("rk", row_number().over(w))

@@ -32,8 +32,7 @@ object EventStreams {
     * windows; built-in `window()` does the fan-out. */
   def sliding(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_events"))
 
   /** Gap-based sessions (30-minute inactivity) per user: built-in
@@ -54,12 +53,21 @@ object EventStreams {
   def sessionsStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     sessions(events.withWatermark("ts", delay))
 
-  /** Exactly-once event counts per type after id-dedup — in streaming
-    * mode `dropDuplicates` keeps per-id state bounded by the watermark
-    * (D17 × D22: streaming dedup, the first stage of any event
-    * ingestion pipeline). */
+  /** Exactly-once event counts per type after id-dedup (D17 × D22:
+    * streaming dedup, the first stage of any event ingestion pipeline).
+    *
+    * The representative row per `event_id` is the MINIMUM of
+    * (ts, value, event_type) — a deterministic choice, unlike
+    * `dropDuplicates`, whose survivor is whichever row a task sees
+    * first: if duplicate ids ever differed in payload, the downstream
+    * sums would be nondeterministic (and un-oracle-able). One
+    * partial-aggregated shuffle on `event_id`; the streaming variant
+    * ([[dedupCountsStream]]) keeps `dropDuplicates` because arrival
+    * order IS its semantics (first event wins, state watermark-bounded). */
   def dedupCounts(events: DataFrame): DataFrame =
-    events.dropDuplicates("event_id")
+    events.groupBy(col("event_id"))
+      .agg(min(struct(col("ts"), col("value"), col("event_type"))).as("__r"))
+      .select(col("__r.event_type").as("event_type"), col("__r.value").as("value"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique_events"),
         round(sum(col("value")), 2).as("sum_value"))
@@ -117,9 +125,11 @@ object EventStreams {
            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
          SELECT window_start, CAST(count(*) AS BIGINT) AS n_events
          FROM starts GROUP BY 1 ORDER BY 1""",
+    // representative = min(ts, value, event_type) per id, mirroring the
+    // deterministic struct-min in [[dedupCounts]]
     "e4_dedup_counts" ->
       """WITH d AS (SELECT DISTINCT ON (event_id) event_id, event_type, value
-                    FROM events ORDER BY event_id)
+                    FROM events ORDER BY event_id, ts, value, event_type)
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_events,
            round(sum(value), 2) AS sum_value
          FROM d GROUP BY event_type ORDER BY event_type""",
