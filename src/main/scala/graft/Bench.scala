@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   *  3. report the MEDIAN per query plus the relative spread
   *     (max−min)/median, so a reader can tell signal from VM noise.
   *
-  * A query that throws is reported in a `"failed"` array and excluded
-  * from the total — a regression-to-failure must never LOWER the
+  * A query that throws is reported in a `"failed"` array; its median is
+  * excluded from the per-query map, but the total is charged a 9999s
+  * penalty per failure so a regression-to-failure can never LOWER the
   * reported total. One JSON line on stdout, as the driver expects.
   */
 object Bench {
@@ -62,11 +63,14 @@ object Bench {
         failed += name
       }
     }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = medians.values.sum
+      m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    val total = medians.values.sum + failed.size * 9999.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${jmap(medians)},"spread":${jmap(spreads)},""" +
       s""""repeats":$repeats,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

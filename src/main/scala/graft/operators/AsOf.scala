@@ -40,26 +40,28 @@ object AsOf {
       payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty,
       "asofJoin needs at least one payload column (an empty carry is a no-op)")
+    // backtick-quote every by-name reference: a column literally named
+    // "a.b" (legal in schemas) must not be parsed as a nested-field path
+    def qcol(c: String): Column = col("`" + c.replace("`", "``") + "`")
     val leftCols = left.columns.toSeq
     val l = left.select(
-      col(leftKey).as("__key") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+      qcol(leftKey).as("__key") +: qcol(leftTime).as("__t") +: lit(1).as("__side") +:
         lit(null).cast(org.apache.spark.sql.types.StructType(
           payload.map(c => right.schema(c)))).as("__pay") +:
-        leftCols.map(col): _*)
+        leftCols.map(qcol): _*)
     val r = right.select(
-      col(rightKey).as("__key") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        struct(payload.map(col): _*).as("__pay") +:
+      qcol(rightKey).as("__key") +: qcol(rightTime).as("__t") +: lit(0).as("__side") +:
+        struct(payload.map(c => qcol(c).as(c)): _*).as("__pay") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r).select(
-      (Seq(col("__side")) ++ leftCols.map(col) ++
+      (Seq(col("__side")) ++ leftCols.map(qcol) ++
         Seq(last(col("__pay"), ignoreNulls = true).over(w).as("__pay"))): _*)
-    // getField, not a "__pay.c" path string: payload names containing
-    // dots (legal in schemas) must not be parsed as nested-field paths
+    // getField, not a "__pay.c" path string, for the same dot-safety
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.map(qcol) ++
         payload.map(c => col("__pay").getField(c).as(c)): _*)
   }
 

@@ -93,12 +93,14 @@ object Dedup {
   private val sigCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (DataFrame, DataFrame)]
   def sharedSigs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // sessionUUID keying (identityHashCode can collide after GC reuse in
-    // a long-lived JVM); entries of stopped sessions hold dead persisted
-    // frames — evict them so a later session recomputes
+    // Keyed by identityHashCode (sessionUUID is private[sql] on Spark
+    // 4.1.2). identityHashCode could in principle be reused after the
+    // original session is GC'd, but the isStopped eviction below removes
+    // stale entries first — a reused hash can only be observed after the
+    // old session was stopped, at which point its entry is gone.
     sigCache.filterInPlace((_, v) =>
       !v._1.sparkSession.sparkContext.isStopped)
-    sigCache.getOrElseUpdate((spark.sessionUUID, dir), {
+    sigCache.getOrElseUpdate((System.identityHashCode(spark).toString, dir), {
       val sh = shingleRows(spark, dir).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       val sg = signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
