@@ -6,7 +6,7 @@ import org.apache.spark.ml.attribute.AttributeGroup
 import org.apache.spark.ml.linalg.{DenseMatrix, DenseVector, SQLDataTypes, Vector}
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions.{col, udf}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, Metadata, StructField, StructType}
 
@@ -197,12 +197,17 @@ class GraftPCAModel(override val uid: String, val pc: DenseMatrix,
 
   def setInputCol(value: String): this.type = set(inputCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setUseGemm(value: Boolean): this.type = set(useGemm, value)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
-    // precompute the transpose on the driver and close over ONLY the
-    // small matrix (reference: RapidsPCA.scala:187); multiply is one
-    // BLAS gemv per row, sparse-aware
+    if ($(useGemm)) transformGemm(dataset.toDF()) else transformGemv(dataset)
+  }
+
+  /** Per-row projection: one BLAS gemv per row, sparse-aware; the
+    * transposed component matrix is precomputed on the driver and is the
+    * ONLY closure state (reference: RapidsPCA.scala:187). */
+  private def transformGemv(dataset: Dataset[_]): DataFrame = {
     val pcT = pc.transpose
     dataset.schema($(inputCol)).dataType match {
       case t if t == SQLDataTypes.VectorType =>
@@ -216,6 +221,62 @@ class GraftPCAModel(override val uid: String, val pc: DenseMatrix,
           f(col($(inputCol)).cast("array<double>")))
       case other => throw new IllegalArgumentException(s"bad input type $other")
     }
+  }
+
+  /** Rows per GEMM block: ~1M buffered doubles (8 MB), capped at 4096
+    * rows so a block always fits beside the shuffle buffers. */
+  private def gemmBlockRows(n: Int): Int =
+    math.max(16, math.min(4096, (1 << 20) / math.max(1, n)))
+
+  /** Partition-batched GEMM projection — the blocked transform the
+    * reference carries as a disabled variant (RapidsPCA.scala:172-185):
+    * buffer rows into an m×n block, ONE BLAS dgemm per block against the
+    * n×k component matrix, instead of one gemv per row. Same
+    * float→double widening and multiply-accumulate per element as
+    * [[transformGemv]], so outputs agree to machine precision (PCASpec
+    * asserts 1e-12 on the fixture embeddings). */
+  private def transformGemm(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val n = pc.numRows
+    val kk = pc.numCols
+    // Spark ML and Breeze matrices are both column-major: wrap, no copy
+    val pcB = new BDM[Double](n, kk, pc.values)
+    val isVec = df.schema($(inputCol)).dataType == SQLDataTypes.VectorType
+    val outSchema = validateAndTransformSchema(df.schema)
+    val block = gemmBlockRows(n)
+    // pre-cast array input to double in the plan, so the buffered rows
+    // carry doubles instead of unboxing arbitrary numerics per element
+    val prepped =
+      if (isVec) df
+      else df.withColumn("__graft_in", col($(inputCol)).cast("array<double>"))
+    val inIdx = if (isVec) df.schema.fieldIndex($(inputCol))
+                else prepped.schema.length - 1
+    val nOrig = df.schema.length
+    val rdd = prepped.rdd.mapPartitions { it =>
+      it.grouped(block).flatMap { rows =>
+        val m = rows.size
+        val a = new BDM[Double](m, n)
+        var i = 0
+        rows.foreach { r =>
+          if (isVec) {
+            val v = r.getAs[Vector](inIdx)
+            var j = 0; while (j < n) { a(i, j) = v(j); j += 1 }
+          } else {
+            val s = r.getSeq[Double](inIdx)
+            var j = 0; while (j < n) { a(i, j) = s(j); j += 1 }
+          }
+          i += 1
+        }
+        val p = a * pcB // m×k in one dgemm
+        rows.iterator.zipWithIndex.map { case (r, ri) =>
+          val out: Any =
+            if (isVec) new DenseVector(Array.tabulate(kk)(c => p(ri, c)))
+            else Array.tabulate(kk)(c => p(ri, c)).toSeq
+          Row.fromSeq(r.toSeq.take(nOrig) :+ out)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   override def transformSchema(schema: StructType): StructType =

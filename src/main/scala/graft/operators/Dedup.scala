@@ -107,6 +107,8 @@ object Dedup {
       (sh, sg)
     })
   }
+  /** Test hook: live entry count (stopped-session entries evicted). */
+  private[graft] def sigCacheSize: Int = sigCache.size
 
   /** D17: exact dedup by normalized-text hash → representative id +
     * multiplicity per content group. */

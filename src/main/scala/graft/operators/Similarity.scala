@@ -102,7 +102,7 @@ object Similarity {
     * expressions by an order of magnitude, and the semantics (sign bits
     * of hyperplane dot products, float widened to double, ascending-dim
     * summation) are identical to the expression form it replaces. */
-  private def lshBuckets(dim: Int) = {
+  private[graft] def lshBuckets(dim: Int) = {
     val planes = Array.tabulate(lshTables, lshPlanes, dim)(planeComponent)
     udf { (emb: Seq[Float]) =>
       Array.tabulate(lshTables) { t =>
@@ -181,34 +181,44 @@ object Similarity {
       .orderBy($"label")
   }
 
-  /** IVF coarse quantizer: deterministic distributed Lloyd iterations —
-    * init = the first `k` vectors by id, assignment via a compiled
-    * nearest-centroid closure over the broadcast codebook, update via
-    * posexplode + per-(cluster, dim) average (one shuffle per
-    * iteration, partial-aggregated). Returns the codebook. */
-  def ivfCentroids(spark: SparkSession, emb: DataFrame, k: Int,
-      iters: Int): Array[Array[Double]] = {
-    import spark.implicits._
-    // seed = the first k rows OF THE FRAME PASSED IN (which may already be
-    // a sample), not `vec_id < k` — on a sampled frame that predicate
-    // keeps only the sampled ids below k and silently shrinks the codebook
-    var cents = emb.orderBy($"vec_id").limit(k)
+  /** IVF coarse quantizer: ONE distributed pass draws the bounded
+    * [[ivfTrainSample]] (the only corpus-sized work), then Lloyd
+    * iterations run driver-local over the collected sample — at
+    * [[ivfTrainSize]]×64 dims that is ~2 MB, so per-iteration Spark
+    * jobs (shuffle + codegen + scheduling) would cost more than the
+    * arithmetic they distribute. Deterministic: hash-ordered sample,
+    * seed = its first `k` rows, sequential mean accumulation, empty
+    * cells keep their previous centroid. Returns the codebook. */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    import emb.sparkSession.implicits._
+    val sample = ivfTrainSample(emb)
       .select($"embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(cents.length == k,
-      s"IVF seed produced ${cents.length} centroids, need $k (frame too small?)")
+    require(sample.length >= k,
+      s"IVF training sample has ${sample.length} rows, need >= $k")
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
-      val assignU = nearestCentroid(cents)
-      val updated = emb
-        .select(assignU($"embedding").as("c"), posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"c", $"pos").agg(avg($"v".cast("double")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        // same assignment rule as the compiled [[nearestCentroid]]:
+        // squared L2, strict <, lowest index wins ties
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ct = cents(c); var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - ct(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
-      // empty cells keep their previous centroid so indices are stable
-      cents = cents.indices.map(c => updated.getOrElse(c, cents(c))).toArray
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
     }
     cents
   }
@@ -239,6 +249,21 @@ object Similarity {
       }.sortBy(_._1).take(nprobe).map(_._2).toArray
     }
 
+  /** Codebook-training sample size: FIXED, not proportional — centroid
+    * quality converges long before corpus size matters, so Lloyd's cost
+    * must not grow with the corpus. */
+  val ivfTrainSize = 4096
+
+  /** Deterministic fixed-size training sample: hash-ordered top-N
+    * (TakeOrderedAndProject — one corpus pass, per-partition top-N,
+    * no global sort shuffle), reproducible on any cluster layout.
+    * Callers persist it so each Lloyd pass scans `ivfTrainSize` cached
+    * rows instead of re-reading the corpus. */
+  def ivfTrainSample(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(ivfTrainSize)
+  }
+
   /** D19 scale path #2: IVF ANN — corpus partitioned into coarse
     * k-means cells, queries probe their `nprobe` nearest cells, exact
     * cosine ranking inside the probed cells only. Complements
@@ -247,9 +272,9 @@ object Similarity {
   def s6KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    // codebooks train on a deterministic sample (standard IVF practice —
-    // centroid quality converges long before the full corpus is seen)
-    val cents = ivfCentroids(spark, emb.filter($"vec_id" % 4 === 0), k = 16, iters = 2)
+    // training cost is corpus-size-independent: one sampling pass, then
+    // driver-local Lloyd over the bounded sample (see ivfCentroids)
+    val cents = ivfCentroids(emb, k = 16, iters = 2)
     val assignU = nearestCentroid(cents)
     val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding",
       assignU($"embedding").as("cell"))

@@ -162,6 +162,38 @@ class PCASpec extends AnyFunSuite {
       assert(math.abs(m1.pc.values(i) - m2.pc.values(i)) < tol)
   }
 
+  test("GEMM-batched transform equals the per-row gemv transform (1e-12)") {
+    import spark.implicits._
+    // array<float> input on the 64-dim fixture embeddings
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val model = new GraftPCA().setK(8)
+      .setInputCol("embedding").setOutputCol("o").fit(emb)
+    def proj(gemm: Boolean): Map[Long, Seq[Double]] = {
+      model.setUseGemm(gemm)
+      model.transform(emb).select($"vec_id", $"o").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    }
+    val g = proj(true)
+    val v = proj(false)
+    assert(g.nonEmpty && g.keySet == v.keySet)
+    g.foreach { case (id, gv) =>
+      val vv = v(id)
+      assert(gv.length == 8 && vv.length == 8)
+      gv.indices.foreach(i =>
+        assert(math.abs(gv(i) - vv(i)) < 1e-12, s"vec $id dim $i: ${gv(i)} vs ${vv(i)}"))
+    }
+    // VectorUDT input path (dense + sparse rows)
+    val vecDf = handData.map(Tuple1(_)).toDF("f")
+    val m2 = new GraftPCA().setK(2).setInputCol("f").setOutputCol("o").fit(vecDf)
+    val a = m2.setUseGemm(true).transform(vecDf)
+      .select("o").collect().map(_.getAs[Vector](0))
+    val b = m2.setUseGemm(false).transform(vecDf)
+      .select("o").collect().map(_.getAs[Vector](0))
+    a.zip(b).foreach { case (x, y) =>
+      (0 until 2).foreach(j => assert(math.abs(x(j) - y(j)) < 1e-12))
+    }
+  }
+
   test("model persistence round-trip (PCASuite.scala:192-206)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
     val model = new GraftPCAModel("pca_test",

@@ -50,6 +50,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t6_tfidf never broadcasts the vocabulary-sized term table") {
+    // the df side is VOCABULARY-sized (10⁷–10⁹ terms at scale): a
+    // broadcast hint here OOMs the driver on a real corpus. Catalyst may
+    // still auto-broadcast from size STATS at fixture scale (correct —
+    // stats scale with data); what must never reappear is the hint.
+    val df = SparkEntry.queries("t6_tfidf")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"broadcast hint reintroduced on t6: $hints")
+  }
+
+  test("s1_knn_brute ranks only salted local top-k survivors in the final window") {
+    // the final 5-key window must sit ABOVE the rk_local filter, which
+    // sits above the (query_id, salt) window — otherwise 5 tasks sort
+    // the whole corpus×query score set (the q9 serialization trap)
+    val s = SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val ls = s.linesIterator.toVector
+    val finalW = ls.indexWhere(l => l.contains("Window") && !l.contains("salt"))
+    val localF = ls.indexWhere(l => l.contains("Filter") && l.contains("rk_local"))
+    val saltedW = ls.indexWhere(l => l.contains("Window") && l.contains("salt"))
+    assert(finalW >= 0 && localF >= 0 && saltedW >= 0,
+      s"expected two windows + rk_local filter, got:\n$s")
+    // physical tree prints root-first: final window, then the filter,
+    // then the salted window it consumes
+    assert(finalW < localF && localF < saltedW,
+      s"final window not above the salted local top-k:\n$s")
+  }
+
   test("d3_minhash shuffles signatures, not text") {
     val p = plan("d3_minhash")
     // the exchange below the final aggregate must carry doc_id + partial

@@ -36,6 +36,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, s"IVF mean recall@5 $meanRecall too low")
   }
 
+  test("LSH bucket distribution is bounded under the 4x4 hyperplane config") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val total = emb.count()
+    val sizes = emb
+      .select($"vec_id",
+        posexplode(Similarity.lshBuckets(64)($"embedding")).as(Seq("tbl", "bucket")))
+      .groupBy($"tbl", $"bucket").count()
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    assert(sizes.nonEmpty)
+    val maxBucket = sizes.map(_._2).max
+    // the within-bucket join is quadratic in bucket size — a degenerate
+    // hyperplane set that funnels most vectors into one bucket is the
+    // ANN-layer analogue of d4's maxBucket skew (that cap is d4's guard;
+    // this asserts the s2 hyperplanes never create the skew at all)
+    assert(maxBucket <= total / 2,
+      s"degenerate LSH bucket: $maxBucket of $total vectors share a bucket")
+    // every table must actually spread vectors over several buckets
+    val bucketsPerTable = sizes.groupBy(_._1._1).view.mapValues(_.length)
+    bucketsPerTable.foreach { case (t, n) =>
+      assert(n >= 4, s"table $t uses only $n of ${1 << Similarity.lshPlanes} buckets")
+    }
+  }
+
+  test("IVF codebook training reads a fixed-size sample, independent of corpus size") {
+    import TestSpark.spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    assert(Similarity.ivfTrainSample(emb).count() == math.min(Similarity.ivfTrainSize, n))
+    // inflate the corpus past the cap: the sample must NOT grow with it
+    val copies = (Similarity.ivfTrainSize / n + 1).toInt
+    val big = (0 until copies).map(i =>
+        emb.select(($"vec_id" + i * 10000000L).as("vec_id"), $"embedding", $"label"))
+      .reduce(_ unionByName _)
+    assert(big.count() > Similarity.ivfTrainSize)
+    assert(Similarity.ivfTrainSample(big).count() == Similarity.ivfTrainSize,
+      "training sample grew with the corpus")
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -87,6 +87,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch dedup picks the deterministic min-struct representative for divergent duplicates") {
+    import spark.implicits._
+    // duplicate ids with DIFFERENT payloads; the non-min row comes first
+    // so any first-seen survivor (a dropDuplicates revert) keeps the
+    // wrong payload and this flips red
+    val dups = Seq(
+      Ev(10, t(50), 1, "view", 9.0),  // first seen, NOT the min
+      Ev(10, t(20), 1, "click", 2.0), // min (ts) → representative
+      Ev(11, t(30), 2, "view", 5.0),
+      Ev(11, t(30), 2, "click", 1.0)) // ts tie → min value wins
+    val got = EventStreams.dedupCounts(dups.toDF()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // representatives: id 10 → (click, 2.0), id 11 → (click, 1.0)
+    assert(got == Set(("click", 2L, 3.0)),
+      s"non-deterministic or wrong representative: $got")
+    // single-partition input must give the identical answer (order
+    // independence of the min-struct choice)
+    val got1 = EventStreams.dedupCounts(dups.toDF().coalesce(1)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got1 == got)
+  }
+
+  test("streaming dedup keeps the FIRST arrival when a divergent duplicate follows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupCountsStream(mem.toDF())
+      .writeStream.format("memory").queryName("divdedup")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Ev(1, t(0), 1, "view", 1.0))
+      q.processAllAvailable()
+      // same id, different payload, arrives later → must be dropped
+      // (arrival order IS the streaming dedup semantics)
+      mem.addData(Ev(1, t(5), 1, "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("divdedup")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(rows == Map("view" -> 1L),
+        s"divergent duplicate not dropped by first-wins dedup: $rows")
+    } finally q.stop()
+  }
+
   test("file-source readStream drains to the batch answer (full IO path)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream").toString
