@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.CosineSimilarity
+
+/** Session extensions for the graft engine — the public plug-in point
+  * for custom Catalyst expressions (the brief's preference order:
+  * native `Expression` with codegen over Scala UDFs, registered via
+  * `SparkSessionExtensions`).
+  *
+  * Enable with:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  * after which `graft_cosine(a, b)` is callable from SQL and via
+  * `functions.call_function`. Operators fall back to the equivalent
+  * compiled UDF on sessions built without the extension
+  * ([[graft.operators.Similarity.cosineCol]]), so the library works —
+  * just slower — on a vanilla session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_cosine expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

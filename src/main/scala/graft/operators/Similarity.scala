@@ -53,6 +53,16 @@ object Similarity {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Best-available cosine for the hot scoring loops: the codegen'd
+    * native expression ([[graft.functions.CosineSimilarity]], zero
+    * per-row allocation, fused into whole-stage codegen) when the
+    * session was built with `spark.sql.extensions=graft.GraftExtensions`;
+    * otherwise the compiled UDF [[cosineF]]. Both compute bit-identical
+    * doubles (FunctionsSpec), so the choice never changes results. */
+  def cosineCol(spark: SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
+    else cosineF(a, b)
+
   /** D19: exact brute-force cosine top-5 neighbors for query vectors
     * (vec_id < 5). Queries are broadcast; the corpus is scanned once.
     *
@@ -70,7 +80,7 @@ object Similarity {
     val scored = emb.select($"vec_id".as("neighbor_id"), $"embedding")
       .crossJoin(broadcast(q))
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("cos", cosineF($"q_emb", $"embedding"))
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
       .withColumn("salt", pmod(crc32($"neighbor_id".cast("string")), lit(32)))
     val wLocal = Window.partitionBy($"query_id", $"salt")
       .orderBy($"cos".desc, $"neighbor_id")
@@ -139,7 +149,7 @@ object Similarity {
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", $"q_emb", $"embedding")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosineF($"q_emb", $"embedding"))
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     cands.withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
@@ -157,7 +167,7 @@ object Similarity {
     val b = emb.select($"vec_id".as("id_b"), $"embedding".as("emb_b"))
     a.crossJoin(b)
       .filter($"id_a" < $"id_b")
-      .withColumn("cos", round(cosineF($"emb_a", $"emb_b"), 4))
+      .withColumn("cos", round(cosineCol(spark, $"emb_a", $"emb_b"), 4))
       .filter($"cos" >= 0.35)
       .select($"id_a", $"id_b", $"cos".as("cos_sim"))
       .orderBy($"id_a", $"id_b")
@@ -283,7 +293,7 @@ object Similarity {
         explode(probes(cents, 4)($"embedding")).as("cell"))
     val cands = corpus.join(qs, Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("cos", cosineF($"q_emb", $"embedding"))
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     cands.withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
