@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SumOfSquares}
 
 /** Session extensions for the graft engine — the public plug-in point
   * for custom Catalyst expressions (the brief's preference order:
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_cosine expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sumsq"),
+      new ExpressionInfo(classOf[SumOfSquares].getName, "graft_sumsq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"graft_sumsq expects 1 argument, got ${children.length}")
+        SumOfSquares(children.head)
       }))
   }
 }

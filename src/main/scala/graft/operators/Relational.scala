@@ -131,12 +131,15 @@ object Relational {
   }
 
   /** D12: approximate distinct (HLL++). No SQL oracle — the driver
-    * records a rows-only check; the exact counterpart is q7. */
+    * records a rows-only check; the exact counterpart is q7.
+    * rsd=0.02: measured ≤ ~1% worst-group error on every fixture tier
+    * (the contract asserted in RelationalSpec is 5%) at 4× fewer HLL
+    * registers than rsd=0.01, which benched 4-10× slower per pass. */
   def q8ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
       .orderBy($"l_returnflag")
   }
 
@@ -255,15 +258,14 @@ object Relational {
   }
 
   /** D16+D21: array/math functions over the embedding column — L2 norm
-    * via transform+aggregate (array arguments bound once per row; the
-    * lambdas touch only bound variables, so the pass is linear). */
+    * via the codegen'd Σx² expression when registered (bit-identical to
+    * the transform+aggregate HOF form it falls back to; the HOF path is
+    * interpreted, one lambda dispatch per element). */
   def q16ArrayMath(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
       .withColumn("dim", size($"embedding"))
-      .withColumn("norm",
-        sqrt(aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)))
+      .withColumn("norm", Similarity.normCol(spark, $"embedding"))
       .groupBy($"label")
       .agg(
         count(lit(1)).as("n_vecs"),

@@ -63,6 +63,14 @@ object Similarity {
     if (spark.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
     else cosineF(a, b)
 
+  /** Best-available L2 norm of an `array<float>` column: codegen'd
+    * Σx² expression ([[graft.functions.SumOfSquares]]) when registered,
+    * else the interpreted HOF form [[l2norm]]. Bit-identical results. */
+  def normCol(spark: SparkSession, a: Column): Column =
+    if (spark.catalog.functionExists("graft_sumsq"))
+      sqrt(call_function("graft_sumsq", a))
+    else l2norm(a)
+
   /** D19: exact brute-force cosine top-5 neighbors for query vectors
     * (vec_id < 5). Queries are broadcast; the corpus is scanned once.
     *
@@ -181,7 +189,7 @@ object Similarity {
     // norm lands in its own projection below the Generate, so the O(d)
     // dot runs once per ROW; dividing inside a `transform` lambda would
     // re-evaluate it per ELEMENT (interpreted HOF) — O(d²) per row
-    emb.select($"label", l2norm($"embedding").as("nrm"),
+    emb.select($"label", normCol(spark, $"embedding").as("nrm"),
         posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
       .agg(avg($"v".cast("double") / $"nrm").as("c"))

@@ -40,6 +40,26 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_sumsq is bit-identical to the interpreted HOF norm") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = emb.select(
+        sqrt(call_function("graft_sumsq", $"embedding")).as("native"),
+        Similarity.l2norm($"embedding").as("viaHof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // dispatch helper returns the same value
+    val d = emb.limit(5).select(
+      Similarity.normCol(spark, $"embedding").as("n"),
+      Similarity.l2norm($"embedding").as("h")).collect()
+    d.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("null input yields null, not a crash") {
     import spark.implicits._
     val df = Seq(
