@@ -229,13 +229,55 @@ object Dedup {
     agg.select($"doc_id", fp.as("simhash")).orderBy($"doc_id")
   }
 
+  /** Deterministic train/test split modulus for d7 (test = 5%). */
+  val testModulus = 20
+  /** Test-side document-frequency cap per shingle for d7: an n-gram
+    * present in more than this many TEST documents is boilerplate, not
+    * contamination signal — and it is exactly the hot join key that
+    * would skew the probe, so dropping it is both hygiene and the skew
+    * guard (same role as [[maxBucket]] for LSH buckets). */
+  val maxShingleDf = 100
+
+  /** D18-extension: train/test decontamination — for every train
+    * document, the test documents it shares ≥ [[minSharedShingles]]
+    * distinct word 3-grams with (the eval-leakage scan every training
+    * corpus needs before a model sees it).
+    *
+    * Shape: the corpus is exploded ONCE (the shared persisted shingle
+    * frame d3–d5 also use); the test side (5% of docs) is DF-capped,
+    * then train⋈test is a plain equi-join on the shingle — keyed on
+    * values, never all-pairs, with AQE's runtime bloom/skew handling
+    * applicable because it is a standard shuffle join. The pair
+    * aggregate carries (train, test, count) only. */
+  val minSharedShingles = 2
+  def d7Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminatePairs(sharedSigs(spark, dir)._1) // distinct (doc_id, s)
+
+  /** Core of [[d7Decontaminate]] over any DISTINCT (doc_id, s) frame. */
+  def decontaminatePairs(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val test = sh.filter($"doc_id" % testModulus === 0)
+      .select($"doc_id".as("test_id"), $"s")
+    val okShingles = test.groupBy($"s")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxShingleDf)
+      .select($"s") // vocabulary-sized: stays a shuffle join (no broadcast)
+    val train = sh.filter($"doc_id" % testModulus =!= 0)
+      .select($"doc_id".as("train_id"), $"s")
+    train.join(test.join(okShingles, "s"), "s")
+      .groupBy($"train_id", $"test_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minSharedShingles)
+      .orderBy($"train_id", $"test_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_distinct_meta" -> d2DistinctMeta,
     "d3_minhash" -> d3Minhash,
     "d4_lsh_pairs" -> d4LshPairs,
     "d5_jaccard" -> d5Jaccard,
-    "d6_simhash" -> d6Simhash)
+    "d6_simhash" -> d6Simhash,
+    "d7_decontaminate" -> d7Decontaminate)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
@@ -304,6 +346,21 @@ object Dedup {
                        JOIN card cb ON i.doc_b = cb.doc_id
           WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) >= 0.5
           ORDER BY doc_a, doc_b""",
+    "d7_decontaminate" ->
+      s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+          dsh AS (SELECT DISTINCT doc_id, s FROM shl),
+          te AS (SELECT doc_id AS test_id, s FROM dsh WHERE doc_id % $testModulus = 0),
+          ok AS (SELECT s FROM te GROUP BY s HAVING count(*) <= $maxShingleDf),
+          pairs AS (SELECT tr.doc_id AS train_id, te.test_id,
+                      CAST(count(*) AS BIGINT) AS n_shared
+                    FROM dsh tr
+                    JOIN te ON tr.s = te.s
+                    JOIN ok ON te.s = ok.s
+                    WHERE tr.doc_id % $testModulus <> 0
+                    GROUP BY 1, 2)
+          SELECT train_id, test_id, n_shared FROM pairs
+          WHERE n_shared >= $minSharedShingles
+          ORDER BY train_id, test_id""",
     "d6_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
           h AS (SELECT doc_id, CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS h FROM tok),

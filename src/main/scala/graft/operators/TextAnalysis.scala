@@ -180,6 +180,51 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** Word bigrams as strings (the 2-gram sibling of Dedup.shingles;
+    * array arguments bound once per row, lambdas touch only bound vars). */
+  def bigrams(text: Column): Column = {
+    def t = tokens(text)
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** D20: repetition / boilerplate metrics (Gopher-style quality
+    * filters): per document, the distinct-token ratio, the fraction of
+    * tokens taken by the single most frequent token, and the fraction
+    * of bigrams taken by the most frequent bigram. High top-fraction /
+    * low distinct-ratio = machine-generated or boilerplate text.
+    *
+    * Shape: explode → partial-aggregated groupBy(doc, gram) →
+    * groupBy(doc) max/sum, once for tokens and once for bigrams, then a
+    * co-partitioned join on doc_id — the shuffle carries (doc, gram
+    * hash, count) rows, never the text, and both aggregate outputs are
+    * hash-partitioned on doc_id so the final join adds no exchange.
+    * (A per-row array-HOF mode() would avoid the shuffle but evaluates
+    * interpreted and O(distinct·n) per row — wrong for long documents.) */
+  def t8Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(Tables.documents(spark, dir))
+
+  /** Core of [[t8Repetition]] over any (doc_id, text) frame. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"n").as("top_tok"))
+    val big = docs.select($"doc_id", explode(bigrams($"text")).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_bigrams"), max($"n").as("top_big"))
+    tok.join(big, "doc_id")
+      .select($"doc_id", $"n_tokens",
+        round($"n_distinct".cast("double") / $"n_tokens", 4).as("distinct_ratio"),
+        round($"top_tok".cast("double") / $"n_tokens", 4).as("top_token_frac"),
+        round($"top_big".cast("double") / $"n_bigrams", 4).as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
@@ -187,7 +232,8 @@ object TextAnalysis {
     "t4_term_freq" -> t4TermFreq,
     "t5_fingerprint" -> t5Fingerprint,
     "t6_tfidf" -> t6Tfidf,
-    "t7_sample" -> t7Sample)
+    "t7_sample" -> t7Sample,
+    "t8_repetition" -> t8Repetition)
 
   private val toksSql = "string_split(lower(text), ' ')"
   private def countInSql(words: Seq[String]) =
@@ -255,6 +301,24 @@ object TextAnalysis {
          FROM documents
          WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0
          GROUP BY lang ORDER BY lang""",
+    "t8_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS g FROM documents),
+          tc AS (SELECT doc_id, g, count(*) AS n FROM tok GROUP BY 1, 2),
+          ts AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct, max(n) AS top_tok
+                 FROM tc GROUP BY 1),
+          big AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len($toksSql) - 1),
+                      i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS g
+                  FROM documents),
+          bc AS (SELECT doc_id, g, count(*) AS n FROM big GROUP BY 1, 2),
+          bs AS (SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_big
+                 FROM bc GROUP BY 1)
+          SELECT ts.doc_id, n_tokens,
+            round(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
+            round(top_tok * 1.0 / n_tokens, 4) AS top_token_frac,
+            round(top_big * 1.0 / n_bigrams, 4) AS top_bigram_frac
+          FROM ts JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""",
     "t5_fingerprint" ->
       s"""WITH sh AS (SELECT doc_id,
             list_transform(generate_series(1, len($toksSql) - 2),

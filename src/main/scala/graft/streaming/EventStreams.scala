@@ -80,6 +80,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_unique_events"))
 
+  /** Stream-stream attribution join: clicks by the same user within the
+    * 30 minutes preceding each purchase (inclusive bounds). Column
+    * contract: purchases(event_id, ts, user_id), clicks(c_id, c_ts,
+    * c_user, c_value).
+    *
+    * Streaming deployment uses Spark's native stream-stream inner join:
+    * the watermark on both sides plus the two-sided time bound lets the
+    * state store evict rows once the watermark passes `ts + 30min`, so
+    * state is bounded by the window, not the stream. The batch/oracle
+    * path ([[e5Attribution]]) routes through the bucketed RangeJoin
+    * instead, because in batch an inequality join would plan as a
+    * nested loop. */
+  def attributionStream(purchases: DataFrame, clicks: DataFrame,
+      delay: String = "1 hour"): DataFrame =
+    purchases.withWatermark("ts", delay)
+      .join(clicks.withWatermark("c_ts", delay),
+        expr("user_id = c_user AND c_ts >= ts - INTERVAL 30 MINUTES AND c_ts <= ts"))
+
   // ---- batch query surface for the oracle gate ----
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame = {
@@ -104,11 +122,32 @@ object EventStreams {
     dedupCounts(Tables.events(spark, dir)).orderBy($"event_type")
   }
 
+  /** D22×D24: batch twin of [[attributionStream]] — per-user count and
+    * value of clicks attributed to purchases. Uses the bucketed range
+    * join (equi-join on (user, time-bucket), exact post-filter), so the
+    * batch plan never degenerates to a nested loop. */
+  def e5Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"ts", $"user_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"ts".as("c_ts"),
+        $"user_id".as("c_user"), $"value".as("c_value"))
+    graft.operators.RangeJoin.rangeJoin(purchases, "user_id", "ts",
+        clicks, "c_user", "c_ts", Seq("c_id", "c_value"), 30L * 60)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        round(sum($"c_value"), 2).as("sum_click_value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling" -> e1Tumbling,
     "e2_sliding" -> e2Sliding,
     "e3_sessions" -> e3Sessions,
-    "e4_dedup_counts" -> e4DedupCounts)
+    "e4_dedup_counts" -> e4DedupCounts,
+    "e5_attribution" -> e5Attribution)
 
   val oracle: Map[String, String] = Map(
     "e1_tumbling" ->
@@ -133,6 +172,14 @@ object EventStreams {
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_events,
            round(sum(value), 2) AS sum_value
          FROM d GROUP BY event_type ORDER BY event_type""",
+    "e5_attribution" ->
+      """SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+           round(sum(c.value), 2) AS sum_click_value
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts
+         GROUP BY p.user_id ORDER BY p.user_id""",
     // gaps-and-islands replay of session_window semantics
     "e3_sessions" ->
       """WITH o AS (

@@ -102,6 +102,22 @@ class DedupSpec extends AnyFunSuite {
       s"two-session check failed (rc=$rc):\n${out.toString.takeRight(3000)}")
   }
 
+  test("decontaminatePairs counts shared shingles and DF-caps boilerplate") {
+    import spark.implicits._
+    // test docs are ids % 20 == 0. Shingle "bp" appears in 101 test docs
+    // (> maxShingleDf) so it must not count as contamination; doc 3
+    // would score 3 shared with doc 20 if the cap leaked it.
+    val boiler = (1 to (Dedup.maxShingleDf + 1)).map(i => (i * 20L, "bp"))
+    val rows = boiler ++ Seq(
+      (20L, "x1"), (20L, "x2"), (20L, "q1"), (20L, "q2"),
+      (1L, "x1"), (1L, "x2"),          // → (1, 20, 2)
+      (2L, "x1"),                      // 1 shared < minSharedShingles
+      (3L, "bp"), (3L, "q1"), (3L, "q2")) // bp capped → (3, 20, 2)
+    val got = Dedup.decontaminatePairs(rows.toDF("doc_id", "s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 20L, 2L), (3L, 20L, 2L)))
+  }
+
   test("identical documents collapse to one exact-dedup group") {
     import spark.implicits._
     val df = Seq((1L, "Same  Text here"), (2L, "same text HERE"), (3L, "other"))

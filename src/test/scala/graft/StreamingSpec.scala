@@ -87,6 +87,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join equals the bucketed batch range join") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(Ev(10, t(0), 1, "click", 1.0), Ev(11, t(40), 1, "click", 2.0),
+      Ev(12, t(10), 2, "click", 5.0))
+    val purchases = Seq(Ev(100, t(50), 1, "purchase", 0.0),
+      Ev(101, t(200), 1, "purchase", 0.0), Ev(102, t(10), 2, "purchase", 0.0),
+      Ev(103, t(30), 3, "purchase", 0.0))
+    def pDf(df: DataFrame): DataFrame = df.select($"event_id", $"ts", $"user_id")
+    def cDf(df: DataFrame): DataFrame = df.select($"event_id".as("c_id"),
+      $"ts".as("c_ts"), $"user_id".as("c_user"), $"value".as("c_value"))
+    val memP = MemoryStream[Ev]
+    val memC = MemoryStream[Ev]
+    val q = EventStreams.attributionStream(pDf(memP.toDF()), cDf(memC.toDF()))
+      .select($"event_id", $"c_id")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      memP.addData(purchases: _*)
+      memC.addData(clicks: _*)
+      q.processAllAvailable()
+      val got = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // purchase 100 @t50 ← click 11 @t40; purchase 102 @t10 ← click 12
+      // @t10 (inclusive upper bound); 101/103 attract nothing
+      assert(got == Set((100L, 11L), (102L, 12L)))
+      val batch = graft.operators.RangeJoin.rangeJoin(
+          pDf(purchases.toDF()), "user_id", "ts",
+          cDf(clicks.toDF()), "c_user", "c_ts", Seq("c_id", "c_value"), 1800)
+        .select($"event_id", $"c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got, "batch range-join twin diverged from the stream")
+    } finally q.stop()
+  }
+
   test("batch dedup picks the deterministic min-struct representative for divergent duplicates") {
     import spark.implicits._
     // duplicate ids with DIFFERENT payloads; the non-min row comes first
