@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.PcaQueries.queries, operators.PcaQueries.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),
+      (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.RangeJoin.queries, operators.RangeJoin.oracle),
       (streaming.EventStreams.queries, streaming.EventStreams.oracle))
 

@@ -315,6 +315,23 @@ object Dedup {
                    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                   AND a.doc_id < b.doc_id)"""
 
+  /** Shared CTE chain ending in `jp(doc_a, doc_b, jaccard)` — the
+    * jaccard ≥ 0.5 near-dup pairs (also consumed by the c1 pipeline
+    * oracle in [[Pipeline]]). */
+  private[operators] val jaccardCte: String =
+    s"""$candCte,
+        dsh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s FROM documents),
+        card AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+                              JOIN dsh b ON b.doc_id = c.doc_b AND a.s = b.s
+                  GROUP BY 1, 2),
+        jp AS (SELECT i.doc_a, i.doc_b,
+                 round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) AS jaccard
+               FROM inter i JOIN card ca ON i.doc_a = ca.doc_id
+                            JOIN card cb ON i.doc_b = cb.doc_id
+               WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) >= 0.5)"""
+
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
@@ -333,19 +350,7 @@ object Dedup {
                       JOIN sig sb ON c.doc_b = sb.doc_id
           ORDER BY doc_a, doc_b""",
     "d5_jaccard" ->
-      s"""$candCte,
-          dsh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s FROM documents),
-          card AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
-          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-                    FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
-                                JOIN dsh b ON b.doc_id = c.doc_b AND a.s = b.s
-                    GROUP BY 1, 2)
-          SELECT i.doc_a, i.doc_b,
-                 round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) AS jaccard
-          FROM inter i JOIN card ca ON i.doc_a = ca.doc_id
-                       JOIN card cb ON i.doc_b = cb.doc_id
-          WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) >= 0.5
-          ORDER BY doc_a, doc_b""",
+      s"""$jaccardCte SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""",
     "d7_decontaminate" ->
       s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
           dsh AS (SELECT DISTINCT doc_id, s FROM shl),

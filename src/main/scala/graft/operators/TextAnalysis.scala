@@ -56,19 +56,32 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** D20: corpus quality scoring — rule-based score in [0,1] from
-    * length / stopword / repetition signals, aggregated per source. */
-  def t2Quality(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val toks = tokens($"text")
+  /** Rule-based quality score in [0,1] from length / stopword /
+    * repetition signals (shared by t2 and the c1 pipeline). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
     val nTok = size(toks)
     val stopRatio = countIn(toks, stopwords).cast("double") / nTok
     val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
     val lengthOk = when(nTok.between(20, 80), 1.0).otherwise(0.0)
-    val score = round(lit(0.4) * lengthOk + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+    round(lit(0.4) * lengthOk + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
       lit(0.3) * distinctRatio, 4)
+  }
+
+  /** SQL twin of [[qualityScore]] (DuckDB dialect), shared by oracles. */
+  private[operators] def qualityScoreSql: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"""round(0.4 * (CASE WHEN len($toks) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * least(${countInSql(stopwords)} * 1.0 / len($toks) * 5.0, 1.0)
+       + 0.3 * (len(list_distinct($toks)) * 1.0 / len($toks)), 4)"""
+  }
+
+  /** D20: corpus quality scoring — rule-based score in [0,1] from
+    * length / stopword / repetition signals, aggregated per source. */
+  def t2Quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .withColumn("quality", score)
+      .withColumn("quality", qualityScore($"text"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -251,10 +264,7 @@ object TextAnalysis {
           round((length(text) - len($toksSql) + 1) * 1.0 / len($toksSql), 4) AS avg_token_len
           FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "t2_quality" ->
-      s"""WITH q AS (SELECT source,
-            round(0.4 * (CASE WHEN len($toksSql) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
-              + 0.3 * least(${countInSql(stopwords)} * 1.0 / len($toksSql) * 5.0, 1.0)
-              + 0.3 * (len(list_distinct($toksSql)) * 1.0 / len($toksSql)), 4) AS quality
+      s"""WITH q AS (SELECT source, $qualityScoreSql AS quality
           FROM documents)
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
             round(avg(quality), 4) AS avg_quality,

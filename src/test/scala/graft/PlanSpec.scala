@@ -62,6 +62,31 @@ class PlanSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"broadcast hint reintroduced on t6: $hints")
   }
 
+  test("d7_decontaminate carries no broadcast hint and no pairwise join") {
+    // the DF-capped shingle set is vocabulary-sized at scale — a
+    // broadcast hint would OOM the driver on a real corpus (same story
+    // as t6); stats-based auto-broadcast at fixture scale is fine.
+    val df = SparkEntry.queries("d7_decontaminate")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"broadcast hint on d7: $hints")
+    val p = plan("d7_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "d7 degenerated to a pairwise join")
+  }
+
+  test("t8_repetition joins its two aggregates co-partitioned (no extra exchange)") {
+    // 4 exchanges for the two two-level aggregations + 1 range exchange
+    // for the final orderBy; a 6th would mean the doc_id join stopped
+    // reusing the aggregate partitioning (e.g. a stray repartition)
+    val p = plan("t8_repetition")
+    // formatted mode prints each node once as a "(id) NodeName" detail
+    val n = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(n > 0 && n <= 5,
+      s"t8 plans $n exchanges, expected 1–5 (co-partitioned join lost)")
+  }
+
   test("s1_knn_brute ranks only salted local top-k survivors in the final window") {
     // the final 5-key window must sit ABOVE the rk_local filter, which
     // sits above the (query_id, salt) window — otherwise 5 tasks sort
