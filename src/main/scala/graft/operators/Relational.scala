@@ -301,6 +301,19 @@ object Relational {
 
   /** D11: exact interpolated percentiles per group (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). */
+  /** D11: CUBE over (priority, order-year) — all four grouping
+    * combinations in one pass. Spark expands the cube to grouping sets
+    * before the hash aggregate, so it is still one partial-aggregated
+    * shuffle (rows × 4 expansion map-side, combined before the wire). */
+  def q23Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderpriority", year($"o_orderdate").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 0).as("sum_price"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_year".asc_nulls_first)
+  }
+
   def q22Percentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
@@ -346,7 +359,8 @@ object Relational {
     "q17_rollup" -> q17Rollup,
     "q18_casewhen" -> q18CaseWhen,
     "q21_pivot" -> q21Pivot,
-    "q22_percentile" -> q22Percentile)
+    "q22_percentile" -> q22Percentile,
+    "q23_cube" -> q23Cube)
 
   val oracle: Map[String, String] = Map(
     "q21_pivot" ->
@@ -493,6 +507,12 @@ object Relational {
          round(sum(l_quantity), 0) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q23_cube" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 0) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+         ORDER BY o_orderpriority ASC NULLS FIRST, o_year ASC NULLS FIRST""",
     "q18_casewhen" ->
       """SELECT
          round(sum(CASE WHEN p_type = 'PROMO'
