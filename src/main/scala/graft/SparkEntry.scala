@@ -21,7 +21,8 @@ object SparkEntry {
       (operators.AsOf.queries, operators.AsOf.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.RangeJoin.queries, operators.RangeJoin.oracle),
-      (streaming.EventStreams.queries, streaming.EventStreams.oracle))
+      (streaming.EventStreams.queries, streaming.EventStreams.oracle),
+      (streaming.Funnel.queries, streaming.Funnel.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

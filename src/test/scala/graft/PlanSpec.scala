@@ -105,6 +105,17 @@ class PlanSpec extends AnyFunSuite {
       s"final window not above the salted local top-k:\n$s")
   }
 
+  test("e6_funnel runs sessionization, window chain, and aggregate under one hash exchange") {
+    // sid is computed under hash(user_id); the (user_id, sid) windows and
+    // the final (user_id, sid) aggregate are all satisfied by that same
+    // coarser partitioning — a second hash exchange means a window or the
+    // aggregate stopped reusing it (e.g. an explicit repartition crept in)
+    val p = plan("e6_funnel")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1,
+      s"e6 plans $hashEx hash exchanges, expected 1 (partitioning reuse lost)")
+  }
+
   test("d3_minhash shuffles signatures, not text") {
     val p = plan("d3_minhash")
     // the exchange below the final aggregate must carry doc_id + partial

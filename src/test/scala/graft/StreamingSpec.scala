@@ -186,6 +186,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- e6 ordered funnel (custom flatMapGroupsWithState state) ----
+
+  private val funnelEvs = Seq(
+    // user 1, session 1: full ordered funnel → stage 3; then a lone view
+    // after a 50-min gap → second session, stage 1
+    Ev(1, t(0), 1, "view", 0), Ev(2, t(5), 1, "click", 0),
+    Ev(3, t(10), 1, "purchase", 0), Ev(4, t(60), 1, "view", 0),
+    // user 2: purchase and click BEFORE the first view → only stage 1
+    Ev(5, t(0), 2, "purchase", 0), Ev(6, t(5), 2, "click", 0),
+    Ev(7, t(10), 2, "view", 0),
+    // user 3: click→view→click — only the post-view click counts → stage 2
+    Ev(8, t(0), 3, "click", 0), Ev(9, t(5), 3, "view", 0),
+    Ev(10, t(10), 3, "click", 0),
+    // user 4: no funnel event at all → stage 0
+    Ev(11, t(0), 4, "error", 0))
+
+  private def funnelRows(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getInt(3))).toSeq
+
+  test("batch funnel counts stages only in temporal order") {
+    import spark.implicits._
+    val got = funnelRows(streaming.Funnel.sessionFunnel(funnelEvs.toDF())
+      .orderBy($"user_id", $"session_start").collect())
+    assert(got == Seq(
+      (1L, t(0), 3L, 3), (1L, t(60), 1L, 1),
+      (2L, t(0), 3L, 1),
+      (3L, t(0), 3L, 2),
+      (4L, t(0), 1L, 0)))
+  }
+
+  test("streaming funnel (custom state) equals the batch twin once sessions close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.Funnel.sessionFunnelStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      mem.addData(funnelEvs: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session's close time
+      mem.addData(Ev(99, t(10000), 99, "view", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // extra trigger for the timeout flush batch
+      val got = funnelRows(spark.table("funnel").filter($"user_id" < 99)
+        .orderBy($"user_id", $"session_start").collect())
+      val exp = funnelRows(streaming.Funnel.sessionFunnel(funnelEvs.toDF())
+        .orderBy($"user_id", $"session_start").collect())
+      assert(got == exp, s"stream diverged from batch twin: $got vs $exp")
+    } finally q.stop()
+  }
+
+  test("funnel state persists across micro-batches and sorts out-of-order arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.Funnel.sessionFunnelStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("funnel2")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(10), 1, "view", 0))
+      q.processAllAvailable()
+      // same session, next micro-batch, purchase ARRIVES before the click
+      // it depends on — the state buffer must re-sort by event time
+      mem.addData(Ev(2, t(12), 1, "purchase", 0), Ev(3, t(11), 1, "click", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(10000), 99, "view", 0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = funnelRows(spark.table("funnel2").filter($"user_id" < 99).collect())
+      assert(got == Seq((1L, t(10), 3L, 3)),
+        s"state lost or mis-ordered across batches: $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals the batch answer when drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
