@@ -13,6 +13,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracle),
+      (operators.AdvancedSql.queries, operators.AdvancedSql.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Advanced SQL surface (SURVEY.md §2.B D25): GROUPING SETS, correlated
+  * scalar subqueries, RANGE-frame windows, and explicit skew-salted
+  * joins. These close the gap between "the operators the reference's
+  * test queries touch" and "the operators a user of a general engine
+  * reaches for next" — each is a distinct Catalyst code path (grouping
+  * expansion, subquery decorrelation, range frame evaluation, manual
+  * salting vs AQE skew handling).
+  *
+  * Scale notes:
+  *  - q24 grouping-set expansion happens MAP-SIDE before the partial
+  *    aggregate, so the shuffle carries ≤ |groups|·|sets| rows, not
+  *    |rows|·|sets|.
+  *  - q25's correlated scalar subquery is decorrelated by Catalyst
+  *    (RewriteCorrelatedScalarSubquery) into an aggregate + join on the
+  *    correlation key — the hand-written equivalent of which is exactly
+  *    what a 100 TB plan wants (no per-row re-execution).
+  *  - q26's RANGE frame is evaluated with a sliding accumulator per
+  *    partition key; the window key (o_custkey) is high-cardinality, so
+  *    parallelism scales with the cluster (the q9 low-cardinality trap
+  *    does not apply).
+  *  - q27 demonstrates deterministic salting for skewed fact-fact
+  *    joins: the probe side's hot keys are spread over `nsalts`
+  *    sub-keys by a per-ROW hash (not a per-key hash — that would keep
+  *    the hot key on one salt), and the build side is replicated
+  *    `nsalts`×. Results are provably identical to the unsalted join
+  *    (the oracle checks this); AQE's skew-join split is the automatic
+  *    alternative when statistics detect the skew at runtime.
+  */
+object AdvancedSql {
+
+  /** D25: GROUPING SETS — (priority, status), (priority), (status) in
+    * one pass, disambiguated by grouping_id. */
+  def q24GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+          Seq($"o_orderpriority"), Seq($"o_orderstatus")),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 0).as("sum_price"))
+      .select($"o_orderpriority", $"o_orderstatus", $"gid", $"n_orders", $"sum_price")
+      .orderBy($"gid", $"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** D25: correlated scalar subquery — customers above their nation's
+    * average balance. Written as SQL so Catalyst's decorrelation rewrite
+    * (subquery → aggregate ⋈ correlation key) is exercised; the
+    * threshold is rounded to 4 dp in BOTH engines before the comparison
+    * so FP summation order can never flip a row in or out. */
+  def q25CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("adv_customer")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal, nation_avg
+        FROM (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+            round((SELECT avg(c2.c_acctbal) FROM adv_customer c2
+                   WHERE c2.c_nationkey = c1.c_nationkey), 4) AS nation_avg
+          FROM adv_customer c1) t
+        WHERE c_acctbal > nation_avg
+        ORDER BY c_custkey""")
+  }
+
+  /** D25: RANGE-frame window — per customer, orders and spend in the
+    * trailing 90 days (frame bounds in value space, not row space; all
+    * same-day orders are peers and share one frame in both engines). */
+  def q26RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day_num")
+      .rangeBetween(-90, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("day_num", datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date")))
+      .withColumn("n_90d", count(lit(1)).over(w))
+      .withColumn("sum_90d", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_custkey", $"o_orderkey", $"day_num", $"n_90d", $"sum_90d")
+      .orderBy($"o_custkey", $"day_num", $"o_orderkey")
+  }
+
+  /** Salt fan-out for q27. 8 spreads a hot key over 8 reducers at the
+    * cost of an 8× build-side replication — the right trade when the
+    * build side is small relative to the hot key's row count. */
+  val nsalts = 8
+
+  /** D25: skew-salted fact-fact join. Probe rows get a per-row salt
+    * (crc32 of the full line identity mod nsalts); the build side is
+    * replicated once per salt; the join key becomes (key, salt). The
+    * merge hint pins a shuffle join so the salting is actually in the
+    * plan (a broadcast of the replicated side would make it a no-op) —
+    * checked in PlanSpec. */
+  def q27SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("o_salt", explode(sequence(lit(0), lit(nsalts - 1))))
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+      .withColumn("salt",
+        pmod(crc32(concat_ws("-", $"l_orderkey", $"l_linenumber")), lit(nsalts)).cast("int"))
+    li.hint("merge")
+      .join(ord, $"l_orderkey" === $"o_orderkey" && $"salt" === $"o_salt")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 0).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_grouping_sets" -> q24GroupingSets,
+    "q25_corr_subquery" -> q25CorrSubquery,
+    "q26_range_frame" -> q26RangeFrame,
+    "q27_salted_join" -> q27SaltedJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q24_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 0) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderpriority), (o_orderstatus))
+         ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "q25_corr_subquery" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal, nation_avg
+         FROM (
+           SELECT c_custkey, c_nationkey, c_acctbal,
+             round((SELECT avg(c2.c_acctbal) FROM customer c2
+                    WHERE c2.c_nationkey = c1.c_nationkey), 4) AS nation_avg
+           FROM customer c1) t
+         WHERE c_acctbal > nation_avg
+         ORDER BY c_custkey""",
+    "q26_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day_num,
+           CAST(count(*) OVER w AS BIGINT) AS n_90d,
+           round(sum(o_totalprice) OVER w, 2) AS sum_90d
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(date_diff('day', DATE '1992-01-01',
+                   CAST(o_orderdate AS DATE)) AS INT) AS day_num
+               FROM orders) t
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+           RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, day_num, o_orderkey""",
+    "q27_salted_join" ->
+      """SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+}

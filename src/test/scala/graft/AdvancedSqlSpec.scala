@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AdvancedSql
+import graft.sources.Tables
+
+/** Semantics + plan-shape guards for the D25 advanced-SQL surface. */
+class AdvancedSqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q27 salted join returns exactly the plain join's aggregate") {
+    import spark.implicits._
+    val salted = AdvancedSql.q27SaltedJoin(spark, sf).collect()
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 0).as("revenue"))
+      .orderBy($"o_orderpriority")
+      .collect()
+    assert(salted.toSeq == plain.toSeq, "salting changed the join result")
+  }
+
+  test("q27 plan keeps the shuffle join (salting would be a no-op under broadcast)") {
+    val p = AdvancedSql.q27SaltedJoin(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("SortMergeJoin"), "expected a sort-merge (shuffle) join")
+    assert(!p.contains("BroadcastHashJoin"),
+      "replicated build side was broadcast — the salt no longer spreads the hot key")
+  }
+
+  test("q27 spreads a hot key's rows across salts (per-row, not per-key)") {
+    import spark.implicits._
+    // the most frequent order key must hit >1 salt bucket, else salting
+    // degenerates to renaming the key
+    val salts = Tables.lineitem(spark, sf)
+      .withColumn("salt",
+        pmod(crc32(concat_ws("-", $"l_orderkey", $"l_linenumber")), lit(AdvancedSql.nsalts)))
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"salt").as("n_salts"), count(lit(1)).as("n"))
+      .filter($"n" >= 4)
+    assert(salts.filter($"n_salts" > 1).count() > 0,
+      "no multi-line order spread over more than one salt bucket")
+  }
+
+  test("q26 trailing-90d frame matches a per-row recount for one customer") {
+    import spark.implicits._
+    val rows = AdvancedSql.q26RangeFrame(spark, sf)
+      .filter($"o_custkey" === 1L).collect()
+    assume(rows.nonEmpty)
+    val days = rows.map(_.getAs[Int]("day_num"))
+    rows.foreach { r =>
+      val d = r.getAs[Int]("day_num")
+      val expected = days.count(x => x >= d - 90 && x <= d)
+      assert(r.getAs[Long]("n_90d") == expected,
+        s"day $d: frame count ${r.getAs[Long]("n_90d")} != naive $expected")
+    }
+  }
+
+  test("q24 grouping sets: per-gid partitions each cover all orders") {
+    import spark.implicits._
+    val total = Tables.orders(spark, sf).count()
+    val df = AdvancedSql.q24GroupingSets(spark, sf)
+    // gid 0 = (priority,status) detail, 1 = by priority, 2 = by status;
+    // each grouping set partitions the full table
+    Seq(0L, 1L, 2L).foreach { g =>
+      val n = df.filter($"gid" === g).agg(sum($"n_orders")).as[Long].head()
+      assert(n == total, s"gid $g covers $n of $total orders")
+    }
+  }
+
+  test("q25 subquery is decorrelated: no per-row subquery, aggregate+join instead") {
+    val p = AdvancedSql.q25CorrSubquery(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      "correlated scalar subquery survived to the physical plan (not decorrelated)")
+    assert(p.contains("HashAggregate"), "expected the decorrelated aggregate")
+  }
+}
