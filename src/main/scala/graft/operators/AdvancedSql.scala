@@ -114,11 +114,33 @@ object AdvancedSql {
       .orderBy($"o_orderpriority")
   }
 
+  /** D25: EXISTS / NOT EXISTS predicate subqueries — customers with at
+    * least one order over 150k and no completed ('F') order. Written as
+    * SQL so Catalyst's RewritePredicateSubquery turns the two
+    * correlated predicates into a left-semi and a left-anti join — the
+    * decorrelated shape is two shuffle joins keyed on the correlation
+    * key, which is exactly the 100 TB plan (no per-row subquery
+    * re-execution); AdvancedSqlSpec asserts both joins appear and no
+    * subquery survives to the physical plan. */
+  def q28Exists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("adv_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("adv_orders")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+        FROM adv_customer c
+        WHERE EXISTS (SELECT 1 FROM adv_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM adv_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_grouping_sets" -> q24GroupingSets,
     "q25_corr_subquery" -> q25CorrSubquery,
     "q26_range_frame" -> q26RangeFrame,
-    "q27_salted_join" -> q27SaltedJoin)
+    "q27_salted_join" -> q27SaltedJoin,
+    "q28_exists" -> q28Exists)
 
   val oracle: Map[String, String] = Map(
     "q24_grouping_sets" ->
@@ -155,5 +177,13 @@ object AdvancedSql {
            CAST(count(*) AS BIGINT) AS n_lines,
            round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q28_exists" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+         ORDER BY c_custkey""")
 }

@@ -270,6 +270,65 @@ object Dedup {
       .orderBy($"train_id", $"test_id")
   }
 
+  /** Iteration cap for [[d8Components]] label propagation — generous:
+    * rounds needed = max component diameter, and near-dup clusters are
+    * small, dense clumps (diameter ≤ a few hops). */
+  val maxLabelIters = 30
+
+  /** D18-extension: near-dup CLUSTER ASSIGNMENT — connected components
+    * over the d5 jaccard-confirmed pairs, the step that turns pairwise
+    * near-dup evidence into an actionable "keep one doc per cluster"
+    * decision (d5 alone can say {a,b} and {b,c} are near-dups; only the
+    * component {a,b,c} tells you to keep exactly one of the three).
+    *
+    * Algorithm: min-label propagation to fixpoint. labels start as
+    * label(v)=v; each round every node takes the min of its own and all
+    * neighbors' labels — one co-partitioned shuffle join keyed on node
+    * id per round, O(max component diameter) rounds. Convergence is
+    * detected by the sum of labels (strictly decreasing until fixed),
+    * one scalar per round on the driver. Near-dup components are tiny
+    * and dense, so this terminates in a few rounds at any corpus size;
+    * components only ever receive labels (never text), so the loop's
+    * shuffle volume is 2·|pairs| longs per round.
+    *
+    * Output: every document with its cluster id (= min doc_id of its
+    * component; singletons are their own cluster) and an is_rep flag
+    * marking the one kept representative per cluster. */
+  def d8Components(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = d5Jaccard(spark, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"u").distinct()
+      .select($"u", $"u".as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(coalesce(sum($"cluster"), lit(0L))).as[Long].head()
+    var converged = edges.isEmpty
+    var iters = 0
+    while (!converged && iters < maxLabelIters) {
+      val next = labels
+        .union(edges.join(labels.withColumnRenamed("u", "v"), "v")
+          .select($"u", $"cluster"))
+        .groupBy($"u").agg(min($"cluster").as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sum2 = next.agg(coalesce(sum($"cluster"), lit(0L))).as[Long].head()
+      labels.unpersist()
+      labels = next
+      converged = sum2 == prevSum
+      prevSum = sum2
+      iters += 1
+    }
+    require(converged, s"label propagation did not converge in $maxLabelIters rounds")
+    // edges + final labels stay persisted (session-scoped, like d3-d5's
+    // sharedSigs; CacheManager dedups identical plans across calls)
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster", $"doc_id").as("cluster_id"))
+      .withColumn("is_rep", ($"doc_id" === $"cluster_id").cast("int"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_distinct_meta" -> d2DistinctMeta,
@@ -277,7 +336,8 @@ object Dedup {
     "d4_lsh_pairs" -> d4LshPairs,
     "d5_jaccard" -> d5Jaccard,
     "d6_simhash" -> d6Simhash,
-    "d7_decontaminate" -> d7Decontaminate)
+    "d7_decontaminate" -> d7Decontaminate,
+    "d8_components" -> d8Components)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
@@ -366,6 +426,22 @@ object Dedup {
           SELECT train_id, test_id, n_shared FROM pairs
           WHERE n_shared >= $minSharedShingles
           ORDER BY train_id, test_id""",
+    // connected components as a DuckDB recursive CTE: reachability from
+    // every pair-member node, cluster = min reachable node; the WITH of
+    // the shared jaccard chain becomes WITH RECURSIVE (prefix rewrite)
+    "d8_components" ->
+      s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                    UNION ALL SELECT doc_b AS u, doc_a AS v FROM jp),
+          r(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+                      UNION
+                      SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u, min(v) AS cluster_id FROM r GROUP BY u)
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+            CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS is_rep
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+          ORDER BY d.doc_id""",
     "d6_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
           h AS (SELECT doc_id, CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS h FROM tok),

@@ -72,6 +72,45 @@ class AdvancedSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("q28 EXISTS/NOT EXISTS decorrelate to one semi and one anti join") {
+    val p = AdvancedSql.q28Exists(spark, sf)
+      .queryExecution.explainString(FormattedMode).toLowerCase
+    assert(p.contains("leftsemi"), "EXISTS did not become a left-semi join")
+    assert(p.contains("leftanti"), "NOT EXISTS did not become a left-anti join")
+  }
+
+  test("selective dim filter injects a bloom runtime filter into the fact scan") {
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // force the shuffle-join shape a 100 TB fact⋈fact plan has (tiny
+      // test tables would otherwise broadcast, where a bloom is moot)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sf)
+        .select($"l_orderkey", $"l_extendedprice")
+      val ord = Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderpriority")
+      val q = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(round(sum($"l_extendedprice"), 0).as("rev"))
+      // explainString forces optimization while the confs are in effect
+      val p = q.queryExecution.explainString(FormattedMode).toLowerCase
+      assert(p.contains("might_contain"),
+        "no bloom runtime filter injected on the probe side")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q25 subquery is decorrelated: no per-row subquery, aggregate+join instead") {
     val p = AdvancedSql.q25CorrSubquery(spark, sf)
       .queryExecution.explainString(FormattedMode)

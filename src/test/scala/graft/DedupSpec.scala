@@ -118,6 +118,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 20L, 2L), (3L, 20L, 2L)))
   }
 
+  test("d8 components: pair members share a cluster, id = min, one rep each") {
+    import spark.implicits._
+    val assign = Dedup.d8Components(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.d5Jaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every confirmed near-dup pair landed in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(assign(a) == assign(b), s"pair ($a,$b) split across clusters")
+    }
+    // transitivity beyond single pairs: chained pairs {a,b},{b,c} merge
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+    pairs.foreach { case (a, b) =>
+      adj.getOrElse(b, Array.empty).map(_._2).filter(_ != a).foreach { c =>
+        assert(assign(a) == assign(c), s"chain $a-$b-$c not merged")
+      }
+    }
+    // cluster id is the min member; exactly one representative per cluster
+    assign.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid is not its min member")
+      assert(members.keys.count(_ == cid) == 1)
+    }
+    // singletons (docs in no pair) are their own cluster
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assign.filterNot(kv => paired(kv._1)).foreach { case (d, c) =>
+      assert(d == c, s"singleton $d assigned to foreign cluster $c")
+    }
+  }
+
   test("identical documents collapse to one exact-dedup group") {
     import spark.implicits._
     val df = Seq((1L, "Same  Text here"), (2L, "same text HERE"), (3L, "other"))

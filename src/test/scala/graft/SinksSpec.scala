@@ -44,6 +44,28 @@ class SinksSpec extends AnyFunSuite {
       _.name == "lang"))), "lang filter did not prune partitions")
   }
 
+  test("dim filter dynamically prunes partitions of a partitioned fact (DPP)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source")
+    val out = tmp("graft_dpp")
+    Sinks.writePartitioned(docs, out, Seq("lang"), sortCols = Seq("doc_id"))
+    val fact = spark.read.parquet(out)
+    // the partition-key predicate lives only on the dim side: without
+    // dynamic partition pruning the fact scan reads every lang directory.
+    // The dim must be a real scan — a local relation would constant-fold
+    // the filter away and DPP would see no selective predicate.
+    val dimDir = tmp("graft_dpp_dim")
+    Seq(("en", 1), ("de", 0), ("fr", 0)).toDF("lang", "keep")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"keep" === 1)
+    val q = fact.join(dim, "lang").groupBy($"lang").count()
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("dynamicpruning"),
+      "fact scan has no dynamic partition pruning filter from the dim join")
+  }
+
   test("explicit-schema CSV and JSON readers reproduce the frame") {
     import spark.implicits._
     val src = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "with,comma", 0.0))
