@@ -214,14 +214,22 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= k,
       s"IVF training sample has ${sample.length} rows, need >= $k")
+    lloyd(sample, k, iters)
+  }
+
+  /** Driver-local Lloyd iterations over a collected bounded sample —
+    * the shared codebook trainer of IVF ([[ivfCentroids]]) and PQ
+    * ([[pqCodebooks]]). Deterministic: seed = first `k` rows,
+    * squared-L2 assignment with strict < and lowest-index ties (the
+    * same rule as the compiled [[nearestCentroid]]), sequential mean
+    * accumulation, empty cells keep their previous centroid. */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
       sample.foreach { v =>
-        // same assignment rule as the compiled [[nearestCentroid]]:
-        // squared L2, strict <, lowest index wins ties
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {
@@ -309,6 +317,134 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** PQ layout: 8 subspaces × 8 dims (over the 64-dim fixture), 64
+    * centroids per subspace → 8 small codes per vector, a 32×
+    * compression of the float embedding. */
+  val pqSubspaces = 8
+  val pqCodebookSize = 64
+  val pqIters = 5
+  /** ADC shortlist size per query before the exact re-rank. */
+  val pqShortlist = 50
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val s = math.sqrt(n)
+    if (s == 0.0) v else v.map(_ / s)
+  }
+
+  /** Per-subspace PQ codebooks trained on the same bounded
+    * deterministic sample as IVF (one corpus pass, driver-local Lloyd;
+    * corpus-size-independent cost). Vectors are L2-normalized first so
+    * squared-L2 ADC ranking is cosine ranking (cos = 1 − d²/2 on unit
+    * vectors). */
+  def pqCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
+    import emb.sparkSession.implicits._
+    val sample = ivfTrainSample(emb)
+      .select($"embedding").collect()
+      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(sample.length >= pqCodebookSize,
+      s"PQ training sample has ${sample.length} rows, need >= $pqCodebookSize")
+    val sub = sample.head.length / pqSubspaces
+    Array.tabulate(pqSubspaces) { m =>
+      lloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub)),
+        pqCodebookSize, pqIters)
+    }
+  }
+
+  /** Compiled PQ encoder: normalize, then per-subspace nearest-centroid
+    * code (strict <, lowest index — the [[lloyd]] assignment rule). */
+  private def pqEncode(books: Array[Array[Array[Double]]]) =
+    udf { (emb: Seq[Float]) =>
+      val v = normalized(emb.map(_.toDouble).toArray)
+      val sub = v.length / books.length
+      Array.tabulate(books.length) { m =>
+        val book = books(m); val off = m * sub
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val ct = book(c); var d = 0.0; var i = 0
+          while (i < sub) { val t = v(off + i) - ct(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+
+  /** D19 scale path #3: product-quantization ANN with asymmetric
+    * distance computation (ADC). The corpus is encoded ONCE into 4
+    * per-subspace codes (all that the scoring shuffle ever carries —
+    * never the 64 floats); each bounded query precomputes a 4×16
+    * distance table driver-side, and scoring a corpus vector is 4 table
+    * lookups instead of a 64-dim dot product. Ranking = ascending ADC
+    * squared-L2 on unit vectors ≡ descending approximate cosine.
+    *
+    * Two stages, the production IVFADC shape: (1) ADC over the codes
+    * retrieves a [[pqShortlist]]-sized candidate set per query via the
+    * same salted two-phase top-k as [[s1KnnBrute]]; (2) only the
+    * shortlist (bounded: shortlist × queries rows) is joined back to
+    * the float embeddings for an exact cosine re-rank. The corpus-wide
+    * scan touches codes only; full vectors are re-read for ≤ 50·|Q|
+    * rows regardless of corpus size. No SQL oracle (codebooks live in
+    * Scala); recall vs brute force asserted in SimilaritySpec. */
+  def s7KnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val books = pqCodebooks(emb)
+    // bounded query set → driver-side ADC tables (5 × 4×16 doubles)
+    val qRows = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        normalized(r.getSeq[Float](1).map(_.toDouble).toArray))
+    val sub = qRows.head._2.length / pqSubspaces
+    val tables: Map[Long, Array[Array[Double]]] = qRows.map { case (id, q) =>
+      id -> Array.tabulate(pqSubspaces) { m =>
+        books(m).map { ct =>
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = q(m * sub + i) - ct(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    }.toMap
+    val adcU = udf { (qid: Long, codes: Seq[Int]) =>
+      val t = tables(qid)
+      var s = 0.0; var m = 0
+      while (m < t.length) { s += t(m)(codes(m)); m += 1 }
+      s
+    }
+    val corpus = emb.select($"vec_id".as("neighbor_id"),
+      pqEncode(books)($"embedding").as("codes"))
+    val qIds = qRows.map(_._1).toSeq.toDF("query_id")
+    val scored = corpus.crossJoin(broadcast(qIds))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("adc", adcU($"query_id", $"codes"))
+      .withColumn("salt", pmod(crc32($"neighbor_id".cast("string")), lit(32)))
+    val wLocal = Window.partitionBy($"query_id", $"salt")
+      .orderBy($"adc".asc, $"neighbor_id")
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adc".asc, $"neighbor_id")
+    val shortlist = scored
+      .withColumn("rk_local", row_number().over(wLocal))
+      .filter($"rk_local" <= pqShortlist)
+      .withColumn("rk_adc", row_number().over(wAdc))
+      .filter($"rk_adc" <= pqShortlist)
+      .select($"query_id", $"neighbor_id")
+    // exact re-rank of the bounded shortlist: join the float vectors
+    // back for ≤ pqShortlist·|Q| rows only
+    val qEmb = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    shortlist
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id")
+      .join(broadcast(qEmb), "query_id")
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** D21: symmetric int8 quantization of the embedding column +
     * reconstruction-error statistics per label — the compression step a
     * training pipeline applies before shipping embeddings. Quantization
@@ -343,7 +479,8 @@ object Similarity {
     "s3_neardup_pairs" -> s3NearDupPairs,
     "s4_centroids" -> s4Centroids,
     "s5_quantize" -> s5Quantize,
-    "s6_knn_ivf" -> s6KnnIvf)
+    "s6_knn_ivf" -> s6KnnIvf,
+    "s7_knn_pq" -> s7KnnPq)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

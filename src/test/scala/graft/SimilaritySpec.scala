@@ -36,6 +36,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, s"IVF mean recall@5 $meanRecall too low")
   }
 
+  test("PQ ADC achieves >=40% recall@5 vs brute force") {
+    val exact = Similarity.s1KnnBrute(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val approx = Similarity.s7KnnPq(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (q, ns) => assert(ns.size == 5, s"query $q has ${ns.size} rows") }
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.4, s"PQ mean recall@5 $meanRecall too low")
+  }
+
   test("LSH bucket distribution is bounded under the 4x4 hyperplane config") {
     import org.apache.spark.sql.functions._
     import TestSpark.spark.implicits._
