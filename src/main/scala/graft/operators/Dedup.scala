@@ -291,6 +291,16 @@ object Dedup {
     * components only ever receive labels (never text), so the loop's
     * shuffle volume is 2·|pairs| longs per round.
     *
+    * Every round is `localCheckpoint`ed: each `next` references the
+    * previous labels twice (union + join side), so WITHOUT lineage
+    * truncation the logical tree triples per round and Catalyst
+    * analysis/canonicalization — not execution — becomes the cost
+    * (measured 30s+ at sf0.1 with persist-only; 0.1s/round
+    * checkpointed). The iterative-algorithm rule: persist caches data,
+    * only checkpointing caps plan growth. A long-lived production job
+    * would use reliable `checkpoint()` (HDFS) for executor-loss
+    * recovery; the truncation effect is identical.
+    *
     * Output: every document with its cluster id (= min doc_id of its
     * component; singletons are their own cluster) and an is_rep flag
     * marking the one kept representative per cluster. */
@@ -298,10 +308,9 @@ object Dedup {
     import spark.implicits._
     val pairs = d5Jaccard(spark, dir).select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
+      .toDF("u", "v").localCheckpoint()
     var labels = edges.select($"u").distinct()
-      .select($"u", $"u".as("cluster"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select($"u", $"u".as("cluster")).localCheckpoint()
     var prevSum = labels.agg(coalesce(sum($"cluster"), lit(0L))).as[Long].head()
     var converged = edges.isEmpty
     var iters = 0
@@ -310,17 +319,14 @@ object Dedup {
         .union(edges.join(labels.withColumnRenamed("u", "v"), "v")
           .select($"u", $"cluster"))
         .groupBy($"u").agg(min($"cluster").as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val sum2 = next.agg(coalesce(sum($"cluster"), lit(0L))).as[Long].head()
-      labels.unpersist()
       labels = next
       converged = sum2 == prevSum
       prevSum = sum2
       iters += 1
     }
     require(converged, s"label propagation did not converge in $maxLabelIters rounds")
-    // edges + final labels stay persisted (session-scoped, like d3-d5's
-    // sharedSigs; CacheManager dedups identical plans across calls)
     Tables.documents(spark, dir).select($"doc_id")
       .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select($"doc_id",
