@@ -306,6 +306,14 @@ object Dedup {
     * marking the one kept representative per cluster. */
   def d8Components(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    componentAssignment(spark, dir).orderBy($"doc_id")
+  }
+
+  /** Unsorted (doc_id, cluster_id, is_rep) assignment — the composable
+    * form ([[Pipeline]]'s c2 consumes it under a join, where a sort
+    * would be wasted work at any scale). */
+  def componentAssignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val pairs = d5Jaccard(spark, dir).select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
       .toDF("u", "v").localCheckpoint()
@@ -332,8 +340,23 @@ object Dedup {
       .select($"doc_id",
         coalesce($"cluster", $"doc_id").as("cluster_id"))
       .withColumn("is_rep", ($"doc_id" === $"cluster_id").cast("int"))
-      .orderBy($"doc_id")
   }
+
+  /** Shared oracle CTE chain (built on [[jaccardCte]], which must be
+    * prefixed with WITH RECURSIVE by the consumer) ending in
+    * `assign(doc_id, cluster_id)` — the connected-component assignment
+    * replay used by d8 and the c2 pipeline oracle. */
+  // lazy: jaccardCte is declared later in this object (init order)
+  private[operators] lazy val componentsCte: String =
+    s"""$jaccardCte,
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                  UNION ALL SELECT doc_b AS u, doc_a AS v FROM jp),
+        r(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+                    UNION
+                    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u, min(v) AS cluster_id FROM r GROUP BY u),
+        assign AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
@@ -436,18 +459,10 @@ object Dedup {
     // every pair-member node, cluster = min reachable node; the WITH of
     // the shared jaccard chain becomes WITH RECURSIVE (prefix rewrite)
     "d8_components" ->
-      s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
-                    UNION ALL SELECT doc_b AS u, doc_a AS v FROM jp),
-          r(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-                      UNION
-                      SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u),
-          comp AS (SELECT u, min(v) AS cluster_id FROM r GROUP BY u)
-          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-            CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
-                 THEN 1 ELSE 0 END AS INT) AS is_rep
-          FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
-          ORDER BY d.doc_id""",
+      s"""${componentsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}
+          SELECT doc_id, cluster_id,
+            CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS INT) AS is_rep
+          FROM assign ORDER BY doc_id""",
     "d6_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
           h AS (SELECT doc_id, CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS h FROM tok),

@@ -56,8 +56,45 @@ object Pipeline {
       .orderBy($"lang", $"source")
   }
 
+  /** Component-aware corpus dedup — c1's step 3 drops EVERY pair
+    * member that ever appears as a doc_b, which can delete a whole
+    * near-dup family; the cluster-correct rule keeps exactly one
+    * representative per connected component, and picks the BEST one:
+    *
+    *  1. quality-gate the corpus (≥ 0.5, as c1);
+    *  2. assign every document its near-dup component ([[Dedup.componentAssignment]] —
+    *     LSH pairs → min-label propagation, never all-pairs);
+    *  3. per component, keep the highest-quality member (ties → lowest
+    *     doc_id; both engines order on the same 4-dp score so the
+    *     choice is deterministic);
+    *  4. per-(lang, source) survivor counts + total quality.
+    *
+    * The per-component top-1 is a window over `cluster_id` — a
+    * high-cardinality key (≈ one per document), so the rank
+    * parallelizes with the cluster; no q9-style low-cardinality trap. */
+  def c2ComponentDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gated = Tables.documents(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+      .filter($"quality" >= 0.5)
+      .select($"doc_id", $"lang", $"source", $"quality")
+    val assigned = gated
+      .join(Dedup.componentAssignment(spark, dir).select($"doc_id", $"cluster_id"),
+        "doc_id")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality".desc, $"doc_id")
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"quality"), 4).as("sum_quality"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c1_clean_corpus" -> c1CleanCorpus)
+    "c1_clean_corpus" -> c1CleanCorpus,
+    "c2_component_dedup" -> c2ComponentDedup)
 
   val oracle: Map[String, String] = Map(
     "c1_clean_corpus" ->
@@ -78,5 +115,18 @@ object Pipeline {
                  WHERE doc_id NOT IN (SELECT doc_id FROM drops))
           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
             round(sum(quality), 4) AS sum_quality
-          FROM s3 GROUP BY 1, 2 ORDER BY 1, 2""")
+          FROM s3 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "c2_component_dedup" ->
+      s"""${Dedup.componentsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          gated AS (SELECT doc_id, lang, source,
+                      ${TextAnalysis.qualityScoreSql} AS quality
+                    FROM documents),
+          ok AS (SELECT g.doc_id, g.lang, g.source, g.quality, a.cluster_id
+                 FROM gated g JOIN assign a USING (doc_id)
+                 WHERE g.quality >= 0.5),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) AS rk FROM ok)
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+            round(sum(quality), 4) AS sum_quality
+          FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -80,6 +80,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_unique_events"))
 
+  /** Watermark-bounded streaming dedup with LATE duplicates:
+    * `dropDuplicates("event_id")` keys its state store on event_id
+    * alone, so state grows with every id ever seen — unbounded on an
+    * infinite stream. `dropDuplicatesWithinWatermark` instead evicts an
+    * id's state once the watermark passes its event time, guaranteeing
+    * bounded state while still dropping any duplicate that arrives
+    * within the watermark delay (the at-least-once-redelivery window a
+    * real ingestion pipeline actually has). Emits the surviving raw
+    * events (append mode, no aggregation downstream). */
+  def dedupWithinWatermarkStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream attribution join: clicks by the same user within the
     * 30 minutes preceding each purchase (inclusive bounds). Column
     * contract: purchases(event_id, ts, user_id), clicks(c_id, c_ts,

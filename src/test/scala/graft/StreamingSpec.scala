@@ -87,6 +87,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark drops late duplicates with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupWithinWatermarkStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(0), 1, "view", 1.0), Ev(2, t(5), 1, "view", 2.0))
+      q.processAllAvailable()
+      // same id redelivered in a LATER batch, within the 10-min delay,
+      // with a divergent payload — must still be dropped
+      mem.addData(Ev(1, t(3), 1, "click", 99.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, t(8), 2, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm")
+        .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"late duplicate not dropped: $ids")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals the bucketed batch range join") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
