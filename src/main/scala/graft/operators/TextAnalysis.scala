@@ -142,8 +142,11 @@ object TextAnalysis {
     // min shingle hash via explode + partial-aggregated min (codegen'd
     // md5 per shingle row) rather than an interpreted array pipeline;
     // left join keeps sub-3-token docs with a null fingerprint, matching
-    // array_min(empty) = null semantics
-    val minSh = Dedup.shingleRows(spark, dir)
+    // array_min(empty) = null semantics. Reuses the session-persisted
+    // DISTINCT shingle frame d3-d7 hang off (min is duplicate-
+    // insensitive, so distinct rows give the identical fingerprint and
+    // the corpus is shingled once per session, not once per query).
+    val minSh = Dedup.sharedSigs(spark, dir)._1
       .groupBy($"doc_id").agg(min(md5($"s")).as("min_shingle_hash"))
     Tables.documents(spark, dir)
       .select(
@@ -177,6 +180,29 @@ object TextAnalysis {
       .filter($"rk" <= 5)
       .select($"source", $"rk", $"term", $"tfidf")
       .orderBy($"source", $"rk")
+  }
+
+  /** D20: unigram negative log-likelihood per document — the
+    * perplexity-style quality signal (CCNet/Gopher-family filters rank
+    * documents by how surprising their tokens are under a corpus LM;
+    * the unigram case is the SQL-replayable core of that). Per token:
+    * −ln p(term) = ln(N/tf), rounded to 4 dp BEFORE the per-document
+    * sum so cross-engine FP summation order cannot flip the final
+    * 4-dp rounding (sum of 4-dp values is itself 4-dp — the c1
+    * lesson). The per-term frequency table is VOCABULARY-sized, so the
+    * tok⋈freq join stays a shuffle join keyed on the term, exactly the
+    * t6 TF-IDF shape; everything else is partial-aggregated. */
+  def t9UnigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docTok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val nTotal = docTok.count()
+    val freq = docTok.groupBy($"term").agg(count(lit(1)).as("tf"))
+    docTok.join(freq, "term")
+      .withColumn("v", round(log(lit(nTotal.toDouble) / $"tf"), 4))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(sum($"v"), 4).as("sum_nll"))
+      .orderBy($"doc_id")
   }
 
   /** D20/D17: deterministic 10% stratified sample — hash-gated by
@@ -246,13 +272,23 @@ object TextAnalysis {
     "t5_fingerprint" -> t5Fingerprint,
     "t6_tfidf" -> t6Tfidf,
     "t7_sample" -> t7Sample,
-    "t8_repetition" -> t8Repetition)
+    "t8_repetition" -> t8Repetition,
+    "t9_unigram_nll" -> t9UnigramNll)
 
   private val toksSql = "string_split(lower(text), ' ')"
   private def countInSql(words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "t9_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents),
+          tot AS (SELECT count(*) AS n FROM tok),
+          freq AS (SELECT term, count(*) AS tf FROM tok GROUP BY term)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+            round(sum(round(ln((SELECT n FROM tot) * 1.0 / tf), 4)), 4) AS sum_nll
+          FROM tok JOIN freq USING (term)
+          GROUP BY doc_id ORDER BY doc_id""",
     "t1_text_stats" ->
       s"""SELECT doc_id,
           CAST(length(text) AS INT) AS n_chars_obs,
