@@ -116,6 +116,32 @@ class PlanSpec extends AnyFunSuite {
       s"e6 plans $hashEx hash exchanges, expected 1 (partitioning reuse lost)")
   }
 
+  test("t9_unigram_nll carries no broadcast hint (vocabulary-sized freq table)") {
+    // same story as t6: the per-term frequency table is 10⁷–10⁹ rows on
+    // a real corpus; only stats-based auto-broadcast is acceptable
+    val df = SparkEntry.queries("t9_unigram_nll")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"broadcast hint on t9: $hints")
+  }
+
+  test("q24 grouping sets expand map-side, below the partial aggregate") {
+    // Expand must feed the partial HashAggregate (shuffle carries
+    // ≤ |groups|·|sets| rows); Expand above the exchange would ship
+    // |rows|·|sets| through the shuffle
+    val s = SparkEntry.queries("q24_grouping_sets")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val ls = s.linesIterator.toVector
+    val expand = ls.indexWhere(_.contains("Expand"))
+    val partial = ls.indexWhere(_.contains("partial_count"))
+    assert(expand >= 0 && partial >= 0, s"expected Expand + partial agg:\n$s")
+    // root-first print: the partial aggregate consumes the Expand from
+    // below, so the exchange EnsureRequirements inserts above it only
+    // ever carries ≤ |groups|·|sets| aggregated rows
+    assert(partial < expand, s"Expand sits above the partial aggregate:\n$s")
+  }
+
   test("d3_minhash shuffles signatures, not text") {
     val p = plan("d3_minhash")
     // the exchange below the final aggregate must carry doc_id + partial
