@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, SumOfSquares}
+import graft.functions.{CosineSimilarity, PqEncode, SumOfSquares}
 
 /** Session extensions for the graft engine — the public plug-in point
   * for custom Catalyst expressions (the brief's preference order:
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"graft_sumsq expects 1 argument, got ${children.length}")
         SumOfSquares(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_pq_encode expects 2 arguments, got ${children.length}")
+        PqEncode(children.head, children(1))
       }))
   }
 }

@@ -353,9 +353,21 @@ object Similarity {
     }
   }
 
+  /** Best-available PQ encoder: the codegen'd native expression
+    * ([[graft.functions.PqEncode]] — codebook baked into the generated
+    * stage via a reference object, zero per-row allocation) when the
+    * session carries the graft extensions, else the compiled UDF
+    * [[pqEncode]]. Bit-identical codes either way (FunctionsSpec). */
+  def pqEncodeCol(spark: SparkSession, a: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    if (spark.catalog.functionExists("graft_pq_encode"))
+      call_function("graft_pq_encode", a,
+        typedLit(books.map(_.map(_.toSeq).toSeq).toSeq))
+    else pqEncode(books)(a)
+
   /** Compiled PQ encoder: normalize, then per-subspace nearest-centroid
     * code (strict <, lowest index — the [[lloyd]] assignment rule). */
-  private def pqEncode(books: Array[Array[Array[Double]]]) =
+  private[graft] def pqEncode(books: Array[Array[Array[Double]]]) =
     udf { (emb: Seq[Float]) =>
       val v = normalized(emb.map(_.toDouble).toArray)
       val sub = v.length / books.length
@@ -415,7 +427,7 @@ object Similarity {
       s
     }
     val corpus = emb.select($"vec_id".as("neighbor_id"),
-      pqEncode(books)($"embedding").as("codes"))
+      pqEncodeCol(spark, $"embedding", books).as("codes"))
     val qIds = qRows.map(_._1).toSeq.toDF("query_id")
     val scored = corpus.crossJoin(broadcast(qIds))
       .filter($"neighbor_id" =!= $"query_id")

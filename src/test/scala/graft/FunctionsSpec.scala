@@ -60,6 +60,40 @@ class FunctionsSpec extends AnyFunSuite {
     d.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("graft_pq_encode produces exactly the UDF encoder's codes") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb)
+    val rows = emb.select(
+        Similarity.pqEncodeCol(spark, $"embedding", books).as("native"),
+        Similarity.pqEncode(books)($"embedding").as("viaUdf"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}")
+    }
+    // and the dispatch really used the native expression under codegen
+    val plan = emb.select(
+      Similarity.pqEncodeCol(spark, $"embedding", books))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_encode"), s"native expression not planned:\n$plan")
+    assert(!plan.contains("UDF("), s"UDF boundary in the encode plan:\n$plan")
+  }
+
+  test("graft_pq_encode null embedding yields null; zero vector encodes") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb)
+    val df = Seq(
+      (1L, Some(Array.fill(64)(0.0f))),
+      (2L, Option.empty[Array[Float]])).toDF("id", "embedding")
+    val rows = df.select(
+      Similarity.pqEncodeCol(spark, $"embedding", books)).collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getSeq[Int](0).length == Similarity.pqSubspaces)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("null input yields null, not a crash") {
     import spark.implicits._
     val df = Seq(
