@@ -135,12 +135,35 @@ object AdvancedSql {
         ORDER BY c_custkey""")
   }
 
+  /** D13-extension: distribution window functions — percent_rank,
+    * cume_dist, ntile quartiles of each customer's orders by price.
+    * Partitioned on o_custkey (high cardinality), so the per-partition
+    * sorts parallelize with the cluster — deliberately NOT a 5-value
+    * key like o_orderpriority, which would serialize into 5 tasks at
+    * any scale (the q9 trap; q9's salted two-phase is the answer when
+    * the key IS low-cardinality). Ties broken by o_orderkey in both
+    * engines so rank fractions are deterministic. */
+  def q29WindowDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .withColumn("cume_dist", round(cume_dist().over(w), 4))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter($"o_custkey" < 20)
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"),
+        $"pct_rank", $"cume_dist", $"quartile")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_grouping_sets" -> q24GroupingSets,
     "q25_corr_subquery" -> q25CorrSubquery,
     "q26_range_frame" -> q26RangeFrame,
     "q27_salted_join" -> q27SaltedJoin,
-    "q28_exists" -> q28Exists)
+    "q28_exists" -> q28Exists,
+    "q29_window_dist" -> q29WindowDist)
 
   val oracle: Map[String, String] = Map(
     "q24_grouping_sets" ->
@@ -185,5 +208,15 @@ object AdvancedSql {
                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
            AND NOT EXISTS (SELECT 1 FROM orders o2
                            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+    "q29_window_dist" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume_dist,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM orders
+         WHERE o_custkey < 20
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""")
 }
