@@ -309,10 +309,25 @@ object Dedup {
     componentAssignment(spark, dir).orderBy($"doc_id")
   }
 
+  /** Session-scoped cache of the component assignment — the
+    * propagation loop's checkpointed result frames stay valid for the
+    * session's lifetime, so d8 and c2 share one computation per
+    * (session, dir), the same materialized-view treatment d3-d5 give
+    * the signature frames. */
+  private val compCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
   /** Unsorted (doc_id, cluster_id, is_rep) assignment — the composable
     * form ([[Pipeline]]'s c2 consumes it under a join, where a sort
     * would be wasted work at any scale). */
   def componentAssignment(spark: SparkSession, dir: String): DataFrame = {
+    compCache.filterInPlace((_, v) => !v.sparkSession.sparkContext.isStopped)
+    compCache.getOrElseUpdate(
+      (System.identityHashCode(spark).toString, dir),
+      computeComponentAssignment(spark, dir))
+  }
+
+  private def computeComponentAssignment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = d5Jaccard(spark, dir).select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
