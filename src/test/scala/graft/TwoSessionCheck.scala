@@ -21,6 +21,7 @@ object TwoSessionCheck {
     val s1 = mk("graft-two-session-1")
     s1.sparkContext.setLogLevel("WARN")
     val n1 = graft.operators.Dedup.d3Minhash(s1, sf).count()
+    val c1 = graft.operators.Dedup.d8Components(s1, sf).count()
     require(graft.operators.Dedup.sigCacheSize == 1,
       s"cache not populated: size ${graft.operators.Dedup.sigCacheSize}")
     s1.stop()
@@ -30,6 +31,9 @@ object TwoSessionCheck {
     val n3 = graft.operators.Dedup.d3Minhash(s2, sf).count()
     val n4 = graft.operators.Dedup.d4LshPairs(s2, sf).count()
     val n5 = graft.operators.Dedup.d5Jaccard(s2, sf).count()
+    // the component assignment cache holds localCheckpoint'ed frames —
+    // session 1's are dead RDDs; a stale entry would throw here
+    val c2 = graft.operators.Dedup.d8Components(s2, sf).count()
     // a stale-entry implementation either leaves session 1's dead entry
     // behind (size 2) or, on a key collision, hands session 2 a dead
     // persisted frame (the d3 count above then throws)
@@ -37,6 +41,8 @@ object TwoSessionCheck {
       s"stale cache entries survive a session stop: size ${graft.operators.Dedup.sigCacheSize}")
     require(n3 == n1 && n1 > 0,
       s"second session answer diverged: $n1 vs $n3")
+    require(c2 == c1 && c1 > 0,
+      s"second session component answer diverged: $c1 vs $c2")
     require(n4 >= 0 && n5 >= 0)
     s2.stop()
     println("TWO_SESSION_OK")
