@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, PqEncode, SumOfSquares}
+import graft.functions.{CosineSimilarity, LshBuckets, PqEncode, SumOfSquares}
 
 /** Session extensions for the graft engine — the public plug-in point
   * for custom Catalyst expressions (the brief's preference order:
@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_pq_encode expects 2 arguments, got ${children.length}")
         PqEncode(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_lsh_buckets expects 2 arguments, got ${children.length}")
+        LshBuckets(children.head, children(1))
       }))
   }
 }

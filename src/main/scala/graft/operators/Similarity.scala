@@ -115,13 +115,17 @@ object Similarity {
     h.toDouble / Int.MaxValue
   }
 
+  /** Deterministic hyperplane tensor (tables × planes × dim). */
+  private[graft] def planesTensor(dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(lshTables, lshPlanes, dim)(planeComponent)
+
   /** All-tables bucket ids in one pass: a compiled closure over the
     * broadcast hyperplane tensor beats 16 interpreted higher-order dot
     * expressions by an order of magnitude, and the semantics (sign bits
     * of hyperplane dot products, float widened to double, ascending-dim
     * summation) are identical to the expression form it replaces. */
   private[graft] def lshBuckets(dim: Int) = {
-    val planes = Array.tabulate(lshTables, lshPlanes, dim)(planeComponent)
+    val planes = planesTensor(dim)
     udf { (emb: Seq[Float]) =>
       Array.tabulate(lshTables) { t =>
         var bucket = 0
@@ -138,6 +142,16 @@ object Similarity {
     }
   }
 
+  /** Best-available LSH bucket assignment: the codegen'd native
+    * expression ([[graft.functions.LshBuckets]]) under the graft
+    * extensions, else the compiled UDF [[lshBuckets]]. Bit-identical
+    * bucket ids either way (FunctionsSpec). */
+  def lshBucketsCol(spark: SparkSession, a: Column, dim: Int): Column =
+    if (spark.catalog.functionExists("graft_lsh_buckets"))
+      call_function("graft_lsh_buckets", a,
+        typedLit(planesTensor(dim).map(_.map(_.toSeq).toSeq).toSeq))
+    else lshBuckets(dim)(a)
+
   /** D19 scale path: LSH-bucketed approximate top-5 — explode each
     * vector to its `lshTables` (table, bucket) keys, equi-join within
     * buckets, union candidates across tables, exact-rank the survivors.
@@ -148,7 +162,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val dim = 64 // fixture embedding width (FIXTURES.md)
     val keyed = emb.select($"vec_id", $"embedding",
-      posexplode(lshBuckets(dim)($"embedding")).as(Seq("tbl", "bucket")))
+      posexplode(lshBucketsCol(spark, $"embedding", dim)).as(Seq("tbl", "bucket")))
     val qs = keyed.filter($"vec_id" < 5)
       .select($"tbl", $"bucket", $"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val cands = keyed

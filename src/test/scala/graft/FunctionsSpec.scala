@@ -81,6 +81,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF("), s"UDF boundary in the encode plan:\n$plan")
   }
 
+  test("graft_lsh_buckets produces exactly the UDF closure's bucket ids") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = emb.select(
+        Similarity.lshBucketsCol(spark, $"embedding", 64).as("native"),
+        Similarity.lshBuckets(64)($"embedding").as("viaUdf"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}")
+    }
+    val plan = emb.select(Similarity.lshBucketsCol(spark, $"embedding", 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lsh_buckets"), s"native expression not planned:\n$plan")
+    assert(!plan.contains("UDF("), s"UDF boundary in the bucket plan:\n$plan")
+  }
+
   test("graft_pq_encode null embedding yields null; zero vector encodes") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, sf)
