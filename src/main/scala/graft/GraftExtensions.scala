@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, LshBuckets, PqEncode, SumOfSquares}
+import graft.functions.{CosineSimilarity, LshBuckets, NearestCentroid, PqEncode, SumOfSquares}
 
 /** Session extensions for the graft engine — the public plug-in point
   * for custom Catalyst expressions (the brief's preference order:
@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_lsh_buckets expects 2 arguments, got ${children.length}")
         LshBuckets(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_nearest_centroid expects 2 arguments, got ${children.length}")
+        NearestCentroid(children.head, children(1))
       }))
   }
 }

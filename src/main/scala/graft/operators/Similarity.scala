@@ -263,8 +263,19 @@ object Similarity {
     cents
   }
 
+  /** Best-available cell assignment: the codegen'd native expression
+    * ([[graft.functions.NearestCentroid]]) under the graft extensions,
+    * else the compiled UDF [[nearestCentroid]]. Bit-identical cells
+    * either way (FunctionsSpec). */
+  def nearestCentroidCol(spark: SparkSession, a: Column,
+      cents: Array[Array[Double]]): Column =
+    if (spark.catalog.functionExists("graft_nearest_centroid"))
+      call_function("graft_nearest_centroid", a,
+        typedLit(cents.map(_.toSeq).toSeq))
+    else nearestCentroid(cents)(a)
+
   /** Compiled nearest-centroid (squared L2) assignment. */
-  private def nearestCentroid(cents: Array[Array[Double]]) =
+  private[graft] def nearestCentroid(cents: Array[Array[Double]]) =
     udf { (emb: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -315,9 +326,8 @@ object Similarity {
     // training cost is corpus-size-independent: one sampling pass, then
     // driver-local Lloyd over the bounded sample (see ivfCentroids)
     val cents = ivfCentroids(emb, k = 16, iters = 2)
-    val assignU = nearestCentroid(cents)
     val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding",
-      assignU($"embedding").as("cell"))
+      nearestCentroidCol(spark, $"embedding", cents).as("cell"))
     val qs = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         explode(probes(cents, 4)($"embedding")).as("cell"))

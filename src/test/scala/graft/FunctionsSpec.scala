@@ -99,6 +99,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF("), s"UDF boundary in the bucket plan:\n$plan")
   }
 
+  test("graft_nearest_centroid produces exactly the UDF's cell ids") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(emb, k = 16, iters = 2)
+    val rows = emb.select(
+        Similarity.nearestCentroidCol(spark, $"embedding", cents).as("native"),
+        Similarity.nearestCentroid(cents)($"embedding").as("viaUdf"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"${r.getInt(0)} vs ${r.getInt(1)}"))
+    val plan = emb.select(Similarity.nearestCentroidCol(spark, $"embedding", cents))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nearest_centroid"), s"native expression not planned:\n$plan")
+    assert(!plan.contains("UDF("), s"UDF boundary in the assignment plan:\n$plan")
+  }
+
   test("graft_pq_encode null embedding yields null; zero vector encodes") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, sf)
