@@ -155,8 +155,11 @@ object Similarity {
   /** D19 scale path: LSH-bucketed approximate top-5 — explode each
     * vector to its `lshTables` (table, bucket) keys, equi-join within
     * buckets, union candidates across tables, exact-rank the survivors.
-    * No SQL oracle (hyperplanes live in Scala); recall vs [[s1KnnBrute]]
-    * is asserted in SimilaritySpec. */
+    * Oracle: the hyperplane tensor is DATA-INDEPENDENT (derived from
+    * MurmurHash3 of (table, plane, dim) indices), so its constants are
+    * interpolated into the DuckDB SQL and the whole bucket→join→rank
+    * pipeline replays hash-exact; recall vs [[s1KnnBrute]] is
+    * additionally asserted in SimilaritySpec. */
   def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -523,7 +526,41 @@ object Similarity {
        (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
 
+  /** DuckDB replay of [[s2KnnLsh]]: the plane constants print via
+    * Double.toString (shortest round-tripping decimal), so DuckDB
+    * parses back the identical doubles; list_inner_product widens
+    * float→double and sums ascending exactly like the codegen'd
+    * expression, so bucket ids — sign comparisons on identical doubles
+    * — match bit-for-bit (the same argument that makes s1 hash-exact). */
+  private def s2OracleSql: String = {
+    val planes = planesTensor(64)
+    def bucketExpr(t: Int) = (0 until lshPlanes).map { p =>
+      val arr = planes(t)(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(embedding::DOUBLE[], $arr::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketCols = (0 until lshTables)
+      .map(t => s"${bucketExpr(t)} AS b$t").mkString(", ")
+    val bucketCase = s"CASE tbl ${(0 until lshTables)
+      .map(t => s"WHEN $t THEN b$t").mkString(" ")} END"
+    s"""WITH b AS (SELECT vec_id, $bucketCols FROM embeddings),
+        k AS (SELECT vec_id, tbl, $bucketCase AS bucket
+              FROM b CROSS JOIN (SELECT unnest([${(0 until lshTables).mkString(", ")}]) AS tbl) t),
+        pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                  FROM k q JOIN k c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        scored AS (SELECT p.query_id, p.neighbor_id, $cosSql AS cos
+                   FROM pairs p JOIN embeddings a ON a.vec_id = p.query_id
+                                JOIN embeddings b ON b.vec_id = p.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+          round(cos, 4) AS cos_sim
+        FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s2_knn_lsh" -> s2OracleSql,
     "s1_knn_brute" ->
       s"""WITH scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cos
