@@ -129,6 +129,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("codebook arguments must be foldable literals (analysis-time error)") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(call_function("graft_pq_encode", $"embedding",
+        array(array(array($"vec_id".cast("double")))))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"), err.getMessage)
+  }
+
   test("null input yields null, not a crash") {
     import spark.implicits._
     val df = Seq(
