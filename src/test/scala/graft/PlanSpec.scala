@@ -142,6 +142,22 @@ class PlanSpec extends AnyFunSuite {
     assert(partial < expand, s"Expand sits above the partial aggregate:\n$s")
   }
 
+  test("no registered query plans a pairwise join, except the bounded-by-design set") {
+    // s1/s7 broadcast a ≤5-row query set against the corpus and s3 is
+    // explicitly id-bounded — those replicate a BOUNDED side by
+    // design. Everything else must stay an equi/semi/anti join: a
+    // CartesianProduct or BroadcastNestedLoopJoin anywhere else is a
+    // corpus×corpus scale bug, whatever query it sneaks into.
+    val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!boundedByDesign(name)) {
+        val p = fn(spark, sf).queryExecution.explainString(FormattedMode)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unbounded pairwise join")
+      }
+    }
+  }
+
   test("d3_minhash shuffles signatures, not text") {
     val p = plan("d3_minhash")
     // the exchange below the final aggregate must carry doc_id + partial
