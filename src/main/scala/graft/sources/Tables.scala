@@ -39,7 +39,12 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Register every fixture table as a temp view (for spark.sql users). */
+  /** Register every fixture table as a temp view (for spark.sql users).
+    * Goes through the typed loaders, so `events` gets the NANOS→micros
+    * ts conversion — a raw `load` would register a bigint ts column. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

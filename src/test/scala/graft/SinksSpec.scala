@@ -66,6 +66,19 @@ class SinksSpec extends AnyFunSuite {
       "fact scan has no dynamic partition pruning filter from the dim join")
   }
 
+  test("registerAll exposes every fixture table to spark.sql with typed events.ts") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM lineitem l JOIN orders o
+         ON l.l_orderkey = o.o_orderkey""").as[Long].head()
+    assert(n > 0)
+    // events.ts must be a real timestamp (NANOS→micros conversion), so
+    // date_trunc works from SQL exactly like the typed loader path
+    val ts = spark.sql("SELECT date_trunc('hour', ts) AS h FROM events LIMIT 1")
+    assert(ts.schema("h").dataType.typeName == "timestamp")
+  }
+
   test("explicit-schema CSV and JSON readers reproduce the frame") {
     import spark.implicits._
     val src = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "with,comma", 0.0))
