@@ -182,9 +182,59 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Per-(table, bucket) population cap for the pair-enumeration path
+    * ([[d9EmbeddingNearDup]]): a bucket of b vectors yields b²/2
+    * candidate pairs, so one hot bucket (all-zero embeddings, a
+    * degenerate hyperplane) would quadratically dominate the stage at
+    * corpus scale. Buckets above the cap are dropped whole — same
+    * contract as [[graft.operators.Dedup.maxBucket]] — and the oracle
+    * replays the cap, so the gate pins the guarded semantics. */
+  val maxPairBucket = 2000
+
+  /** D18 scale path: embedding-cosine near-duplicate pairs over the
+    * FULL corpus via LSH bucketing — the unbounded companion of the
+    * exact-but-bounded [[s3NearDupPairs]].
+    *
+    * Shape for 100 TB: the exploded stream carries only
+    * (tbl, bucket, vec_id) — 12 bytes/row, never the vectors — through
+    * the candidate self-join; the bucket census is bounded by
+    * tables × 2^planes = 64 rows regardless of corpus size, so the
+    * skew-cap filter is a broadcast; vectors are fetched back by two
+    * id-equi-joins only for surviving deduped pairs, and the exact
+    * cosine threshold then makes precision 1.0 (LSH affects recall
+    * only). Oracle: hyperplanes are data-independent (MurmurHash3 of
+    * indices), interpolated into the DuckDB SQL — the whole
+    * bucket→cap→pair→score pipeline replays hash-exact. */
+  def d9EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val dim = 64 // fixture embedding width (FIXTURES.md)
+    val keyed = emb.select($"vec_id",
+      posexplode(lshBucketsCol(spark, $"embedding", dim)).as(Seq("tbl", "bucket")))
+    // bounded census (≤ 64 rows): broadcast, not a window over the stream
+    val okBuckets = keyed.groupBy($"tbl", $"bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" <= maxPairBucket)
+      .select($"tbl", $"bucket")
+    val ok = keyed.join(broadcast(okBuckets), Seq("tbl", "bucket"))
+    val pairs = ok.select($"tbl", $"bucket", $"vec_id".as("id_a"))
+      .join(ok.select($"tbl", $"bucket", $"vec_id".as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .dropDuplicates("id_a", "id_b")
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("emb_b"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("cos", round(cosineCol(spark, $"emb_a", $"emb_b"), 4))
+      .filter($"cos" >= 0.35)
+      .select($"id_a", $"id_b", $"cos".as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** D19/D18: embedding-cosine near-duplicate pairs above a threshold,
     * exact within a bounded id range (oracle-checkable); the unbounded
-    * variant would go through [[s2KnnLsh]]-style bucketing. */
+    * variant is [[d9EmbeddingNearDup]]. */
   def s3NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).filter($"vec_id" < 200)
@@ -516,6 +566,7 @@ object Similarity {
     "s1_knn_brute" -> s1KnnBrute,
     "s2_knn_lsh" -> s2KnnLsh,
     "s3_neardup_pairs" -> s3NearDupPairs,
+    "d9_embedding_neardup" -> d9EmbeddingNearDup,
     "s4_centroids" -> s4Centroids,
     "s5_quantize" -> s5Quantize,
     "s6_knn_ivf" -> s6KnnIvf,
@@ -532,7 +583,10 @@ object Similarity {
     * float→double and sums ascending exactly like the codegen'd
     * expression, so bucket ids — sign comparisons on identical doubles
     * — match bit-for-bit (the same argument that makes s1 hash-exact). */
-  private def s2OracleSql: String = {
+  /** The shared `b`/`k` CTEs: every vector exploded to its
+    * (tbl, bucket) LSH keys, plane constants interpolated. Prefix for
+    * both [[s2OracleSql]] and [[d9OracleSql]]. */
+  private def lshKeyedCte: String = {
     val planes = planesTensor(64)
     def bucketExpr(t: Int) = (0 until lshPlanes).map { p =>
       val arr = planes(t)(p).mkString("[", ", ", "]")
@@ -542,9 +596,13 @@ object Similarity {
       .map(t => s"${bucketExpr(t)} AS b$t").mkString(", ")
     val bucketCase = s"CASE tbl ${(0 until lshTables)
       .map(t => s"WHEN $t THEN b$t").mkString(" ")} END"
-    s"""WITH b AS (SELECT vec_id, $bucketCols FROM embeddings),
+    s"""b AS (SELECT vec_id, $bucketCols FROM embeddings),
         k AS (SELECT vec_id, tbl, $bucketCase AS bucket
-              FROM b CROSS JOIN (SELECT unnest([${(0 until lshTables).mkString(", ")}]) AS tbl) t),
+              FROM b CROSS JOIN (SELECT unnest([${(0 until lshTables).mkString(", ")}]) AS tbl) t)"""
+  }
+
+  private def s2OracleSql: String = {
+    s"""WITH $lshKeyedCte,
         pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
                   FROM k q JOIN k c ON q.tbl = c.tbl AND q.bucket = c.bucket
                   WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
@@ -559,8 +617,28 @@ object Similarity {
         FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
   }
 
+  /** DuckDB replay of [[d9EmbeddingNearDup]]: same interpolated-plane
+    * argument as [[s2OracleSql]], plus the bucket-size cap replayed as
+    * a census CTE, so the skew-guarded semantics are what the gate
+    * pins. */
+  private def d9OracleSql: String =
+    s"""WITH $lshKeyedCte,
+        sz AS (SELECT tbl, bucket FROM k GROUP BY tbl, bucket
+               HAVING count(*) <= $maxPairBucket),
+        ok AS (SELECT k.* FROM k JOIN sz USING (tbl, bucket)),
+        pairs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                  FROM ok x JOIN ok y
+                    ON x.tbl = y.tbl AND x.bucket = y.bucket
+                   AND x.vec_id < y.vec_id),
+        scored AS (SELECT id_a, id_b, round($cosSql, 4) AS cos_sim
+                   FROM pairs p JOIN embeddings a ON a.vec_id = p.id_a
+                                JOIN embeddings b ON b.vec_id = p.id_b)
+        SELECT id_a, id_b, cos_sim FROM scored
+        WHERE cos_sim >= 0.35 ORDER BY id_a, id_b"""
+
   val oracle: Map[String, String] = Map(
     "s2_knn_lsh" -> s2OracleSql,
+    "d9_embedding_neardup" -> d9OracleSql,
     "s1_knn_brute" ->
       s"""WITH scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cos

@@ -52,6 +52,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, s"PQ mean recall@5 $meanRecall too low")
   }
 
+  test("d9 LSH near-dup pairs are a subset of the exact pairs, with useful recall") {
+    // s3 is exact (all pairs, ids < 200); d9 is the full-corpus LSH
+    // path. Precision must be 1.0 by construction (exact cosine filter
+    // after candidate generation); recall in the overlap region should
+    // clear the 4-table union bound's practical floor.
+    val exact = Similarity.s3NearDupPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.d9EmbeddingNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos_sim")))
+    assert(lsh.nonEmpty)
+    // every reported pair really clears the threshold
+    assert(lsh.forall(_._3 >= 0.35))
+    val lshBounded = lsh.collect { case (a, b, _) if a < 200 && b < 200 => (a, b) }.toSet
+    assert(lshBounded.subsetOf(exact), "LSH pair not in the exact pair set")
+    val recall = lshBounded.size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall vs exact pairs too low")
+  }
+
   test("LSH bucket distribution is bounded under the 4x4 hyperplane config") {
     import org.apache.spark.sql.functions._
     import TestSpark.spark.implicits._
