@@ -25,6 +25,14 @@ import graft.sources.Tables
   * banding keeps linear-ish in the corpus. The whole chain is replayed
   * verbatim in the DuckDB oracle.
   */
+/** One document entering the packer: its pack bucket, id, and token
+  * count. Top-level so the Dataset encoder resolves. */
+case class PackDoc(bucket: Long, doc_id: Long, toks: Long)
+
+/** One packed document: which sequence (bin) of its bucket it landed
+  * in. */
+case class PackedDoc(doc_id: Long, bucket: Long, seq_id: Long, toks: Long)
+
 object Pipeline {
 
   def c1CleanCorpus(spark: SparkSession, dir: String): DataFrame = {
@@ -92,9 +100,59 @@ object Pipeline {
       .orderBy($"lang", $"source")
   }
 
+  /** Token budget per packed training sequence (c3). Chosen so fixture
+    * documents (≈54 tokens each) pack 4–5 per sequence, exercising the
+    * overflow boundary; production would use the model context size. */
+  val packBudget = 256L
+
+  /** Number of pack buckets at fixture scale. In production this is
+    * corpus_tokens / target_shard_tokens — parallelism grows WITH the
+    * corpus, each bucket packs independently, and the doc_id modulus
+    * keeps the assignment deterministic and oracle-replayable. */
+  val packBuckets = 8L
+
+  /** Greedy contiguous sequence packing — the pretraining-data step
+    * that concatenates documents into fixed-token-budget training
+    * sequences. Documents are split into [[packBuckets]] independent
+    * buckets (mod on doc_id); within a bucket, docs are taken in
+    * doc_id order and appended to the current sequence while the
+    * running token total stays ≤ [[packBudget]]; a doc that would
+    * overflow starts the next sequence (an oversized doc occupies one
+    * alone).
+    *
+    * Spark shape: `groupByKey(bucket).flatMapSortedGroups(doc_id)` —
+    * the sort rides the shuffle's sort machinery (secondary sort, no
+    * in-memory group buffering), the per-group fold is a streaming
+    * iterator, and buckets pack in parallel. This is the (d)-tier
+    * `mapPartitions`-style escape hatch of the preference order:
+    * justified here because a running *conditional-reset* fill is not
+    * expressible as a window cumsum (sequence boundaries depend on the
+    * fold state itself). Oracle: DuckDB recursive CTE replays the same
+    * fold per bucket, hash-exact. */
+  def c3PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(($"doc_id" % packBuckets).as("bucket"), $"doc_id",
+        size(TextAnalysis.tokens($"text")).cast("long").as("toks"))
+      .as[PackDoc]
+    docs.groupByKey(_.bucket)
+      .flatMapSortedGroups($"doc_id") { (bucket: Long, it: Iterator[PackDoc]) =>
+        var seq = 0L
+        var fill = 0L
+        it.map { d =>
+          if (fill > 0 && fill + d.toks > packBudget) { seq += 1; fill = 0L }
+          fill += d.toks
+          PackedDoc(d.doc_id, bucket, seq, d.toks)
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
-    "c2_component_dedup" -> c2ComponentDedup)
+    "c2_component_dedup" -> c2ComponentDedup,
+    "c3_pack_sequences" -> c3PackSequences)
 
   val oracle: Map[String, String] = Map(
     "c1_clean_corpus" ->
@@ -116,6 +174,25 @@ object Pipeline {
           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
             round(sum(quality), 4) AS sum_quality
           FROM s3 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "c3_pack_sequences" ->
+      s"""WITH RECURSIVE d AS (
+            SELECT doc_id % $packBuckets AS bucket, doc_id,
+              CAST(length(string_split(lower(text), ' ')) AS BIGINT) AS toks,
+              row_number() OVER (PARTITION BY doc_id % $packBuckets
+                ORDER BY doc_id) AS rn
+            FROM documents),
+          r AS (
+            SELECT bucket, doc_id, toks, rn,
+              CAST(0 AS BIGINT) AS seq_id, toks AS fill
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.bucket, d.doc_id, d.toks, d.rn,
+              CASE WHEN r.fill + d.toks > $packBudget
+                   THEN r.seq_id + 1 ELSE r.seq_id END,
+              CASE WHEN r.fill + d.toks > $packBudget
+                   THEN d.toks ELSE r.fill + d.toks END
+            FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+          SELECT doc_id, bucket, seq_id, toks FROM r ORDER BY doc_id""",
     "c2_component_dedup" ->
       s"""${Dedup.componentsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
           gated AS (SELECT doc_id, lang, source,
