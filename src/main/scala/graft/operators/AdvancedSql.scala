@@ -157,7 +157,74 @@ object AdvancedSql {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** CDC upsert (the MERGE INTO shape) applied as a batch — the
+    * dimension-maintenance step every warehouse load runs. The change
+    * batch is derived deterministically from the fixture (every 10th
+    * key updated, shifted keys inserted) so the oracle can rebuild it.
+    *
+    * Scale shape: a CDC batch is orders of magnitude smaller than the
+    * base table, so BOTH sides of the merge broadcast the changes —
+    * the update pass is a broadcast left join (base never shuffles)
+    * and the insert pass is a broadcast anti join. A full-outer-join
+    * merge would shuffle all 100 TB of base; this plan moves only the
+    * changes. PlanSpec asserts the no-base-shuffle claim. */
+  def q30Upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+    val updates = base.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", $"c_nationkey".as("ch_nationkey"),
+        round($"c_acctbal" + 100.0, 2).as("ch_acctbal"),
+        lit("UPDATED").as("ch_mktsegment"))
+    val inserts = base.filter($"c_custkey" % 100 === 7)
+      .select(($"c_custkey" + 1000000L).as("c_custkey"),
+        $"c_nationkey".as("ch_nationkey"),
+        round($"c_acctbal", 2).as("ch_acctbal"),
+        lit("INSERTED").as("ch_mktsegment"))
+    val changes = updates.unionByName(inserts)
+    val merged = base.join(broadcast(changes), Seq("c_custkey"), "left")
+      .select($"c_custkey",
+        coalesce($"ch_nationkey", $"c_nationkey").as("c_nationkey"),
+        round(coalesce($"ch_acctbal", $"c_acctbal"), 2).as("c_acctbal"),
+        coalesce($"ch_mktsegment", $"c_mktsegment").as("c_mktsegment"))
+    // inserts = changes whose key is absent from base. The naive
+    // `changes ANTI base` would build on (= shuffle or broadcast) the
+    // 100 TB side; instead the matched keys are computed with a
+    // broadcast SEMI join over base (map-side, output ≤ |changes|) and
+    // the anti join then builds on that small set.
+    val matched = base
+      .join(broadcast(changes.select($"c_custkey")), Seq("c_custkey"), "left_semi")
+      .select($"c_custkey")
+    val newRows = changes
+      .join(broadcast(matched), Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"ch_nationkey".as("c_nationkey"),
+        round($"ch_acctbal", 2).as("c_acctbal"),
+        $"ch_mktsegment".as("c_mktsegment"))
+    merged.unionByName(newRows).orderBy($"c_custkey")
+  }
+
+  /** D12-extension: approximate percentiles (quantile sketch — the
+    * same mergeable-summary family as HLL). One pass, partial
+    * aggregation, fixed-size state per group: the 100 TB shape for
+    * quantiles, vs exact percentile's per-group sort. Like q8, no SQL
+    * oracle (sketch internals are engine-specific); AdvancedSqlSpec
+    * bounds the error vs the exact percentiles. */
+  def q31ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)), 0)
+          .as("p50_approx"),
+        round(percentile_approx($"l_extendedprice", lit(0.95), lit(10000)), 0)
+          .as("p95_approx"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_upsert" -> q30Upsert,
+    "q31_approx_percentile" -> q31ApproxPercentile,
     "q24_grouping_sets" -> q24GroupingSets,
     "q25_corr_subquery" -> q25CorrSubquery,
     "q26_range_frame" -> q26RangeFrame,
@@ -166,6 +233,28 @@ object AdvancedSql {
     "q29_window_dist" -> q29WindowDist)
 
   val oracle: Map[String, String] = Map(
+    "q30_upsert" ->
+      """WITH base AS (
+           SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer),
+         changes AS (
+           SELECT c_custkey, c_nationkey,
+             round(c_acctbal + 100.0, 2) AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+           FROM base WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_nationkey,
+             round(c_acctbal, 2), 'INSERTED'
+           FROM base WHERE c_custkey % 100 = 7)
+         SELECT b.c_custkey,
+           coalesce(ch.c_nationkey, b.c_nationkey) AS c_nationkey,
+           round(coalesce(ch.c_acctbal, b.c_acctbal), 2) AS c_acctbal,
+           coalesce(ch.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+         FROM base b LEFT JOIN changes ch USING (c_custkey)
+         UNION ALL
+         SELECT ch.c_custkey, ch.c_nationkey, ch.c_acctbal, ch.c_mktsegment
+         FROM changes ch LEFT JOIN base b USING (c_custkey)
+         WHERE b.c_custkey IS NULL
+         ORDER BY c_custkey""",
     "q24_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
            CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,

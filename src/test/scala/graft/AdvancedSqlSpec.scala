@@ -11,6 +11,44 @@ import graft.sources.Tables
 class AdvancedSqlSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q30 upsert never shuffles the base: broadcast joins only") {
+    val p = AdvancedSql.q30Upsert(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "upsert shuffled a join side — the base must stream map-side")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+  }
+
+  test("q30 upsert applies updates, keeps untouched rows, appends inserts") {
+    val base = Tables.customer(spark, sf)
+    val out = AdvancedSql.q30Upsert(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_mktsegment"))
+      .toMap
+    val nBase = base.count()
+    val updated = out.count(_._2 == "UPDATED")
+    val inserted = out.count(_._2 == "INSERTED")
+    assert(out.size.toLong == nBase + inserted, "row count != base + inserts")
+    assert(updated > 0 && inserted > 0)
+    // every inserted key is in the shifted range, every updated key % 10 == 0
+    assert(out.filter(_._2 == "INSERTED").keys.forall(_ > 1000000L))
+    assert(out.filter(_._2 == "UPDATED").keys.forall(_ % 10 == 0))
+  }
+
+  test("q31 approx percentiles are within 1% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = AdvancedSql.q31ApproxPercentile(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (e50, e95) = exact(r.getAs[String]("l_returnflag"))
+      assert(math.abs(r.getAs[Double]("p50_approx") - e50) <= 0.01 * e50)
+      assert(math.abs(r.getAs[Double]("p95_approx") - e95) <= 0.01 * e95)
+    }
+  }
+
   test("q27 salted join returns exactly the plain join's aggregate") {
     import spark.implicits._
     val salted = AdvancedSql.q27SaltedJoin(spark, sf).collect()
