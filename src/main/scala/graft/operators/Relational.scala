@@ -94,6 +94,47 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** D10 flagship: TPC-H Q8-shape market share — of all PROMO-part
+    * revenue sold to AMERICA-region customers, the fraction supplied by
+    * NATION_0 suppliers, per order year. Exercises the full join-order
+    * problem: an 8-relation query where lineitem⋈orders is the one
+    * fact-fact shuffle and every dimension (part filtered ~5×,
+    * supplier, customer, the two nation roles, region) broadcasts.
+    * At 100 TB part/supplier/customer outgrow the broadcast threshold
+    * and Catalyst (with AQE) degrades each to a shuffle join
+    * independently — the declarative form is the scale hedge.
+    * Rounding: both engines round the two volume sums to whole dollars
+    * BEFORE the ratio, so the share is a ratio of identical integers —
+    * cross-engine FP summation order cannot flip the 6-dp rounding. */
+  def q32MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).filter($"p_type" === "PROMO")
+    val supp = Tables.supplier(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val region = Tables.region(spark, dir).filter($"r_name" === "AMERICA")
+    val n1 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("c_nk"), $"n_regionkey")
+    val n2 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"c_nationkey" === $"c_nk")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .join(broadcast(n2), $"s_nationkey" === $"s_nk")
+      .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(when($"supp_nation" === "NATION_0", $"volume")
+          .otherwise(0.0)), 0).as("nation_volume"),
+        round(sum($"volume"), 0).as("total_volume"))
+      .withColumn("mkt_share", round($"nation_volume" / $"total_volume", 6))
+      .orderBy($"o_year")
+  }
+
   /** D10: left-semi join (EXISTS) — orders having a high-quantity line. */
   def q5Semi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -344,6 +385,7 @@ object Relational {
     "q2_filter" -> q2Filter,
     "q3_join_agg" -> q3JoinAgg,
     "q4_join5" -> q4Join5,
+    "q32_market_share" -> q32MarketShare,
     "q5_semi" -> q5Semi,
     "q6_anti" -> q6Anti,
     "q7_distinct" -> q7Distinct,
@@ -408,6 +450,29 @@ object Relational {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY n_name ORDER BY n_name""",
+    "q32_market_share" ->
+      """WITH v AS (
+           SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1.0 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE p_type = 'PROMO' AND r_name = 'AMERICA'),
+         a AS (
+           SELECT o_year, CAST(count(*) AS BIGINT) AS n_lines,
+             round(sum(CASE WHEN supp_nation = 'NATION_0'
+                            THEN volume ELSE 0.0 END), 0) AS nation_volume,
+             round(sum(volume), 0) AS total_volume
+           FROM v GROUP BY o_year)
+         SELECT o_year, n_lines, nation_volume, total_volume,
+           round(nation_volume / total_volume, 6) AS mkt_share
+         FROM a ORDER BY o_year""",
     "q5_semi" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
          FROM orders
