@@ -87,8 +87,44 @@ object AsOf {
       .orderBy($"event_type")
   }
 
+  /** D23-extension: time-series resample + gap-fill — regularize each
+    * user's event stream onto a daily spine, forward-filling the last
+    * observed daily total across missing days (the as-of carry-forward
+    * applied to a generated grid; what `ffill`/`time_bucket_gapfill`
+    * do elsewhere).
+    *
+    * Scale shape: the spine is built by a map-side
+    * `explode(sequence(...))` on the (distinct) entity set — never a
+    * cross join — so spine size is |entities|×|grid| rows streamed out
+    * of a narrow stage; the fill is one window pass per entity
+    * (high-cardinality key at scale), same O(1)-state carry-forward as
+    * [[asofJoin]]. Bounded here to user_id < 20 for an
+    * oracle-checkable output. */
+  def q34Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"user_id" < 20)
+    val daily = ev
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("day_value"))
+    val spine = ev.select($"user_id").distinct()
+      .withColumn("day", explode(sequence(
+        lit("2024-01-01").cast("timestamp"),
+        lit("2024-01-30").cast("timestamp"),
+        expr("interval 1 day"))))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce(last($"day_value", ignoreNulls = true).over(w), lit(0.0))
+          .as("fill_value"))
+      .orderBy($"user_id", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q19_asof" -> q19Asof)
+    "q19_asof" -> q19Asof,
+    "q34_gapfill" -> q34Gapfill)
 
   val oracle: Map[String, String] = Map(
     "q19_asof" ->
@@ -101,5 +137,25 @@ object AsOf {
            round(avg(o.o_totalprice), 2) AS avg_matched_price
          FROM events e
          ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-         GROUP BY e.event_type ORDER BY e.event_type""")
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "q34_gapfill" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+         daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS day_value
+           FROM ev GROUP BY 1, 2),
+         spine AS (SELECT user_id,
+             unnest(generate_series(TIMESTAMP '2024-01-01',
+               TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day
+           FROM (SELECT DISTINCT user_id FROM ev)),
+         j AS (SELECT s.user_id, s.day,
+             coalesce(d.n_events, 0) AS n_events, d.day_value
+           FROM spine s LEFT JOIN daily d
+             ON s.user_id = d.user_id AND s.day = d.day)
+         SELECT user_id, day, n_events,
+           coalesce(last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             AS fill_value
+         FROM j ORDER BY user_id, day""")
 }

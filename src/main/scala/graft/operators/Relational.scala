@@ -251,6 +251,23 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** D15-extension: MULTISET set ops — `INTERSECT ALL` / `EXCEPT ALL`
+    * preserve duplicate multiplicity, a different Catalyst rewrite than
+    * q12's distinct-set forms (ReplaceIntersectWithSemiJoin vs
+    * RewriteIntersectAll's generate+aggregate on replicated counts).
+    * The per-key multiplicity in the output pins the ALL semantics. */
+  def q33SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def custIn(year: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(expr(s"year(o_orderdate) = $year"))
+        .select($"o_custkey")
+    custIn(1995).intersectAll(custIn(1996)).exceptAll(custIn(1997))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_custkey")
+  }
+
   /** D16: string scalar functions — lower/upper/length/substring/split/
     * regexp_extract/concat/replace (all codegen'd built-ins). */
   def q13String(spark: SparkSession, dir: String): DataFrame = {
@@ -394,6 +411,7 @@ object Relational {
     "q10_window_running" -> q10WindowRunning,
     "q11_sort_limit" -> q11SortLimit,
     "q12_setops" -> q12SetOps,
+    "q33_setops_all" -> q33SetOpsAll,
     "q13_string" -> q13String,
     "q14_date" -> q14Date,
     "q15_json" -> q15Json,
@@ -520,6 +538,14 @@ object Relational {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
          ORDER BY o_custkey""",
+    "q33_setops_all" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM (
+           (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+         GROUP BY o_custkey ORDER BY o_custkey""",
     "q13_string" ->
       """SELECT p_partkey,
          lower(p_name) AS lname, upper(p_brand) AS ubrand,

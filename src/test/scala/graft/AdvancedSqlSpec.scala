@@ -49,6 +49,42 @@ class AdvancedSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (automatic q27 alternative)") {
+    // q27 shows MANUAL salting; this pins the engine's automatic path:
+    // with AQE skew-join on, a hot key whose shuffle partition dwarfs
+    // the median is split into sub-partitions at runtime. Thresholds
+    // are lowered so the fixture-scale hot key (45k of 50k rows on one
+    // key) counts as skewed.
+    val s = spark
+    import s.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val left = s.range(50000)
+        .select(when($"id" < 45000, 0L).otherwise($"id" % 1000).as("k"),
+          $"id".as("v"))
+      val right = s.range(1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      // collect j itself: count() would build (and adaptively plan) a
+      // separate query, leaving j's own plan unexecuted
+      val j = left.join(right, "k")
+      val n = j.collect().length
+      assert(n == 50000, s"join row count $n")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.toLowerCase.contains("skewed"),
+        s"AQE did not mark the hot partition as skewed:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("q27 salted join returns exactly the plain join's aggregate") {
     import spark.implicits._
     val salted = AdvancedSql.q27SaltedJoin(spark, sf).collect()
