@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, LshBuckets, NearestCentroid, PqEncode, SumOfSquares}
+import graft.functions.{CosineSimilarity, DotProduct, LshBuckets, NearestCentroid, PqEncode, SumOfSquares}
+import graft.plans.RewriteHofDot
 
 /** Session extensions for the graft engine — the public plug-in point
   * for custom Catalyst expressions (the brief's preference order:
@@ -24,6 +25,17 @@ import graft.functions.{CosineSimilarity, LshBuckets, NearestCentroid, PqEncode,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: the interpreted HOF dot-product pattern becomes
+    // the codegen'd native expression (see RewriteHofDot's Scaladoc)
+    ext.injectOptimizerRule(_ => RewriteHofDot)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_dot expects 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

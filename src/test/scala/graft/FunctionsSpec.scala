@@ -40,6 +40,35 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("RewriteHofDot: the interpreted HOF dot pattern becomes native graft_dot") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf).limit(50)
+    // the idiomatic declarative form (Similarity.dot builds exactly the
+    // aggregate(zip_with(...)) tree the rule targets)
+    val q = emb.select($"vec_id",
+      Similarity.dot($"embedding", $"embedding").as("d"))
+    val opt = q.queryExecution.optimizedPlan
+    val fired = opt.exists(_.expressions.exists(_.exists {
+      case _: graft.functions.DotProduct => true
+      case _ => false
+    }))
+    assert(fired, s"rule did not fire:\n$opt")
+    assert(!opt.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => true
+      case _ => false
+    })), "interpreted ArrayAggregate survived the rewrite")
+    // bit-equality vs a driver-side loop with the same summation order
+    q.collect().foreach { r =>
+      val v = emb.filter($"vec_id" === r.getLong(0))
+        .head.getSeq[Float](1)
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i).toDouble * v(i).toDouble; i += 1 }
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"vec ${r.getLong(0)}: $d != ${r.getDouble(1)}")
+    }
+  }
+
   test("graft_sumsq is bit-identical to the interpreted HOF norm") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, sf)
