@@ -168,39 +168,46 @@ object AdvancedSql {
     * and the insert pass is a broadcast anti join. A full-outer-join
     * merge would shuffle all 100 TB of base; this plan moves only the
     * changes. PlanSpec asserts the no-base-shuffle claim. */
+  /** Generic broadcast-only MERGE: apply `changes` (same schema as
+    * `base`) keyed on `key` — matched keys take every non-key column
+    * from the change row, unmatched change rows append. The base side
+    * NEVER shuffles: updates are a broadcast left join; the insert
+    * residue anti-joins against the matched-key set, which is itself
+    * computed with a broadcast SEMI join over base (map-side, output
+    * ≤ |changes|) — the naive `changes ANTI base` would build on the
+    * 100 TB side. Reused per micro-batch by the streaming CDC apply
+    * (StreamingSpec). */
+  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == key).toSeq
+    val ch = changes.select(
+      col(key) +: payload.map(c => col(c).as(s"__ch_$c")): _*)
+    val merged = base.join(broadcast(ch), Seq(key), "left")
+      .select(col(key) +:
+        payload.map(c => coalesce(col(s"__ch_$c"), col(c)).as(c)): _*)
+    val matched = base
+      .join(broadcast(changes.select(col(key))), Seq(key), "left_semi")
+      .select(col(key))
+    val inserts = changes.join(broadcast(matched), Seq(key), "left_anti")
+      .select(col(key) +: payload.map(col): _*)
+    merged.unionByName(inserts)
+  }
+
   def q30Upsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.customer(spark, dir)
       .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
     val updates = base.filter($"c_custkey" % 10 === 0)
-      .select($"c_custkey", $"c_nationkey".as("ch_nationkey"),
-        round($"c_acctbal" + 100.0, 2).as("ch_acctbal"),
-        lit("UPDATED").as("ch_mktsegment"))
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal" + 100.0, 2).as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"))
     val inserts = base.filter($"c_custkey" % 100 === 7)
-      .select(($"c_custkey" + 1000000L).as("c_custkey"),
-        $"c_nationkey".as("ch_nationkey"),
-        round($"c_acctbal", 2).as("ch_acctbal"),
-        lit("INSERTED").as("ch_mktsegment"))
-    val changes = updates.unionByName(inserts)
-    val merged = base.join(broadcast(changes), Seq("c_custkey"), "left")
-      .select($"c_custkey",
-        coalesce($"ch_nationkey", $"c_nationkey").as("c_nationkey"),
-        round(coalesce($"ch_acctbal", $"c_acctbal"), 2).as("c_acctbal"),
-        coalesce($"ch_mktsegment", $"c_mktsegment").as("c_mktsegment"))
-    // inserts = changes whose key is absent from base. The naive
-    // `changes ANTI base` would build on (= shuffle or broadcast) the
-    // 100 TB side; instead the matched keys are computed with a
-    // broadcast SEMI join over base (map-side, output ≤ |changes|) and
-    // the anti join then builds on that small set.
-    val matched = base
-      .join(broadcast(changes.select($"c_custkey")), Seq("c_custkey"), "left_semi")
-      .select($"c_custkey")
-    val newRows = changes
-      .join(broadcast(matched), Seq("c_custkey"), "left_anti")
-      .select($"c_custkey", $"ch_nationkey".as("c_nationkey"),
-        round($"ch_acctbal", 2).as("c_acctbal"),
-        $"ch_mktsegment".as("c_mktsegment"))
-    merged.unionByName(newRows).orderBy($"c_custkey")
+      .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_nationkey",
+        round($"c_acctbal", 2).as("c_acctbal"),
+        lit("INSERTED").as("c_mktsegment"))
+    upsert(base, updates.unionByName(inserts), "c_custkey")
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal", 2).as("c_acctbal"), $"c_mktsegment")
+      .orderBy($"c_custkey")
   }
 
   /** D12-extension: approximate percentiles (quantile sketch — the

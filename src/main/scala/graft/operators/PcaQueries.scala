@@ -92,7 +92,7 @@ object PcaQueries {
   def p5PcaProjectNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val dim = emb.select(size($"embedding")).head().getInt(0)
     val model = new GraftPCA().setK(dim)
       .setInputCol("embedding").setOutputCol("proj")
       .fit(emb)

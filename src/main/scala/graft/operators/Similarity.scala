@@ -110,6 +110,11 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component in [-1, 1), from
     * MurmurHash3 of (table, plane, dim) — no RNG state, reproducible
     * on any executor. */
+  // productHash is pinned deliberately: its exact output is baked into
+  // the interpolated s2/d9 oracle SQL and the committed recall
+  // expectations; the suggested caseClassHash replacement hashes
+  // differently and would silently regenerate the whole tensor.
+  @annotation.nowarn("cat=deprecation")
   private def planeComponent(table: Int, plane: Int, d: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((table, plane, d))
     h.toDouble / Int.MaxValue

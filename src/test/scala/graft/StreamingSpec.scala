@@ -10,6 +10,9 @@ import graft.streaming.EventStreams
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** A CDC change row for the streaming-upsert test. */
+case class Chg(k: Long, v: Double, seg: String)
+
 /** The streaming transforms must produce the batch answer when the
   * stream is drained (D22), and the watermark must drop late data. */
 class StreamingSpec extends AnyFunSuite {
@@ -226,6 +229,41 @@ class StreamingSpec extends AnyFunSuite {
 
   private def funnelRows(rows: Array[org.apache.spark.sql.Row]) =
     rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getInt(3))).toSeq
+
+  test("foreachBatch applies streaming CDC batches as broadcast upserts") {
+    // The streaming half of q30: each micro-batch of change rows merges
+    // into the dimension snapshot via the same broadcast-only
+    // AdvancedSql.upsert, writing a new snapshot version per batch
+    // (a table format would make the swap atomic in production; plain
+    // versioned parquet keeps the test dependency-free).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    Seq(Chg(1, 10.0, "A"), Chg(2, 20.0, "A"), Chg(3, 30.0, "B"))
+      .toDF().write.mode("overwrite").parquet(s"$dir/v0")
+    @volatile var cur = s"$dir/v0"
+    val mem = MemoryStream[Chg]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val base = spark.read.parquet(cur)
+        val next = s"$dir/v${id + 1}"
+        graft.operators.AdvancedSql.upsert(base, batch, "k")
+          .write.mode("overwrite").parquet(next)
+        cur = next
+        ()
+      }
+      .start()
+    try {
+      mem.addData(Chg(2, 99.0, "B"), Chg(4, 40.0, "C")) // update + insert
+      q.processAllAvailable()
+      mem.addData(Chg(4, 44.0, "C"))                    // update the insert
+      q.processAllAvailable()
+      val fin = spark.read.parquet(cur).orderBy($"k").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"), r.getAs[String]("seg")))
+      assert(fin.toSeq == Seq((1L, 10.0, "A"), (2L, 99.0, "B"),
+        (3L, 30.0, "B"), (4L, 44.0, "C")))
+    } finally q.stop()
+  }
 
   test("batch funnel counts stages only in temporal order") {
     import spark.implicits._
