@@ -136,17 +136,27 @@ object Pipeline {
         size(TextAnalysis.tokens($"text")).cast("long").as("toks"))
       .as[PackDoc]
     docs.groupByKey(_.bucket)
-      .flatMapSortedGroups($"doc_id") { (bucket: Long, it: Iterator[PackDoc]) =>
-        var seq = 0L
-        var fill = 0L
-        it.map { d =>
-          if (fill > 0 && fill + d.toks > packBudget) { seq += 1; fill = 0L }
-          fill += d.toks
-          PackedDoc(d.doc_id, bucket, seq, d.toks)
-        }
+      .flatMapSortedGroups($"doc_id") { (_: Long, it: Iterator[PackDoc]) =>
+        packFold(it, packBudget)
       }
       .toDF()
       .orderBy($"doc_id")
+  }
+
+  /** The pure greedy fold under [[c3PackSequences]]: consume docs in
+    * order, appending to the current sequence while the running token
+    * total stays within `budget`; an overflowing doc starts the next
+    * sequence (an oversized doc occupies one alone). Streaming — O(1)
+    * state, never buffers the group. Extracted so PipelineSpec can
+    * property-test the invariants on arbitrary token lists. */
+  def packFold(docs: Iterator[PackDoc], budget: Long): Iterator[PackedDoc] = {
+    var seq = 0L
+    var fill = 0L
+    docs.map { d =>
+      if (fill > 0 && fill + d.toks > budget) { seq += 1; fill = 0L }
+      fill += d.toks
+      PackedDoc(d.doc_id, d.bucket, seq, d.toks)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

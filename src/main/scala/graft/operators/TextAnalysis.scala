@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Text-analysis operators (SURVEY.md §2.B D20): token counting
@@ -219,6 +220,43 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** D20 data-mixing: temperature-rebalanced language sampling — the
+    * pretraining mix step that downsamples dominant strata so the kept
+    * distribution follows p^(1/T) (T=2 here: sqrt smoothing; the
+    * multilingual-corpus recipe). Per-stratum keep fraction
+    * f_s = (√p_s / n_s) normalized to max 1 (downsample-only), applied
+    * with the same deterministic md5 gate as [[t7Sample]] — no RNG
+    * state, reproducible on any cluster layout.
+    *
+    * Scale shape: the stratum census is one partial-aggregated
+    * groupBy (output = |strata| rows, bounded), factors broadcast back,
+    * and the sample is a narrow filter. All factor arithmetic is
+    * IEEE ops on exact integer counts, so DuckDB computes bit-identical
+    * thresholds and the oracle is hash-exact despite the hash gate. */
+  def t10MixLanguages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val all = Window.partitionBy() // |strata| rows — bounded at any scale
+    val factors = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .withColumn("wt",
+        sqrt($"n".cast("double") / sum($"n").over(all)) / $"n".cast("double"))
+      .withColumn("f", $"wt" / max($"wt").over(all))
+      .select($"lang", $"n".as("n_orig"), $"f")
+    val kept = docs
+      .select($"lang",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("double") / 65536.0).as("frac"))
+      .join(broadcast(factors), Seq("lang"))
+      .filter($"frac" < $"f")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"))
+    factors.join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_orig",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        round($"f", 6).as("sample_frac"))
+      .orderBy($"lang")
+  }
+
   /** Word bigrams as strings (the 2-gram sibling of Dedup.shingles;
     * array arguments bound once per row, lambdas touch only bound vars). */
   def bigrams(text: Column): Column = {
@@ -272,6 +310,7 @@ object TextAnalysis {
     "t5_fingerprint" -> t5Fingerprint,
     "t6_tfidf" -> t6Tfidf,
     "t7_sample" -> t7Sample,
+    "t10_mix_languages" -> t10MixLanguages,
     "t8_repetition" -> t8Repetition,
     "t9_unigram_nll" -> t9UnigramNll)
 
@@ -341,6 +380,24 @@ object TextAnalysis {
                     ORDER BY tfidf DESC, term) AS rk FROM sc)
           SELECT source, CAST(rk AS INT) AS rk, term, tfidf
           FROM r WHERE rk <= 5 ORDER BY source, rk""",
+    "t10_mix_languages" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY lang),
+         f AS (SELECT lang, n,
+                 sqrt(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS wt
+               FROM c),
+         f2 AS (SELECT lang, n, wt / max(wt) OVER () AS f FROM f),
+         kept AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+                  FROM documents d JOIN f2 USING (lang)
+                  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                          / 65536.0 < f2.f
+                  GROUP BY d.lang)
+         SELECT f2.lang, f2.n AS n_orig,
+           coalesce(k.n_kept, 0) AS n_kept,
+           round(f2.f, 6) AS sample_frac
+         FROM f2 LEFT JOIN kept k ON f2.lang = k.lang
+         ORDER BY f2.lang""",
     "t7_sample" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
            round(avg(n_chars), 4) AS avg_chars

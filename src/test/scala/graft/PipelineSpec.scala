@@ -1,13 +1,36 @@
 package graft
 
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Pipeline
+import graft.operators.{PackDoc, Pipeline}
 
 /** Invariants of the sequence packer (c3) that the row-level oracle
   * hash can't state directly: budget respected, packing greedy, no doc
   * lost. */
 class PipelineSpec extends AnyFunSuite {
   import TestSpark._
+
+  test("packFold invariants hold on arbitrary token lists (property)") {
+    val budget = 100L
+    val gen = Gen.listOf(Gen.chooseNum(1L, 250L)) // includes oversized docs
+    val prop = Prop.forAll(gen) { toks =>
+      val docs = toks.zipWithIndex.map { case (t, i) => PackDoc(0L, i.toLong, t) }
+      val out = Pipeline.packFold(docs.iterator, budget).toList
+      val lossless = out.map(_.doc_id) == docs.map(_.doc_id)
+      val seqs = out.groupBy(_.seq_id)
+      val monotone = out.map(_.seq_id) == out.map(_.seq_id).sorted
+      val budgetOk = seqs.values.forall(s =>
+        s.map(_.toks).sum <= budget || s.length == 1)
+      val greedy = out.sliding(2).forall {
+        case List(a, b) if b.seq_id == a.seq_id + 1 =>
+          seqs(a.seq_id).map(_.toks).sum + b.toks > budget
+        case _ => true
+      }
+      lossless && monotone && budgetOk && greedy
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 
   test("c3 packing: budget respected, greedy, lossless") {
     val rows = Pipeline.c3PackSequences(spark, sf).collect()
