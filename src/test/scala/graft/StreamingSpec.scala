@@ -211,6 +211,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed query restarts exactly-once: no recount after resume") {
+    // Stop a checkpointed aggregation mid-stream, deliver more data,
+    // restart a NEW query object on the same checkpoint: the resumed
+    // query must pick up only the unprocessed files and the final
+    // answer must equal the batch answer over everything — the
+    // exactly-once recovery contract the sink/checkpoint pair claims.
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+    val (first, second) = evs.splitAt(3)
+    first.toDF().write.mode("overwrite").parquet(src)
+    val schema = evs.toDF().schema
+    def start() = EventStreams.tumblingStream(
+        spark.readStream.schema(schema).parquet(src))
+      .writeStream.format("memory").queryName("restarttumb")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    second.toDF().write.mode("append").parquet(src)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("restarttumb")
+        .orderBy($"window_start", $"event_type").collect()
+      val exp = EventStreams.tumbling(evs.toDF())
+        .orderBy($"window_start", $"event_type").collect()
+      assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+      // and the resumed query really started from the checkpoint, not
+      // from scratch: its first batch id continues the old sequence
+      assert(q2.lastProgress.batchId >= 1,
+        s"resumed query re-ran from batch ${q2.lastProgress.batchId}")
+    } finally q2.stop()
+  }
+
   // ---- e6 ordered funnel (custom flatMapGroupsWithState state) ----
 
   private val funnelEvs = Seq(
