@@ -372,6 +372,14 @@ object Relational {
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_year".asc_nulls_first)
   }
 
+  /** D11: EXACT per-group percentiles. Deliberately the exact form:
+    * `percentile` buffers each group's value multiset in the final
+    * aggregation, so per-group state grows with the data — fine for
+    * bounded/low-volume groups and as the correctness anchor, but NOT
+    * the 100 TB path. At scale the engine's answer is
+    * [[AdvancedSql.q31ApproxPercentile]]: a mergeable quantile sketch
+    * with fixed-size state and partial aggregation (the q7/q8
+    * exact-vs-HLL relationship, for quantiles). */
   def q22Percentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
