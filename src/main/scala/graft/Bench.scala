@@ -71,9 +71,20 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = medians.values.sum + failed.size * 9999.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+    // The stdout contract line must stay SHORT: the driver keeps only the
+    // last ~2000 chars of output, so the full line (incl. every per-query
+    // median) has to fit there or the total gets truncated away. Spreads
+    // and the full sf path go to bench_detail.json instead.
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":${jmap(medians)},"repeats":$repeats,""" +
+      s""""failed":$failedJson,"sf":"$sfName"}"""
+    val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${jmap(medians)},"spread":${jmap(spreads)},""" +
-      s""""repeats":$repeats,"failed":$failedJson,"sf":"$sfDir"}""")
+      s""""repeats":$repeats,"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }
