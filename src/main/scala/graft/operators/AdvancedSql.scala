@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -229,7 +229,111 @@ object AdvancedSql {
       .orderBy($"l_returnflag")
   }
 
+  /** Robust outlier detection via median/MAD — the statistical data-
+    * cleaning step (mean/stddev z-scores break under the very outliers
+    * being hunted; median absolute deviation does not). Per user:
+    * median of `value`, MAD = median(|v − med|), and the count of
+    * events beyond 3·MAD.
+    *
+    * Scale shape: exact quantiles keyed on user_id — group count grows
+    * WITH the data and per-group state is bounded by events-per-user,
+    * so the ObjectHashAggregate percentile buffers stay small while
+    * parallelism scales (the q31 sketch is the answer when a single
+    * group is itself huge). The med/mad frames are user-cardinality —
+    * NOT broadcastable at scale — so both joins stay co-partitioned
+    * shuffle joins on user_id; all three shuffles share one key, and
+    * AQE coalesces them onto one exchange layout. */
+  def q35MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"value")
+    val med = ev.groupBy($"user_id")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val dev = ev.join(med, "user_id")
+      .withColumn("adev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"user_id")
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    dev.join(mad, "user_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when($"adev" > lit(3.0) * $"mad", 1)).as("n_outliers"),
+        round(max($"med"), 4).as("med"),
+        round(max($"mad"), 4).as("mad"))
+      .filter($"user_id" < 40)
+      .orderBy($"user_id")
+  }
+
+  /** Decay per step and window depth for [[q36Ewma]]. The truncated
+    * tail (0.8⁸ ≈ 0.17) is the standard trade for a FIXED-depth
+    * window: the exact recursive EWMA needs a running-state fold
+    * (c3's groupByKey shape), while 8 lags stay inside one windowed
+    * projection with no custom state at all. */
+  val ewmaAlpha = 0.8
+  val ewmaDepth = 8
+
+  /** Time-series feature engineering: truncated exponentially-weighted
+    * moving average of each user's event values, Σ_{j<8} α^j·v_{n−j}
+    * over the (ts, event_id) order. One window pass partitioned on
+    * user_id (high cardinality — parallelism scales with users); the
+    * 8 lag frames share a single sort. Weights are interpolated as
+    * exact double literals into BOTH engines and summed left-to-right
+    * so the FP result is bit-identical. */
+  def q36Ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val decayed = (0 until ewmaDepth).map {
+      case 0 => $"value" * lit(1.0)
+      case j => coalesce(lag($"value", j).over(w), lit(0.0)) *
+        lit(math.pow(ewmaAlpha, j))
+    }.reduceLeft(_ + _)
+    Tables.events(spark, dir)
+      .filter($"user_id" < 50)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("ewma", round(decayed, 4))
+      .select($"user_id", $"event_id", round($"value", 4).as("value"), $"ewma")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** 8-bit Morton (z-order) interleave of two bucketed keys — the
+    * multi-dimensional clustering key: sorting a sink by zkey makes
+    * file-level min/max ranges tight in BOTH dimensions at once, so
+    * scans filtered on either column prune files (one-dimensional
+    * sort keys only prune their own column). Bits are disjoint, so
+    * the OR-fold is exact integer arithmetic replayed verbatim in the
+    * oracle. */
+  def zorder8(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduceLeft(_ bitwiseOR _)
+
+  /** Z-order clustering demonstration over orders: bucket customer key
+    * and order date to 8 bits each, interleave to a 16-bit zkey, and
+    * report per z-range (top 4 bits) how tight the per-dimension
+    * ranges are. A z-range covers a 64×64 tile of (custkey, day)
+    * space — the oracle pins the exact interleave, and SinksSpec
+    * writes a zkey-sorted sink and asserts both dimensions prune.
+    * Pure map + one bounded (256-row) aggregate. */
+  def q37Zorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = pmod($"o_custkey", lit(256L))
+    val y = pmod(
+      datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date"))
+        .cast("long"), lit(256L))
+    Tables.orders(spark, dir)
+      .select(x.as("xb"), y.as("yb"))
+      .withColumn("zkey", zorder8($"xb", $"yb"))
+      .withColumn("zrange", shiftright($"zkey", 12))
+      .groupBy($"zrange")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"xb").as("min_x"), max($"xb").as("max_x"),
+        min($"yb").as("min_y"), max($"yb").as("max_y"))
+      .orderBy($"zrange")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_mad_outliers" -> q35MadOutliers,
+    "q36_ewma" -> q36Ewma,
+    "q37_zorder" -> q37Zorder,
     "q30_upsert" -> q30Upsert,
     "q31_approx_percentile" -> q31ApproxPercentile,
     "q24_grouping_sets" -> q24GroupingSets,
@@ -239,7 +343,51 @@ object AdvancedSql {
     "q28_exists" -> q28Exists,
     "q29_window_dist" -> q29WindowDist)
 
+  /** Exact double literals of the EWMA weights (Double.toString is the
+    * shortest string that round-trips, so DuckDB parses the identical
+    * bit pattern). j = 0 is written `value * 1.0` in both engines. */
+  private def ewmaTermsSql: String =
+    (0 until ewmaDepth).map {
+      case 0 => "value * 1.0"
+      case j => s"coalesce(lag(value, $j) OVER w, 0.0) * ${math.pow(ewmaAlpha, j)}"
+    }.mkString(" + ")
+
+  /** SQL twin of [[zorder8]] — disjoint bits, so + replays the OR. */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q35_mad_outliers" ->
+      """WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY user_id),
+         dev AS (SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+                 FROM events e JOIN med m USING (user_id)),
+         mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad
+                 FROM dev GROUP BY user_id)
+         SELECT d.user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (d.adev > 3.0 * m.mad) AS BIGINT) AS n_outliers,
+           round(max(d.med), 4) AS med, round(max(m.mad), 4) AS mad
+         FROM dev d JOIN mad m USING (user_id)
+         WHERE d.user_id < 40
+         GROUP BY d.user_id ORDER BY d.user_id""",
+    "q36_ewma" ->
+      s"""SELECT user_id, event_id, round(value, 4) AS value,
+            round($ewmaTermsSql, 4) AS ewma
+          FROM events WHERE user_id < 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ORDER BY user_id, event_id""",
+    "q37_zorder" ->
+      s"""WITH b AS (SELECT o_custkey % 256 AS xb,
+              CAST(date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS BIGINT) % 256 AS yb
+            FROM orders),
+          z AS (SELECT xb, yb, ${zorderSql("xb", "yb")} AS zkey FROM b)
+          SELECT zkey >> 12 AS zrange, CAST(count(*) AS BIGINT) AS n_orders,
+            min(xb) AS min_x, max(xb) AS max_x,
+            min(yb) AS min_y, max(yb) AS max_y
+          FROM z GROUP BY 1 ORDER BY 1""",
     "q30_upsert" ->
       """WITH base AS (
            SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer),

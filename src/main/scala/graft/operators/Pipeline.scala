@@ -159,10 +159,52 @@ object Pipeline {
     }
   }
 
+  /** Chunk size / stride in tokens for [[c4ChunkOverlap]]. 32/24 gives
+    * 8-token overlap — the RAG/pretraining windowing shape — and
+    * exercises the short-tail (docs under one chunk) at fixture scale. */
+  val chunkSize = 32
+  val chunkStride = 24
+
+  /** Sliding-window document chunking with overlap — the
+    * context-window preparation step (RAG indexing, long-doc
+    * pretraining): split each document's token stream into
+    * [[chunkSize]]-token windows advancing by [[chunkStride]] tokens
+    * (so consecutive chunks share `chunkSize - chunkStride` tokens);
+    * the final window may be shorter, and a doc at or under one chunk
+    * yields exactly one.
+    *
+    * Scale shape: chunk count per doc is derived arithmetically from
+    * the token count (no UDF, no per-token explode — the only Generate
+    * is one row per CHUNK, ~n/stride, not per token), and everything
+    * is a narrow map: no shuffle at all until the output sort. The
+    * chunk text is digested to md5 so the result stays bounded and
+    * hash-comparable; a production variant would carry the slice
+    * itself. */
+  def c4ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .withColumn("n", size($"toks"))
+      // nch − 1 = ceil(max(n − C, 0) / S): last start index S·(nch−1)
+      // is the smallest multiple of S with S·(nch−1) + C ≥ n
+      .withColumn("last",
+        ceil(greatest($"n" - chunkSize, lit(0)).cast("double") / chunkStride)
+          .cast("int"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), $"last")).as("chunk_id"))
+      .withColumn("chunk",
+        slice($"toks", $"chunk_id" * chunkStride + 1, lit(chunkSize)))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk").as("n_chunk_toks"),
+        md5(concat_ws(" ", $"chunk")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_component_dedup" -> c2ComponentDedup,
-    "c3_pack_sequences" -> c3PackSequences)
+    "c3_pack_sequences" -> c3PackSequences,
+    "c4_chunk_overlap" -> c4ChunkOverlap)
 
   val oracle: Map[String, String] = Map(
     "c1_clean_corpus" ->
@@ -203,6 +245,20 @@ object Pipeline {
                    THEN d.toks ELSE r.fill + d.toks END
             FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
           SELECT doc_id, bucket, seq_id, toks FROM r ORDER BY doc_id""",
+    "c4_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                     FROM documents),
+          c AS (SELECT doc_id, toks,
+                  unnest(generate_series(0,
+                    CAST(ceil(greatest(len(toks) - $chunkSize, 0)
+                         / ($chunkStride * 1.0)) AS INT))) AS chunk_id
+                FROM t)
+          SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+            CAST(len(list_slice(toks, chunk_id * $chunkStride + 1,
+              chunk_id * $chunkStride + $chunkSize)) AS INT) AS n_chunk_toks,
+            md5(array_to_string(list_slice(toks, chunk_id * $chunkStride + 1,
+              chunk_id * $chunkStride + $chunkSize), ' ')) AS chunk_md5
+          FROM c ORDER BY doc_id, chunk_id""",
     "c2_component_dedup" ->
       s"""${Dedup.componentsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
           gated AS (SELECT doc_id, lang, source,

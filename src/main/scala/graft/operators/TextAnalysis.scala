@@ -302,7 +302,68 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** D20: inverted-index construction — per-term posting lists
+    * (document frequency, total term frequency, and an md5 digest of
+    * the doc_id-sorted posting list), top 50 terms by df.
+    *
+    * Scale shape: explode → partial-aggregated (term, doc) counts →
+    * per-term aggregate; the shuffle carries (term, doc_id, tf)
+    * triples, never text. The posting list itself is materialized per
+    * term — at web scale a stop-word's postings would be range-sharded
+    * (term, doc_id div shard) first; the fixture corpus needs no shard
+    * split, and the md5 digest keeps the output row bounded either
+    * way. Top-50 is TakeOrderedAndProject (distributed heap top-k),
+    * not a global sort. */
+  def t11InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"),
+        md5(concat_ws(",",
+          sort_array(collect_list($"doc_id")).cast("array<string>")))
+          .as("postings_md5"))
+      .orderBy($"df".desc, $"term")
+      .limit(50)
+  }
+
+  /** Per-stratum quota for [[t12StratifiedQuota]]. */
+  val stratumQuota = 20
+
+  /** D20: stratified EXACT-quota sampling — keep exactly
+    * [[stratumQuota]] documents per language, chosen by md5(doc_id)
+    * rank (deterministic, engine-independent; no RNG state). The
+    * fraction-based samplers (t7/t10) can't promise exact counts;
+    * evaluation sets and per-domain caps need them.
+    *
+    * Scale shape: a rank within a 4-value stratum key is a hot-key
+    * trap (one task per language sorts the whole stratum), so the
+    * rank runs in two phases, the s1/q9 pattern: a salted local
+    * row_number keeps the per-task sort bounded and discards all but
+    * quota rows per (stratum, salt), then the final per-stratum rank
+    * sees ≤ quota·32 survivors. Identical output to the direct
+    * window — phase 1 can never drop a global top-quota row. */
+  def t12StratifiedQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        md5($"doc_id".cast("string")).as("h"))
+    val local = Window.partitionBy($"lang", pmod($"doc_id", lit(32)))
+      .orderBy($"h", $"doc_id")
+    val global = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    docs
+      .withColumn("lrk", row_number().over(local))
+      .filter($"lrk" <= stratumQuota)
+      .withColumn("rk", row_number().over(global))
+      .filter($"rk" <= stratumQuota)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_inverted_index" -> t11InvertedIndex,
+    "t12_stratified_quota" -> t12StratifiedQuota,
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
@@ -319,6 +380,23 @@ object TextAnalysis {
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "t11_inverted_index" ->
+      s"""WITH td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+            GROUP BY term, doc_id),
+          p AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(tf) AS BIGINT) AS total_tf,
+                  md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+                FROM td GROUP BY term)
+          SELECT term, df, total_tf, postings_md5 FROM p
+          ORDER BY df DESC, term LIMIT 50""",
+    "t12_stratified_quota" ->
+      s"""WITH r AS (SELECT lang, doc_id,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+          SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
+          WHERE rk <= $stratumQuota ORDER BY lang, rk""",
     "t9_unigram_nll" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
                       FROM documents),

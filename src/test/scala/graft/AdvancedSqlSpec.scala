@@ -192,4 +192,87 @@ class AdvancedSqlSpec extends AnyFunSuite {
       "correlated scalar subquery survived to the physical plan (not decorrelated)")
     assert(p.contains("HashAggregate"), "expected the decorrelated aggregate")
   }
+
+  test("zorder8 interleaves bits exactly (x even bits, y odd bits)") {
+    import org.apache.spark.sql.functions.lit
+    // x=3 (011), y=5 (101): bit0=x0, bit1=y0, bit2=x1, bit3=y1, bit4=x2,
+    // bit5=y2 -> 1 + 2 + 4 + 0 + 0 + 32 = 39
+    val z = spark.range(1)
+      .select(AdvancedSql.zorder8(lit(3L), lit(5L)).as("z"))
+      .head().getLong(0)
+    assert(z == 39L, s"expected 39, got $z")
+    // round-trip a full corner: (255, 255) -> all 16 bits set
+    val zMax = spark.range(1)
+      .select(AdvancedSql.zorder8(lit(255L), lit(255L)).as("z"))
+      .head().getLong(0)
+    assert(zMax == 65535L)
+  }
+
+  test("q37 z-ranges are 64x64 tiles: both dimensions bounded per range") {
+    // top-4-bits grouping keeps the high 2 bits of BOTH x and y fixed,
+    // so every z-range must span < 64 in each dimension -- the property
+    // that makes a zkey-sorted layout prune on either column.
+    val rows = AdvancedSql.q37Zorder(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") < 64L)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") < 64L)
+    }
+  }
+
+  test("q36 ewma matches a driver-side recursive replay") {
+    val s = spark
+    import s.implicits._
+    val byUser = Tables.events(spark, sf)
+      .filter($"user_id" < 50)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+    val expected = byUser.flatMap { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._3.getNanos, e._2))
+      ordered.indices.map { i =>
+        val sum = (0 until AdvancedSql.ewmaDepth).map { j =>
+          val v = if (i - j >= 0) ordered(i - j)._4 else 0.0
+          v * math.pow(AdvancedSql.ewmaAlpha, j)
+        }.sum
+        (u, ordered(i)._2) -> BigDecimal(sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = AdvancedSql.q36Ewma(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Double]("ewma")).toMap
+    assert(got.nonEmpty && got.size == expected.size)
+    expected.foreach { case (k, e) =>
+      assert(math.abs(got(k) - e) <= 1e-9, s"ewma mismatch at $k: ${got(k)} vs $e")
+    }
+  }
+
+  test("q35 median/MAD/outlier counts match a driver-side replay") {
+    val s = spark
+    import s.implicits._
+    def medianOf(xs: Seq[Double]): Double = {
+      val v = xs.sorted
+      val n = v.length
+      if (n % 2 == 1) v(n / 2) else (v(n / 2 - 1) + v(n / 2)) / 2.0
+    }
+    val byUser = Tables.events(spark, sf)
+      .select($"user_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSeq }
+    val got = AdvancedSql.q35MadOutliers(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_outliers"))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (u, (n, outliers)) =>
+      val vs = byUser(u)
+      val med = medianOf(vs)
+      val mad = medianOf(vs.map(v => math.abs(v - med)))
+      val expOut = vs.count(v => math.abs(v - med) > 3.0 * mad)
+      assert(n == vs.length && outliers == expOut.toLong,
+        s"user $u: got ($n,$outliers) expected (${vs.length},$expOut)")
+    }
+  }
 }

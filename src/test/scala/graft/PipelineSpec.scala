@@ -2,7 +2,8 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{PackDoc, Pipeline}
+import graft.operators.{PackDoc, Pipeline, TextAnalysis}
+import graft.sources.Tables
 
 /** Invariants of the sequence packer (c3) that the row-level oracle
   * hash can't state directly: budget respected, packing greedy, no doc
@@ -58,6 +59,35 @@ class PipelineSpec extends AnyFunSuite {
             s"bucket $b: doc $id2 started seq $s2 but would have fit seq $s1")
         case _ =>
       }
+    }
+  }
+
+  test("c4 chunking: count formula, full-width bodies, stride overlap, coverage") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val rows = Pipeline.c4ChunkOverlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Int]("n_chunk_toks"), r.getAs[String]("chunk_md5")))
+    val C = Pipeline.chunkSize; val S = Pipeline.chunkStride
+    rows.groupBy(_._1).foreach { case (doc, ch) =>
+      val n = toks(doc).length
+      val expected = math.ceil(math.max(n - C, 0) / S.toDouble).toInt + 1
+      assert(ch.length == expected, s"doc $doc: ${ch.length} chunks, want $expected")
+      val sorted = ch.sortBy(_._2)
+      sorted.foreach { case (_, id, len, md5got) =>
+        val slice = toks(doc).slice(id * S, math.min(id * S + C, n))
+        assert(len == slice.length, s"doc $doc chunk $id length")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(md5got == md, s"doc $doc chunk $id digest")
+      }
+      // coverage: last chunk reaches the final token
+      assert((sorted.last._2 * S + sorted.last._3) == n, s"doc $doc tail coverage")
     }
   }
 }

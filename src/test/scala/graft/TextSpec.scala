@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TextAnalysis
+import graft.sources.Tables
 
 /** Repetition/boilerplate metrics (t8) against hand-computed values. */
 class TextSpec extends AnyFunSuite {
@@ -34,5 +35,53 @@ class TextSpec extends AnyFunSuite {
     assert(got(1L) == Seq("a b", "b c"))
     assert(got(2L) == Seq.empty)
     assert(got(3L) == Seq("p q"))
+  }
+
+  test("t12 stratified quota: exact per-stratum counts, equals the direct window") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.t12StratifiedQuota(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rk"), r.getAs[Long]("doc_id")))
+    val sizes = Tables.documents(spark, sf).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(TextAnalysis.stratumQuota.toLong, sizes(lang)),
+        s"$lang quota not exact")
+    }
+    // the salted two-phase must equal the plain single window
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val direct = Tables.documents(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TextAnalysis.stratumQuota)
+      .select($"lang", $"rk", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.toSet == direct, "two-phase sample diverged from direct window")
+  }
+
+  test("t11 inverted index: df/tf/postings digest match a brute recount") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions._
+    val brute = Tables.documents(spark, sf)
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rows = TextAnalysis.t11InvertedIndex(spark, sf).collect()
+    // sf0.001's vocabulary is smaller than the top-50 cap
+    val vocab = brute.map(_._2).distinct.length
+    assert(rows.length == math.min(50, vocab) && rows.nonEmpty)
+    rows.take(5).foreach { r =>
+      val term = r.getAs[String]("term")
+      val hits = brute.filter(_._2 == term)
+      val docs = hits.map(_._1).distinct.sorted
+      assert(r.getAs[Long]("df") == docs.length.toLong)
+      assert(r.getAs[Long]("total_tf") == hits.length.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(docs.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("postings_md5") == md, s"postings digest for '$term'")
+    }
   }
 }
