@@ -111,6 +111,20 @@ object EventStreams {
       .join(clicks.withWatermark("c_ts", delay),
         expr("user_id = c_user AND c_ts >= ts - INTERVAL 30 MINUTES AND c_ts <= ts"))
 
+  /** LEFT-OUTER stream-stream attribution: every purchase is emitted,
+    * matched or not — the orphan-rate shape (conversion without a
+    * preceding click). In streaming, Spark holds the null-padded left
+    * row back until the watermark passes the end of its join window
+    * (no click can ever arrive for it), so "orphan" has exact
+    * semantics and state stays watermark-bounded exactly as in the
+    * inner case. */
+  def attributionOuterStream(purchases: DataFrame, clicks: DataFrame,
+      delay: String = "1 hour"): DataFrame =
+    purchases.withWatermark("ts", delay)
+      .join(clicks.withWatermark("c_ts", delay),
+        expr("user_id = c_user AND c_ts >= ts - INTERVAL 30 MINUTES AND c_ts <= ts"),
+        "leftOuter")
+
   // ---- batch query surface for the oracle gate ----
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame = {
@@ -155,7 +169,38 @@ object EventStreams {
       .orderBy($"user_id")
   }
 
+  /** Batch twin of [[attributionOuterStream]]: per user, purchase
+    * count, how many purchases attracted ≥1 click, total attributed
+    * clicks and value — orphan purchases included (the metric e5's
+    * inner join cannot produce). The match set reuses the bucketed
+    * range join; the per-purchase rollup and the purchases⋈matches
+    * left join are both keyed on purchase identity (high cardinality,
+    * co-partitioned — the match frame is purchase-sized, NOT
+    * broadcastable at scale). */
+  def e7AttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"ts", $"user_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"ts".as("c_ts"),
+        $"user_id".as("c_user"), $"value".as("c_value"))
+    val perPurchase = graft.operators.RangeJoin.rangeJoin(
+        purchases, "user_id", "ts",
+        clicks, "c_user", "c_ts", Seq("c_id", "c_value"), 30L * 60)
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_clicks"), sum($"c_value").as("cv"))
+    purchases.join(perPurchase, Seq("event_id"), "left")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when($"n_clicks" > 0, 1)).as("n_matched"),
+        coalesce(sum($"n_clicks"), lit(0L)).as("n_clicks"),
+        round(coalesce(sum($"cv"), lit(0.0)), 2).as("sum_click_value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_attribution_outer" -> e7AttributionOuter,
     "e1_tumbling" -> e1Tumbling,
     "e2_sliding" -> e2Sliding,
     "e3_sessions" -> e3Sessions,
@@ -163,6 +208,22 @@ object EventStreams {
     "e5_attribution" -> e5Attribution)
 
   val oracle: Map[String, String] = Map(
+    "e7_attribution_outer" ->
+      """WITH p AS (SELECT event_id, ts, user_id FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT ts AS c_ts, user_id AS c_user, value AS c_value
+               FROM events WHERE event_type = 'click'),
+         m AS (SELECT p.event_id, p.user_id,
+                 count(c.c_user) AS n_clicks, sum(c.c_value) AS cv
+               FROM p LEFT JOIN c
+                 ON p.user_id = c.c_user
+                AND c.c_ts >= p.ts - INTERVAL 30 MINUTES AND c.c_ts <= p.ts
+               GROUP BY p.event_id, p.user_id)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(*) FILTER (n_clicks > 0) AS BIGINT) AS n_matched,
+           CAST(sum(n_clicks) AS BIGINT) AS n_clicks,
+           round(coalesce(sum(cv), 0), 2) AS sum_click_value
+         FROM m GROUP BY user_id ORDER BY user_id""",
     "e1_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,

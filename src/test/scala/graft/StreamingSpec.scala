@@ -148,6 +148,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer attribution: orphan purchases emit null-padded after the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(Ev(10, t(0), 1, "click", 1.0), Ev(11, t(40), 1, "click", 2.0),
+      Ev(12, t(10), 2, "click", 5.0))
+    val purchases = Seq(Ev(100, t(50), 1, "purchase", 0.0),
+      Ev(101, t(200), 1, "purchase", 0.0), Ev(102, t(10), 2, "purchase", 0.0),
+      Ev(103, t(30), 3, "purchase", 0.0))
+    def pDf(df: DataFrame): DataFrame = df.select($"event_id", $"ts", $"user_id")
+    def cDf(df: DataFrame): DataFrame = df.select($"event_id".as("c_id"),
+      $"ts".as("c_ts"), $"user_id".as("c_user"), $"value".as("c_value"))
+    val memP = MemoryStream[Ev]
+    val memC = MemoryStream[Ev]
+    val q = EventStreams.attributionOuterStream(pDf(memP.toDF()), cDf(memC.toDF()))
+      .select($"event_id", $"c_id")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      memP.addData(purchases: _*)
+      memC.addData(clicks: _*)
+      q.processAllAvailable()
+      // inner matches can emit immediately; orphans must NOT have yet
+      val early = spark.table("attr_outer").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(!early.exists(_._2.isEmpty),
+        s"orphan emitted before the watermark could rule out a match: $early")
+      // advance event time far past every purchase's join window
+      // (users 8/9 so the advancing rows match nothing themselves)
+      memP.addData(Ev(900, t(5000), 9, "purchase", 0.0))
+      memC.addData(Ev(901, t(5000), 8, "click", 0.0))
+      q.processAllAvailable()
+      memP.addData(Ev(902, t(5001), 9, "purchase", 0.0))
+      memC.addData(Ev(903, t(5001), 8, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toSet
+      // matched: 100<-11 (t40 in [t20,t50]), 102<-12 (inclusive upper);
+      // orphans 101 (nearest click 160min earlier) and 103 (user 3 never
+      // clicked) surface exactly once, null-padded
+      assert(got.contains((100L, Some(11L))) && got.contains((102L, Some(12L))))
+      assert(got.contains((101L, None)) && got.contains((103L, None)),
+        s"orphan purchases missing from outer result: $got")
+    } finally q.stop()
+  }
+
   test("batch dedup picks the deterministic min-struct representative for divergent duplicates") {
     import spark.implicits._
     // duplicate ids with DIFFERENT payloads; the non-min row comes first
