@@ -390,6 +390,55 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** D11: EXACT per-group percentiles WITHOUT buffering raw values —
+    * the distributed form q22's doc promises exists. `percentile`
+    * holds each group's whole value multiset in the final aggregate;
+    * this operator instead:
+    *
+    *  1. tallies (group, value) → count — a partial-aggregated
+    *     shuffle on a HIGH-cardinality composite key (the heavy,
+    *     row-proportional work parallelizes here);
+    *  2. runs a cumulative-count window over the per-group DISTINCT
+    *     values — state proportional to |distinct values|, not rows
+    *     (a 100 TB fact column with 10⁶ distinct prices is a 10⁶-row
+    *     window, not a 10¹²-row buffer);
+    *  3. picks the two order statistics bracketing k = p·(N−1) by
+    *     range-filtering the cumulative counts, and interpolates with
+    *     exactly `percentile`'s formula, so the answer is
+    *     bit-identical to q22's (and to DuckDB `quantile_cont`).
+    *
+    * The step-2 per-group sort is over distinct values only; were even
+    * that too large, the same trick nests (range-partition the values,
+    * per-range subtotals, then a second pass inside the target range). */
+  def q38PercentileDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val tally = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"l_returnflag")
+    val cum = tally
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("N", sum($"cnt").over(wAll))
+    // k = p(N−1); the value covering 0-based position i is the row
+    // with cum − cnt ≤ i < cum. floor(k)/ceil(k) each land on exactly
+    // one row, so max(when(...)) extracts them in one aggregate.
+    val exprs = ps.flatMap { case (name, p) =>
+      val k = lit(p) * ($"N" - 1).cast("double")
+      val fk = floor(k)
+      val ck = ceil(k)
+      val lo = max(when(fk >= $"cum" - $"cnt" && fk < $"cum", $"l_extendedprice"))
+      val hi = max(when(ck >= $"cum" - $"cnt" && ck < $"cum", $"l_extendedprice"))
+      val frac = max(k - fk)
+      Seq(round(lo + frac * (hi - lo), 4).as(name))
+    }
+    cum.groupBy($"l_returnflag")
+      .agg(exprs.head, exprs.tail: _*)
+      .orderBy($"l_returnflag")
+  }
+
   /** D9+D11: conditional aggregation (TPC-H Q14 promo-revenue shape)
     * with a broadcast part-dim join. */
   def q18CaseWhen(spark: SparkSession, dir: String): DataFrame = {
@@ -428,6 +477,7 @@ object Relational {
     "q18_casewhen" -> q18CaseWhen,
     "q21_pivot" -> q21Pivot,
     "q22_percentile" -> q22Percentile,
+    "q38_percentile_dist" -> q38PercentileDist,
     "q23_cube" -> q23Cube)
 
   val oracle: Map[String, String] = Map(
@@ -440,6 +490,11 @@ object Relational {
       """SELECT l_returnflag,
            round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
            round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q38_percentile_dist" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -590,16 +645,6 @@ object Relational {
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
                FROM embeddings) t
          GROUP BY label ORDER BY label""",
-    "q21_pivot" ->
-      """SELECT l_returnflag,
-           coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 0) AS qty_f,
-           coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 0) AS qty_o
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q22_percentile" ->
-      """SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q17_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(count(*) AS BIGINT) AS n_rows,

@@ -72,4 +72,24 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"$k: ${approx(k)} vs $e")
     }
   }
+
+  test("q38 distributed percentile: bit-equal to the buffering percentile, none in plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dist = graft.operators.Relational.q38PercentileDist(spark, sf)
+    dist.collect().foreach { r =>
+      val (e50, e90) = direct(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Double]("p50") == e50 && r.getAs[Double]("p90") == e90,
+        s"distributed percentile diverged for ${r.getString(0)}")
+    }
+    // the point of q38: no value-buffering Percentile aggregate anywhere
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      "q38 plan contains a buffering percentile aggregate")
+  }
 }
