@@ -117,4 +117,37 @@ class SinksSpec extends AnyFunSuite {
       assert(got == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("zkey-sorted sink: parquet min/max stats prune files on EITHER dimension") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.AdvancedSql
+    val dir = java.nio.file.Files.createTempDirectory("zorder_sink").toString
+    val x = pmod($"o_custkey", lit(256L))
+    val y = pmod(datediff($"o_orderdate".cast("date"),
+      lit("1992-01-01").cast("date")).cast("long"), lit(256L))
+    val keyed = Tables.orders(spark, sf)
+      .withColumn("xb", x).withColumn("yb", y)
+      .withColumn("zkey", AdvancedSql.zorder8($"xb", $"yb"))
+    // range-partition by zkey -> each of the 8 files covers one z range
+    keyed.repartitionByRange(8, $"zkey")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // per-file spans from the data itself = what parquet footer min/max
+    // stats expose to the scan
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg(min($"xb").as("x0"), max($"xb").as("x1"),
+        min($"yb").as("y0"), max($"yb").as("y1"))
+      .collect()
+    assert(spans.length > 4, s"expected ~8 files, got ${spans.length}")
+    // a narrow predicate on EACH dimension must be disjoint from (and
+    // hence skip) a decent share of files -- impossible for a layout
+    // sorted on only one of the two columns
+    def hitting(lo: Long, hi: Long, a: String, b: String): Int =
+      spans.count(r => !(r.getAs[Long](b) < lo || r.getAs[Long](a) > hi))
+    val xHits = hitting(0, 31, "x0", "x1")
+    val yHits = hitting(0, 31, "y0", "y1")
+    assert(xHits < spans.length, s"x in [0,32) hit all ${spans.length} files")
+    assert(yHits < spans.length, s"y in [0,32) hit all ${spans.length} files")
+  }
 }
