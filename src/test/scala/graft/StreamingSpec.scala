@@ -424,4 +424,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.length == 4)
     } finally q.stop()
   }
+
+  test("incremental covariance over micro-batches equals the batch pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val full = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val batchStats = graft.ml.Cov.stats(full, "embedding")
+    val rows = full.collect()
+      .map(r => EmbRow(r.getLong(0), r.getSeq[Double](1).toArray))
+    val inc = new graft.streaming.IncrementalCov("embedding")
+    val mem = MemoryStream[EmbRow]
+    val q = mem.toDF().writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => inc.update(df))
+      .outputMode("append").start()
+    try {
+      // three uneven micro-batches, plus an empty trigger
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { g =>
+        mem.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(inc.rowCount == batchStats.m, "row counts diverged")
+    val incStats = inc.stats
+    val n = batchStats.mean.length
+    (0 until n).foreach { i =>
+      assert(math.abs(incStats.mean(i) - batchStats.mean(i)) <= 1e-12)
+    }
+    val bc = batchStats.covariance
+    val ic = incStats.covariance
+    var maxDiff = 0.0
+    (0 until n).foreach { j => (0 until n).foreach { i =>
+      maxDiff = math.max(maxDiff, math.abs(bc(i, j) - ic(i, j))) } }
+    assert(maxDiff <= 1e-12, s"covariance diverged by $maxDiff")
+  }
 }
+
+/** Row type for the incremental-covariance stream. */
+case class EmbRow(vec_id: Long, embedding: Array[Double])
