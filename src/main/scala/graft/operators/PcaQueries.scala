@@ -102,7 +102,35 @@ object PcaQueries {
       .orderBy($"vec_id")
   }
 
+  /** D5+D6 whitening identity: scaling component i of the projection by
+    * 1/√λᵢ must give unit sample variance in every component (PCA
+    * whitening — the feature-decorrelation step). λᵢ is recovered as
+    * explainedVariance ratio × covariance trace, so this checks fit
+    * (eigenvalues), transform (projections) and the variance identity
+    * var(pcᵢᵀv) = λᵢ end-to-end; the oracle pins the exact constant the
+    * identity predicts. Distributed shape: transform is the batched
+    * GEMM path, the per-component variance one partial-aggregated
+    * groupBy over an 8-way posexplode. */
+  def p6PcaWhiten(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val emb = Tables.embeddings(spark, dir)
+    val model = new GraftPCA().setK(k)
+      .setInputCol("embedding").setOutputCol("proj")
+      .fit(emb)
+    val stats = cachedStats(spark, dir)
+    val trace = (0 until stats.mean.length).map(i => stats.covariance(i, i)).sum
+    val scale = model.explainedVariance.values.map(r => 1.0 / math.sqrt(r * trace))
+    model.transform(emb)
+      .select(posexplode($"proj").as(Seq("comp", "z")))
+      .withColumn("zw", $"z" * element_at(lit(scale), $"comp" + 1))
+      .groupBy($"comp")
+      .agg(round(var_samp($"zw"), 4).as("var_white"))
+      .orderBy($"comp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p6_pca_whiten" -> p6PcaWhiten,
     "p1_colstats" -> p1ColStats,
     "p2_covariance" -> p2Covariance,
     "p3_gram" -> p3Gram,
@@ -115,6 +143,11 @@ object PcaQueries {
        FROM embeddings"""
 
   val oracle: Map[String, String] = Map(
+    // the whitening identity predicts the constant exactly: unit
+    // variance in every whitened component
+    "p6_pca_whiten" ->
+      """SELECT CAST(i AS INT) AS comp, CAST(1.0 AS DOUBLE) AS var_white
+         FROM generate_series(0, 7) t(i) ORDER BY comp""",
     "p1_colstats" ->
       s"""WITH e AS ($unnested)
           SELECT pos, round(avg(v), 6) AS mean_v, round(var_samp(v), 6) AS var_v

@@ -393,50 +393,80 @@ object Relational {
   /** D11: EXACT per-group percentiles WITHOUT buffering raw values —
     * the distributed form q22's doc promises exists. `percentile`
     * holds each group's whole value multiset in the final aggregate;
-    * this operator instead:
+    * this operator runs histogram + targeted refinement instead:
     *
-    *  1. tallies (group, value) → count — a partial-aggregated
-    *     shuffle on a HIGH-cardinality composite key (the heavy,
-    *     row-proportional work parallelizes here);
-    *  2. runs a cumulative-count window over the per-group DISTINCT
-    *     values — state proportional to |distinct values|, not rows
-    *     (a 100 TB fact column with 10⁶ distinct prices is a 10⁶-row
-    *     window, not a 10¹²-row buffer);
-    *  3. picks the two order statistics bracketing k = p·(N−1) by
-    *     range-filtering the cumulative counts, and interpolates with
-    *     exactly `percentile`'s formula, so the answer is
-    *     bit-identical to q22's (and to DuckDB `quantile_cont`).
-    *
-    * The step-2 per-group sort is over distinct values only; were even
-    * that too large, the same trick nests (range-partition the values,
-    * per-range subtotals, then a second pass inside the target range). */
+    *  1. bucket histogram — one map-side-combined shuffle producing
+    *     (#groups × #buckets) counts; the only pass that touches every
+    *     row, and it parallelizes perfectly;
+    *  2. locate each needed order statistic k = p·(N−1) in its bucket
+    *     from the driver-local cumulated histogram (bounded rows);
+    *  3. refine: rank ONLY the target buckets' rows (broadcast
+    *     semi-join + per-bucket sort of a few thousand rows, parallel
+    *     across buckets — never a per-group global sort), then
+    *     interpolate with exactly `percentile`'s formula, so the
+    *     answer is bit-identical to q22's (and DuckDB
+    *     `quantile_cont`'s). */
   def q38PercentileDist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
-    val tally = Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag", $"l_extendedprice")
+    val ps = Seq(0.5, 0.9)
+    val width = 64.0 // fixture price span ~1e5 → ~1.6k buckets/group
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
+    // Phase 1 — histogram: one map-side-combined shuffle whose output is
+    // (#groups × #buckets) rows, bounded by the value range, not by row
+    // count. Driver-local cumulation of that tiny table locates, for
+    // each needed 0-based order statistic k, the bucket holding it and
+    // the residual rank inside that bucket. (Production with unknown
+    // value ranges derives the bucket bounds from a q31-style sketch
+    // pre-pass; the phase structure is unchanged.)
+    val hist = li.groupBy($"g", floor($"v" / width).cast("long").as("b"))
       .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy($"l_returnflag")
-    val cum = tally
-      .withColumn("cum", sum($"cnt").over(wCum))
-      .withColumn("N", sum($"cnt").over(wAll))
-    // k = p(N−1); the value covering 0-based position i is the row
-    // with cum − cnt ≤ i < cum. floor(k)/ceil(k) each land on exactly
-    // one row, so max(when(...)) extracts them in one aggregate.
-    val exprs = ps.flatMap { case (name, p) =>
-      val k = lit(p) * ($"N" - 1).cast("double")
-      val fk = floor(k)
-      val ck = ceil(k)
-      val lo = max(when(fk >= $"cum" - $"cnt" && fk < $"cum", $"l_extendedprice"))
-      val hi = max(when(ck >= $"cum" - $"cnt" && ck < $"cum", $"l_extendedprice"))
-      val frac = max(k - fk)
-      Seq(round(lo + frac * (hi - lo), 4).as(name))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val counts = hist.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.sortBy(_._2).map { case (_, b, c) => (b, c) }
     }
-    cum.groupBy($"l_returnflag")
-      .agg(exprs.head, exprs.tail: _*)
-      .orderBy($"l_returnflag")
+    val nByG = counts.map { case (g, bs) => g -> bs.map(_._2).sum }
+    val targets: Seq[(String, Long, Long, Long)] = counts.toSeq.flatMap {
+      case (g, bs) =>
+        val n = nByG(g)
+        val positions = ps.flatMap { p =>
+          val k = p * (n - 1).toDouble
+          Seq(math.floor(k).toLong, math.ceil(k).toLong)
+        }.distinct
+        var cum = 0L
+        val spans = bs.map { case (b, c) => val s = (b, cum, c); cum += c; s }
+        positions.map { pos =>
+          val (b, before, _) = spans
+            .find { case (_, lo, c) => pos >= lo && pos < lo + c }.get
+          (g, pos, b, pos - before)
+        }
+    }
+    // Phase 2 — refinement: fetch ONLY the target buckets (broadcast
+    // semi-join; ≤ 4 buckets per group) and rank inside each — a
+    // per-(group, bucket) sort of a few thousand rows, parallel across
+    // buckets. No per-group global sort ever happens.
+    val tDf = targets.toDF("g", "pos", "b", "in_b")
+    val wB = Window.partitionBy($"g", $"b").orderBy($"v")
+    val picked = li.withColumn("b", floor($"v" / width).cast("long"))
+      .join(broadcast(tDf.select($"g", $"b").distinct()), Seq("g", "b"), "left_semi")
+      .withColumn("rk", (row_number().over(wB) - 1).cast("long"))
+      .join(broadcast(tDf), Seq("g", "b"), "inner")
+      .filter($"rk" === $"in_b")
+      .select($"g", $"pos", $"v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Assemble: percentile's interpolation, identical to q22/DuckDB
+    def rnd4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = nByG.toSeq.sortBy(_._1).map { case (g, n) =>
+      val Seq(v50, v90) = ps.map { p =>
+        val k = p * (n - 1).toDouble
+        val lo = picked((g, math.floor(k).toLong))
+        val hi = picked((g, math.ceil(k).toLong))
+        rnd4(lo + (k - math.floor(k)) * (hi - lo))
+      }
+      (g, v50, v90)
+    }
+    out.toDF("l_returnflag", "p50", "p90").orderBy($"l_returnflag")
   }
 
   /** D9+D11: conditional aggregation (TPC-H Q14 promo-revenue shape)
