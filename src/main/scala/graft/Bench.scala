@@ -72,12 +72,19 @@ object Bench {
     val total = medians.values.sum + failed.size * 9999.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The stdout contract line must stay SHORT: the driver keeps only the
-    // last ~2000 chars of output, so the full line (incl. every per-query
-    // median) has to fit there or the total gets truncated away. Spreads
-    // and the full sf path go to bench_detail.json instead.
+    // last ~2000 chars of output (after sbt's own trailer), and at 86
+    // queries the full-name map alone is ~2050 chars — that is why
+    // BENCH_r05 came back parsed:null. The stdout line therefore keys
+    // each query by its short code (the prefix before the first '_',
+    // unique across the surface: q1..q38, d1..d9, s1..s7, t1..t12,
+    // m1..m3, p1..p6, c1..c4, e1..e7 ≈ 1150 chars total); the full-name
+    // map plus spreads goes to bench_detail.json.
     val sfName = new java.io.File(sfDir).getName
+    val shortMedians = medians.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    require(shortMedians.size == medians.size,
+      "short-code collision in bench query names")
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""queries":${jmap(medians)},"repeats":$repeats,""" +
+      s""""queries":${jmap(shortMedians)},"repeats":$repeats,""" +
       s""""failed":$failedJson,"sf":"$sfName"}"""
     val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${jmap(medians)},"spread":${jmap(spreads)},""" +
