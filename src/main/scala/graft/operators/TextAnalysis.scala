@@ -361,7 +361,41 @@ object TextAnalysis {
       .orderBy($"lang", $"rk")
   }
 
+  /** Report bigrams holding > 1/[[hhK]] of all bigram occurrences. */
+  val hhK = 800
+  /** Misra–Gries capacity; candidates provably cover every phrase with
+    * share > 1/(capacity+1), so capacity > [[hhK]] makes the recount
+    * answer exact. */
+  val hhCapacity = 2048
+
+  /** D20: heavy-hitter phrase mining (boilerplate detection) — the
+    * exact set of word bigrams whose corpus share exceeds 1/[[hhK]],
+    * found WITHOUT a vocabulary-wide shuffle.
+    *
+    * Two passes: (1) a mergeable Misra–Gries sketch
+    * ([[graft.functions.MisraGries]]) — each partition ships at most
+    * [[hhCapacity]] counters, independent of corpus size or phrase
+    * cardinality, and the sketch guarantees no true heavy hitter is
+    * missed; (2) an exact recount of only the ≤ [[hhCapacity]]
+    * candidates (InSet prefilter pushed to the scan), so the only
+    * full aggregate runs over candidate-matching rows. Contrast with
+    * t4/t11, whose groupBy shuffles the entire vocabulary — at web
+    * scale the sketch pass is the difference between O(C) and
+    * O(distinct-phrases) shuffle width. */
+  def t13Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = Tables.documents(spark, dir)
+      .select(explode(bigrams($"text")).as("phrase"))
+    val (cands, total) =
+      ph.as[String].select(new graft.functions.MisraGries(hhCapacity).toColumn).head()
+    ph.filter($"phrase".isInCollection(cands.keys.toSeq))
+      .groupBy($"phrase").agg(count(lit(1)).as("n"))
+      .filter($"n" * hhK > total)
+      .orderBy($"n".desc, $"phrase")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_boilerplate" -> t13Boilerplate,
     "t11_inverted_index" -> t11InvertedIndex,
     "t12_stratified_quota" -> t12StratifiedQuota,
     "t1_text_stats" -> t1TextStats,
@@ -380,6 +414,15 @@ object TextAnalysis {
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "t13_boilerplate" ->
+      s"""WITH ph AS (SELECT unnest(list_transform(
+              generate_series(1, len($toksSql) - 1),
+              i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS phrase
+            FROM documents),
+          tot AS (SELECT count(*) AS t FROM ph)
+          SELECT phrase, CAST(count(*) AS BIGINT) AS n FROM ph, tot
+          GROUP BY phrase, t HAVING count(*) * $hhK > t
+          ORDER BY n DESC, phrase""",
     "t11_inverted_index" ->
       s"""WITH td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t

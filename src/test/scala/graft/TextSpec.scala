@@ -61,6 +61,41 @@ class TextSpec extends AnyFunSuite {
     assert(got.toSet == direct, "two-phase sample diverged from direct window")
   }
 
+  test("Misra-Gries sketch: exact total, no heavy hitter lost, bounded size") {
+    val s0 = spark
+    import s0.implicits._
+    // skewed stream: a×50, b×30, c×20 + 40 singletons = 140 items
+    val items = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      (1 to 40).map(i => s"u$i")
+    val capacity = 4
+    val (cands, total) = spark.createDataset(items).repartition(7)
+      .select(new graft.functions.MisraGries(capacity).toColumn).head()
+    assert(total == 140L)
+    assert(cands.size <= capacity)
+    // guarantee: every item with count > total/(capacity+1)=28 survives
+    assert(cands.contains("a") && cands.contains("b"))
+    // counters only ever undercount, by at most total/(capacity+1)
+    cands.foreach { case (k, v) =>
+      val truth = items.count(_ == k).toLong
+      assert(v <= truth && truth - v <= total / (capacity + 1), s"bound broken for $k")
+    }
+  }
+
+  test("t13 boilerplate phrases equal the brute-force heavy-hitter set") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions._
+    val brute = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.bigrams($"text")).as("phrase"))
+      .groupBy($"phrase").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = brute.map(_._2).sum
+    val expect = brute.filter(_._2 * TextAnalysis.hhK > total).toMap
+    val got = TextAnalysis.t13Boilerplate(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("t11 inverted index: df/tf/postings digest match a brute recount") {
     val s0 = spark
     import s0.implicits._
