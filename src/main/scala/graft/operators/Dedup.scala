@@ -270,6 +270,52 @@ object Dedup {
       .orderBy($"train_id", $"test_id")
   }
 
+  /** Bloom false-positive rate for [[d10BloomDecontaminate]] — output
+    * is exact regardless (survivors are verified by the real join);
+    * the rate only sets how much doomed train traffic leaks into the
+    * shuffle. */
+  val bloomFpp = 0.01
+
+  /** D18-extension: Bloom-prefiltered decontamination — the same
+    * leakage semantics as d7, rolled up per train document, with the
+    * train side pruned BEFORE the shuffle by a Bloom filter built over
+    * the test shingle vocabulary.
+    *
+    * Why this exists: d7's join shuffles every train shingle. At 100 TB
+    * the train side is ~everything and the test/eval side is a fixed
+    * sliver, so the right plan inverts the asymmetry — build a Bloom
+    * filter on the small side (one distributed aggregate, bit-array
+    * merge on the driver), broadcast it, and drop the ≥99% of train
+    * shingles that cannot match while they are still map-side local.
+    * Only might-contain survivors (true leaks + [[bloomFpp]] false
+    * positives) reach the exchange; the equi-join then verifies
+    * exactly, so false positives cost traffic, never correctness. */
+  def d10BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = sharedSigs(spark, dir)._1 // distinct (doc_id, s)
+    val test = sh.filter($"doc_id" % testModulus === 0)
+      .select($"doc_id".as("test_id"), $"s")
+    // row count upper-bounds the distinct-shingle count — a cheap scan
+    // of the persisted frame; oversizing only widens the bit array
+    val bloom = test.stat.bloomFilter("s", math.max(test.count(), 1000L), bloomFpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContain(s))
+    val train = sh.filter($"doc_id" % testModulus =!= 0)
+      .select($"doc_id".as("train_id"), $"s")
+      .filter(mightContain($"s"))
+    val okShingles = test.groupBy($"s")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxShingleDf)
+      .select($"s")
+    train.join(test.join(okShingles, "s"), "s")
+      .groupBy($"train_id", $"test_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minSharedShingles)
+      .groupBy($"train_id")
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum($"n_shared").as("n_shared_total"))
+      .orderBy($"train_id")
+  }
+
   /** Iteration cap for [[d8Components]] label propagation — generous:
     * rounds needed = max component diameter, and near-dup clusters are
     * small, dense clumps (diameter ≤ a few hops). */
@@ -381,6 +427,7 @@ object Dedup {
     "d5_jaccard" -> d5Jaccard,
     "d6_simhash" -> d6Simhash,
     "d7_decontaminate" -> d7Decontaminate,
+    "d10_bloom_decontaminate" -> d10BloomDecontaminate,
     "d8_components" -> d8Components)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
@@ -470,6 +517,24 @@ object Dedup {
           SELECT train_id, test_id, n_shared FROM pairs
           WHERE n_shared >= $minSharedShingles
           ORDER BY train_id, test_id""",
+    // d10 = d7's pair set rolled up per train doc (the Bloom prefilter
+    // is a performance device, invisible to the verified output)
+    "d10_bloom_decontaminate" ->
+      s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+          dsh AS (SELECT DISTINCT doc_id, s FROM shl),
+          te AS (SELECT doc_id AS test_id, s FROM dsh WHERE doc_id % $testModulus = 0),
+          ok AS (SELECT s FROM te GROUP BY s HAVING count(*) <= $maxShingleDf),
+          pairs AS (SELECT tr.doc_id AS train_id, te.test_id,
+                      CAST(count(*) AS BIGINT) AS n_shared
+                    FROM dsh tr
+                    JOIN te ON tr.s = te.s
+                    JOIN ok ON te.s = ok.s
+                    WHERE tr.doc_id % $testModulus <> 0
+                    GROUP BY 1, 2)
+          SELECT train_id, CAST(count(*) AS BIGINT) AS n_test_docs,
+            CAST(sum(n_shared) AS BIGINT) AS n_shared_total
+          FROM pairs WHERE n_shared >= $minSharedShingles
+          GROUP BY train_id ORDER BY train_id""",
     // connected components as a DuckDB recursive CTE: reachability from
     // every pair-member node, cluster = min reachable node; the WITH of
     // the shared jaccard chain becomes WITH RECURSIVE (prefix rewrite)

@@ -118,6 +118,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 20L, 2L), (3L, 20L, 2L)))
   }
 
+  test("d10 bloom decontamination equals d7's pair set rolled up per train doc") {
+    val expect = Dedup.d7Decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (train, ps) => (train, ps.length.toLong, ps.map(_._3).sum) }
+      .toSet
+    val got = Dedup.d10BloomDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty,
+      "bloom prefilter changed the verified decontamination output")
+  }
+
   test("d8 components: pair members share a cluster, id = min, one rep each") {
     import spark.implicits._
     val assign = Dedup.d8Components(spark, sf).collect()
