@@ -330,7 +330,53 @@ object AdvancedSql {
       .orderBy($"zrange")
   }
 
+  /** Profiled columns of `orders`: (name, profiled expression,
+    * engine-stable string form for min/max). Doubles go through
+    * DECIMAL(18,2) so both engines print the identical fixed-point
+    * form; timestamps through DATE ('YYYY-MM-DD' in both). */
+  private val profileSpecs: Seq[(String, Column, Column => Column)] = Seq(
+    ("o_custkey", col("o_custkey"), (c: Column) => c.cast("string")),
+    ("o_orderdate", col("o_orderdate").cast("date"), (c: Column) => c.cast("string")),
+    ("o_orderkey", col("o_orderkey"), (c: Column) => c.cast("string")),
+    ("o_orderpriority", col("o_orderpriority"), (c: Column) => c),
+    ("o_orderstatus", col("o_orderstatus"), (c: Column) => c),
+    ("o_totalprice", col("o_totalprice"),
+      (c: Column) => c.cast("decimal(18,2)").cast("string")))
+
+  /** Data-quality profiling — per column of `orders`: row count,
+    * non-null count, exact distinct count, min and max (engine-stable
+    * string form). The warehouse-maintenance primitive behind schema
+    * drift alerts and ingest validation.
+    *
+    * Shape: ONE scan. All 6×4 aggregates run in a single `agg` — the
+    * multi-distinct plan is Catalyst's Expand (each row is replicated
+    * once per distinct-column, tagged with a grouping id, then
+    * aggregated in one exchange). That 6× map-side expansion is the
+    * documented price of exact multi-column distinct counts in one
+    * pass; the alternative — one job per column — scans the table six
+    * times. The wide single row is then unpivoted driver-free via
+    * explode(array(struct...)). */
+  def q39Profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val specs = profileSpecs
+    val aggs = specs.zipWithIndex.flatMap { case ((_, c, f), i) =>
+      Seq(count(c).as(s"nn_$i"), countDistinct(c).as(s"nd_$i"),
+        f(min(c)).as(s"mn_$i"), f(max(c)).as(s"mx_$i"))
+    }
+    val pieces = specs.zipWithIndex.map { case ((n, _, _), i) =>
+      struct(lit(n).as("column_name"), $"n_rows",
+        col(s"nn_$i").as("n_nonnull"), col(s"nd_$i").as("n_distinct"),
+        col(s"mn_$i").as("min_s"), col(s"mx_$i").as("max_s"))
+    }
+    Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(pieces: _*)).as("p"))
+      .select($"p.*")
+      .orderBy($"column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_profile" -> q39Profile,
     "q35_mad_outliers" -> q35MadOutliers,
     "q36_ewma" -> q36Ewma,
     "q37_zorder" -> q37Zorder,
@@ -358,7 +404,28 @@ object AdvancedSql {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
+  /** One UNION ALL branch of the q39 oracle per profiled column.
+    * `strOf` mirrors the Spark side exactly: counts/distincts run on
+    * the native value, only min/max go through the stable string form. */
+  private def profileBranchSql(name: String, valueExpr: String,
+      strOf: String => String = e => s"CAST($e AS VARCHAR)"): String =
+    s"""SELECT '$name' AS column_name, count(*) AS n_rows,
+        count($valueExpr) AS n_nonnull,
+        count(DISTINCT $valueExpr) AS n_distinct,
+        ${strOf(s"min($valueExpr)")} AS min_s,
+        ${strOf(s"max($valueExpr)")} AS max_s FROM orders"""
+
   val oracle: Map[String, String] = Map(
+    "q39_profile" ->
+      (Seq(
+        profileBranchSql("o_custkey", "o_custkey"),
+        profileBranchSql("o_orderdate", "CAST(o_orderdate AS DATE)"),
+        profileBranchSql("o_orderkey", "o_orderkey"),
+        profileBranchSql("o_orderpriority", "o_orderpriority", e => e),
+        profileBranchSql("o_orderstatus", "o_orderstatus", e => e),
+        profileBranchSql("o_totalprice", "o_totalprice",
+          e => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"))
+        .mkString("", " UNION ALL ", " ORDER BY column_name")),
     "q35_mad_outliers" ->
       """WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
                       FROM events GROUP BY user_id),

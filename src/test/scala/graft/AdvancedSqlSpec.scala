@@ -11,6 +11,28 @@ import graft.sources.Tables
 class AdvancedSqlSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q39 profile matches per-column recounts and runs as ONE job") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+    val rows = AdvancedSql.q39Profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("o_custkey", "o_orderdate", "o_orderkey",
+      "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    val n = orders.count()
+    rows.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    val ck = rows("o_custkey")
+    assert(ck.getAs[Long]("n_distinct") ==
+      orders.select($"o_custkey").distinct().count())
+    assert(ck.getAs[String]("min_s") ==
+      orders.agg(min($"o_custkey")).head().getLong(0).toString)
+    val st = rows("o_orderstatus")
+    assert(st.getAs[Long]("n_nonnull") == n)
+    assert(st.getAs[String]("max_s") ==
+      orders.agg(max($"o_orderstatus")).head().getString(0))
+    // decimal(18,2) form: always two fraction digits
+    assert(rows("o_totalprice").getAs[String]("min_s").matches("""\d+\.\d{2}"""))
+  }
+
   test("q30 upsert never shuffles the base: broadcast joins only") {
     val p = AdvancedSql.q30Upsert(spark, sf)
       .queryExecution.explainString(FormattedMode)
