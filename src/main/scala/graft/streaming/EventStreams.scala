@@ -125,7 +125,42 @@ object EventStreams {
         expr("user_id = c_user AND c_ts >= ts - INTERVAL 30 MINUTES AND c_ts <= ts"),
         "leftOuter")
 
+  /** Static enrichment dimension: user → nation name (customer ⋈
+    * nation, dim ⋈ dim — both tiny next to the event stream). */
+  def userNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+
+  /** Stream-static enrichment: events joined to a broadcast dimension,
+    * then windowed per nation. The static side is planned once and
+    * broadcast to every micro-batch — no shuffle of the stream, no
+    * state for the join itself (only the downstream window aggregate
+    * holds state). This is THE ingestion-enrichment shape: a firehose
+    * joined to slowly-changing reference data. Unknown users survive
+    * as 'unknown' (left join), so a dim lag can never drop events. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("nation", coalesce(col("n_name"), lit("unknown")))
+      .groupBy(window(col("ts"), "1 hour"), col("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("nation"),
+        col("n_events"), col("sum_value"))
+
+  def enrichedCountsStream(events: DataFrame, dim: DataFrame,
+      delay: String = "10 minutes"): DataFrame =
+    enrichedCounts(events.withWatermark("ts", delay), dim)
+
   // ---- batch query surface for the oracle gate ----
+
+  /** D22-extension: batch twin of [[enrichedCountsStream]]. */
+  def e8StreamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    enrichedCounts(Tables.events(spark, dir), userNation(spark, dir))
+      .orderBy($"window_start", $"nation")
+  }
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -200,6 +235,7 @@ object EventStreams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_stream_static_enrich" -> e8StreamStaticEnrich,
     "e7_attribution_outer" -> e7AttributionOuter,
     "e1_tumbling" -> e1Tumbling,
     "e2_sliding" -> e2Sliding,
@@ -208,6 +244,15 @@ object EventStreams {
     "e5_attribution" -> e5Attribution)
 
   val oracle: Map[String, String] = Map(
+    "e8_stream_static_enrich" ->
+      """SELECT date_trunc('hour', e.ts) AS window_start,
+           coalesce(n.n_name, 'unknown') AS nation,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+         FROM events e
+         LEFT JOIN customer c ON e.user_id = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "e7_attribution_outer" ->
       """WITH p AS (SELECT event_id, ts, user_id FROM events
                     WHERE event_type = 'purchase'),

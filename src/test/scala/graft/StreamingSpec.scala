@@ -47,6 +47,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim and equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dim covers users 1 and 2; user 3 must fall through to 'unknown'
+    val dim = Seq((1L, "FRANCE"), (2L, "KENYA")).toDF("user_id", "n_name")
+    val withOrphan = evs :+ Ev(6, t(20), 3, "view", 6.0)
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrichedCountsStream(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try {
+      mem.addData(withOrphan: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .orderBy($"window_start", $"nation").collect()
+      val exp = EventStreams.enrichedCounts(withOrphan.toDF(), dim)
+        .orderBy($"window_start", $"nation").collect()
+      assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+      assert(got.exists(_.getAs[String]("nation") == "unknown"))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the delay (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
