@@ -15,6 +15,7 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracle),
       (operators.AdvancedSql.queries, operators.AdvancedSql.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
+      (operators.Graph.queries, operators.Graph.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),

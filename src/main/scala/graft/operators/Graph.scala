@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables
+
+/** Iterative graph analytics over relational edge sets.
+  *
+  * Companion to Dedup.d8Components (min-label propagation): the same
+  * Pregel-on-DataFrames shape — persisted edge frame, one
+  * co-partitioned join + one aggregation per superstep,
+  * `localCheckpoint` to truncate lineage — but with weighted numeric
+  * messages instead of min-labels.
+  *
+  * All arithmetic is FIXED-POINT (BIGINT units of 1e-9, integer `div`),
+  * so every superstep is exact integer math: no floating-point
+  * summation order exists, and the DuckDB oracle replays the identical
+  * computation bit-for-bit — the zorder/q37 integer-replay trick
+  * applied to an iterative algorithm.
+  */
+object Graph {
+
+  /** PageRank supersteps. Fixed (not to-convergence) so the oracle can
+    * replay them as chained CTEs. */
+  val prIters = 3
+  /** Initial mass per node: 1.0 in 1e-9 units. */
+  val prOne = 1000000000L
+  /** Damping 0.85 as integer per-cent (applied as `(85*x) div 100`). */
+  val prDampPct = 85L
+
+  /** Undirected co-purchase edges: two parts are linked iff some order
+    * contains both. The self-join on o_orderkey explodes each order
+    * into its line-item pairs — bounded by order width (≤ 7 lines in
+    * TPC-H-shaped data), so the blow-up is a constant factor, never
+    * quadratic in the table. Degree is precomputed onto the edge so
+    * the per-superstep join is a single equi-join. */
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    e.join(deg, "src")
+  }
+
+  /** D47: fixed-point PageRank over the co-purchase graph — "which
+    * parts sit at the center of basket co-occurrence". Each superstep
+    * sends floor(score/deg) along every edge and folds the damped sum:
+    *
+    *   score'(v) = 0.15·ONE + (85 · Σ_{u→v} (score(u) div deg(u))) div 100
+    *
+    * Two shuffles per superstep (join on src is co-partitioned with
+    * the persisted edge frame; the aggregation shuffles on dst), and
+    * messages are (dst, long) pairs — never wider. `localCheckpoint`
+    * truncates the per-round lineage growth exactly as d8 documents.
+    * Top-20 by score is TakeOrdered, not a global sort. */
+  def g1Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pagerank(copurchaseEdges(spark, dir), prIters)
+      .orderBy($"s".desc, $"pk")
+      .limit(20)
+      .select($"pk".as("part_key"), $"s".as("score"))
+  }
+
+  /** Core fixed-point loop over any (src, dst, deg) edge frame;
+    * returns (pk, s) final scores, already materialized (the input
+    * edge cache is released before returning). */
+  def pagerank(edgeFrame: DataFrame, iters: Int): DataFrame = {
+    import edgeFrame.sparkSession.implicits._
+    val edges = edgeFrame.persist(StorageLevel.MEMORY_AND_DISK)
+    var scores = edges.select($"src".as("pk")).distinct()
+      .withColumn("s", lit(prOne))
+    for (_ <- 1 to iters) {
+      scores = edges.join(scores, edges("src") === scores("pk"))
+        .select($"dst", expr("s div deg").as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("m"))
+        .select($"dst".as("pk"),
+          (lit(prOne * 15L / 100L) + expr(s"($prDampPct * m) div 100")).as("s"))
+        .localCheckpoint()
+    }
+    // the final localCheckpoint already materialized `scores`, so the
+    // edge cache can be released
+    edges.unpersist()
+    scores
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_pagerank" -> g1Pagerank)
+
+  /** One superstep as SQL over the previous iteration's CTE. */
+  private def prStepSql(prev: String): String =
+    s"""SELECT e.dst AS pk,
+        CAST(${prOne * 15L / 100L} + ($prDampPct * sum($prev.s // e.deg)) // 100
+          AS BIGINT) AS s
+        FROM e JOIN $prev ON e.src = $prev.pk GROUP BY e.dst"""
+
+  val oracle: Map[String, String] = Map(
+    "g1_pagerank" ->
+      s"""WITH pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM pairs GROUP BY src),
+          e AS (SELECT p.src, p.dst, d.deg FROM pairs p JOIN deg d USING (src)),
+          it0 AS (SELECT DISTINCT src AS pk, CAST($prOne AS BIGINT) AS s FROM e),
+          ${(1 to prIters).map(i => s"it$i AS (${prStepSql(s"it${i - 1}")})")
+            .mkString(",\n          ")}
+          SELECT pk AS part_key, s AS score FROM it$prIters
+          ORDER BY score DESC, part_key LIMIT 20""")
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** The distributed fixed-point PageRank must replay a scalar reference
+  * implementation of the identical integer recurrence exactly — no
+  * tolerance, because there is no floating point anywhere. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Scalar replay of Graph.pagerank's recurrence. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var s = deg.keys.map(_ -> Graph.prOne).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => s(src) / deg(src) }.sum
+      }
+      s = in.map { case (pk, m) =>
+        pk -> (Graph.prOne * 15L / 100L + Graph.prDampPct * m / 100L)
+      }
+    }
+    s
+  }
+
+  test("distributed fixed-point PageRank equals the scalar replay exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // undirected triangle + pendant: 1-2, 2-3, 1-3, 3-4
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val dir = und ++ und.map(_.swap)
+    val e = dir.toDF("src", "dst")
+    val withDeg = e.join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+    val got = Graph.pagerank(withDeg.repartition(5), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(dir, 4))
+    // the hub (node 3, degree 3) must outrank the pendant (node 4)
+    assert(got(3L) > got(4L))
+  }
+
+  test("g1 top-20 is deterministic and scores stay positive") {
+    val a = Graph.g1Pagerank(spark, sf).collect().map(_.toString).toSeq
+    val b = Graph.g1Pagerank(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty && a.size <= 20)
+    Graph.g1Pagerank(spark, sf).collect()
+      .foreach(r => assert(r.getLong(1) > 0L))
+  }
+}
