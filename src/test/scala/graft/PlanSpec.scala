@@ -62,6 +62,44 @@ class PlanSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"broadcast hint reintroduced on t6: $hints")
   }
 
+  test("e8 joins the static dim with a broadcast, never a stream-side shuffle") {
+    val p = plan("e8_stream_static_enrich")
+    assert(p.contains("BroadcastHashJoin"), "dim join not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "events shuffled for a dimension join")
+  }
+
+  test("d10's bloom prefilter survives below the verification join") {
+    val df = SparkEntry.queries("d10_bloom_decontaminate")(spark, sf)
+    val udfFilters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]) => f
+    }
+    assert(udfFilters.nonEmpty,
+      "might-contain prefilter optimized away — train side ships unpruned")
+  }
+
+  test("t13's exact recount filters to the candidate InSet before aggregating") {
+    // 227 candidates at sf0.01 (> the In→InSet threshold of 10): the
+    // recount pass must plan a compiled set-membership filter, so only
+    // candidate-matching rows reach the aggregate exchange
+    val p = plan("t13_boilerplate")
+    assert(p.contains("INSET"), "candidate prefilter missing from recount plan")
+  }
+
+  test("q39 profiles all columns in ONE scan (single Expand multi-distinct plan)") {
+    val p = plan("q39_profile")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"profile plans $scans scans, expected 1")
+    assert(p.contains("Expand"), "multi-distinct lost the Expand plan")
+  }
+
+  test("g1's top-20 is a distributed TakeOrdered, not a global sort") {
+    val p = plan("g1_pagerank")
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
+  }
+
   test("d7_decontaminate carries no broadcast hint and no pairwise join") {
     // the DF-capped shingle set is vocabulary-sized at scale — a
     // broadcast hint would OOM the driver on a real corpus (same story
