@@ -88,8 +88,59 @@ object Graph {
     scores
   }
 
+  /** D48: exact triangle counting per node over the co-purchase graph
+    * — "how clustered is each part's co-occurrence neighborhood".
+    *
+    * Scale shape: the classic degree-ordered orientation. Each
+    * undirected edge is directed from its (degree, id)-smaller endpoint
+    * to the larger, which bounds every out-degree by O(√m); the wedge
+    * self-join on the source vertex therefore fans out at most
+    * outdeg² ≤ O(m) rows TOTAL instead of Σ deg² (which a hub vertex
+    * makes quadratic), and the closure check is a semi-join back on the
+    * oriented edge set — three equi-joins, no pairwise blow-up anywhere.
+    * Each triangle {x,y,z} closes exactly one oriented wedge, so counts
+    * are exact without de-duplication. The oriented edge list is
+    * `localCheckpoint`ed because the plan consumes it three times. */
+  def g2Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = copurchaseEdges(spark, dir)
+      .select($"src", $"dst").filter($"src" < $"dst")
+    triangleCounts(und)
+      .orderBy($"n_triangles".desc, $"part_key")
+      .limit(20)
+  }
+
+  /** Core oriented-wedge triangle count over any canonical (src < dst)
+    * undirected edge frame; returns (part_key, n_triangles), one row
+    * per vertex that participates in ≥ 1 triangle. */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    val deg = und.select($"src".as("vx")).unionAll(und.select($"dst".as("vx")))
+      .groupBy($"vx").agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select($"vx".as("src"), $"dg".as("ds")), "src")
+      .join(deg.select($"vx".as("dst"), $"dg".as("dd")), "dst")
+    // orient low (degree, id) → high: out-degrees are O(√m)-bounded
+    val ori = withDeg.select(
+        when($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"),
+          struct($"src".as("u"), $"dst".as("v")))
+          .otherwise(struct($"dst".as("u"), $"src".as("v"))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .localCheckpoint() // consumed 3× below; truncate + materialize once
+    val wedge = ori.as("a").join(ori.as("b"),
+        $"a.u" === $"b.u" && $"a.v" =!= $"b.v")
+      .select($"a.u".as("x"), $"a.v".as("y"), $"b.v".as("z"))
+    // only the ≺-ordered wedge of a triangle finds its closing edge,
+    // so each triangle survives exactly once
+    val tri = wedge.join(ori.as("c"),
+      $"y" === $"c.u" && $"z" === $"c.v", "left_semi")
+    tri.select(explode(array($"x", $"y", $"z")).as("part_key"))
+      .groupBy($"part_key").agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g1_pagerank" -> g1Pagerank)
+    "g1_pagerank" -> g1Pagerank,
+    "g2_triangles" -> g2Triangles)
 
   /** One superstep as SQL over the previous iteration's CTE. */
   private def prStepSql(prev: String): String =
@@ -98,11 +149,36 @@ object Graph {
           AS BIGINT) AS s
         FROM e JOIN $prev ON e.src = $prev.pk GROUP BY e.dst"""
 
-  val oracle: Map[String, String] = Map(
-    "g1_pagerank" ->
-      s"""WITH pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  /** Shared co-purchase pair CTE body (g1 + g2 oracles). */
+  private val pairsCte =
+    """pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
             FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-            WHERE a.l_partkey <> b.l_partkey),
+            WHERE a.l_partkey <> b.l_partkey)"""
+
+  val oracle: Map[String, String] = Map(
+    "g2_triangles" ->
+      s"""WITH $pairsCte,
+          und AS (SELECT src, dst FROM pairs WHERE src < dst),
+          deg AS (SELECT vx, CAST(count(*) AS BIGINT) AS dg
+                  FROM (SELECT src AS vx FROM und
+                        UNION ALL SELECT dst AS vx FROM und)
+                  GROUP BY vx),
+          ori AS (SELECT CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND u.src < u.dst)
+                              THEN u.src ELSE u.dst END AS u,
+                         CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND u.src < u.dst)
+                              THEN u.dst ELSE u.src END AS v
+                  FROM und u JOIN deg ds ON u.src = ds.vx
+                             JOIN deg dd ON u.dst = dd.vx),
+          tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                  FROM ori a JOIN ori b ON a.u = b.u AND a.v <> b.v
+                  WHERE EXISTS (SELECT 1 FROM ori c
+                                WHERE c.u = a.v AND c.v = b.v))
+          SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT unnest([x, y, z]) AS part_key FROM tri)
+          GROUP BY part_key
+          ORDER BY n_triangles DESC, part_key LIMIT 20""",
+    "g1_pagerank" ->
+      s"""WITH $pairsCte,
           deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
                   FROM pairs GROUP BY src),
           e AS (SELECT p.src, p.dst, d.deg FROM pairs p JOIN deg d USING (src)),

@@ -39,6 +39,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L) > got(4L))
   }
 
+  test("oriented-wedge triangle count equals the brute-force enumeration") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 3 per vertex) + triangle {5,6,7}
+    // + pendant 7-8 (in no triangle)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L))
+    val got = Graph.triangleCounts(und.toDF("src", "dst").repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: every 3-subset with all edges present
+    val es = und.toSet
+    def adj(a: Long, b: Long) = es((a min b, a max b))
+    val verts = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = (for {
+      i <- verts; j <- verts if i < j; k <- verts if j < k
+      if adj(i, j) && adj(i, k) && adj(j, k)
+    } yield Seq(i, j, k)).flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == brute)
+    assert(got(1L) == 3L && got(5L) == 1L && !got.contains(8L))
+  }
+
+  test("g2 top-20 is deterministic across runs") {
+    val a = Graph.g2Triangles(spark, sf).collect().map(_.toString).toSeq
+    val b = Graph.g2Triangles(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty && a.size <= 20)
+  }
+
   test("g1 top-20 is deterministic and scores stay positive") {
     val a = Graph.g1Pagerank(spark, sf).collect().map(_.toString).toSeq
     val b = Graph.g1Pagerank(spark, sf).collect().map(_.toString).toSeq
