@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.Graph.queries, operators.Graph.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
+      (operators.SparseSim.queries, operators.SparseSim.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.PcaQueries.queries, operators.PcaQueries.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),
