@@ -394,7 +394,48 @@ object TextAnalysis {
       .orderBy($"n".desc, $"phrase")
   }
 
+  /** Vocabulary size for [[t14VocabEncode]]. */
+  val vocabSize = 1000
+  /** Max encoded positions per document (sequence-length bound). */
+  val encodeLen = 32
+
+  /** D50: vocabulary build + token-id encoding — the tokenizer-ish
+    * front door of a pretraining pipeline: rank the corpus vocabulary
+    * by frequency, assign dense ids, and re-express each document as
+    * its first [[encodeLen]] token ids (OOV → 0).
+    *
+    * Scale shape: the top-[[vocabSize]] vocabulary comes from
+    * `TakeOrderedAndProject` (O(V) per partition, no global sort);
+    * the id assignment window runs on ≤ V rows (bounded by design,
+    * never corpus-sized); the encode join broadcasts the vocabulary —
+    * a real 32k–256k-entry tokenizer vocab is still broadcast-sized,
+    * unlike t6's unbounded per-term df table. Output ids are a
+    * '.'-joined digest string (t11's bounded-postings convention). */
+  def t14VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select($"doc_id", posexplode(tokens($"text")).as(Seq("pos0", "term")))
+      .select($"doc_id", ($"pos0" + 1).as("pos"), $"term")
+    val freq = tok.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    // distributed top-V, then rank the V survivors (single partition of
+    // exactly V rows — bounded by the constant, not the corpus)
+    val vocab = freq.orderBy($"cnt".desc, $"term").limit(vocabSize)
+      .withColumn("id", row_number().over(
+        Window.orderBy($"cnt".desc, $"term")))
+      .select($"term", $"id")
+    val enc = tok.filter($"pos" <= encodeLen)
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"pos", coalesce($"id", lit(0)).as("id")))),
+        x => x("id").cast("string")), ".").as("ids_str"))
+    val nTok = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    nTok.join(enc, "doc_id").select($"doc_id", $"n_tokens", $"ids_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_vocab_encode" -> t14VocabEncode,
     "t13_boilerplate" -> t13Boilerplate,
     "t11_inverted_index" -> t11InvertedIndex,
     "t12_stratified_quota" -> t12StratifiedQuota,
@@ -414,6 +455,23 @@ object TextAnalysis {
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "t14_vocab_encode" ->
+      s"""WITH tok AS (SELECT doc_id,
+              unnest(generate_series(1, len($toksSql))) AS pos,
+              unnest($toksSql) AS term
+            FROM documents),
+          freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+          vocab AS (SELECT term,
+              row_number() OVER (ORDER BY cnt DESC, term) AS id
+            FROM freq ORDER BY cnt DESC, term LIMIT $vocabSize),
+          enc AS (SELECT t.doc_id,
+              string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), '.' ORDER BY t.pos) AS ids_str
+            FROM tok t LEFT JOIN vocab v USING (term)
+            WHERE t.pos <= $encodeLen GROUP BY t.doc_id),
+          ntok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY doc_id)
+          SELECT n.doc_id, n.n_tokens, e.ids_str
+          FROM ntok n JOIN enc e ON n.doc_id = e.doc_id""",
     "t13_boilerplate" ->
       s"""WITH ph AS (SELECT unnest(list_transform(
               generate_series(1, len($toksSql) - 1),

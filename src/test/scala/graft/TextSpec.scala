@@ -96,6 +96,22 @@ class TextSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("t14 vocab encode: ids replay a driver-side vocabulary build exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toSeq
+    val vocab = freq.sortBy { case (t, c) => (-c, t) }
+      .take(TextAnalysis.vocabSize).zipWithIndex
+      .map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val expect = docs.map { case (id, toks) =>
+      id -> (toks.size.toLong,
+        toks.take(TextAnalysis.encodeLen).map(t => vocab.getOrElse(t, 0)).mkString("."))
+    }.toMap
+    val got = TextAnalysis.t14VocabEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("t11 inverted index: df/tf/postings digest match a brute recount") {
     val s0 = spark
     import s0.implicits._
