@@ -375,7 +375,96 @@ object AdvancedSql {
       .orderBy($"column_name")
   }
 
+  /** q42 histogram literals: fixed edges so the bucket arithmetic is
+    * identical integer math in both engines (no data-dependent min/max
+    * pass, no float-boundary ambiguity). */
+  val histLo = 0.0
+  val histWidth = 5000.0
+  val histBuckets = 22
+
+  /** D51: active-interval aggregation — "how many orders are open per
+    * week", where an order's open interval is [o_orderdate,
+    * max(l_shipdate)]. The classic interval-overlap count done WITHOUT
+    * an inequality join: each interval explodes into its covered weeks
+    * (bounded by the order lifetime — a small constant — never by table
+    * size), then a plain hash aggregation counts per week. At 100 TB
+    * this is one co-partitioned fact⋈fact join on the order key + a
+    * map-side bounded Generate + one partial-aggregated shuffle; the
+    * inequality-join formulation it replaces cannot partition at all. */
+  def q40ActiveIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val span = Tables.orders(spark, dir).as("o")
+      .join(Tables.lineitem(spark, dir).as("l"),
+        $"o.o_orderkey" === $"l.l_orderkey")
+      .groupBy($"o.o_orderkey", $"o.o_orderdate")
+      .agg(max($"l.l_shipdate").as("end_ts"))
+    // clamp: a malformed interval (ship before order) still covers its
+    // start week instead of crashing sequence() with a negative span
+    span.select(explode(sequence(
+        date_trunc("week", $"o_orderdate"),
+        greatest(date_trunc("week", $"o_orderdate"),
+          date_trunc("week", $"end_ts")),
+        expr("interval 7 days"))).as("week_start"))
+      .groupBy($"week_start")
+      .agg(count(lit(1)).as("n_open"))
+      .orderBy($"week_start")
+  }
+
+  /** D52: declarative data-quality audit — one row per constraint with
+    * its violation count: FK orphans (anti joins), duplicate keys,
+    * nulls, range and cross-table ordering rules. Each check is a
+    * single scan + aggregate (or one co-partitioned / anti join); the
+    * union is of 1-row frames, so the audit costs exactly its
+    * constituent scans. The FK anti joins are the runtime-bloom-filter
+    * shape (D28) at deploy scale. */
+  def q41QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def check(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).cast("long").as("n_violations"))
+        .select(lit(name).as("check_name"), $"n_violations")
+    val checks = Seq(
+      check("dup_orderkey",
+        ord.groupBy($"o_orderkey").agg(count(lit(1)).as("c")).filter($"c" > 1)),
+      check("fk_lineitem_orders",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")),
+      check("fk_orders_customer",
+        ord.join(Tables.customer(spark, dir),
+          ord("o_custkey") === col("c_custkey"), "left_anti")),
+      check("future_shipdate",
+        li.as("l").join(ord.as("o"), $"l.l_orderkey" === $"o.o_orderkey")
+          .filter($"l.l_shipdate" < $"o.o_orderdate")),
+      check("neg_totalprice", ord.filter($"o_totalprice" <= 0)),
+      check("null_props",
+        Tables.events(spark, dir).filter($"props".isNull)),
+      check("qty_range", li.filter($"l_quantity" < 1 || $"l_quantity" > 50)))
+    checks.reduce(_ unionAll _).orderBy($"check_name")
+  }
+
+  /** D53: equi-width histogram of l_extendedprice — fixed edges, one
+    * scan, one partial-aggregated shuffle of ≤ [[histBuckets]] rows.
+    * The profiling companion to q38's exact percentiles (value-space
+    * buckets vs rank-space cuts). */
+  def q42Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = least(greatest(
+        floor((col("l_extendedprice") - histLo) / histWidth), lit(0)),
+      lit(histBuckets - 1)).cast("int")
+    Tables.lineitem(spark, dir)
+      .select(b.as("bucket_id"))
+      .groupBy($"bucket_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", lit(histLo) + $"bucket_id" * histWidth)
+      .withColumn("hi_edge", $"lo_edge" + histWidth)
+      .select($"bucket_id", $"lo_edge", $"hi_edge", $"n")
+      .orderBy($"bucket_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_active_intervals" -> q40ActiveIntervals,
+    "q41_quality_audit" -> q41QualityAudit,
+    "q42_histogram" -> q42Histogram,
     "q39_profile" -> q39Profile,
     "q35_mad_outliers" -> q35MadOutliers,
     "q36_ewma" -> q36Ewma,
@@ -416,6 +505,52 @@ object AdvancedSql {
         ${strOf(s"max($valueExpr)")} AS max_s FROM orders"""
 
   val oracle: Map[String, String] = Map(
+    "q40_active_intervals" ->
+      """WITH span AS (SELECT o.o_orderkey, o.o_orderdate,
+              max(l.l_shipdate) AS end_ts
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2),
+          wk AS (SELECT unnest(generate_series(
+              date_trunc('week', o_orderdate),
+              greatest(date_trunc('week', o_orderdate),
+                       date_trunc('week', end_ts)),
+              INTERVAL 7 DAY)) AS week_start FROM span)
+          SELECT CAST(week_start AS TIMESTAMP) AS week_start,
+            CAST(count(*) AS BIGINT) AS n_open
+          FROM wk GROUP BY 1 ORDER BY 1""",
+    "q41_quality_audit" ->
+      """SELECT * FROM (
+          SELECT 'dup_orderkey' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+            FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL
+          SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL
+          SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          UNION ALL
+          SELECT 'future_shipdate', CAST(count(*) AS BIGINT)
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate
+          UNION ALL
+          SELECT 'neg_totalprice', CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_totalprice <= 0
+          UNION ALL
+          SELECT 'null_props', CAST(count(*) AS BIGINT) FROM events
+            WHERE props IS NULL
+          UNION ALL
+          SELECT 'qty_range', CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50
+          ) ORDER BY check_name""",
+    "q42_histogram" ->
+      s"""SELECT bucket_id,
+            CAST($histLo + bucket_id * $histWidth AS DOUBLE) AS lo_edge,
+            CAST($histLo + bucket_id * $histWidth + $histWidth AS DOUBLE) AS hi_edge,
+            CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT CAST(least(greatest(
+              floor((l_extendedprice - $histLo) / $histWidth), 0),
+              ${histBuckets - 1}) AS INT) AS bucket_id FROM lineitem)
+          GROUP BY bucket_id ORDER BY bucket_id""",
     "q39_profile" ->
       (Seq(
         profileBranchSql("o_custkey", "o_custkey"),

@@ -11,6 +11,73 @@ import graft.sources.Tables
 class AdvancedSqlSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q40 active intervals match a driver-side week expansion") {
+    import spark.implicits._
+    // driver replay with java.time; Spark date_trunc('week') = Monday 00:00
+    val span = Tables.orders(spark, sf).as("o")
+      .join(Tables.lineitem(spark, sf).as("l"), $"o.o_orderkey" === $"l.l_orderkey")
+      .groupBy($"o.o_orderkey", $"o.o_orderdate")
+      .agg(max($"l.l_shipdate").as("end_ts"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2)))
+    def monday(i: java.time.LocalDateTime): java.time.LocalDate = {
+      val d = i.toLocalDate
+      d.minusDays((d.getDayOfWeek.getValue - 1).toLong)
+    }
+    val expect = span.flatMap { case (s, e) =>
+      val (ws, we) = (monday(s), monday(e))
+      Iterator.iterate(ws)(_.plusDays(7))
+        .takeWhile(w => !w.isAfter(if (we.isBefore(ws)) ws else we)).toSeq
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // date_trunc yields a session-TZ TIMESTAMP (java.sql.Timestamp in
+    // UTC), unlike the NTZ fixture columns — convert via Instant@UTC
+    val got = AdvancedSql.q40ActiveIntervals(spark, sf).collect()
+      .map(r => java.time.LocalDateTime.ofInstant(
+        r.getAs[java.sql.Timestamp](0).toInstant, java.time.ZoneOffset.UTC)
+        .toLocalDate -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q41 quality audit matches driver-side constraint recounts") {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").collect()
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_shipdate").collect()
+    val custKeys = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val ordKeys = ord.map(_.getLong(0)).toSet
+    val ordDate = ord.map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](3)).toMap
+    val expect = Map(
+      "dup_orderkey" -> (ord.groupBy(_.getLong(0)).count(_._2.length > 1)).toLong,
+      "fk_lineitem_orders" -> li.count(r => !ordKeys(r.getLong(0))).toLong,
+      "fk_orders_customer" -> ord.count(r => !custKeys(r.getLong(1))).toLong,
+      "future_shipdate" -> li.count(r => ordDate.get(r.getLong(0))
+        .exists(od => r.getAs[java.time.LocalDateTime](2).isBefore(od))).toLong,
+      "neg_totalprice" -> ord.count(_.getDouble(2) <= 0).toLong,
+      "null_props" -> Tables.events(spark, sf).filter($"props".isNull).count(),
+      "qty_range" -> li.count(r => r.getDouble(1) < 1 || r.getDouble(1) > 50).toLong)
+    val got = AdvancedSql.q41QualityAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("q42 histogram buckets match a driver-side recount and edges tile") {
+    import graft.operators.AdvancedSql.{histLo, histWidth, histBuckets}
+    val prices = Tables.lineitem(spark, sf)
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    val expect = prices.map(v => math.min(math.max(
+        math.floor((v - histLo) / histWidth), 0), (histBuckets - 1).toDouble).toInt)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = AdvancedSql.q42Histogram(spark, sf).collect()
+    assert(rows.map(r => r.getInt(0) -> r.getLong(3)).toMap == expect)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == histLo + r.getInt(0) * histWidth)
+      assert(r.getDouble(2) == r.getDouble(1) + histWidth)
+    }
+    assert(rows.map(_.getLong(3)).sum == prices.length.toLong)
+  }
+
   test("q39 profile matches per-column recounts and runs as ONE job") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf)
