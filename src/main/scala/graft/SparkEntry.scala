@@ -25,7 +25,8 @@ object SparkEntry {
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.RangeJoin.queries, operators.RangeJoin.oracle),
       (streaming.EventStreams.queries, streaming.EventStreams.oracle),
-      (streaming.Funnel.queries, streaming.Funnel.oracle))
+      (streaming.Funnel.queries, streaming.Funnel.oracle),
+      (streaming.Budget.queries, streaming.Budget.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

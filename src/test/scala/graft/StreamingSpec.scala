@@ -403,6 +403,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming budget alerts (custom state) equal the batch twin once drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 crosses the 100.00 tier on event 3 and 300.00 on event 5;
+    // user 2 never crosses
+    val spend = Seq(
+      Ev(1, t(0), 1, "purchase", 40.0), Ev(2, t(5), 1, "purchase", 50.0),
+      Ev(3, t(20), 1, "purchase", 30.0), Ev(4, t(40), 1, "purchase", 120.0),
+      Ev(5, t(60), 1, "purchase", 80.0),
+      Ev(6, t(10), 2, "purchase", 99.0))
+    val mem = MemoryStream[Ev]
+    val q = streaming.Budget.budgetAlertStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("budget")
+      .outputMode("append").start()
+    try {
+      mem.addData(spend: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(10000), 99, "purchase", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("budget").filter($"user_id" < 99)
+        .orderBy($"user_id", $"cum_cents").collect().map(_.toString).toSeq
+      val exp = streaming.Budget.budgetAlerts(spend.toDF())
+        .orderBy($"user_id", $"cum_cents").collect().map(_.toString).toSeq
+      assert(got == exp, s"stream diverged from batch twin: $got vs $exp")
+      assert(got.size == 3) // events 3 (tier 1), 4 (tier 2), 5 (tier 3)
+    } finally q.stop()
+  }
+
+  test("budget state carries the running total across micro-batches, re-sorting late arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.Budget.budgetAlertStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("budget2")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(10), 1, "purchase", 60.0))
+      q.processAllAvailable()
+      // arrives out of order: the t(12) event would cross IF folded after
+      // t(11); correct order folds 60+30=90 (no cross) then +20=110 (cross
+      // at event 3, the t(12) one)
+      mem.addData(Ev(3, t(12), 1, "purchase", 20.0),
+        Ev(2, t(11), 1, "purchase", 30.0))
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(10000), 99, "purchase", 0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("budget2").filter($"user_id" < 99)
+        .select($"event_id", $"cum_cents", $"tier").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(got == Seq((3L, 11000L, 1)), s"got $got")
+    } finally q.stop()
+  }
+
   test("funnel state persists across micro-batches and sorts out-of-order arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
