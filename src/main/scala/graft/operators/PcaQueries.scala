@@ -129,7 +129,37 @@ object PcaQueries {
       .orderBy($"comp")
   }
 
+  /** D55: grouped OLS (normal equations) — per market segment, regress
+    * order price on the customer's account balance: slope =
+    * cov(x,y)/var(x), intercept = ȳ − slope·x̄, r² =
+    * cov²/(var(x)·var(y)). The same mergeable second-moment statistics
+    * as the D3 covariance pass (count/Σx/Σxy), just 1-dimensional and
+    * grouped — ONE partial-aggregated scan after the key join, no
+    * iteration, no driver-side data. Only the final O(1)-magnitude
+    * ratios are rounded (4 dp); the raw moments stay full-precision so
+    * cross-engine summation-order noise cannot reach the rounded
+    * digits. */
+  def p7OlsSegment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        covar_samp($"c_acctbal", $"o_totalprice").as("cxy"),
+        var_samp($"c_acctbal").as("vx"),
+        var_samp($"o_totalprice").as("vy"),
+        avg($"c_acctbal").as("mx"),
+        avg($"o_totalprice").as("my"))
+      .select($"c_mktsegment", $"n",
+        round($"cxy" / $"vx", 4).as("slope"),
+        round($"my" - ($"cxy" / $"vx") * $"mx", 4).as("intercept"),
+        round($"cxy" * $"cxy" / ($"vx" * $"vy"), 4).as("r2"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_ols_segment" -> p7OlsSegment,
     "p6_pca_whiten" -> p6PcaWhiten,
     "p1_colstats" -> p1ColStats,
     "p2_covariance" -> p2Covariance,
@@ -143,6 +173,15 @@ object PcaQueries {
        FROM embeddings"""
 
   val oracle: Map[String, String] = Map(
+    "p7_ols_segment" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(covar_samp(c_acctbal, o_totalprice) / var_samp(c_acctbal), 4) AS slope,
+           round(avg(o_totalprice) - (covar_samp(c_acctbal, o_totalprice)
+             / var_samp(c_acctbal)) * avg(c_acctbal), 4) AS intercept,
+           round(covar_samp(c_acctbal, o_totalprice) * covar_samp(c_acctbal, o_totalprice)
+             / (var_samp(c_acctbal) * var_samp(o_totalprice)), 4) AS r2
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // the whitening identity predicts the constant exactly: unit
     // variance in every whitened component
     "p6_pca_whiten" ->

@@ -194,6 +194,40 @@ class PCASpec extends AnyFunSuite {
     }
   }
 
+  test("p7 grouped OLS matches a driver-side normal-equations replay") {
+    import org.apache.spark.sql.functions._
+    val joined = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .join(graft.sources.Tables.customer(spark, TestSpark.sf),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "c_acctbal", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def rnd4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = joined.groupBy(_._1).map { case (seg, rows) =>
+      val n = rows.length.toDouble
+      val (xs, ys) = (rows.map(_._2), rows.map(_._3))
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum / (n - 1)
+      val vy = ys.map(y => (y - my) * (y - my)).sum / (n - 1)
+      seg -> (rows.length.toLong, cxy / vx, my - cxy / vx * mx,
+        cxy * cxy / (vx * vy))
+    }
+    val got = graft.operators.PcaQueries.p7OlsSegment(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (seg, (n, sl, ic, r2)) =>
+      val (gn, gsl, gic, gr2) = got(seg)
+      assert(gn == n, seg)
+      // replay uses a different summation order than the distributed
+      // pass — compare at 1e-3 absolute, well inside the 4-dp rounding
+      assert(math.abs(gsl - sl) < 1e-3, s"$seg slope $gsl vs $sl")
+      assert(math.abs(gic - ic) < 1e-3, s"$seg intercept $gic vs $ic")
+      assert(math.abs(gr2 - r2) < 1e-3 && gr2 >= 0 && gr2 <= 1, seg)
+    }
+  }
+
   test("model persistence round-trip (PCASuite.scala:192-206)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
     val model = new GraftPCAModel("pca_test",
