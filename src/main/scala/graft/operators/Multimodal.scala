@@ -99,12 +99,69 @@ object Multimodal {
       .orderBy($"n_channels")
   }
 
+  /** Byte budget per media shard (m4). Fixture payloads are ~300-byte
+    * text blobs, so ~12–14 pack per shard — the overflow boundary is
+    * exercised; production would use the object-store part size. */
+  val shardBudget = 4096L
+
+  /** D56: modality-aware shard packing — bin media blobs into
+    * byte-budgeted shards per modality and emit the shard manifest
+    * (modality, shard_id, n_blobs, total_bytes). This is the c3
+    * sequence-packing fold ([[Pipeline.packFold]]) applied to BYTES
+    * instead of tokens: same `groupByKey(modality).flatMapSortedGroups`
+    * secondary-sort shape (streaming fold, O(1) state, no group
+    * buffering), same recursive-CTE oracle. Payload bytes never
+    * shuffle — only (bucket, doc_id, n_bytes) triples; a production
+    * writer would fetch blobs shard-locally at write time. */
+  def m4ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = withPayload(spark, dir)
+      .select(pmod($"doc_id", lit(3)).cast("long").as("bucket"), $"doc_id",
+        octet_length($"payload").cast("long").as("toks"))
+      .as[PackDoc]
+    blobs.groupByKey(_.bucket)
+      .flatMapSortedGroups($"doc_id") { (_: Long, it: Iterator[PackDoc]) =>
+        Pipeline.packFold(it, shardBudget)
+      }
+      .toDF()
+      .groupBy($"bucket", $"seq_id".as("shard_id"))
+      .agg(count(lit(1)).as("n_blobs"), sum($"toks").as("total_bytes"))
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"bucket" + 1).cast("int")).as("modality"),
+        $"shard_id", $"n_blobs", $"total_bytes")
+      .orderBy($"modality", $"shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4_shard_manifest" -> m4ShardManifest,
     "m1_blob_meta" -> m1BlobMeta,
     "m2_frame_sample" -> m2FrameSample,
     "m3_decode_features" -> m3DecodeFeatures)
 
   val oracle: Map[String, String] = Map(
+    "m4_shard_manifest" ->
+      s"""WITH RECURSIVE d AS (
+            SELECT doc_id % 3 AS bucket, doc_id,
+              CAST(strlen(text) AS BIGINT) AS nb,
+              row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) AS rn
+            FROM documents),
+          r AS (
+            SELECT bucket, doc_id, nb, rn,
+              CAST(0 AS BIGINT) AS shard_id, nb AS fill
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.bucket, d.doc_id, d.nb, d.rn,
+              CASE WHEN r.fill + d.nb > $shardBudget
+                   THEN r.shard_id + 1 ELSE r.shard_id END,
+              CASE WHEN r.fill + d.nb > $shardBudget
+                   THEN d.nb ELSE r.fill + d.nb END
+            FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+          SELECT CASE bucket WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS modality,
+            shard_id, CAST(count(*) AS BIGINT) AS n_blobs,
+            sum(nb) AS total_bytes
+          FROM r GROUP BY 1, 2 ORDER BY modality, shard_id""",
     "m1_blob_meta" ->
       """SELECT doc_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -62,6 +62,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m4 shard manifest: lossless, budget-respected, modality-pure") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+    val rows = graft.operators.Multimodal.m4ShardManifest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq("audio", "image", "video"))
+    // lossless: blob counts and bytes reconcile with the corpus
+    assert(rows.map(_._3).sum == docs.length.toLong)
+    assert(rows.map(_._4).sum == docs.map(_._2).sum)
+    // budget: a shard exceeds it only as a single oversized blob
+    rows.foreach { case (m, s, n, b) =>
+      assert(b <= graft.operators.Multimodal.shardBudget || n == 1,
+        s"shard ($m, $s) overfilled: $b bytes over $n blobs")
+    }
+    // shard ids are dense from 0 within each modality
+    rows.groupBy(_._1).foreach { case (m, ss) =>
+      assert(ss.map(_._2).sorted.toSeq == (0L until ss.length).toSeq, m)
+    }
+  }
+
   test("c4 chunking: count formula, full-width bodies, stride overlap, coverage") {
     val s0 = spark
     import s0.implicits._
