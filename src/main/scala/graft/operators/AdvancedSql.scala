@@ -393,11 +393,14 @@ object AdvancedSql {
     * inequality-join formulation it replaces cannot partition at all. */
   def q40ActiveIntervals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val span = Tables.orders(spark, dir).as("o")
-      .join(Tables.lineitem(spark, dir).as("l"),
-        $"o.o_orderkey" === $"l.l_orderkey")
-      .groupBy($"o.o_orderkey", $"o.o_orderdate")
-      .agg(max($"l.l_shipdate").as("end_ts"))
+    // pre-aggregate the fact side BEFORE the join: the partial max
+    // shrinks lineitem to one row per order map-side, so the join
+    // moves |orders| rows, not |lineitem|
+    val lastShip = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(max($"l_shipdate").as("end_ts"))
+    val span = Tables.orders(spark, dir)
+      .join(lastShip, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderdate", $"end_ts")
     // clamp: a malformed interval (ship before order) still covers its
     // start week instead of crashing sequence() with a negative span
     span.select(explode(sequence(

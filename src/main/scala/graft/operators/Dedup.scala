@@ -147,13 +147,21 @@ object Dedup {
       (0 until numHashes).map(i => col(s"sig$i")) ++: bandCols: _*)
   }
 
+  /** (doc_id, band_idx, band_hash) bucket rows from a signature frame
+    * — the LSH index that both the pair join (d4/d5) and the
+    * incremental probe (d11) hang off. */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    withBands(sigs).select($"doc_id",
+      posexplode(array((0 until numBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_hash")))
+  }
+
   /** LSH candidate (doc_a < doc_b) pairs from a signature frame. The
     * caller persists `sigs` when it is consumed more than once. */
   private def candidates(sigs: DataFrame): DataFrame = {
     import sigs.sparkSession.implicits._
-    val bands = withBands(sigs).select($"doc_id",
-      posexplode(array((0 until numBands).map(b => col(s"band$b")): _*))
-        .as(Seq("band_idx", "band_hash")))
+    val bands = bandRows(sigs)
     // cap pathological buckets (skew guard; none expected on this corpus)
     val bucketOk = bands.groupBy($"band_idx", $"band_hash")
       .agg(count(lit(1)).as("bucket_size"))
@@ -316,6 +324,57 @@ object Dedup {
       .orderBy($"train_id")
   }
 
+  /** Incoming-batch modulus for [[d11IncrementalDedup]] — doc_id %
+    * [[ingestModulus]] == 0 plays the "newly arrived" batch, the rest
+    * the already-ingested corpus. */
+  val ingestModulus = 5
+
+  /** D18-extension: INCREMENTAL ingest dedup — classify each incoming
+    * document against the existing corpus WITHOUT re-deduping the
+    * corpus itself: `exact_dup` if its normalized-text hash already
+    * exists, else `near_dup` if any of its LSH band buckets is already
+    * occupied (the d4 banding as a persistent index probe), else
+    * `new`.
+    *
+    * Scale shape: this is the production steady-state of d1/d4 — the
+    * O(corpus) work happened at index-build time; per batch, both
+    * probes are semi-joins of |batch| keys against key-only index
+    * tables (hash → ids never widen, no text moves), so daily ingest
+    * costs O(batch), not O(corpus). Verdict precedence exact > near
+    * mirrors the cheap-check-first cascade a real pipeline runs. */
+  def d11IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("ch"))
+    incrementalVerdicts(hashes, bandRows(sharedSigs(spark, dir)._2))
+  }
+
+  /** Core of d11 over prebuilt index frames: `hashes` = (doc_id, ch),
+    * `buckets` = (doc_id, band_idx, band_hash); the incoming batch is
+    * doc_id % [[ingestModulus]] == 0. Extracted so the spec can inject
+    * synthetic exact duplicates (the fixture corpus has none). */
+  private[graft] def incrementalVerdicts(hashes: DataFrame,
+      buckets: DataFrame): DataFrame = {
+    import hashes.sparkSession.implicits._
+    val isNew = col("doc_id") % ingestModulus === 0
+    val exactHit = hashes.filter(isNew)
+      .join(hashes.filter(!isNew).select($"ch").distinct(), Seq("ch"), "left_semi")
+      .select($"doc_id").withColumn("is_exact", lit(true))
+    val nearHit = buckets.filter(isNew)
+      .join(buckets.filter(!isNew).select($"band_idx", $"band_hash").distinct(),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .select($"doc_id").distinct().withColumn("is_near", lit(true))
+    hashes.filter(isNew).select($"doc_id")
+      .join(exactHit, Seq("doc_id"), "left")
+      .join(nearHit, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"is_exact", "exact_dup")
+          .when($"is_near", "near_dup")
+          .otherwise("new").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
   /** Iteration cap for [[d8Components]] label propagation — generous:
     * rounds needed = max component diameter, and near-dup clusters are
     * small, dense clumps (diameter ≤ a few hops). */
@@ -428,6 +487,7 @@ object Dedup {
     "d6_simhash" -> d6Simhash,
     "d7_decontaminate" -> d7Decontaminate,
     "d10_bloom_decontaminate" -> d10BloomDecontaminate,
+    "d11_incremental_dedup" -> d11IncrementalDedup,
     "d8_components" -> d8Components)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
@@ -484,6 +544,29 @@ object Dedup {
                WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) >= 0.5)"""
 
   val oracle: Map[String, String] = Map(
+    "d11_incremental_dedup" ->
+      s"""$candCte,
+          ch AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS ch
+            FROM documents),
+          ex AS (SELECT n.doc_id FROM ch n
+                 WHERE n.doc_id % $ingestModulus = 0 AND EXISTS (
+                   SELECT 1 FROM ch o
+                   WHERE o.doc_id % $ingestModulus <> 0 AND o.ch = n.ch)),
+          nr AS (SELECT DISTINCT a.doc_id FROM bucket a
+                 WHERE a.doc_id % $ingestModulus = 0 AND EXISTS (
+                   SELECT 1 FROM bucket b
+                   WHERE b.doc_id % $ingestModulus <> 0
+                     AND b.band_idx = a.band_idx
+                     AND b.band_hash = a.band_hash))
+          SELECT d.doc_id,
+            CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                 WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                 ELSE 'new' END AS verdict
+          FROM (SELECT doc_id FROM documents WHERE doc_id % $ingestModulus = 0) d
+          LEFT JOIN ex e ON d.doc_id = e.doc_id
+          LEFT JOIN nr n ON d.doc_id = n.doc_id
+          ORDER BY d.doc_id""",
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
          min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies

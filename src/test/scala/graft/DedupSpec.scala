@@ -159,6 +159,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d11 verdict cascade: exact beats near beats new, on synthetic ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ids ≡ 0 (mod 5) are "incoming": 10 = exact copy of old 11;
+    // 20 = near-dup of old 21 (one word changed); 30 = genuinely new
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (10L, base), (11L, base),
+      (20L, base.replace("kappa", "lambda")), (21L, base),
+      (30L, "completely different text with none of the shared words at all " * 3))
+      .toDF("doc_id", "text")
+    val hashes = docs.select($"doc_id",
+      md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("ch"))
+    val buckets = Dedup.bandRows(Dedup.signaturesOf(
+      docs.select($"doc_id", explode(Dedup.shingles($"text")).as("s")).distinct()))
+    val got = Dedup.incrementalVerdicts(hashes, buckets).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "exact_dup", 20L -> "near_dup", 30L -> "new"))
+  }
+
   test("identical documents collapse to one exact-dedup group") {
     import spark.implicits._
     val df = Seq((1L, "Same  Text here"), (2L, "same text HERE"), (3L, "other"))
