@@ -464,7 +464,64 @@ object AdvancedSql {
       .orderBy($"bucket_id")
   }
 
+  /** q43 share threshold, in basis points of total revenue (integer so
+    * the comparison is exact cross-engine: keep parts with
+    * value_cents · 10⁴ > [[q43ShareBp]] · total_cents). */
+  val q43ShareBp = 2L
+
+  /** D58: global-threshold filter (TPC-H Q11 shape) — parts whose
+    * revenue exceeds a fixed share of TOTAL revenue. The classic
+    * scalar-subquery-in-HAVING pattern: one partial-aggregated shuffle
+    * builds per-part revenue; the global total is a second aggregate
+    * over that (already part-sized) frame — a single scalar to the
+    * driver, no second scan of the fact table. Revenue is integer
+    * cents (floor(price·(1−disc)·100)), so per-part sums, the total
+    * and the share comparison are all exact integer arithmetic —
+    * threshold-boundary membership cannot flip on float summation
+    * order. */
+  def q43ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perPart = Tables.lineitem(spark, dir)
+      .select($"l_partkey",
+        floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * lit(100.0))
+          .cast("long").as("cents"))
+      .groupBy($"l_partkey")
+      .agg(sum($"cents").as("value_cents"))
+    val total = perPart.agg(sum($"value_cents")).head().getLong(0)
+    perPart.filter($"value_cents" * lit(10000L) > lit(q43ShareBp * total))
+      .orderBy($"value_cents".desc, $"l_partkey")
+  }
+
+  /** D59: quantile binning (feature discretization) — bucket every
+    * lineitem into its global price quartile and roll up per bin. The
+    * quartile boundaries are EXACT percentiles collected to the driver
+    * (3 doubles) and folded into the bucket CASE as literals — the
+    * broadcast-boundaries shape; at 100 TB the boundary pre-pass is
+    * q38's two-phase histogram+refinement rather than the built-in
+    * buffering `percentile`, with the binning pass unchanged.
+    * Interpolation is bit-identical to `quantile_cont` (q22/q38
+    * precedent), so bin membership is deterministic cross-engine. */
+  def q44QuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val bs = li.agg(percentile($"l_extendedprice",
+        array(lit(0.25), lit(0.5), lit(0.75))))
+      .head().getSeq[Double](0)
+    val bucket = when($"l_extendedprice" <= bs(0), "p00_25")
+      .when($"l_extendedprice" <= bs(1), "p25_50")
+      .when($"l_extendedprice" <= bs(2), "p50_75")
+      .otherwise("p75_100")
+    li.groupBy(bucket.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_extendedprice"), 0).as("sum_price"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_important_parts" -> q43ImportantParts,
+    "q44_quantile_bins" -> q44QuantileBins,
     "q40_active_intervals" -> q40ActiveIntervals,
     "q41_quality_audit" -> q41QualityAudit,
     "q42_histogram" -> q42Histogram,
@@ -508,6 +565,30 @@ object AdvancedSql {
         ${strOf(s"max($valueExpr)")} AS max_s FROM orders"""
 
   val oracle: Map[String, String] = Map(
+    "q43_important_parts" ->
+      s"""WITH pp AS (SELECT l_partkey,
+              sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+                AS BIGINT)) AS value_cents
+            FROM lineitem GROUP BY l_partkey)
+          SELECT l_partkey, value_cents FROM pp
+          WHERE value_cents * 10000 >
+            $q43ShareBp * (SELECT sum(value_cents) FROM pp)
+          ORDER BY value_cents DESC, l_partkey""",
+    "q44_quantile_bins" ->
+      """WITH b AS (SELECT
+              quantile_cont(l_extendedprice, 0.25) AS b1,
+              quantile_cont(l_extendedprice, 0.50) AS b2,
+              quantile_cont(l_extendedprice, 0.75) AS b3
+            FROM lineitem)
+          SELECT CASE WHEN l_extendedprice <= b1 THEN 'p00_25'
+                      WHEN l_extendedprice <= b2 THEN 'p25_50'
+                      WHEN l_extendedprice <= b3 THEN 'p50_75'
+                      ELSE 'p75_100' END AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            round(sum(l_extendedprice), 0) AS sum_price,
+            min(l_extendedprice) AS min_price,
+            max(l_extendedprice) AS max_price
+          FROM lineitem, b GROUP BY 1 ORDER BY bin""",
     "q40_active_intervals" ->
       """WITH span AS (SELECT o.o_orderkey, o.o_orderdate,
               max(l.l_shipdate) AS end_ts

@@ -11,6 +11,39 @@ import graft.sources.Tables
 class AdvancedSqlSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q43 exceeds-share set matches an integer-cents driver replay") {
+    import graft.operators.AdvancedSql.q43ShareBp
+    val cents = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(1) * (1.0 - r.getDouble(2)) * 100.0).toLong)
+    val perPart = cents.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = perPart.values.sum
+    val expect = perPart.filter { case (_, v) => v * 10000L > q43ShareBp * total }
+    val got = AdvancedSql.q43ImportantParts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q44 quartile bins partition the table with consistent edges") {
+    val prices = Tables.lineitem(spark, sf)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    def q(p: Double): Double = {
+      val k = p * (prices.length - 1)
+      val (lo, hi) = (prices(math.floor(k).toInt), prices(math.ceil(k).toInt))
+      lo + (k - math.floor(k)) * (hi - lo)
+    }
+    val rows = AdvancedSql.q44QuantileBins(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("p00_25", "p25_50", "p50_75", "p75_100"))
+    assert(rows.map(_.getLong(1)).sum == prices.length.toLong)
+    val byBin = rows.map(r => r.getString(0) -> r).toMap
+    assert(byBin("p00_25").getAs[Double]("max_price") <= q(0.25))
+    assert(byBin("p25_50").getAs[Double]("min_price") > q(0.25))
+    assert(byBin("p75_100").getAs[Double]("min_price") > q(0.75))
+    assert(byBin("p75_100").getAs[Double]("max_price") == prices.last)
+  }
+
   test("q40 active intervals match a driver-side week expansion") {
     import spark.implicits._
     // driver replay with java.time; Spark date_trunc('week') = Monday 00:00
