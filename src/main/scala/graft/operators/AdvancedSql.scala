@@ -519,7 +519,30 @@ object AdvancedSql {
       .orderBy($"bin")
   }
 
+  /** D60: weekly cohort retention — assign every user to the week of
+    * their first event (cohort), then count how many of each cohort
+    * were active 0, 1, 2, … weeks later. The canonical product-
+    * analytics rollup, and a two-aggregate plan: first-activity per
+    * user (partial-agg min), distinct (user, week) activity, one
+    * co-partitioned join on user_id, then a count-distinct rollup per
+    * (cohort, offset). Week offsets are integer day-diffs of
+    * week-truncated timestamps ÷ 7 — exact in both engines. */
+  def q45CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+    val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset",
+        (datediff($"wk".cast("date"), $"cohort_week".cast("date")) / 7).cast("int"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_cohort_retention" -> q45CohortRetention,
     "q43_important_parts" -> q43ImportantParts,
     "q44_quantile_bins" -> q44QuantileBins,
     "q40_active_intervals" -> q40ActiveIntervals,
@@ -565,6 +588,15 @@ object AdvancedSql {
         ${strOf(s"max($valueExpr)")} AS max_s FROM orders"""
 
   val oracle: Map[String, String] = Map(
+    "q45_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events),
+          c AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY user_id)
+          SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+            CAST(date_diff('day', c.cohort_week, a.wk) // 7 AS INT) AS week_offset,
+            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+          FROM a JOIN c ON a.user_id = c.user_id
+          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q43_important_parts" ->
       s"""WITH pp AS (SELECT l_partkey,
               sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
