@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * excluded from the per-query map, but the total is charged a 9999s
   * penalty per failure so a regression-to-failure can never LOWER the
   * reported total. One JSON line on stdout, as the driver expects.
+  *
+  * Load hardening (round 7 — see BENCH_NOTES.md): the driver box is
+  * shared and round 6's medians came back 4–10× inflated. Three
+  * defenses: (a) a fixed-cost CALIBRATION query timed before and after
+  * the suite, with the ratio reported as `"calib_drift"` — a reader can
+  * tell whether the box got loaded mid-suite; (b) any query whose
+  * spread exceeds 50% of its median is re-sampled once and the tighter
+  * sample kept; (c) per-query MIN is reported alongside the median in
+  * bench_detail.json (min is far more load-robust than median).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,25 +54,51 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : IndexedSeq[Double] =
+      (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        run(fn)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+    def spreadOf(ts: IndexedSeq[Double]): Double = {
+      val med = ts(ts.length / 2)
+      if (med > 0) (ts.last - ts.head) / med else 0.0
+    }
+    // fixed-cost calibration: full scan + aggregate of the largest
+    // fixture table; its before/after drift exposes mid-suite box load
+    val calibFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => graft.sources.Tables.lineitem(s, dir)
+        .agg(org.apache.spark.sql.functions.count(
+               org.apache.spark.sql.functions.lit(1)),
+             org.apache.spark.sql.functions.sum(
+               org.apache.spark.sql.functions.col("l_extendedprice")))
+    run(calibFn) // warm
+    val calibBefore = sample(calibFn)(repeats / 2)
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         run(fn) // per-query warmup, untimed
-        val times = (1 to repeats).map { _ =>
-          val t0 = System.nanoTime()
-          run(fn)
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        val med = times(times.length / 2)
-        medians(name) = med
-        spreads(name) = if (med > 0) (times.last - times.head) / med else 0.0
+        var times = sample(fn)
+        if (spreadOf(times) > 0.5) {
+          // noisy sample: re-measure once, keep the tighter of the two
+          val retry = sample(fn)
+          if (spreadOf(retry) < spreadOf(times)) times = retry
+        }
+        medians(name) = times(times.length / 2)
+        mins(name) = times.head
+        spreads(name) = spreadOf(times)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name
       }
     }
+    val calibAfter = sample(calibFn)(repeats / 2)
+    val calibDrift = if (calibBefore > 0) calibAfter / calibBefore else 1.0
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -85,9 +120,13 @@ object Bench {
       "short-code collision in bench query names")
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${jmap(shortMedians)},"repeats":$repeats,""" +
+      s""""calib_drift":${num(calibDrift)},""" +
       s""""failed":$failedJson,"sf":"$sfName"}"""
     val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""queries":${jmap(medians)},"spread":${jmap(spreads)},""" +
+      s""""queries":${jmap(medians)},"queries_min":${jmap(mins)},""" +
+      s""""spread":${jmap(spreads)},""" +
+      s""""calib_before":${num(calibBefore)},"calib_after":${num(calibAfter)},""" +
+      s""""calib_drift":${num(calibDrift)},""" +
       s""""repeats":$repeats,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

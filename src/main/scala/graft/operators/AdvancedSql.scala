@@ -471,12 +471,16 @@ object AdvancedSql {
 
   /** D58: global-threshold filter (TPC-H Q11 shape) — parts whose
     * revenue exceeds a fixed share of TOTAL revenue. The classic
-    * scalar-subquery-in-HAVING pattern: one partial-aggregated shuffle
-    * builds per-part revenue; the global total is a second aggregate
-    * over that (already part-sized) frame — a single scalar to the
-    * driver, no second scan of the fact table. Revenue is integer
-    * cents (floor(price·(1−disc)·100)), so per-part sums, the total
-    * and the share comparison are all exact integer arithmetic —
+    * scalar-subquery-in-HAVING pattern, kept fully declarative: one
+    * partial-aggregated shuffle builds per-part revenue; the global
+    * total is a second aggregate over that (already part-sized) frame,
+    * broadcast back as a one-row cross join. Both consumers of the
+    * per-part aggregate share the SAME shuffle exchange (ReuseExchange
+    * — PlanSpec guards exactly one lineitem scan in the plan), so the
+    * fact table is scanned once; an empty table yields an empty result
+    * rather than a null-total failure. Revenue is integer cents
+    * (floor(price·(1−disc)·100)), so per-part sums, the total and the
+    * share comparison are all exact integer arithmetic —
     * threshold-boundary membership cannot flip on float summation
     * order. */
   def q43ImportantParts(spark: SparkSession, dir: String): DataFrame = {
@@ -487,8 +491,10 @@ object AdvancedSql {
           .cast("long").as("cents"))
       .groupBy($"l_partkey")
       .agg(sum($"cents").as("value_cents"))
-    val total = perPart.agg(sum($"value_cents")).head().getLong(0)
-    perPart.filter($"value_cents" * lit(10000L) > lit(q43ShareBp * total))
+    val total = perPart.agg(sum($"value_cents").as("total_cents"))
+    perPart.join(broadcast(total))
+      .filter($"value_cents" * lit(10000L) > lit(q43ShareBp) * $"total_cents")
+      .select($"l_partkey", $"value_cents")
       .orderBy($"value_cents".desc, $"l_partkey")
   }
 
@@ -599,8 +605,8 @@ object AdvancedSql {
           GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q43_important_parts" ->
       s"""WITH pp AS (SELECT l_partkey,
-              sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
-                AS BIGINT)) AS value_cents
+              CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+                AS BIGINT)) AS BIGINT) AS value_cents
             FROM lineitem GROUP BY l_partkey)
           SELECT l_partkey, value_cents FROM pp
           WHERE value_cents * 10000 >

@@ -160,7 +160,7 @@ object Multimodal {
           SELECT CASE bucket WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                  ELSE 'video' END AS modality,
             shard_id, CAST(count(*) AS BIGINT) AS n_blobs,
-            sum(nb) AS total_bytes
+            CAST(sum(nb) AS BIGINT) AS total_bytes
           FROM r GROUP BY 1, 2 ORDER BY modality, shard_id""",
     "m1_blob_meta" ->
       """SELECT doc_id,
@@ -173,7 +173,8 @@ object Multimodal {
            FROM documents WHERE doc_id % 3 = 2)
          SELECT doc_id, n_frames,
            CAST(len(generate_series(0, (n_frames - 1) * 256, 1024)) AS INT) AS n_sampled,
-           list_extract(generate_series(0, (n_frames - 1) * 256, 1024), -1) AS last_offset
+           CAST(list_extract(generate_series(0, (n_frames - 1) * 256, 1024), -1)
+             AS INT) AS last_offset
          FROM f WHERE n_frames > 0 ORDER BY doc_id""",
     "m3_decode_features" ->
       """WITH d AS (SELECT doc_id,

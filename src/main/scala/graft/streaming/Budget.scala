@@ -51,6 +51,16 @@ object Budget {
   /** Alert granularity: one tier per 100.00 of cumulative spend. */
   val tierCents = 10000L
 
+  /** FLOOR integer division (exact, pmod-based — no double round-trip):
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+    * for negative cumulative spend (refund-heavy users) they disagree on
+    * the tier. Tier semantics are pinned to FLOOR on every side (batch,
+    * stream via `Math.floorDiv`, oracle `//`): a user refunded below 0
+    * sits in tier −1 and re-crossing tier boundaries upward after a
+    * refund re-alerts — deterministic, engine-independent. */
+  private def floorDiv(e: String, d: Long): String =
+    s"(($e) - pmod($e, ${d}L)) div ${d}L"
+
   // ---- batch twin (declarative; this is what the oracle checks) ----
 
   /** Threshold crossings over a batch events frame. */
@@ -61,16 +71,18 @@ object Budget {
     events
       .withColumn("cents", floor(col("value") * 100).cast("long"))
       .withColumn("cum_cents", sum(col("cents")).over(w))
-      .filter(expr(s"cum_cents div $tierCents") >
-        expr(s"(cum_cents - cents) div $tierCents"))
+      .filter(expr(floorDiv("cum_cents", tierCents)) >
+        expr(floorDiv("cum_cents - cents", tierCents)))
       .select(col("user_id"), col("event_id"), col("ts"), col("cum_cents"),
-        expr(s"cum_cents div $tierCents").cast("int").as("tier"))
+        expr(floorDiv("cum_cents", tierCents)).cast("int").as("tier"))
   }
 
   def e9BudgetAlerts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // event_id makes the sort total: a refund can re-cross the same
+    // boundary, producing duplicate (user_id, cum_cents) pairs.
     budgetAlerts(Tables.events(spark, dir))
-      .orderBy($"user_id", $"cum_cents")
+      .orderBy($"user_id", $"cum_cents", $"event_id")
   }
 
   // ---- streaming variant (custom state) ----
@@ -108,9 +120,10 @@ object Budget {
     val alerts = ready.flatMap { p =>
       val before = cum
       cum += p.cents
-      if (cum / tierCents > before / tierCents)
+      // floorDiv, not /: tier semantics are FLOOR (see floorDiv above)
+      if (Math.floorDiv(cum, tierCents) > Math.floorDiv(before, tierCents))
         Some(BudgetAlert(userId, p.eventId, new Timestamp(p.tsMs), cum,
-          (cum / tierCents).toInt))
+          Math.floorDiv(cum, tierCents).toInt))
       else None
     }
     if (open.isEmpty && alerts.isEmpty && ready.isEmpty) state.remove()
@@ -129,12 +142,13 @@ object Budget {
       s"""WITH c AS (SELECT user_id, event_id, ts,
               CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
           r AS (SELECT user_id, event_id, ts, cents,
-              sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+              CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_cents
             FROM c)
           SELECT user_id, event_id, ts, cum_cents,
             CAST(cum_cents // $tierCents AS INT) AS tier
           FROM r
           WHERE cum_cents // $tierCents > (cum_cents - cents) // $tierCents
-          ORDER BY user_id, cum_cents""")
+          ORDER BY user_id, cum_cents, event_id""")
 }

@@ -25,6 +25,27 @@ class AdvancedSqlSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("q45 cohorts: week-0 complete, offsets nonnegative, retention <= cohort size") {
+    val rows = AdvancedSql.q45CohortRetention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    // every user is active in their own cohort week, so offset 0 exists
+    // for every cohort and is that cohort's max (a user can't be
+    // retained who was never acquired)
+    byCohort.foreach { case (wk, rs) =>
+      val week0 = rs.find(_._2 == 0)
+      assert(week0.isDefined, s"cohort $wk has no week-0 row")
+      assert(rs.forall(_._2 >= 0), s"cohort $wk has a negative offset")
+      assert(rs.forall(_._3 <= week0.get._3),
+        s"cohort $wk retains more users than it acquired")
+    }
+    // cohort sizes cover the whole user base exactly once
+    val totalUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == totalUsers)
+  }
+
   test("q44 quartile bins partition the table with consistent edges") {
     val prices = Tables.lineitem(spark, sf)
       .select("l_extendedprice").collect().map(_.getDouble(0)).sorted

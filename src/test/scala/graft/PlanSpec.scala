@@ -95,6 +95,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), "multi-distinct lost the Expand plan")
   }
 
+  test("q43 scans lineitem ONCE (total reuses the per-part exchange)") {
+    // the global total is a second aggregate over the per-part frame;
+    // both consumers must share the same shuffle exchange, or the fact
+    // table is scanned and aggregated twice (a full extra pass at
+    // 100 TB). AQE dedupes identical stages at materialization, so the
+    // guard reads the FINAL adaptive plan after execution.
+    val df = SparkEntry.queries("q43_important_parts")(spark, sf)
+    df.collect()
+    // toString includes the pre-AQE "Initial Plan" section — count only
+    // the final (current) plan above it
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"per-part aggregate exchange not reused by the total branch:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"q43 executed $scans lineitem scans, expected 1")
+  }
+
   test("g1's top-20 is a distributed TakeOrdered, not a global sort") {
     val p = plan("g1_pagerank")
     assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
@@ -181,12 +198,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no registered query plans a pairwise join, except the bounded-by-design set") {
-    // s1/s7 broadcast a ≤5-row query set against the corpus and s3 is
-    // explicitly id-bounded — those replicate a BOUNDED side by
-    // design. Everything else must stay an equi/semi/anti join: a
-    // CartesianProduct or BroadcastNestedLoopJoin anywhere else is a
-    // corpus×corpus scale bug, whatever query it sneaks into.
-    val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq")
+    // s1/s7 broadcast a ≤5-row query set against the corpus, s3 is
+    // explicitly id-bounded, and q43 cross-joins a ONE-row global-total
+    // aggregate — those replicate a BOUNDED side by design. Everything
+    // else must stay an equi/semi/anti join: a CartesianProduct or
+    // BroadcastNestedLoopJoin anywhere else is a corpus×corpus scale
+    // bug, whatever query it sneaks into.
+    val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq",
+      "q43_important_parts")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!boundedByDesign(name)) {
         val p = fn(spark, sf).queryExecution.explainString(FormattedMode)

@@ -432,6 +432,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("budget refunds: floor-division tiers, re-crossings, and duplicate cum_cents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // tier semantics are FLOOR (like DuckDB's //), not truncate-toward-
+    // zero: rising from a refunded NEGATIVE balance to +10.00 crosses
+    // tier 0 (floor(-7000/10000) = -1 < 0 = floor(1000/10000)); a
+    // truncating div says 0 both sides and misses the alert. And the
+    // tier-1 re-crossing after the first refund duplicates cum_cents
+    // 11000 across two alerts — only (user, cum_cents, event_id) is a
+    // total order.
+    val spend = Seq(
+      Ev(1, t(0), 1, "purchase", 110.0),   // cum 11000  -> tier 1 alert
+      Ev(2, t(10), 1, "refund", -30.0),    // cum  8000  (down, no alert)
+      Ev(3, t(20), 1, "purchase", 30.0),   // cum 11000  -> tier 1 again
+      Ev(4, t(30), 1, "refund", -180.0),   // cum -7000  (tier -1, down)
+      Ev(5, t(40), 1, "purchase", 80.0))   // cum  1000  -> tier 0 alert
+    val batch = streaming.Budget.budgetAlerts(spend.toDF())
+      .orderBy($"user_id", $"cum_cents", $"event_id")
+      .select($"event_id", $"cum_cents", $"tier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(batch == Seq((5L, 1000L, 0), (1L, 11000L, 1), (3L, 11000L, 1)),
+      s"batch floor-tier semantics wrong: $batch")
+
+    val mem = MemoryStream[Ev]
+    val q = streaming.Budget.budgetAlertStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("budget3")
+      .outputMode("append").start()
+    try {
+      mem.addData(spend: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(10000), 99, "purchase", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("budget3").filter($"user_id" < 99)
+        .orderBy($"user_id", $"cum_cents", $"event_id")
+        .select($"event_id", $"cum_cents", $"tier").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(got == batch, s"stream diverged from batch twin: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("budget state carries the running total across micro-batches, re-sorting late arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

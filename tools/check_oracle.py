@@ -58,6 +58,23 @@ def approx_equal(a, b):
     return True
 
 
+def norm_type(t):
+    """Collapse naming/physical-encoding variants that the driver's
+    value hash does NOT distinguish, so the gate only fires on real
+    width/family mismatches (HUGEINT vs BIGINT included)."""
+    t = t.upper()
+    # Spark writes isAdjustedToUTC timestamps; the session TZ is UTC on
+    # both sides, so TIMESTAMP WITH TIME ZONE == TIMESTAMP here.
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return {"INTEGER": "INT", "VARCHAR": "TEXT", "BLOB": "BINARY"}.get(t, t)
+
+
+def col_types(con, sql):
+    return {r[0]: norm_type(r[1])
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -68,18 +85,28 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            ).fetchall()
+            spark_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            got = con.execute(spark_sql).fetchall()
             got_cols = [d[0] for d in con.description]
             exp = con.execute(sql).fetchall()
             exp_cols = [d[0] for d in con.description]
+            got_types = col_types(con, spark_sql)
+            exp_types = col_types(con, f"({sql})")
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # type-parity gate: the driver's hash is TYPE-SENSITIVE, so a
+        # value-exact result with sum()->HUGEINT in the oracle still
+        # ships red. Catch it here.
+        mismatch = {c: (got_types[c], exp_types[c]) for c in got_types
+                    if got_types[c] != exp_types.get(c, got_types[c])}
+        if mismatch:
+            print(f"FAIL {name}: column TYPE mismatch (spark, oracle): {mismatch}")
             n_fail += 1
             continue
         # align column order by sorted name
