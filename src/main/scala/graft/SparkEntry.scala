@@ -14,6 +14,7 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracle),
       (operators.AdvancedSql.queries, operators.AdvancedSql.oracle),
+      (operators.Analytics.queries, operators.Analytics.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Graph.queries, operators.Graph.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),

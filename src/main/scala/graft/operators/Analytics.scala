@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product/behavioral analytics operators (SURVEY.md §2.B11, D61–D64):
+  * slowly-changing-dimension interval builds with point-in-time joins,
+  * bounded-fan-out co-occurrence mining, Markov transition matrices,
+  * and trailing-window distinct counts. All declarative, all
+  * oracle-gated, all shaped so the expensive side stays co-partitioned
+  * on its natural key.
+  */
+object Analytics {
+
+  /** Width of the q46 spend-tier dimension attribute (value // 25). */
+  val scd2TierWidth = 25.0
+
+  /** D61: SCD Type-2 dimension build + point-in-time enrichment.
+    * Each purchase event is a "profile change" for its user: the
+    * change's validity interval is [ts, next purchase ts) — built with
+    * one `lead` window per user, NO self-join — and the current
+    * interval stays open (valid_to NULL). Every non-purchase event is
+    * then point-in-time joined to the interval that was active when it
+    * happened, and the output is one row per dimension version with
+    * its activity count.
+    *
+    * Scale shape: the interval build is a single hash exchange on
+    * user_id + one window pass. The PIT join is an equi-join on
+    * user_id (co-partitioned with the window's exchange) whose range
+    * predicate is a join filter — per-user fan-out is bounded by that
+    * user's version count, never corpus×corpus. Ties are pinned: an
+    * activity at exactly the next version's ts belongs to the NEXT
+    * interval (`>= from AND < to`), and same-ts changes order by
+    * event_id on both engines. */
+  def q46Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"valid_from", $"event_id")
+    val dim = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts".as("valid_from"),
+        floor($"value" / scd2TierWidth).cast("int").as("tier"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+    val act = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id".as("a_user"), $"ts".as("a_ts"))
+    dim.join(act,
+        $"a_user" === $"user_id" && $"a_ts" >= $"valid_from" &&
+          ($"valid_to".isNull || $"a_ts" < $"valid_to"),
+        "left")
+      .groupBy($"user_id", $"event_id", $"valid_from", $"valid_to", $"tier")
+      .agg(count($"a_ts").as("n_activity"))
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  /** D62: market-basket co-occurrence — the top part pairs bought
+    * together in one order. The pair generation is a self-equi-join on
+    * l_orderkey with `part_a < part_b`: fan-out per order is
+    * C(items, 2), bounded by order size (≤7 in TPC-H shape), NEVER a
+    * corpus pairwise join. Pairs partial-aggregate map-side; the
+    * top-20 is a TakeOrdered (no global sort), totally ordered by
+    * (n_orders DESC, part_a, part_b) so boundary ties are
+    * deterministic cross-engine. */
+  def q47Copurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    li.toDF("o", "part_a").join(li.toDF("o", "part_b"), "o")
+      .filter($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
+  /** D63: event-type transition matrix (first-order Markov) — counts
+    * and row-normalized probabilities of `prev → next` event-type
+    * transitions within each user's timeline. One window `lag` per
+    * user (single hash exchange), then a tiny
+    * (#event_types² ≤ dozens of rows) aggregate; the per-prev
+    * normalization is a window over that already-tiny frame. The
+    * probability is rounded to 4 dp on both engines (repo convention
+    * for cross-engine double parity). */
+  def q48Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"prev_type")), 4))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  /** D64: trailing 7-day distinct active users per day. The classic
+    * sliding count-distinct, computed WITHOUT per-window re-dedup or a
+    * range self-join: each distinct (day, user) activity row is
+    * exploded to the ≤7 observation days whose trailing window it
+    * falls in (a bounded ×7 map-side Generate), then one
+    * count-distinct aggregate per observation day. Output is
+    * restricted (semi join) to days that actually occur in the data,
+    * so open-ended windows past the corpus horizon don't appear. */
+  def q49TrailingDau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val du = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val days = du.select($"day".as("obs_day")).distinct()
+    du.withColumn("obs_day",
+        explode(sequence($"day", date_add($"day", 6))))
+      .join(days, Seq("obs_day"), "left_semi")
+      .groupBy($"obs_day")
+      .agg(countDistinct($"user_id").as("dau7"))
+      .orderBy($"obs_day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_scd2" -> q46Scd2,
+    "q47_copurchase" -> q47Copurchase,
+    "q48_transitions" -> q48Transitions,
+    "q49_trailing_dau" -> q49TrailingDau)
+
+  val oracle: Map[String, String] = Map(
+    "q46_scd2" ->
+      """WITH ch AS (SELECT user_id, event_id, ts AS valid_from,
+              CAST(floor(value / 25) AS INT) AS tier
+            FROM events WHERE event_type = 'purchase'),
+          dim AS (SELECT user_id, event_id, valid_from, tier,
+              lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY valid_from, event_id) AS valid_to
+            FROM ch),
+          act AS (SELECT user_id, ts FROM events
+                  WHERE event_type <> 'purchase')
+          SELECT d.user_id, d.event_id, d.valid_from, d.valid_to, d.tier,
+            CAST(count(a.ts) AS BIGINT) AS n_activity
+          FROM dim d LEFT JOIN act a ON a.user_id = d.user_id
+            AND a.ts >= d.valid_from
+            AND (d.valid_to IS NULL OR a.ts < d.valid_to)
+          GROUP BY 1, 2, 3, 4, 5
+          ORDER BY 1, 3, 2""",
+    "q47_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+            CAST(count(*) AS BIGINT) AS n_orders
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+    "q48_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev_type
+            FROM events),
+          c AS (SELECT prev_type, event_type AS next_type,
+              CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+          SELECT prev_type, next_type, n,
+            round(CAST(n AS DOUBLE) /
+              CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
+          FROM c ORDER BY prev_type, next_type""",
+    "q49_trailing_dau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+          days AS (SELECT DISTINCT day FROM du),
+          x AS (SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                  CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                  INTERVAL 1 DAY)) AS DATE) AS obs_day,
+                user_id
+            FROM du)
+          SELECT x.obs_day, CAST(count(DISTINCT x.user_id) AS BIGINT) AS dau7
+          FROM x JOIN days d ON x.obs_day = d.day
+          GROUP BY 1 ORDER BY 1""")
+}

@@ -200,11 +200,41 @@ object Pipeline {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** D65: near-dup-aware train/validation split. A random per-DOCUMENT
+    * split leaks training data into validation whenever two near-dups
+    * land on opposite sides — the canonical eval-contamination bug. The
+    * group-stable rule assigns each whole near-dup COMPONENT to one
+    * split, keyed by a deterministic md5 gate on the component id (the
+    * t7/t12 no-RNG discipline): every member inherits its component's
+    * side, so no near-dup pair ever straddles the boundary
+    * (PipelineSpec pins the invariant). Output is the per-(split, lang)
+    * census with component counts.
+    *
+    * Scale shape: reuses the session-cached component assignment (one
+    * LSH + label-propagation pass shared with d8/c2); the split gate is
+    * a codegen'd md5 projection — no shuffle beyond the census
+    * aggregate. */
+  def c5StableSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = when(
+      conv(substring(md5($"cluster_id".cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 < 8, "train").otherwise("val")
+    Tables.documents(spark, dir).select($"doc_id", $"lang")
+      .join(Dedup.componentAssignment(spark, dir)
+        .select($"doc_id", $"cluster_id"), "doc_id")
+      .withColumn("split", split)
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_components"))
+      .orderBy($"split", $"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_component_dedup" -> c2ComponentDedup,
     "c3_pack_sequences" -> c3PackSequences,
-    "c4_chunk_overlap" -> c4ChunkOverlap)
+    "c4_chunk_overlap" -> c4ChunkOverlap,
+    "c5_stable_split" -> c5StableSplit)
 
   val oracle: Map[String, String] = Map(
     "c1_clean_corpus" ->
@@ -271,5 +301,16 @@ object Pipeline {
                        ORDER BY quality DESC, doc_id) AS rk FROM ok)
           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
             round(sum(quality), 4) AS sum_quality
-          FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""")
+          FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "c5_stable_split" ->
+      s"""${Dedup.componentsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          s AS (SELECT d.doc_id, d.lang, a.cluster_id,
+                  CASE WHEN CAST('0x' ||
+                      substring(md5(CAST(a.cluster_id AS VARCHAR)), 1, 4)
+                      AS BIGINT) % 10 < 8
+                    THEN 'train' ELSE 'val' END AS split
+                FROM documents d JOIN assign a ON d.doc_id = a.doc_id)
+          SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_components
+          FROM s GROUP BY 1, 2 ORDER BY 1, 2""")
 }

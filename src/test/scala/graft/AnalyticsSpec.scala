@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Semantics guards for the D61–D64 behavioral-analytics surface. */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q46 SCD2 intervals tile each user's purchase timeline without overlap") {
+    val rows = Analytics.q46Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, ivs) =>
+      // (valid_from, event_id): the exact order the lead window uses,
+      // so same-ts purchase pairs sort deterministically
+      val sorted = ivs.sortBy(iv => (iv._2.getTime, iv._4))
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.init.forall(_._3.isDefined), s"user $user: open interval not last")
+      assert(sorted.last._3.isEmpty, s"user $user: last interval not open")
+      // each interval closes exactly where the next opens (no gaps/overlap)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"user $user: interval gap/overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q46 activity counts match a brute-force per-event replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.toSeq.flatMap { case (user, es) =>
+      val changes = es.filter(_._4 == "purchase").sortBy(e => (e._2, e._3))
+      val acts = es.filter(_._4 != "purchase").map(_._2)
+      changes.zipWithIndex.map { case (c, i) =>
+        val to = if (i + 1 < changes.length) Some(changes(i + 1)._2) else None
+        val n = acts.count(t => t >= c._2 && to.forall(t < _))
+        (user, c._3) -> n.toLong
+      }
+    }.toMap
+    val got = Analytics.q46Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got == expected)
+  }
+
+  test("q47 pair counts match a driver replay and the output order is total") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairCounts = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expectedTop = pairCounts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    val got = Analytics.q47Copurchase(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSeq
+    assert(got == expectedTop)
+  }
+
+  test("q48 transition rows partition all consecutive event pairs; probs sum to 1") {
+    import spark.implicits._
+    val rows = Analytics.q48Transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // total transition count = sum over users of (events - 1)
+    val perUser = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    assert(rows.map(_._3).sum == perUser.map(_ - 1).sum)
+    // per-prev probabilities sum to ~1 (4-dp rounding tolerance)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-3 * rs.length, s"prev=$prev probs sum to $s")
+    }
+  }
+
+  test("q49 trailing DAU matches a brute 7-day re-dedup per observed day") {
+    import spark.implicits._
+    val du = Tables.events(spark, sf)
+      .select(to_date($"ts").as("day"), $"user_id").distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = du.map(_._1).distinct
+    val expected = days.map { d =>
+      d -> du.filter { case (ad, _) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.size.toLong
+    }.toMap
+    val got = Analytics.q49TrailingDau(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}

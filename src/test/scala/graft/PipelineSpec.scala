@@ -84,6 +84,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("c5 split is component-stable: no near-dup pair straddles train/val") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    // replicate the per-doc gate, then check every component maps to ONE split
+    val perDoc = graft.operators.Dedup.componentAssignment(spark, sf)
+      .select($"doc_id", $"cluster_id")
+      .withColumn("split", when(
+        conv(substring(md5($"cluster_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10 < 8, "train").otherwise("val"))
+    val splitsPerComponent = perDoc.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n")).agg(max($"n")).head().getLong(0)
+    assert(splitsPerComponent == 1L, "a component straddles the split boundary")
+    // census conserves the corpus: n_docs sums to |documents|, and both
+    // splits are non-empty at fixture scale
+    val census = Pipeline.c5StableSplit(spark, sf).collect()
+    assert(census.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    assert(census.map(_.getString(0)).distinct.sorted.toSeq == Seq("train", "val"))
+  }
+
   test("c4 chunking: count formula, full-width bodies, stride overlap, coverage") {
     val s0 = spark
     import s0.implicits._
