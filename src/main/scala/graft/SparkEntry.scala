@@ -22,12 +22,14 @@ object SparkEntry {
       (operators.SparseSim.queries, operators.SparseSim.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.PcaQueries.queries, operators.PcaQueries.oracle),
+      (operators.KMeans.queries, operators.KMeans.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.RangeJoin.queries, operators.RangeJoin.oracle),
       (streaming.EventStreams.queries, streaming.EventStreams.oracle),
       (streaming.Funnel.queries, streaming.Funnel.oracle),
-      (streaming.Budget.queries, streaming.Budget.oracle))
+      (streaming.Budget.queries, streaming.Budget.oracle),
+      (streaming.RateLimit.queries, streaming.RateLimit.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

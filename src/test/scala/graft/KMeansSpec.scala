@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KMeans
+import graft.sources.Tables
+
+/** Semantics guards for D67: the distributed Lloyd rounds must equal a
+  * sequential driver replay exactly (the integer-sum determinism
+  * claim), and the census must conserve the corpus. */
+class KMeansSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def bruteFit(): (Array[Array[Double]], Array[Long]) = {
+    import TestSpark.spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val d = vecs.head._2.length
+    def q(v: Double) = math.floor(v * KMeans.qScale).toLong
+    def mean(s: Long, n: Long) = (s.toDouble / n.toDouble) / KMeans.qScale
+    var cents = vecs.take(KMeans.k).map(_._2.map(v => mean(q(v), 1L)))
+    var counts = Array.fill(KMeans.k)(0L)
+    for (_ <- 1 to KMeans.iters) {
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val assign = vecs.map { case (_, e) =>
+        (0 until KMeans.k).map { cid =>
+          (dot(cents(cid), cents(cid)) - 2 * dot(e, cents(cid)), cid)
+        }.min._2
+      }
+      val next = Array.tabulate(KMeans.k) { cid =>
+        val members = vecs.indices.filter(assign(_) == cid)
+        counts(cid) = members.size.toLong
+        if (members.isEmpty) cents(cid)
+        else Array.tabulate(d) { pos =>
+          mean(members.map(m => q(vecs(m)._2(pos))).sum, members.size.toLong)
+        }
+      }
+      cents = next
+    }
+    (cents, counts)
+  }
+
+  test("p8 census equals a sequential Lloyd replay (counts and 4-dp norms)") {
+    val (cents, counts) = bruteFit()
+    val expected = (0 until KMeans.k).map { cid =>
+      val norm = math.sqrt(cents(cid).map(x => x * x).sum)
+      (cid, counts(cid),
+        BigDecimal(norm).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = KMeans.p8Kmeans(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("p8 census conserves the corpus and forms >1 cluster") {
+    val rows = KMeans.p8Kmeans(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
+    assert(rows.count(_.getLong(1) > 0) > 1, "degenerate single-cluster fit")
+  }
+}

@@ -473,6 +473,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate limiter: token-bucket decisions match a driver replay; stream equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import streaming.RateLimit.refillUs
+    // event times in refill-interval steps so the scenario is readable:
+    // bucket cap 2, starts full — e1,e2 drain it, e3 (immediately after)
+    // rejects, e4 one full refill later admits, e5 right after rejects
+    // offset from a real base date: a row at epoch 0 ties the INITIAL
+    // watermark and is dropped by the late-row filter before the state fn
+    def rt(us: Long) = new Timestamp(t(0).getTime + us / 1000L)
+    val evs = Seq(
+      Ev(1, rt(0), 1, "view", 0),                      // admit (2 -> 1 tokens)
+      Ev(2, rt(1000000L), 1, "view", 0),               // admit (1 -> 0)
+      Ev(3, rt(2000000L), 1, "view", 0),               // reject (≈0 tokens)
+      Ev(4, rt(2000000L + refillUs), 1, "view", 0),    // admit (refilled 1)
+      Ev(5, rt(3000000L + refillUs), 1, "view", 0))    // reject again
+    val batch = streaming.RateLimit.rateDecisions(evs.toDF())
+      .orderBy($"event_id").select($"event_id", $"admitted").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(batch == Seq((1L, 1), (2L, 1), (3L, 0), (4L, 1), (5L, 0)),
+      s"bucket semantics wrong: $batch")
+
+    val mem = MemoryStream[Ev]
+    val q = streaming.RateLimit.rateLimitStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("ratelimit")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(99, rt(refillUs * 10), 99, "view", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("ratelimit").filter($"user_id" < 99)
+        .orderBy($"event_id").select($"event_id", $"admitted").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got == batch, s"stream diverged from batch twin: $got vs $batch")
+    } finally q.stop()
+  }
+
+  test("rate limiter state spans micro-batches and re-sorts late arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.RateLimit.rateLimitStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("ratelimit2")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(10), 1, "view", 0))
+      q.processAllAvailable()
+      // t(12) arrives before t(11): folded in event-time order the
+      // bucket drains on events 1,2 and rejects event 3 (the t(12) one)
+      mem.addData(Ev(3, t(12), 1, "view", 0), Ev(2, t(11), 1, "view", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(10000), 99, "view", 0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("ratelimit2").filter($"user_id" < 99)
+        .orderBy($"event_id").select($"event_id", $"admitted").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got == Seq((1L, 1), (2L, 1), (3L, 0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("budget state carries the running total across micro-batches, re-sorting late arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
