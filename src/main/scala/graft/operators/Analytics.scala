@@ -117,11 +117,44 @@ object Analytics {
       .orderBy($"obs_day")
   }
 
+  /** D68: sole-blame attribution (the TPC-H Q21 dual-EXISTS shape on
+    * available columns) — suppliers whose line was the ONLY returned
+    * one in a multi-supplier order, counted per waiting line. The two
+    * correlated subqueries decorrelate to one left-semi (another
+    * supplier exists in the order) and one left-anti (no OTHER
+    * supplier's line was returned) join, both equi-keyed on
+    * l_orderkey — co-partitioned with bounded per-order fan-out, never
+    * pairwise. The supplier name join is broadcast; the top-20 is a
+    * TakeOrdered with total (n DESC, suppkey) order. */
+  def q50SoleReturns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+    val ret = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey")
+    val others = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+    val retOthers = ret.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+      .distinct()
+    ret
+      .join(others, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2",
+        "left_semi")
+      .join(retOthers, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3",
+        "left_anti")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_sole_returns"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_sole_returns")
+      .orderBy($"n_sole_returns".desc, $"s_suppkey")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_scd2" -> q46Scd2,
     "q47_copurchase" -> q47Copurchase,
     "q48_transitions" -> q48Transitions,
-    "q49_trailing_dau" -> q49TrailingDau)
+    "q49_trailing_dau" -> q49TrailingDau,
+    "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
     "q46_scd2" ->
@@ -161,6 +194,21 @@ object Analytics {
             round(CAST(n AS DOUBLE) /
               CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
           FROM c ORDER BY prev_type, next_type""",
+    "q50_sole_returns" ->
+      """WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R')
+          SELECT s.s_suppkey, s.s_name,
+            CAST(count(*) AS BIGINT) AS n_sole_returns
+          FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+          WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+          GROUP BY 1, 2
+          ORDER BY n_sole_returns DESC, s_suppkey LIMIT 20""",
     "q49_trailing_dau" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
             FROM events),

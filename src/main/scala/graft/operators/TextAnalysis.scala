@@ -434,7 +434,35 @@ object TextAnalysis {
     nTok.join(enc, "doc_id").select($"doc_id", $"n_tokens", $"ids_str")
   }
 
+  /** D69: per-document keyword extraction — the top-3 TF-IDF terms of
+    * every document (the metadata-tagging step a corpus pipeline runs
+    * before routing/mixing). t6's per-SOURCE variant windows over a
+    * handful of partitions; this one windows over doc_id — a
+    * high-cardinality key, so the rank parallelizes with the corpus
+    * (the c2 discipline). The document frequency is derived from the
+    * (doc, term) tf aggregate itself (tf rows are distinct pairs), so
+    * there is no second distinct pass over the token stream. Scores
+    * are rounded to 4 dp BEFORE ranking and tie-break on the term, so
+    * the top-3 is deterministic cross-engine. */
+  def t15DocKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(df_, "term")
+      .withColumn("tfidf", round($"tf" * log(lit(nDocs.toDouble) / $"df"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
     "t13_boilerplate" -> t13Boilerplate,
     "t11_inverted_index" -> t11InvertedIndex,
@@ -455,6 +483,22 @@ object TextAnalysis {
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "t15_doc_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2),
+          df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+          sc AS (SELECT t.doc_id, t.term,
+              round(t.tf * ln((SELECT CAST(count(*) AS DOUBLE)
+                FROM documents) / d.df), 4) AS tfidf
+            FROM tf t JOIN df d ON t.term = d.term),
+          rk AS (SELECT doc_id, term, tfidf, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+            FROM sc)
+          SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf
+          FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
     "t14_vocab_encode" ->
       s"""WITH tok AS (SELECT doc_id,
               unnest(generate_series(1, len($toksSql))) AS pos,

@@ -84,6 +84,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q50 sole-return counts match a brute replay; plan is semi+anti joined") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byOrder = li.groupBy(_._1)
+    val counts = li.filter(_._3 == "R").flatMap { case (o, s, _) =>
+      val order = byOrder(o)
+      val multi = order.exists(l => l._2 != s)
+      val otherRet = order.exists(l => l._2 != s && l._3 == "R")
+      if (multi && !otherRet) Some(s) else None
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val suppliers = Tables.supplier(spark, sf)
+      .select($"s_suppkey", $"s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = counts.toSeq.map { case (s, n) => (s, suppliers(s), n) }
+      .sortBy { case (s, _, n) => (-n, s) }.take(20)
+    val got = Analytics.q50SoleReturns(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the dual EXISTS must decorrelate to one semi and one anti join
+    val p = Analytics.q50SoleReturns(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftSemi"), "multi-supplier EXISTS not a semi join")
+    assert(p.contains("LeftAnti"), "sole-return NOT EXISTS not an anti join")
+  }
+
   test("q49 trailing DAU matches a brute 7-day re-dedup per observed day") {
     import spark.implicits._
     val du = Tables.events(spark, sf)

@@ -37,6 +37,30 @@ class TextSpec extends AnyFunSuite {
     assert(got(3L) == Seq("p q"))
   }
 
+  test("t15 per-doc keywords match a driver TF-IDF replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val tf = docs.flatMap { case (id, t) =>
+      t.toLowerCase.split(" ", -1).groupBy(identity)
+        .map { case (w, ws) => (id, w, ws.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = tf.groupBy(_._1).toSeq.flatMap { case (id, ts) =>
+      ts.map { case (_, w, f) =>
+        val s = BigDecimal(f * math.log(n / df(w)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w, s)
+      }.sortBy { case (w, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((w, s), i) => (id, i + 1, w, s) }
+    }.toSet
+    val got = TextAnalysis.t15DocKeywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("t12 stratified quota: exact per-stratum counts, equals the direct window") {
     val s0 = spark
     import s0.implicits._
