@@ -29,7 +29,8 @@ object SparkEntry {
       (streaming.EventStreams.queries, streaming.EventStreams.oracle),
       (streaming.Funnel.queries, streaming.Funnel.oracle),
       (streaming.Budget.queries, streaming.Budget.oracle),
-      (streaming.RateLimit.queries, streaming.RateLimit.oracle))
+      (streaming.RateLimit.queries, streaming.RateLimit.oracle),
+      (streaming.PitTiers.queries, streaming.PitTiers.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -498,21 +498,66 @@ object AdvancedSql {
       .orderBy($"value_cents".desc, $"l_partkey")
   }
 
+  /** Buffering-free EXACT global percentiles — q38's two-phase shape,
+    * ungrouped: (1) one map-side-combined histogram shuffle whose
+    * output is bounded by the VALUE RANGE, not the row count; driver
+    * cumulation locates each needed order statistic's bucket; (2) a
+    * broadcast-semi-join refinement ranks only inside the few target
+    * buckets. Interpolation is bit-identical to the buffering
+    * `percentile` / DuckDB `quantile_cont` (guarded in
+    * AdvancedSqlSpec), so callers can swap this in with no hash
+    * change. Never materializes the value set anywhere. */
+  private[graft] def exactPercentiles(vals: DataFrame, ps: Seq[Double],
+      width: Double = 64.0): Seq[Double] = {
+    import vals.sparkSession.implicits._
+    val hist = vals
+      .groupBy(floor($"v" / width).cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val positions = ps.flatMap { p =>
+      val k = p * (n - 1).toDouble
+      Seq(math.floor(k).toLong, math.ceil(k).toLong)
+    }.distinct
+    var cum = 0L
+    val spans = hist.map { case (b, c) => val s = (b, cum, c); cum += c; s }
+    val targets = positions.map { pos =>
+      val (b, before, _) = spans
+        .find { case (_, lo, c) => pos >= lo && pos < lo + c }.get
+      (pos, b, pos - before)
+    }
+    val tDf = targets.toDF("pos", "b", "in_b")
+    val wB = Window.partitionBy($"b").orderBy($"v")
+    val picked = vals.withColumn("b", floor($"v" / width).cast("long"))
+      .join(broadcast(tDf.select($"b").distinct()), Seq("b"), "left_semi")
+      .withColumn("rk", (row_number().over(wB) - 1).cast("long"))
+      .join(broadcast(tDf), Seq("b"), "inner")
+      .filter($"rk" === $"in_b")
+      .select($"pos", $"v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ps.map { p =>
+      val k = p * (n - 1).toDouble
+      val lo = picked(math.floor(k).toLong)
+      val hi = picked(math.ceil(k).toLong)
+      lo + (k - math.floor(k)) * (hi - lo)
+    }
+  }
+
   /** D59: quantile binning (feature discretization) — bucket every
     * lineitem into its global price quartile and roll up per bin. The
     * quartile boundaries are EXACT percentiles collected to the driver
     * (3 doubles) and folded into the bucket CASE as literals — the
-    * broadcast-boundaries shape; at 100 TB the boundary pre-pass is
-    * q38's two-phase histogram+refinement rather than the built-in
-    * buffering `percentile`, with the binning pass unchanged.
-    * Interpolation is bit-identical to `quantile_cont` (q22/q38
-    * precedent), so bin membership is deterministic cross-engine. */
+    * broadcast-boundaries shape. The boundary pre-pass is
+    * [[exactPercentiles]] (q38's two-phase histogram+refinement, no
+    * value buffering anywhere), so the pass scales with the value
+    * RANGE, not the row count; interpolation is bit-identical to
+    * `quantile_cont` (q22/q38 precedent), so bin membership is
+    * deterministic cross-engine. */
   def q44QuantileBins(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-    val bs = li.agg(percentile($"l_extendedprice",
-        array(lit(0.25), lit(0.5), lit(0.75))))
-      .head().getSeq[Double](0)
+    val bs = exactPercentiles(
+      li.select($"l_extendedprice".as("v")), Seq(0.25, 0.5, 0.75))
     val bucket = when($"l_extendedprice" <= bs(0), "p00_25")
       .when($"l_extendedprice" <= bs(1), "p25_50")
       .when($"l_extendedprice" <= bs(2), "p50_75")

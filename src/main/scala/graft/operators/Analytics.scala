@@ -35,14 +35,22 @@ object Analytics {
     * activity at exactly the next version's ts belongs to the NEXT
     * interval (`>= from AND < to`), and same-ts changes order by
     * event_id on both engines. */
-  def q46Scd2(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ev = Tables.events(spark, dir)
+  /** The SCD2 validity-interval frame under q46 (and e11's batch twin):
+    * one row per purchase with [valid_from, valid_to) and the spend
+    * tier, built with a single lead window per user. */
+  def dimIntervals(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"valid_from", $"event_id")
-    val dim = ev.filter($"event_type" === "purchase")
+    ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts".as("valid_from"),
         floor($"value" / scd2TierWidth).cast("int").as("tier"))
       .withColumn("valid_to", lead($"valid_from", 1).over(w))
+  }
+
+  def q46Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val dim = dimIntervals(ev)
     val act = ev.filter($"event_type" =!= "purchase")
       .select($"user_id".as("a_user"), $"ts".as("a_ts"))
     dim.join(act,

@@ -46,6 +46,17 @@ class AdvancedSqlSpec extends AnyFunSuite {
     assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == totalUsers)
   }
 
+  test("exactPercentiles is bit-equal to the buffering percentile aggregate") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val ps = Seq(0.25, 0.5, 0.75)
+    val expected = li.agg(percentile($"l_extendedprice",
+        array(ps.map(lit): _*))).head().getSeq[Double](0)
+    val got = AdvancedSql.exactPercentiles(
+      li.select($"l_extendedprice".as("v")), ps)
+    assert(got == expected, s"two-phase percentiles drifted: $got vs $expected")
+  }
+
   test("q44 quartile bins partition the table with consistent edges") {
     val prices = Tables.lineitem(spark, sf)
       .select("l_extendedprice").collect().map(_.getDouble(0)).sorted

@@ -112,6 +112,27 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"q43 executed $scans lineitem scans, expected 1")
   }
 
+  test("q47 reuses one distinct-pairs stage for both join sides; top-20 is TakeOrdered") {
+    // both sides of the pair self-join are the same (orderkey, partkey)
+    // distinct aggregate — AQE must dedupe the stage or the fact table
+    // is scanned and aggregated twice
+    val df = SparkEntry.queries("q47_copurchase")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      "distinct-pairs exchange not reused across the self-join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q47 top-20 fell back to a global sort")
+  }
+
+  test("q49's day fan-out is a map-side Generate under a semi join") {
+    val p = plan("q49_trailing_dau")
+    assert(p.contains("Generate"), "day explode lost")
+    assert(p.contains("LeftSemi"), "observed-days restriction not a semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q49 degenerated to a pairwise join")
+  }
+
   test("g1's top-20 is a distributed TakeOrdered, not a global sort") {
     val p = plan("g1_pagerank")
     assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")

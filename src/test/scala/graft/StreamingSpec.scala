@@ -512,6 +512,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PIT tiers: stream tags activities with the tier active at event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: views before any purchase (tier -1), purchase 50 (tier 2),
+    // views, purchase 120 (tier 4) arriving OUT OF ORDER but within the
+    // watermark budget, a view at that purchase's EXACT ts (belongs to
+    // the NEW interval), a later view; user 2: never purchases
+    val evs = Seq(
+      Ev(1, t(0), 1, "view", 0),            // tier -1
+      Ev(2, t(10), 1, "purchase", 50.0),    // -> tier 2
+      Ev(3, t(20), 1, "view", 0),           // tier 2
+      Ev(4, t(35), 1, "purchase", 120.0),   // -> tier 4 (late arrival)
+      Ev(5, t(30), 1, "view", 0),           // before the late purchase: 2
+      Ev(6, t(40), 1, "view", 0),           // tier 4
+      Ev(7, t(15), 2, "view", 0),           // tier -1
+      Ev(8, t(35), 1, "view", 0),           // same ts as purchase: tier 4
+      Ev(9, t(50), 1, "view", 0))           // tier 4
+    val batch = streaming.PitTiers.activityTiers(evs.toDF())
+      .orderBy($"user_id", $"event_id")
+      .select($"event_id", $"tier").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(batch == Seq((1L, -1), (3L, 2), (5L, 2), (6L, 4), (8L, 4),
+      (9L, 4), (7L, -1)),
+      s"batch PIT semantics wrong: $batch")
+
+    val mem = MemoryStream[Ev]
+    val q = streaming.PitTiers.pitTierStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("pittiers")
+      .outputMode("append").start()
+    try {
+      // batch 1 ends at t(40): watermark t(30). The t(35) purchase and
+      // same-ts view arrive in batch 2 — out of order but allowed.
+      mem.addData(evs.filter(e => e.event_id <= 3 || e.event_id == 5 ||
+        e.event_id == 6 || e.event_id == 7): _*)
+      q.processAllAvailable()
+      mem.addData(Ev(4, t(35), 1, "purchase", 120.0),
+        Ev(8, t(35), 1, "view", 0), Ev(9, t(50), 1, "view", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(10000), 99, "view", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("pittiers").filter($"user_id" < 99)
+        .orderBy($"user_id", $"event_id")
+        .select($"event_id", $"tier").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got == batch, s"stream diverged from batch twin: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("rate limiter state spans micro-batches and re-sorts late arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
