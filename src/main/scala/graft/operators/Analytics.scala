@@ -157,7 +157,40 @@ object Analytics {
       .limit(20)
   }
 
+  /** Base/delta cutoff for the q51 incremental-maintenance demo. */
+  val q51Cutoff = "1998-01-01"
+
+  /** D71: incremental materialized-view maintenance — refresh a
+    * per-customer order rollup from a BASE aggregate plus a DELTA
+    * batch without re-aggregating history. Both sides partial-agg to
+    * key-sized frames carrying MERGEABLE state (count + integer-cents
+    * sum — the mergeable form of count/sum/avg); the refresh is one
+    * full-outer join on the key with coalesce-add merge. At 100 TB
+    * this is THE way rollups stay fresh: the base never rescans, work
+    * is O(delta + touched keys) per refresh. The oracle is a full
+    * recompute over ALL orders — the gate literally proves
+    * incremental ≡ from-scratch, hash-exact (integer cents, no float
+    * summation order). */
+  def q51IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderdate",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+    def rollup(part: DataFrame) = part.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+    val base = rollup(orders.filter($"o_orderdate" < lit(q51Cutoff)))
+      .select($"o_custkey", $"n".as("b_n"), $"c".as("b_c"))
+    val delta = rollup(orders.filter($"o_orderdate" >= lit(q51Cutoff)))
+      .select($"o_custkey", $"n".as("d_n"), $"c".as("d_c"))
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        (coalesce($"b_n", lit(0L)) + coalesce($"d_n", lit(0L))).as("n_orders"),
+        (coalesce($"b_c", lit(0L)) + coalesce($"d_c", lit(0L))).as("total_cents"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_incremental_rollup" -> q51IncrementalRollup,
     "q46_scd2" -> q46Scd2,
     "q47_copurchase" -> q47Copurchase,
     "q48_transitions" -> q48Transitions,
@@ -165,6 +198,11 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q51_incremental_rollup" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q46_scd2" ->
       """WITH ch AS (SELECT user_id, event_id, ts AS valid_from,
               CAST(floor(value / 25) AS INT) AS tier

@@ -57,28 +57,39 @@ object KMeans {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Fitted state: per-cluster counts + centroid means (+norms). */
-  private case class Fit(cents: Array[Array[Double]], counts: Array[Long])
+  private[graft] case class Fit(cents: Array[Array[Double]],
+      counts: Array[Long])
 
-  private def fit(spark: SparkSession, dir: String): Fit = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+  /** The per-row argmin-assignment column against a centroid set —
+    * shared by the fit loop and [[graft.ml.feature.GraftKMeansModel]]'s
+    * transform. `e` must be an `array<double>` column. */
+  private[graft] def assignCol(e: Column,
+      cents: Array[Array[Double]]): Column = {
+    val distStructs = cents.zipWithIndex.map { case (c, cid) =>
+      val cLit = typedLit(c.toSeq)
+      struct((lit(dotSeq(c, c)) - lit(2.0) * dotD(e, cLit)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(distStructs: _*)).getField("cid")
+  }
 
-    // init: the k lowest-vec_id embeddings through the n=1 mean formula
-    var cents: Array[Array[Double]] = emb.orderBy($"vec_id").limit(k)
+  /** Core Lloyd loop over a frame with columns (ord: Long, e:
+    * array<double>): init = the kk lowest-ord rows, then `rounds`
+    * assign+update steps. Parameterized for the Estimator API; p8 uses
+    * the ([[k]], [[iters]]) constants. */
+  private[graft] def fitVectors(vecs: DataFrame, kk: Int,
+      rounds: Int): Fit = {
+    import vecs.sparkSession.implicits._
+    // init: the kk lowest-ord vectors through the n=1 mean formula
+    var cents: Array[Array[Double]] = vecs.orderBy($"ord").limit(kk)
       .select($"e").collect()
       .map(_.getSeq[Double](0).toArray
         .map(v => quantMean(math.floor(v * qScale).toLong, 1L)))
-    var counts = Array.fill(k)(0L)
+    require(cents.length == kk, s"need >= $kk rows to seed $kk clusters")
+    var counts = Array.fill(kk)(0L)
 
-    for (_ <- 1 to iters) {
-      val distStructs = cents.zipWithIndex.map { case (c, cid) =>
-        val cLit = typedLit(c.toSeq)
-        struct((lit(dotSeq(c, c)) - lit(2.0) * dotD($"e", cLit)).as("dist"),
-          lit(cid).as("cid"))
-      }
-      val assigned = emb.select($"e",
-        array_min(array(distStructs: _*)).getField("cid").as("cid"))
+    for (_ <- 1 to rounds) {
+      val assigned = vecs.select($"e", assignCol($"e", cents).as("cid"))
       val sums = assigned
         .select($"cid", posexplode($"e").as(Seq("pos", "v")))
         .groupBy($"cid", $"pos")
@@ -86,18 +97,25 @@ object KMeans {
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
         .toMap
-      val next = Array.tabulate(k) { cid =>
+      val next = Array.tabulate(kk) { cid =>
         if (sums.contains((cid, 0)))
           Array.tabulate(cents(cid).length) { pos =>
             val (s, n) = sums((cid, pos)); quantMean(s, n)
           }
         else cents(cid) // empty cluster keeps its centroid
       }
-      counts = Array.tabulate(k)(cid =>
+      counts = Array.tabulate(kk)(cid =>
         sums.get((cid, 0)).map(_._2).getOrElse(0L))
       cents = next
     }
     Fit(cents, counts)
+  }
+
+  private def fit(spark: SparkSession, dir: String): Fit = {
+    import spark.implicits._
+    fitVectors(Tables.embeddings(spark, dir)
+      .select($"vec_id".as("ord"), $"embedding".cast("array<double>").as("e")),
+      k, iters)
   }
 
   /** p8: per-cluster census after [[iters]] Lloyd rounds — cluster id,

@@ -84,6 +84,23 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q51 incremental merge equals a from-scratch rollup, with both halves live") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+    // the demo only demonstrates maintenance if base AND delta are non-empty
+    val before = orders.filter($"o_orderdate" < lit(Analytics.q51Cutoff)).count()
+    val after = orders.filter($"o_orderdate" >= lit(Analytics.q51Cutoff)).count()
+    assert(before > 0 && after > 0, s"degenerate split: $before/$after")
+    val scratch = orders
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("total_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Analytics.q51IncrementalRollup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == scratch)
+  }
+
   test("q50 sole-return counts match a brute replay; plan is semi+anti joined") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -61,4 +61,51 @@ class KMeansSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
     assert(rows.count(_.getLong(1) > 0) > 1, "degenerate single-cluster fit")
   }
+
+  test("GraftKMeans estimator: fit/transform agree with the census; persistence round-trips") {
+    import TestSpark.spark.implicits._
+    import graft.ml.feature.{GraftKMeans, GraftKMeansModel}
+    val emb = Tables.embeddings(spark, sf)
+    val model = new GraftKMeans()
+      .setK(KMeans.k).setMaxIter(KMeans.iters)
+      .setInputCol("embedding").setPredictionCol("cluster")
+      .setOrderCol("vec_id")
+      .fit(emb)
+    // transform assigns by the FINAL centroids (one step past the last
+    // fit-loop assignment, whose counts clusterSizes records): verify
+    // per-row against a driver argmin replay on model.centroids
+    val sizes = model.transform(emb).groupBy($"cluster")
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val expectedSizes = emb.select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .map { e =>
+        model.centroids.indices.map { cid =>
+          val c = model.centroids(cid)
+          (dot(c, c) - 2 * dot(e, c), cid)
+        }.min._2
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(sizes == expectedSizes, s"transform sizes $sizes != $expectedSizes")
+    assert(model.clusterSizes.sum == emb.count())
+    // the recorded fit-loop sizes are the p8 census counts
+    val census = KMeans.p8Kmeans(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(model.clusterSizes.zipWithIndex.map(_.swap).toMap == census)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans").toString
+    model.write.overwrite().save(s"$dir/model")
+    val loaded = GraftKMeansModel.load(s"$dir/model")
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq, "centroids drifted through parquet")
+    val reTransformed = loaded.transform(emb).groupBy($"cluster")
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(reTransformed == sizes, "loaded model transforms differently")
+
+    new GraftKMeans().setK(3).setMaxIter(2).setInputCol("embedding")
+      .setOrderCol("vec_id").write.overwrite().save(s"$dir/est")
+    val est = GraftKMeans.load(s"$dir/est")
+    assert(est.getK == 3 && est.get(est.maxIter).contains(2) &&
+      est.get(est.orderCol).contains("vec_id"))
+  }
 }
