@@ -133,13 +133,70 @@ object Multimodal {
       .orderBy($"modality", $"shard_id")
   }
 
+  /** Patch granularity for m5: one patch token per 64 payload bytes. */
+  val patchBytes = 64.0
+
+  /** Joint token budget per interleaved training sequence (m5). */
+  val interleavedBudget = 512L
+
+  /** D73: interleaved multimodal sequence packing — the
+    * multimodal-pretraining sample shape: each document contributes its
+    * TEXT tokens and its media payload's PATCH tokens
+    * (ceil(bytes / 64)), and samples pack greedily against ONE joint
+    * budget. Same `flatMapSortedGroups` streaming fold as c3/m4
+    * (O(1) state, payloads never shuffle — only (bucket, doc_id, cost)
+    * triples); output is the per-sequence manifest. The joint cost is
+    * what distinguishes this from c3 (text-only) and m4 (bytes-only,
+    * modality-segregated): one budget governs the interleaved stream,
+    * exactly how a vision-language training loader packs. */
+  def m5InterleavedPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val samples = withPayload(spark, dir)
+      .select(pmod($"doc_id", lit(Pipeline.packBuckets)).as("bucket"),
+        $"doc_id",
+        (size(TextAnalysis.tokens($"text")).cast("long") +
+          ceil(octet_length($"payload") / patchBytes).cast("long")).as("toks"))
+      .as[PackDoc]
+    samples.groupByKey(_.bucket)
+      .flatMapSortedGroups($"doc_id") { (_: Long, it: Iterator[PackDoc]) =>
+        Pipeline.packFold(it, interleavedBudget)
+      }
+      .toDF()
+      .groupBy($"bucket", $"seq_id")
+      .agg(count(lit(1)).as("n_samples"), sum($"toks").cast("long").as("total_toks"))
+      .orderBy($"bucket", $"seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_interleaved_pack" -> m5InterleavedPack,
     "m4_shard_manifest" -> m4ShardManifest,
     "m1_blob_meta" -> m1BlobMeta,
     "m2_frame_sample" -> m2FrameSample,
     "m3_decode_features" -> m3DecodeFeatures)
 
   val oracle: Map[String, String] = Map(
+    "m5_interleaved_pack" ->
+      s"""WITH RECURSIVE d AS (
+            SELECT doc_id % ${Pipeline.packBuckets} AS bucket, doc_id,
+              CAST(length(string_split(lower(text), ' ')) AS BIGINT)
+                + CAST(ceil(strlen(text) / $patchBytes) AS BIGINT) AS toks,
+              row_number() OVER (PARTITION BY doc_id % ${Pipeline.packBuckets}
+                ORDER BY doc_id) AS rn
+            FROM documents),
+          r AS (
+            SELECT bucket, doc_id, toks, rn,
+              CAST(0 AS BIGINT) AS seq_id, toks AS fill
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.bucket, d.doc_id, d.toks, d.rn,
+              CASE WHEN r.fill + d.toks > $interleavedBudget
+                   THEN r.seq_id + 1 ELSE r.seq_id END,
+              CASE WHEN r.fill + d.toks > $interleavedBudget
+                   THEN d.toks ELSE r.fill + d.toks END
+            FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+          SELECT bucket, seq_id, CAST(count(*) AS BIGINT) AS n_samples,
+            CAST(sum(toks) AS BIGINT) AS total_toks
+          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     "m4_shard_manifest" ->
       s"""WITH RECURSIVE d AS (
             SELECT doc_id % 3 AS bucket, doc_id,

@@ -461,7 +461,35 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** D72: Zipf-law fit of the corpus vocabulary — OLS of ln(freq) on
+    * ln(rank), the standard corpus-statistics diagnostic (a healthy
+    * natural-language corpus fits slope ≈ −1; synthetic or boilerplate
+    * corpora deviate — a cheap corpus-health gate before training).
+    * The rank window runs over the VOCABULARY-sized frequency table
+    * (t14's bounded-window precedent), then one p7-style mergeable
+    * moment aggregate (covar_samp/var_samp) — only O(1)-magnitude
+    * ratios are rounded, never partial sums. */
+  def t16Zipf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("f"))
+    freq
+      .withColumn("rnk", row_number().over(Window.orderBy($"f".desc, $"term")))
+      .select(log($"rnk".cast("double")).as("x"),
+        log($"f".cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        covar_samp($"x", $"y").as("cxy"), var_samp($"x").as("vx"),
+        var_samp($"y").as("vy"), avg($"x").as("mx"), avg($"y").as("my"))
+      .select($"n_terms",
+        round($"cxy" / $"vx", 4).as("zipf_slope"),
+        round($"my" - ($"cxy" / $"vx") * $"mx", 4).as("intercept"),
+        round($"cxy" * $"cxy" / ($"vx" * $"vy"), 4).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
     "t13_boilerplate" -> t13Boilerplate,
@@ -483,6 +511,20 @@ object TextAnalysis {
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "t16_zipf" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+          f AS (SELECT term, count(*) AS f FROM tok GROUP BY term),
+          r AS (SELECT
+              ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE)) AS x,
+              ln(CAST(f AS DOUBLE)) AS y
+            FROM f)
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+            round(covar_samp(x, y) / var_samp(x), 4) AS zipf_slope,
+            round(avg(y) - (covar_samp(x, y) / var_samp(x)) * avg(x), 4)
+              AS intercept,
+            round(covar_samp(x, y) * covar_samp(x, y)
+              / (var_samp(x) * var_samp(y)), 4) AS r2
+          FROM r""",
     "t15_doc_keywords" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
             FROM documents),

@@ -84,6 +84,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m5 interleaved packing: joint text+patch costs, budget respected, lossless") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // joint cost replay: text tokens + ceil(bytes/64) patch tokens
+    val cost = docs.map { case (id, t) =>
+      id -> (t.split(" ", -1).length.toLong +
+        math.ceil(t.getBytes("UTF-8").length / Multimodal.patchBytes).toLong)
+    }.toMap
+    val packed = Multimodal.m5InterleavedPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // lossless: every doc packed exactly once
+    assert(packed.map(_._3).sum == docs.length.toLong)
+    // totals replay the joint cost per (bucket, seq) via a driver fold
+    val byBucket = docs.map { case (id, _) =>
+      (id % graft.operators.Pipeline.packBuckets, id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = byBucket.toSeq.flatMap { case (b, ids) =>
+      var seq = 0L; var fill = 0L
+      val out = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      ids.foreach { id =>
+        val c = cost(id)
+        if (fill > 0 && fill + c > Multimodal.interleavedBudget) { seq += 1; fill = 0 }
+        fill += c
+        val k = (b, seq)
+        val (n0, t0) = out.getOrElse(k, (0L, 0L))
+        out(k) = (n0 + 1, t0 + c)
+      }
+      out.toSeq.map { case ((bb, ss), (n, t)) => (bb, ss, n, t) }
+    }.sortBy(x => (x._1, x._2))
+    assert(packed.toSeq == expected)
+    // budget respected except single-oversized-doc sequences
+    packed.foreach { case (b, s, n, t) =>
+      assert(t <= Multimodal.interleavedBudget || n == 1,
+        s"bucket $b seq $s overflows with $n samples / $t toks")
+    }
+  }
+
   test("c5 split is component-stable: no near-dup pair straddles train/val") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions._

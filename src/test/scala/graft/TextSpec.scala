@@ -37,6 +37,29 @@ class TextSpec extends AnyFunSuite {
     assert(got(3L) == Seq("p q"))
   }
 
+  test("t16 Zipf fit matches a driver OLS over the ranked vocabulary") {
+    import spark.implicits._
+    val freqs = Tables.documents(spark, sf).select($"text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+    val n = xy.length.toDouble
+    val (mx, my) = (xy.map(_._1).sum / n, xy.map(_._2).sum / n)
+    val cxy = xy.map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+    val vx = xy.map { case (x, _) => (x - mx) * (x - mx) }.sum / (n - 1)
+    val vy = xy.map { case (_, y) => (y - my) * (y - my) }.sum / (n - 1)
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = TextAnalysis.t16Zipf(spark, sf).head()
+    assert(row.getLong(0) == xy.length.toLong)
+    assert(math.abs(row.getDouble(1) - r4(cxy / vx)) < 2e-4, "slope")
+    assert(math.abs(row.getDouble(2) - r4(my - (cxy / vx) * mx)) < 2e-4, "intercept")
+    assert(math.abs(row.getDouble(3) - r4(cxy * cxy / (vx * vy))) < 2e-4, "r2")
+    assert(row.getDouble(1) < 0, "Zipf slope must be negative")
+  }
+
   test("t15 per-doc keywords match a driver TF-IDF replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
