@@ -278,6 +278,49 @@ object Dedup {
       .orderBy($"train_id", $"test_id")
   }
 
+  /** Containment threshold for [[d12Containment]]. */
+  val containmentMin = 0.5
+
+  /** D74: shingle CONTAINMENT pairs — Broder's asymmetric near-dup
+    * measure (|A∩B| / min(|A|,|B|)): a short document quoted inside a
+    * long one has low Jaccard RESEMBLANCE (d5 misses it by design) but
+    * high containment. MinHash/LSH approximates resemblance only, so
+    * candidates come from the d7 rare-shingle route instead: explode
+    * distinct (doc, shingle), keep shingles with df ≤ [[maxShingleDf]]
+    * (the skew cap), self-equi-join on the shingle — fan-out ≤ df² per
+    * rare shingle, never all-pairs. The exact intersection then joins
+    * only the CANDIDATE pairs back to the full shingle sets (two
+    * equi-joins), and set sizes come from a per-doc count — everything
+    * partial-aggregated, nothing driver-side. Ratios are exact integer
+    * divisions rounded at 4 dp; the ≥ threshold compare happens on the
+    * raw ratio identically in both engines. */
+  def d12Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = sharedSigs(spark, dir)._1 // distinct (doc_id, s)
+    val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxShingleDf).select($"s")
+    val rsh = sh.join(rare, "s")
+    val cand = rsh.select($"s", $"doc_id".as("doc_a"))
+      .join(rsh.select($"s", $"doc_id".as("doc_b")), "s")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .withColumn("c",
+        $"n_shared".cast("double") / least($"n_a", $"n_b"))
+      .filter($"c" >= containmentMin)
+      .select($"doc_a", $"doc_b", $"n_shared", $"n_a", $"n_b",
+        round($"c", 4).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Bloom false-positive rate for [[d10BloomDecontaminate]] — output
     * is exact regardless (survivors are verified by the real join);
     * the rate only sets how much doomed train traffic leaks into the
@@ -488,7 +531,8 @@ object Dedup {
     "d7_decontaminate" -> d7Decontaminate,
     "d10_bloom_decontaminate" -> d10BloomDecontaminate,
     "d11_incremental_dedup" -> d11IncrementalDedup,
-    "d8_components" -> d8Components)
+    "d8_components" -> d8Components,
+    "d12_containment" -> d12Containment)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
@@ -585,6 +629,32 @@ object Dedup {
           ORDER BY doc_a, doc_b""",
     "d5_jaccard" ->
       s"""$jaccardCte SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""",
+    "d12_containment" ->
+      s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+          dsh AS (SELECT DISTINCT doc_id, s FROM shl),
+          rare AS (SELECT s FROM dsh GROUP BY s
+                   HAVING count(*) <= $maxShingleDf),
+          rsh AS (SELECT d.doc_id, d.s FROM dsh d JOIN rare r ON d.s = r.s),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM rsh a JOIN rsh b
+                     ON a.s = b.s AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                    FROM dsh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b,
+                      CAST(count(*) AS BIGINT) AS n_shared
+                    FROM cand c
+                    JOIN dsh x ON x.doc_id = c.doc_a
+                    JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+                    GROUP BY 1, 2)
+          SELECT i.doc_a, i.doc_b, i.n_shared, sa.n AS n_a, sb.n AS n_b,
+            round(CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n), 4)
+              AS containment
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n)
+            >= $containmentMin
+          ORDER BY doc_a, doc_b""",
     "d7_decontaminate" ->
       s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
           dsh AS (SELECT DISTINCT doc_id, s FROM shl),

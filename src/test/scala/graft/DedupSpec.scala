@@ -130,6 +130,32 @@ class DedupSpec extends AnyFunSuite {
       "bloom prefilter changed the verified decontamination output")
   }
 
+  test("d12 containment equals a brute shingle-set replay on the fixture corpus") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets = docs.map { case (id, t) => id -> shinglesOf(t).toSet }.toMap
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rare = df.filter(_._2 <= Dedup.maxShingleDf).keySet
+    val ids = docs.map(_._1).sorted
+    val expected = (for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = ids(i); b = ids(j)
+      if sets(a).intersect(sets(b)).exists(rare)
+      inter = sets(a).intersect(sets(b)).size.toLong
+      cMin = inter.toDouble / math.min(sets(a).size, sets(b).size)
+      if cMin >= Dedup.containmentMin
+    } yield (a, b, inter, sets(a).size.toLong, sets(b).size.toLong,
+      BigDecimal(cMin).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq
+    val got = Dedup.d12Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("d8 components: pair members share a cluster, id = min, one rep each") {
     import spark.implicits._
     val assign = Dedup.d8Components(spark, sf).collect()
