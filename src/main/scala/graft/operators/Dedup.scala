@@ -288,31 +288,58 @@ object Dedup {
     * candidates come from the d7 rare-shingle route instead: explode
     * distinct (doc, shingle), keep shingles with df ≤ [[maxShingleDf]]
     * (the skew cap), self-equi-join on the shingle — fan-out ≤ df² per
-    * rare shingle, never all-pairs. The exact intersection then joins
-    * only the CANDIDATE pairs back to the full shingle sets (two
-    * equi-joins), and set sizes come from a per-doc count — everything
-    * partial-aggregated, nothing driver-side. Ratios are exact integer
-    * divisions rounded at 4 dp; the ≥ threshold compare happens on the
-    * raw ratio identically in both engines. */
+    * rare shingle, never all-pairs.
+    *
+    * The exact intersection is split by shingle rarity so candidate
+    * pairs are never joined back to the full corpus (that back-join is
+    * |cand|·shingles-per-doc rows — ~60M at sf0.1, the operator's old
+    * bottleneck): the RARE part of |A∩B| falls out of the candidate
+    * self-join itself (groupBy pair instead of distinct — same
+    * shuffle), and n_shared ≤ n_rare + min(common_a, common_b) gives
+    * an exact upper-bound prune against the broadcast per-doc stats,
+    * so only pairs that can still reach [[containmentMin]] pay the
+    * COMMON-shingle (df > cap, boilerplate — a vanishing fraction of
+    * any real corpus) intersection join. Ratios are exact integer
+    * divisions rounded at 4 dp; the ≥ threshold compare happens on
+    * the raw ratio identically in both engines. */
   def d12Containment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = sharedSigs(spark, dir)._1 // distinct (doc_id, s)
     val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxShingleDf).select($"s")
     val rsh = sh.join(rare, "s")
-    val cand = rsh.select($"s", $"doc_id".as("doc_a"))
+    // rare-side intersection counts come straight off the candidate
+    // self-join — the pair aggregate replaces the old distinct()
+    val rpair = rsh.select($"s", $"doc_id".as("doc_a"))
       .join(rsh.select($"s", $"doc_id".as("doc_b")), "s")
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
       .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .agg(count(lit(1)).as("n_rare"))
+    // boilerplate shingles (df > cap); tiny by construction
+    val csh = sh.join(rare, Seq("s"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK) // stats + both join sides
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .join(csh.groupBy($"doc_id").agg(count(lit(1)).as("c")),
+        Seq("doc_id"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    // n_shared ≤ n_rare + min(c_a, c_b): drop pairs that cannot reach
+    // the threshold before paying the common-intersection join
+    val pruned = rpair
+      .join(broadcast(sizes.select($"doc_id".as("doc_a"),
+        $"n".as("n_a"), $"c".as("c_a"))), "doc_a")
+      .join(broadcast(sizes.select($"doc_id".as("doc_b"),
+        $"n".as("n_b"), $"c".as("c_b"))), "doc_b")
+      .filter(($"n_rare" + least($"c_a", $"c_b")).cast("double")
+        >= lit(containmentMin) * least($"n_a", $"n_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // cinter probe + final join
+    val cinter = pruned.select($"doc_a", $"doc_b")
+      .join(csh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
+      .join(csh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_c"))
+    pruned
+      .join(cinter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_shared", $"n_rare" + coalesce($"n_c", lit(0L)))
       .withColumn("c",
         $"n_shared".cast("double") / least($"n_a", $"n_b"))
       .filter($"c" >= containmentMin)
