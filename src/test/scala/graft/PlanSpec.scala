@@ -88,11 +88,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("INSET"), "candidate prefilter missing from recount plan")
   }
 
-  test("q39 profiles all columns in ONE scan (single Expand multi-distinct plan)") {
+  test("q39 profiles without Expand: two pruned scans, no multi-distinct blowup") {
+    // k distinct-aggregates in one agg would plan Catalyst's Expand —
+    // (k+1)× row replication with a 4k-wide buffer (measured 3.4s vs
+    // 0.9s at sf0.1). The adopted shape pays a second column-pruned
+    // scan instead: one Expand-free pass for counts/min/max, one
+    // narrow unpivot pass for the exact distinct counts.
     val p = plan("q39_profile")
     val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
-    assert(scans == 1, s"profile plans $scans scans, expected 1")
-    assert(p.contains("Expand"), "multi-distinct lost the Expand plan")
+    assert(scans <= 2, s"profile plans $scans scans, expected at most 2")
+    assert(!p.contains("Expand"),
+      "q39 regressed to the Expand multi-distinct plan")
   }
 
   test("q43 scans lineitem ONCE (total reuses the per-part exchange)") {
