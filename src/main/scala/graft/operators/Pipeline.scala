@@ -229,14 +229,77 @@ object Pipeline {
       .orderBy($"split", $"lang")
   }
 
+  /** Per-source token quota for [[c6Mixture]]: base × tier where the
+    * tier cycles 1..4 by source index — stands in for the hand-tuned
+    * per-source sampling weights of a production mixture spec. */
+  val mixtureBaseQuota = 400
+
+  /** D75: training-mixture builder — the "data mixing" stage every
+    * LLM corpus recipe ends with (Pile/LLaMA-style source weighting):
+    * each source gets a TOKEN budget (weight × base), and documents
+    * are admitted in a deterministic pseudo-random order (md5 of the
+    * doc id — the t7/t12 no-RNG discipline) until the next document
+    * would overflow the source's budget. Output is the admitted set
+    * with per-source admission rank and running token total.
+    *
+    * Scale shape: the admission cumsum is a per-source window, but it
+    * never sees the corpus — a parallel per-(source, doc_id mod 32)
+    * row_number prune keeps at most quota rows per sub-partition first
+    * (every document costs ≥ 1 token, so a document at per-source
+    * position > quota can never be admitted — the t12 two-level
+    * discipline), bounding the global window at 32 × quota rows per
+    * source regardless of corpus size. Token counts ride the same
+    * codegen'd projection; no join anywhere. */
+  def c6Mixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"),
+        md5($"doc_id".cast("string")).as("h"))
+      .withColumn("quota",
+        (lit(1) + regexp_extract($"source", "src(\\d+)", 1).cast("int") % 4)
+          .cast("long") * mixtureBaseQuota)
+    val local = Window.partitionBy($"source", pmod($"doc_id", lit(32)))
+      .orderBy($"h", $"doc_id")
+    val global = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    docs
+      .withColumn("lrk", row_number().over(local))
+      .filter($"lrk" <= $"quota") // ≥1 token/doc ⇒ safe local prune
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        global.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter($"cum_tokens" <= $"quota")
+      .withColumn("sel_rank", row_number().over(global))
+      .select($"source", $"sel_rank", $"doc_id", $"n_tokens",
+        $"cum_tokens", $"quota")
+      .orderBy($"source", $"sel_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_component_dedup" -> c2ComponentDedup,
     "c3_pack_sequences" -> c3PackSequences,
     "c4_chunk_overlap" -> c4ChunkOverlap,
-    "c5_stable_split" -> c5StableSplit)
+    "c5_stable_split" -> c5StableSplit,
+    "c6_mixture" -> c6Mixture)
 
   val oracle: Map[String, String] = Map(
+    "c6_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+            md5(CAST(doc_id AS VARCHAR)) AS h,
+            CAST(1 + CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
+              AS BIGINT) * $mixtureBaseQuota AS quota
+          FROM documents),
+          w AS (SELECT *,
+            CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+            row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+              AS rk
+          FROM d)
+          SELECT source, CAST(rk AS INT) AS sel_rank, doc_id, n_tokens,
+            cum_tokens, quota
+          FROM w WHERE cum_tokens <= quota
+          ORDER BY source, sel_rank""",
     "c1_clean_corpus" ->
       s"""${Dedup.jaccardCte},
           qual AS (SELECT doc_id, text, lang, source,

@@ -171,4 +171,48 @@ class PipelineSpec extends AnyFunSuite {
       assert((sorted.last._2 * S + sorted.last._3) == n, s"doc $doc tail coverage")
     }
   }
+
+  test("c6 mixture: budget respected, maximal prefix, deterministic order") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{md5, size}
+    val rows = Pipeline.c6Mixture(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("sel_rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("quota")))
+    assert(rows.nonEmpty, "mixture admitted nothing")
+    // driver replay: per-source md5-ordered docs with token counts
+    val all = Tables.documents(spark, sf)
+      .select($"source", $"doc_id",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n"),
+        md5($"doc_id".cast("string")).as("h"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(d => (d._4, d._2))).toMap
+    val bySrc = rows.groupBy(_._1)
+    bySrc.foreach { case (src, sel) =>
+      val quota = sel.head._6
+      val expTier = 1 + src.stripPrefix("src").toInt % 4
+      assert(quota == expTier.toLong * Pipeline.mixtureBaseQuota, s"$src quota")
+      val sorted = sel.sortBy(_._2)
+      // cum is the running sum and stays within budget
+      var cum = 0L
+      sorted.foreach { case (_, rk, doc, n, c, _) =>
+        cum += n
+        assert(c == cum, s"$src rank $rk cum mismatch")
+        assert(c <= quota, s"$src rank $rk over budget")
+      }
+      // admitted set is exactly the maximal md5-ordered prefix
+      val replay = all(src)
+      val expect = replay.scanLeft(0L)(_ + _._3).tail.zip(replay)
+        .takeWhile(_._1 <= quota).map(_._2._2)
+      assert(sorted.map(_._3).toSeq == expect.toSeq, s"$src prefix mismatch")
+      // and the next doc (if any) would overflow
+      if (expect.length < replay.length) {
+        val nextTok = replay(expect.length)._3
+        assert(cum + nextTok > quota, s"$src stopped early")
+      }
+    }
+    // every source with documents appears (quota >= 400 admits >= 1 doc here)
+    assert(bySrc.keySet == all.keySet, "missing sources")
+  }
 }
