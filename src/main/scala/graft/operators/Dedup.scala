@@ -348,6 +348,36 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D76: per-document contamination score — for every TEST document
+    * (the d7 modulus split), the fraction of its distinct word 3-grams
+    * that appear in ANY train document. d7/d10 list contaminated
+    * PAIRS; this is the per-doc decision metric an eval-hygiene gate
+    * actually thresholds on ("drop test docs more than X% covered by
+    * the training corpus").
+    *
+    * Shape: the train side collapses to its distinct shingle
+    * vocabulary first, so the probe is a left-semi-style join where
+    * each test shingle matches AT MOST ONCE — zero fan-out, no df cap
+    * needed (unlike the pair queries, boilerplate shingles cannot
+    * skew the output, only the join; AQE skew handling covers that).
+    * Everything else is per-doc partial aggregation. */
+  def d13ContaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = sharedSigs(spark, dir)._1 // distinct (doc_id, s)
+    val testSh = sh.filter($"doc_id" % testModulus === 0)
+    val trainVocab = sh.filter($"doc_id" % testModulus =!= 0)
+      .select($"s").distinct()
+    val hit = testSh.join(trainVocab, Seq("s"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+    testSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hit, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce($"n_contaminated", lit(0L)))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        round($"n_contaminated".cast("double") / $"n_shingles", 4)
+          .as("contamination"))
+      .orderBy($"doc_id")
+  }
+
   /** Bloom false-positive rate for [[d10BloomDecontaminate]] — output
     * is exact regardless (survivors are verified by the real join);
     * the rate only sets how much doomed train traffic leaks into the
@@ -559,7 +589,8 @@ object Dedup {
     "d10_bloom_decontaminate" -> d10BloomDecontaminate,
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "d8_components" -> d8Components,
-    "d12_containment" -> d12Containment)
+    "d12_containment" -> d12Containment,
+    "d13_contamination_score" -> d13ContaminationScore)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
@@ -682,6 +713,22 @@ object Dedup {
           WHERE CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n)
             >= $containmentMin
           ORDER BY doc_a, doc_b""",
+    "d13_contamination_score" ->
+      s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+          dsh AS (SELECT DISTINCT doc_id, s FROM shl),
+          tsh AS (SELECT doc_id, s FROM dsh WHERE doc_id % $testModulus = 0),
+          tv AS (SELECT DISTINCT s FROM dsh
+                 WHERE doc_id % $testModulus <> 0),
+          hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+                  FROM tsh WHERE s IN (SELECT s FROM tv) GROUP BY doc_id),
+          tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                  FROM tsh GROUP BY doc_id)
+          SELECT t.doc_id, t.n_shingles,
+            coalesce(h.n_contaminated, 0) AS n_contaminated,
+            round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+              / t.n_shingles, 4) AS contamination
+          FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+          ORDER BY t.doc_id""",
     "d7_decontaminate" ->
       s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
           dsh AS (SELECT DISTINCT doc_id, s FROM shl),

@@ -156,6 +156,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("d13 contamination score equals a brute per-doc set replay") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets = docs.map { case (id, t) => id -> shinglesOf(t).toSet }.toMap
+    val trainVocab = docs.collect {
+      case (id, _) if id % Dedup.testModulus != 0 => sets(id)
+    }.flatten.toSet
+    val expected = docs.collect {
+      case (id, _) if id % Dedup.testModulus == 0 && sets(id).nonEmpty =>
+        val n = sets(id).size.toLong
+        val hits = sets(id).count(trainVocab).toLong
+        (id, n, hits,
+          BigDecimal(hits.toDouble / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.d13ContaminationScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no test docs scored")
+    assert(got.exists(_._4 > 0.0), "degenerate fixture: zero contamination everywhere")
+  }
+
   test("d8 components: pair members share a cluster, id = min, one rep each") {
     import spark.implicits._
     val assign = Dedup.d8Components(spark, sf).collect()
