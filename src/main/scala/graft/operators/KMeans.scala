@@ -131,13 +131,63 @@ object KMeans {
       .orderBy($"cluster_id")
   }
 
+  /** Cosine threshold for [[d14SemDedup]] — the d9/s3 convention. */
+  val semTau = 0.35
+
+  /** D77: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the [[fitVectors]]
+    * Lloyd k-means, then flag a vector as a semantic duplicate when a
+    * LOWER-id member of the SAME cluster has cosine ≥ [[semTau]] —
+    * keep-lowest-id, the d5/d9 convention. Output: one row per dropped
+    * vector with its cluster, its best (highest-cosine, tie → lowest
+    * id) retained witness, and that cosine.
+    *
+    * Scale shape: this is the SemDeDup contract — the quadratic
+    * pairwise stage is confined within clusters, and k grows with the
+    * corpus so cluster size stays bounded (the paper runs 50k clusters
+    * over LAION); the cross-cluster pair space is never enumerated.
+    * Assignment is the narrow p8 map (centroid literal rides along);
+    * the pair stage is one cid-equi-join; per-vector norms are
+    * computed ONCE before the join, so each pair costs one dot, not
+    * three. The dup witness is a high-cardinality per-vec_id window
+    * (c2 discipline). Determinism: doubles all the way, ranked on the
+    * 4-dp rounded cosine (ties → lowest witness id) — bit-stable on
+    * any partitioning given the ascending HOF dot (p8 precedent). */
+  def d14SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = fit(spark, dir)
+    val asg = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .select($"vec_id", $"e", assignCol($"e", f.cents).as("cid"))
+      .withColumn("nrm", sqrt(dotD($"e", $"e")))
+    val kept = asg.select($"cid", $"vec_id".as("dup_of"),
+      $"e".as("ea"), $"nrm".as("na"))
+    val cand = asg.select($"cid", $"vec_id",
+      $"e".as("eb"), $"nrm".as("nb"))
+    kept.join(cand, Seq("cid"))
+      .filter($"dup_of" < $"vec_id")
+      .withColumn("cos_sim",
+        round(dotD($"ea", $"eb") / ($"na" * $"nb"), 4))
+      .filter($"cos_sim" >= semTau)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id")
+          .orderBy($"cos_sim".desc, $"dup_of")))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"cid".as("cluster_id"), $"dup_of", $"cos_sim")
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p8_kmeans" -> p8Kmeans)
+    "p8_kmeans" -> p8Kmeans,
+    "d14_semdedup" -> d14SemDedup)
 
   // Oracle: the same three Lloyd rounds as chained CTEs. Quantized
   // integer sums make every mean exact; list_inner_product matches the
   // ascending HOF dot bit-for-bit.
-  private val oracleSql: String = {
+  /** Shared Lloyd-replay CTE chain (`e`, `init`, `c0`, `a1..c[iters]`)
+    * — interpolated after `WITH` by the p8 and d14 oracles. */
+  private val lloydCtes: String = {
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, e, cid FROM (
             SELECT v.vec_id, v.e, c.cid,
@@ -160,7 +210,7 @@ object KMeans {
                 any_value(n) AS n
               FROM s$i GROUP BY cid) u ON u.cid = p.cid)"""
     }.mkString(",\n          ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings),
           init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                 AS INT) AS cid, e
@@ -169,11 +219,41 @@ object KMeans {
               list_transform(e, v -> (CAST(floor(v * $qScale) AS DOUBLE)
                 / 1.0) / $qScale) AS c
             FROM init),
-          $iterCtes
+          $iterCtes"""
+  }
+
+  private val oracleSql: String =
+    s"""WITH $lloydCtes
           SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n_vecs,
             round(sqrt(list_inner_product(c, c)), 4) AS centroid_norm
           FROM c$iters ORDER BY cluster_id"""
-  }
 
-  val oracle: Map[String, String] = Map("p8_kmeans" -> oracleSql)
+  /** DuckDB replay of [[d14SemDedup]]: the shared Lloyd chain, one
+    * more assignment pass against the FINAL centroids (the engine
+    * assigns with post-fit `f.cents`, i.e. `c$iters`), then the
+    * within-cluster pair scan and the rounded-cosine witness rank. */
+  private val d14OracleSql: String =
+    s"""WITH $lloydCtes,
+          a4 AS (SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, c.cid,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                list_inner_product(c.c, c.c)
+                  - 2 * list_inner_product(v.e, c.c), c.cid) AS rk
+            FROM e v CROSS JOIN c$iters c) WHERE rk = 1),
+          pairs AS (SELECT y.vec_id AS vec_id, y.cid, x.vec_id AS dup_of,
+              round(list_inner_product(x.e, y.e) /
+                (sqrt(list_inner_product(x.e, x.e)) *
+                 sqrt(list_inner_product(y.e, y.e))), 4) AS cos_sim
+            FROM a4 x JOIN a4 y
+              ON x.cid = y.cid AND x.vec_id < y.vec_id),
+          r AS (SELECT vec_id, cid, dup_of, cos_sim,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos_sim DESC, dup_of) AS rk
+            FROM pairs WHERE cos_sim >= $semTau)
+          SELECT vec_id, cid AS cluster_id, dup_of, cos_sim
+          FROM r WHERE rk = 1 ORDER BY vec_id"""
+
+  val oracle: Map[String, String] = Map(
+    "p8_kmeans" -> oracleSql,
+    "d14_semdedup" -> d14OracleSql)
 }

@@ -62,6 +62,44 @@ class KMeansSpec extends AnyFunSuite {
     assert(rows.count(_.getLong(1) > 0) > 1, "degenerate single-cluster fit")
   }
 
+  test("d14 semdedup equals a brute within-cluster cosine replay") {
+    import TestSpark.spark.implicits._
+    val (cents, _) = bruteFit()
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    // assign against the FINAL centroids (what d14 does post-fit)
+    val asg = vecs.map { case (id, e) =>
+      val cid = (0 until KMeans.k).map { c =>
+        (dot(cents(c), cents(c)) - 2 * dot(e, cents(c)), c)
+      }.min._2
+      (id, cid, e, math.sqrt(dot(e, e)))
+    }
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = asg.flatMap { case (vid, cid, ev, nv) =>
+      val wits = asg.filter { case (uid, ucid, _, _) =>
+        ucid == cid && uid < vid }
+        .map { case (uid, _, eu, nu) =>
+          (uid, rnd(dot(eu, ev) / (nu * nv))) }
+        .filter(_._2 >= KMeans.semTau)
+      if (wits.isEmpty) None
+      else {
+        val (bid, bcos) = wits.minBy { case (uid, c) => (-c, uid) }
+        Some((vid, cid, bid, bcos))
+      }
+    }.sortBy(_._1).toSeq
+    val got = KMeans.d14SemDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture produced no semantic dups")
+  }
+
   test("GraftKMeans estimator: fit/transform agree with the census; persistence round-trips") {
     import TestSpark.spark.implicits._
     import graft.ml.feature.{GraftKMeans, GraftKMeansModel}
