@@ -488,7 +488,76 @@ object TextAnalysis {
         round($"cxy" * $"cxy" / ($"vx" * $"vy"), 4).as("r2"))
   }
 
+  /** BM25 parameters (Robertson–Spärck Jones defaults) and the fixed
+    * literal query set for [[t17Bm25]] — interpolated into the oracle
+    * via Double.toString (the s2 plane-constant precedent), so both
+    * engines compute with bit-identical constants. */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "join"),
+    1 -> Seq("hash", "merge", "sort"),
+    2 -> Seq("dup", "scan"),
+    3 -> Seq("window", "group", "order"),
+    4 -> Seq("vector", "query", "fast"))
+
+  /** D78: BM25 ranked retrieval — the search-engine companion of the
+    * t11 inverted index: top-10 documents per query under
+    * idf·(k1+1)tf / (tf + k1(1−b+b·dl/avgdl)) with
+    * idf = ln((N−df+0.5)/(df+0.5)+1) (the Lucene-style non-negative
+    * variant).
+    *
+    * Scale shape: tf is the one token-stream shuffle; doc length and
+    * corpus stats (N, Σdl) derive from tf — the token stream is read
+    * once (t15's no-second-pass discipline); query terms and the
+    * vocabulary-sized df frame broadcast; corpus stats ride a
+    * broadcast scalar cross-join (the q43 pattern — no driver
+    * round-trip). The per-query top-10 runs two-phase (salted local
+    * row_number prune, then a ≤10·32-row global rank) because
+    * query_id has only 5 values — the t12 hot-stratum pattern.
+    * Determinism: per-term contributions rounded to 4 dp before the
+    * sum, the sum re-rounded (t9), rank on (rounded score, doc_id). */
+  def t17Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val qterms = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(st))
+      .withColumn("avgdl", $"sdl".cast("double") / $"n".cast("double"))
+      .withColumn("idf",
+        log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+      .withColumn("c", round(
+        $"idf" * ($"tf" * lit(bm25K1 + 1.0)) /
+          ($"tf" + lit(bm25K1) *
+            (lit(1.0 - bm25B) + lit(bm25B) * $"dl" / $"avgdl")), 4))
+      .groupBy($"query_id", $"doc_id")
+      .agg(round(sum($"c"), 4).as("score"))
+    val local = Window.partitionBy($"query_id", pmod($"doc_id", lit(32)))
+      .orderBy($"score".desc, $"doc_id")
+    val global = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id")
+    scored
+      .withColumn("lrk", row_number().over(local))
+      .filter($"lrk" <= 10)
+      .withColumn("rk", row_number().over(global))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"rk", $"doc_id", $"score")
+      .orderBy($"query_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bm25" -> t17Bm25,
     "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
@@ -510,7 +579,46 @@ object TextAnalysis {
   private def countInSql(words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  /** DuckDB replay of [[t17Bm25]]: same single token-stream pass
+    * (tf → dl → corpus stats), BM25 constants interpolated via
+    * Double.toString so both engines parse identical doubles, same
+    * 4-dp round-before-sum-and-rank discipline. */
+  private val t17OracleSql: String = {
+    val qVals = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+            FROM tf GROUP BY doc_id),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+        q(query_id, term) AS (VALUES $qVals),
+        c AS (SELECT q.query_id, tf.doc_id,
+            round(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * ${bm25K1 + 1.0})
+              / (tf.tf + $bm25K1 * (${1.0 - bm25B}
+                 + $bm25B * dl.dl
+                   / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE)))),
+              4) AS c
+          FROM tf JOIN q USING (term) JOIN df USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN st),
+        s AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+            FROM c GROUP BY query_id, doc_id),
+        r AS (SELECT query_id, doc_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rk
+          FROM s)
+        SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score
+        FROM r WHERE rk <= 10 ORDER BY query_id, rk"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "t17_bm25" -> t17OracleSql,
     "t16_zipf" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
           f AS (SELECT term, count(*) AS f FROM tok GROUP BY term),

@@ -60,6 +60,45 @@ class TextSpec extends AnyFunSuite {
     assert(row.getDouble(1) < 0, "Zipf slope must be negative")
   }
 
+  test("t17 BM25 top-10 matches a driver scoring replay") {
+    import spark.implicits._
+    val docToks = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1))
+      .sortBy(_._1)
+    val n = docToks.length.toDouble
+    val avgdl = docToks.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = docToks.flatMap(_._2.distinct).groupBy(identity)
+      .view.mapValues(_.length.toDouble).toMap
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = TextAnalysis.bm25Queries.flatMap { case (qid, terms) =>
+      docToks.flatMap { case (did, toks) =>
+        val dl = toks.length.toDouble
+        val contribs = terms.flatMap { t =>
+          val tf = toks.count(_ == t).toDouble
+          if (tf == 0) None
+          else {
+            val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+            Some(r4(idf * (tf * (TextAnalysis.bm25K1 + 1.0)) /
+              (tf + TextAnalysis.bm25K1 * (1.0 - TextAnalysis.bm25B
+                + TextAnalysis.bm25B * dl / avgdl))))
+          }
+        }
+        if (contribs.isEmpty) None
+        else Some((did, r4(contribs.sum)))
+      }.sortBy { case (did, s) => (-s, did) }
+        .take(10).zipWithIndex
+        .map { case ((did, s), i) => (qid, i + 1, did, s) }
+    }
+    val got = TextAnalysis.t17Bm25(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.groupBy(_._1).size == 5,
+      "every query must return results")
+  }
+
   test("t15 per-doc keywords match a driver TF-IDF replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
