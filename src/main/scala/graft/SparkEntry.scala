@@ -23,6 +23,7 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.PcaQueries.queries, operators.PcaQueries.oracle),
       (operators.KMeans.queries, operators.KMeans.oracle),
+      (operators.Ols.queries, operators.Ols.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.RangeJoin.queries, operators.RangeJoin.oracle),

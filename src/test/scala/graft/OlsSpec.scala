@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ols
+import graft.sources.Tables
+
+/** Semantics guard for D79: the one-pass-moments + Cramer solve must
+  * agree with an independent dense least-squares solve (Breeze QR via
+  * `\`) on the same quantized design matrix — two entirely different
+  * numerical routes to the same β. */
+class OlsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("p9 coefficients match a Breeze dense least-squares solve") {
+    import TestSpark.spark.implicits._
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_discount", $"l_tax", $"l_extendedprice")
+      .collect()
+      .map { r =>
+        (math.round(r.getDouble(0)).toDouble,
+          math.round(r.getDouble(1) * 100).toDouble,
+          math.round(r.getDouble(2) * 100).toDouble,
+          math.round(r.getDouble(3) * 100).toDouble)
+      }
+    val x = DenseMatrix.tabulate(rows.length, 4) { (i, j) =>
+      j match {
+        case 0 => 1.0
+        case 1 => rows(i)._1
+        case 2 => rows(i)._2
+        case 3 => rows(i)._3
+      }
+    }
+    val y = DenseVector(rows.map(_._4))
+    val beta = x \ y
+    val got = Ols.p9OlsMulti(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq ==
+      Seq("intercept", "quantity", "discount_pct", "tax_pct"))
+    got.foreach { case (idx, feat, coef) =>
+      val ref = beta(idx)
+      assert(math.abs(coef - ref) <= 1e-4 * math.max(1.0, math.abs(ref)),
+        s"$feat: cramer $coef vs breeze $ref")
+    }
+    // non-degenerate: the fixture's mean price is far from zero, so a
+    // well-posed solve must put the intercept near the sample mean
+    // (features are uncorrelated with price in this synthetic data)
+    assert(got.forall { case (_, _, c) =>
+      !c.isNaN && !c.isInfinite }, "singular normal equations")
+    assert(math.abs(got(0)._3) > 1e5,
+      "intercept should carry the (cents-scale) mean price")
+  }
+}
