@@ -567,7 +567,83 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** MMR trade-off λ, candidate-pool size, and result size for
+    * [[s9MmrRerank]]. */
+  val mmrLambda = 0.7
+  val mmrPool = 20
+  val mmrK = 5
+
+  /** D80: Maximal-Marginal-Relevance diversified retrieval (Carbonell
+    * & Goldstein, SIGIR'98) — the re-rank stage a RAG / dedup-aware
+    * retrieval pipeline puts after s1/s2: from each query's top-
+    * [[mmrPool]] cosine candidates, greedily select [[mmrK]] results
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s). Step 1 is
+    * the pure-relevance argmax (no selected set yet); its score column
+    * is rel.
+    *
+    * Scale shape: the greedy recursion is inherently sequential in k
+    * but embarrassingly parallel ACROSS queries — each of the
+    * [[mmrK]] supersteps is one (query, candidate)-keyed join+argmax
+    * over pool-bounded frames, so a million queries run as well as
+    * five (the g1 fixed-superstep pattern). The pool and its ≤pool²
+    * pairwise-sim frame are persisted once — the corpus is scanned
+    * exactly once (pool build); no step rescans it. Determinism:
+    * rel/sim/score all rounded to 4 dp before every argmax, ties →
+    * lowest candidate id; λ and 1−λ interpolated into the oracle via
+    * Double.toString (1−0.7 is NOT the literal 0.3). */
+  def s9MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val scored = emb.select($"vec_id".as("cid"), $"embedding")
+      .crossJoin(broadcast(q))
+      .filter($"cid" =!= $"query_id")
+      .withColumn("rel", round(cosineCol(spark, $"q_emb", $"embedding"), 4))
+      .withColumn("salt", pmod(crc32($"cid".cast("string")), lit(32)))
+    val wL = Window.partitionBy($"query_id", $"salt")
+      .orderBy($"rel".desc, $"cid")
+    val wG = Window.partitionBy($"query_id").orderBy($"rel".desc, $"cid")
+    val cand = scored
+      .withColumn("lrk", row_number().over(wL)).filter($"lrk" <= mmrPool)
+      .withColumn("rk", row_number().over(wG)).filter($"rk" <= mmrPool)
+      .select($"query_id", $"cid", $"rel", $"embedding")
+      .persist()
+    val csim = cand.select($"query_id", $"cid".as("cid_a"), $"embedding".as("ea"))
+      .join(cand.select($"query_id", $"cid".as("cid_b"), $"embedding".as("eb")),
+        Seq("query_id"))
+      .filter($"cid_a" =!= $"cid_b")
+      .withColumn("sim", round(cosineCol(spark, $"ea", $"eb"), 4))
+      .select($"query_id", $"cid_a", $"cid_b", $"sim")
+      .persist()
+    val pool = cand.select($"query_id", $"cid", $"rel")
+    val wPick = Window.partitionBy($"query_id").orderBy($"score".desc, $"cid")
+    var picks = pool.withColumn("score", $"rel")
+      .withColumn("r", row_number().over(wPick)).filter($"r" === 1)
+      .select($"query_id", $"cid", lit(1).as("step"), $"score")
+    var sel = picks.select($"query_id", $"cid")
+    for (k <- 2 to mmrK) {
+      val pk = pool
+        .join(sel, Seq("query_id", "cid"), "left_anti")
+        .join(csim.withColumnRenamed("cid_a", "cid")
+            .join(sel.withColumnRenamed("cid", "cid_b"),
+              Seq("query_id", "cid_b")),
+          Seq("query_id", "cid"))
+        .groupBy($"query_id", $"cid", $"rel").agg(max($"sim").as("ms"))
+        .withColumn("score", round(
+          lit(mmrLambda) * $"rel" - lit(1.0 - mmrLambda) * $"ms", 4))
+        .withColumn("r", row_number().over(wPick)).filter($"r" === 1)
+        .select($"query_id", $"cid", lit(k).as("step"), $"score")
+      picks = picks.unionByName(pk)
+      sel = sel.unionByName(pk.select($"query_id", $"cid"))
+    }
+    picks
+      .select($"query_id", $"step", $"cid".as("vec_id"), $"score")
+      .orderBy($"query_id", $"step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_mmr_rerank" -> s9MmrRerank,
     "s1_knn_brute" -> s1KnnBrute,
     "s2_knn_lsh" -> s2KnnLsh,
     "s3_neardup_pairs" -> s3NearDupPairs,
@@ -641,7 +717,68 @@ object Similarity {
         SELECT id_a, id_b, cos_sim FROM scored
         WHERE cos_sim >= 0.35 ORDER BY id_a, id_b"""
 
+  /** DuckDB replay of [[s9MmrRerank]]: pool, pairwise sims, then the
+    * [[mmrK]]−1 greedy supersteps as chained CTEs (the p8 Lloyd
+    * pattern); λ and 1−λ interpolated via Double.toString. */
+  private val s9OracleSql: String = {
+    def cos(a: String, b: String) =
+      s"""list_inner_product($a, $b) /
+         (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"""
+    val lam = mmrLambda.toString
+    val oneMinus = (1.0 - mmrLambda).toString
+    val steps = (2 to mmrK).map { k =>
+      s"""m$k AS (SELECT c.query_id, c.cid, c.rel, max(cs.sim) AS ms
+            FROM cand c
+            JOIN csim cs ON cs.query_id = c.query_id AND cs.cid_a = c.cid
+            JOIN sel${k - 1} s ON s.query_id = cs.query_id
+                              AND s.cid = cs.cid_b
+            WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+                              WHERE x.query_id = c.query_id
+                                AND x.cid = c.cid)
+            GROUP BY c.query_id, c.cid, c.rel),
+          p$k AS (SELECT query_id, cid, $k AS step, score FROM (
+              SELECT query_id, cid,
+                round($lam * rel - $oneMinus * ms, 4) AS score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY round($lam * rel - $oneMinus * ms, 4) DESC,
+                    cid) AS r
+              FROM m$k) WHERE r = 1),
+          sel$k AS (SELECT query_id, cid FROM sel${k - 1}
+                    UNION ALL SELECT query_id, cid FROM p$k)"""
+    }.mkString(",\n          ")
+    val unions =
+      (2 to mmrK).map(k => s"UNION ALL SELECT * FROM p$k").mkString(" ")
+    s"""WITH q AS (SELECT vec_id AS query_id,
+            CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5),
+        c0 AS (SELECT q.query_id, b.vec_id AS cid,
+            round(${cos("q.e", "b.e")}, 4) AS rel, b.e
+          FROM q CROSS JOIN (SELECT vec_id,
+              CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+          WHERE b.vec_id != q.query_id),
+        cand AS (SELECT query_id, cid, rel, e FROM (
+            SELECT query_id, cid, rel, e,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, cid) AS rk
+            FROM c0) WHERE rk <= $mmrPool),
+        csim AS (SELECT x.query_id, x.cid AS cid_a, y.cid AS cid_b,
+            round(${cos("x.e", "y.e")}, 4) AS sim
+          FROM cand x JOIN cand y
+            ON x.query_id = y.query_id AND x.cid != y.cid),
+        p1 AS (SELECT query_id, cid, 1 AS step, rel AS score FROM (
+            SELECT query_id, cid, rel,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, cid) AS r
+            FROM cand) WHERE r = 1),
+        sel1 AS (SELECT query_id, cid FROM p1),
+        $steps
+        SELECT query_id, step, cid AS vec_id, score
+        FROM (SELECT * FROM p1 $unions)
+        ORDER BY query_id, step"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s9_mmr_rerank" -> s9OracleSql,
     "s2_knn_lsh" -> s2OracleSql,
     "d9_embedding_neardup" -> d9OracleSql,
     "s1_knn_brute" ->

@@ -110,6 +110,49 @@ class SimilaritySpec extends AnyFunSuite {
       "training sample grew with the corpus")
   }
 
+  test("s9 MMR selection equals a driver greedy replay and is diverse") {
+    import TestSpark.spark.implicits._
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Long, b: Long) = {
+      val (x, y) = (vecs(a), vecs(b))
+      r4(dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y))))
+    }
+    val expected = (0L until 5L).flatMap { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(qid, c)))
+        .sortBy { case (c, rel) => (-rel, c) }
+        .take(Similarity.mmrPool)
+      var sel = List.empty[(Long, Double)]
+      for (step <- 1 to Similarity.mmrK) {
+        val pick =
+          if (step == 1) pool.head
+          else pool.filterNot(p => sel.exists(_._1 == p._1))
+            .map { case (c, rel) =>
+              val ms = sel.map(s => cos(c, s._1)).max
+              (c, r4(Similarity.mmrLambda * rel
+                - (1.0 - Similarity.mmrLambda) * ms))
+            }.minBy { case (c, s) => (-s, c) }
+        sel = sel :+ pick
+      }
+      sel.zipWithIndex.map { case ((c, s), i) => (qid, i + 1, c, s) }
+    }
+    val got = Similarity.s9MmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // each query yields mmrK distinct picks
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).distinct.size == Similarity.mmrK, s"query $q")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
