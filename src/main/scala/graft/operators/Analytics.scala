@@ -189,8 +189,88 @@ object Analytics {
       .orderBy($"o_custkey")
   }
 
+  /** Positive-class cut for [[q52Auc]]: labels ≥ 5 are "relevant". */
+  val aucPosCut = 5
+
+  /** D81: exact ROC-AUC of a document-level score against a binary
+    * label — the classifier-eval primitive a quality-filter pipeline
+    * runs at corpus scale ("does my heuristic score actually separate
+    * the classes?"). Score = n_chars (integer, heavily tied), label =
+    * embedding class ≥ [[aucPosCut]]; AUC is the tie-corrected
+    * Mann–Whitney rank-sum,
+    *
+    *   AUC = (Σ_{i∈pos} rank̄_i − n⁺(n⁺+1)/2) / (n⁺ n⁻)
+    *
+    * with average ranks for ties. Everything up to the final division
+    * is INTEGER: per-score group (n_tot, n_pos), cumulative count
+    * before the group, and 2·rank̄ = 2·cum_before + n_tot + 1 — so
+    * both engines divide the same two exact integers and round once
+    * (4 dp), hash-safe.
+    *
+    * Scale shape: one co-keyed equi-join (doc_id = vec_id), one
+    * partial-aggregated group-by score, then a window + aggregate over
+    * the SCORE-CARDINALITY frame (distinct score values, bounded by
+    * the score's range — the t14 bounded-window precedent), never over
+    * corpus rows. */
+  def q52Auc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars".as("score"))
+      .join(Tables.embeddings(spark, dir)
+        .select($"vec_id".as("doc_id"),
+          ($"label" >= aucPosCut).cast("long").as("pos")), "doc_id")
+    val byScore = scored.groupBy($"score")
+      .agg(count(lit(1)).as("n_tot"), sum($"pos").as("n_pos"))
+    val cum = byScore.withColumn("cum_before",
+      coalesce(sum($"n_tot").over(Window.orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.agg(
+        sum($"n_pos").as("np"),
+        (sum($"n_tot") - sum($"n_pos")).as("nn"),
+        sum($"n_pos" * (lit(2L) * $"cum_before" + $"n_tot" + lit(1L)))
+          .as("s2"))
+      .select($"np".as("n_pos"), $"nn".as("n_neg"),
+        when($"np" * $"nn" === 0L, lit(null).cast("double"))
+          .otherwise(round(($"s2" - $"np" * ($"np" + lit(1L)))
+            .cast("double") / (lit(2L) * $"np" * $"nn").cast("double"), 4))
+          .as("auc"))
+  }
+
+  /** D82: Pareto-front (skyline) extraction — parts undominated on
+    * (retail price ↓, size ↑). Dominance via two windows over integer
+    * cents, not an O(n²) NOT-EXISTS self-join: a row is dominated iff
+    * the max size at strictly-cheaper prices reaches its size, or a
+    * same-price row strictly exceeds it. Two-phase for scale (the q9
+    * top-k discipline): a salted partition-local skyline prune first —
+    * a row dominated within ANY subset is dominated globally — so the
+    * global-order window runs only over local survivors (skyline-
+    * sized), never the full dimension. The oracle is the independent
+    * quadratic NOT-EXISTS formulation, so the window rewrite itself is
+    * what the gate checks. */
+  def q53Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_size",
+      floor($"p_retailprice" * 100 + 0.5).cast("long").as("price_cents"))
+    def prune(df: DataFrame, parts: Seq[org.apache.spark.sql.Column]) = {
+      val w1 = Window.partitionBy(parts: _*).orderBy($"price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val w2 = Window.partitionBy(parts :+ $"price_cents": _*)
+      df.withColumn("m1", max($"p_size").over(w1))
+        .withColumn("m2", max($"p_size").over(w2))
+        .filter(($"m1".isNull || $"m1" < $"p_size") && $"m2" === $"p_size")
+        .drop("m1", "m2")
+    }
+    val local = prune(p.withColumn("salt",
+      pmod(crc32($"p_partkey".cast("string")), lit(32))), Seq($"salt"))
+    prune(local, Seq.empty)
+      .select($"p_partkey", $"price_cents", $"p_size")
+      .orderBy($"price_cents", $"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_incremental_rollup" -> q51IncrementalRollup,
+    "q52_auc" -> q52Auc,
+    "q53_skyline" -> q53Skyline,
     "q46_scd2" -> q46Scd2,
     "q47_copurchase" -> q47Copurchase,
     "q48_transitions" -> q48Transitions,
@@ -198,6 +278,36 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q52_auc" ->
+      s"""WITH j AS (SELECT d.n_chars AS score,
+              CASE WHEN e.label >= $aucPosCut THEN 1 ELSE 0 END AS pos
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          g AS (SELECT score, CAST(count(*) AS BIGINT) AS n_tot,
+              CAST(sum(pos) AS BIGINT) AS n_pos
+            FROM j GROUP BY score),
+          c AS (SELECT score, n_tot, n_pos,
+              COALESCE(CAST(sum(n_tot) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS cum_before
+            FROM g),
+          a AS (SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+              CAST(sum(n_tot) - sum(n_pos) AS BIGINT) AS nn,
+              CAST(sum(n_pos * (2 * cum_before + n_tot + 1)) AS BIGINT) AS s2
+            FROM c)
+          SELECT np AS n_pos, nn AS n_neg,
+            CASE WHEN np * nn = 0 THEN NULL
+              ELSE round(CAST(s2 - np * (np + 1) AS DOUBLE) /
+                CAST(2 * np * nn AS DOUBLE), 4) END AS auc
+          FROM a""",
+    "q53_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+            CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+          FROM part)
+          SELECT p_partkey, price_cents, p_size FROM p a
+          WHERE NOT EXISTS (SELECT 1 FROM p b
+            WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+              AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+          ORDER BY price_cents, p_partkey""",
     "q51_incremental_rollup" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -144,4 +144,48 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("q52 AUC matches a brute pairwise Mann-Whitney count") {
+    import spark.implicits._
+    val scored = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+      .join(Tables.embeddings(spark, sf)
+        .select($"vec_id".as("doc_id"), $"label"), "doc_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2) >= Analytics.aucPosCut))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    // brute AUC: P(score_pos > score_neg) + 0.5 P(tie) over all pairs
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val brute = wins.toDouble / (2.0 * pos.length * neg.length)
+    val row = Analytics.q52Auc(spark, sf).collect().head
+    assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+    assert(math.abs(row.getDouble(2) - brute) < 5e-5,
+      s"rank-sum AUC ${row.getDouble(2)} != brute $brute")
+  }
+
+  test("q53 skyline equals brute dominance filter and is a staircase") {
+    import spark.implicits._
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_size",
+        floor($"p_retailprice" * 100 + 0.5).cast("long").as("pc"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = parts.filter { case (_, s, c) =>
+      !parts.exists { case (_, s2, c2) =>
+        c2 <= c && s2 >= s && (c2 < c || s2 > s)
+      }
+    }.map(p => (p._1, p._3, p._2)).sortBy(p => (p._2, p._1)).toSeq
+    val got = Analytics.q53Skyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    // staircase: along ascending price, surviving size strictly
+    // increases (else the cheaper row would dominate), except for
+    // equal-(price,size) duplicates which co-survive
+    got.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._3 > a._3 || (b._2 == a._2 && b._3 == a._3),
+          s"not a staircase at $a -> $b")
+      case _ =>
+    }
+  }
 }

@@ -225,21 +225,27 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no registered query plans a pairwise join, except the bounded-by-design set") {
-    // s1/s7 broadcast a ≤5-row query set against the corpus, s3 is
-    // explicitly id-bounded, and q43 cross-joins a ONE-row global-total
-    // aggregate — those replicate a BOUNDED side by design. Everything
-    // else must stay an equi/semi/anti join: a CartesianProduct or
-    // BroadcastNestedLoopJoin anywhere else is a corpus×corpus scale
-    // bug, whatever query it sneaks into.
+    // s1/s7/s9 broadcast a ≤5-row query set against the corpus (s9's
+    // later pairwise stage is additionally ≤ pool² rows per query), s3
+    // is explicitly id-bounded, and q43/t17 cross-join a ONE-row
+    // global-total/corpus-stats aggregate — those replicate a BOUNDED
+    // side by design. Everything else must stay an equi/semi/anti
+    // join: a CartesianProduct or BroadcastNestedLoopJoin anywhere
+    // else is a corpus×corpus scale bug, whatever query it sneaks
+    // into.
     val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq",
-      "q43_important_parts")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!boundedByDesign(name)) {
+      "s9_mmr_rerank", "q43_important_parts", "t17_bm25")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (boundedByDesign(name)) None
+      else {
         val p = fn(spark, sf).queryExecution.explainString(FormattedMode)
-        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans an unbounded pairwise join")
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
       }
     }
+    assert(offenders.isEmpty,
+      s"queries planning a pairwise join: ${offenders.mkString(", ")}")
   }
 
   test("d3_minhash shuffles signatures, not text") {
