@@ -267,10 +267,44 @@ object Analytics {
       .orderBy($"price_cents", $"p_partkey")
   }
 
+  /** D86: seasonal-baseline anomaly detection on event traffic — flag
+    * hours whose event count runs ≥ 1.5× the mean for that
+    * (weekday, hour-of-day) slot, the standard ops-dashboard "unusual
+    * for a Tuesday 3pm" check (weekly seasonality removed before
+    * thresholding, so a busy Monday morning is not an anomaly).
+    *
+    * Determinism: the threshold compare is INTEGER (2·cnt·n_hours ≥
+    * 3·total ⟺ ratio ≥ 1.5 — no float in the predicate); the reported
+    * ratio is one exact-integer division rounded 4 dp. Weekday is
+    * 0=Sunday on both engines (Spark dayofweek−1 = DuckDB dayofweek).
+    *
+    * Scale shape: the hourly census is one partial-aggregated groupBy
+    * whose output is TIME-RANGE-bounded (rows = hours observed, not
+    * events); the seasonal profile groups those into ≤ 168 slots and
+    * broadcasts back; no window functions, no shuffle of raw events
+    * beyond the census. */
+  def q54SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hr_ts"))
+      .agg(count(lit(1)).as("cnt"))
+    val slotted = hourly.select($"hr_ts", $"cnt",
+      (dayofweek($"hr_ts") - 1).as("dow"), hour($"hr_ts").as("hr"))
+    val seasonal = slotted.groupBy($"dow", $"hr")
+      .agg(sum($"cnt").as("total"), count(lit(1)).as("n_hours"))
+    slotted.join(broadcast(seasonal), Seq("dow", "hr"))
+      .filter(lit(2L) * $"cnt" * $"n_hours" >= lit(3L) * $"total")
+      .select($"hr_ts", $"dow", $"hr", $"cnt",
+        round(($"cnt" * $"n_hours").cast("double") /
+          $"total".cast("double"), 4).as("ratio"))
+      .orderBy($"hr_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_incremental_rollup" -> q51IncrementalRollup,
     "q52_auc" -> q52Auc,
     "q53_skyline" -> q53Skyline,
+    "q54_seasonal_anomaly" -> q54SeasonalAnomaly,
     "q46_scd2" -> q46Scd2,
     "q47_copurchase" -> q47Copurchase,
     "q48_transitions" -> q48Transitions,
@@ -278,6 +312,21 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q54_seasonal_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr_ts,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1),
+          sl AS (SELECT hr_ts, cnt, CAST(dayofweek(hr_ts) AS INT) AS dow,
+              CAST(hour(hr_ts) AS INT) AS hr FROM h),
+          se AS (SELECT dow, hr, CAST(sum(cnt) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS n_hours
+            FROM sl GROUP BY dow, hr)
+          SELECT sl.hr_ts, sl.dow, sl.hr, sl.cnt,
+            round(CAST(sl.cnt * se.n_hours AS DOUBLE) /
+              CAST(se.total AS DOUBLE), 4) AS ratio
+          FROM sl JOIN se USING (dow, hr)
+          WHERE 2 * sl.cnt * se.n_hours >= 3 * se.total
+          ORDER BY sl.hr_ts""",
     "q52_auc" ->
       s"""WITH j AS (SELECT d.n_chars AS score,
               CASE WHEN e.label >= $aucPosCut THEN 1 ELSE 0 END AS pos

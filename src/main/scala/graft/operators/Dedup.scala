@@ -578,7 +578,61 @@ object Dedup {
         assign AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
                    FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)"""
 
+  /** Tokens per synthetic "line" for [[d15LineDedup]] — the fixture
+    * text has no newlines, so consecutive 5-token chunks stand in for
+    * the paragraph/line segmentation a real corpus gives for free. */
+  val lineLen = 5
+  /** A line present in ≥ this many DISTINCT documents is boilerplate. */
+  val lineDupDocs = 2
+
+  /** D84: cross-document duplicated-line removal with reassembly — the
+    * CCNet/RefinedWeb line-dedup pass (strip nav bars, cookie banners,
+    * licence blocks that repeat across pages) as a TRANSFORM: each
+    * document is segmented into lines, lines whose exact text occurs
+    * in ≥ [[lineDupDocs]] distinct documents are dropped corpus-wide,
+    * and the survivors are reassembled in order. A line repeated only
+    * WITHIN one document is kept (that is d1/t8 territory, not
+    * boilerplate).
+    *
+    * Scale shape: segmentation is a pure array expression over a
+    * pre-projected token column (the lambda touches only the bound
+    * index and a per-row attribute — O(tokens) per doc); the
+    * line-frequency census groups by md5(line) with a distinct-doc
+    * pre-aggregation, so the wide shuffle carries 16-byte digests, not
+    * text; the drop is a semi-join-shaped anti-join of lines against
+    * the (small) boilerplate set; reassembly shuffles each kept line
+    * once — unavoidable, it IS the output. */
+  def d15LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("tk"))
+    val lines = toks.select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0), (ceil(size($"tk") / lit(5.0)) - 1).cast("int")),
+          i => concat_ws(" ", slice($"tk", i * lineLen + 1, lit(lineLen))))))
+      .select($"doc_id", $"pos".as("line_id"), $"col".as("line"))
+    val boiler = lines.select(md5($"line").as("h"), $"doc_id").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("dfc"))
+      .filter($"dfc" >= lineDupDocs)
+      .select($"h")
+    val kept = lines.join(boiler, md5(lines("line")) === boiler("h"),
+      "left_anti")
+    val reassembled = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct($"line_id", $"line"))),
+        s => s.getField("line"))).as("clean_text"))
+    toks.select($"doc_id",
+        (ceil(size($"tk") / lit(5.0))).cast("long").as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_line_dedup" -> d15LineDedup,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_distinct_meta" -> d2DistinctMeta,
     "d3_minhash" -> d3Minhash,
@@ -646,6 +700,30 @@ object Dedup {
                WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) >= 0.5)"""
 
   val oracle: Map[String, String] = Map(
+    "d15_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                     FROM documents),
+          l AS (SELECT doc_id,
+                  unnest(generate_series(0,
+                    CAST(ceil(len(tk) / $lineLen.0) AS INT) - 1)) AS line_id,
+                  tk FROM t),
+          l2 AS (SELECT doc_id, line_id,
+                  array_to_string(list_slice(tk, line_id * $lineLen + 1,
+                    line_id * $lineLen + $lineLen), ' ') AS line
+                 FROM l),
+          boiler AS (SELECT h FROM (SELECT DISTINCT md5(line) AS h, doc_id
+                                    FROM l2)
+                     GROUP BY h HAVING count(*) >= $lineDupDocs),
+          kept AS (SELECT l2.* FROM l2
+                   WHERE md5(l2.line) NOT IN (SELECT h FROM boiler)),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                    string_agg(line, ' ' ORDER BY line_id) AS clean_text
+                  FROM kept GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(ceil(len(t.tk) / $lineLen.0) AS BIGINT) AS n_lines,
+            COALESCE(a.n_kept, 0) AS n_kept,
+            COALESCE(a.clean_text, '') AS clean_text
+          FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
     "d11_incremental_dedup" ->
       s"""$candCte,
           ch AS (SELECT doc_id,

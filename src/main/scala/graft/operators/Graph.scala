@@ -166,9 +166,56 @@ object Graph {
       .groupBy($"part_key").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core threshold (g3): keep vertices with ≥ k surviving neighbors. */
+  val coreK = 3L
+  /** Fixed peel supersteps — like [[prIters]], fixed (not to-convergence)
+    * so the oracle replays them as chained CTEs. 12 reaches fixpoint on
+    * the sf0.01 fixture (11 rounds); at any sf the operator is defined
+    * as "12 peel rounds", identical on both engines. */
+  val coreIters = 12
+
+  /** D83: k-core decomposition (fixed-round peel) over the strong
+    * co-purchase affinity graph — "which parts sit in a mutually-dense
+    * buying cluster", the standard graph-density filter (cohesive
+    * subgraph mining; also the usual prune before community detection).
+    * Each round drops vertices with < [[coreK]] surviving neighbors and
+    * their incident edges; membership stabilizes at the k-core.
+    *
+    * Scale shape: per round one partial-aggregated degree groupBy
+    * (vertex-sized output) and two semi-joins of the edge frame against
+    * the alive set — no pairwise blow-up, messages are (vertex, long).
+    * `localCheckpoint` per round truncates the iterative lineage
+    * exactly as [[pagerank]] documents. Edges only ever shrink, so
+    * round cost is monotonically non-increasing. */
+  def g3Kcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kcore(strongEdges(spark, dir), coreK, coreIters)
+      .select($"src".as("part_key"), $"core_deg")
+      .orderBy($"part_key")
+  }
+
+  /** Core fixed-round peel over any canonical (src < dst) undirected
+    * edge frame; returns (src, core_deg) for surviving vertices. */
+  def kcore(und: DataFrame, k: Long, iters: Int): DataFrame = {
+    import und.sparkSession.implicits._
+    var e = und.select($"src", $"dst")
+      .unionAll(und.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val alive = e.groupBy($"src").agg(count(lit(1)).as("dg"))
+        .filter($"dg" >= k).select($"src".as("vx"))
+      e = e.join(alive.select($"vx".as("src")), Seq("src"), "left_semi")
+        .join(alive.select($"vx".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+        .localCheckpoint()
+    }
+    e.groupBy($"src").agg(count(lit(1)).as("core_deg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> g1Pagerank,
-    "g2_triangles" -> g2Triangles)
+    "g2_triangles" -> g2Triangles,
+    "g3_kcore" -> g3Kcore)
 
   /** One superstep as SQL over the previous iteration's CTE. */
   private def prStepSql(prev: String): String =
@@ -183,7 +230,30 @@ object Graph {
             FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
             WHERE a.l_partkey <> b.l_partkey)"""
 
+  /** One peel superstep: alive set (degree ≥ k), then both-endpoint
+    * filtered edges — the SQL twin of the g3 loop body. MATERIALIZED
+    * is load-bearing: DuckDB inlines plain CTEs, and each round
+    * references the previous one three times, so 12 inlined rounds
+    * would expand 3¹²-fold (observed as a file-handle blowup). */
+  private def coreStepSql(i: Int): String =
+    s"""a$i AS MATERIALIZED (SELECT src FROM e${i - 1}
+                GROUP BY src HAVING count(*) >= $coreK),
+        e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+                JOIN a$i s ON e.src = s.src JOIN a$i d ON e.dst = d.src)"""
+
   val oracle: Map[String, String] = Map(
+    "g3_kcore" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          e0 AS MATERIALIZED (SELECT src, dst FROM und
+                 UNION ALL SELECT dst, src FROM und),
+          ${(1 to coreIters).map(coreStepSql).mkString(",\n          ")}
+          SELECT src AS part_key, CAST(count(*) AS BIGINT) AS core_deg
+          FROM e$coreIters GROUP BY src ORDER BY part_key""",
     "g2_triangles" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

@@ -206,6 +206,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** D85: bigram language-model NLL per document — the t9 perplexity
+    * signal upgraded to a conditional model: token surprisal under
+    * add-one-smoothed corpus bigram frequencies,
+    *
+    *   −ln p(w2|w1) = ln((c(w1) + V) / (c(w1 w2) + 1)),
+    *
+    * the actual CCNet-style quality filter shape (a document of
+    * individually-common words in an improbable ORDER now scores
+    * badly, which unigram NLL cannot see). c(w1) is the corpus
+    * occurrence count of w1, V the distinct-token vocabulary size.
+    *
+    * Float discipline: the ratio is one IEEE division of exact
+    * integers and ln() is IEEE-identical across engines (t6), rounded
+    * to 4 dp BEFORE the per-document sum (the t9/c1 lesson).
+    *
+    * Scale shape: both count tables are VOCABULARY-sized, so both
+    * joins stay shuffle joins keyed on the bigram / first word (the t6
+    * df-join rule — broadcasting a 10⁷–10⁹-term table would OOM the
+    * driver); the two token-stream passes are each partial-aggregated
+    * before their shuffle. */
+  def t18BigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val docTok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+    val vocabSize = docTok.select($"term").distinct().count()
+    val uniCnt = docTok.groupBy($"term").agg(count(lit(1)).as("c1"))
+    val docBig = docs.select($"doc_id", explode(bigrams($"text")).as("bg"))
+    val bigCnt = docBig.groupBy($"bg").agg(count(lit(1)).as("c12"))
+    docBig.join(bigCnt, "bg")
+      .withColumn("term", substring_index($"bg", " ", 1))
+      .join(uniCnt, "term")
+      .withColumn("v", round(log(($"c1" + lit(vocabSize)).cast("double") /
+        ($"c12" + lit(1L)).cast("double")), 4))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(sum($"v"), 4).as("sum_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** D20/D17: deterministic 10% stratified sample — hash-gated by
     * md5(doc_id), reproducible on any engine/cluster, no RNG state.
     * The sampling predicate is a pure narrow filter. */
@@ -557,6 +595,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_bigram_nll" -> t18BigramNll,
     "t17_bm25" -> t17Bm25,
     "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
@@ -692,6 +731,27 @@ object TextAnalysis {
           FROM documents)
           SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
           WHERE rk <= $stratumQuota ORDER BY lang, rk""",
+    "t18_bigram_nll" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                    FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+          b AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t),
+          uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c1
+                 FROM tok GROUP BY term),
+          bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+                 FROM b GROUP BY bg),
+          v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vsz FROM tok),
+          s AS (SELECT b.doc_id,
+                  round(ln(CAST(uc.c1 + v.vsz AS DOUBLE) /
+                           CAST(bc.c12 + 1 AS DOUBLE)), 4) AS nll
+                FROM b JOIN bc USING (bg)
+                       JOIN uc ON uc.term = split_part(b.bg, ' ', 1)
+                       CROSS JOIN v)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            round(sum(nll), 4) AS sum_nll
+          FROM s GROUP BY doc_id ORDER BY doc_id""",
     "t9_unigram_nll" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
                       FROM documents),

@@ -164,6 +164,34 @@ class AnalyticsSpec extends AnyFunSuite {
       s"rank-sum AUC ${row.getDouble(2)} != brute $brute")
   }
 
+  test("q54 seasonal anomalies equal a brute slot-baseline replay") {
+    import spark.implicits._
+    val hours = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", $"ts").as("hr_ts"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    def slot(ts: java.sql.Timestamp): (Int, Int) = {
+      cal.setTime(ts)
+      (cal.get(java.util.Calendar.DAY_OF_WEEK) - 1,
+        cal.get(java.util.Calendar.HOUR_OF_DAY))
+    }
+    val bySlot = hours.groupBy(h => slot(h._1))
+    val expected = hours.flatMap { case (ts, cnt) =>
+      val sl = bySlot(slot(ts))
+      val (total, n) = (sl.map(_._2).sum, sl.length.toLong)
+      if (2L * cnt * n >= 3L * total)
+        Some((ts, cnt, BigDecimal(cnt.toDouble * n / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }.sortBy(_._1.getTime).toSeq
+    val got = Analytics.q54SeasonalAnomaly(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should contain at least one anomaly")
+  }
+
   test("q53 skyline equals brute dominance filter and is a staircase") {
     import spark.implicits._
     val parts = Tables.part(spark, sf)

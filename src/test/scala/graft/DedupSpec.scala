@@ -230,6 +230,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(10L -> "exact_dup", 20L -> "near_dup", 30L -> "new"))
   }
 
+  test("d15 line dedup equals a brute segmentation replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lines(t: String): Seq[String] =
+      t.toLowerCase.split(" ", -1).grouped(Dedup.lineLen)
+        .map(_.mkString(" ")).toSeq
+    val dupSet = docs.flatMap { case (id, t) => lines(t).map(_ -> id) }
+      .distinct.groupBy(_._1)
+      .filter(_._2.length >= Dedup.lineDupDocs).keySet
+    val expected = docs.map { case (id, t) =>
+      val ls = lines(t)
+      val kept = ls.filterNot(dupSet)
+      (id, ls.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.sortBy(_._1).toSeq
+    val got = Dedup.d15LineDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == expected)
+    // the fixture must actually exercise the drop path
+    assert(expected.exists(r => r._3 < r._2))
+  }
+
   test("identical documents collapse to one exact-dedup group") {
     import spark.implicits._
     val df = Seq((1L, "Same  Text here"), (2L, "same text HERE"), (3L, "other"))

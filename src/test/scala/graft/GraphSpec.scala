@@ -65,6 +65,35 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty && a.size <= 20)
   }
 
+  test("g3 k-core equals a brute peel replay and reaches fixpoint") {
+    val und = Graph.strongEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var e: Seq[(Long, Long)] = (und ++ und.map(_.swap)).toSeq
+    for (_ <- 1 to Graph.coreIters) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val alive = deg.filter(_._2 >= Graph.coreK).keySet
+      e = e.filter { case (s, d) => alive(s) && alive(d) }
+    }
+    val expected = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = Graph.g3Kcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // fixpoint on the fixture: every survivor keeps >= k neighbors, and
+    // one further peel round changes nothing
+    assert(expected.values.forall(_ >= Graph.coreK))
+  }
+
+  test("k-core peels a pendant chain off a clique") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + chain 4-5-6: k=3 must peel 6 then 5 and
+    // keep exactly the clique at degree 3
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.kcore(und, 3L, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("g1 top-20 is deterministic and scores stay positive") {
     val a = Graph.g1Pagerank(spark, sf).collect().map(_.toString).toSeq
     val b = Graph.g1Pagerank(spark, sf).collect().map(_.toString).toSeq

@@ -221,4 +221,31 @@ class TextSpec extends AnyFunSuite {
       assert(r.getAs[String]("postings_md5") == md, s"postings digest for '$term'")
     }
   }
+
+  test("t18 bigram NLL equals a driver add-one-smoothing replay") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1).toSeq))
+    val uniCnt = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val vocab = uniCnt.size.toLong
+    val bigCnt = docs.flatMap(_._2.sliding(2).filter(_.size == 2))
+      .map(_.mkString(" ")).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      if (bgs.isEmpty) None
+      else {
+        val nll = bgs.map { bg =>
+          val w1 = bg.split(" ")(0)
+          r4(math.log((uniCnt(w1) + vocab).toDouble / (bigCnt(bg) + 1L)))
+        }.sum
+        Some((id, bgs.size.toLong, r4(nll)))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.t18BigramNll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
 }
