@@ -78,7 +78,29 @@ object Ols {
   private val features =
     Seq((0, "intercept"), (1, "quantity"), (2, "discount_pct"), (3, "tax_pct"))
 
-  def p9OlsMulti(spark: SparkSession, dir: String): DataFrame = {
+  def p9OlsMulti(spark: SparkSession, dir: String): DataFrame =
+    solveFromMoments(spark, dir, 0L)
+
+  /** Ridge penalty for [[p10Ridge]], in QUANTIZED-design units (the
+    * features the moments are built from: raw quantity, ×100
+    * discount/tax). λ is added to the non-intercept diagonal of XᵀX,
+    * the standard don't-penalize-the-intercept convention. */
+  val ridgeLambda = 1000000L
+
+  /** D89: ridge (L2-regularized) regression — the same one-pass exact
+    * moments as p9, with XᵀX + λI (intercept unpenalized) fed to the
+    * identical shared-by-construction Cramer solve. Regularization
+    * changes ONE driver-side addition, not the data pass: at 100 TB
+    * the cost is exactly p9's single partial-aggregated scan. λ shifts
+    * integer-exact moments by an integer, so both engines still
+    * evaluate the same 24-term expansion on bit-identical doubles. */
+  def p10Ridge(spark: SparkSession, dir: String): DataFrame =
+    solveFromMoments(spark, dir, ridgeLambda)
+
+  /** Shared p9/p10 body: one-pass exact moments, optional ridge shift
+    * on the non-intercept diagonal, driver Cramer solve. */
+  private def solveFromMoments(spark: SparkSession, dir: String,
+      lam: Long): DataFrame = {
     import spark.implicits._
     def s(e: Column, n: String) = sum(e.cast("decimal(38,0)")).as(n)
     val li = Tables.lineitem(spark, dir).select(
@@ -93,12 +115,14 @@ object Ols {
       s($"d" * $"d", "sdd"), s($"d" * $"t", "sdt"), s($"t" * $"t", "stt"),
       s($"q" * $"y", "sqy"), s($"d" * $"y", "sdy"), s($"t" * $"y", "sty"))
       .head()
-    val m = row.schema.fieldNames.zipWithIndex.map { case (name, i) =>
+    val m0 = row.schema.fieldNames.zipWithIndex.map { case (name, i) =>
       name -> (row.get(i) match {
         case l: java.lang.Long => l.toDouble
         case bd: java.math.BigDecimal => bd.doubleValue
       })
     }.toMap
+    val m = m0 ++ Seq("sqq", "sdd", "stt")
+      .map(k => k -> (m0(k) + lam.toDouble))
     val da = detVal(-1, m)
     features.map { case (idx, feat) =>
       (idx, feat,
@@ -108,7 +132,8 @@ object Ols {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p9_ols_multi" -> p9OlsMulti)
+    "p9_ols_multi" -> p9OlsMulti,
+    "p10_ridge" -> p10Ridge)
 
   private val momentNames =
     Seq("sq", "sd", "st", "sy", "sqq", "sqd", "sqt", "sdd", "sdt", "stt",
@@ -116,15 +141,20 @@ object Ols {
 
   /** DuckDB replay: identical quantization, HUGEINT-exact moments,
     * and the SAME generated Leibniz expansion — the float path is
-    * shared by construction. */
-  private val oracleSql: String = {
+    * shared by construction. `lam` adds the ridge shift to the
+    * non-intercept diagonal, mirroring [[solveFromMoments]] (p9 = 0,
+    * which emits no `+` so the p9 SQL text is unchanged). */
+  private def oracleSql(lam: Long): String = {
     val sums = Seq("q" -> "sq", "d" -> "sd", "t" -> "st", "y" -> "sy",
       "q*q" -> "sqq", "q*d" -> "sqd", "q*t" -> "sqt",
       "d*d" -> "sdd", "d*t" -> "sdt", "t*t" -> "stt",
       "q*y" -> "sqy", "d*y" -> "sdy", "t*y" -> "sty")
       .map { case (e, n) => s"sum($e) AS $n" }.mkString(", ")
+    val diag = Set("sqq", "sdd", "stt")
     val casts = ("n" +: momentNames)
-      .map(n => s"CAST($n AS DOUBLE) AS $n").mkString(", ")
+      .map(n => if (lam != 0L && diag(n))
+        s"CAST($n AS DOUBLE) + $lam AS $n"
+      else s"CAST($n AS DOUBLE) AS $n").mkString(", ")
     val dets = (-1 to 3)
       .map(i => s"(${detSql(i)}) AS d${if (i < 0) "a" else i.toString}")
       .mkString(", ")
@@ -145,5 +175,7 @@ object Ols {
         ORDER BY idx"""
   }
 
-  val oracle: Map[String, String] = Map("p9_ols_multi" -> oracleSql)
+  val oracle: Map[String, String] = Map(
+    "p9_ols_multi" -> oracleSql(0L),
+    "p10_ridge" -> oracleSql(ridgeLambda))
 }

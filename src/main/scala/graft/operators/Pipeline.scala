@@ -274,7 +274,56 @@ object Pipeline {
       .orderBy($"source", $"sel_rank")
   }
 
+  /** Curriculum stage bands on the 4-dp quality score (stage 0 = easy/
+    * cleanest first — the anti-curriculum variant just flips the CASE). */
+  val currHi = 0.64
+  val currLo = 0.55
+  /** Salt fan-out for the shard-interleaved within-stage order. */
+  val currSalts = 32
+
+  /** D90: curriculum schedule builder — a TOTAL training order over the
+    * corpus (quality-banded stages, cleanest stage first) computed
+    * WITHOUT a global sort-rank: the exact global position of every
+    * document is derived from a broadcast census.
+    *
+    * Order semantics: stage major (0 = high-quality band first), then
+    * salt shard, then quality-desc within (stage, salt) — i.e. each
+    * stage is consumed as [[currSalts]] interleaved deterministic
+    * shards, which is exactly what a multi-worker data loader wants
+    * (shard-local order, no cross-shard coordination).
+    *
+    * Scale shape: row_number runs per (stage, salt) (parallel, the
+    * t12 phase-1 shape) — never over the corpus; the census is one partial-agg groupBy of ≤ 3·32 rows;
+    * positions = broadcast-joined census prefix-offsets + local rank,
+    * all exact integers. No corpus-sized window, no global sort in the
+    * computation (the final orderBy is presentation-only and drops out
+    * when the schedule is written partitioned-by-stage). */
+  def c7Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .withColumn("stage",
+        when($"q" >= currHi, 0).when($"q" >= currLo, 1).otherwise(2))
+      .withColumn("salt", pmod($"doc_id", lit(currSalts)).cast("int"))
+    val local = Window.partitionBy($"stage", $"salt")
+      .orderBy($"q".desc, $"doc_id")
+    val ranked = scored.withColumn("lrk", row_number().over(local))
+    val census = scored.groupBy($"stage", $"salt")
+      .agg(count(lit(1)).as("n"))
+    // prefix offsets over the ≤ 96-row census — bounded global window
+    val wOff = Window.orderBy($"stage", $"salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census
+      .withColumn("off", coalesce(sum($"n").over(wOff), lit(0L)))
+      .select($"stage", $"salt", $"off")
+    ranked.join(broadcast(offsets), Seq("stage", "salt"))
+      .select(($"off" + $"lrk" - 1).as("pos"), $"stage", $"doc_id",
+        $"q".as("quality"))
+      .orderBy($"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c7_curriculum" -> c7Curriculum,
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_component_dedup" -> c2ComponentDedup,
     "c3_pack_sequences" -> c3PackSequences,
@@ -283,6 +332,28 @@ object Pipeline {
     "c6_mixture" -> c6Mixture)
 
   val oracle: Map[String, String] = Map(
+    "c7_curriculum" ->
+      s"""WITH s AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS q
+                     FROM documents),
+          st AS (SELECT doc_id, q,
+              CAST(CASE WHEN q >= $currHi THEN 0
+                        WHEN q >= $currLo THEN 1 ELSE 2 END AS INT) AS stage,
+              CAST(doc_id % $currSalts AS INT) AS salt
+            FROM s),
+          r AS (SELECT doc_id, q, stage, salt,
+              row_number() OVER (PARTITION BY stage, salt
+                ORDER BY q DESC, doc_id) AS lrk
+            FROM st),
+          c AS (SELECT stage, salt, CAST(count(*) AS BIGINT) AS n
+                FROM st GROUP BY stage, salt),
+          o AS (SELECT stage, salt,
+              COALESCE(CAST(sum(n) OVER (ORDER BY stage, salt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS off
+            FROM c)
+          SELECT CAST(o.off + r.lrk - 1 AS BIGINT) AS pos, r.stage,
+            r.doc_id, r.q AS quality
+          FROM r JOIN o USING (stage, salt) ORDER BY pos""",
     "c6_mixture" ->
       s"""WITH d AS (SELECT doc_id, source,
             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,

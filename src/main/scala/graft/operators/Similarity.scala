@@ -102,6 +102,36 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Cosine threshold for [[s10RangeSearch]]. */
+  val rangeTau = 0.25
+
+  /** D87: threshold (range) retrieval — EVERY corpus vector with
+    * cosine ≥ [[rangeTau]] against each query, the "give me all
+    * sufficiently-similar documents" primitive that top-k cannot
+    * express (k is unknown a priori: dedup sweeps, recall-oriented
+    * retrieval, contamination scans all want the full ≥τ set).
+    *
+    * Scale shape: strictly better than s1 — broadcast the bounded
+    * query set, stream the corpus ONCE through the codegen'd cosine,
+    * and apply a narrow filter; no window, no shuffle, no ranking
+    * phase at all. Output size is data-dependent but the plan is a
+    * pure map-filter over the scan, so it parallelizes perfectly at
+    * any corpus size. The ≥ compare is on raw doubles (identical bits
+    * both engines, the s1 argument); the 4-dp round is display-only. */
+  def s10RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    emb.select($"vec_id".as("neighbor_id"), $"embedding")
+      .crossJoin(broadcast(q))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
+      .filter($"cos" >= rangeTau)
+      .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
   /** Number of hyperplanes per LSH table (2^planes buckets). */
   val lshPlanes = 4
   /** Number of independent LSH tables (union of candidates). */
@@ -646,6 +676,7 @@ object Similarity {
     "s9_mmr_rerank" -> s9MmrRerank,
     "s1_knn_brute" -> s1KnnBrute,
     "s2_knn_lsh" -> s2KnnLsh,
+    "s10_range_search" -> s10RangeSearch,
     "s3_neardup_pairs" -> s3NearDupPairs,
     "d9_embedding_neardup" -> d9EmbeddingNearDup,
     "s4_centroids" -> s4Centroids,
@@ -778,6 +809,18 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "s10_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding
+            FROM embeddings WHERE vec_id < 5)
+          SELECT b.query_id, b.neighbor_id, round(b.c, 4) AS cos_sim
+          FROM (SELECT q.query_id, a.vec_id AS neighbor_id,
+                  list_inner_product(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                  (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                   sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS c
+                FROM embeddings a CROSS JOIN q
+                WHERE a.vec_id <> q.query_id) b
+          WHERE b.c >= $rangeTau
+          ORDER BY b.query_id, b.neighbor_id""",
     "s9_mmr_rerank" -> s9OracleSql,
     "s2_knn_lsh" -> s2OracleSql,
     "d9_embedding_neardup" -> d9OracleSql,

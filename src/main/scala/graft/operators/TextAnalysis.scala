@@ -244,6 +244,45 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Sample size for [[t19WeightedSample]]. */
+  val wsampleK = 100
+
+  /** D88: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES, Inf. Proc. Letters 2006) — draw [[wsampleK]] documents with
+    * inclusion probability proportional to n_chars, the
+    * length-weighted pick a token-budgeted pretraining mix wants
+    * ("sample 100 docs worth of signal, long docs count more").
+    *
+    * A-ES keys each item by u^(1/w); we rank by the monotone transform
+    * ln(u)/w instead (same order, no pow — pow is NOT reliably
+    * IEEE-identical across engines, ln and division are). u derives
+    * from md5(doc_id) exactly like t7's gate: u = (h32+1)/(2³²+1) ∈
+    * (0,1], so no RNG state and no ln(0). Ranking compares RAW doubles
+    * (bit-identical both engines); the 6-dp round is display-only.
+    *
+    * Scale shape: key computation is a narrow projection; the top-k is
+    * the s1/q9 two-phase salted rank — local top-k per salt bucket in
+    * parallel, then a final rank over ≤ k·32 survivors. No global sort
+    * of the corpus. */
+  def t19WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        (log((conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)) /
+          $"n_chars").as("skey"))
+    val wLocal = Window.partitionBy(pmod($"doc_id", lit(32)))
+      .orderBy($"skey".desc, $"doc_id")
+    val w = Window.partitionBy().orderBy($"skey".desc, $"doc_id")
+    keyed
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter($"lrk" <= wsampleK)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= wsampleK)
+      .select($"rk", $"doc_id", $"n_chars", round($"skey", 6).as("skey"))
+      .orderBy($"rk")
+  }
+
   /** D20/D17: deterministic 10% stratified sample — hash-gated by
     * md5(doc_id), reproducible on any engine/cluster, no RNG state.
     * The sampling predicate is a pure narrow filter. */
@@ -595,6 +634,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_weighted_sample" -> t19WeightedSample,
     "t18_bigram_nll" -> t18BigramNll,
     "t17_bm25" -> t17Bm25,
     "t16_zipf" -> t16Zipf,
@@ -731,6 +771,18 @@ object TextAnalysis {
           FROM documents)
           SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
           WHERE rk <= $stratumQuota ORDER BY lang, rk""",
+    "t19_weighted_sample" ->
+      s"""WITH keyed AS (SELECT doc_id, n_chars,
+            ln(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) + 1 AS DOUBLE) / 4294967297.0)
+              / n_chars AS skey
+          FROM documents),
+          ranked AS (SELECT doc_id, n_chars, skey,
+              row_number() OVER (ORDER BY skey DESC, doc_id) AS rk
+            FROM keyed)
+          SELECT CAST(rk AS INT) AS rk, doc_id, n_chars,
+            round(skey, 6) AS skey
+          FROM ranked WHERE rk <= $wsampleK ORDER BY rk""",
     "t18_bigram_nll" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
                     FROM documents),

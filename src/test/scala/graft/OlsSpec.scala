@@ -51,4 +51,45 @@ class OlsSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3) > 1e5,
       "intercept should carry the (cents-scale) mean price")
   }
+
+  test("p10 ridge matches a Breeze regularized solve and shrinks toward p9") {
+    import TestSpark.spark.implicits._
+    import breeze.linalg.{DenseMatrix, DenseVector, inv}
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_discount", $"l_tax", $"l_extendedprice")
+      .collect()
+      .map { r =>
+        (math.round(r.getDouble(0)).toDouble,
+          math.round(r.getDouble(1) * 100).toDouble,
+          math.round(r.getDouble(2) * 100).toDouble,
+          math.round(r.getDouble(3) * 100).toDouble)
+      }
+    val x = DenseMatrix.tabulate(rows.length, 4) { (i, j) =>
+      j match {
+        case 0 => 1.0
+        case 1 => rows(i)._1
+        case 2 => rows(i)._2
+        case 3 => rows(i)._3
+      }
+    }
+    val y = DenseVector(rows.map(_._4))
+    val xtx = x.t * x
+    for (j <- 1 to 3) xtx(j, j) += Ols.ridgeLambda.toDouble
+    val beta = inv(xtx) * (x.t * y)
+    val got = Ols.p10Ridge(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    got.foreach { case (idx, feat, coef) =>
+      val ref = beta(idx)
+      assert(math.abs(coef - ref) <= 1e-3 * math.max(1.0, math.abs(ref)),
+        s"$feat: cramer $coef vs breeze $ref")
+    }
+    // the penalty must actually bite: some non-intercept coefficient
+    // moves vs the unregularized p9 solve (element-wise shrinkage is
+    // only guaranteed for orthogonal designs, so assert difference,
+    // not direction)
+    val ols = Ols.p9OlsMulti(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got.filter(_._1 > 0).exists { case (idx, _, coef) =>
+      math.abs(coef - ols(idx)) > 1e-4 }, "ridge penalty had no effect")
+  }
 }

@@ -215,4 +215,29 @@ class PipelineSpec extends AnyFunSuite {
     // every source with documents appears (quota >= 400 admits >= 1 doc here)
     assert(bySrc.keySet == all.keySet, "missing sources")
   }
+
+  test("c7 curriculum is an exact permutation replaying the census-offset order") {
+    import TestSpark.spark.implicits._
+    val scored = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.operators.TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def stage(q: Double): Int =
+      if (q >= Pipeline.currHi) 0 else if (q >= Pipeline.currLo) 1 else 2
+    val expected = scored
+      .map { case (id, q) => (id, q, stage(q), (id % Pipeline.currSalts).toInt) }
+      .sortBy { case (id, q, st, salt) => (st, salt, -q, id) }
+      .zipWithIndex
+      .map { case ((id, q, st, _), pos) => (pos.toLong, st, id, q) }
+      .toSeq
+    val got = Pipeline.c7Curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // positions are a gapless permutation and stages appear in order
+    assert(got.map(_._1) == (0L until scored.length.toLong))
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    // non-degenerate banding on the fixture: all three stages occur
+    assert(got.map(_._2).distinct.size == 3)
+  }
 }

@@ -234,7 +234,7 @@ class PlanSpec extends AnyFunSuite {
     // else is a corpus×corpus scale bug, whatever query it sneaks
     // into.
     val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq",
-      "s9_mmr_rerank", "q43_important_parts", "t17_bm25")
+      "s9_mmr_rerank", "s10_range_search", "q43_important_parts", "t17_bm25")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -153,6 +153,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s10 range search equals a brute threshold scan and contains s1's qualifying top-k") {
+    import spark.implicits._
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = all.filter(_._1 < 5)
+    val expected = (for {
+      (qid, qe) <- queries
+      (nid, ne) <- all if nid != qid
+      c = cos(qe, ne) if c >= Similarity.rangeTau
+    } yield (qid, nid,
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val got = Similarity.s10RangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // consistency: any s1 top-5 neighbor scoring >= tau must be present
+    val s10set = got.map(p => (p._1, p._2)).toSet
+    Similarity.s1KnnBrute(spark, sf).collect()
+      .filter(_.getDouble(3) >= Similarity.rangeTau)
+      .foreach(r => assert(s10set((r.getLong(0), r.getLong(2)))))
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -222,6 +222,34 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("t19 weighted sample equals a driver A-ES replay and favors long docs") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u32 = java.lang.Long.parseLong(hex, 16)
+      math.log((u32 + 1L).toDouble / 4294967297.0) / w
+    }
+    val expected = docs.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy(t => (-t._3, t._1)).take(TextAnalysis.wsampleK)
+      .zipWithIndex
+      .map { case ((id, w, k), i) => (i + 1, id, w,
+        BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq
+    val got = TextAnalysis.t19WeightedSample(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // weighting sanity: sampled docs skew long — their mean length
+    // exceeds the corpus mean (P(include) grows with n_chars)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("t18 bigram NLL equals a driver add-one-smoothing replay") {
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
