@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -300,7 +300,117 @@ object Analytics {
       .orderBy($"hr_ts")
   }
 
+  /** D91: RFM customer segmentation — the classic recency / frequency /
+    * monetary quintile coding (marketing-analytics staple; also the
+    * usual first feature set for churn models). Each metric is scored
+    * 1–5 against its EXACT corpus quintile boundaries; the output is
+    * the ≤ 125-cell segment census.
+    *
+    * Determinism: all three metrics are exact integers (order count,
+    * floor-cents spend, day recency); boundaries come from
+    * [[AdvancedSql.exactPercentiles]] — the q44 scalable exact-
+    * percentile pass whose linear interpolation replays
+    * `quantile_cont` bit-for-bit — and fold into the CASE as literals.
+    * avg_cents is integer division of exact integers (both positive,
+    * so Spark's truncating `div` and DuckDB's flooring `//` agree) —
+    * no float column in the output at all.
+    *
+    * Scale shape: ONE partial-aggregated pass over orders builds the
+    * per-customer frame (persisted — consumed by three boundary passes
+    * + the census, the q43 no-second-scan lesson); each boundary pass
+    * is the q44 bounded-histogram collect; the census is a ≤ 125-row
+    * partial-agg groupBy. No window over customers anywhere. */
+  def q55Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val maxDate = o.agg(max($"o_orderdate").cast("date").cast("string"))
+      .head().getString(0)
+    val rfm = o.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("f"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("m"),
+        datediff(lit(maxDate).cast("date"),
+          max($"o_orderdate").cast("date")).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    val bf = AdvancedSql.exactPercentiles(
+      rfm.select($"f".cast("double").as("v")), ps, width = 1.0)
+    val bm = AdvancedSql.exactPercentiles(
+      rfm.select($"m".cast("double").as("v")), ps, width = 6400.0)
+    val br = AdvancedSql.exactPercentiles(
+      rfm.select($"r".cast("double").as("v")), ps, width = 8.0)
+    def asc(c: Column, b: Seq[Double]) = // higher value = better score
+      when(c <= b(0), 1).when(c <= b(1), 2).when(c <= b(2), 3)
+        .when(c <= b(3), 4).otherwise(5)
+    def desc(c: Column, b: Seq[Double]) = // lower value = better score
+      when(c <= b(0), 5).when(c <= b(1), 4).when(c <= b(2), 3)
+        .when(c <= b(3), 2).otherwise(1)
+    val out = rfm
+      .select(desc($"r".cast("double"), br).as("r_score"),
+        asc($"f".cast("double"), bf).as("f_score"),
+        asc($"m".cast("double"), bm).as("m_score"), $"m")
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"), sum($"m").as("sum_cents"))
+      .withColumn("avg_cents", expr("sum_cents div n_customers"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+    // materialize the (≤ 125-row) census before releasing the rfm cache
+    val result = out.localCheckpoint()
+    rfm.unpersist()
+    result
+  }
+
+  /** D92: decile lift / gains table for the q52 score — the OTHER
+    * standard classifier-eval artifact (campaign targeting reads it as
+    * "mailing the top 3 deciles captures X% of responders"). Documents
+    * are ranked score-descending and cut into 10 population deciles;
+    * each reports its positive rate and cumulative lift over the base
+    * rate.
+    *
+    * Deciles are assigned to whole SCORE GROUPS by where the group
+    * starts: decile = 1 + (10·cum_before) div total — pure integer
+    * arithmetic, no float in the cut, and tied scores can never
+    * straddle engines differently (a giant tie block may leave later
+    * deciles empty; that is the correct tie-safe semantics). pos_rate
+    * and cum_lift are single divisions of exact integers, 4-dp.
+    *
+    * Scale shape: q52's frame — one equi-join + partial-agg groupBy
+    * score; every window runs over score-cardinality (or ≤ 10) rows,
+    * never corpus rows. */
+  def q56DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars".as("score"))
+      .join(Tables.embeddings(spark, dir)
+        .select($"vec_id".as("doc_id"),
+          ($"label" >= aucPosCut).cast("long").as("pos")), "doc_id")
+    val byScore = scored.groupBy($"score")
+      .agg(count(lit(1)).as("n_tot"), sum($"pos").as("n_pos"))
+    val wCum = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val g = byScore
+      .withColumn("cum_before", coalesce(sum($"n_tot").over(wCum), lit(0L)))
+      .withColumn("total", sum($"n_tot").over(wAll))
+      .withColumn("total_pos", sum($"n_pos").over(wAll))
+      .withColumn("decile",
+        (lit(1) + expr("(10 * cum_before) div total")).cast("int"))
+    val wDec = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.groupBy($"decile")
+      .agg(sum($"n_tot").as("n"), sum($"n_pos").as("n_pos"),
+        max($"total").as("total"), max($"total_pos").as("total_pos"))
+      .withColumn("cum_n", sum($"n").over(wDec))
+      .withColumn("cum_pos", sum($"n_pos").over(wDec))
+      .select($"decile", $"n", $"n_pos", $"cum_pos",
+        round($"n_pos".cast("double") / $"n".cast("double"), 4)
+          .as("pos_rate"),
+        round(($"cum_pos" * $"total").cast("double") /
+          ($"cum_n" * $"total_pos").cast("double"), 4).as("cum_lift"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_decile_lift" -> q56DecileLift,
+    "q55_rfm" -> q55Rfm,
     "q51_incremental_rollup" -> q51IncrementalRollup,
     "q52_auc" -> q52Auc,
     "q53_skyline" -> q53Skyline,
@@ -312,6 +422,71 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q56_decile_lift" ->
+      s"""WITH j AS (SELECT d.n_chars AS score,
+              CASE WHEN e.label >= $aucPosCut THEN 1 ELSE 0 END AS pos
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          g0 AS (SELECT score, CAST(count(*) AS BIGINT) AS n_tot,
+              CAST(sum(pos) AS BIGINT) AS n_pos
+            FROM j GROUP BY score),
+          g AS (SELECT score, n_tot, n_pos,
+              COALESCE(CAST(sum(n_tot) OVER (ORDER BY score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS cum_before,
+              CAST(sum(n_tot) OVER () AS BIGINT) AS total,
+              CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+            FROM g0),
+          d AS (SELECT CAST(1 + (10 * cum_before) // total AS INT) AS decile,
+              n_tot, n_pos, total, total_pos FROM g),
+          per AS (SELECT decile, CAST(sum(n_tot) AS BIGINT) AS n,
+              CAST(sum(n_pos) AS BIGINT) AS n_pos,
+              max(total) AS total, max(total_pos) AS total_pos
+            FROM d GROUP BY decile),
+          c AS (SELECT decile, n, n_pos, total, total_pos,
+              CAST(sum(n) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
+              CAST(sum(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pos
+            FROM per)
+          SELECT decile, n, n_pos, cum_pos,
+            round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 4) AS pos_rate,
+            round(CAST(cum_pos * total AS DOUBLE) /
+              CAST(cum_n * total_pos AS DOUBLE), 4) AS cum_lift
+          FROM c ORDER BY decile""",
+    "q55_rfm" ->
+      """WITH c AS (SELECT o_custkey,
+              CAST(count(*) AS BIGINT) AS f,
+              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m,
+              date_diff('day', CAST(max(o_orderdate) AS DATE),
+                (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS r
+            FROM orders GROUP BY 1),
+          b AS (SELECT
+              quantile_cont(CAST(f AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS bf,
+              quantile_cont(CAST(m AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS bm,
+              quantile_cont(CAST(r AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS br
+            FROM c),
+          s AS (SELECT
+              CASE WHEN CAST(r AS DOUBLE) <= br[1] THEN 5
+                   WHEN CAST(r AS DOUBLE) <= br[2] THEN 4
+                   WHEN CAST(r AS DOUBLE) <= br[3] THEN 3
+                   WHEN CAST(r AS DOUBLE) <= br[4] THEN 2 ELSE 1 END AS r_score,
+              CASE WHEN CAST(f AS DOUBLE) <= bf[1] THEN 1
+                   WHEN CAST(f AS DOUBLE) <= bf[2] THEN 2
+                   WHEN CAST(f AS DOUBLE) <= bf[3] THEN 3
+                   WHEN CAST(f AS DOUBLE) <= bf[4] THEN 4 ELSE 5 END AS f_score,
+              CASE WHEN CAST(m AS DOUBLE) <= bm[1] THEN 1
+                   WHEN CAST(m AS DOUBLE) <= bm[2] THEN 2
+                   WHEN CAST(m AS DOUBLE) <= bm[3] THEN 3
+                   WHEN CAST(m AS DOUBLE) <= bm[4] THEN 4 ELSE 5 END AS m_score,
+              m
+            FROM c, b)
+          SELECT r_score, f_score, m_score,
+            CAST(count(*) AS BIGINT) AS n_customers,
+            CAST(sum(m) AS BIGINT) AS sum_cents,
+            CAST(sum(m) // count(*) AS BIGINT) AS avg_cents
+          FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q54_seasonal_anomaly" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hr_ts,
               CAST(count(*) AS BIGINT) AS cnt

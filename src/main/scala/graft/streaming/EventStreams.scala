@@ -162,6 +162,54 @@ object EventStreams {
       .orderBy($"window_start", $"nation")
   }
 
+  /** Static weekday×hour traffic profile (the "trained" baseline an
+    * online detector loads as reference data): hourly census → ≤ 168
+    * seasonal slots. Shares q54's integer-only shape. */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("hr_ts"), $"cnt")
+      .groupBy((dayofweek($"hr_ts") - 1).as("dow"), hour($"hr_ts").as("hr"))
+      .agg(sum($"cnt").as("total"), count(lit(1)).as("n_hours"))
+  }
+
+  /** Core of e12: hourly count per tumbling window, stream-static
+    * joined to the broadcast seasonal profile, severity-classified by
+    * INTEGER predicates (warn ≥ 1.5×, crit ≥ 1.7× the slot mean — the
+    * q54 no-float-in-the-predicate discipline). On a stream the window
+    * aggregate is the only stateful operator (watermark-sealed); the
+    * profile join adds no state (e8's stream-static argument). */
+  def anomalyAlerts(events: DataFrame, profile: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("hr_ts"), $"cnt")
+      .withColumn("dow", dayofweek($"hr_ts") - 1)
+      .withColumn("hr", hour($"hr_ts"))
+      .join(broadcast(profile), Seq("dow", "hr"))
+      .withColumn("level",
+        when(lit(10L) * $"cnt" * $"n_hours" >= lit(17L) * $"total", "crit")
+          .when(lit(2L) * $"cnt" * $"n_hours" >= lit(3L) * $"total", "warn"))
+      .filter($"level".isNotNull)
+      .select($"hr_ts", $"cnt", $"level")
+  }
+
+  def anomalyAlertsStream(events: DataFrame, profile: DataFrame,
+      delay: String = "10 minutes"): DataFrame =
+    anomalyAlerts(events.withWatermark("ts", delay), profile)
+
+  /** D93: batch twin of [[anomalyAlertsStream]] — online seasonal
+    * anomaly alerting (q54's detector made a stream: the profile is
+    * the offline-trained baseline, the stream self-reports hours that
+    * run hot for their weekday×hour slot, tiered warn/crit). */
+  def e12SeasonalAlerts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    anomalyAlerts(Tables.events(spark, dir), seasonalBaseline(spark, dir))
+      .orderBy($"hr_ts")
+  }
+
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     tumbling(Tables.events(spark, dir)).orderBy($"window_start", $"event_type")
@@ -235,6 +283,7 @@ object EventStreams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_seasonal_alerts" -> e12SeasonalAlerts,
     "e8_stream_static_enrich" -> e8StreamStaticEnrich,
     "e7_attribution_outer" -> e7AttributionOuter,
     "e1_tumbling" -> e1Tumbling,
@@ -244,6 +293,22 @@ object EventStreams {
     "e5_attribution" -> e5Attribution)
 
   val oracle: Map[String, String] = Map(
+    "e12_seasonal_alerts" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr_ts,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1),
+          sl AS (SELECT hr_ts, cnt, CAST(dayofweek(hr_ts) AS INT) AS dow,
+              CAST(hour(hr_ts) AS INT) AS hr FROM h),
+          se AS (SELECT dow, hr, CAST(sum(cnt) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS n_hours
+            FROM sl GROUP BY dow, hr)
+          SELECT sl.hr_ts, sl.cnt,
+            CASE WHEN 10 * sl.cnt * se.n_hours >= 17 * se.total THEN 'crit'
+                 WHEN 2 * sl.cnt * se.n_hours >= 3 * se.total THEN 'warn'
+            END AS level
+          FROM sl JOIN se USING (dow, hr)
+          WHERE 2 * sl.cnt * se.n_hours >= 3 * se.total
+          ORDER BY sl.hr_ts""",
     "e8_stream_static_enrich" ->
       """SELECT date_trunc('hour', e.ts) AS window_start,
            coalesce(n.n_name, 'unknown') AS nation,

@@ -164,6 +164,74 @@ class AnalyticsSpec extends AnyFunSuite {
       s"rank-sum AUC ${row.getDouble(2)} != brute $brute")
   }
 
+  test("q55 RFM census equals a brute quintile replay") {
+    import spark.implicits._
+    val maxDate = Tables.orders(spark, sf)
+      .agg(max($"o_orderdate").cast("date").cast("string")).head.getString(0)
+    val rfm = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("f"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("m"),
+        datediff(lit(maxDate).cast("date"),
+          max($"o_orderdate").cast("date")).as("r"))
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getInt(3)))
+    def quintiles(vs: Seq[Double]): Seq[Double] = {
+      val s = vs.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+        val k = p * (s.length - 1)
+        val lo = s(math.floor(k).toInt); val hi = s(math.ceil(k).toInt)
+        lo + (k - math.floor(k)) * (hi - lo)
+      }
+    }
+    val (bf, bm, br) = (quintiles(rfm.map(_._1.toDouble)),
+      quintiles(rfm.map(_._2.toDouble)), quintiles(rfm.map(_._3.toDouble)))
+    def asc(v: Double, b: Seq[Double]) = b.count(v > _) + 1
+    def desc(v: Double, b: Seq[Double]) = 5 - b.count(v > _)
+    val expected = rfm
+      .map { case (f, m, r) =>
+        ((desc(r.toDouble, br), asc(f.toDouble, bf), asc(m.toDouble, bm)), m) }
+      .groupBy(_._1).map { case ((rs, fs, ms), xs) =>
+        val cents = xs.map(_._2)
+        (rs, fs, ms, cents.length.toLong, cents.sum, cents.sum / cents.length)
+      }.toSeq.sortBy(x => (x._1, x._2, x._3))
+    val got = Analytics.q55Rfm(spark, sf).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(got == expected)
+    assert(got.map(_._4).sum == rfm.length.toLong)
+  }
+
+  test("q56 decile lift equals a brute group-start replay and ends at lift 1") {
+    import spark.implicits._
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+      .join(Tables.embeddings(spark, sf)
+        .select($"vec_id".as("doc_id"), $"label"), "doc_id")
+      .collect()
+      .map(r => (r.getLong(1), if (r.getInt(2) >= Analytics.aucPosCut) 1L else 0L))
+    val total = scored.length.toLong
+    val totalPos = scored.map(_._2).sum
+    val groups = scored.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (s, xs) => (s, xs.length.toLong, xs.map(_._2).sum) }
+    val deciles = groups.scanLeft(0L)(_ + _._2).zip(groups)
+      .map { case (cumBefore, (_, n, np)) =>
+        ((1L + 10L * cumBefore / total).toInt, n, np) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, xs) => (d, xs.map(_._2).sum, xs.map(_._3).sum) }
+    val expected = deciles.scanLeft((0L, 0L)) {
+      case ((cn, cp), (_, n, np)) => (cn + n, cp + np)
+    }.tail.zip(deciles).map { case ((cumN, cumPos), (d, n, np)) =>
+      (d, n, np, cumPos, r4(np.toDouble / n),
+        r4((cumPos * total).toDouble / (cumN * totalPos)))
+    }
+    val got = Analytics.q56DecileLift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // the full population has lift exactly 1 by construction
+    assert(got.last._6 == 1.0)
+  }
+
   test("q54 seasonal anomalies equal a brute slot-baseline replay") {
     import spark.implicits._
     val hours = Tables.events(spark, sf)

@@ -47,6 +47,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e12 seasonal alerts tier warn/crit on a stream and equal the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 2026-01-01 is a Thursday → dow 4 (0=Sunday); slot mean = 4/2 = 2
+    val profile = Seq((4, 0, 4L, 2L), (4, 1, 4L, 2L), (4, 2, 4L, 2L))
+      .toDF("dow", "hr", "total", "n_hours")
+    val evts = Seq(
+      Ev(1, t(0), 1, "v", 0.0), Ev(2, t(5), 1, "v", 0.0),
+      Ev(3, t(10), 2, "v", 0.0), Ev(4, t(15), 2, "v", 0.0), // h0: 4 = 2.0x → crit
+      Ev(5, t(61), 1, "v", 0.0), Ev(6, t(62), 1, "v", 0.0),
+      Ev(7, t(63), 1, "v", 0.0),                            // h1: 3 = 1.5x → warn
+      Ev(8, t(121), 1, "v", 0.0))                           // h2: 1 → quiet
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.anomalyAlertsStream(mem.toDF(), profile)
+      .writeStream.format("memory").queryName("e12")
+      .outputMode("append").start()
+    try {
+      mem.addData(evts: _*)
+      q.processAllAvailable()
+      // advance the watermark past h2 so all windows seal; the flush
+      // event lands on Friday (dow 5) — outside the profile, so the
+      // inner join drops it and it can't perturb the comparison
+      mem.addData(Ev(9, t(24 * 60), 1, "v", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("e12").orderBy($"hr_ts").collect()
+      val exp = EventStreams.anomalyAlerts(evts.toDF(), profile)
+        .orderBy($"hr_ts").collect()
+      assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+      assert(exp.map(_.getAs[String]("level")).toSeq == Seq("crit", "warn"))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the broadcast dim and equals the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
