@@ -408,7 +408,47 @@ object Analytics {
       .orderBy($"decile")
   }
 
+  /** D95: CUSUM changepoint detection on daily event volume — the
+    * classic drift monitor (Page 1954): the cumulative sum of
+    * deviations from the global mean wanders near zero under a stable
+    * rate and ramps when the level shifts; days where |CUSUM| ≥ 0.1·μ·t̄
+    * (a tenth of the mean daily volume) are flagged as drift evidence.
+    *
+    * Integer discipline: CUSUM_t = cum_t − t·μ is rational (μ =
+    * total/n), so the engine works with the n-scaled integer
+    * dev_t = n·cum_t − t·total = n·CUSUM_t and flags
+    * 10·|dev_t| ≥ total ⟺ |CUSUM_t| ≥ 0.1·μ. No float enters the
+    * predicate; the reported statistic dev/total = CUSUM/μ (drift in
+    * units of mean daily volume) is one exact-integer division rounded
+    * 4-dp.
+    *
+    * Scale shape: the daily census is a partial-agg groupBy with
+    * TIME-RANGE-bounded output (rows = days); every window (rank,
+    * running sum, grand totals) runs over that day-cardinality frame,
+    * never over events. */
+  def q57Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.orderBy($"day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum($"x").over(wCum))
+      .withColumn("n", sum(lit(1L)).over(wAll))
+      .withColumn("total", sum($"x").over(wAll))
+      .withColumn("dev", $"n" * $"cum" - $"t" * $"total")
+      .filter(lit(10L) * abs($"dev") >= $"total")
+      .select($"day", $"x",
+        round($"dev".cast("double") / $"total".cast("double"), 4)
+          .as("cusum_norm"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_cusum" -> q57Cusum,
     "q56_decile_lift" -> q56DecileLift,
     "q55_rfm" -> q55Rfm,
     "q51_incremental_rollup" -> q51IncrementalRollup,
@@ -422,6 +462,23 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q57_cusum" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1),
+          o AS (SELECT day, x,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+              CAST(sum(x) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST(count(*) OVER () AS BIGINT) AS n,
+              CAST(sum(x) OVER () AS BIGINT) AS total
+            FROM d),
+          f AS (SELECT day, x, n * cum - t * total AS dev, total FROM o)
+          SELECT day, x,
+            round(CAST(dev AS DOUBLE) / CAST(total AS DOUBLE), 4)
+              AS cusum_norm
+          FROM f WHERE 10 * abs(dev) >= total ORDER BY day""",
     "q56_decile_lift" ->
       s"""WITH j AS (SELECT d.n_chars AS score,
               CASE WHEN e.label >= $aucPosCut THEN 1 ELSE 0 END AS pos

@@ -631,7 +631,37 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D96: duplicate-count loss reweighting — the soft alternative to
+    * dropping exact dups (keep every copy, weight each by 1/n_copies
+    * so the GROUP contributes one document's worth of gradient; the
+    * standard fix when upsampling-by-duplication was intentional but
+    * loss should stay unbiased). Emits every document with its group
+    * multiplicity, weight, and the is_canonical flag (min doc_id, the
+    * d1/c2 convention).
+    *
+    * Determinism: weight = 1/n is one IEEE division of exact integers,
+    * 4-dp; everything else is integer/flag.
+    *
+    * Scale shape: d1's hash-groupBy census (16-byte digests on the
+    * shuffle) joined back to the corpus keyed on the digest — one
+    * partial-agg groupBy + one shuffle join, no text wider than the
+    * projection anywhere. */
+  def d16DupWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id", md5(regexp_replace(trim(lower($"text")),
+        "\\s+", " ")).as("content_hash"))
+    val census = hashed.groupBy($"content_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(census, "content_hash")
+      .select($"doc_id", $"content_hash", $"n_copies",
+        round(lit(1.0) / $"n_copies".cast("double"), 4).as("weight"),
+        ($"doc_id" === $"keep_id").cast("int").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_dup_weights" -> d16DupWeights,
     "d15_line_dedup" -> d15LineDedup,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_distinct_meta" -> d2DistinctMeta,
@@ -700,6 +730,19 @@ object Dedup {
                WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) >= 0.5)"""
 
   val oracle: Map[String, String] = Map(
+    "d16_dup_weights" ->
+      """WITH h AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                AS content_hash
+            FROM documents),
+          c AS (SELECT content_hash, min(doc_id) AS keep_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+            FROM h GROUP BY 1)
+          SELECT h.doc_id, h.content_hash, c.n_copies,
+            round(1.0 / CAST(c.n_copies AS DOUBLE), 4) AS weight,
+            CAST(CASE WHEN h.doc_id = c.keep_id THEN 1 ELSE 0 END AS INT)
+              AS is_canonical
+          FROM h JOIN c USING (content_hash) ORDER BY h.doc_id""",
     "d15_line_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
                      FROM documents),

@@ -132,6 +132,34 @@ object Similarity {
       .orderBy($"query_id", $"neighbor_id")
   }
 
+  /** D94: ANN recall evaluation — the quality gate every approximate
+    * index needs before production: run the exact top-5 (s1) and the
+    * LSH top-5 (s2) side by side and report per-query recall@5 plus
+    * hit counts. This is the operator form of what SimilaritySpec's
+    * recall assertions hand-check — "is my index still good after the
+    * last re-shard" as a scheduled query.
+    *
+    * Determinism: both inputs are the committed, oracle-gated s1/s2
+    * pipelines; the intersection is an equi-join on
+    * (query_id, neighbor_id); recall = n_hits/5 is an exact
+    * quarter/fifth-decimal, no rounding needed.
+    *
+    * Scale shape: the two retrieval plans dominate (each is its own
+    * audited shape); the eval itself joins two k·|queries|-row frames
+    * — negligible at any corpus size. */
+  def s11RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = s1KnnBrute(spark, dir).select($"query_id", $"neighbor_id")
+    val ann = s2KnnLsh(spark, dir)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .withColumn("recall_at_5",
+        $"n_hits".cast("double") / lit(5.0))
+      .orderBy($"query_id")
+  }
+
   /** Number of hyperplanes per LSH table (2^planes buckets). */
   val lshPlanes = 4
   /** Number of independent LSH tables (union of candidates). */
@@ -677,6 +705,7 @@ object Similarity {
     "s1_knn_brute" -> s1KnnBrute,
     "s2_knn_lsh" -> s2KnnLsh,
     "s10_range_search" -> s10RangeSearch,
+    "s11_recall_eval" -> s11RecallEval,
     "s3_neardup_pairs" -> s3NearDupPairs,
     "d9_embedding_neardup" -> d9EmbeddingNearDup,
     "s4_centroids" -> s4Centroids,
@@ -808,6 +837,18 @@ object Similarity {
         ORDER BY query_id, step"""
   }
 
+  /** Shared s1 replay (also the exact side of the s11 recall eval). */
+  private def s1OracleSql: String =
+    s"""WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id != a.vec_id),
+        r AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+        SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+          round(cos, 4) AS cos_sim
+        FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+
   val oracle: Map[String, String] = Map(
     "s10_range_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding
@@ -824,16 +865,16 @@ object Similarity {
     "s9_mmr_rerank" -> s9OracleSql,
     "s2_knn_lsh" -> s2OracleSql,
     "d9_embedding_neardup" -> d9OracleSql,
-    "s1_knn_brute" ->
-      s"""WITH scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id != a.vec_id),
-          r AS (SELECT query_id, neighbor_id, cos,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
-          SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
-            round(cos, 4) AS cos_sim
-          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "s1_knn_brute" -> s1OracleSql,
+    "s11_recall_eval" ->
+      s"""SELECT ex.query_id,
+            CAST(count(ann.neighbor_id) AS BIGINT) AS n_hits,
+            CAST(count(ann.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+          FROM ($s1OracleSql) ex
+          LEFT JOIN ($s2OracleSql) ann
+            ON ex.query_id = ann.query_id
+            AND ex.neighbor_id = ann.neighbor_id
+          GROUP BY ex.query_id ORDER BY ex.query_id""",
     "s3_neardup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosSql, 4) AS cos_sim
           FROM embeddings a JOIN embeddings b

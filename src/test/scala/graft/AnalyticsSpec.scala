@@ -232,6 +232,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.last._6 == 1.0)
   }
 
+  test("q57 CUSUM flags equal a brute integer replay") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    val expected = daily.zipWithIndex.flatMap { case ((day, x), i) =>
+      val t = i + 1L
+      val cum = daily.take(i + 1).map(_._2).sum
+      val dev = n * cum - t * total
+      if (10L * math.abs(dev) >= total)
+        Some((day, x, BigDecimal(dev.toDouble / total.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }.toSeq
+    val got = Analytics.q57Cusum(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should flag at least one drift day")
+  }
+
   test("q54 seasonal anomalies equal a brute slot-baseline replay") {
     import spark.implicits._
     val hours = Tables.events(spark, sf)

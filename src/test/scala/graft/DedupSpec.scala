@@ -253,6 +253,24 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.exists(r => r._3 < r._2))
   }
 
+  test("d16 duplicate weights sum to the distinct-content count") {
+    val rows = Dedup.d16DupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    val byHash = rows.groupBy(_._2)
+    // multiplicity is consistent and the canonical member is min doc_id
+    byHash.foreach { case (_, xs) =>
+      assert(xs.forall(_._3 == xs.length.toLong))
+      assert(xs.filter(_._5 == 1).map(_._1).toSeq == Seq(xs.map(_._1).min))
+    }
+    // weights: 1/n rounded, and group weight mass ~ 1
+    rows.foreach { case (_, _, n, w, _) =>
+      assert(w == BigDecimal(1.0 / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+  }
+
   test("identical documents collapse to one exact-dedup group") {
     import spark.implicits._
     val df = Seq((1L, "Same  Text here"), (2L, "same text HERE"), (3L, "other"))

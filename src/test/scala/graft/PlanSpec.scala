@@ -233,8 +233,10 @@ class PlanSpec extends AnyFunSuite {
     // join: a CartesianProduct or BroadcastNestedLoopJoin anywhere
     // else is a corpus×corpus scale bug, whatever query it sneaks
     // into.
+    // s11 composes s1, so it carries s1's bounded broadcast cross-join
     val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq",
-      "s9_mmr_rerank", "s10_range_search", "q43_important_parts", "t17_bm25")
+      "s9_mmr_rerank", "s10_range_search", "s11_recall_eval",
+      "q43_important_parts", "t17_bm25")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -185,6 +185,22 @@ class SimilaritySpec extends AnyFunSuite {
       .foreach(r => assert(s10set((r.getLong(0), r.getLong(2)))))
   }
 
+  test("s11 recall eval equals a driver intersection of s1 and s2") {
+    val exact = Similarity.s1KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val ann = Similarity.s2KnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expected = exact.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, xs) =>
+        val hits = xs.count(ann)
+        (q, hits.toLong, hits.toDouble / 5.0)
+      }
+    val got = Similarity.s11RecallEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(got.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
