@@ -447,7 +447,54 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Minimum pair support (distinct orders) for a q58 rule. */
+  val ruleMinSupport = 2L
+
+  /** D98: association-rule mining over order baskets — directed rules
+    * a→b with support ≥ [[ruleMinSupport]] and confidence ≥ 10%,
+    * ranked by lift; the a-priori first pass every recommender /
+    * assortment analysis starts from ("customers who bought a also
+    * bought b").
+    *
+    *   conf(a→b) = sup(ab)/sup(a);  lift = conf / (sup(b)/N)
+    *
+    * Determinism: support counts are exact integers; the confidence
+    * gate is the INTEGER predicate 10·sup_ab ≥ sup_a; conf and lift
+    * are single divisions of exact integer products, 4-dp, and the
+    * top-20 ranks on the raw double (identical bits) with (a, b) ties.
+    *
+    * Scale shape: the basket self-join explodes per-order cliques —
+    * bounded by order width (≤ 7 in TPC-H shape, the g1/g2 argument);
+    * pair and item supports are partial-aggregated groupBys; the
+    * item-support joins are vocabulary-sized shuffle joins; top-20 is
+    * TakeOrdered, not a global sort. */
+  def q58AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = li.select($"l_orderkey").distinct().count()
+    val item = li.groupBy($"l_partkey").agg(count(lit(1)).as("sup"))
+    val pair = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("sup_ab"))
+      .filter($"sup_ab" >= ruleMinSupport)
+    pair
+      .join(item.select($"l_partkey".as("pa"), $"sup".as("sup_a")), "pa")
+      .join(item.select($"l_partkey".as("pb"), $"sup".as("sup_b")), "pb")
+      .filter(lit(10L) * $"sup_ab" >= $"sup_a")
+      .withColumn("confidence",
+        round($"sup_ab".cast("double") / $"sup_a".cast("double"), 4))
+      .withColumn("lift",
+        round(($"sup_ab" * lit(nOrders)).cast("double") /
+          ($"sup_a" * $"sup_b").cast("double"), 4))
+      .select($"pa", $"pb", $"sup_ab", $"confidence", $"lift")
+      .orderBy($"lift".desc, $"pa", $"pb")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_assoc_rules" -> q58AssocRules,
     "q57_cusum" -> q57Cusum,
     "q56_decile_lift" -> q56DecileLift,
     "q55_rfm" -> q55Rfm,
@@ -462,6 +509,27 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q58_assoc_rules" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_ord
+                FROM li),
+          item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup
+                   FROM li GROUP BY 1),
+          pair AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+              CAST(count(*) AS BIGINT) AS sup_ab
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= $ruleMinSupport)
+          SELECT pa, pb, sup_ab,
+            round(CAST(sup_ab AS DOUBLE) / CAST(ia.sup AS DOUBLE), 4)
+              AS confidence,
+            round(CAST(sup_ab * n.n_ord AS DOUBLE) /
+              CAST(ia.sup * ib.sup AS DOUBLE), 4) AS lift
+          FROM pair JOIN item ia ON pa = ia.l_partkey
+                    JOIN item ib ON pb = ib.l_partkey
+                    CROSS JOIN n
+          WHERE 10 * sup_ab >= ia.sup
+          ORDER BY lift DESC, pa, pb LIMIT 20""",
     "q57_cusum" ->
       """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
               CAST(count(*) AS BIGINT) AS x

@@ -678,7 +678,7 @@ object Dedup {
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 2),
        i -> string_split(lower(text), ' ')[i] || ' ' ||
             string_split(lower(text), ' ')[i+1] || ' ' ||

@@ -244,6 +244,36 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** D97: first-occurrence novelty scoring — per document, the
+    * fraction of its word 3-shingles whose FIRST corpus occurrence
+    * (min doc_id, the ingestion-order proxy) is this document. The
+    * redundancy-growth curve of a crawl: late documents full of
+    * already-seen shingles add little; a pretraining mix builder reads
+    * low novelty as "this source has saturated" (the d12/d13
+    * containment family viewed corpus-wide instead of pairwise).
+    *
+    * Determinism: novelty = novel/n_shingles is one exact-integer
+    * division, 4-dp; everything upstream is min/count on integers.
+    *
+    * Scale shape: shingling is the Dedup.shingles O(tokens) array
+    * expression; the first-occurrence table is VOCABULARY-sized →
+    * the shingle⋈first join stays a shuffle join keyed on the shingle
+    * (t6 rule), with both sides partial-aggregated before the
+    * shuffle. */
+  def t20Novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Dedup.shingles($"text")).as("sh"))
+    val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(($"first_doc" === $"doc_id").cast("long")).as("novel"))
+      .withColumn("novelty",
+        round($"novel".cast("double") / $"n_shingles".cast("double"), 4))
+      .orderBy($"doc_id")
+  }
+
   /** Sample size for [[t19WeightedSample]]. */
   val wsampleK = 100
 
@@ -634,6 +664,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_novelty" -> t20Novelty,
     "t19_weighted_sample" -> t19WeightedSample,
     "t18_bigram_nll" -> t18BigramNll,
     "t17_bm25" -> t17Bm25,
@@ -771,6 +802,18 @@ object TextAnalysis {
           FROM documents)
           SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
           WHERE rk <= $stratumQuota ORDER BY lang, rk""",
+    "t20_novelty" ->
+      s"""WITH s AS (SELECT doc_id, unnest(${Dedup.shinglesSql}) AS sh
+                     FROM documents),
+          f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh),
+          d AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(count(*) FILTER (f.first_doc = s.doc_id) AS BIGINT)
+                AS novel
+            FROM s JOIN f USING (sh) GROUP BY s.doc_id)
+          SELECT doc_id, n_shingles, novel,
+            round(CAST(novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+              AS novelty
+          FROM d ORDER BY doc_id""",
     "t19_weighted_sample" ->
       s"""WITH keyed AS (SELECT doc_id, n_chars,
             ln(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

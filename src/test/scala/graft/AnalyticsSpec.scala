@@ -232,6 +232,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.last._6 == 1.0)
   }
 
+  test("q58 association rules equal a brute a-priori replay") {
+    import spark.implicits._
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val sup = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = li.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= Analytics.ruleMinSupport)
+    val expected = pairs.toSeq.flatMap { case ((a, b), sab) =>
+      if (10L * sab >= sup(a))
+        Some((a, b, sab, r4(sab.toDouble / sup(a)),
+          r4((sab * nOrders).toDouble / (sup(a) * sup(b)))))
+      else None
+    }.sortBy(x => (-x._5, x._1, x._2)).take(20)
+    val got = Analytics.q58AssocRules(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(r => r._4 >= 0.1 - 1e-9))
+  }
+
   test("q57 CUSUM flags equal a brute integer replay") {
     import spark.implicits._
     val daily = Tables.events(spark, sf)

@@ -222,6 +222,33 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("t20 novelty equals a driver first-occurrence replay") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Seq[String] = {
+      val tk = t.toLowerCase.split(" ", -1).toSeq
+      if (tk.length < 3) Seq.empty else tk.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val firstDoc = docs.flatMap { case (id, t) => shingles(t).map(_ -> id) }
+      .groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).min }
+    val expected = docs.flatMap { case (id, t) =>
+      val sh = shingles(t)
+      if (sh.isEmpty) None
+      else {
+        val novel = sh.count(firstDoc(_) == id).toLong
+        Some((id, sh.length.toLong, novel, r4(novel.toDouble / sh.length)))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.t20Novelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // the earliest document is by definition fully novel
+    assert(got.head._4 == 1.0)
+  }
+
   test("t19 weighted sample equals a driver A-ES replay and favors long docs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
