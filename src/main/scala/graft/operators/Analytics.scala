@@ -493,7 +493,92 @@ object Analytics {
       .limit(20)
   }
 
+  /** D99: weighted percentiles (quantity-weighted price quartiles per
+    * return flag) — "the price a unit actually ships at": each price
+    * counts with its shipped-quantity mass, the inventory/pricing
+    * analyst's quantile, not the row-count one.
+    *
+    * Weighted p-quantile = the smallest value whose cumulative weight
+    * reaches p·W — the INTEGER predicates 4·cumw ≥ W (p25), 2·cumw ≥ W
+    * (p50), 4·cumw ≥ 3·W (p75) under a conditional min. No float
+    * anywhere in the output.
+    *
+    * Scale shape: one partial-agg groupBy to the (flag, price-cents)
+    * census — VALUE-CARDINALITY rows, bounded by the price grid, never
+    * lineitem rows (the q52/t14 bounded-window argument) — then
+    * windows and the conditional-min fold over that census. */
+  def q59WeightedQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cen = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag".as("flag"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"))
+      .agg(sum(round($"l_quantity").cast("long")).as("w"))
+    val wOrd = Window.partitionBy($"flag").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"flag")
+    cen
+      .withColumn("cumw", sum($"w").over(wOrd))
+      .withColumn("tot", sum($"w").over(wAll))
+      .groupBy($"flag")
+      .agg(
+        min(when(lit(4L) * $"cumw" >= $"tot", $"cents")).as("wp25"),
+        min(when(lit(2L) * $"cumw" >= $"tot", $"cents")).as("wp50"),
+        min(when(lit(4L) * $"cumw" >= lit(3L) * $"tot", $"cents")).as("wp75"),
+        max($"tot").as("total_weight"))
+      .orderBy($"flag")
+  }
+
+  /** D100: exact Gini concentration of customer spend per nation —
+    * "is revenue spread across the base or carried by whales", the
+    * standard inequality index over the per-customer monetary mass.
+    *
+    *   G = (2·Σᵢ i·x₍ᵢ₎) / (n·Σx) − (n+1)/n   (i = ascending rank)
+    *
+    * computed WITHOUT a per-customer rank: group customers into a
+    * spend-value census (value v, count c, preceding count p); the
+    * rank-sum of a tied block is c·p + c(c+1)/2, so
+    * Σᵢ i·x₍ᵢ₎ = Σ_v v·(c·p + c(c+1)/2) — every term an exact integer.
+    * The only float is the final two-fraction subtraction, rounded
+    * 4-dp, identical on both engines.
+    *
+    * Scale shape: per-customer totals are one partial-agg groupBy over
+    * orders; the census collapses those to (nation, cents)
+    * VALUE-CARDINALITY rows; windows run over the census only.
+    * Integer-width bound: the per-block product cents·(c·p) stays
+    * inside BIGINT while tie-block size × nation population ≲ 10¹¹
+    * (cent-granular spend keeps tie blocks tiny); past that, cast the
+    * two products to DECIMAL(38,0) — the p9 moments pattern. */
+  def q60GiniSpend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), "o_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey".as("c_nationkey"), $"n_name".as("nation"))),
+        "c_nationkey")
+    val cen = spend.groupBy($"nation", $"cents")
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy($"nation").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = cen
+      .withColumn("p", coalesce(sum($"c").over(wOrd), lit(0L)))
+      .groupBy($"nation")
+      .agg(sum($"c").as("n"), sum($"cents" * $"c").as("sx"),
+        sum($"cents" * ($"c" * $"p" +
+          expr("(c * (c + 1)) div 2"))).as("rs"))
+    g.filter($"sx" > 0L)
+      .select($"nation", $"n".as("n_customers"), $"sx".as("total_cents"),
+        round(lit(2.0) * $"rs".cast("double") /
+            ($"n" * $"sx").cast("double") -
+          ($"n" + 1L).cast("double") / $"n".cast("double"), 4).as("gini"))
+      .orderBy($"nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_weighted_quartiles" -> q59WeightedQuartiles,
+    "q60_gini_spend" -> q60GiniSpend,
     "q58_assoc_rules" -> q58AssocRules,
     "q57_cusum" -> q57Cusum,
     "q56_decile_lift" -> q56DecileLift,
@@ -509,6 +594,46 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q59_weighted_quartiles" ->
+      """WITH cen AS (SELECT l_returnflag AS flag,
+              CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2),
+          c AS (SELECT flag, cents, w,
+              CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumw,
+              CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+            FROM cen)
+          SELECT flag,
+            min(CASE WHEN 4 * cumw >= tot THEN cents END) AS wp25,
+            min(CASE WHEN 2 * cumw >= tot THEN cents END) AS wp50,
+            min(CASE WHEN 4 * cumw >= 3 * tot THEN cents END) AS wp75,
+            max(tot) AS total_weight
+          FROM c GROUP BY flag ORDER BY flag""",
+    "q60_gini_spend" ->
+      """WITH spend AS (SELECT o.o_custkey, n.n_name AS nation,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+          cen AS (SELECT nation, cents, CAST(count(*) AS BIGINT) AS c
+                  FROM spend GROUP BY 1, 2),
+          w AS (SELECT nation, cents, c,
+              COALESCE(CAST(sum(c) OVER (PARTITION BY nation ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS p
+            FROM cen),
+          g AS (SELECT nation, CAST(sum(c) AS BIGINT) AS n,
+              CAST(sum(cents * c) AS BIGINT) AS sx,
+              CAST(sum(cents * (c * p + (c * (c + 1)) // 2)) AS BIGINT) AS rs
+            FROM w GROUP BY nation)
+          SELECT nation, n AS n_customers, sx AS total_cents,
+            round(2.0 * CAST(rs AS DOUBLE) / CAST(n * sx AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS gini
+          FROM g WHERE sx > 0 ORDER BY nation""",
     "q58_assoc_rules" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
           n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_ord

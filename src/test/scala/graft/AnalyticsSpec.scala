@@ -232,6 +232,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.last._6 == 1.0)
   }
 
+  test("q59 weighted quartiles equal a brute cumulative-mass replay") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * 100).cast("long").as("cents"),
+        round($"l_quantity").cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, xs) =>
+      val byVal = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byVal.map(_._2).sum
+      def q(num: Long, den: Long): Long = {
+        var cum = 0L
+        byVal.find { case (_, w) => cum += w; den * cum >= num * tot }
+          .get._1
+      }
+      (f, q(1, 4), q(1, 2), q(3, 4), tot)
+    }
+    val got = Analytics.q59WeightedQuartiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, p25, p50, p75, _) =>
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
+  test("q60 Gini equals a brute sorted-rank replay and stays in [0,1)") {
+    import spark.implicits._
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spend = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .join(Tables.customer(spark, sf)
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), "o_custkey")
+      .join(Tables.nation(spark, sf)
+        .select($"n_nationkey".as("c_nationkey"), $"n_name"), "c_nationkey")
+      .select($"n_name", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = spend.groupBy(_._1).toSeq.sortBy(_._1).map { case (nat, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length.toLong
+      val sx = sorted.sum
+      val rs = sorted.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      (nat, n, sx,
+        r4(2.0 * rs.toDouble / (n * sx).toDouble
+          - (n + 1L).toDouble / n.toDouble))
+    }
+    val got = Analytics.q60GiniSpend(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    got.foreach { case (nat, _, _, g) =>
+      assert(g >= 0.0 && g < 1.0, s"$nat gini $g out of range")
+    }
+  }
+
   test("q58 association rules equal a brute a-priori replay") {
     import spark.implicits._
     def r4(v: Double) =
