@@ -274,6 +274,57 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** D101: cross-source drift matrix — shingle-set Jaccard and overlap
+    * for every source pair, the corpus curator's "are these two crawls
+    * the same content" diagnostic (d5's pairwise-document question
+    * lifted to whole sources).
+    *
+    * Scale trick: no pairwise source join over shingles. Each source
+    * gets a bit (≤ 64 sources); ONE vocabulary-sized pass folds each
+    * shingle's presence set to a bitmask (`bit_or`, partial-aggregated),
+    * and a second groupBy collapses to the MASK census — at most
+    * 2^|sources| and in practice tiny (1.4k rows on the fixture).
+    * Every pairwise |A∩B| / |A∪B| / |A| then reads off the census with
+    * bit tests: the pairwise stage touches |pairs|×|masks| bounded
+    * rows, never the corpus. All counts exact integers; ratios are
+    * single divisions, 4-dp.
+    *
+    * The pairs×census join is a broadcast cross of two BOUNDED frames
+    * (dimension-sized × mask-census-sized) — the q43/t17 bounded-side
+    * exemption, not a corpus×corpus product. */
+  def t21SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcBit = Tables.documents(spark, dir).select($"source").distinct()
+      .withColumn("bit",
+        (row_number().over(Window.orderBy($"source")) - 1).cast("int"))
+    val maskCensus = Tables.documents(spark, dir)
+      .select($"source", explode(Dedup.shingles($"text")).as("g"))
+      .join(broadcast(srcBit), "source")
+      .select($"g", expr("CAST(shiftleft(1, bit) AS BIGINT)").as("b"))
+      .groupBy($"g").agg(expr("bit_or(b)").as("m"))
+      .groupBy($"m").agg(count(lit(1)).as("c"))
+    val pairs = srcBit.as("a")
+      .join(srcBit.as("b"), $"a.bit" < $"b.bit")
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+        expr("CAST(shiftleft(1, a.bit) AS BIGINT)").as("ba"),
+        expr("CAST(shiftleft(1, b.bit) AS BIGINT)").as("bb"))
+    pairs.join(broadcast(maskCensus),
+        ($"m".bitwiseAND($"ba" + $"bb")) =!= 0L)
+      .groupBy($"source_a", $"source_b")
+      .agg(
+        sum(when($"m".bitwiseAND($"ba") =!= 0L, $"c").otherwise(0L))
+          .as("n_a"),
+        sum(when($"m".bitwiseAND($"bb") =!= 0L, $"c").otherwise(0L))
+          .as("n_b"),
+        sum(when($"m".bitwiseAND($"ba") =!= 0L &&
+          $"m".bitwiseAND($"bb") =!= 0L, $"c").otherwise(0L))
+          .as("n_inter"),
+        sum($"c").as("n_union"))
+      .withColumn("jaccard",
+        round($"n_inter".cast("double") / $"n_union".cast("double"), 4))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Sample size for [[t19WeightedSample]]. */
   val wsampleK = 100
 
@@ -664,6 +715,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_source_drift" -> t21SourceDrift,
     "t20_novelty" -> t20Novelty,
     "t19_weighted_sample" -> t19WeightedSample,
     "t18_bigram_nll" -> t18BigramNll,
@@ -802,6 +854,34 @@ object TextAnalysis {
           FROM documents)
           SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
           WHERE rk <= $stratumQuota ORDER BY lang, rk""",
+    "t21_source_drift" ->
+      s"""WITH src AS (SELECT source,
+              CAST(row_number() OVER (ORDER BY source) - 1 AS INT) AS bit
+            FROM (SELECT DISTINCT source FROM documents)),
+          sh AS (SELECT sr.bit, unnest(${Dedup.shinglesSql}) AS g
+                 FROM documents d JOIN src sr USING (source)),
+          mk AS (SELECT g, CAST(bit_or(CAST(1 AS BIGINT) << bit) AS BIGINT)
+                   AS m
+                 FROM sh GROUP BY g),
+          mc AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM mk GROUP BY m),
+          pr AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(CAST(1 AS BIGINT) << a.bit AS BIGINT) AS ba,
+              CAST(CAST(1 AS BIGINT) << b.bit AS BIGINT) AS bb
+            FROM src a JOIN src b ON a.bit < b.bit),
+          j AS (SELECT pr.source_a, pr.source_b,
+              CAST(sum(CASE WHEN (mc.m & pr.ba) <> 0 THEN mc.c ELSE 0 END)
+                AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN (mc.m & pr.bb) <> 0 THEN mc.c ELSE 0 END)
+                AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN (mc.m & pr.ba) <> 0 AND (mc.m & pr.bb) <> 0
+                THEN mc.c ELSE 0 END) AS BIGINT) AS n_inter,
+              CAST(sum(mc.c) AS BIGINT) AS n_union
+            FROM pr JOIN mc ON (mc.m & (pr.ba + pr.bb)) <> 0
+            GROUP BY 1, 2)
+          SELECT source_a, source_b, n_a, n_b, n_inter, n_union,
+            round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 4)
+              AS jaccard
+          FROM j ORDER BY source_a, source_b""",
     "t20_novelty" ->
       s"""WITH s AS (SELECT doc_id, unnest(${Dedup.shinglesSql}) AS sh
                      FROM documents),

@@ -233,10 +233,11 @@ class PlanSpec extends AnyFunSuite {
     // join: a CartesianProduct or BroadcastNestedLoopJoin anywhere
     // else is a corpus×corpus scale bug, whatever query it sneaks
     // into.
-    // s11 composes s1, so it carries s1's bounded broadcast cross-join
+    // s11 composes s1, so it carries s1's bounded broadcast cross-join;
+    // t21 joins two dimension/mask-census-sized frames on bit tests
     val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq",
       "s9_mmr_rerank", "s10_range_search", "s11_recall_eval",
-      "q43_important_parts", "t17_bm25")
+      "q43_important_parts", "t17_bm25", "t21_source_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -222,6 +222,30 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("t21 source drift equals brute shingle-set arithmetic") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val tk = t.toLowerCase.split(" ", -1).toSeq
+      if (tk.length < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.map(x => shingles(x._2)).reduce(_ ++ _)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+      a = bySrc(srcs(i)); b = bySrc(srcs(j))
+    } yield (srcs(i), srcs(j), a.size.toLong, b.size.toLong,
+      (a & b).size.toLong, (a | b).size.toLong,
+      r4((a & b).size.toDouble / (a | b).size))).toSeq
+    val got = TextAnalysis.t21SourceDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+  }
+
   test("t20 novelty equals a driver first-occurrence replay") {
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
