@@ -118,10 +118,38 @@ object Bench {
     val shortMedians = medians.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     require(shortMedians.size == medians.size,
       "short-code collision in bench query names")
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""queries":${jmap(shortMedians)},"repeats":$repeats,""" +
-      s""""calib_drift":${num(calibDrift)},""" +
-      s""""failed":$failedJson,"sf":"$sfName"}"""
+    // Second length defense (the short codes were the first): at 144
+    // queries the short-code 3-dp line is ~1760 chars — within ~150 of
+    // the driver's ~2000-char stdout keep-window. Emit 2-dp values
+    // (10 ms resolution; bench_detail.json keeps 3-dp), and if the
+    // surface ever grows past the cap anyway, keep only the SLOWEST
+    // queries that fit and flag the truncation — the total, calib
+    // drift, and failures always survive intact.
+    def num2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def jmap2(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + num2(v) }.mkString("{", ",", "}")
+    def lineFor(qs: collection.Map[String, Double], trunc: Boolean): String =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""queries":${jmap2(qs)},"repeats":$repeats,""" +
+        s""""calib_drift":${num(calibDrift)},""" +
+        (if (trunc) s""""queries_truncated":true,""" else "") +
+        s""""failed":$failedJson,"sf":"$sfName"}"""
+    val maxLine = 1800
+    val line = {
+      val full = lineFor(shortMedians, trunc = false)
+      if (full.length <= maxLine) full
+      else {
+        // drop fastest-first until the line fits
+        var kept = shortMedians.toSeq.sortBy(-_._2)
+        var out = lineFor(kept.toMap, trunc = true)
+        while (out.length > maxLine && kept.nonEmpty) {
+          kept = kept.dropRight(1)
+          out = lineFor(kept.toMap, trunc = true)
+        }
+        out
+      }
+    }
     val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${jmap(medians)},"queries_min":${jmap(mins)},""" +
       s""""spread":${jmap(spreads)},""" +
