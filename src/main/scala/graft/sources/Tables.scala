@@ -25,16 +25,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default. Read nanos as long and convert to a standard
-    * micros timestamp (Spark's native resolution); DuckDB reads the same
-    * file as TIMESTAMP_NS, so second/minute/hour truncations agree.
+  /** `events.ts` has shipped in two parquet encodings across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects by
+    * default — read nanos as long, convert to micros) and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize BOTH to Spark's session-tz TimestampType
+    * at micros resolution — every session in this repo pins the session
+    * time zone to UTC, so the NTZ→LTZ cast is value-preserving and
+    * second/minute/hour truncations agree with DuckDB's read of the
+    * same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
