@@ -576,7 +576,163 @@ object Analytics {
       .orderBy($"nation")
   }
 
+  /** D104: Benford first-significant-digit audit of order totals — the
+    * classic fraud/synthetic-data screen: the observed frequency of
+    * each leading digit of `o_totalprice` against the Benford
+    * expectation log10(1 + 1/d), plus the signed deviation. On
+    * TPC-H-style uniform synthetic prices the deviation is LARGE —
+    * which is exactly what the audit is for (real transactional data
+    * follows Benford; generators don't).
+    *
+    * Determinism: the digit comes from the decimal string of
+    * floor(price) (no log10-of-near-power-of-10 edge), frequencies are
+    * exact-integer divisions rounded 4 dp, and the expectation is a
+    * per-digit constant — both engines compute identical doubles.
+    *
+    * Scale shape: one scan, map-side partial agg to ≤ 9 rows; the
+    * total rides a 9-row window — no second scan, no driver
+    * round-trip. */
+  def q61Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .select($"digit", $"n",
+        round($"n".cast("double") / $"total".cast("double"), 4).as("obs_p"),
+        round(log10(lit(1.0) + lit(1.0) / $"digit".cast("double")), 4)
+          .as("exp_p"))
+      .withColumn("dev", round($"obs_p" - $"exp_p", 4))
+      .orderBy($"digit")
+  }
+
+  /** D105: inter-purchase interval statistics — per user, the count /
+    * min / max / mean of the gaps (whole seconds) between consecutive
+    * purchases, the recency-cadence signal behind churn models and the
+    * q55 RFM view's "frequency" axis made longitudinal.
+    *
+    * Gap math is in floor-seconds-since-epoch on both engines (Spark
+    * `unix_timestamp`, DuckDB `floor(epoch(ts))`) so the fixture's
+    * sub-second timestamp precision (µs in Spark, ns in DuckDB) can
+    * never flip a gap. Same-second purchases order by event_id.
+    *
+    * Scale shape: one filter + one lag window per user (single hash
+    * exchange on user_id) feeding a partial-aggregated per-user
+    * rollup co-partitioned with the window — no self-join, no second
+    * exchange. */
+  def q62Interpurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        unix_timestamp($"ts").as("sec"))
+      .withColumn("gap_s", $"sec" - lag($"sec", 1).over(w))
+      .filter($"gap_s".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"), min($"gap_s").as("min_gap_s"),
+        max($"gap_s").as("max_gap_s"),
+        round(avg($"gap_s".cast("double")), 4).as("avg_gap_s"))
+      .orderBy($"user_id")
+  }
+
+  /** Range-partition fan-out for [[q63Abc]]'s distributed prefix sum. */
+  val abcBuckets = 1024L
+
+  /** D106: ABC revenue classification — parts bucketed into the
+    * classic A (first 80% of revenue), B (next 15%), C (tail 5%)
+    * inventory classes by cumulative discounted-revenue share,
+    * reported as class-level rollups. Tie-blocks (equal revenue)
+    * share a class: class is decided by the block's cumulative START,
+    * so no per-part global rank exists anywhere — the q59/q60 value-
+    * census discipline.
+    *
+    * The cumulative sum is a genuinely DISTRIBUTED two-phase prefix
+    * sum, not a single-partition window: census rows get a coarse
+    * range key (`rev·1024 div (max+1)`, [[abcBuckets]] ordered
+    * buckets), per-bucket subtotals roll up to a BOUNDED (≤1024-row)
+    * offsets frame (the t14 bounded-global-window exemption), and the
+    * within-bucket prefix runs under a window PARTITIONED by bucket —
+    * so the big frame never funnels through one partition, at any
+    * scale. Class predicates are exact-integer (5·cum < 4·total etc.);
+    * the only float is the final 4-dp share. */
+  def q63Abc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables.lineitem(spark, dir)
+      .select($"l_partkey",
+        floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * lit(100))
+          .cast("long").as("cents"))
+      .groupBy($"l_partkey").agg(sum($"cents").as("rev"))
+      .groupBy($"rev").agg(count(lit(1)).as("c"))
+      .withColumn("bc", $"rev" * $"c")
+    val mx = census.agg(max($"rev").as("mxrev"))
+    val bucketed = census.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr(s"(rev * $abcBuckets) div (mxrev + 1)"))
+    val wB = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = bucketed.groupBy($"bucket").agg(sum($"bc").as("btot"))
+      .withColumn("boff", coalesce(sum($"btot").over(wB), lit(0L)))
+      .withColumn("total", sum($"btot").over(Window.partitionBy()))
+      .drop("btot")
+    val wIn = Window.partitionBy($"bucket").orderBy($"rev".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(bOff), "bucket")
+      .withColumn("cum_start", $"boff" + coalesce(sum($"bc").over(wIn), lit(0L)))
+      .withColumn("abc_class",
+        when(lit(5L) * $"cum_start" < lit(4L) * $"total", "A")
+          .when(lit(20L) * $"cum_start" < lit(19L) * $"total", "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(sum($"c").as("n_parts"), sum($"bc").as("class_cents"),
+        max($"total").as("t"))
+      .select($"abc_class", $"n_parts", $"class_cents",
+        round($"class_cents".cast("double") / $"t".cast("double"), 4)
+          .as("share"))
+      .orderBy($"abc_class")
+  }
+
+  /** q64 window (seconds) and relative tolerance (percent). Tuned so
+    * the fixture yields hits at every SF (9 pairs at sf0.001, 111 at
+    * sf0.01). */
+  val dupInvWindowS = 30L * 86400L
+  val dupInvTolPct = 5L
+
+  /** D107: duplicate-invoice detection — pairs of orders by the SAME
+    * customer whose totals agree within [[dupInvTolPct]]% and whose
+    * dates fall within [[dupInvWindowS]] — the accounts-payable
+    * double-billing screen.
+    *
+    * The pair generation is an equi-join on o_custkey (Catalyst
+    * extracts the equality as the join key; the tolerance/time/order
+    * predicates ride as join filters), so fan-out is bounded by the
+    * per-customer order count squared — a dimension-bounded blow-up,
+    * never corpus×corpus. Similarity is the exact-integer predicate
+    * 100·|ca − cb| ≤ tol·ca (cents, relative to the earlier order);
+    * dates compare in floor-seconds (the q62 convention). */
+  def q64DupInvoices(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"),
+        unix_timestamp($"o_orderdate").as("sec"))
+    o.as("a").join(o.as("b"),
+        $"a.o_custkey" === $"b.o_custkey" &&
+          $"a.o_orderkey" < $"b.o_orderkey" &&
+          abs($"a.sec" - $"b.sec") <= lit(dupInvWindowS) &&
+          lit(100L) * abs($"a.cents" - $"b.cents") <= lit(dupInvTolPct) * $"a.cents")
+      .select($"a.o_custkey".as("o_custkey"),
+        $"a.o_orderkey".as("order_a"), $"b.o_orderkey".as("order_b"),
+        $"a.cents".as("cents_a"), $"b.cents".as("cents_b"),
+        abs($"a.sec" - $"b.sec").as("gap_s"))
+      .orderBy($"o_custkey", $"order_a", $"order_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_dup_invoices" -> q64DupInvoices,
+    "q63_abc" -> q63Abc,
+    "q62_interpurchase" -> q62Interpurchase,
+    "q61_benford" -> q61Benford,
     "q59_weighted_quartiles" -> q59WeightedQuartiles,
     "q60_gini_spend" -> q60GiniSpend,
     "q58_assoc_rules" -> q58AssocRules,
@@ -594,6 +750,64 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q63_abc" ->
+      """WITH pp AS (SELECT l_partkey,
+              CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem GROUP BY 1),
+          cen AS (SELECT rev, CAST(count(*) AS BIGINT) AS c
+                  FROM pp GROUP BY 1),
+          w AS (SELECT rev, c, rev * c AS bc,
+              COALESCE(CAST(sum(rev * c) OVER (ORDER BY rev DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS cum_start,
+              CAST(sum(rev * c) OVER () AS BIGINT) AS total
+            FROM cen)
+          SELECT CASE WHEN 5 * cum_start < 4 * total THEN 'A'
+                      WHEN 20 * cum_start < 19 * total THEN 'B'
+                      ELSE 'C' END AS abc_class,
+            CAST(sum(c) AS BIGINT) AS n_parts,
+            CAST(sum(bc) AS BIGINT) AS class_cents,
+            round(sum(bc) * 1.0 / max(total), 4) AS share
+          FROM w GROUP BY 1 ORDER BY 1""",
+    "q64_dup_invoices" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+              CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec
+            FROM orders)
+          SELECT a.o_custkey, a.o_orderkey AS order_a,
+            b.o_orderkey AS order_b, a.cents AS cents_a, b.cents AS cents_b,
+            abs(a.sec - b.sec) AS gap_s
+          FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+            AND a.o_orderkey < b.o_orderkey
+          WHERE abs(a.sec - b.sec) <= 2592000
+            AND 100 * abs(a.cents - b.cents) <= 5 * a.cents
+          ORDER BY 1, 2, 3""",
+    "q61_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders),
+          g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM d GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+          SELECT digit, n,
+            round(n * 1.0 / (SELECT total FROM t), 4) AS obs_p,
+            round(log10(1.0 + 1.0 / digit), 4) AS exp_p,
+            round(round(n * 1.0 / (SELECT total FROM t), 4) -
+              round(log10(1.0 + 1.0 / digit), 4), 4) AS dev
+          FROM g ORDER BY digit""",
+    "q62_interpurchase" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events WHERE event_type = 'purchase'),
+          g AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS gap_s FROM p)
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+            CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+            CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+            round(avg(gap_s), 4) AS avg_gap_s
+          FROM g WHERE gap_s IS NOT NULL
+          GROUP BY user_id ORDER BY user_id""",
     "q59_weighted_quartiles" ->
       """WITH cen AS (SELECT l_returnflag AS flag,
               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,

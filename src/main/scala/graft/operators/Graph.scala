@@ -212,7 +212,56 @@ object Graph {
     e.groupBy($"src").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Label-propagation supersteps. Fixed (not to-convergence) so the
+    * oracle can replay them as chained CTEs — the g1/g3 convention. */
+  val lpIters = 3
+  /** Seed stride: parts whose key ≡ 0 (mod this) keep their brand. */
+  val lpSeedMod = 4L
+
+  /** D108: seeded label propagation over the co-purchase graph —
+    * brand labels spread from a 1-in-[[lpSeedMod]] seed set to
+    * unlabeled parts, each superstep labeling a node with the
+    * MAJORITY label among its already-labeled neighbors (ties break
+    * on label text). Seed-frozen: once labeled, a node never changes
+    * — so each superstep is a deterministic BFS-like frontier
+    * expansion and the whole run is exactly replayable (no
+    * oscillation, no update-order sensitivity — the classic async-LPA
+    * nondeterminism is designed out).
+    *
+    * Scale shape: per superstep, ONE equi-join of the persisted edge
+    * frame against the current label frame (co-partitioned on src) +
+    * one partial-aggregated (node, label) count; the argmax window
+    * partitions by node over ≤ |labels-per-node| rows.
+    * `localCheckpoint` truncates lineage per round (d8/g1). */
+  def g4LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = copurchaseEdges(spark, dir).select($"src", $"dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.part(spark, dir)
+      .filter($"p_partkey" % lpSeedMod === 0L)
+      .select($"p_partkey".as("node"), $"p_brand".as("label"),
+        lit(0).as("step"))
+      .localCheckpoint()
+    for (i <- 1 to lpIters) {
+      val msgs = edges
+        .join(labels.select($"node".as("src"), $"label"), "src")
+        .select($"dst".as("node"), $"label")
+        .join(labels.select($"node"), Seq("node"), "left_anti")
+        .groupBy($"node", $"label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"node").orderBy($"c".desc, $"label")
+      val newly = msgs.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"node", $"label", lit(i).as("step"))
+      labels = labels.unionByName(newly).localCheckpoint()
+    }
+    edges.unpersist()
+    labels.select($"node".as("p_partkey"), $"label", $"step")
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g4_label_prop" -> g4LabelProp,
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_kcore" -> g3Kcore)
@@ -241,7 +290,30 @@ object Graph {
         e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
                 JOIN a$i s ON e.src = s.src JOIN a$i d ON e.dst = d.src)"""
 
+  /** One label-propagation superstep: majority label over labeled
+    * neighbors for still-unlabeled nodes, then the frontier union —
+    * the SQL twin of the g4 loop body (MATERIALIZED for the same
+    * inlining-blowup reason as g3). */
+  private def lpStepSql(i: Int): String =
+    s"""n$i AS MATERIALIZED (SELECT e.dst AS node, l.label,
+              CAST(count(*) AS BIGINT) AS c
+            FROM pairs e JOIN l${i - 1} l ON e.src = l.node
+            WHERE e.dst NOT IN (SELECT node FROM l${i - 1})
+            GROUP BY 1, 2),
+        p$i AS MATERIALIZED (SELECT node, label, $i AS step FROM (
+              SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, label) AS rn FROM n$i) WHERE rn = 1),
+        l$i AS MATERIALIZED (SELECT * FROM l${i - 1}
+              UNION ALL SELECT * FROM p$i)"""
+
   val oracle: Map[String, String] = Map(
+    "g4_label_prop" ->
+      s"""WITH $pairsCte,
+          l0 AS MATERIALIZED (SELECT p_partkey AS node, p_brand AS label,
+                0 AS step FROM part WHERE p_partkey % $lpSeedMod = 0),
+          ${(1 to lpIters).map(lpStepSql).mkString(",\n          ")}
+          SELECT node AS p_partkey, label, CAST(step AS INT) AS step
+          FROM l$lpIters ORDER BY p_partkey""",
     "g3_kcore" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

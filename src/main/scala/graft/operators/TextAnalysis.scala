@@ -325,6 +325,95 @@ object TextAnalysis {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** D102: multinomial naive-Bayes language classifier — train
+    * add-one-smoothed per-language unigram models on the labeled
+    * corpus, re-score every document, and emit the confusion matrix
+    * (actual × predicted × count). The supervised companion of the
+    * t3 hand-rule language-ID heuristic: the model IS the corpus
+    * statistics, so "training" and "inference" are both one SQL-shaped
+    * pass — the textbook reason NB is the first classifier a data
+    * pipeline reaches for at 100 TB.
+    *
+    *   score(d, L) = ln P(L) + Σ_tokens ln((c(L,t) + 1) / (T_L + V))
+    *
+    * with c(L,t) the corpus count of token t under language L, T_L the
+    * language's total token count, V the global vocabulary size.
+    *
+    * Float discipline: every per-token log-prob and the prior are
+    * rounded to 4 dp BEFORE summation (the t9 lesson), the per-doc
+    * sum re-rounded; argmax ties break on language name — both engines
+    * rank on identical rounded doubles.
+    *
+    * Scale shape: the model grid is vocabulary × |languages| — built
+    * by crossing the vocabulary with the (broadcast, |L|-row) totals
+    * frame and left-joining the (lang, term) counts, so it stays a
+    * shuffle join keyed on the term, never a driver collect. Scoring
+    * joins the token stream to the grid on the term (the t6 df-join
+    * rule: a 10⁷-term × L grid must not broadcast) with bounded ×|L|
+    * fan-out, then partial-aggregates per (doc, lang). The final
+    * argmax window partitions by doc_id over |L| rows each. */
+  def t22NbLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val docTok = docs.select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
+    val nDocs = docs.count()
+    val vocabSize = docTok.select($"term").distinct().count()
+    val ltc = docTok.groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+    val ltot = ltc.groupBy($"lang").agg(sum($"c").as("tl"))
+      .select($"lang".as("model_lang"), $"tl")
+    val prior = docs.groupBy($"lang").agg(count(lit(1)).as("nd"))
+      .select($"lang".as("model_lang"),
+        round(log($"nd".cast("double") / lit(nDocs.toDouble)), 4).as("logprior"))
+    val grid = docTok.select($"term").distinct()
+      .crossJoin(broadcast(ltot))
+      .join(ltc.select($"lang".as("model_lang"), $"term", $"c"),
+        Seq("model_lang", "term"), "left")
+      .select($"term", $"model_lang",
+        round(log((coalesce($"c", lit(0L)) + lit(1L)).cast("double") /
+          ($"tl" + lit(vocabSize)).cast("double")), 4).as("logp"))
+    val scored = docTok.join(grid, "term")
+      .groupBy($"doc_id", $"lang", $"model_lang")
+      .agg(round(sum($"logp"), 4).as("ll"))
+      .join(broadcast(prior), "model_lang")
+      .withColumn("score", round($"ll" + $"logprior", 4))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"model_lang")
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"lang".as("actual_lang"), $"model_lang".as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"actual_lang", $"pred_lang")
+  }
+
+  /** D103: per-document token-distribution diagnostics — Shannon
+    * entropy (nats) of the document's own unigram distribution and the
+    * type-token ratio, the two standard "is this text degenerate"
+    * signals a quality filter reads next to t8's repetition fractions
+    * (all-one-token spam → entropy 0, TTR → 1/n; natural prose sits
+    * near ln(n_types)).
+    *
+    * Entropy via the one-pass identity H = ln(dl) − (Σ tf·ln tf)/dl —
+    * no per-term p=tf/dl division against a separately-joined doc
+    * length, so the whole thing is ONE token-stream pass: tf per
+    * (doc, term), then a single per-doc aggregate (both
+    * partial-aggregated). Per-term tf·ln(tf) is rounded to 4 dp before
+    * the sum (t9), the final expression re-rounded. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(round($"tf".cast("double") * log($"tf".cast("double")), 4)).as("sv"))
+      .select($"doc_id", $"n_tokens", $"n_types",
+        round(log($"n_tokens".cast("double")) - $"sv" / $"n_tokens".cast("double"), 4)
+          .as("entropy"),
+        round($"n_types".cast("double") / $"n_tokens".cast("double"), 4).as("ttr"))
+      .orderBy($"doc_id")
+  }
+
+  def t23TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.documents(spark, dir))
+
   /** Sample size for [[t19WeightedSample]]. */
   val wsampleK = 100
 
@@ -715,6 +804,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_token_entropy" -> t23TokenEntropy,
+    "t22_nb_lang" -> t22NbLang,
     "t21_source_drift" -> t21SourceDrift,
     "t20_novelty" -> t20Novelty,
     "t19_weighted_sample" -> t19WeightedSample,
@@ -780,6 +871,48 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t22_nb_lang" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS term
+              FROM documents),
+          v AS (SELECT DISTINCT term FROM tok),
+          vs AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM v),
+          ltc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY 1, 2),
+          ltot AS (SELECT lang AS model_lang, CAST(sum(c) AS BIGINT) AS tl
+                   FROM ltc GROUP BY 1),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          prior AS (SELECT lang AS model_lang,
+              round(ln(count(*) * 1.0 / (SELECT n FROM nd)), 4) AS logprior
+            FROM documents GROUP BY 1),
+          grid AS (SELECT v.term, lt.model_lang,
+              round(ln((COALESCE(c.c, 0) + 1) * 1.0 /
+                (lt.tl + (SELECT vsz FROM vs))), 4) AS logp
+            FROM v CROSS JOIN ltot lt
+            LEFT JOIN ltc c ON c.lang = lt.model_lang AND c.term = v.term),
+          sc AS (SELECT t.doc_id, t.lang, g.model_lang,
+              round(sum(g.logp), 4) AS ll
+            FROM tok t JOIN grid g ON t.term = g.term GROUP BY 1, 2, 3),
+          scored AS (SELECT doc_id, lang, sc.model_lang,
+              round(ll + p.logprior, 4) AS score
+            FROM sc JOIN prior p ON sc.model_lang = p.model_lang),
+          pred AS (SELECT doc_id, lang, model_lang,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, model_lang) AS rn
+            FROM scored)
+          SELECT lang AS actual_lang, model_lang AS pred_lang,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t23_token_entropy" ->
+      s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+            GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            round(ln(CAST(sum(tf) AS BIGINT)) -
+              sum(round(tf * ln(tf), 4)) / CAST(sum(tf) AS BIGINT), 4)
+              AS entropy,
+            round(count(*) * 1.0 / sum(tf), 4) AS ttr
+          FROM tf GROUP BY doc_id ORDER BY doc_id""",
     "t17_bm25" -> t17OracleSql,
     "t16_zipf" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),

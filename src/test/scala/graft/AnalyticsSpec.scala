@@ -393,4 +393,107 @@ class AnalyticsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q61 Benford digits equal a driver replay and probabilities close") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val prices = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(_.getDouble(0))
+    val digits = prices.map(p => math.floor(p).toLong.toString.charAt(0) - '0')
+    val total = digits.length.toLong
+    val expected = digits.groupBy(identity).toSeq.sortBy(_._1).map {
+      case (d, xs) =>
+        val obs = r4(xs.length.toDouble / total.toDouble)
+        val exp = r4(math.log10(1.0 + 1.0 / d))
+        (d, xs.length.toLong, obs, exp, r4(obs - exp))
+    }
+    val got = Analytics.q61Benford(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // the observed distribution is a probability distribution
+    assert(math.abs(got.map(_._3).sum - 1.0) < 0.001)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 0.001)
+  }
+
+  test("q62 inter-purchase gaps equal a driver replay; gaps nonnegative") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val secs = xs.sortBy(x => (x._2.getTime, x._2.getNanos, x._3))
+        .map(x => Math.floorDiv(x._2.getTime, 1000L)).toSeq
+      val gaps = secs.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+      if (gaps.isEmpty) None
+      else Some((u, gaps.size.toLong, gaps.min, gaps.max,
+        r4(gaps.sum.toDouble / gaps.size.toDouble)))
+    }.sortBy(_._1)
+    val got = Analytics.q62Interpurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._3 >= 0L), "time went backwards within a user")
+  }
+
+  test("q63 ABC classes equal a brute cumulative replay; shares sum to 1") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rev = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * (1.0 - r.getDouble(2)) * 100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val blocks = rev.values.groupBy(identity).toSeq
+      .map { case (v, xs) => (v, xs.size.toLong) }.sortBy(-_._1)
+    val total = blocks.map { case (v, c) => v * c }.sum
+    var cum = 0L
+    val classed = blocks.map { case (v, c) =>
+      val cls = if (5 * cum < 4 * total) "A"
+        else if (20 * cum < 19 * total) "B" else "C"
+      cum += v * c
+      (cls, c, v * c)
+    }
+    val expected = classed.groupBy(_._1).toSeq.map { case (cls, xs) =>
+      val cents = xs.map(_._3).sum
+      (cls, xs.map(_._2).sum, cents, r4(cents.toDouble / total.toDouble))
+    }.sortBy(_._1)
+    val got = Analytics.q63Abc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.map(_._1) == Seq("A", "B", "C"))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 0.001)
+    // with B nonempty, A's cumulative end sits at or past the 80% line
+    assert(5L * got.head._3 >= 4L * total, "class A must cover >= 80% of revenue")
+  }
+
+  test("q64 duplicate invoices equal a brute pair replay") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100).toLong,
+        // o_orderdate is TIMESTAMP_NTZ (LocalDateTime) in the current
+        // fixture generation; epoch-seconds in UTC = the engine's
+        // unix_timestamp under the suite's UTC session tz
+        r.getAs[java.time.LocalDateTime](3)
+          .toEpochSecond(java.time.ZoneOffset.UTC)))
+    val expected = orders.groupBy(_._1).toSeq.flatMap { case (_, xsArr) =>
+      val xs = xsArr.toSeq
+      for {
+        a <- xs; b <- xs
+        if a._2 < b._2
+        if math.abs(a._4 - b._4) <= Analytics.dupInvWindowS
+        if 100L * math.abs(a._3 - b._3) <= Analytics.dupInvTolPct * a._3
+      } yield (a._1, a._2, b._2, a._3, b._3, math.abs(a._4 - b._4))
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = Analytics.q64DupInvoices(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
 }

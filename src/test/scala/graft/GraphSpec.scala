@@ -101,4 +101,39 @@ class GraphSpec extends AnyFunSuite {
     Graph.g1Pagerank(spark, sf).collect()
       .foreach(r => assert(r.getLong(1) > 0L))
   }
+
+  test("g4 label propagation equals a brute seed-frozen BFS majority replay") {
+    import graft.sources.Tables
+    val edges = Graph.copurchaseEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brands = Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    var labels: Map[Long, (String, Int)] = brands.collect {
+      case (pk, b) if pk % Graph.lpSeedMod == 0L => pk -> (b, 0)
+    }.toMap
+    val nbrs = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    for (i <- 1 to Graph.lpIters) {
+      val frontier = nbrs.collect {
+        case (node, ins) if !labels.contains(node) =>
+          val votes = ins.flatMap(s => labels.get(s).map(_._1))
+          if (votes.isEmpty) None
+          else {
+            val best = votes.groupBy(identity).toSeq
+              .map { case (l, xs) => (l, xs.size) }
+              .sortBy { case (l, c) => (-c, l) }.head._1
+            Some(node -> (best, i))
+          }
+      }.flatten
+      labels = labels ++ frontier
+    }
+    val expected = labels.toSeq.map { case (n, (l, s)) => (n, l, s) }
+      .sortBy(_._1)
+    val got = Graph.g4LabelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    // seeds never move, and each step only ever ADDS labels
+    assert(got.filter(_._1 % Graph.lpSeedMod == 0L).forall(_._3 == 0))
+    assert(got.exists(_._3 > 0), "propagation labeled no new node")
+  }
 }

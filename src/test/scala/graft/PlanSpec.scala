@@ -234,10 +234,14 @@ class PlanSpec extends AnyFunSuite {
     // else is a corpus×corpus scale bug, whatever query it sneaks
     // into.
     // s11 composes s1, so it carries s1's bounded broadcast cross-join;
-    // t21 joins two dimension/mask-census-sized frames on bit tests
+    // t21 joins two dimension/mask-census-sized frames on bit tests;
+    // t22 crosses the vocabulary with the broadcast |languages|-row
+    // totals frame (bounded ×|L| fan-out, the model grid); q63 crosses
+    // the census with a ONE-row max-revenue aggregate (the q43 shape)
     val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq",
       "s9_mmr_rerank", "s10_range_search", "s11_recall_eval",
-      "q43_important_parts", "t17_bm25", "t21_source_drift")
+      "q43_important_parts", "t17_bm25", "t21_source_drift",
+      "t22_nb_lang", "q63_abc")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

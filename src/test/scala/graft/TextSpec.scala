@@ -327,4 +327,73 @@ class TextSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == expected)
   }
+
+  test("t22 NB confusion matrix equals a driver naive-Bayes replay") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ", -1).toSeq))
+    val nDocs = docs.length.toLong
+    val langs = docs.map(_._2).distinct.sorted
+    val vocab = docs.flatMap(_._3).distinct
+    val vsz = vocab.length.toLong
+    val ltc = docs.flatMap { case (_, l, tk) => tk.map(l -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ltot = langs.map(l => l ->
+      ltc.collect { case ((ll, _), c) if ll == l => c }.sum).toMap
+    val prior = langs.map { l =>
+      l -> r4(math.log(docs.count(_._2 == l).toDouble / nDocs.toDouble))
+    }.toMap
+    val preds = docs.map { case (id, actual, tk) =>
+      val best = langs.map { l =>
+        val ll = r4(tk.map(t => r4(math.log(
+          (ltc.getOrElse((l, t), 0L) + 1L).toDouble /
+            (ltot(l) + vsz).toDouble))).sum)
+        (l, r4(ll + prior(l)))
+      }.sortBy { case (l, s) => (-s, l) }.head._1
+      (actual, best)
+    }
+    val expected = preds.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((a, p), n) => (a, p, n) }.sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.t22NbLang(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // resubstitution on its own training set must beat a majority-class
+    // guess (the fixture languages share most of their vocabulary, so
+    // perfect separation is NOT expected — only better-than-baseline)
+    val diag = got.collect { case (a, p, n) if a == p => n }.sum
+    val majority = langs.map(l => docs.count(_._2 == l).toLong).max
+    assert(diag > majority, s"NB diagonal $diag <= majority baseline $majority")
+  }
+
+  test("t23 entropy/TTR equal a driver unigram replay and pin degenerate docs") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val tk = t.toLowerCase.split(" ", -1).toSeq
+      val tf = tk.groupBy(identity).toSeq.sortBy(_._1).map(_._2.size.toLong)
+      val dl = tk.size.toLong
+      val sv = tf.map(c => r4(c.toDouble * math.log(c.toDouble))).sum
+      (id, dl, tf.size.toLong, r4(math.log(dl.toDouble) - sv / dl.toDouble),
+        r4(tf.size.toDouble / dl.toDouble))
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.t23TokenEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // constructed degenerate docs: all-one-token spam has entropy 0 and
+    // TTR 1/n; an all-distinct doc has entropy ln(n) and TTR 1
+    import spark.implicits._
+    val deg = TextAnalysis.tokenEntropy(
+      Seq((1L, "spam spam spam spam"), (2L, "w x y z"))
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(deg(1L) == ((4L, 1L, 0.0, 0.25)))
+    assert(deg(2L) == ((4L, 4L, r4(math.log(4.0)), 1.0)))
+  }
 }
