@@ -31,6 +31,7 @@ object SparkEntry {
       (streaming.Funnel.queries, streaming.Funnel.oracle),
       (streaming.Budget.queries, streaming.Budget.oracle),
       (streaming.RateLimit.queries, streaming.RateLimit.oracle),
+      (streaming.OooAudit.queries, streaming.OooAudit.oracle),
       (streaming.PitTiers.queries, streaming.PitTiers.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

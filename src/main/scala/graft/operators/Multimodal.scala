@@ -167,7 +167,48 @@ object Multimodal {
       .orderBy($"bucket", $"seq_id")
   }
 
+  /** Aspect-ratio boundaries for [[m6AspectBuckets]] in integer
+    * per-mille: portrait < 900, square 900–1111, landscape > 1111. */
+  val arPortraitMax = 900L
+  val arSquareMax = 1111L
+
+  /** D110: aspect-ratio bucket census + padding-waste planner — the
+    * image-batching question "if I batch by aspect class and pad each
+    * batch to its class max, how many pixels do I waste". Decoded
+    * (stub) dimensions classify into portrait/square/landscape by the
+    * INTEGER per-mille ratio (w·1000 div h — no float compare), and
+    * each class reports its max dims and the padding-waste fraction
+    * 1 − Σ(w·h)/(n·maxW·maxH).
+    *
+    * Scale shape: decode runs mapPartitions (m3's once-per-partition
+    * init shape), the census is a partial-aggregated 3-row groupBy;
+    * the only float is the final 4-dp waste division. */
+  def m6AspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded: Dataset[DecodedMedia] = withPayload(spark, dir)
+      .filter($"modality" === "image")
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeImageStub(id, bytes) })
+    decoded.toDF()
+      .withColumn("armil", expr("(width * 1000) div height"))
+      .withColumn("bucket",
+        when($"armil" < arPortraitMax, "portrait")
+          .when($"armil" <= arSquareMax, "square")
+          .otherwise("landscape"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_media"),
+        max($"width").as("max_w"), max($"height").as("max_h"),
+        sum(($"width" * $"height").cast("long")).as("px"))
+      .select($"bucket", $"n_media", $"max_w", $"max_h",
+        round(lit(1.0) - $"px".cast("double") /
+          ($"n_media" * $"max_w".cast("long") * $"max_h").cast("double"), 4)
+          .as("pad_waste"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_aspect_buckets" -> m6AspectBuckets,
     "m5_interleaved_pack" -> m5InterleavedPack,
     "m4_shard_manifest" -> m4ShardManifest,
     "m1_blob_meta" -> m1BlobMeta,
@@ -175,6 +216,21 @@ object Multimodal {
     "m3_decode_features" -> m3DecodeFeatures)
 
   val oracle: Map[String, String] = Map(
+    "m6_aspect_buckets" ->
+      s"""WITH d AS (SELECT doc_id,
+              64 + (CAST('0x' || substring(md5(text), 1, 2) AS INT) % 192) AS w,
+              64 + (CAST('0x' || substring(md5(text), 3, 2) AS INT) % 192) AS h
+            FROM documents WHERE doc_id % 3 = 0),
+          b AS (SELECT w, h,
+              CASE WHEN (w * 1000) // h < $arPortraitMax THEN 'portrait'
+                   WHEN (w * 1000) // h <= $arSquareMax THEN 'square'
+                   ELSE 'landscape' END AS bucket
+            FROM d)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_media,
+            CAST(max(w) AS INT) AS max_w, CAST(max(h) AS INT) AS max_h,
+            round(1.0 - sum(w * h) * 1.0 /
+              (count(*) * max(w) * max(h)), 4) AS pad_waste
+          FROM b GROUP BY 1 ORDER BY 1""",
     "m5_interleaved_pack" ->
       s"""WITH RECURSIVE d AS (
             SELECT doc_id % ${Pipeline.packBuckets} AS bucket, doc_id,

@@ -124,6 +124,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m6 aspect buckets equal a driver stub-decode replay; waste in [0,1)") {
+    import graft.operators.Multimodal
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 0)
+    val dims = docs.map { case (id, t) =>
+      val d = Multimodal.decodeImageStub(id, t.getBytes("UTF-8"))
+      (d.width.toLong, d.height.toLong)
+    }
+    val expected = dims.map { case (w, h) =>
+      val ar = (w * 1000L) / h
+      val b = if (ar < Multimodal.arPortraitMax) "portrait"
+        else if (ar <= Multimodal.arSquareMax) "square" else "landscape"
+      (b, w, h)
+    }.groupBy(_._1).toSeq.map { case (b, xs) =>
+      val n = xs.length.toLong
+      val mw = xs.map(_._2).max; val mh = xs.map(_._3).max
+      val px = xs.map(x => x._2 * x._3).sum
+      (b, n, mw.toInt, mh.toInt,
+        r4(1.0 - px.toDouble / (n * mw * mh).toDouble))
+    }.sortBy(_._1)
+    val got = Multimodal.m6AspectBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.map(_._1).toSet == Set("portrait", "square", "landscape"))
+    assert(got.forall(x => x._5 >= 0.0 && x._5 < 1.0))
+  }
+
   test("c5 split is component-stable: no near-dup pair straddles train/val") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions._

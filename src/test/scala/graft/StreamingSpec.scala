@@ -617,6 +617,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e13 ooo audit: lateness vs running max, state spans micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.OooAudit.oooStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("ooo1")
+      .outputMode("append").start()
+    try {
+      // one event per micro-batch: arrival IS batch order, so the
+      // in-batch md5 tie-break never reorders anything here
+      mem.addData(Ev(1, t(10), 1, "view", 0))
+      q.processAllAvailable()
+      // t(5) arrives after t(10) was seen → 300 s late; the running max
+      // must have survived the micro-batch boundary
+      mem.addData(Ev(2, t(5), 1, "view", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, t(20), 1, "view", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, t(18), 1, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("ooo1").orderBy($"event_id")
+        .select($"event_id", $"late_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 0L), (2L, 300L), (3L, 0L), (4L, 120L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("e13 stream lateness rollup equals the batch twin on fixture data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (md5hex(e.event_id), e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = streaming.OooAudit.oooStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("ooo2")
+      .outputMode("append").start()
+    try {
+      // two micro-batches, fed in the simulated (md5-scrambled) arrival
+      // order the batch twin folds in — split preserves that order
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+      val per = spark.table("ooo2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val agg = per.groupBy(_._1).toSeq.map { case (u, xs) =>
+        (u, xs.length.toLong, xs.count(_._3 > 0L).toLong, xs.map(_._3).max)
+      }.sortBy(_._1)
+      val batch = streaming.OooAudit.e13OooAudit(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(agg == batch)
+      assert(batch.exists(_._3 > 0L), "fixture has no out-of-order events")
+    } finally q.stop()
+  }
+
   test("budget state carries the running total across micro-batches, re-sorting late arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
