@@ -24,6 +24,7 @@ object SparkEntry {
       (operators.PcaQueries.queries, operators.PcaQueries.oracle),
       (operators.KMeans.queries, operators.KMeans.oracle),
       (operators.Ols.queries, operators.Ols.oracle),
+      (operators.Logistic.queries, operators.Logistic.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.RangeJoin.queries, operators.RangeJoin.oracle),

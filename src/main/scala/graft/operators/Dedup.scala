@@ -219,6 +219,53 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D112: MinHash estimator fidelity audit — for every LSH candidate
+    * pair, the k=[[numHashes]] signature-overlap estimate (d4's
+    * `est_sim`) next to the EXACT shingle Jaccard (d5's measurand,
+    * unfiltered) and their absolute error. The "measure, don't guess"
+    * gate on the sketch itself: before trusting d4's estimates at
+    * corpus scale, quantify how wrong a k=8 sketch actually is on this
+    * corpus (E[err] ~ √(j(1−j)/k) ≈ 0.17 at j=0.5 — if the observed
+    * error is materially worse, the hash family is broken, not noisy).
+    *
+    * Scale shape: everything reuses the session-cached shingle and
+    * signature frames ([[sharedSigs]]); exact Jaccard is computed only
+    * on the candidate set (the d5 broadcast-ids discipline), and the
+    * error is arithmetic on two already-4-dp numbers. */
+  def d17MinhashFidelity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (docSh, sigs) = sharedSigs(spark, dir)
+    val cand = candidates(sigs)
+      .persist(StorageLevel.MEMORY_AND_DISK) // ids + est join + true join
+    val candIds = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val shCand = docSh.join(broadcast(candIds), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val card = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = shCand.select($"doc_id".as("doc_a"), $"s")
+      .join(cand, "doc_a")
+      .join(shCand.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    val sa = sigs.select($"doc_id".as("doc_a") +:
+      (0 until numHashes).map(i => col(s"sig$i").as(s"a$i")): _*)
+    val sb = sigs.select($"doc_id".as("doc_b") +:
+      (0 until numHashes).map(i => col(s"sig$i").as(s"b$i")): _*)
+    val eq = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _)
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(card.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(card.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("ni", coalesce($"n_inter", lit(0L)))
+      .select($"doc_a", $"doc_b",
+        round(eq / numHashes, 4).as("est_sim"),
+        round($"ni" / ($"n_a" + $"n_b" - $"ni"), 4).as("true_jaccard"))
+      .withColumn("abs_err", round(abs($"est_sim" - $"true_jaccard"), 4))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** D18: 32-bit SimHash from md5-derived token hashes — explode
     * tokens, one conditional sum per bit (partial-aggregated), then
     * reassemble the fingerprint. */
@@ -674,7 +721,8 @@ object Dedup {
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "d8_components" -> d8Components,
     "d12_containment" -> d12Containment,
-    "d13_contamination_score" -> d13ContaminationScore)
+    "d13_contamination_score" -> d13ContaminationScore,
+    "d17_minhash_fidelity" -> d17MinhashFidelity)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
@@ -712,10 +760,10 @@ object Dedup {
                    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                   AND a.doc_id < b.doc_id)"""
 
-  /** Shared CTE chain ending in `jp(doc_a, doc_b, jaccard)` — the
-    * jaccard ≥ 0.5 near-dup pairs (also consumed by the c1 pipeline
-    * oracle in [[Pipeline]]). */
-  private[operators] val jaccardCte: String =
+  /** Shared CTE chain ending in `jpa(doc_a, doc_b, jaccard)` — exact
+    * Jaccard for EVERY candidate pair (left join: a banding collision
+    * with zero shared shingles scores 0). */
+  private[operators] val jaccardAllCte: String =
     s"""$candCte,
         dsh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s FROM documents),
         card AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
@@ -723,11 +771,20 @@ object Dedup {
                   FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
                               JOIN dsh b ON b.doc_id = c.doc_b AND a.s = b.s
                   GROUP BY 1, 2),
-        jp AS (SELECT i.doc_a, i.doc_b,
-                 round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) AS jaccard
-               FROM inter i JOIN card ca ON i.doc_a = ca.doc_id
-                            JOIN card cb ON i.doc_b = cb.doc_id
-               WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) >= 0.5)"""
+        jpa AS (SELECT c.doc_a, c.doc_b,
+                 round(COALESCE(i.n_inter, 0) * 1.0 /
+                   (ca.n + cb.n - COALESCE(i.n_inter, 0)), 4) AS jaccard
+               FROM cand c
+                 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+                 JOIN card ca ON c.doc_a = ca.doc_id
+                 JOIN card cb ON c.doc_b = cb.doc_id)"""
+
+  /** Shared CTE chain ending in `jp(doc_a, doc_b, jaccard)` — the
+    * jaccard ≥ 0.5 near-dup pairs (also consumed by the c1 pipeline
+    * oracle in [[Pipeline]]). */
+  private[operators] val jaccardCte: String =
+    s"""$jaccardAllCte,
+        jp AS (SELECT doc_a, doc_b, jaccard FROM jpa WHERE jaccard >= 0.5)"""
 
   val oracle: Map[String, String] = Map(
     "d16_dup_weights" ->
@@ -808,6 +865,18 @@ object Dedup {
           ORDER BY doc_a, doc_b""",
     "d5_jaccard" ->
       s"""$jaccardCte SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""",
+    "d17_minhash_fidelity" ->
+      s"""$jaccardAllCte
+          SELECT t.doc_a, t.doc_b, t.est_sim, t.true_jaccard,
+            round(abs(t.est_sim - t.true_jaccard), 4) AS abs_err
+          FROM (SELECT p.doc_a, p.doc_b,
+              round((${(0 until numHashes).map(i =>
+                s"CASE WHEN sa.sig$i = sb.sig$i THEN 1.0 ELSE 0.0 END")
+                .mkString(" + ")}) / $numHashes.0, 4) AS est_sim,
+              p.jaccard AS true_jaccard
+            FROM jpa p JOIN sig sa ON p.doc_a = sa.doc_id
+                       JOIN sig sb ON p.doc_b = sb.doc_id) t
+          ORDER BY t.doc_a, t.doc_b""",
     "d12_containment" ->
       s"""WITH shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
           dsh AS (SELECT DISTINCT doc_id, s FROM shl),

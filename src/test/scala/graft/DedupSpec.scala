@@ -283,4 +283,29 @@ class DedupSpec extends AnyFunSuite {
       .groupBy($"content_hash").count().collect()
     assert(groups.length == 2 && groups.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("d17 fidelity audit composes d4's estimates with d5's exact measure") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Dedup.d17MinhashFidelity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // same pair set and identical estimates as d4
+    val d4 = Dedup.d4LshPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.map(x => (x._1, x._2)).toSet == d4.keySet)
+    got.foreach { case (a, b, est, _, _) => assert(est == d4((a, b))) }
+    // exact jaccard agrees with d5 on every pair d5 keeps (>= 0.5)
+    val d5 = Dedup.d5Jaccard(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.filter(_._4 >= 0.5).foreach { case (a, b, _, tj, _) =>
+      assert(d5((a, b)) == tj) }
+    assert(got.count(_._4 >= 0.5) == d5.size)
+    // the error column is exactly |est - true| on the 4-dp grid, and
+    // the k=8 sketch is in its theoretical noise band on average
+    got.foreach { case (_, _, est, tj, err) =>
+      assert(err == r4(math.abs(est - tj))) }
+    val meanErr = got.map(_._5).sum / got.length
+    assert(got.nonEmpty && meanErr < 0.35, s"mean |err| $meanErr")
+  }
 }

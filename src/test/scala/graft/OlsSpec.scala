@@ -92,4 +92,50 @@ class OlsSpec extends AnyFunSuite {
     assert(got.filter(_._1 > 0).exists { case (idx, _, coef) =>
       math.abs(coef - ols(idx)) > 1e-4 }, "ridge penalty had no effect")
   }
+
+  test("p11 logistic IRLS trace equals a driver integer-moments replay") {
+    import graft.operators.Logistic
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docs = Tables.documents(spark, sf).select("n_chars", "lang")
+      .collect()
+      .map(r => (r.getLong(0) / 100L, if (r.getString(1) == "en") 1L else 0L))
+    def step(beta: Option[(Double, Double)]): (Double, Double) = {
+      var sw, swx, swxx, swz, swxz = BigInt(0)
+      docs.foreach { case (x, y) =>
+        val (etaq, pq) = beta match {
+          case None => (0L, 500000L)
+          case Some((b0, b1)) =>
+            val e = rnd((b0 + b1 * x.toDouble) * 1e6)
+            val p = 1.0 / (1.0 + math.exp(-(e.toDouble / 1e6)))
+            (e, math.min(Logistic.pqMax,
+              math.max(Logistic.pqMin, rnd(p * 1e6))))
+        }
+        val wq = pq * (1000000L - pq)
+        val zq = etaq + math.floor(
+          ((y * 1000000L - pq).toDouble * 1e12) / wq.toDouble).toLong
+        sw += wq; swx += BigInt(wq) * x; swxx += BigInt(wq) * x * x
+        swz += BigInt(wq) * zq; swxz += BigInt(wq) * x * zq
+      }
+      val (dsw, dswx, dswxx, dswz, dswxz) = (sw.toDouble, swx.toDouble,
+        swxx.toDouble, swz.toDouble, swxz.toDouble)
+      val det = dsw * dswxx - dswx * dswx
+      ((dswz * dswxx - dswx * dswxz) / det / 1e6,
+        (dsw * dswxz - dswx * dswz) / det / 1e6)
+    }
+    val b1 = step(None)
+    val b2 = step(Some(b1))
+    val expected = Seq(
+      (1, 0, "intercept", r4(b1._1)), (1, 1, "hecto_chars", r4(b1._2)),
+      (2, 0, "intercept", r4(b2._1)), (2, 1, "hecto_chars", r4(b2._2)))
+    val got = Logistic.p11Logistic(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // step 1 is the exact closed form (p = 1/2): finite, and the second
+    // step must stay in the same neighborhood (IRLS step, not a blowup)
+    assert(math.abs(b2._1 - b1._1) < 1.0 && math.abs(b2._2 - b1._2) < 1.0)
+  }
 }
