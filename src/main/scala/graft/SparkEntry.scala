@@ -25,6 +25,7 @@ object SparkEntry {
       (operators.KMeans.queries, operators.KMeans.oracle),
       (operators.Ols.queries, operators.Ols.oracle),
       (operators.Logistic.queries, operators.Logistic.oracle),
+      (operators.TimeSeries.queries, operators.TimeSeries.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.RangeJoin.queries, operators.RangeJoin.oracle),

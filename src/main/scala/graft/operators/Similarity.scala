@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
 
 /** Similarity search over the embedding column (SURVEY.md §2.B D19).
@@ -327,6 +328,44 @@ object Similarity {
       .agg(round(sqrt(sum($"c" * $"c")), 4).as("centroid_norm"),
         count(lit(1)).as("dim"))
       .orderBy($"label")
+  }
+
+  /** D114: label-centroid drift matrix — cosine similarity between the
+    * mean unit-vectors of every label pair, the embedding-space health
+    * check ("are my classes collapsing?" / "did this batch's
+    * embeddings drift from last batch's?"). Extends s4: same
+    * per-(label, pos) mean over row-normalized vectors, then the
+    * pairwise cosine read off the LABEL-level frames only.
+    *
+    * Scale shape: the corpus-sized work is the one posexplode +
+    * partial-aggregated (label, pos) mean — s4's plan exactly; the
+    * pairwise stage joins two (|labels|·dims)-row frames equi-keyed on
+    * pos (bounded dimension-sized, broadcast) — never the corpus.
+    * Float discipline: avg-then-round-4dp per scalar output (the s4
+    * precedent for cross-engine mean parity). */
+  def s12CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.embeddings(spark, dir)
+      .select($"label", normCol(spark, $"embedding").as("nrm"),
+        posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"v".cast("double") / $"nrm").as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // dot sides + both norms
+    val n = c.groupBy($"label").agg(sqrt(sum($"c" * $"c")).as("nn"))
+    val dot = c.select($"label".as("label_a"), $"pos", $"c".as("ca"))
+      .join(broadcast(c.select($"label".as("label_b"), $"pos", $"c".as("cb"))),
+        "pos")
+      .filter($"label_a" < $"label_b")
+      .groupBy($"label_a", $"label_b")
+      .agg(sum($"ca" * $"cb").as("dot"))
+    dot
+      .join(broadcast(n.select($"label".as("label_a"), $"nn".as("na"))),
+        "label_a")
+      .join(broadcast(n.select($"label".as("label_b"), $"nn".as("nb"))),
+        "label_b")
+      .select($"label_a", $"label_b",
+        round($"dot" / ($"na" * $"nb"), 4).as("centroid_cos"))
+      .orderBy($"label_a", $"label_b")
   }
 
   /** IVF coarse quantizer: ONE distributed pass draws the bounded
@@ -709,6 +748,7 @@ object Similarity {
     "s3_neardup_pairs" -> s3NearDupPairs,
     "d9_embedding_neardup" -> d9EmbeddingNearDup,
     "s4_centroids" -> s4Centroids,
+    "s12_centroid_drift" -> s12CentroidDrift,
     "s5_quantize" -> s5Quantize,
     "s6_knn_ivf" -> s6KnnIvf,
     "s7_knn_pq" -> s7KnnPq)
@@ -894,6 +934,25 @@ object Similarity {
           SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
             round(avg(mae), 6) AS avg_mae, round(max(mae), 6) AS max_mae
           FROM m GROUP BY label ORDER BY label""",
+    "s12_centroid_drift" ->
+      """WITH e AS (SELECT label, vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) /
+              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS unit
+          FROM embeddings),
+          c AS (SELECT label, pos, avg(v) AS c FROM (
+            SELECT label, unnest(unit) AS v,
+              generate_subscripts(unit, 1) - 1 AS pos FROM e) t
+            GROUP BY label, pos),
+          n AS (SELECT label, sqrt(sum(c * c)) AS nn FROM c GROUP BY label),
+          dt AS (SELECT a.label AS label_a, b.label AS label_b,
+              sum(a.c * b.c) AS dot
+            FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+            GROUP BY 1, 2)
+          SELECT d.label_a, d.label_b,
+            round(d.dot / (na.nn * nb.nn), 4) AS centroid_cos
+          FROM dt d JOIN n na ON d.label_a = na.label
+                    JOIN n nb ON d.label_b = nb.label
+          ORDER BY d.label_a, d.label_b""",
     "s4_centroids" ->
       """WITH e AS (SELECT label, vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) /

@@ -496,4 +496,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
   }
+
+  test("q65 Holt smoothing equals an exact driver fold replay") {
+    import graft.operators.TimeSeries
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("nation", "day").agg(sum("cents").as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (nation, xs) =>
+      var has = false; var l = 0.0; var b = 0.0
+      xs.sortBy(_._2.toLocalDate.toEpochDay).map { case (_, day, y) =>
+        val yd = y.toDouble
+        val (err, nl, nb) =
+          if (!has) (0.0, yd, 0.0)
+          else {
+            val e = yd - (l + b)
+            val l1 = 0.5 * yd + 0.5 * (l + b)
+            (e, l1, 0.5 * (l1 - l) + 0.5 * b)
+          }
+        has = true; l = nl; b = nb
+        (nation, day.toLocalDate, y, r4(l), r4(b), r4(err))
+      }
+    }.sortBy(x => (x._1, x._2.toEpochDay))
+    val got = TimeSeries.q65Holt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // first observation of every series: level = y, trend = err = 0
+    got.groupBy(_._1).values.foreach { xs =>
+      val h = xs.minBy(_._2.toEpochDay)
+      assert(h._4 == r4(h._3.toDouble) && h._5 == 0.0 && h._6 == 0.0)
+    }
+  }
 }

@@ -208,4 +208,40 @@ class SimilaritySpec extends AnyFunSuite {
     val c = df.select(Similarity.cosine(col("embedding"), col("embedding"))).head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("s12 centroid drift equals a driver mean-vector replay") {
+    import graft.sources.Tables
+    val rows = Tables.embeddings(spark, TestSpark.sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = rows.groupBy(_._1).map { case (l, xs) =>
+      val units = xs.map { case (_, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nrm)
+      }
+      val dim = units.head.length
+      l -> Array.tabulate(dim)(i => units.map(_(i)).sum / units.length)
+    }
+    val labels = cents.keys.toSeq.sorted
+    val expected = (for {
+      a <- labels; b <- labels; if a < b
+    } yield {
+      val (ca, cb) = (cents(a), cents(b))
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(ca.map(x => x * x).sum)
+      val nb = math.sqrt(cb.map(x => x * x).sum)
+      (a, b, dot / (na * nb))
+    }).sortBy(x => (x._1, x._2))
+    val got = Similarity.s12CentroidDrift(spark, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got.length == labels.size * (labels.size - 1) / 2)
+    got.zip(expected).foreach { case ((ga, gb, gc), (ea, eb, ec)) =>
+      assert(ga == ea && gb == eb, s"pair order ($ga,$gb) vs ($ea,$eb)")
+      // the engine value is 4-dp rounded and the replay sums in a
+      // different order than the engine's partial aggregation: within
+      // half a 4-dp step plus order noise
+      assert(math.abs(gc - ec) < 6e-5, s"pair ($ga,$gb): $gc vs $ec")
+    }
+    assert(got.forall(x => x._3 >= -1.0001 && x._3 <= 1.0001))
+  }
 }
