@@ -255,6 +255,40 @@ class PlanSpec extends AnyFunSuite {
       s"queries planning a pairwise join: ${offenders.mkString(", ")}")
   }
 
+  test("q63's census prefix-sum windows are partitioned or provably bounded") {
+    val p = plan("q63_abc")
+    // every Window over the census must be either partitioned by the
+    // range bucket (the within-bucket prefix) or sit on the ≤1024-row
+    // offsets frame; a partition-less window whose child reads the
+    // census directly would be the single-partition cumsum this
+    // operator exists to avoid
+    val windows = p.linesIterator.filter(_.contains("Arguments: [rev")).toSeq
+    assert(p.contains("Window"), "expected window operators in q63")
+    val partitioned = p.linesIterator
+      .count(l => l.contains("windowspecdefinition") && l.contains("bucket"))
+    assert(partitioned >= 1,
+      s"within-bucket window lost its bucket partitioning:\n${p.take(3000)}")
+  }
+
+  test("t22 only ever HINTS broadcast on the |L|-row frames, never the grid") {
+    // the vocab×L grid is vocabulary-sized at corpus scale: a broadcast
+    // HINT on it would OOM the driver (t6 rule).
+    // Catalyst may auto-broadcast from size stats at fixture scale
+    // (correct — stats scale with data); what must never appear is a
+    // broadcast HINT on anything wider than the two |L|-row frames
+    val df = SparkEntry.queries("t22_nb_lang")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 2,
+      s"expected exactly the two |L|-row broadcast hints, got ${hints.size}")
+    hints.foreach { h =>
+      val cols = h.child.output.map(_.name).toSet
+      assert(cols.contains("model_lang") && !cols.contains("term"),
+        s"broadcast hint on a non-|L|-row frame: $cols")
+    }
+  }
+
   test("d3_minhash shuffles signatures, not text") {
     val p = plan("d3_minhash")
     // the exchange below the final aggregate must carry doc_id + partial
