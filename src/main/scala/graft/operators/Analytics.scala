@@ -728,7 +728,40 @@ object Analytics {
       .orderBy($"o_custkey", $"order_a", $"order_b")
   }
 
+  /** D116: join-key skew census — the "should I salt this join"
+    * instrument (the measurement step in front of q27's salted join
+    * and AQE skew handling): one row of distributional facts about
+    * lineitem's l_partkey — key count, row count, the heaviest key's
+    * count, mean rows/key, the max/mean skew ratio, and the share of
+    * rows held by the top-10 keys.
+    *
+    * Scale shape: ONE partial-aggregated key census, persisted across
+    * its two consumptions (global stats + top-10 TakeOrdered) — the
+    * q43 no-second-scan discipline; the top-10 side is a TakeOrdered
+    * (no global sort), and the two one-row frames cross-join
+    * broadcast (q43's sanctioned scalar cross). */
+  def q66SkewCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyCnt = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top10 = keyCnt.orderBy($"cnt".desc, $"l_partkey").limit(10)
+      .agg(sum($"cnt").as("top10"))
+    keyCnt
+      .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+        max($"cnt").as("max_cnt"))
+      .crossJoin(broadcast(top10))
+      .select($"n_keys", $"n_rows", $"max_cnt",
+        round($"n_rows".cast("double") / $"n_keys".cast("double"), 4)
+          .as("avg_cnt"),
+        round(($"max_cnt" * $"n_keys").cast("double") /
+          $"n_rows".cast("double"), 4).as("skew_ratio"),
+        round($"top10".cast("double") / $"n_rows".cast("double"), 4)
+          .as("top10_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_skew_census" -> q66SkewCensus,
     "q64_dup_invoices" -> q64DupInvoices,
     "q63_abc" -> q63Abc,
     "q62_interpurchase" -> q62Interpurchase,
@@ -750,6 +783,19 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q66_skew_census" ->
+      """WITH kc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(cnt) AS BIGINT) AS n_rows,
+              CAST(max(cnt) AS BIGINT) AS max_cnt FROM kc),
+          tp AS (SELECT CAST(sum(cnt) AS BIGINT) AS top10 FROM (
+              SELECT cnt FROM kc ORDER BY cnt DESC, l_partkey LIMIT 10))
+          SELECT n_keys, n_rows, max_cnt,
+            round(n_rows * 1.0 / n_keys, 4) AS avg_cnt,
+            round((max_cnt * n_keys) * 1.0 / n_rows, 4) AS skew_ratio,
+            round(top10 * 1.0 / n_rows, 4) AS top10_share
+          FROM st CROSS JOIN tp""",
     "q63_abc" ->
       """WITH pp AS (SELECT l_partkey,
               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)

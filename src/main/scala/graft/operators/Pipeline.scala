@@ -322,7 +322,44 @@ object Pipeline {
       .orderBy($"pos")
   }
 
+  /** D115: dataset card — the one-row corpus summary a curated release
+    * ships with (the "datasheet" numbers): sizes, language/source
+    * breadth, exact-duplicate rate (d1's normalized-text hash), mean
+    * rule-based quality (t2's score), and English share. A
+    * composition capstone: every number is one of the pipeline's own
+    * oracle-gated signals re-aggregated corpus-wide.
+    *
+    * Scale shape: ONE pass over documents computing per-doc columns,
+    * then a single global aggregate (the three exact count-distincts
+    * ride Spark's Expand — 3× the aggregate input, constant factor,
+    * no extra scan). */
+  def c8DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("content_hash",
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
+      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+      .withColumn("n_tokens", size(TextAnalysis.tokens($"text")).cast("long"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        sum($"n_chars").as("total_chars"),
+        sum($"n_tokens").as("total_tokens"),
+        countDistinct($"content_hash").as("n_unique"),
+        round(avg($"quality"), 4).as("mean_quality"),
+        sum(($"lang" === "en").cast("long")).as("n_english"))
+      .select($"n_docs", $"n_langs", $"n_sources", $"total_chars",
+        $"total_tokens",
+        round(lit(1.0) - $"n_unique".cast("double") / $"n_docs".cast("double"), 4)
+          .as("dup_rate"),
+        $"mean_quality",
+        round($"n_english".cast("double") / $"n_docs".cast("double"), 4)
+          .as("pct_english"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c8_dataset_card" -> c8DatasetCard,
     "c7_curriculum" -> c7Curriculum,
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_component_dedup" -> c2ComponentDedup,
@@ -332,6 +369,24 @@ object Pipeline {
     "c6_mixture" -> c6Mixture)
 
   val oracle: Map[String, String] = Map(
+    "c8_dataset_card" ->
+      s"""WITH d AS (SELECT lang, source, n_chars,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                AS content_hash,
+              ${TextAnalysis.qualityScoreSql} AS quality
+            FROM documents)
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            round(1.0 - count(DISTINCT content_hash) * 1.0 / count(*), 4)
+              AS dup_rate,
+            round(avg(quality), 4) AS mean_quality,
+            round(count(*) FILTER (lang = 'en') * 1.0 / count(*), 4)
+              AS pct_english
+          FROM d""",
     "c7_curriculum" ->
       s"""WITH s AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS q
                      FROM documents),

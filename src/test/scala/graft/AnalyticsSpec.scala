@@ -497,6 +497,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("q66 skew census equals a driver key-count replay") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keys = Tables.lineitem(spark, sf).select("l_partkey").collect()
+      .map(_.getLong(0))
+    val cnt = keys.groupBy(identity).map { case (k, xs) => (k, xs.length.toLong) }
+    val nKeys = cnt.size.toLong; val nRows = keys.length.toLong
+    val maxCnt = cnt.values.max
+    val top10 = cnt.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+      .map(_._2).sum
+    val expected = (nKeys, nRows, maxCnt,
+      r4(nRows.toDouble / nKeys.toDouble),
+      r4((maxCnt * nKeys).toDouble / nRows.toDouble),
+      r4(top10.toDouble / nRows.toDouble))
+    val got = Analytics.q66SkewCensus(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(expected))
+    assert(got.head._5 >= 1.0, "skew ratio below 1 is impossible")
+  }
+
   test("q65 Holt smoothing equals an exact driver fold replay") {
     import graft.operators.TimeSeries
     def r4(v: Double) =

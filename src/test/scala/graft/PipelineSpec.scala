@@ -155,6 +155,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(x => x._5 >= 0.0 && x._5 < 1.0))
   }
 
+  test("c8 dataset card recomposes its own oracle-gated signals") {
+    import graft.operators.{Dedup, TextAnalysis, Pipeline}
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val card = Pipeline.c8DatasetCard(spark, sf).collect()
+    assert(card.length == 1)
+    val r = card.head
+    val nDocs = r.getLong(0)
+    // d1's exact-dup census implies the card's dup rate
+    val d1 = Dedup.d1ExactDedup(spark, sf).collect()
+    assert(nDocs == d1.map(_.getLong(2)).sum)
+    assert(r.getDouble(5) ==
+      r4(1.0 - d1.length.toDouble / nDocs.toDouble))
+    // t2's per-source counts partition the corpus
+    val t2 = TextAnalysis.t2Quality(spark, sf).collect()
+    assert(t2.map(_.getLong(1)).sum == nDocs)
+    assert(r.getLong(2) == t2.length.toLong) // n_sources
+    // basic shape sanity
+    assert(r.getLong(1) >= 2 && r.getDouble(7) > 0.0 && r.getDouble(7) < 1.0)
+    assert(r.getLong(4) > 0 && r.getLong(3) >= r.getLong(4))
+  }
+
   test("c5 split is component-stable: no near-dup pair straddles train/val") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions._
