@@ -266,6 +266,82 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The (bands, rowsPerBand) configurations [[d18LshTuning]] sweeps —
+    * every factorization of the k=[[numHashes]] signature. */
+  val lshSweep: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4))
+
+  /** D117: LSH banding-parameter sweep — for each (b, r) factorization
+    * of the k=8 signature, the candidate-pair count, how many of the
+    * TRUE near-dup pairs (exact Jaccard ≥ 0.5) each configuration
+    * recovers, and the recall/precision that implies. The tuning
+    * instrument BEHIND d4's fixed 4×2 choice: the b·r tradeoff
+    * (more bands → higher recall, more candidates) measured on the
+    * actual corpus instead of assumed from the S-curve formula.
+    *
+    * Ground truth = exact Jaccard ≥ 0.5 scored over the MOST
+    * PERMISSIVE configuration's candidates ((8,1): any shared
+    * component); exact all-pairs truth is corpus² and is precisely
+    * what LSH exists to avoid — the bounded proxy is the standard
+    * practice and is documented in the output's semantics.
+    *
+    * Scale shape: signatures come from the session cache; each config
+    * is one band explode + bucket self-join (the d4 shape, no bucket
+    * cap — this is an audit, not the production path); exact scoring
+    * touches only the (8,1) candidate set (d5 broadcast-ids
+    * discipline). The 3-row summary assembles driver-side from
+    * scalar counts (the p11 bounded-driver-data pattern). */
+  def d18LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (docSh, sigs) = sharedSigs(spark, dir)
+    def candFor(b: Int, r: Int): DataFrame = {
+      val bandCols = (0 until b).map { i =>
+        val parts = (0 until r).map(j => col(s"sig${i * r + j}"))
+        md5(concat_ws("|", parts: _*)).as(s"band$i")
+      }
+      val bands = sigs.select(col("doc_id") +: bandCols: _*)
+        .select($"doc_id",
+          posexplode(array((0 until b).map(i => col(s"band$i")): _*))
+            .as(Seq("bi", "bh")))
+      bands.select($"bi", $"bh", $"doc_id".as("doc_a"))
+        .join(bands.select($"bi", $"bh", $"doc_id".as("doc_b")),
+          Seq("bi", "bh"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+    }
+    val widest = candFor(8, 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candIds = widest
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val shCand = docSh.join(broadcast(candIds), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val card = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val truth = shCand.select($"doc_id".as("doc_a"), $"s")
+      .join(widest, "doc_a")
+      .join(shCand.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(card.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(card.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .filter(round($"n_inter" / ($"n_a" + $"n_b" - $"n_inter"), 4) >= 0.5)
+      .select($"doc_a", $"doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTruth = truth.count()
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = lshSweep.map { case (b, r) =>
+      val c = if (b == 8 && r == 1) widest else candFor(b, r)
+      val cp = c.persist(StorageLevel.MEMORY_AND_DISK)
+      val nCand = cp.count()
+      val nFound = cp.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      if (!(b == 8 && r == 1)) cp.unpersist()
+      (b, r, nCand, nFound,
+        if (nTruth > 0) r4(nFound.toDouble / nTruth.toDouble) else 0.0,
+        if (nCand > 0) r4(nFound.toDouble / nCand.toDouble) else 0.0)
+    }
+    rows.toDF("bands", "rows_per_band", "n_candidates", "n_true_found",
+      "recall", "precision")
+      .orderBy($"bands".desc)
+  }
+
   /** D18: 32-bit SimHash from md5-derived token hashes — explode
     * tokens, one conditional sum per bit (partial-aggregated), then
     * reassemble the fingerprint. */
@@ -722,7 +798,8 @@ object Dedup {
     "d8_components" -> d8Components,
     "d12_containment" -> d12Containment,
     "d13_contamination_score" -> d13ContaminationScore,
-    "d17_minhash_fidelity" -> d17MinhashFidelity)
+    "d17_minhash_fidelity" -> d17MinhashFidelity,
+    "d18_lsh_tuning" -> d18LshTuning)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
@@ -786,7 +863,65 @@ object Dedup {
     s"""$jaccardAllCte,
         jp AS (SELECT doc_a, doc_b, jaccard FROM jpa WHERE jaccard >= 0.5)"""
 
+  /** One sweep configuration's banding + candidate CTEs. */
+  private def sweepCandSql(b: Int, r: Int): String = {
+    val bandExprs = (0 until b).map { i =>
+      val parts = (0 until r).map(j => s"CAST(sig${i * r + j} AS VARCHAR)")
+      s"md5(${parts.mkString(" || '|' || ")}) AS band$i"
+    }.mkString(", ")
+    val bandList = (0 until b).map(i => s"band$i").mkString(", ")
+    s"""bkt_${b}_$r AS (SELECT doc_id, band_idx, band_hash FROM
+            (SELECT doc_id, $bandExprs FROM sig)
+            UNPIVOT (band_hash FOR band_idx IN ($bandList))),
+        cand_${b}_$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bkt_${b}_$r a JOIN bkt_${b}_$r b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id)"""
+  }
+
+  /** One sweep configuration's stats CTE (needs `truth` defined). */
+  private def sweepStSql(b: Int, r: Int): String =
+    s"""st_${b}_$r AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM cand_${b}_$r)
+              AS n_candidates,
+            (SELECT CAST(count(*) AS BIGINT) FROM cand_${b}_$r c
+              WHERE EXISTS (SELECT 1 FROM truth t
+                WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+              AS n_true_found)"""
+
+  private def sweepRowSql(b: Int, r: Int): String =
+    s"""SELECT $b AS bands, $r AS rows_per_band, n_candidates, n_true_found,
+        CASE WHEN (SELECT nt FROM tn) > 0
+             THEN round(n_true_found * 1.0 / (SELECT nt FROM tn), 4)
+             ELSE 0.0 END AS recall,
+        CASE WHEN n_candidates > 0
+             THEN round(n_true_found * 1.0 / n_candidates, 4)
+             ELSE 0.0 END AS precision
+        FROM st_${b}_$r"""
+
   val oracle: Map[String, String] = Map(
+    "d18_lsh_tuning" ->
+      s"""$sigCte,
+          dsh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s
+                  FROM documents),
+          card AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+          ${lshSweep.map { case (b, r) => sweepCandSql(b, r) }
+            .mkString(",\n          ")},
+          tinter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand_8_1 c JOIN dsh a ON a.doc_id = c.doc_a
+                              JOIN dsh b ON b.doc_id = c.doc_b AND a.s = b.s
+              GROUP BY 1, 2),
+          truth AS (SELECT i.doc_a, i.doc_b
+              FROM tinter i JOIN card ca ON i.doc_a = ca.doc_id
+                            JOIN card cb ON i.doc_b = cb.doc_id
+              WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 4) >= 0.5),
+          tn AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM truth),
+          ${lshSweep.map { case (b, r) => sweepStSql(b, r) }
+            .mkString(",\n          ")}
+          SELECT * FROM (${lshSweep
+            .map { case (b, r) => s"(${sweepRowSql(b, r)})" }
+            .mkString(" UNION ALL ")})
+          ORDER BY bands DESC""",
     "d16_dup_weights" ->
       """WITH h AS (SELECT doc_id,
               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

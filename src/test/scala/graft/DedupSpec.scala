@@ -284,6 +284,29 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.length == 2 && groups.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("d18 LSH sweep: monotone tradeoff, truth-by-construction, d4 agreement") {
+    val rows = Dedup.d18LshTuning(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(x => (x._1, x._2)).toSeq == Dedup.lshSweep)
+    // more bands → more candidates (monotone down the sweep)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+    // found never exceeds candidates, and recall/precision are consistent
+    rows.foreach { case (_, _, nc, nf, rec, prec) =>
+      assert(nf <= nc)
+      if (nc > 0) assert(math.abs(prec - nf.toDouble / nc) < 1e-4)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // truth is scored over the widest config's candidates, so (8,1)
+    // recall is 1.0 by construction
+    assert(rows.head._5 == 1.0)
+    // the production 4×2 config: candidate count equals d4's pair count
+    // (the maxBucket cap never binds on this fixture)
+    val d4n = Dedup.d4LshPairs(spark, sf).count()
+    val c42 = rows.find(x => x._1 == 4 && x._2 == 2).get._3
+    assert(c42 == d4n, s"sweep (4,2) $c42 vs d4 $d4n")
+  }
+
   test("d17 fidelity audit composes d4's estimates with d5's exact measure") {
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
