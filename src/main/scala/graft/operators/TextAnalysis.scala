@@ -414,6 +414,49 @@ object TextAnalysis {
   def t23TokenEntropy(spark: SparkSession, dir: String): DataFrame =
     tokenEntropy(Tables.documents(spark, dir))
 
+  /** Coverage thresholds and rank cap for [[t24VocabCoverage]].
+    * Production values would be BPE-scale (8k/32k/128k); the fixture
+    * corpus draws from a 31-term vocabulary at every SF, so the
+    * defaults sit inside it to exercise a real (non-saturated)
+    * curve. */
+  val coverageKs: Seq[Int] = Seq(5, 15, 30)
+
+  /** D118: vocabulary coverage curve — for each candidate vocabulary
+    * size k, the share of corpus TOKEN OCCURRENCES covered by the top-k
+    * terms (rank = frequency desc, term asc). The tokenizer-design
+    * instrument: "how big must the vocab be before OOV is negligible"
+    * read straight off the corpus instead of assumed from Zipf (t16
+    * fits the law; this measures the integral the law predicts).
+    *
+    * Scale shape: the term census is the one corpus-sized pass
+    * (partial-aggregated); ranking touches only the top-max(k) terms
+    * via orderBy+limit (a TakeOrdered, no global sort), and the two
+    * windows after it run over that ≤10k-row frame — bounded BY
+    * CONSTRUCTION (the t14 bounded-global-window exemption). The
+    * census totals ride a one-row broadcast cross (q43 pattern). */
+  def t24VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("tf"))
+    val st = tf.agg(count(lit(1)).as("n_terms"), sum($"tf").as("n_tokens"))
+    val maxK = coverageKs.max
+    val wRank = Window.orderBy($"tf".desc, $"term")
+    val top = tf.orderBy($"tf".desc, $"term").limit(maxK)
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("covered",
+        sum($"tf").over(Window.orderBy($"rk")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    coverageKs.toDF("k")
+      .crossJoin(broadcast(st))
+      .withColumn("eff_k", least($"k".cast("long"), $"n_terms"))
+      .join(top.select($"rk".cast("long").as("eff_k"), $"covered"), "eff_k")
+      .select($"k", $"eff_k".as("n_terms_used"), $"covered",
+        round($"covered".cast("double") / $"n_tokens".cast("double"), 4)
+          .as("coverage"))
+      .orderBy($"k")
+  }
+
   /** Sample size for [[t19WeightedSample]]. */
   val wsampleK = 100
 
@@ -804,6 +847,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_vocab_coverage" -> t24VocabCoverage,
     "t23_token_entropy" -> t23TokenEntropy,
     "t22_nb_lang" -> t22NbLang,
     "t21_source_drift" -> t21SourceDrift,
@@ -871,6 +915,25 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t24_vocab_coverage" ->
+      s"""WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT unnest($toksSql) AS term FROM documents)
+            GROUP BY 1),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+              CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf),
+          top AS (SELECT tf, term,
+              row_number() OVER (ORDER BY tf DESC, term) AS rk
+            FROM tf ORDER BY tf DESC, term LIMIT ${coverageKs.max}),
+          cum AS (SELECT rk, CAST(sum(tf) OVER (ORDER BY rk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS covered FROM top),
+          ks(k) AS (VALUES ${coverageKs.map(k => s"($k)").mkString(", ")})
+          SELECT k, least(CAST(k AS BIGINT), st.n_terms) AS n_terms_used,
+            c.covered,
+            round(c.covered * 1.0 / st.n_tokens, 4) AS coverage
+          FROM ks CROSS JOIN st
+          JOIN cum c ON c.rk = least(CAST(k AS BIGINT), st.n_terms)
+          ORDER BY k""",
     "t22_nb_lang" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS term
               FROM documents),

@@ -241,7 +241,7 @@ class PlanSpec extends AnyFunSuite {
     val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq",
       "s9_mmr_rerank", "s10_range_search", "s11_recall_eval",
       "q43_important_parts", "t17_bm25", "t21_source_drift",
-      "t22_nb_lang", "q63_abc", "q66_skew_census")
+      "t22_nb_lang", "q63_abc", "q66_skew_census", "t24_vocab_coverage")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -368,6 +368,29 @@ class TextSpec extends AnyFunSuite {
     assert(diag > majority, s"NB diagonal $diag <= majority baseline $majority")
   }
 
+  test("t24 vocab coverage equals a driver ranked-census replay") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+    val tf = toks.groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.length.toLong) }
+      .sortBy { case (t, c) => (-c, t) }
+    val nTokens = toks.length.toLong
+    val expected = TextAnalysis.coverageKs.map { k =>
+      val effK = math.min(k, tf.length)
+      val covered = tf.take(effK).map(_._2).sum
+      (k, effK.toLong, covered, r4(covered.toDouble / nTokens.toDouble))
+    }
+    val got = TextAnalysis.t24VocabCoverage(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // the curve is monotone and ends near full coverage on this corpus
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted)
+    assert(got.last._4 > 0.9)
+  }
+
   test("t23 entropy/TTR equal a driver unigram replay and pin degenerate docs") {
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
