@@ -15,6 +15,7 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracle),
       (operators.AdvancedSql.queries, operators.AdvancedSql.oracle),
       (operators.Analytics.queries, operators.Analytics.oracle),
+      (operators.Stats.queries, operators.Stats.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Graph.queries, operators.Graph.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),

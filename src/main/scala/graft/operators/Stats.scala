@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Statistical-inference operators (SURVEY.md §2.B11, D119–D122):
+  * Welch's two-sample t-test, chi-square independence, Theil–Sen
+  * robust slope, and linear-interpolation series imputation — the
+  * experiment-analysis / robust-trend toolkit a training-data or
+  * product-analytics pipeline runs after the descriptive rollups.
+  *
+  * Float discipline (the q60/q63 census rules applied to inference):
+  * every aggregate moment is an EXACT integer (cents, counts,
+  * cents²); doubles appear only in the final closed-form statistic,
+  * computed by an identical IEEE expression tree on both engines from
+  * those identical integers, then rounded to the 4-dp grid. No
+  * `pow()` anywhere (t19: `pow` is not reliably IEEE-identical
+  * cross-engine) — squares are spelled `x*x`.
+  */
+object Stats {
+
+  // ---------------------------------------------------------------- q67
+
+  /** D119: Welch's unequal-variance two-sample t-test over a
+    * deterministic 50/50 user split — the A/B-experiment readout.
+    * Arms are assigned by the first hex digit of `md5(user_id)`
+    * (the c5/t7 no-RNG gate: reproducible on any engine, no seed
+    * state), the metric is purchase value in integer cents.
+    *
+    * One partial-aggregated pass produces the six exact moments
+    * (n, Σx, Σx² per arm, conditional-sum form — no second scan, no
+    * join); the t statistic, Welch–Satterthwaite df, and arm means
+    * are driver-free closed forms over that one-row frame. Σx² of
+    * cents stays far inside BIGINT at any SF the fixture ships;
+    * Σx·Σx is formed in DOUBLE (q52's overflow rule: cast before
+    * multiply).
+    *
+    * Scale shape: a single map-side-combined aggregate to ONE row —
+    * the cheapest possible distributed query; nothing downstream of
+    * the scan ever shuffles more than that row. */
+  def q67WelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(
+        when(substring(md5($"user_id".cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A"))
+          .otherwise(lit("B")).as("arm"),
+        floor($"value" * 100).cast("long").as("cents"))
+    val m = ev.agg(
+      sum(when($"arm" === "A", lit(1L)).otherwise(lit(0L))).as("n_a"),
+      sum(when($"arm" === "A", $"cents").otherwise(lit(0L))).as("s1_a"),
+      sum(when($"arm" === "A", $"cents" * $"cents").otherwise(lit(0L))).as("s2_a"),
+      sum(when($"arm" === "B", lit(1L)).otherwise(lit(0L))).as("n_b"),
+      sum(when($"arm" === "B", $"cents").otherwise(lit(0L))).as("s1_b"),
+      sum(when($"arm" === "B", $"cents" * $"cents").otherwise(lit(0L))).as("s2_b"))
+    // identical IEEE expression tree as the oracle: mean = s1/n,
+    // var = (s2 − s1·s1/n) / (n−1), se2 = va/na + vb/nb,
+    // t = (ma − mb)/sqrt(se2), df = se2² / (Σ (vi/ni)²/(ni−1))
+    val d = "CAST(%s AS DOUBLE)"
+    val va = s"((${d.format("s2_a")} - ${d.format("s1_a")} * ${d.format("s1_a")} / ${d.format("n_a")}) / ${d.format("n_a - 1")})"
+    val vb = s"((${d.format("s2_b")} - ${d.format("s1_b")} * ${d.format("s1_b")} / ${d.format("n_b")}) / ${d.format("n_b - 1")})"
+    val sea = s"($va / ${d.format("n_a")})"
+    val seb = s"($vb / ${d.format("n_b")})"
+    m.select(
+      $"n_a", $"n_b",
+      expr(s"round(${d.format("s1_a")} / ${d.format("n_a")} / 100.0, 4)").as("mean_a"),
+      expr(s"round(${d.format("s1_b")} / ${d.format("n_b")} / 100.0, 4)").as("mean_b"),
+      expr(s"round((${d.format("s1_a")} / ${d.format("n_a")} - ${d.format("s1_b")} / ${d.format("n_b")}) / sqrt($sea + $seb), 4)").as("t_stat"),
+      expr(s"round(($sea + $seb) * ($sea + $seb) / ($sea * $sea / ${d.format("n_a - 1")} + $seb * $seb / ${d.format("n_b - 1")}), 4)").as("df"))
+  }
+
+  // ---------------------------------------------------------------- q68
+
+  /** D120: chi-square test of independence between order status and
+    * order priority — "does fulfillment state depend on priority?".
+    * Output is the full contingency census: one row per (status,
+    * priority) cell with observed n, expected count under
+    * independence, and the cell's chi-square contribution; the
+    * statistic is Σ contrib over the ≤ |status|·|priority| cells.
+    *
+    * Row/column/grand totals ride windows over the CELL CENSUS
+    * (≤ 15 rows — bounded by attribute cardinality, the t14
+    * bounded-global-window exemption), so the fact table is scanned
+    * exactly once and partial-aggregates map-side. Expected counts
+    * form row·col in DOUBLE (cast before multiply — at warehouse
+    * scale BIGINT·BIGINT of two marginals overflows). */
+  def q68Chi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus".as("status"), $"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy($"status")
+    val wc = Window.partitionBy($"priority")
+    val wt = Window.partitionBy()
+    cells
+      .withColumn("row_n", sum($"n").over(wr))
+      .withColumn("col_n", sum($"n").over(wc))
+      .withColumn("tot", sum($"n").over(wt))
+      .select(
+        $"status", $"priority", $"n",
+        round(expr("CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE)"), 4).as("expected"),
+        round(expr("""(CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+            * (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+            / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))"""), 4)
+          .as("contrib"))
+      .orderBy($"status", $"priority")
+  }
+
+  // ---------------------------------------------------------------- q69
+
+  /** D121: Theil–Sen robust trend — per nation, the median of all
+    * pairwise slopes of (day index, daily revenue cents). The
+    * estimator is insensitive to ~29% outliers, the robust companion
+    * to q65's Holt smoothing and p7's per-segment OLS.
+    *
+    * The pair stage is a self-equi-join of the per-nation DAILY
+    * census on nationkey with `d1 < d2`: fan-out per nation is
+    * C(observed days, 2) — bounded by the CALENDAR (≤ 365 days/yr),
+    * not by corpus size, the q47/D62 bounded-fan-out argument. The
+    * daily census itself is the only corpus-sized aggregate (one
+    * co-partitioned orders⋈customer equi-join + partial agg).
+    *
+    * Slopes are DOUBLE formed from exact integer (Δcents, Δdays);
+    * the median is the interpolated 0.5-quantile — Spark
+    * `percentile` and DuckDB `quantile_cont` share the
+    * `lower + (upper−lower)·frac` formula at index (n−1)/2, so
+    * identical slope multisets give bit-identical medians (guarded
+    * by StatsSpec's brute replay). */
+  def q69TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"),
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    val a = daily.select($"nation", $"day".as("d1"), $"cents".as("c1"))
+    val b = daily.select($"nation", $"day".as("d2"), $"cents".as("c2"))
+    a.join(b, Seq("nation")).filter($"d1" < $"d2")
+      .select($"nation",
+        expr("CAST(c2 - c1 AS DOUBLE) / CAST(d2 - d1 AS DOUBLE)").as("slope"))
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 4).as("slope_cpd"))
+      .orderBy($"nation")
+  }
+
+  // ---------------------------------------------------------------- q70
+
+  /** D122: linear-interpolation imputation of a daily revenue series
+    * — per nation, every calendar day between that nation's first and
+    * last observed order day, with missing days filled by linear
+    * interpolation between the surrounding observed days (the
+    * time-series companion of q34's step gap-fill: q34 carries the
+    * last value forward, q70 draws the line).
+    *
+    * The calendar explode is `sequence(min_day, max_day)` per nation
+    * — Generate bounded by the date span, never by row count. The
+    * bracketing observed points come from two IGNORE-NULLS window
+    * passes (last_value backward, first_value forward) over the
+    * per-nation day frame — no self-join, no range join. Interpolated
+    * values are `prev + (next−prev)·(d−dp)/(dn−dp)` in DOUBLE from
+    * exact integers, 4-dp rounded; observed days reproduce their
+    * exact census value. */
+  def q70Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"),
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    val cal = daily.groupBy($"nation")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"nation", explode(sequence($"d0", $"d1")).as("day"))
+    val joined = cal.join(daily, Seq("nation", "day"), "left")
+    val wPrev = Window.partitionBy($"nation").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"nation").orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("pc", last($"cents", ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first($"cents", ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wNext))
+      .select($"nation", $"day",
+        round(when($"cents".isNotNull, $"cents".cast("double"))
+          .otherwise(expr("""CAST(pc AS DOUBLE) + CAST(nc - pc AS DOUBLE)
+              * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))""")), 4)
+          .as("filled_cents"),
+        $"cents".isNotNull.as("is_observed"))
+      .orderBy($"nation", $"day")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_welch_ttest" -> q67WelchTtest,
+    "q68_chi2" -> q68Chi2,
+    "q69_theilsen" -> q69TheilSen,
+    "q70_interpolate" -> q70Interpolate)
+
+  val oracle: Map[String, String] = Map(
+    "q67_welch_ttest" ->
+      """WITH e AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+              CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          m AS (SELECT
+              CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT) AS s1_a,
+              CAST(sum(CASE WHEN arm = 'A' THEN cents * cents ELSE 0 END) AS BIGINT) AS s2_a,
+              CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT) AS s1_b,
+              CAST(sum(CASE WHEN arm = 'B' THEN cents * cents ELSE 0 END) AS BIGINT) AS s2_b
+            FROM e),
+          v AS (SELECT n_a, n_b,
+              CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+              CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+              ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE) AS sea,
+              ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE) AS seb
+            FROM m)
+          SELECT n_a, n_b,
+            round(ma / 100.0, 4) AS mean_a,
+            round(mb / 100.0, 4) AS mean_b,
+            round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+            round((sea + seb) * (sea + seb)
+              / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+                 + seb * seb / CAST(n_b - 1 AS DOUBLE)), 4) AS df
+          FROM v""",
+    "q68_chi2" ->
+      """WITH cells AS (SELECT o_orderstatus AS status,
+              o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2),
+          w AS (SELECT status, priority, n,
+              CAST(sum(n) OVER (PARTITION BY status) AS BIGINT) AS row_n,
+              CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS col_n,
+              CAST(sum(n) OVER () AS BIGINT) AS tot
+            FROM cells)
+          SELECT status, priority, n,
+            round(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS expected,
+            round((CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+              * (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+              / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE)), 4) AS contrib
+          FROM w ORDER BY status, priority""",
+    "q69_theilsen" ->
+      """WITH daily AS (SELECT c.c_nationkey AS nation,
+              date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS day,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          pr AS (SELECT a.nation,
+              CAST(b.cents - a.cents AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON a.nation = b.nation AND a.day < b.day)
+          SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
+            round(quantile_cont(slope, 0.5), 4) AS slope_cpd
+          FROM pr GROUP BY nation ORDER BY nation""",
+    "q70_interpolate" ->
+      """WITH daily AS (SELECT c.c_nationkey AS nation,
+              date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS day,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          cal AS (SELECT nation, unnest(generate_series(min(day), max(day))) AS day
+            FROM daily GROUP BY nation),
+          j AS (SELECT cal.nation, cal.day, daily.cents
+            FROM cal LEFT JOIN daily
+              ON cal.nation = daily.nation AND cal.day = daily.day),
+          w AS (SELECT nation, day, cents,
+              last_value(cents IGNORE NULLS) OVER (PARTITION BY nation ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+              last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY nation ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+              first_value(cents IGNORE NULLS) OVER (PARTITION BY nation ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+              first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY nation ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+            FROM j)
+          SELECT nation, CAST(day AS INT) AS day,
+            round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+              ELSE CAST(pc AS DOUBLE) + CAST(nc - pc AS DOUBLE)
+                * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END, 4)
+              AS filled_cents,
+            cents IS NOT NULL AS is_observed
+          FROM w ORDER BY nation, day""")
+}
