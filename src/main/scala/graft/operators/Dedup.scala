@@ -783,7 +783,62 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing window size: one fingerprint per [[winnowW]] consecutive
+    * 3-shingle hashes (Schleimer, Wilkerson, Aiken, SIGMOD 2003). */
+  val winnowW = 4
+  /** Minimum shared fingerprints for a d19 pair to be reported. */
+  val winnowMinShared = 2L
+
+  /** D123: winnowing fingerprint near-dup pairs — the MOSS local
+    * fingerprinting scheme as a third candidate generator next to
+    * MinHash-LSH (d4) and SimHash (d6). Each document keeps the MIN
+    * 3-shingle hash in every window of [[winnowW]] consecutive
+    * shingles; unlike MinHash's corpus-independent random sample, the
+    * winnowing GUARANTEE is positional — any shared run of at least
+    * w+k−1 tokens produces at least one shared fingerprint, so long
+    * verbatim overlaps can never be missed.
+    *
+    * Scale shape: the fingerprint pass is one posexplode + a window
+    * PARTITIONED BY doc_id (high-cardinality — parallelizes with the
+    * corpus, the c2 discipline); pairs come from a fingerprint
+    * self-equi-join guarded by the d4 [[maxBucket]] skew cap (never
+    * binding on the fixtures; the oracle, like d4's, replays the
+    * uncapped semantics). ~n/w fingerprints per n-gram document keep
+    * the index a fraction of corpus size. */
+  def d19Winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(Tables.documents(spark, dir))
+
+  /** Core winnowing pipeline over any (doc_id, text) frame — split out
+    * so specs can drive synthetic corpora through the exact prod path. */
+  private[graft] def winnowPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select($"doc_id", posexplode(shingles($"text")).as(Seq("pos0", "s")))
+      .select($"doc_id", ($"pos0" + 1).as("i"),
+        conv(substring(md5($"s"), 1, 8), 16, 10).cast("long").as("h"))
+    val wWin = Window.partitionBy($"doc_id").orderBy($"i")
+      .rowsBetween(Window.currentRow, winnowW - 1)
+    val wCnt = Window.partitionBy($"doc_id")
+    val fps = grams
+      .withColumn("fp", min($"h").over(wWin))
+      .withColumn("ng", count(lit(1)).over(wCnt))
+      .filter($"i" <= $"ng" - (winnowW - 1))
+      .select($"doc_id", $"fp").distinct()
+    val ok = fps.groupBy($"fp").agg(count(lit(1)).as("nfp"))
+      .filter($"nfp" <= maxBucket).select($"fp")
+    val inB = fps.join(ok, Seq("fp"))
+    val a = inB.select($"fp", $"doc_id".as("doc_a"))
+    val b = inB.select($"fp", $"doc_id".as("doc_b"))
+    a.join(b, Seq("fp")).filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= winnowMinShared)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_winnowing" -> d19Winnowing,
     "d16_dup_weights" -> d16DupWeights,
     "d15_line_dedup" -> d15LineDedup,
     "d1_exact_dedup" -> d1ExactDedup,
@@ -900,6 +955,24 @@ object Dedup {
         FROM st_${b}_$r"""
 
   val oracle: Map[String, String] = Map(
+    "d19_winnowing" ->
+      s"""WITH shp AS (SELECT doc_id,
+              unnest(list_transform($shinglesSql,
+                s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))) AS h,
+              unnest(range(1, len($shinglesSql) + 1)) AS i
+            FROM documents),
+          w AS (SELECT doc_id, i,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS fp,
+              count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM shp),
+          fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= ng - ${winnowW - 1}),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_shared FROM p
+          WHERE n_shared >= $winnowMinShared ORDER BY doc_a, doc_b""",
     "d18_lsh_tuning" ->
       s"""$sigCte,
           dsh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s

@@ -846,7 +846,50 @@ object TextAnalysis {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Minimum adjacent-pair support for a reported t25 collocation. */
+  val pmiMinPairs = 5L
+
+  /** D124: PMI collocation mining (Church & Hanks, CL 1990) — the top
+    * adjacent token pairs by pointwise mutual information
+    * PMI = ln(N·c_ab / (c_a·c_b)), the lexical-association signal
+    * behind phrase mining and tokenizer-merge candidates (t18 scores
+    * documents UNDER the bigram counts; t25 ranks the associations
+    * themselves).
+    *
+    * Scale shape: both count tables are VOCABULARY-sized (unigram ≤ V,
+    * bigram ≤ observed adjacencies) — the t6/t18 shuffle-join rule, no
+    * quadratic stage anywhere; the corpus is touched exactly twice
+    * (once per n-gram order), each a partial-aggregated explode.
+    *
+    * Exact-integer counts everywhere; the PMI double forms marginal
+    * products in DOUBLE (q52 cast-before-multiply — two corpus-scale
+    * marginals overflow BIGINT) and is rounded to the 4-dp grid
+    * BEFORE ranking (the D69 rank-on-rounded discipline). Top-20 is
+    * TakeOrdered on (pmi DESC, w1, w2) — total order, no global
+    * sort. */
+  def t25Pmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val docTok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+    val nTok = docTok.count()
+    val uniCnt = docTok.groupBy($"term").agg(count(lit(1)).as("c"))
+    val bigCnt = docs.select(explode(bigrams($"text")).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= pmiMinPairs)
+      .select(substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"), $"c_ab")
+    bigCnt
+      .join(uniCnt.select($"term".as("w1"), $"c".as("c_a")), Seq("w1"))
+      .join(uniCnt.select($"term".as("w2"), $"c".as("c_b")), Seq("w2"))
+      .select($"w1", $"w2", $"c_ab",
+        round(log(lit(nTok.toDouble) * $"c_ab".cast("double") /
+          ($"c_a".cast("double") * $"c_b".cast("double"))), 4).as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_pmi" -> t25Pmi,
     "t24_vocab_coverage" -> t24VocabCoverage,
     "t23_token_entropy" -> t23TokenEntropy,
     "t22_nb_lang" -> t22NbLang,
@@ -915,6 +958,25 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t25_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+          uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY term),
+          b AS (SELECT unnest(list_transform(
+                  generate_series(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t),
+          bc AS (SELECT split_part(bg, ' ', 1) AS w1,
+                   split_part(bg, ' ', 2) AS w2,
+                   CAST(count(*) AS BIGINT) AS c_ab
+                 FROM b GROUP BY bg HAVING count(*) >= $pmiMinPairs)
+          SELECT bc.w1, bc.w2, bc.c_ab,
+            round(ln((SELECT n_tok FROM n) * CAST(bc.c_ab AS DOUBLE)
+              / (CAST(a.c AS DOUBLE) * CAST(z.c AS DOUBLE))), 4) AS pmi
+          FROM bc JOIN uc a ON a.term = bc.w1
+                  JOIN uc z ON z.term = bc.w2
+          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "t24_vocab_coverage" ->
       s"""WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
             FROM (SELECT unnest($toksSql) AS term FROM documents)

@@ -331,4 +331,52 @@ class DedupSpec extends AnyFunSuite {
     val meanErr = got.map(_._5).sum / got.length
     assert(got.nonEmpty && meanErr < 0.35, s"mean |err| $meanErr")
   }
+
+  /** Driver replay of the winnowing fingerprint set for one text. */
+  private def winnowFps(text: String): Set[Long] = {
+    val toks = text.toLowerCase.split(" ")
+    val grams = toks.sliding(3).map(_.mkString(" ")).toArray
+    val hs = grams.map { g =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    if (hs.length < Dedup.winnowW) Set.empty
+    else hs.sliding(Dedup.winnowW).map(_.min).toSet
+  }
+
+  test("d19 winnowing pairs match a brute per-document fingerprint replay") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fps = docs.map { case (id, t) => id -> winnowFps(t) }.toMap
+    val expected = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+      n = (fa intersect fb).size.toLong if n >= Dedup.winnowMinShared
+    } yield (a, b, n)).sortBy(p => (p._1, p._2))
+    val got = Dedup.d19Winnowing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("d19 winnowing guarantee: a shared run of >= w+k-1 tokens always pairs") {
+    import spark.implicits._
+    // 16 shared tokens = 14 shared 3-grams = 11 full shared windows of
+    // 4 — the Schleimer et al. positional guarantee (>= 1 shared
+    // fingerprint per shared run of w+k-1 tokens, which MinHash
+    // sampling does NOT give), with enough slack to clear the
+    // production n_shared >= 2 reporting floor deterministically
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi"
+    val docs = Seq(
+      (1L, s"unrelated prefix tokens one two three $run"),
+      (2L, s"$run completely different suffix goes here now"),
+      (3L, "nothing in common with the others at all whatsoever")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

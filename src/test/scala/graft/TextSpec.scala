@@ -419,4 +419,30 @@ class TextSpec extends AnyFunSuite {
     assert(deg(1L) == ((4L, 1L, 0.0, 0.25)))
     assert(deg(2L) == ((4L, 4L, r4(math.log(4.0)), 1.0)))
   }
+
+  test("t25 PMI collocations match a driver count replay and rank on the 4-dp grid") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf).select($"text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").toSeq)
+    val toks = texts.flatten
+    val n = toks.length.toLong
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = texts.flatMap(t => t.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = big.toSeq
+      .filter(_._2 >= TextAnalysis.pmiMinPairs)
+      .map { case ((a, b), cab) =>
+        (a, b, cab, r4(math.log(n.toDouble * cab / (uni(a).toDouble * uni(b)))))
+      }
+      .sortBy { case (a, b, _, pmi) => (-pmi, a, b) }
+      .take(20)
+    val got = TextAnalysis.t25Pmi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.size == 20)
+  }
 }
