@@ -282,7 +282,55 @@ object Graph {
       .orderBy($"p_partkey")
   }
 
+  /** Number of seed nodes for g5 (top-degree, ties by part key). */
+  val pprSeedK = 3
+
+  /** D126: personalized PageRank from the [[pprSeedK]] highest-degree
+    * parts — "what is near the catalog's hubs", the seeded-relevance
+    * variant of g1 (recommendation candidates around an anchor set,
+    * per Haveliwala's topic-sensitive PageRank). Same fixed-point
+    * integer discipline as g1 (BIGINT 1e-9 units, integer div — no
+    * float summation order at any partitioning), but the restart mass
+    * goes ONLY to the seeds:
+    *
+    *   score'(v) = [v ∈ seeds]·0.15·ONE + (85 · Σ_{u→v} score(u) div deg(u)) div 100
+    *
+    * and scores START at the seeds, so the frame holds only REACHED
+    * nodes — it grows with the seed neighborhood, not the graph
+    * (frontier-sized state, the d8 argument inverted).
+    *
+    * Per superstep: one co-partitioned edges⋈scores equi-join + one
+    * partial-aggregated (dst, msg) shuffle + a seed-sized unionAll;
+    * `localCheckpoint` truncates lineage (g1 discipline). Seeds are
+    * deterministic: (deg DESC, pk) — the same total order both
+    * engines replay. */
+  def g5Ppr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edgeFrame = copurchaseEdges(spark, dir)
+    val edges = edgeFrame.repartition($"src").sortWithinPartitions($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = edges.select($"src", $"deg").distinct()
+      .orderBy($"deg".desc, $"src").limit(pprSeedK)
+      .select($"src".as("pk"))
+    val restart = seeds.withColumn("s", lit(prOne * 15L / 100L))
+    var scores = seeds.withColumn("s", lit(prOne))
+    for (_ <- 1 to prIters) {
+      val msgs = edges.join(scores, edges("src") === scores("pk"))
+        .select($"dst", expr("s div deg").as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("m"))
+        .select($"dst".as("pk"), expr(s"($prDampPct * m) div 100").as("s"))
+      scores = msgs.unionByName(restart)
+        .groupBy($"pk").agg(sum($"s").as("s"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    scores.orderBy($"s".desc, $"pk").limit(20)
+      .select($"pk".as("part_key"), $"s".as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g5_ppr" -> g5Ppr,
     "g4_label_prop" -> g4LabelProp,
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
@@ -328,7 +376,28 @@ object Graph {
         l$i AS MATERIALIZED (SELECT * FROM l${i - 1}
               UNION ALL SELECT * FROM p$i)"""
 
+  /** One g5 superstep: damped aggregated messages ⊎ seed restart. */
+  private def pprStepSql(i: Int): String =
+    s"""it$i AS MATERIALIZED (SELECT pk, CAST(sum(s) AS BIGINT) AS s FROM (
+          SELECT e.dst AS pk,
+            CAST(($prDampPct * sum(it${i - 1}.s // e.deg)) // 100 AS BIGINT) AS s
+          FROM e JOIN it${i - 1} ON e.src = it${i - 1}.pk GROUP BY e.dst
+          UNION ALL
+          SELECT pk, CAST(${prOne * 15L / 100L} AS BIGINT) AS s FROM seeds)
+        GROUP BY pk)"""
+
   val oracle: Map[String, String] = Map(
+    "g5_ppr" ->
+      s"""WITH $pairsCte,
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM pairs GROUP BY src),
+          e AS (SELECT p.src, p.dst, d.deg FROM pairs p JOIN deg d USING (src)),
+          seeds AS (SELECT src AS pk FROM deg
+                    ORDER BY deg DESC, src LIMIT $pprSeedK),
+          it0 AS (SELECT pk, CAST($prOne AS BIGINT) AS s FROM seeds),
+          ${(1 to prIters).map(pprStepSql).mkString(",\n          ")}
+          SELECT pk AS part_key, s AS score FROM it$prIters
+          ORDER BY score DESC, part_key LIMIT 20""",
     "g4_label_prop" ->
       s"""WITH $pairsCte,
           l0 AS MATERIALIZED (SELECT p_partkey AS node, p_brand AS label,

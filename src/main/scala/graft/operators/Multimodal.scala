@@ -99,6 +99,55 @@ object Multimodal {
       .orderBy($"n_channels")
   }
 
+  /** m7 PCM frame width in bytes (a real pipeline: samples/frame). */
+  val vadFrameBytes = 64L
+  /** m7 voiced threshold on the per-mille energy scale. */
+  val vadThreshold = 500
+
+  /** D125: audio voice-activity plumbing — per audio blob, fixed-width
+    * frame energies, voiced-frame census, and the LONGEST VOICED RUN
+    * (the segment a VAD would hand to ASR). The decode is the m3-style
+    * STUB: per-frame "energy" derives from the content hash (no audio
+    * codecs in this environment); everything around it — frame
+    * explode, per-frame scoring, gaps-and-islands run detection — is
+    * the real distributed shape a PCM pipeline has.
+    *
+    * Runs are found with the classic islands trick: among voiced
+    * frames, `frame − row_number()` is constant within a consecutive
+    * run, so one window pass + one aggregate finds the longest — no
+    * self-join, no sequential scan. Both windows are PARTITIONED BY
+    * doc_id (high-cardinality — parallelizes with the corpus, the c2
+    * discipline); frame fan-out is bounded by payload size / 64. */
+  def m7AudioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = withPayload(spark, dir)
+      .filter($"modality" === "audio")
+      .select($"doc_id", md5($"payload").as("content_md5"),
+        floor(octet_length($"payload") / vadFrameBytes).cast("int").as("n_frames"))
+      .filter($"n_frames" > 0)
+      .select($"doc_id", $"content_md5", $"n_frames",
+        explode(sequence(lit(1), $"n_frames")).as("f"))
+      .withColumn("e",
+        conv(substring(md5(concat($"content_md5", lit(":"), $"f".cast("string"))),
+          1, 3), 16, 10).cast("int") % 1000)
+    val base = frames.groupBy($"doc_id")
+      .agg(max($"n_frames").as("n_frames"),
+        sum(when($"e" >= vadThreshold, 1L).otherwise(0L)).as("n_voiced"),
+        // exact integer Σe then ONE division — no double summation order
+        round(sum($"e").cast("double") /
+          (count(lit(1)).cast("double") * 1000.0), 4).as("mean_energy"))
+    val wIdx = Window.partitionBy($"doc_id").orderBy($"f")
+    val runs = frames.filter($"e" >= vadThreshold)
+      .withColumn("grp", $"f" - row_number().over(wIdx))
+      .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("run"))
+      .groupBy($"doc_id").agg(max($"run").as("longest_voiced"))
+    base.join(runs, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_frames", $"n_voiced", $"mean_energy",
+        coalesce($"longest_voiced", lit(0L)).as("longest_voiced"))
+      .orderBy($"doc_id")
+  }
+
   /** Byte budget per media shard (m4). Fixture payloads are ~300-byte
     * text blobs, so ~12–14 pack per shard — the overflow boundary is
     * exercised; production would use the object-store part size. */
@@ -213,9 +262,39 @@ object Multimodal {
     "m4_shard_manifest" -> m4ShardManifest,
     "m1_blob_meta" -> m1BlobMeta,
     "m2_frame_sample" -> m2FrameSample,
-    "m3_decode_features" -> m3DecodeFeatures)
+    "m3_decode_features" -> m3DecodeFeatures,
+    "m7_audio_vad" -> m7AudioVad)
 
   val oracle: Map[String, String] = Map(
+    "m7_audio_vad" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
+              CAST(length(text) // $vadFrameBytes AS INT) AS n_frames
+            FROM documents WHERE doc_id % 3 = 1 AND length(text) >= $vadFrameBytes),
+          fr AS (SELECT doc_id, cm, n_frames,
+              unnest(generate_series(1, n_frames)) AS f
+            FROM d),
+          e AS (SELECT doc_id, n_frames, f,
+              CAST('0x' || substring(md5(cm || ':' || CAST(f AS VARCHAR)), 1, 3)
+                AS INT) % 1000 AS e
+            FROM fr),
+          base AS (SELECT doc_id,
+              CAST(max(n_frames) AS INT) AS n_frames,
+              CAST(sum(CASE WHEN e >= $vadThreshold THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_voiced,
+              round(CAST(sum(e) AS DOUBLE) / (count(*) * 1000.0), 4)
+                AS mean_energy
+            FROM e GROUP BY doc_id),
+          v AS (SELECT doc_id, f,
+              row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+            FROM e WHERE e >= $vadThreshold),
+          runs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS longest_voiced
+            FROM (SELECT doc_id, f - rn AS grp, count(*) AS c
+                  FROM v GROUP BY doc_id, f - rn)
+            GROUP BY doc_id)
+          SELECT base.doc_id, base.n_frames, base.n_voiced, base.mean_energy,
+            coalesce(runs.longest_voiced, 0) AS longest_voiced
+          FROM base LEFT JOIN runs USING (doc_id)
+          ORDER BY base.doc_id""",
     "m6_aspect_buckets" ->
       s"""WITH d AS (SELECT doc_id,
               64 + (CAST('0x' || substring(md5(text), 1, 2) AS INT) % 192) AS w,

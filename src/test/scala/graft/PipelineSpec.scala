@@ -155,6 +155,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(x => x._5 >= 0.0 && x._5 < 1.0))
   }
 
+  test("m7 audio VAD equals a driver stub replay incl. longest-run islands") {
+    import graft.operators.Multimodal
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 1 && d._2.getBytes("UTF-8").length >= Multimodal.vadFrameBytes)
+    val expected = docs.map { case (id, t) =>
+      val cm = md5hex(t)
+      val nf = (t.getBytes("UTF-8").length / Multimodal.vadFrameBytes).toInt
+      val es = (1 to nf).map(f =>
+        Integer.parseInt(md5hex(s"$cm:$f").substring(0, 3), 16) % 1000)
+      val voiced = es.map(_ >= Multimodal.vadThreshold)
+      // longest consecutive run of voiced frames
+      val longest = voiced.foldLeft((0L, 0L)) { case ((best, cur), v) =>
+        if (v) (math.max(best, cur + 1), cur + 1) else (best, 0L)
+      }._1
+      (id, nf, voiced.count(identity).toLong,
+        r4(es.sum.toDouble / (nf * 1000.0)), longest)
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.m7AudioVad(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the islands path is actually exercised: some doc has a run >= 2
+    assert(got.exists(_._5 >= 2L))
+    assert(got.forall(x => x._5 <= x._3))
+  }
+
   test("c8 dataset card recomposes its own oracle-gated signals") {
     import graft.operators.{Dedup, TextAnalysis, Pipeline}
     def r4(v: Double) =
