@@ -112,40 +112,70 @@ object Stats {
 
   // ---------------------------------------------------------------- q69
 
-  /** D121: Theil–Sen robust trend — per nation, the median of all
-    * pairwise slopes of (day index, daily revenue cents). The
-    * estimator is insensitive to ~29% outliers, the robust companion
-    * to q65's Holt smoothing and p7's per-segment OLS.
-    *
-    * The pair stage is a self-equi-join of the per-nation DAILY
-    * census on nationkey with `d1 < d2`: fan-out per nation is
-    * C(observed days, 2) — bounded by the CALENDAR (≤ 365 days/yr),
-    * not by corpus size, the q47/D62 bounded-fan-out argument. The
-    * daily census itself is the only corpus-sized aggregate (one
-    * co-partitioned orders⋈customer equi-join + partial agg).
-    *
-    * Slopes are DOUBLE formed from exact integer (Δcents, Δdays);
-    * the median is the interpolated 0.5-quantile — Spark
-    * `percentile` and DuckDB `quantile_cont` share the
-    * `lower + (upper−lower)·frac` formula at index (n−1)/2, so
-    * identical slope multisets give bit-identical medians (guarded
-    * by StatsSpec's brute replay). */
-  def q69TheilSen(spark: SparkSession, dir: String): DataFrame = {
+  /** Maximum day lag for a q69 slope pair — the windowed Theil–Sen
+    * variant: slopes are only formed between observations ≤ this many
+    * days apart, so pair fan-out is LINEAR in series length (n·lag),
+    * not quadratic, and the estimator stays local in time. */
+  val tsMaxLagDays = 60
+
+  /** Shared (nation, day, cents) daily-revenue census for q69/q70 —
+    * ONE co-partitioned orders⋈customer equi-join + partial agg. */
+  private def dailyRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir),
-        $"o_custkey" === $"c_custkey")
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .groupBy($"c_nationkey".as("nation"),
         datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"))
       .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
-    val a = daily.select($"nation", $"day".as("d1"), $"cents".as("c1"))
-    val b = daily.select($"nation", $"day".as("d2"), $"cents".as("c2"))
-    a.join(b, Seq("nation")).filter($"d1" < $"d2")
+  }
+
+  /** D121: windowed Theil–Sen robust trend — per nation, the median
+    * pairwise slope of (day, daily revenue cents) over pairs at most
+    * [[tsMaxLagDays]] days apart. Insensitive to ~29% outliers, the
+    * robust companion to q65's Holt smoothing and p7's OLS.
+    *
+    * The pair stage is a self-equi-join of the DAILY census on nation
+    * with the lag bound as a join filter: fan-out per series is
+    * n·lag — LINEAR in series length (the unbounded C(n,2) variant
+    * benched 239s at sf0.1; the lag bound is both the scale fix and a
+    * standard estimator variant). The daily census itself is the only
+    * corpus-sized aggregate.
+    *
+    * Median discipline: NO `percentile` aggregate (it buffers every
+    * group value in one reducer — the measured bottleneck). Instead
+    * the interpolated 0.5-quantile is spelled explicitly: row_number
+    * + count windows over the slope frame pick the two middle
+    * elements per nation, and the median is lo + (hi−lo)·0.5 — the
+    * identical IEEE expression both engines evaluate on identical
+    * doubles (slopes are Δcents/Δdays from exact integers). */
+  def q69TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = dailyRevenue(spark, dir)
+    // banded pair join (the q20/D24 trick): d2 ∈ (d1, d1+lag] implies
+    // band(d2) ∈ {band(d1), band(d1)+1} at band width = lag, so the
+    // left side fans out ×2 on a band key and the join prunes ~97% of
+    // same-nation candidates BEFORE the lag filter (nation-only join:
+    // span² candidates/nation; banded: ~2·lag·span)
+    val a = daily.select($"nation", $"day".as("d1"), $"cents".as("c1"),
+      explode(array(expr(s"day div $tsMaxLagDays"),
+        expr(s"day div $tsMaxLagDays + 1"))).as("bk"))
+    val b = daily.select($"nation", $"day".as("d2"), $"cents".as("c2"),
+      expr(s"day div $tsMaxLagDays").as("bk"))
+    val slopes = a.join(b, Seq("nation", "bk"))
+      .filter($"d1" < $"d2" && $"d2" - $"d1" <= tsMaxLagDays)
       .select($"nation",
         expr("CAST(c2 - c1 AS DOUBLE) / CAST(d2 - d1 AS DOUBLE)").as("slope"))
+    val wRank = Window.partitionBy($"nation").orderBy($"slope")
+    val wAll = Window.partitionBy($"nation")
+    slopes
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(cnt + 1) div 2") ||
+        $"rn" === expr("cnt div 2 + 1"))
       .groupBy($"nation")
-      .agg(count(lit(1)).as("n_pairs"),
-        round(expr("percentile(slope, 0.5)"), 4).as("slope_cpd"))
+      .agg(max($"cnt").as("n_pairs"),
+        round(expr("min(slope) + (max(slope) - min(slope)) * 0.5"), 4)
+          .as("slope_cpd"))
       .orderBy($"nation")
   }
 
@@ -160,32 +190,34 @@ object Stats {
     *
     * The calendar explode is `sequence(min_day, max_day)` per nation
     * — Generate bounded by the date span, never by row count. The
-    * bracketing observed points come from two IGNORE-NULLS window
-    * passes (last_value backward, first_value forward) over the
-    * per-nation day frame — no self-join, no range join. Interpolated
-    * values are `prev + (next−prev)·(d−dp)/(dn−dp)` in DOUBLE from
-    * exact integers, 4-dp rounded; observed days reproduce their
-    * exact census value. */
+    * bracketing observed points come from two IGNORE-NULLS RUNNING
+    * window passes — the "next" bracket runs over day DESC, because a
+    * `[currentRow, unboundedFollowing]` frame re-aggregates from
+    * scratch per row in Spark (O(span²) per nation; measured 3.3s of
+    * q70's original 9.7s — both directions as running frames are
+    * O(span)). No self-join, no range join; the census is persisted
+    * across its two consumptions (calendar bounds + join — the q43
+    * no-second-scan discipline). Interpolated values are
+    * `prev + (next−prev)·(d−dp)/(dn−dp)` in DOUBLE from exact
+    * integers, 4-dp rounded; observed days reproduce their exact
+    * census value. */
   def q70Interpolate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
-      .groupBy($"c_nationkey".as("nation"),
-        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"))
-      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    val daily = dailyRevenue(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cal = daily.groupBy($"nation")
       .agg(min($"day").as("d0"), max($"day").as("d1"))
       .select($"nation", explode(sequence($"d0", $"d1")).as("day"))
     val joined = cal.join(daily, Seq("nation", "day"), "left")
     val wPrev = Window.partitionBy($"nation").orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy($"nation").orderBy($"day")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wNext = Window.partitionBy($"nation").orderBy($"day".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined
       .withColumn("pc", last($"cents", ignoreNulls = true).over(wPrev))
       .withColumn("pd", last(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wPrev))
-      .withColumn("nc", first($"cents", ignoreNulls = true).over(wNext))
-      .withColumn("nd", first(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wNext))
+      .withColumn("nc", last($"cents", ignoreNulls = true).over(wNext))
+      .withColumn("nd", last(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wNext))
       .select($"nation", $"day",
         round(when($"cents".isNotNull, $"cents".cast("double"))
           .otherwise(expr("""CAST(pc AS DOUBLE) + CAST(nc - pc AS DOUBLE)
@@ -247,7 +279,7 @@ object Stats {
               / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE)), 4) AS contrib
           FROM w ORDER BY status, priority""",
     "q69_theilsen" ->
-      """WITH daily AS (SELECT c.c_nationkey AS nation,
+      s"""WITH daily AS (SELECT c.c_nationkey AS nation,
               date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS day,
               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -255,10 +287,16 @@ object Stats {
           pr AS (SELECT a.nation,
               CAST(b.cents - a.cents AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
             FROM daily a JOIN daily b
-              ON a.nation = b.nation AND a.day < b.day)
-          SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
-            round(quantile_cont(slope, 0.5), 4) AS slope_cpd
-          FROM pr GROUP BY nation ORDER BY nation""",
+              ON a.nation = b.nation AND a.day < b.day
+              AND b.day - a.day <= $tsMaxLagDays),
+          r AS (SELECT nation, slope,
+              row_number() OVER (PARTITION BY nation ORDER BY slope) AS rn,
+              CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS cnt
+            FROM pr)
+          SELECT nation, CAST(max(cnt) AS BIGINT) AS n_pairs,
+            round(min(slope) + (max(slope) - min(slope)) * 0.5, 4) AS slope_cpd
+          FROM r WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+          GROUP BY nation ORDER BY nation""",
     "q70_interpolate" ->
       """WITH daily AS (SELECT c.c_nationkey AS nation,
               date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS day,
@@ -276,11 +314,11 @@ object Stats {
               last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
                 OVER (PARTITION BY nation ORDER BY day
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-              first_value(cents IGNORE NULLS) OVER (PARTITION BY nation ORDER BY day
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
-              first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
-                OVER (PARTITION BY nation ORDER BY day
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+              last_value(cents IGNORE NULLS) OVER (PARTITION BY nation ORDER BY day DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc,
+              last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY nation ORDER BY day DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nd
             FROM j)
           SELECT nation, CAST(day AS INT) AS day,
             round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)

@@ -76,6 +76,7 @@ class StatsSpec extends AnyFunSuite {
         .toSeq.sortBy(_._1)
       val slopes = (for {
         i <- pts.indices; j <- i + 1 until pts.length
+        if pts(j)._1 - pts(i)._1 <= Stats.tsMaxLagDays
       } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1))
         .sorted
       val n = slopes.length
