@@ -35,7 +35,8 @@ object SparkEntry {
       (streaming.Budget.queries, streaming.Budget.oracle),
       (streaming.RateLimit.queries, streaming.RateLimit.oracle),
       (streaming.OooAudit.queries, streaming.OooAudit.oracle),
-      (streaming.PitTiers.queries, streaming.PitTiers.oracle))
+      (streaming.PitTiers.queries, streaming.PitTiers.oracle),
+      (streaming.Trending.queries, streaming.Trending.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -227,13 +227,71 @@ object Stats {
       .orderBy($"nation", $"day")
   }
 
+  // ---------------------------------------------------------------- q71
+
+  /** D128: Spearman rank correlation between quantity and extended
+    * price per return flag — the monotone-association companion of
+    * q67/p7 (robust to any monotone transform, the standard screen
+    * before fitting a parametric model).
+    *
+    * Ties use AVERAGE ranks, kept exact as DOUBLED ranks
+    * `R = 2·rank_min + ties − 1` (an integer — no .5 floats anywhere);
+    * the constant factor cancels in the correlation. Rho is the
+    * Pearson of the rank vectors computed from six EXACT moments in
+    * DECIMAL(38,0) (the p9/D111 overflow discipline: ΣR² terms pass
+    * 2⁶³ at warehouse scale; DuckDB's HUGEINT plays the same role),
+    * with ONE double conversion per closed-form term at the end —
+    * identical IEEE tree both engines, 4-dp grid.
+    *
+    * Scale shape: two rank windows + two tie-census windows per
+    * variable, all PARTITIONED BY the group key (one hash exchange,
+    * in-partition sorts), then a partial-aggregated six-moment
+    * rollup co-partitioned with the windows. No joins, no pair
+    * stage. */
+  def q71Spearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spearman(Tables.lineitem(spark, dir).select(
+      $"l_returnflag".as("flag"),
+      floor($"l_quantity" * 100).cast("long").as("qc"),
+      floor($"l_extendedprice" * 100).cast("long").as("pc")))
+  }
+
+  /** Core Spearman pipeline over any (flag, qc, pc) frame — split out
+    * so specs can drive synthetic monotone/anti-monotone corpora
+    * through the exact prod path. */
+  private[graft] def spearman(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val rankQ = Window.partitionBy($"flag").orderBy($"qc")
+    val tieQ = Window.partitionBy($"flag", $"qc")
+    val rankP = Window.partitionBy($"flag").orderBy($"pc")
+    val tieP = Window.partitionBy($"flag", $"pc")
+    val ranked = base
+      .withColumn("rx", lit(2L) * rank().over(rankQ) + count(lit(1)).over(tieQ) - 1L)
+      .withColumn("ry", lit(2L) * rank().over(rankP) + count(lit(1)).over(tieP) - 1L)
+      .select($"flag",
+        $"rx".cast("decimal(38,0)").as("rx"), $"ry".cast("decimal(38,0)").as("ry"))
+    ranked.groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        sum($"rx").as("sx"), sum($"ry").as("sy"),
+        sum($"rx" * $"ry").as("sxy"),
+        sum($"rx" * $"rx").as("sxx"),
+        sum($"ry" * $"ry").as("syy"))
+      .select($"flag", $"n",
+        round(
+          expr("""CAST(n * sxy - sx * sy AS DOUBLE) /
+            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                 CAST(n * syy - sy * sy AS DOUBLE))"""), 4).as("rho"))
+      .orderBy($"flag")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_welch_ttest" -> q67WelchTtest,
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
-    "q70_interpolate" -> q70Interpolate)
+    "q70_interpolate" -> q70Interpolate,
+    "q71_spearman" -> q71Spearman)
 
   val oracle: Map[String, String] = Map(
     "q67_welch_ttest" ->
@@ -263,6 +321,28 @@ object Stats {
               / (sea * sea / CAST(n_a - 1 AS DOUBLE)
                  + seb * seb / CAST(n_b - 1 AS DOUBLE)), 4) AS df
           FROM v""",
+    "q71_spearman" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+              CAST(floor(l_quantity * 100) AS BIGINT) AS qc,
+              CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+            FROM lineitem),
+          r AS (SELECT flag,
+              2 * rank() OVER (PARTITION BY flag ORDER BY qc)
+                + count(*) OVER (PARTITION BY flag, qc) - 1 AS rx,
+              2 * rank() OVER (PARTITION BY flag ORDER BY pc)
+                + count(*) OVER (PARTITION BY flag, pc) - 1 AS ry
+            FROM b),
+          m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+              sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+              sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+              sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+            FROM r GROUP BY flag)
+          SELECT flag, n,
+            round(CAST(n * sxy - sx * sy AS DOUBLE) /
+              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                   CAST(n * syy - sy * sy AS DOUBLE)), 4) AS rho
+          FROM m ORDER BY flag""",
     "q68_chi2" ->
       """WITH cells AS (SELECT o_orderstatus AS status,
               o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n

@@ -92,6 +92,56 @@ class StatsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q71 Spearman matches a brute tie-averaged-rank replay") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        floor($"l_quantity" * 100).cast("long"),
+        floor($"l_extendedprice" * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // doubled tie-averaged ranks: R = 2*minRank + ties - 1 (exact ints)
+    def dranks(xs: Array[Long]): Array[Long] = {
+      val counts = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val minRank = scala.collection.mutable.Map.empty[Long, Long]
+      var acc = 1L
+      counts.keys.toArray.sorted.foreach { v =>
+        minRank(v) = acc; acc += counts(v)
+      }
+      xs.map(v => 2L * minRank(v) + counts(v) - 1L)
+    }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
+      val rx = dranks(rs.map(_._2)).map(BigInt(_))
+      val ry = dranks(rs.map(_._3)).map(BigInt(_))
+      val n = BigInt(rs.length)
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val sxx = rx.map(a => a * a).sum
+      val syy = ry.map(a => a * a).sum
+      val rho = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      (f, rs.length.toLong,
+        BigDecimal(rho).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Stats.q71Spearman(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // fixture quantity and price are INDEPENDENT draws: rho ~ 0 with
+    // |rho| well inside the null band — the estimator reports the
+    // absence of association, not an artifact
+    assert(got.forall(x => math.abs(x._3) < 0.05))
+    // constructed corpora through the exact prod path: a monotone
+    // transform scores exactly 1, an anti-monotone one exactly -1,
+    // ties handled by average ranks on both axes
+    import spark.implicits._
+    val syn = (1 to 50).map(i => ("M", i.toLong, (i * i).toLong)) ++
+      (1 to 50).map(i => ("A", i.toLong, (100 - i).toLong)) ++
+      Seq(("T", 1L, 5L), ("T", 1L, 5L), ("T", 2L, 9L), ("T", 3L, 9L))
+    val sgot = Stats.spearman(syn.toDF("flag", "qc", "pc")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(sgot("M") == 1.0 && sgot("A") == -1.0)
+    assert(sgot("T") > 0.0 && sgot("T") < 1.0)
+  }
+
   test("q70 reproduces observed days exactly and interpolates strictly between brackets") {
     val daily = dailyCensus()
     val rows = Stats.q70Interpolate(spark, sf).collect()

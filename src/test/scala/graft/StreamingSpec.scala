@@ -785,6 +785,38 @@ class StreamingSpec extends AnyFunSuite {
       maxDiff = math.max(maxDiff, math.abs(bc(i, j) - ic(i, j))) } }
     assert(maxDiff <= 1e-12, s"covariance diverged by $maxDiff")
   }
+
+  test("streaming trending top-k equals the batch twin once windows seal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two 6-hour windows; ranks exercise both count ordering and the
+    // event_type tie-break (view=3 > click=2 > buy=1; w2: click=2 >
+    // buy=1 = view=1 → alphabetical)
+    val trend = Seq(
+      Ev(1, t(0), 1, "view", 0), Ev(2, t(10), 1, "view", 0),
+      Ev(3, t(20), 2, "view", 0), Ev(4, t(30), 2, "click", 0),
+      Ev(5, t(40), 1, "click", 0), Ev(6, t(50), 3, "buy", 0),
+      Ev(7, t(400), 1, "click", 0), Ev(8, t(410), 2, "click", 0),
+      Ev(9, t(420), 3, "buy", 0), Ev(10, t(430), 1, "view", 0))
+    val mem = MemoryStream[Ev]
+    val q = streaming.Trending.trendingStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("trend")
+      .outputMode("append").start()
+    try {
+      mem.addData(trend: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(100000), 99, "sentinel", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("trend")
+        .filter($"event_type" =!= "sentinel")
+        .orderBy($"window_start", $"rk").collect().map(_.toString).toSeq
+      val exp = streaming.Trending.trending(trend.toDF())
+        .orderBy($"window_start", $"rk").collect().map(_.toString).toSeq
+      assert(got == exp, s"stream diverged from batch twin: $got vs $exp")
+      assert(got.size == 6) // two sealed windows x top-3
+    } finally q.stop()
+  }
 }
 
 /** Row type for the incremental-covariance stream. */
