@@ -189,6 +189,49 @@ object Analytics {
       .orderBy($"o_custkey")
   }
 
+  /** Ingest-batch boundary for [[q72Scd2Incremental]] — a ~2-day
+    * "nightly batch" tail of the fixture's 30-day event span, late
+    * enough that a realistic fraction of users does NOT appear in the
+    * batch (exercising the carry-over path; AnalyticsSpec asserts
+    * both paths are populated). */
+  val q72Cutoff = "2024-01-29 00:00:00"
+
+  /** D129: incremental SCD Type-2 maintenance — apply one ingest
+    * batch of purchase events to an EXISTING validity-interval
+    * dimension without rebuilding it (q51's base ⊕ delta discipline
+    * applied to q46's interval build; the nightly job every warehouse
+    * actually runs).
+    *
+    * Only users PRESENT IN THE BATCH are reworked: untouched users'
+    * interval chains carry over verbatim (left-anti join against the
+    * batch's user set); touched users re-run the lead-window build
+    * over their base+delta history (left-semi join pulls exactly
+    * those histories). Work is O(touched users' history), never
+    * O(dimension) — at warehouse scale the batch touches a tiny
+    * fraction of users, and this plan's cost tracks the batch.
+    *
+    * Output ≡ the from-scratch q46 interval build (the oracle is the
+    * full rebuild; AnalyticsSpec asserts incremental ≡ full equality
+    * and that the split is non-degenerate). */
+  def q72Scd2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val base = purchases.filter($"ts" < lit(q72Cutoff).cast("timestamp"))
+    val delta = purchases.filter($"ts" >= lit(q72Cutoff).cast("timestamp"))
+    val touched = delta.select($"user_id").distinct()
+    val carried = dimIntervals(base.withColumn("event_type", lit("purchase")))
+      .join(touched, Seq("user_id"), "left_anti")
+    val reworked = dimIntervals(
+      base.join(touched, Seq("user_id"), "left_semi")
+        .unionByName(delta)
+        .withColumn("event_type", lit("purchase")))
+    carried.unionByName(reworked)
+      .select($"user_id", $"event_id", $"valid_from", $"valid_to", $"tier")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
   /** Positive-class cut for [[q52Auc]]: labels ≥ 5 are "relevant". */
   val aucPosCut = 5
 
@@ -777,6 +820,7 @@ object Analytics {
     "q53_skyline" -> q53Skyline,
     "q54_seasonal_anomaly" -> q54SeasonalAnomaly,
     "q46_scd2" -> q46Scd2,
+    "q72_scd2_incremental" -> q72Scd2Incremental,
     "q47_copurchase" -> q47Copurchase,
     "q48_transitions" -> q48Transitions,
     "q49_trailing_dau" -> q49TrailingDau,
@@ -1047,6 +1091,14 @@ object Analytics {
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q72_scd2_incremental" ->
+      """WITH ch AS (SELECT user_id, event_id, ts AS valid_from,
+              CAST(floor(value / 25) AS INT) AS tier
+            FROM events WHERE event_type = 'purchase')
+          SELECT user_id, event_id, valid_from,
+            lead(valid_from) OVER (PARTITION BY user_id
+              ORDER BY valid_from, event_id) AS valid_to, tier
+          FROM ch ORDER BY user_id, valid_from, event_id""",
     "q46_scd2" ->
       """WITH ch AS (SELECT user_id, event_id, ts AS valid_from,
               CAST(floor(value / 25) AS INT) AS tier

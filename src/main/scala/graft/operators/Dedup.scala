@@ -783,6 +783,55 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d20 exact-substring gram width (characters). */
+  val subK = 40
+  /** d20 train-side sampling stride: only every [[subStride]]-th
+    * offset of a TRAIN document is indexed; the probe side hashes
+    * every offset, so any shared verbatim run of at least
+    * subK + subStride − 1 characters is GUARANTEED to match (the
+    * asymmetric index of Lee et al., ACL 2022 "Deduplicating Training
+    * Data Makes Language Models Better", suffix-array semantics
+    * re-expressed as a sampled hash join). */
+  val subStride = 8
+
+  /** D130: exact-substring contamination pairs — (train, eval) doc
+    * pairs sharing a ≥ subK+subStride−1 character VERBATIM run. The
+    * shingle routes (d7/d13) catch paraphrase-level overlap; this is
+    * the stricter "the eval answer string is literally inside a
+    * training document" leak check, with char-level precision.
+    *
+    * Scale shape: the train index is 1/[[subStride]] of train chars
+    * (sampled offsets only) — the probe side hashes all its offsets,
+    * but eval sets are small by construction (d7's asymmetry). Both
+    * sides are (id, hash) projections — no text ever shuffles; the
+    * match join is equi on the 16-byte hash. `n_grams` counts
+    * DISTINCT matched grams per pair. */
+  def d20SubstringContamination(spark: SparkSession, dir: String): DataFrame =
+    substringPairs(Tables.documents(spark, dir))
+
+  /** Core of [[d20SubstringContamination]] over any (doc_id, text)
+    * frame — split out so specs can drive constructed corpora through
+    * the exact prod path. */
+  private[graft] def substringPairs(docsIn: DataFrame): DataFrame = {
+    val spark = docsIn.sparkSession
+    import spark.implicits._
+    val docs = docsIn.filter(length($"text") >= subK)
+    val test = docs.filter($"doc_id" % testModulus === 0)
+      .select($"doc_id".as("test_id"),
+        explode(sequence(lit(1), length($"text") - subK + 1)).as("i"),
+        $"text")
+      .select($"test_id", md5(expr(s"substring(text, i, $subK)")).as("h"))
+    val train = docs.filter($"doc_id" % testModulus =!= 0)
+      .select($"doc_id".as("train_id"),
+        explode(sequence(lit(1), length($"text") - subK + 1, lit(subStride))).as("i"),
+        $"text")
+      .select($"train_id", md5(expr(s"substring(text, i, $subK)")).as("h"))
+    train.join(test, Seq("h"))
+      .groupBy($"train_id", $"test_id")
+      .agg(countDistinct($"h").as("n_grams"))
+      .orderBy($"train_id", $"test_id")
+  }
+
   /** Winnowing window size: one fingerprint per [[winnowW]] consecutive
     * 3-shingle hashes (Schleimer, Wilkerson, Aiken, SIGMOD 2003). */
   val winnowW = 4
@@ -839,6 +888,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d19_winnowing" -> d19Winnowing,
+    "d20_substring_contamination" -> d20SubstringContamination,
     "d16_dup_weights" -> d16DupWeights,
     "d15_line_dedup" -> d15LineDedup,
     "d1_exact_dedup" -> d1ExactDedup,
@@ -955,6 +1005,23 @@ object Dedup {
         FROM st_${b}_$r"""
 
   val oracle: Map[String, String] = Map(
+    "d20_substring_contamination" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+            WHERE length(text) >= $subK),
+          te AS (SELECT doc_id AS test_id,
+              md5(substring(text, CAST(i AS INT), $subK)) AS h
+            FROM (SELECT doc_id, text,
+                unnest(range(1, length(text) - $subK + 2)) AS i
+              FROM d WHERE doc_id % $testModulus = 0)),
+          tr AS (SELECT doc_id AS train_id,
+              md5(substring(text, CAST(i AS INT), $subK)) AS h
+            FROM (SELECT doc_id, text,
+                unnest(range(1, length(text) - $subK + 2, $subStride)) AS i
+              FROM d WHERE doc_id % $testModulus <> 0))
+          SELECT train_id, test_id,
+            CAST(count(DISTINCT h) AS BIGINT) AS n_grams
+          FROM tr JOIN te USING (h)
+          GROUP BY 1, 2 ORDER BY train_id, test_id""",
     "d19_winnowing" ->
       s"""WITH shp AS (SELECT doc_id,
               unnest(list_transform($shinglesSql,

@@ -52,6 +52,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q72 incremental SCD2 equals the from-scratch build on a non-degenerate split") {
+    import spark.implicits._
+    val cutoff = java.sql.Timestamp.valueOf(Analytics.q72Cutoff)
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    // the split is non-degenerate: both sides populated, and some user
+    // has purchases on BOTH sides (so the rework path is exercised),
+    // while some user is base-only (so the carry path is exercised)
+    val (base, delta) = purchases.partition(_._2.before(cutoff))
+    assert(base.nonEmpty && delta.nonEmpty)
+    val baseUsers = base.map(_._1).toSet
+    val deltaUsers = delta.map(_._1).toSet
+    assert((baseUsers intersect deltaUsers).nonEmpty, "no user spans the cutoff")
+    assert((baseUsers diff deltaUsers).nonEmpty, "no carried-over user")
+    // incremental result ≡ full rebuild over all purchases
+    val full = Analytics.dimIntervals(Tables.events(spark, sf))
+      .select($"user_id", $"event_id", $"valid_from", $"valid_to", $"tier")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+      .collect().map(_.toString).toSeq
+    val inc = Analytics.q72Scd2Incremental(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(inc == full)
+  }
+
   test("q47 pair counts match a driver replay and the output order is total") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -361,6 +361,46 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("d20 substring pairs match a brute replay; run >= k+stride-1 guaranteed") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // brute replay on the fixture
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= Dedup.subK)
+    val te = docs.filter(_._1 % Dedup.testModulus == 0).map { case (id, t) =>
+      id -> (0 to t.length - Dedup.subK)
+        .map(i => md5hex(t.substring(i, i + Dedup.subK))).toSet
+    }
+    val tr = docs.filter(_._1 % Dedup.testModulus != 0).map { case (id, t) =>
+      id -> (0 to t.length - Dedup.subK by Dedup.subStride)
+        .map(i => md5hex(t.substring(i, i + Dedup.subK))).toSet
+    }
+    val expected = (for {
+      (a, ha) <- tr; (b, hb) <- te
+      n = (ha intersect hb).size.toLong if n > 0
+    } yield (a, b, n)).sortBy(p => (p._1, p._2)).toSeq
+    val got = Dedup.d20SubstringContamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture contains no verbatim leak — gate not exercised")
+    // constructed guarantee: a 47-char shared run (k+stride-1) pairs;
+    // disjoint text does not. test ids are multiples of testModulus.
+    val run = "the quick brown fox jumps over the lazy dog idx"  // 48 chars
+    val syn = Seq(
+      (1L, s"totally unrelated training prefix text ${run} and a suffix tail here"),
+      (20L, s"eval question referencing ${run} inside its body, padded to length"),
+      (40L, "another eval doc with no overlap at all, padded out to be long enough"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(syn).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 20L)))
+    assert(!pairs.exists(_._2 == 40L))
+  }
+
   test("d19 winnowing guarantee: a shared run of >= w+k-1 tokens always pairs") {
     import spark.implicits._
     // 16 shared tokens = 14 shared 3-grams = 11 full shared windows of
