@@ -232,6 +232,46 @@ object Analytics {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** D131: largest-remainder proration — allocate each order's total
+    * (integer cents) across its line items proportionally to quantity,
+    * EXACTLY: base share = floor(cents·qty / Σqty), then the leftover
+    * r cents go one each to the r items with the largest fractional
+    * remainder (ties by line number) — the Hamilton apportionment rule
+    * finance systems use so per-order sums reconcile to the invoice
+    * penny-exact (a float prorate never does).
+    *
+    * Every quantity is an exact integer, every share an integer `div`/
+    * `pmod`, the remainder rank a window per order — fan-out bounded
+    * by order width (≤ 7 lines). One co-keyed orders⋈lineitem equi
+    * join, one partial-agg Σqty rollup co-partitioned with it, one
+    * order-partitioned window. AnalyticsSpec asserts the conservation
+    * invariant Σ alloc = order cents on EVERY order. */
+  def q73Prorate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_quantity").cast("long").as("qty"))
+    val totQty = li.groupBy($"l_orderkey").agg(sum($"qty").as("tot_qty"))
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey".as("l_orderkey"),
+        floor($"o_totalprice" * 100).cast("long").as("order_cents"))
+    val w = Window.partitionBy($"l_orderkey")
+    // (frac DESC, linenumber, qty): the fixture ships duplicate
+    // (orderkey, linenumber) pairs, so linenumber alone is not total;
+    // adding qty makes any remaining ties EXACT duplicate rows, which
+    // are interchangeable (identical alloc either way)
+    val wr = Window.partitionBy($"l_orderkey")
+      .orderBy($"frac".desc, $"l_linenumber", $"qty")
+    li.join(totQty, "l_orderkey").join(orders, "l_orderkey")
+      .withColumn("base", expr("(order_cents * qty) div tot_qty"))
+      .withColumn("frac", expr("pmod(order_cents * qty, tot_qty)"))
+      .withColumn("leftover", $"order_cents" - sum($"base").over(w))
+      .withColumn("rk", row_number().over(wr))
+      .select($"l_orderkey", $"l_linenumber",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc_cents"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** Positive-class cut for [[q52Auc]]: labels ≥ 5 are "relevant". */
   val aucPosCut = 5
 
@@ -821,6 +861,7 @@ object Analytics {
     "q54_seasonal_anomaly" -> q54SeasonalAnomaly,
     "q46_scd2" -> q46Scd2,
     "q72_scd2_incremental" -> q72Scd2Incremental,
+    "q73_prorate" -> q73Prorate,
     "q47_copurchase" -> q47Copurchase,
     "q48_transitions" -> q48Transitions,
     "q49_trailing_dau" -> q49TrailingDau,
@@ -1091,6 +1132,29 @@ object Analytics {
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q73_prorate" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+              CAST(round(l_quantity) AS BIGINT) AS qty
+            FROM lineitem),
+          tq AS (SELECT l_orderkey, CAST(sum(qty) AS BIGINT) AS tot_qty
+            FROM li GROUP BY 1),
+          o AS (SELECT o_orderkey AS l_orderkey,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS order_cents
+            FROM orders),
+          b AS (SELECT li.l_orderkey, li.l_linenumber, li.qty,
+              (o.order_cents * li.qty) // tq.tot_qty AS base,
+              (o.order_cents * li.qty) % tq.tot_qty AS frac,
+              o.order_cents
+            FROM li JOIN tq USING (l_orderkey) JOIN o USING (l_orderkey)),
+          r AS (SELECT l_orderkey, l_linenumber, qty, base,
+              order_cents - sum(base) OVER (PARTITION BY l_orderkey) AS leftover,
+              row_number() OVER (PARTITION BY l_orderkey
+                ORDER BY frac DESC, l_linenumber, qty) AS rk
+            FROM b)
+          SELECT l_orderkey, l_linenumber,
+            CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+              AS alloc_cents
+          FROM r ORDER BY l_orderkey, l_linenumber""",
     "q72_scd2_incremental" ->
       """WITH ch AS (SELECT user_id, event_id, ts AS valid_from,
               CAST(floor(value / 25) AS INT) AS tier

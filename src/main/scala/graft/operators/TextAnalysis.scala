@@ -888,7 +888,42 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** D132: per-source KL divergence from the corpus unigram
+    * distribution — "how far does each source's vocabulary usage drift
+    * from the mix" (the distribution-shift audit a mixture builder
+    * (c6) reads before reweighting; t21 compares sources pairwise by
+    * shingle SETS, this compares each source to the corpus by token
+    * FREQUENCIES).
+    *
+    *   KL(source ‖ corpus) = Σ_t (c_st/n_s) · ln(c_st·N / (n_s·c_t))
+    *
+    * All counts exact integers; each per-term contribution is rounded
+    * to the 4-dp grid BEFORE the sum (t9: a sum of 4-dp values is
+    * itself 4-dp — no cross-engine summation-order risk). Terms
+    * absent from a source contribute 0 (the p·ln(p/q) limit), and
+    * every source term exists in the corpus by construction, so no
+    * smoothing is needed. Both count tables are VOCABULARY-sized
+    * (t6 shuffle-join rule); marginal products form in DOUBLE (q52). */
+  def t26KlSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docTok = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("term"))
+    val st = docTok.groupBy($"source", $"term").agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy($"source").agg(sum($"c_st").as("n_s"))
+    val corp = docTok.groupBy($"term").agg(count(lit(1)).as("c_t"))
+    val n = docTok.count()
+    st.join(corp, "term").join(srcTot, "source")
+      .withColumn("contrib", round(
+        ($"c_st".cast("double") / $"n_s".cast("double")) *
+          log($"c_st".cast("double") * lit(n.toDouble) /
+            ($"n_s".cast("double") * $"c_t".cast("double"))), 4))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"), round(sum($"contrib"), 4).as("kl"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_kl_sources" -> t26KlSources,
     "t25_pmi" -> t25Pmi,
     "t24_vocab_coverage" -> t24VocabCoverage,
     "t23_token_entropy" -> t23TokenEntropy,
@@ -958,6 +993,24 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t26_kl_sources" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS term
+            FROM documents),
+          st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+            FROM tok GROUP BY 1, 2),
+          ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+            FROM st GROUP BY 1),
+          ct AS (SELECT term, CAST(count(*) AS BIGINT) AS c_t
+            FROM tok GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+          c AS (SELECT st.source,
+              round((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+                ln(CAST(c_st AS DOUBLE) * (SELECT n_tok FROM n) /
+                   (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))), 4) AS contrib
+            FROM st JOIN ct USING (term) JOIN ns USING (source))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+            round(sum(contrib), 4) AS kl
+          FROM c GROUP BY source ORDER BY source""",
     "t25_pmi" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
           tok AS (SELECT doc_id, unnest(tk) AS term FROM t),

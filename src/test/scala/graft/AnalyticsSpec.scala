@@ -78,6 +78,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("q73 proration conserves every order's cents exactly and matches a brute replay") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_quantity").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ord = Tables.orders(spark, sf)
+      .select($"o_orderkey", floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = li.groupBy(_._1).toSeq.flatMap { case (ok, lines) =>
+      val cents = ord(ok)
+      val tot = lines.map(_._3).sum
+      val withBase = lines.map { case (_, ln, q) =>
+        (ln, q, cents * q / tot, cents * q % tot)
+      }
+      val leftover = cents - withBase.map(_._3).sum
+      val ranked = withBase.sortBy { case (ln, q, _, f) => (-f, ln, q) }
+        .zipWithIndex
+      ranked.map { case ((ln, q, b, _), i) =>
+        (ok, ln, q, b + (if (i < leftover) 1L else 0L))
+      }
+    }
+    // conservation: exact per-order reconciliation
+    expected.groupBy(_._1).foreach { case (ok, rs) =>
+      assert(rs.map(_._4).sum == ord(ok), s"order $ok does not reconcile")
+    }
+    // engine output equals the replay AS A MULTISET per (order, line)
+    // — duplicate (order, line) fixture rows are interchangeable
+    val got = Analytics.q73Prorate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap ==
+      expected.groupBy(x => (x._1, x._2)).view
+        .mapValues(_.map(_._4).sorted.toSeq).toMap)
+  }
+
   test("q47 pair counts match a driver replay and the output order is total") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -420,6 +420,29 @@ class TextSpec extends AnyFunSuite {
     assert(deg(2L) == ((4L, 4L, r4(math.log(4.0)), 1.0)))
   }
 
+  test("t26 per-source KL matches a driver replay and is Gibbs-nonnegative") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf).select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ").map(r.getString(0) -> _))
+    val n = toks.length.toLong
+    val ct = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = toks.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ts) =>
+      val ns = ts.length.toLong
+      val cst = ts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val kl = cst.toSeq.map { case (t, c) =>
+        r4((c.toDouble / ns) * math.log(c.toDouble * n / (ns.toDouble * ct(t))))
+      }.sum
+      (src, cst.size.toLong, r4(kl))
+    }
+    val got = TextAnalysis.t26KlSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // Gibbs: KL >= 0 up to the 4-dp per-term grid
+    assert(got.forall(_._3 >= -0.001))
+  }
+
   test("t25 PMI collocations match a driver count replay and rank on the 4-dp grid") {
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
