@@ -284,6 +284,186 @@ object Stats {
       .orderBy($"flag")
   }
 
+  // ---------------------------------------------------------------- q74
+
+  /** D133: Mann–Kendall trend test — per nation, the nonparametric
+    * "is this series trending?" readout over MONTHLY revenue, the
+    * standard robust companion to q69's Theil–Sen slope (MK answers
+    * "is there a trend", Theil–Sen answers "how steep").
+    *
+    *   S     = Σ_{i<j} sign(y_j − y_i)            (months ordered)
+    *   VarS  = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+    *   Z     = (S∓1)/√VarS  (continuity-corrected; 0 when S = 0)
+    *
+    * Everything through S, the tie census, and the two polynomial
+    * terms is EXACT integer arithmetic; doubles appear only in the
+    * final /18 and the Z closed form, identical IEEE trees both
+    * engines, 4-dp grid (the q67 discipline).
+    *
+    * Scale shape: the corpus-sized work is ONE co-partitioned
+    * orders⋈customer join + partial-aggregated monthly census; the
+    * pair stage is a self-join of that census — C(months, 2) per
+    * nation, bounded by the CALENDAR (n·(n−1)/2 over ~84 months),
+    * never by row count, so it is SF-independent (the q69 daily pair
+    * stage needed the lag band; months don't). Tie and pair frames
+    * co-partition on nation. */
+  def q74MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = monthly.as("a").join(monthly.as("b"),
+        $"a.nation" === $"b.nation" && $"a.m" < $"b.m")
+      .groupBy($"a.nation".as("nation"))
+      .agg(sum(when($"b.cents" > $"a.cents", 1L)
+        .when($"b.cents" < $"a.cents", -1L).otherwise(0L)).as("s_stat"))
+    val ties = monthly.groupBy($"nation", $"cents")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"nation")
+      .agg(sum($"t").as("n_m"),
+        sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_term"))
+    s.join(ties, "nation")
+      .select($"nation", $"n_m".as("n_months"), $"s_stat",
+        round(expr("""CAST(n_m * (n_m - 1) * (2 * n_m + 5) - tie_term
+            AS DOUBLE) / 18.0"""), 4).as("var_s"),
+        round(expr("""CASE WHEN s_stat = 0 OR n_m * (n_m - 1) * (2 * n_m + 5)
+              - tie_term = 0 THEN 0.0
+            WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              / sqrt(CAST(n_m * (n_m - 1) * (2 * n_m + 5) - tie_term
+                AS DOUBLE) / 18.0)
+            ELSE CAST(s_stat + 1 AS DOUBLE)
+              / sqrt(CAST(n_m * (n_m - 1) * (2 * n_m + 5) - tie_term
+                AS DOUBLE) / 18.0) END"""), 4).as("z_stat"))
+      .orderBy($"nation")
+  }
+
+  // ---------------------------------------------------------------- q75
+
+  /** D134: PR-AUC — tie-grouped average precision + best-F1 operating
+    * point for the q52 ranking task (score = document n_chars, positive
+    * = embedding label ≥ aucPosCut). q52 grades the ranking by ROC;
+    * under class imbalance the PR view is the one a retrieval/filter
+    * pipeline actually tunes on, and the F1 row IS the threshold pick.
+    *
+    * Ties are handled at the SCORE-GROUP level (the q52/q71 rank
+    * discipline): groups descend by score; after group g,
+    * precision P_g = cumPos_g / cumTot_g and AP = Σ_g nPos_g·P_g / nPos.
+    * All counts are exact integers; the AP summation runs as an
+    * ORDERED running-frame window (score DESC), so the double
+    * accumulation order is the same sequential fold on both engines —
+    * no aggregate-order freedom (the e9/q70 running-frame argument).
+    * Best-F1 maximizes F1_g = 2·cumPos_g/(cumTot_g + nPos) over
+    * groups; ties break toward the HIGHER score (fewer kept rows).
+    *
+    * Scale shape: one corpus-sized equi-join + partial-aggregated
+    * group-by score; every window runs over the SCORE-CARDINALITY
+    * frame (bounded by the score's integer range — the t14 bounded-
+    * global-window exemption q52 already relies on). */
+  def q75PrAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir), $"vec_id" === $"doc_id")
+      .select($"n_chars".as("score"),
+        ($"label" >= Analytics.aucPosCut).cast("long").as("pos"))
+      .groupBy($"score")
+      .agg(count(lit(1)).as("n_tot"), sum($"pos").as("n_pos"))
+      // consumed by BOTH the AP and best-F1 branches: persist so the
+      // corpus join+agg runs once (the q43 no-second-scan discipline)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wCum = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = g
+      .withColumn("cum_tot", sum($"n_tot").over(wCum))
+      .withColumn("cum_pos", sum($"n_pos").over(wCum))
+      .withColumn("np", sum($"n_pos").over(wAll))
+      .withColumn("nn", (sum($"n_tot").over(wAll) - $"np").cast("long"))
+      .withColumn("term",
+        expr("CAST(n_pos AS DOUBLE) * (CAST(cum_pos AS DOUBLE) / CAST(cum_tot AS DOUBLE))"))
+      .withColumn("f1",
+        expr("2.0 * CAST(cum_pos AS DOUBLE) / CAST(cum_tot + np AS DOUBLE)"))
+    val ap = cum
+      .withColumn("ap_sum", sum($"term").over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy($"score")))
+      .filter($"rn" === 1) // lowest score = final term of the DESC fold
+      .select($"np".as("n_pos"), $"nn".as("n_neg"),
+        round(expr("ap_sum / CAST(np AS DOUBLE)"), 4).as("ap"))
+    val best = cum
+      .withColumn("rn", row_number().over(Window.orderBy($"f1".desc, $"score".desc)))
+      .filter($"rn" === 1)
+      .select(round($"f1", 4).as("best_f1"), $"score".as("best_f1_score"))
+    ap.crossJoin(best)
+  }
+
+  // ---------------------------------------------------------------- q76
+
+  /** Arm predicate for the q76 two-sample split: urgent-ish orders
+    * (priority 1/2) vs the rest. */
+  private val ksArmASql = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+  /** q76 prefix-bucket width in cents ($10k): the bucket census is
+    * bounded by the VALUE RANGE / width, never by row count. */
+  val ksBucketCents = 1000000L
+
+  /** D135: two-sample Kolmogorov–Smirnov test — is the order-value
+    * distribution of urgent-priority orders different from the rest?
+    * D = max_v |F_A(v) − F_B(v)|, reported with the value where the
+    * max is attained and the λ = D·√(nA·nB/(nA+nB)) normalization.
+    *
+    * Exactness: at each distinct value the CDF gap is the INTEGER
+    * |cumA·nB − cumB·nA| over the common denominator nA·nB, so the
+    * max is an integer max — no float comparison anywhere until the
+    * final division (the q67 discipline; products ride DECIMAL(38,0),
+    * the q71 overflow rule). Tie at the max breaks toward the
+    * smallest value.
+    *
+    * Scale shape: the running CDFs do NOT use a global ordered window
+    * (which single-partitions at corpus scale). Instead the q38
+    * two-phase split: per-value arm counts partial-aggregate once;
+    * values bucket by [[ksBucketCents]]; the BUCKET census (bounded by
+    * value range) takes a global prefix window and broadcasts back as
+    * per-bucket offsets; within-bucket running sums are windows
+    * PARTITIONED BY bucket. The argmax is a TakeOrdered top-1, not a
+    * global sort. */
+  def q76KsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byV = Tables.orders(spark, dir)
+      .select(expr(s"CASE WHEN $ksArmASql THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("in_a"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"cents")
+      .agg(sum($"in_a").as("ca"), (count(lit(1)) - sum($"in_a")).as("cb"))
+      .withColumn("b", expr(s"cents div $ksBucketCents"))
+    val bAgg = byV.groupBy($"b")
+      .agg(sum($"ca").as("sa"), sum($"cb").as("sb"))
+    val wPre = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bPre = bAgg // bucket census: bounded by value range (t14 exemption)
+      .withColumn("off_a", coalesce(sum($"sa").over(wPre), lit(0L)))
+      .withColumn("off_b", coalesce(sum($"sb").over(wPre), lit(0L)))
+      .select($"b", $"off_a", $"off_b")
+    val tot = bAgg.agg(sum($"sa").as("n_a"), sum($"sb").as("n_b"))
+    val wIn = Window.partitionBy($"b").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val top = byV
+      .join(broadcast(bPre), "b")
+      .withColumn("cum_a", $"off_a" + sum($"ca").over(wIn))
+      .withColumn("cum_b", $"off_b" + sum($"cb").over(wIn))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap", expr("""abs(CAST(cum_a AS DECIMAL(38,0)) * n_b
+          - CAST(cum_b AS DECIMAL(38,0)) * n_a)"""))
+      .orderBy($"gap".desc, $"cents")
+      .limit(1)
+    top.select($"n_a", $"n_b", $"cents".as("d_at_cents"),
+      round(expr("CAST(gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"), 4)
+        .as("d_stat"),
+      round(expr("""CAST(gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+          * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE))"""), 4).as("ks_lambda"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,7 +471,10 @@ object Stats {
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
     "q70_interpolate" -> q70Interpolate,
-    "q71_spearman" -> q71Spearman)
+    "q71_spearman" -> q71Spearman,
+    "q74_mann_kendall" -> q74MannKendall,
+    "q75_pr_auc" -> q75PrAuc,
+    "q76_ks_test" -> q76KsTest)
 
   val oracle: Map[String, String] = Map(
     "q67_welch_ttest" ->
@@ -406,5 +589,90 @@ object Stats {
                 * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END, 4)
               AS filled_cents,
             cents IS NOT NULL AS is_observed
-          FROM w ORDER BY nation, day""")
+          FROM w ORDER BY nation, day""",
+    "q74_mann_kendall" ->
+      """WITH mon AS (SELECT c.c_nationkey AS nation,
+              year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          s AS (SELECT a.nation,
+              CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM mon a JOIN mon b ON a.nation = b.nation AND a.m < b.m
+            GROUP BY 1),
+          t AS (SELECT nation, CAST(sum(t) AS BIGINT) AS n_m,
+              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+            FROM (SELECT nation, cents, CAST(count(*) AS BIGINT) AS t
+                  FROM mon GROUP BY 1, 2)
+            GROUP BY 1)
+          SELECT s.nation, t.n_m AS n_months, s.s_stat,
+            round(CAST(n_m * (n_m - 1) * (2 * n_m + 5) - tie_term
+              AS DOUBLE) / 18.0, 4) AS var_s,
+            round(CASE WHEN s_stat = 0 OR n_m * (n_m - 1) * (2 * n_m + 5)
+                  - tie_term = 0 THEN 0.0
+              WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                / sqrt(CAST(n_m * (n_m - 1) * (2 * n_m + 5) - tie_term
+                  AS DOUBLE) / 18.0)
+              ELSE CAST(s_stat + 1 AS DOUBLE)
+                / sqrt(CAST(n_m * (n_m - 1) * (2 * n_m + 5) - tie_term
+                  AS DOUBLE) / 18.0) END, 4) AS z_stat
+          FROM s JOIN t USING (nation) ORDER BY nation""",
+    "q75_pr_auc" ->
+      s"""WITH j AS (SELECT d.n_chars AS score,
+              CASE WHEN e.label >= ${Analytics.aucPosCut} THEN 1 ELSE 0 END AS pos
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          g AS (SELECT score, CAST(count(*) AS BIGINT) AS n_tot,
+              CAST(sum(pos) AS BIGINT) AS n_pos
+            FROM j GROUP BY 1),
+          c AS (SELECT score, n_tot, n_pos,
+              CAST(sum(n_tot) OVER (ORDER BY score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tot,
+              CAST(sum(n_pos) OVER (ORDER BY score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+              CAST(sum(n_pos) OVER () AS BIGINT) AS np,
+              CAST(sum(n_tot) OVER () - sum(n_pos) OVER () AS BIGINT) AS nn
+            FROM g),
+          d2 AS (SELECT *,
+              CAST(n_pos AS DOUBLE) * (CAST(cum_pos AS DOUBLE) / CAST(cum_tot AS DOUBLE)) AS term,
+              2.0 * CAST(cum_pos AS DOUBLE) / CAST(cum_tot + np AS DOUBLE) AS f1
+            FROM c),
+          a AS (SELECT np, nn,
+              sum(term) OVER (ORDER BY score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ap_sum,
+              row_number() OVER (ORDER BY score) AS rn
+            FROM d2),
+          apr AS (SELECT np AS n_pos, nn AS n_neg,
+              round(ap_sum / CAST(np AS DOUBLE), 4) AS ap
+            FROM a WHERE rn = 1),
+          b AS (SELECT round(f1, 4) AS best_f1, score AS best_f1_score,
+              row_number() OVER (ORDER BY f1 DESC, score DESC) AS rn
+            FROM d2)
+          SELECT n_pos, n_neg, ap, best_f1, best_f1_score
+          FROM apr CROSS JOIN (SELECT best_f1, best_f1_score FROM b WHERE rn = 1)""",
+    "q76_ks_test" ->
+      """WITH v AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS in_a,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+          g AS (SELECT cents, CAST(sum(in_a) AS BIGINT) AS ca,
+              CAST(count(*) - sum(in_a) AS BIGINT) AS cb
+            FROM v GROUP BY 1),
+          c AS (SELECT cents,
+              CAST(sum(ca) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_a,
+              CAST(sum(cb) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_b,
+              CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+              CAST(sum(cb) OVER () AS BIGINT) AS n_b
+            FROM g),
+          m AS (SELECT *, abs(cum_a * n_b - cum_b * n_a) AS gap FROM c),
+          t AS (SELECT * FROM m ORDER BY gap DESC, cents LIMIT 1)
+          SELECT n_a, n_b, cents AS d_at_cents,
+            round(CAST(gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 4) AS d_stat,
+            round(CAST(gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                / CAST(n_a + n_b AS DOUBLE)), 4) AS ks_lambda
+          FROM t""")
 }

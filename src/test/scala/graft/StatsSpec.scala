@@ -170,4 +170,97 @@ class StatsSpec extends AnyFunSuite {
     // imputation actually exercised: some rows are interpolated
     assert(rows.exists(!_._4))
   }
+
+  test("q74 Mann-Kendall S, variance, and Z match a brute pairwise replay") {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val got = Stats.q74MannKendall(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    monthly.keys.map(_._1).toSeq.distinct.foreach { nat =>
+      val series = monthly.collect { case ((n, m), c) if n == nat => (m, c) }
+        .toSeq.sortBy(_._1)
+      val s = (for {
+        i <- series.indices; j <- i + 1 until series.length
+      } yield java.lang.Long.signum(series(j)._2 - series(i)._2).toLong).sum
+      val n = series.length.toLong
+      val tieTerm = series.groupBy(_._2).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tieTerm).toDouble / 18.0
+      val z =
+        if (s == 0 || varS == 0.0) 0.0
+        else if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+        else (s + 1).toDouble / math.sqrt(varS)
+      val expZ = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, gs, gz) = got(nat)
+      assert(gn == n && gs == s, s"nation $nat: ($gn,$gs) vs ($n,$s)")
+      assert(gz == expZ, s"nation $nat: z $gz vs $expZ")
+    }
+  }
+
+  test("q75 tie-grouped AP and best F1 match an exact driver fold") {
+    import spark.implicits._
+    val pts = Tables.documents(spark, sf)
+      .join(Tables.embeddings(spark, sf), $"vec_id" === $"doc_id")
+      .select($"n_chars", ($"label" >= graft.operators.Analytics.aucPosCut).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = pts.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toSeq
+      .sortBy(-_._1) // score DESC
+    val np = groups.map(_._2._2).sum
+    val nn = groups.map(_._2._1).sum - np
+    var cumTot = 0L; var cumPos = 0L; var apSum = 0.0
+    var bestF1 = Double.MinValue; var bestScore = 0L
+    groups.foreach { case (score, (nTot, nPos)) =>
+      cumTot += nTot; cumPos += nPos
+      apSum += nPos.toDouble * (cumPos.toDouble / cumTot.toDouble)
+      val f1 = 2.0 * cumPos.toDouble / (cumTot + np).toDouble
+      if (f1 > bestF1 || (f1 == bestF1 && score > bestScore)) {
+        bestF1 = f1; bestScore = score
+      }
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Stats.q75PrAuc(spark, sf).collect()(0)
+    assert(r.getLong(0) == np && r.getLong(1) == nn)
+    assert(r.getDouble(2) == r4(apSum / np.toDouble))
+    assert(r.getDouble(3) == r4(bestF1))
+    assert(r.getLong(4) == bestScore)
+    // AP is a valid probability and positives exist in the fixture
+    assert(np > 0 && r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("q76 KS statistic matches a brute ECDF sweep and reports the first argmax") {
+    import spark.implicits._
+    val vals = Tables.orders(spark, sf)
+      .select($"o_orderpriority".isin("1-URGENT", "2-HIGH").cast("int"),
+        floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getInt(0) == 1, r.getLong(1)))
+    val a = vals.filter(_._1).map(_._2).sorted
+    val b = vals.filterNot(_._1).map(_._2).sorted
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val steps = (a ++ b).distinct.sorted
+    var best = BigInt(-1); var bestAt = 0L
+    steps.foreach { v =>
+      val gap = (BigInt(a.count(_ <= v)) * nb - BigInt(b.count(_ <= v)) * na).abs
+      if (gap > best) { best = gap; bestAt = v } // first (smallest) argmax
+    }
+    val d = best.toDouble / (na.toDouble * nb.toDouble)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Stats.q76KsTest(spark, sf).collect()(0)
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getLong(2) == bestAt, s"argmax ${r.getLong(2)} vs $bestAt")
+    assert(r.getDouble(3) == r4(d))
+    assert(r.getDouble(4) ==
+      r4(d * math.sqrt(na.toDouble * nb.toDouble / (na + nb).toDouble)))
+    // both arms populated, D strictly inside (0, 1)
+    assert(na > 0 && nb > 0 && r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
+  }
 }
