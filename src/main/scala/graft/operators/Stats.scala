@@ -464,6 +464,136 @@ object Stats {
             / CAST(n_a + n_b AS DOUBLE))"""), 4).as("ks_lambda"))
   }
 
+  // ---------------------------------------------------------------- q77
+
+  /** Max ACF lag (days). */
+  val acfMaxLag = 7
+
+  /** D136: autocorrelation function — per nation, the ACF of the
+    * ZERO-FILLED daily revenue series at lags 1..[[acfMaxLag]] days
+    * (days with no orders are real zero-revenue days here, unlike
+    * q70's interpolation view — documented series semantics). The
+    * weekly-seasonality readout that motivates q54's day-of-week
+    * profile: a spike at lag 7 = weekly cycle.
+    *
+    * Exactness (the q71 rank trick applied to moments): multiply the
+    * centered series through by n, z_t = n·y_t − Σy — an exact
+    * integer in DECIMAL(38,0) — so r_k = Σ z_t·z_{t−k} / Σ z_t² has
+    * the n² factor cancel and EVERYTHING up to the final division is
+    * exact integer arithmetic. One double division per (nation, lag),
+    * 4-dp grid.
+    *
+    * Scale shape: the calendar explode is bounded by the date span
+    * (q70); the lag products are `lag()` windows PARTITIONED BY
+    * nation — one hash exchange + in-partition sort, no self-join;
+    * both moment rollups partial-aggregate. */
+  def q77Acf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = dailyRevenue(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cal = daily.groupBy($"nation")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"nation", explode(sequence($"d0", $"d1")).as("day"))
+    val filled = cal.join(daily, Seq("nation", "day"), "left")
+      .withColumn("y", coalesce($"cents", lit(0L)))
+    val stats = filled.groupBy($"nation")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val z = filled.join(stats, "nation")
+      .withColumn("z",
+        ($"n".cast("decimal(38,0)") * $"y" - $"s").cast("decimal(38,0)"))
+    val w = Window.partitionBy($"nation").orderBy($"day")
+    val withLags = z.select(
+      Seq($"nation", $"z") ++
+        (1 to acfMaxLag).map(k => lag($"z", k).over(w).as(s"z$k")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val den = withLags.groupBy($"nation").agg(sum($"z" * $"z").as("den"))
+    val nums = withLags
+      .select($"nation", $"z",
+        posexplode(array((1 to acfMaxLag).map(k => col(s"z$k")): _*))
+          .as(Seq("pos", "zl")))
+      .filter($"zl".isNotNull)
+      .select($"nation", ($"pos" + 1).as("lag"), ($"z" * $"zl").as("prod"))
+      .groupBy($"nation", $"lag").agg(sum($"prod").as("num"))
+    nums.join(den, "nation")
+      .select($"nation", $"lag",
+        round(expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"), 4).as("acf"))
+      .orderBy($"nation", $"lag")
+  }
+
+  // ---------------------------------------------------------------- q78
+
+  /** Churn cutoff: a customer whose last order is more than this many
+    * days before the corpus's max order date has churned (event); the
+    * rest are right-censored at the corpus horizon. */
+  val kmChurnDays = 365
+
+  /** D137: Kaplan–Meier survival curve of customer lifetime — time
+    * from first to last order for churned customers (the event),
+    * right-censored at (horizon − first order) for still-active ones.
+    * The standard churn/retention readout q45's cohort grid
+    * approximates; KM handles censoring correctly.
+    *
+    *   S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u / n_u)
+    *
+    * Float discipline: NO exp/ln cumulation (libm `ln` is not
+    * guaranteed IEEE-identical cross-engine) — the survival product
+    * is a SEQUENTIAL ascending-time fold of the exact per-step ratios
+    * (IEEE multiply is correctly rounded, so two sequential folds of
+    * identical doubles agree bit-for-bit): the oracle replays it as a
+    * recursive CTE (the q65 recurrence idiom), and the engine folds
+    * the collected risk table on the driver — legitimate because the
+    * event-time grid is bounded by the CALENDAR (distinct lifetime
+    * days), never by customer count (the q38 bounded-collect
+    * exemption). Everything distributed — per-customer spans, the
+    * event/censor census, at-risk running counts — is exact-integer
+    * windows over that bounded grid.
+    *
+    * Output: one row per event time (d_t ≥ 1): t_days, n_risk,
+    * n_events, n_censored (censored at exactly t_days; censor-only
+    * times shrink later n_risk but emit no row — standard KM support),
+    * survival 4-dp. Equal-time convention: events precede censoring,
+    * so both count in that time's n_risk. */
+  def q78KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("first_d"),
+        max(to_date($"o_orderdate")).as("last_d"))
+    val horizon = spans.agg(max($"last_d").as("h"))
+    val obs = spans.crossJoin(broadcast(horizon))
+      .select(
+        when(datediff($"h", $"last_d") > kmChurnDays,
+          datediff($"last_d", $"first_d"))
+          .otherwise(datediff($"h", $"first_d")).cast("long").as("t"),
+        (datediff($"h", $"last_d") > kmChurnDays).cast("long").as("ev"))
+    // bounded grid: one row per distinct observed time (calendar-bounded)
+    val grid = obs.groupBy($"t")
+      .agg(sum($"ev").as("d"), (count(lit(1)) - sum($"ev")).as("c"))
+    val wPre = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val risk = grid
+      .withColumn("n_risk",
+        sum($"d" + $"c").over(wAll) -
+          coalesce(sum($"d" + $"c").over(wPre), lit(0L)))
+      .orderBy($"t")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential ascending-time product fold (exact driver arithmetic
+    // on the bounded grid; mirrors the oracle's recursive CTE order)
+    var s = 1.0
+    val out = risk.flatMap { case (t, d, c, n) =>
+      if (d > 0) {
+        s = s * (1.0 - d.toDouble / n.toDouble)
+        Some((t, n, d, c,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      } else None // censor-only times fold nothing; d=0 keeps s
+    }
+    out.toIndexedSeq
+      .toDF("t_days", "n_risk", "n_events", "n_censored", "survival")
+      .orderBy($"t_days")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -474,7 +604,9 @@ object Stats {
     "q71_spearman" -> q71Spearman,
     "q74_mann_kendall" -> q74MannKendall,
     "q75_pr_auc" -> q75PrAuc,
-    "q76_ks_test" -> q76KsTest)
+    "q76_ks_test" -> q76KsTest,
+    "q77_acf" -> q77Acf,
+    "q78_kaplan_meier" -> q78KaplanMeier)
 
   val oracle: Map[String, String] = Map(
     "q67_welch_ttest" ->
@@ -674,5 +806,68 @@ object Stats {
             round(CAST(gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
               * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
                 / CAST(n_a + n_b AS DOUBLE)), 4) AS ks_lambda
-          FROM t""")
+          FROM t""",
+    "q77_acf" ->
+      s"""WITH daily AS (SELECT c.c_nationkey AS nation,
+              date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS day,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          cal AS (SELECT nation, unnest(generate_series(min(day), max(day))) AS day
+            FROM daily GROUP BY nation),
+          f AS (SELECT cal.nation, cal.day, COALESCE(daily.cents, 0) AS y
+            FROM cal LEFT JOIN daily
+              ON cal.nation = daily.nation AND cal.day = daily.day),
+          st AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS s FROM f GROUP BY 1),
+          z AS (SELECT f.nation, f.day,
+              CAST(st.n AS HUGEINT) * f.y - st.s AS z
+            FROM f JOIN st ON f.nation = st.nation),
+          den AS (SELECT nation, sum(z * z) AS den FROM z GROUP BY 1),
+          nums AS (SELECT a.nation, l.k AS lag, sum(a.z * b.z) AS num
+            FROM z a
+            JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) l(k) ON true
+            JOIN z b ON b.nation = a.nation AND b.day = a.day - l.k
+            GROUP BY 1, 2)
+          SELECT n.nation, CAST(n.lag AS INT) AS lag,
+            round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 4) AS acf
+          FROM nums n JOIN den d ON n.nation = d.nation
+          ORDER BY n.nation, n.lag""",
+    "q78_kaplan_meier" ->
+      s"""WITH RECURSIVE sp AS (SELECT o_custkey,
+              min(CAST(o_orderdate AS DATE)) AS fd,
+              max(CAST(o_orderdate AS DATE)) AS ld
+            FROM orders GROUP BY 1),
+          hz AS (SELECT max(ld) AS h FROM sp),
+          obs AS (SELECT
+              CASE WHEN date_diff('day', ld, h) > $kmChurnDays
+                THEN date_diff('day', fd, ld)
+                ELSE date_diff('day', fd, h) END AS t,
+              CASE WHEN date_diff('day', ld, h) > $kmChurnDays
+                THEN 1 ELSE 0 END AS ev
+            FROM sp CROSS JOIN hz),
+          grid AS (SELECT CAST(t AS BIGINT) AS t,
+              CAST(sum(ev) AS BIGINT) AS d,
+              CAST(count(*) - sum(ev) AS BIGINT) AS c
+            FROM obs GROUP BY 1),
+          r0 AS (SELECT t, d, c,
+              CAST(sum(d + c) OVER ()
+                - COALESCE(sum(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_risk
+            FROM grid),
+          ev AS (SELECT t, d, c, n_risk,
+              row_number() OVER (ORDER BY t) AS rn
+            FROM r0 WHERE d > 0),
+          rec AS (
+            SELECT t, d, c, n_risk, rn,
+              1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS s
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.t, e.d, e.c, e.n_risk, e.rn,
+              rec.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n_risk AS DOUBLE))
+            FROM rec JOIN ev e ON e.rn = rec.rn + 1)
+          SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+            round(s, 4) AS survival
+          FROM rec ORDER BY t""")
 }

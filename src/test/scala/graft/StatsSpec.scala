@@ -263,4 +263,70 @@ class StatsSpec extends AnyFunSuite {
     // both arms populated, D strictly inside (0, 1)
     assert(na > 0 && nb > 0 && r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
   }
+
+  test("q77 ACF matches a brute zero-filled driver replay and is 1-bounded") {
+    val daily = dailyCensus()
+    val got = Stats.q77Acf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    daily.keys.map(_._1).toSeq.distinct.foreach { nat =>
+      val obs = daily.collect { case ((n, d), c) if n == nat => (d, c) }.toMap
+      val days = obs.keys.min to obs.keys.max
+      val y = days.map(d => obs.getOrElse(d, 0L)).toArray
+      val n = y.length
+      val s = y.sum
+      val z = y.map(v => BigInt(n) * v - s)
+      val den = z.map(v => v * v).sum
+      (1 to Stats.acfMaxLag).foreach { k =>
+        if (n > k) {
+          val num = (k until n).map(t => z(t) * z(t - k)).sum
+          val exp = BigDecimal(
+            (BigDecimal(num) / BigDecimal(den)).toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val g = got((nat, k))
+          assert(math.abs(g - exp) < 2e-4, s"nation $nat lag $k: $g vs $exp")
+          assert(g >= -1.0001 && g <= 1.0001)
+        }
+      }
+    }
+  }
+
+  test("q78 Kaplan-Meier matches an exact driver product fold with censoring") {
+    import spark.implicits._
+    val spans = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("fd"), max(to_date($"o_orderdate")).as("ld"))
+      .collect().map(r => (r.getDate(0 + 1), r.getDate(2)))
+    val h = spans.map(_._2.toLocalDate).max
+    def dd(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(a, b)
+    val obs = spans.map { case (fd, ld) =>
+      val churned = dd(ld.toLocalDate, h) > Stats.kmChurnDays
+      val t = if (churned) dd(fd.toLocalDate, ld.toLocalDate)
+              else dd(fd.toLocalDate, h)
+      (t, churned)
+    }
+    val grid = obs.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val total = obs.length.toLong
+    var before = 0L; var s = 1.0
+    val expected = grid.flatMap { case (t, (d, c)) =>
+      val nRisk = total - before
+      before += d + c
+      if (d > 0) {
+        s = s * (1.0 - d.toDouble / nRisk.toDouble)
+        Some((t, nRisk, d, c,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      } else None
+    }
+    val gotRows = Stats.q78KaplanMeier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(gotRows.toSeq == expected.toSeq)
+    // survival is monotone nonincreasing and strictly inside [0, 1]
+    assert(gotRows.map(_._5).toSeq == gotRows.map(_._5).sorted.reverse.toSeq)
+    assert(gotRows.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    // censoring actually exercised on the fixture
+    assert(obs.exists(_._2) && obs.exists(!_._2))
+  }
 }
