@@ -886,7 +886,65 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ---------------------------------------------------------------- d21
+
+  /** D138: fuzzy-descriptor near-duplicate clusters — entity
+    * resolution over the full part descriptor (name + brand + type):
+    * two catalog entries match when their descriptors have the same
+    * word count and differ in AT MOST ONE word slot (word-hamming ≤ 1
+    * — re-listings under a different brand, one-field typos).
+    *
+    * Scale shape, in two stages (the canonical dedupe pipeline):
+    * (1) CANONICALIZE — identical descriptors collapse to one
+    * representative (min key) + a group count in a single partial-
+    * aggregated groupBy, so the fuzzy stage runs over the DISTINCT
+    * descriptor space, which is bounded by the catalog VOCABULARY
+    * (names × brands × types), never by corpus rows — without this the
+    * pair output itself grows quadratically in SF. (2) MATCH — the
+    * DELETION-NEIGHBORHOOD blocking of FastSS/PassJoin at word
+    * granularity: each distinct descriptor emits w signatures (md5 of
+    * descriptor-minus-word-i, word count, i) and two descriptors are
+    * word-hamming ≤ 1 IFF they share a signature (drop-the-differing-
+    * slot pigeonhole — exact, not probabilistic, so verification can
+    * never reject a candidate). Fan-out ×w, signature buckets bounded
+    * by vocabulary adjacency. The oracle IS the independent quadratic
+    * formulation over the canonical groups (the q53 discipline), so
+    * the gate checks the blocking itself. */
+  def fuzzyNamePairs(names: DataFrame): DataFrame = {
+    import names.sparkSession.implicits._
+    // stage 1: canonicalize — one representative per distinct descriptor
+    val groups = names.groupBy($"name")
+      .agg(min($"key").as("key"), count(lit(1)).as("n"))
+      .withColumn("words", split($"name", " "))
+      .withColumn("wc", size($"words"))
+    // stage 2: deletion-neighborhood blocking over the distinct space
+    val sigs = groups
+      .select($"key", $"n", $"words", $"wc",
+        posexplode($"words").as(Seq("pos", "dropped")))
+      .select($"key", $"n", $"words",
+        md5(concat_ws(":",
+          concat_ws(" ", concat(slice($"words", lit(1), $"pos"),
+            slice($"words", $"pos" + 2, $"wc"))),
+          $"wc", $"pos")).as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        $"a.sig" === $"b.sig" && $"a.key" < $"b.key")
+      .select($"a.key".as("part_a"), $"b.key".as("part_b"),
+        $"a.n".as("n_a"), $"b.n".as("n_b"),
+        expr("size(filter(zip_with(a.words, b.words, (x, y) -> x != y), v -> v))")
+          .as("n_diff"))
+      .distinct()
+      .orderBy($"part_a", $"part_b")
+  }
+
+  def d21FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fuzzyNamePairs(Tables.part(spark, dir)
+      .select($"p_partkey".as("key"),
+        concat_ws(" ", $"p_name", $"p_brand", $"p_type").as("name")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_fuzzy_names" -> d21FuzzyNames,
     "d19_winnowing" -> d19Winnowing,
     "d20_substring_contamination" -> d20SubstringContamination,
     "d16_dup_weights" -> d16DupWeights,
@@ -1005,6 +1063,22 @@ object Dedup {
         FROM st_${b}_$r"""
 
   val oracle: Map[String, String] = Map(
+    "d21_fuzzy_names" ->
+      """WITH g AS (SELECT p_name || ' ' || p_brand || ' ' || p_type AS name,
+              CAST(min(p_partkey) AS BIGINT) AS key,
+              CAST(count(*) AS BIGINT) AS n
+            FROM part GROUP BY 1),
+          p AS (SELECT key, n, string_split(name, ' ') AS w,
+              len(string_split(name, ' ')) AS wc
+            FROM g)
+          SELECT a.key AS part_a, b.key AS part_b,
+            a.n AS n_a, b.n AS n_b,
+            CAST(len(list_filter(range(1, a.wc + 1),
+              i -> a.w[i] != b.w[i])) AS INT) AS n_diff
+          FROM p a JOIN p b ON a.key < b.key AND a.wc = b.wc
+            AND len(list_filter(range(1, a.wc + 1),
+              i -> a.w[i] != b.w[i])) <= 1
+          ORDER BY part_a, part_b""",
     "d20_substring_contamination" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
             WHERE length(text) >= $subK),

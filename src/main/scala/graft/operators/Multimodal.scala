@@ -256,7 +256,85 @@ object Multimodal {
       .orderBy($"bucket")
   }
 
+  // ---------------------------------------------------------------- m8
+
+  /** m8 band-bucket skew cap — the d4/d9 LSH discipline: a band value
+    * shared by more than this many images is dropped from candidate
+    * generation (deterministic, replayed by the oracle). */
+  val phashBandCap = 64
+  /** m8 near-duplicate threshold in bits. With 4 bands, hamming ≤ 3
+    * pigeonholes at least one band to be IDENTICAL, so banding loses
+    * nothing below the threshold. */
+  val phashMaxHamming = 3
+
+  /** STUB 60-bit perceptual hash over an image payload, as a column
+    * pipeline (the [[decodeImageStub]] convention: no codec libs in
+    * this environment). The fake reproduces the DISTRIBUTION a real
+    * DCT pHash has: the high-order structure derives from coarse
+    * content features (lang, source, length bucket — the stand-ins for
+    * subject/palette/layout), and a per-image NOISE term flips
+    * `doc_id % 5` md5-chosen bits — so images of the same "subject"
+    * land within a few bits of each other, exactly what hamming-banded
+    * near-dup search exploits. Deterministic on both engines (md5 hex
+    * arithmetic, no RNG). */
+  private def phashed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = (0 to 3).map { i =>
+      (conv(substring(md5(concat_ws(":",
+        $"lang", $"source", expr("n_chars div 50"), lit(i))), 1, 4), 16, 10)
+        .cast("long") % 32768).as(s"b$i")
+    }
+    val ps = (1 to 4).map { j =>
+      (conv(substring(md5($"doc_id".cast("string")), j, 1), 16, 10)
+        .cast("long") % 60).as(s"p$j")
+    }
+    withPayload(spark, dir).filter($"modality" === "image")
+      .select(Seq($"doc_id", $"lang", $"source", $"n_chars") ++ bands ++ ps: _*)
+      .withColumn("noise", expr((1 to 4).map(j =>
+        s"""CASE WHEN $j <= doc_id % 5
+              THEN shiftleft(CAST(1 AS BIGINT), CAST(p$j AS INT))
+              ELSE CAST(0 AS BIGINT) END""").mkString("(", ") ^ (", ")")))
+      .select($"doc_id",
+        expr("(b0 + b1 * 32768 + b2 * 1073741824 + b3 * 35184372088832) ^ noise")
+          .as("phash"))
+  }
+
+  /** D139: perceptual-hash near-duplicate image pairs — hamming
+    * distance ≤ [[phashMaxHamming]] over 60-bit pHashes, the standard
+    * image-dedup pass of a multimodal training pipeline.
+    *
+    * Scale shape: multi-index hamming search. The hash splits into 4
+    * disjoint 15-bit bands; hamming ≤ 3 guarantees (pigeonhole) an
+    * EXACT match on at least one band, so candidates come from 4
+    * band-value self-equi-joins (×4 fan-out, id+hash pairs on the
+    * wire, payloads never move) and the verify is one xor+bit_count —
+    * never an all-pairs scan. Band buckets above [[phashBandCap]] are
+    * dropped (the d4 skew cap, deterministic and oracle-replayed);
+    * pairs matching in several bands collapse via distinct. */
+  def phashPairs(imgs: DataFrame): DataFrame = {
+    import imgs.sparkSession.implicits._
+    val sig = imgs.select($"doc_id", $"phash",
+      posexplode(array((0 to 3).map(i =>
+        expr(s"shiftright(phash, ${15 * i}) & 32767")): _*))
+        .as(Seq("bi", "bv")))
+    val ok = sig.groupBy($"bi", $"bv").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" <= phashBandCap).select($"bi", $"bv")
+    val s2 = sig.join(ok, Seq("bi", "bv"))
+    s2.as("a").join(s2.as("b"),
+        $"a.bi" === $"b.bi" && $"a.bv" === $"b.bv" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("CAST(bit_count(a.phash ^ b.phash) AS INT)").as("hamming"))
+      .filter($"hamming" <= phashMaxHamming)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def m8PhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(phashed(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_phash_neardup" -> m8PhashNeardup,
     "m6_aspect_buckets" -> m6AspectBuckets,
     "m5_interleaved_pack" -> m5InterleavedPack,
     "m4_shard_manifest" -> m4ShardManifest,
@@ -266,6 +344,47 @@ object Multimodal {
     "m7_audio_vad" -> m7AudioVad)
 
   val oracle: Map[String, String] = Map(
+    "m8_phash_neardup" ->
+      s"""WITH img AS (SELECT doc_id, lang, source, n_chars
+            FROM documents WHERE doc_id % 3 = 0),
+          bb AS (SELECT doc_id,
+              CAST('0x' || substring(md5(lang || ':' || source || ':'
+                || CAST(n_chars // 50 AS VARCHAR) || ':0'), 1, 4) AS BIGINT) % 32768 AS b0,
+              CAST('0x' || substring(md5(lang || ':' || source || ':'
+                || CAST(n_chars // 50 AS VARCHAR) || ':1'), 1, 4) AS BIGINT) % 32768 AS b1,
+              CAST('0x' || substring(md5(lang || ':' || source || ':'
+                || CAST(n_chars // 50 AS VARCHAR) || ':2'), 1, 4) AS BIGINT) % 32768 AS b2,
+              CAST('0x' || substring(md5(lang || ':' || source || ':'
+                || CAST(n_chars // 50 AS VARCHAR) || ':3'), 1, 4) AS BIGINT) % 32768 AS b3,
+              doc_id % 5 AS k,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS BIGINT) % 60 AS p1,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) AS BIGINT) % 60 AS p2,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 3, 1) AS BIGINT) % 60 AS p3,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 4, 1) AS BIGINT) % 60 AS p4
+            FROM img),
+          ph AS (SELECT doc_id,
+              xor(b0 + b1 * 32768 + b2 * 1073741824 + b3 * 35184372088832,
+                xor(xor(CASE WHEN 1 <= k THEN (CAST(1 AS BIGINT) << CAST(p1 AS INT))
+                        ELSE CAST(0 AS BIGINT) END,
+                      CASE WHEN 2 <= k THEN (CAST(1 AS BIGINT) << CAST(p2 AS INT))
+                        ELSE CAST(0 AS BIGINT) END),
+                    xor(CASE WHEN 3 <= k THEN (CAST(1 AS BIGINT) << CAST(p3 AS INT))
+                        ELSE CAST(0 AS BIGINT) END,
+                      CASE WHEN 4 <= k THEN (CAST(1 AS BIGINT) << CAST(p4 AS INT))
+                        ELSE CAST(0 AS BIGINT) END))) AS phash
+            FROM bb),
+          sig AS (SELECT doc_id, phash, t.bi AS bi,
+              (phash >> (15 * t.bi)) & 32767 AS bv
+            FROM ph, (VALUES (0), (1), (2), (3)) t(bi)),
+          ok AS (SELECT bi, bv FROM sig GROUP BY 1, 2
+            HAVING count(*) <= $phashBandCap),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM sig a JOIN ok USING (bi, bv)
+            JOIN sig b ON b.bi = a.bi AND b.bv = a.bv
+              AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM cand
+          WHERE hamming <= $phashMaxHamming ORDER BY doc_a, doc_b""",
     "m7_audio_vad" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
               CAST(length(text) // $vadFrameBytes AS INT) AS n_frames

@@ -1,7 +1,9 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.concat_ws
 import graft.operators.Dedup
+import graft.sources.Tables
 
 /** MinHash/LSH correctness: the Spark pipeline must reproduce an
   * independent scalar replay of the same hash scheme, and the exact
@@ -418,5 +420,37 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("d21 canonicalizes identical descriptors and pairs exactly word-hamming <= 1") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "a b c"), (2L, "a b c"), // identical: one canonical group
+      (3L, "a b d"),                // hamming 1 vs group {1,2}
+      (4L, "a x d"),                // hamming 1 vs 3, hamming 2 vs {1,2}
+      (5L, "a b c d"),              // different word count: never pairs
+      (6L, "q r s")).toDF("key", "name")
+    val got = Dedup.fuzzyNamePairs(names).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSet == Set((1L, 3L, 2L, 1L, 1), (3L, 4L, 1L, 1L, 1)))
+  }
+
+  test("d21 blocking equals the brute quadratic over canonical groups on the fixture") {
+    import spark.implicits._
+    val descs = Tables.part(spark, sf)
+      .select($"p_partkey", concat_ws(" ", $"p_name", $"p_brand", $"p_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val groups = descs.groupBy(_._2).map { case (name, g) =>
+      (g.map(_._1).min, g.length.toLong, name.split(" ").toSeq)
+    }.toSeq
+    val brute = (for {
+      a <- groups; b <- groups
+      if a._1 < b._1 && a._3.length == b._3.length
+      d = a._3.zip(b._3).count { case (x, y) => x != y }
+      if d <= 1
+    } yield (a._1, b._1, a._2, b._2, d)).toSet
+    val got = Dedup.d21FuzzyNames(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(got == brute && got.nonEmpty)
   }
 }

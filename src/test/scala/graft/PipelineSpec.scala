@@ -325,4 +325,56 @@ class PipelineSpec extends AnyFunSuite {
     // non-degenerate banding on the fixture: all three stages occur
     assert(got.map(_._2).distinct.size == 3)
   }
+
+  test("m8 banding finds every small-bucket hamming<=3 pair and drops capped buckets") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val h = 0x0123456789ABCL
+    val skew = (100L until 170L).map(i => (i, 0x7777777777777L)) // 70 > cap
+    val imgs = (Seq(
+      (1L, h), (2L, h),                                  // identical
+      (3L, h ^ (1L << 2) ^ (1L << 17) ^ (1L << 32)),     // 3 bits, 3 bands
+      (4L, h ^ 15L)                                      // hamming 4: out
+    ) ++ skew).toDF("doc_id", "phash")
+    val got = Multimodal.phashPairs(imgs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 3), (2L, 3L, 3)))
+  }
+
+  test("m8 fixture pairs equal a driver md5-phash replay with brute banded hamming") {
+    import graft.operators.Multimodal
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val imgs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .filter(_._1 % 3 == 0)
+    val phashes = imgs.map { case (id, lang, source, nc) =>
+      val base = (0 to 3).map { i =>
+        val b = Integer.parseInt(md5hex(s"$lang:$source:${nc / 50}:$i").substring(0, 4), 16) % 32768L
+        b << (15 * i)
+      }.sum
+      val k = id % 5
+      val hx = md5hex(id.toString)
+      val noise = (1 to 4).map { j =>
+        if (j <= k) 1L << (Integer.parseInt(hx.substring(j - 1, j), 16) % 60) else 0L
+      }.reduce(_ ^ _)
+      id -> (base ^ noise)
+    }
+    val bandsOf = (ph: Long) => (0 to 3).map(i => (i, (ph >> (15 * i)) & 32767L))
+    val census = phashes.flatMap(p => bandsOf(p._2)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val brute = (for {
+      (a, pa) <- phashes; (b, pb) <- phashes
+      if a < b
+      if bandsOf(pa).exists(bd => bandsOf(pb).contains(bd) &&
+        census(bd) <= Multimodal.phashBandCap)
+      hm = java.lang.Long.bitCount(pa ^ pb)
+      if hm <= Multimodal.phashMaxHamming
+    } yield (a, b, hm)).toSet
+    val got = Multimodal.m8PhashNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
 }
