@@ -36,7 +36,8 @@ object SparkEntry {
       (streaming.RateLimit.queries, streaming.RateLimit.oracle),
       (streaming.OooAudit.queries, streaming.OooAudit.oracle),
       (streaming.PitTiers.queries, streaming.PitTiers.oracle),
-      (streaming.Trending.queries, streaming.Trending.oracle))
+      (streaming.Trending.queries, streaming.Trending.oracle),
+      (streaming.Compact.queries, streaming.Compact.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

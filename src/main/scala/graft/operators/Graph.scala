@@ -329,7 +329,62 @@ object Graph {
       .select($"pk".as("part_key"), $"s".as("score"))
   }
 
+  // ---------------------------------------------------------------- g6
+
+  /** g6 wedge-center degree cap: hubs above this degree are skipped as
+    * wedge centers. Wedge fan-out is Σ deg(y)², which a power-law hub
+    * makes quadratic; capping bounds it at cap·m while each skipped
+    * center could have contributed at most 10⁶/cap ≈ 7.8k micro-units
+    * per pair — the standard truncation for RA/Adamic-Adar at scale.
+    * Deterministic and replayed by the oracle. */
+  val raDegCap = 128L
+  /** g6 leaderboard depth. */
+  val raTopK = 50
+
+  /** D140: link prediction over the strong co-purchase graph — for
+    * part pairs NOT currently linked, the common-neighbor count and
+    * the Resource-Allocation index (Zhou–Lü–Zhang 2009: Σ_y 1/deg(y)
+    * over common neighbors y), the standard "which products will be
+    * bought together next" candidate generator.
+    *
+    * Exactness: RA is kept in integer MICRO-units — each common
+    * neighbor contributes floor(10⁶ / deg(y)) — so the score is an
+    * exact integer sum with no float summation order anywhere (the s8
+    * fixed-point discipline; 1/deg terms, unlike Adamic–Adar's
+    * 1/ln deg, need no transcendental).
+    *
+    * Scale shape: wedge enumeration through each center y — one
+    * self-equi-join of the capped adjacency list (see [[raDegCap]]),
+    * candidate pairs anti-joined against the edge set (semi-join
+    * shape, no pairwise scan), then one partial-aggregated rollup per
+    * pair. Top-[[raTopK]] is a TakeOrdered, not a global sort; the
+    * total order (ra, cn, pair) is deterministic. */
+  def g6LinkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredict(strongEdges(spark, dir))
+
+  /** Core RA/common-neighbor scorer over any canonical (src < dst)
+    * undirected edge frame. */
+  def linkPredict(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    val adj = und.select($"src".as("y"), $"dst".as("n"))
+      .unionAll(und.select($"dst".as("y"), $"src".as("n")))
+    val deg = adj.groupBy($"y").agg(count(lit(1)).as("dg"))
+    val adjC = adj.join(deg, "y").filter($"dg" <= raDegCap)
+      .localCheckpoint() // consumed twice by the wedge self-join
+    val wedges = adjC.as("a").join(adjC.as("b"),
+        $"a.y" === $"b.y" && $"a.n" < $"b.n")
+      .select($"a.n".as("pa"), $"b.n".as("pb"), $"a.dg".as("dgy"))
+    val nonEdge = wedges.join(und,
+      wedges("pa") === und("src") && wedges("pb") === und("dst"), "left_anti")
+    nonEdge.groupBy($"pa", $"pb")
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 div dgy")).as("ra_micro"))
+      .orderBy($"ra_micro".desc, $"cn".desc, $"pa", $"pb")
+      .limit(raTopK)
+      .select($"pa".as("part_a"), $"pb".as("part_b"), $"cn", $"ra_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g6_link_predict" -> g6LinkPredict,
     "g5_ppr" -> g5Ppr,
     "g4_label_prop" -> g4LabelProp,
     "g1_pagerank" -> g1Pagerank,
@@ -387,6 +442,28 @@ object Graph {
         GROUP BY pk)"""
 
   val oracle: Map[String, String] = Map(
+    "g6_link_predict" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          adj AS (SELECT src AS y, dst AS n FROM und
+                  UNION ALL SELECT dst AS y, src AS n FROM und),
+          deg AS (SELECT y, CAST(count(*) AS BIGINT) AS dg
+                  FROM adj GROUP BY 1),
+          adjc AS (SELECT a.y, a.n, d.dg FROM adj a
+                   JOIN deg d ON a.y = d.y WHERE d.dg <= $raDegCap),
+          w AS (SELECT a.n AS pa, b.n AS pb, a.dg AS dgy
+                FROM adjc a JOIN adjc b ON a.y = b.y AND a.n < b.n),
+          ne AS (SELECT * FROM w WHERE NOT EXISTS (
+                  SELECT 1 FROM und u WHERE u.src = w.pa AND u.dst = w.pb))
+          SELECT pa AS part_a, pb AS part_b,
+            CAST(count(*) AS BIGINT) AS cn,
+            CAST(sum(1000000 // dgy) AS BIGINT) AS ra_micro
+          FROM ne GROUP BY 1, 2
+          ORDER BY ra_micro DESC, cn DESC, part_a, part_b LIMIT $raTopK""",
     "g5_ppr" ->
       s"""WITH $pairsCte,
           deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg

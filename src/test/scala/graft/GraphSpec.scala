@@ -165,4 +165,52 @@ class GraphSpec extends AnyFunSuite {
     // or at minimum scores differ from uniform g1 (localized mass)
     assert(got.nonEmpty && got.forall(_._2 > 0L))
   }
+
+  test("g6 RA link prediction matches hand-checkable wedges on a synthetic graph") {
+    import spark.implicits._
+    // path 1-2-3 plus square 4-5-6-7 (edges 4-5,5-6,6-7,4-7):
+    // non-edges with common neighbors: (1,3) via 2; (4,6) via 5 and 7;
+    // (5,7) via 4 and 6. All degrees 2 -> each neighbor adds 500000.
+    val und = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 7L), (4L, 7L))
+      .toDF("src", "dst")
+    val got = Graph.linkPredict(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((4L, 6L, 2L, 1000000L), (5L, 7L, 2L, 1000000L),
+      (1L, 3L, 1L, 500000L)))
+  }
+
+  test("g6 equals a brute RA/common-neighbor replay over the strong graph") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Seq[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap {
+      order =>
+        val ps = order.map(_._2).distinct.toSeq
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+    }
+    // .toSeq is load-bearing: Map.collect over a pair-valued PF would
+    // rebuild a Map keyed on part_a and silently collapse the edge set
+    val und = pairs.groupBy(identity).toSeq
+      .collect { case (e, g) if g.size >= Graph.triMinSupport => e }.toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val cand = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)]
+    adj.foreach { case (y, ns) =>
+      if (deg(y) <= Graph.raDegCap)
+        for (x <- ns; z <- ns if x < z && !und.contains((x, z))) {
+          val (cn, ra) = cand.getOrElse((x, z), (0L, 0L))
+          cand((x, z)) = (cn + 1, ra + 1000000L / deg(y))
+        }
+    }
+    val brute = cand.toSeq
+      .map { case ((a, b), (cn, ra)) => (a, b, cn, ra) }
+      .sortBy { case (a, b, cn, ra) => (-ra, -cn, a, b) }
+      .take(Graph.raTopK)
+    val got = Graph.g6LinkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == brute && got.nonEmpty)
+  }
 }

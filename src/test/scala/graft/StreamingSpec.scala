@@ -817,6 +817,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == 6) // two sealed windows x top-3
     } finally q.stop()
   }
+
+  test("e15 CDC compaction stream equals the batch twin across bursts and OOO arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: burst (t0, t10 incl. same-ts tie by event_id), 6h+ gap,
+    // burst (t400, t401); user 2: single change. Arrival order is
+    // scrambled so the sealed-buffer reordering is actually exercised.
+    val evs = Seq(
+      Ev(1, t(1), 1, "add", 1.25), Ev(2, t(10), 1, "upd", 2.50),
+      Ev(3, t(10), 1, "upd", 3.75), Ev(4, t(400), 1, "upd", 7.00),
+      Ev(5, t(401), 1, "del", 0.00), Ev(6, t(5), 2, "add", 9.99))
+    val mem = MemoryStream[Ev]
+    val q = streaming.Compact.compactStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("append").start()
+    try {
+      // out-of-order WITHIN the 10-min watermark delay: t1 arrives
+      // after t10 (wm = t10 - 10min = t0 < t1; the equal-to-watermark
+      // case is late-DROPPED by Spark, so stay strictly above)
+      mem.addData(evs(1))
+      q.processAllAvailable()
+      mem.addData(evs(2), evs(0), evs(5))
+      q.processAllAvailable()
+      mem.addData(evs(3), evs(4))
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(100000), 99, "sentinel", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("cdc").filter($"user_id" =!= 99)
+        .orderBy($"user_id", $"last_ts_ms").collect().map(_.toString).toSeq
+      val exp = streaming.Compact.compacted(evs.toDF())
+        .orderBy($"user_id", $"last_ts_ms").collect().map(_.toString).toSeq
+      assert(got == exp, s"stream diverged from batch twin: $got vs $exp")
+      // two bursts for user 1 + one for user 2
+      assert(got.size == 3)
+    } finally q.stop()
+  }
 }
 
 /** Row type for the incremental-covariance stream. */
