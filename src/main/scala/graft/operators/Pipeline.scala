@@ -358,7 +358,76 @@ object Pipeline {
           .as("pct_english"))
   }
 
+  // ---------------------------------------------------------------- c9
+
+  /** Number of BPE merge rounds c9 learns. Fixed (not to-convergence)
+    * so the oracle replays the identical rounds as chained CTEs — the
+    * g3/g4 fixed-superstep discipline applied to tokenizer training. */
+  val bpeMerges = 8
+
+  /** D142: BPE tokenizer training — learn the first [[bpeMerges]]
+    * byte-pair-encoding merges over the corpus word vocabulary
+    * (Sennrich et al. 2016), the step every LLM data pipeline runs
+    * before t14's vocab-encode can exist. Each round: count adjacent
+    * symbol pairs weighted by word frequency, take the most frequent
+    * (ties → lexicographic (lhs, rhs), identical on both engines), and
+    * merge every non-overlapping left-to-right occurrence.
+    *
+    * Representation trick that makes the merge ENGINE-NEUTRAL: a
+    * word's symbol sequence is kept as a bracketed string
+    * `<h><e><l><l><o><_>` ('_' is the end-of-word symbol; corpus words
+    * are [a-z]+ so '<', '>', '_' can never occur inside a symbol).
+    * Merging pair (x, y) is then exactly
+    * `replace(rep, '<x><y>', '<xy>')` — SQL `replace` scans left to
+    * right over non-overlapping matches, which IS BPE's greedy merge
+    * order (`<a><a><a>` + (a,a) → `<aa><a>`), and any match must align
+    * to bracket boundaries because '<' only opens a symbol. Both
+    * engines run the same replace; the spec replays the merge with an
+    * independent list-walk implementation.
+    *
+    * Scale shape: the only corpus-sized work is ONE tokenize +
+    * partial-aggregated word count; all [[bpeMerges]] rounds run over
+    * the DISTINCT word vocabulary (Heaps-law sublinear in corpus
+    * size), each round one vocab-sized explode + map-side-combined
+    * pair count, with only the single best (pair, count) row ever
+    * collected to the driver. `localCheckpoint` per round truncates
+    * the 8-deep replace lineage (g1 discipline). */
+  def c9BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .withColumn("rep",
+        concat(lit("<"), array_join(split($"word", ""), "><"), lit("><_>")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (r <- 1 to bpeMerges) {
+      val best = vocab
+        .select($"n", expr("""explode(transform(
+            sequence(1, size(split(substring(rep, 2, length(rep) - 2), '><')) - 1),
+            i -> struct(
+              element_at(split(substring(rep, 2, length(rep) - 2), '><'), i) AS x,
+              element_at(split(substring(rep, 2, length(rep) - 2), '><'), i + 1) AS y)))
+          """).as("p"))
+        .groupBy($"p.x".as("x"), $"p.y".as("y"))
+        .agg(sum($"n").as("cnt"))
+        .orderBy($"cnt".desc, $"x", $"y")
+        .limit(1).collect()(0)
+      val (x, y, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, x, y, x + y, cnt))
+      vocab = vocab
+        .withColumn("rep",
+          expr(s"replace(rep, '<$x><$y>', '<$x$y>')"))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c9_bpe_train" -> c9BpeTrain,
     "c8_dataset_card" -> c8DatasetCard,
     "c7_curriculum" -> c7Curriculum,
     "c1_clean_corpus" -> c1CleanCorpus,
@@ -368,7 +437,41 @@ object Pipeline {
     "c5_stable_split" -> c5StableSplit,
     "c6_mixture" -> c6Mixture)
 
+  /** One BPE round as chained CTEs (MATERIALIZED is load-bearing: each
+    * v is referenced by the next round AND the final union — plain CTEs
+    * would inline 2^8-fold, the g3 lesson). */
+  private def bpeRoundSql(r: Int): String =
+    s"""s$r AS (SELECT n, string_split(substring(rep, 2, length(rep) - 2),
+            '><') AS sy FROM v${r - 1}),
+        e$r AS (SELECT n, sy, unnest(range(1, len(sy))) AS i FROM s$r),
+        p$r AS (SELECT sy[i] AS x, sy[i + 1] AS y,
+            CAST(sum(n) AS BIGINT) AS cnt
+          FROM e$r GROUP BY 1, 2),
+        b$r AS MATERIALIZED (SELECT x, y, cnt,
+            row_number() OVER (ORDER BY cnt DESC, x, y) AS rn FROM p$r),
+        v$r AS MATERIALIZED (SELECT word, n,
+            replace(rep, '<' || x || '><' || y || '>',
+              '<' || x || y || '>') AS rep
+          FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
+
   val oracle: Map[String, String] = Map(
+    "c9_bpe_train" ->
+      s"""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents),
+          wf AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok
+            WHERE regexp_full_match(word, '[a-z]+') GROUP BY 1),
+          v0 AS MATERIALIZED (SELECT word, n,
+            '<' || array_to_string(list_transform(
+              range(1, length(word) + 1), i -> substring(word, i, 1)),
+              '><') || '><_>' AS rep
+            FROM wf),
+          ${(1 to bpeMerges).map(bpeRoundSql).mkString(",\n          ")}
+          SELECT * FROM (
+            ${(1 to bpeMerges).map(r =>
+              s"SELECT $r AS round, x AS lhs, y AS rhs, x || y AS merged, " +
+                s"cnt AS pair_count FROM b$r WHERE rn = 1")
+              .mkString("\n            UNION ALL\n            ")}
+          ) ORDER BY round""",
     "c8_dataset_card" ->
       s"""WITH d AS (SELECT lang, source, n_chars,
               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,

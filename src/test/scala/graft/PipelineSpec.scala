@@ -377,4 +377,45 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == brute)
   }
+
+  test("c9 BPE merges equal an independent list-walk replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, split, lower}
+    // independent implementation: symbol LISTS + greedy left-to-right
+    // non-overlapping merge — checks the bracketed-string replace trick
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .collect().map(_.getString(0)).filter(_.matches("^[a-z]+$"))
+      .groupBy(w => w).view.mapValues(_.length.toLong).toSeq
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, n) => (w.map(_.toString).toVector :+ "_", n) }
+    val expected = (1 to Pipeline.bpeMerges).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (sy, n) =>
+        sy.indices.dropRight(1).foreach { i =>
+          val k = (sy(i), sy(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+        }
+      }
+      val ((x, y), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (sy, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == x && sy(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += sy(i); i += 1 }
+        }
+        (out.result(), n)
+      }
+      (r, x, y, x + y, cnt)
+    }
+    val got = Pipeline.c9BpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected, s"merges diverged: $got vs $expected")
+    // merges actually compose: some later merge consumes an earlier one
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
+  }
 }
