@@ -843,7 +843,102 @@ object Analytics {
           .as("top10_share"))
   }
 
+  // ---------------------------------------------------------------- q79
+
+  /** D143: supplier-concentration audit — per supplier NATION, the
+    * Herfindahl–Hirschman index of revenue share across that nation's
+    * suppliers, plus the top-supplier share: the standard market- (or
+    * data-source-) concentration readout.
+    *
+    * Exactness: HHI = Σ cᵢ² / (Σ cᵢ)² over exact revenue cents — both
+    * numerator and denominator are exact integers in DECIMAL(38,0)
+    * (the q71 overflow rule: cᵢ² of warehouse-scale cents passes
+    * 2⁶³), so the index is ONE double division, 4-dp. Top share is an
+    * integer max over the same census.
+    *
+    * Scale shape: one co-partitioned lineitem⋈supplier equi-join into
+    * a partial-aggregated (nation, supplier) census, then a
+    * nation-level rollup — no windows, no second scan. */
+  def q79Hhi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey".as("nation"), $"s_suppkey")
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+        .cast("long")).as("c"))
+    spend.groupBy($"nation")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"c").as("total_cents"),
+        sum($"c".cast("decimal(38,0)") * $"c").as("sumsq"),
+        max($"c").as("max_c"))
+      .select($"nation", $"n_suppliers", $"total_cents",
+        round(expr("""CAST(sumsq AS DOUBLE) /
+            (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))"""), 4)
+          .as("hhi"),
+        round(expr("CAST(max_c AS DOUBLE) / CAST(total_cents AS DOUBLE)"), 4)
+          .as("top_share"))
+      .orderBy($"nation")
+  }
+
+  // ---------------------------------------------------------------- q80
+
+  /** D144: classical seasonal decomposition of monthly revenue per
+    * nation — y = trend + seasonal + residual with a centered 12-month
+    * moving average trend (the 2×12 MA: ½,1,…,1,½ over 13 months) and
+    * month-of-year seasonal means, the additive decomposition every
+    * forecasting text opens with (q65's Holt smooths; q80 explains).
+    *
+    * Exactness in 24ths (the q71 scale-through trick): trend·24 is the
+    * INTEGER W₁₃ + W₁₁ (two rows-frame window sums — 13-wide plus
+    * 11-wide equals the ½-weighted 13-window ×24); the detrended
+    * series ×24 is integer; each month-of-year seasonal is the exact
+    * integer pair (Σ detr24, k) divided ONCE; trend, seasonal, and
+    * residual are each a single fixed IEEE expression over those
+    * integers, 4-dp. No double is ever summed by an unordered
+    * aggregate.
+    *
+    * Scale shape: monthly census bounded by calendar×nations; all
+    * windows PARTITION BY nation; the seasonal census is ≤ 12 rows per
+    * nation. Only full 13-month windows emit (standard edge trim). */
+  def q80SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    val w13 = Window.partitionBy($"nation").orderBy($"m").rowsBetween(-6, 6)
+    val w11 = Window.partitionBy($"nation").orderBy($"m").rowsBetween(-5, 5)
+    val trended = monthly
+      .withColumn("n13", count(lit(1)).over(w13))
+      // contiguity guard: 13 rows spanning exactly 12 month steps
+      .withColumn("span13",
+        max($"m").over(w13) - min($"m").over(w13))
+      .withColumn("trend24", sum($"cents").over(w13) + sum($"cents").over(w11))
+      .filter($"n13" === 13 && $"span13" === 12)
+      .withColumn("detr24",
+        lit(24L) * $"cents" - $"trend24")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seasonal = trended
+      .groupBy($"nation", pmod($"m", lit(12)).as("moy"))
+      .agg(sum($"detr24").as("snum"), count(lit(1)).as("sk"))
+    trended.as("t")
+      .join(seasonal.as("s"),
+        $"t.nation" === $"s.nation" &&
+          pmod($"t.m", lit(12)) === $"s.moy")
+      .select($"t.nation".as("nation"), $"m", $"cents",
+        round(expr("CAST(trend24 AS DOUBLE) / 24.0"), 4).as("trend"),
+        round(expr("CAST(snum AS DOUBLE) / (24.0 * CAST(sk AS DOUBLE))"), 4)
+          .as("seasonal"),
+        round(expr("""CAST(cents AS DOUBLE) - CAST(trend24 AS DOUBLE) / 24.0
+            - CAST(snum AS DOUBLE) / (24.0 * CAST(sk AS DOUBLE))"""), 4)
+          .as("residual"))
+      .orderBy($"nation", $"m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_hhi" -> q79Hhi,
+    "q80_seasonal_decompose" -> q80SeasonalDecompose,
     "q66_skew_census" -> q66SkewCensus,
     "q64_dup_invoices" -> q64DupInvoices,
     "q63_abc" -> q63Abc,
@@ -868,6 +963,51 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q79_hhi" ->
+      """WITH sp AS (SELECT s.s_nationkey AS nation, l.l_suppkey,
+              CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                * 100) AS BIGINT)) AS BIGINT) AS c
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2)
+          SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+            CAST(sum(c) AS BIGINT) AS total_cents,
+            round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) /
+              (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 4) AS hhi,
+            round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+              AS top_share
+          FROM sp GROUP BY 1 ORDER BY 1""",
+    "q80_seasonal_decompose" ->
+      """WITH mon AS (SELECT c.c_nationkey AS nation,
+              year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          tr AS (SELECT nation, m, cents,
+              CAST(count(*) OVER w13 AS BIGINT) AS n13,
+              CAST(max(m) OVER w13 - min(m) OVER w13 AS BIGINT) AS span13,
+              CAST(sum(cents) OVER w13 + sum(cents) OVER w11 AS BIGINT)
+                AS trend24
+            FROM mon
+            WINDOW w13 AS (PARTITION BY nation ORDER BY m
+              ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+            w11 AS (PARTITION BY nation ORDER BY m
+              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+          full13 AS (SELECT *, 24 * cents - trend24 AS detr24
+            FROM tr WHERE n13 = 13 AND span13 = 12),
+          se AS (SELECT nation, m % 12 AS moy,
+              CAST(sum(detr24) AS BIGINT) AS snum,
+              CAST(count(*) AS BIGINT) AS sk
+            FROM full13 GROUP BY 1, 2)
+          SELECT f.nation, CAST(f.m AS INT) AS m, f.cents,
+            round(CAST(f.trend24 AS DOUBLE) / 24.0, 4) AS trend,
+            round(CAST(se.snum AS DOUBLE) / (24.0 * CAST(se.sk AS DOUBLE)), 4)
+              AS seasonal,
+            round(CAST(f.cents AS DOUBLE) - CAST(f.trend24 AS DOUBLE) / 24.0
+              - CAST(se.snum AS DOUBLE) / (24.0 * CAST(se.sk AS DOUBLE)), 4)
+              AS residual
+          FROM full13 f JOIN se ON f.nation = se.nation AND f.m % 12 = se.moy
+          ORDER BY f.nation, f.m""",
     "q66_skew_census" ->
       """WITH kc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
             FROM lineitem GROUP BY 1),

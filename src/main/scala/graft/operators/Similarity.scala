@@ -742,7 +742,112 @@ object Similarity {
       .orderBy($"query_id", $"step")
   }
 
+  // ---------------------------------------------------------------- s13
+
+  /** Anchor-set size for triplet mining (the s1 bounded-query-set
+    * convention). */
+  val tripletAnchors = 10
+
+  /** D145: batch-hard triplet mining (Schroff et al., FaceNet 2015) —
+    * for each anchor embedding, the HARDEST POSITIVE (same label,
+    * minimum cosine) and HARDEST NEGATIVE (other label, maximum
+    * cosine), plus the margin between them: the candidate generator a
+    * contrastive/metric-learning data pipeline runs every epoch.
+    *
+    * Scale shape: the s1 discipline — anchors broadcast, ONE corpus
+    * scan scores both extremes, and each extreme uses the salted
+    * two-phase argmin/argmax (a local extreme per salt bucket, then a
+    * rank over ≤ salts survivors) so no low-cardinality window ever
+    * sees the corpus. Cosines come from the codegen'd
+    * [[cosineCol]]; ties break on candidate id; the 4-dp round is
+    * display-only (ranking uses full doubles — bit-identical both
+    * engines, the s1 argument). */
+  def s13TripletMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter($"vec_id" < tripletAnchors)
+      .select($"vec_id".as("anchor_id"), $"embedding".as("a_emb"),
+        $"label".as("a_label"))
+    val scored = emb.select($"vec_id".as("cand_id"), $"embedding", $"label")
+      .crossJoin(broadcast(anchors))
+      .filter($"cand_id" =!= $"anchor_id")
+      .withColumn("cos", cosineCol(spark, $"a_emb", $"embedding"))
+      .withColumn("salt", pmod(crc32($"cand_id".cast("string")), lit(32)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def extreme(df: DataFrame, asc: Boolean): DataFrame = {
+      val ord = if (asc) Seq($"cos".asc, $"cand_id".asc)
+                else Seq($"cos".desc, $"cand_id".asc)
+      val wL = Window.partitionBy($"anchor_id", $"salt").orderBy(ord: _*)
+      val wG = Window.partitionBy($"anchor_id").orderBy(ord: _*)
+      df.withColumn("rl", row_number().over(wL)).filter($"rl" === 1)
+        .withColumn("rk", row_number().over(wG)).filter($"rk" === 1)
+    }
+    val pos = extreme(scored.filter($"label" === $"a_label"), asc = true)
+      .select($"anchor_id", $"cand_id".as("pos_id"), $"cos".as("cp"))
+    val neg = extreme(scored.filter($"label" =!= $"a_label"), asc = false)
+      .select($"anchor_id", $"cand_id".as("neg_id"), $"cos".as("cn"))
+    pos.join(neg, "anchor_id")
+      .select($"anchor_id", $"pos_id", round($"cp", 4).as("cos_pos"),
+        $"neg_id", round($"cn", 4).as("cos_neg"),
+        round($"cn" - $"cp", 4).as("margin"))
+      .orderBy($"anchor_id")
+  }
+
+  // ---------------------------------------------------------------- s14
+
+  /** Coreset size for k-center diversity sampling. */
+  val kcenterK = 10
+
+  /** D146: greedy k-center (farthest-point) diversity sampling — pick
+    * [[kcenterK]] embeddings maximizing pairwise spread in cosine
+    * distance: seed at the lowest vec_id, then repeatedly take the
+    * point FARTHEST from its nearest chosen center (the classic
+    * 2-approximation; the coreset/diversity-curation pass of an
+    * embedding-curated training set, complementing s9's per-query MMR).
+    *
+    * Determinism/exactness: distances are 1 − [[cosineCol]] cosine
+    * (bit-identical both engines); min-distances update through
+    * `least` and the argmax ties break on vec_id — pure comparisons on
+    * identical doubles. Chosen centers keep distance 0 so they can
+    * never be re-picked.
+    *
+    * Scale shape: k−1 rounds, each ONE corpus scan against a single
+    * broadcast center (the newest pick — min-dist state carries the
+    * rest) + a TakeOrdered top-1; `localCheckpoint` per round
+    * truncates the iterative lineage (g1 discipline). Only k rows ever
+    * reach the driver. The oracle replays the rounds as chained
+    * MATERIALIZED CTEs (c9 idiom). */
+  def s14KcenterSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val seed = emb.orderBy($"vec_id").limit(1).collect()(0)
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Option[Double])]
+    picks += ((1, seed.getLong(0), None))
+    var centerEmb = seed.getSeq[Float](1).toArray
+    var state = emb
+      .withColumn("dist",
+        lit(1.0) - cosineCol(spark, $"embedding", typedLit(centerEmb)))
+      .localCheckpoint()
+    for (r <- 2 to kcenterK) {
+      val next = state.orderBy($"dist".desc, $"vec_id").limit(1).collect()(0)
+      picks += ((r, next.getLong(0),
+        Some(BigDecimal(next.getDouble(2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      centerEmb = next.getSeq[Float](1).toArray
+      state = state
+        .withColumn("dist", least($"dist",
+          lit(1.0) - cosineCol(spark, $"embedding", typedLit(centerEmb))))
+        .localCheckpoint()
+    }
+    picks.toSeq.map(p => (p._1, p._2, p._3))
+      .toDF("rk", "vec_id", "sel_dist")
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_triplet_mining" -> s13TripletMining,
+    "s14_kcenter_sample" -> s14KcenterSample,
     "s9_mmr_rerank" -> s9MmrRerank,
     "s1_knn_brute" -> s1KnnBrute,
     "s2_knn_lsh" -> s2KnnLsh,
@@ -892,7 +997,55 @@ object Similarity {
           round(cos, 4) AS cos_sim
         FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
 
+  /** One s14 greedy round as chained MATERIALIZED CTEs (the c9
+    * idiom): n_r = argmax of the previous min-dist state, d_r = state
+    * updated against the new center. */
+  private def kcenterRoundSql(r: Int, withState: Boolean): String = {
+    val pick =
+      s"""n$r AS MATERIALIZED (SELECT vec_id, dist FROM d${r - 1}
+            ORDER BY dist DESC, vec_id LIMIT 1)"""
+    if (!withState) pick
+    else pick + s""",
+        d$r AS MATERIALIZED (SELECT a.vec_id, a.embedding,
+            least(a.dist, 1.0 - $cosSql) AS dist
+          FROM d${r - 1} a CROSS JOIN (SELECT e.embedding FROM embeddings e
+            JOIN n$r t ON e.vec_id = t.vec_id) b)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s13_triplet_mining" ->
+      s"""WITH sc AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+              (b.label = a.label) AS same, $cosSql AS cos
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < $tripletAnchors),
+          p AS (SELECT anchor_id, cand_id AS pos_id, cos AS cp,
+              row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cos ASC, cand_id) AS rn
+            FROM sc WHERE same),
+          n AS (SELECT anchor_id, cand_id AS neg_id, cos AS cn,
+              row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cos DESC, cand_id) AS rn
+            FROM sc WHERE NOT same)
+          SELECT p.anchor_id, p.pos_id, round(p.cp, 4) AS cos_pos,
+            n.neg_id, round(n.cn, 4) AS cos_neg,
+            round(n.cn - p.cp, 4) AS margin
+          FROM p JOIN n ON p.anchor_id = n.anchor_id
+          WHERE p.rn = 1 AND n.rn = 1 ORDER BY p.anchor_id""",
+    "s14_kcenter_sample" ->
+      s"""WITH d1 AS MATERIALIZED (SELECT a.vec_id, a.embedding,
+              1.0 - $cosSql AS dist
+            FROM embeddings a CROSS JOIN (SELECT embedding FROM embeddings
+              WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) b),
+          ${(2 to kcenterK)
+            .map(r => kcenterRoundSql(r, withState = r < kcenterK))
+            .mkString(",\n          ")}
+          SELECT * FROM (
+            SELECT 1 AS rk, (SELECT min(vec_id) FROM embeddings) AS vec_id,
+              CAST(NULL AS DOUBLE) AS sel_dist
+            ${(2 to kcenterK).map(r =>
+              s"UNION ALL SELECT $r AS rk, vec_id, round(dist, 4) FROM n$r")
+              .mkString("\n            ")}
+          ) ORDER BY rk""",
     "s10_range_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding
             FROM embeddings WHERE vec_id < 5)

@@ -616,4 +616,60 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(h._4 == r4(h._3.toDouble) && h._5 == 0.0 && h._6 == 0.0)
     }
   }
+
+  test("q79 HHI equals an exact BigInt driver replay and brackets correctly") {
+    import spark.implicits._
+    val spend = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey", $"s_suppkey",
+        floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100).cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val byNation = spend.groupBy(_._1._1)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Analytics.q79Hhi(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    byNation.foreach { case (nat, ss) =>
+      val cs = ss.map(_._2)
+      val tot = cs.sum
+      val hhi = (cs.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+        / (tot.toDouble * tot.toDouble))
+      val (gn, gt, gh, gts) = got(nat)
+      assert(gn == cs.length && gt == tot)
+      assert(gh == r4(hhi) && gts == r4(cs.max.toDouble / tot.toDouble))
+      // HHI bounds: 1/n <= HHI <= 1
+      assert(gh >= 1.0 / cs.length - 1e-4 && gh <= 1.0001)
+    }
+  }
+
+  test("q80 decomposition reconstructs y = trend + seasonal + residual on full windows") {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rows = Analytics.q80SeasonalDecompose(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, cents, tr, se, re) =>
+      // additive identity to rounding noise
+      assert(math.abs(cents.toDouble - (tr + se + re)) < 2e-3)
+    }
+    // seasonal is a pure function of (nation, month-of-year)
+    rows.groupBy(t => (t._1, ((t._2 % 12) + 12) % 12)).foreach { case (_, g) =>
+      assert(g.map(_._5).distinct.size == 1)
+    }
+    // edge trim: emitted months have 6 neighbors on both sides observed
+    val haveMonth = monthly.keySet.map { case (n, m) => (n, m) }
+    rows.foreach { case (n, m, _, _, _, _) =>
+      (-6 to 6).foreach(d => assert(haveMonth.contains((n, m + d)),
+        s"nation $n month $m missing neighbor ${m + d}"))
+    }
+  }
 }

@@ -244,4 +244,70 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(got.forall(x => x._3 >= -1.0001 && x._3 <= 1.0001))
   }
+
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+  private def r4d(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("s13 batch-hard triplets equal a brute argmin/argmax replay") {
+    import spark.implicits._
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val expected = all.filter(_._1 < Similarity.tripletAnchors)
+      .sortBy(_._1).map { case (aid, ae, al) =>
+        val cands = all.filter(_._1 != aid)
+          .map { case (cid, ce, cl) => (cid, cosArr(ae, ce), cl == al) }
+        val (pid, cp, _) = cands.filter(_._3)
+          .minBy { case (cid, c, _) => (c, cid) }
+        val (nid, cn, _) = cands.filterNot(_._3)
+          .minBy { case (cid, c, _) => (-c, cid) }
+        (aid, pid, r4d(cp), nid, r4d(cn), r4d(cn - cp))
+      }.toSeq
+    val got = Similarity.s13TripletMining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // a useful miner: at least one anchor has a violated margin
+    // region or a tight one; margins are finite and ordered fields sane
+    assert(got.forall(t => t._3 <= 1.0001 && t._5 <= 1.0001))
+  }
+
+  test("s14 greedy k-center equals a brute farthest-point replay") {
+    import spark.implicits._
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val seed = all.head._1
+    var dist = all.map { case (id, e) =>
+      id -> (1.0 - cosArr(e, all.head._2))
+    }.toMap
+    val embOf = all.toMap
+    var expected = Vector((1, seed, Option.empty[Double]))
+    for (r <- 2 to Similarity.kcenterK) {
+      val (nid, nd) = dist.toSeq.minBy { case (id, d) => (-d, id) }
+      expected :+= ((r, nid, Some(r4d(nd))))
+      val ne = embOf(nid)
+      dist = dist.map { case (id, d) =>
+        id -> math.min(d, 1.0 - cosArr(embOf(id), ne))
+      }
+    }
+    val got = Similarity.s14KcenterSample(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2))))
+      .toVector
+    assert(got == expected)
+    // selections are distinct and spread monotonically non-increasing
+    assert(got.map(_._2).distinct.size == Similarity.kcenterK)
+    val ds = got.flatMap(_._3)
+    assert(ds == ds.sorted.reverse)
+  }
 }
