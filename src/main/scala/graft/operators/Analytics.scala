@@ -936,7 +936,114 @@ object Analytics {
       .orderBy($"nation", $"m")
   }
 
+  // ---------------------------------------------------------------- q81
+
+  /** Number of spend bands for the q81 migration matrix. */
+  val migBands = 5
+
+  /** D149: customer spend-segment migration — split the corpus
+    * timeline at its midpoint day, band customers into [[migBands]]
+    * spend quintiles within each half (plus NONE for halves with no
+    * orders), and emit the transition matrix: the "are my best
+    * customers upgrading or churning" cohort-movement readout that
+    * q55's static RFM snapshot can't answer.
+    *
+    * Determinism: quintiles use NO ntile — the band is
+    * floor(B·(rn−1)/cnt) over the total order (cents, custkey), so
+    * ties are pinned and both engines replay the identical banding
+    * (the q44 discipline). The midpoint is derived from the data
+    * ((min+max)/2 of epoch days — a deterministic constant, not a
+    * config).
+    *
+    * Scale shape: one orders scan into per-(customer, half) cents; the
+    * rank windows partition by half (two in-partition sorts); the
+    * matrix rollup is ≤ (B+1)² rows. */
+  def q81SegmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mid = days.agg(((min($"day") + max($"day")) / 2).cast("long").as("mid"))
+    val halves = days.crossJoin(broadcast(mid))
+      .groupBy($"o_custkey", ($"day" <= $"mid").as("first_half"))
+      .agg(sum($"cents").as("c"))
+    // global rank per half WITHOUT a one-partition window: the q38/q76
+    // two-phase bucket-prefix (bucket census bounded by value range)
+    val withB = halves.withColumn("b", expr("c div 10000000"))
+    val wPre = Window.partitionBy($"first_half").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bPre = withB.groupBy($"first_half", $"b")
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(wPre), lit(0L)))
+      .withColumn("cnt", sum($"bc").over(Window.partitionBy($"first_half")))
+      .select($"first_half", $"b", $"off", $"cnt")
+    val wIn = Window.partitionBy($"first_half", $"b")
+      .orderBy($"c", $"o_custkey")
+    val banded = withB.join(broadcast(bPre), Seq("first_half", "b"))
+      .withColumn("rn", $"off" + row_number().over(wIn))
+      .select($"o_custkey", $"first_half",
+        expr(s"CAST($migBands * (rn - 1) div cnt AS INT) + 1").as("band"))
+    val h1 = banded.filter($"first_half").select($"o_custkey", $"band".as("band_from"))
+    val h2 = banded.filter(!$"first_half").select($"o_custkey", $"band".as("band_to"))
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .select(coalesce($"band_from", lit(0)).as("band_from"),
+        coalesce($"band_to", lit(0)).as("band_to"))
+      .groupBy($"band_from", $"band_to")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"band_from", $"band_to")
+  }
+
+  // ---------------------------------------------------------------- q82
+
+  /** D150: Lorenz curve decile table of customer lifetime spend — per
+    * spend decile (ascending), the customer count, decile revenue, and
+    * cumulative revenue share: the curve behind q60's Gini scalar
+    * (q60 says HOW unequal; q82 shows WHERE the mass sits).
+    *
+    * Exactness: deciles via the q44/q81 rank-band formula (no ntile);
+    * cumulative shares are exact integer running sums over the
+    * 10-row decile census (bounded global window, t14 exemption)
+    * divided once, 4-dp.
+    *
+    * Scale shape: one orders scan → per-customer cents (partial agg),
+    * a two-phase bucket-prefix rank (q38/q76 shape), decile rollup to
+    * ≤ 10 rows. */
+  def q82LorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("c"))
+    // two-phase global rank (q38/q76 shape): bucket census prefix +
+    // in-bucket row_number — no one-partition corpus window
+    val withB = per.withColumn("b", expr("c div 10000000"))
+    val wPre = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bPre = withB.groupBy($"b").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(wPre), lit(0L)))
+      .withColumn("cnt", sum($"bc").over(Window.partitionBy()))
+      .select($"b", $"off", $"cnt")
+    val wIn = Window.partitionBy($"b").orderBy($"c", $"o_custkey")
+    val dec = withB.join(broadcast(bPre), Seq("b"))
+      .withColumn("rn", $"off" + row_number().over(wIn))
+      .select(expr("CAST(10 * (rn - 1) div cnt AS INT) + 1").as("decile"), $"c")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"c").as("decile_cents"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_cents", sum($"decile_cents").over(wCum))
+      .withColumn("total", sum($"decile_cents").over(Window.partitionBy()))
+      .select($"decile", $"n_customers", $"decile_cents",
+        round(expr("CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE)"), 4)
+          .as("cum_share"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_segment_migration" -> q81SegmentMigration,
+    "q82_lorenz_deciles" -> q82LorenzDeciles,
     "q79_hhi" -> q79Hhi,
     "q80_seasonal_decompose" -> q80SeasonalDecompose,
     "q66_skew_census" -> q66SkewCensus,
@@ -963,6 +1070,46 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q81_segment_migration" ->
+      s"""WITH d AS (SELECT o_custkey,
+              date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                AS day,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+          md AS (SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid
+            FROM d),
+          h AS (SELECT o_custkey, day <= mid AS first_half,
+              CAST(sum(cents) AS BIGINT) AS c
+            FROM d CROSS JOIN md GROUP BY 1, 2),
+          b AS (SELECT o_custkey, first_half,
+              CAST($migBands * (row_number() OVER (PARTITION BY first_half
+                  ORDER BY c, o_custkey) - 1)
+                // count(*) OVER (PARTITION BY first_half) AS INT) + 1 AS band
+            FROM h),
+          h1 AS (SELECT o_custkey, band AS band_from FROM b WHERE first_half),
+          h2 AS (SELECT o_custkey, band AS band_to FROM b WHERE NOT first_half)
+          SELECT COALESCE(band_from, 0) AS band_from,
+            COALESCE(band_to, 0) AS band_to,
+            CAST(count(*) AS BIGINT) AS n_customers
+          FROM h1 FULL OUTER JOIN h2 USING (o_custkey)
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q82_lorenz_deciles" ->
+      """WITH per AS (SELECT o_custkey,
+              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS c
+            FROM orders GROUP BY 1),
+          r AS (SELECT c,
+              CAST(10 * (row_number() OVER (ORDER BY c, o_custkey) - 1)
+                // count(*) OVER () AS INT) + 1 AS decile
+            FROM per),
+          dec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(c) AS BIGINT) AS decile_cents
+            FROM r GROUP BY 1)
+          SELECT decile, n_customers, decile_cents,
+            round(CAST(sum(decile_cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(sum(decile_cents) OVER () AS DOUBLE), 4) AS cum_share
+          FROM dec ORDER BY decile""",
     "q79_hhi" ->
       """WITH sp AS (SELECT s.s_nationkey AS nation, l.l_suppkey,
               CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)

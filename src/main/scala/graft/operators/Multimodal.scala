@@ -333,7 +333,62 @@ object Multimodal {
   def m8PhashNeardup(spark: SparkSession, dir: String): DataFrame =
     phashPairs(phashed(spark, dir))
 
+  // ---------------------------------------------------------------- m9
+
+  /** m9 frame width in bytes (the m2 video-frame convention). */
+  val sceneFrameBytes = 256L
+  /** m9 cut threshold on the per-mille energy delta scale. */
+  val sceneCutDelta = 500
+
+  /** D148: video scene segmentation plumbing — per video blob,
+    * fixed-width frame "energies" (the m7 STUB decode: md5-derived,
+    * no codecs in this environment), a SCENE CUT wherever the
+    * energy jumps by more than [[sceneCutDelta]] against the previous
+    * frame, and the per-video scene census (count, longest scene,
+    * mean length): the shot-boundary pass a video training pipeline runs
+    * before frame sampling (m2) can be scene-aware.
+    *
+    * Scale shape: frame explode bounded by payload size / 256; the
+    * delta is ONE lag window and scene ids ONE running sum, both
+    * PARTITIONED BY doc_id (high cardinality — the m7 discipline);
+    * scene lengths are a per-(doc, scene) partial aggregate. Mean
+    * length is the exact integer pair n_frames/n_scenes divided once,
+    * 4-dp. */
+  def m9SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = withPayload(spark, dir)
+      .filter($"modality" === "video")
+      .select($"doc_id", md5($"payload").as("cm"),
+        floor(octet_length($"payload") / sceneFrameBytes).cast("int")
+          .as("n_frames"))
+      .filter($"n_frames" > 0)
+      .select($"doc_id", $"cm", $"n_frames",
+        explode(sequence(lit(1), $"n_frames")).as("f"))
+      .withColumn("e",
+        conv(substring(md5(concat($"cm", lit(":"), $"f".cast("string"))),
+          1, 3), 16, 10).cast("int") % 1000)
+    val wSeq = Window.partitionBy($"doc_id").orderBy($"f")
+    val scenes = frames
+      .withColumn("pe", lag($"e", 1).over(wSeq))
+      .withColumn("cut",
+        when($"pe".isNotNull && abs($"e" - $"pe") > sceneCutDelta, 1L)
+          .otherwise(0L))
+      .withColumn("scene", sum($"cut").over(wSeq))
+      .groupBy($"doc_id", $"scene")
+      .agg(max($"n_frames").as("n_frames"), count(lit(1)).as("len"))
+    scenes.groupBy($"doc_id")
+      .agg(max($"n_frames").as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max($"len").as("longest_scene"))
+      .select($"doc_id", $"n_frames", $"n_scenes", $"longest_scene",
+        round(expr("CAST(n_frames AS DOUBLE) / CAST(n_scenes AS DOUBLE)"), 4)
+          .as("mean_scene_len"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_scene_cuts" -> m9SceneCuts,
     "m8_phash_neardup" -> m8PhashNeardup,
     "m6_aspect_buckets" -> m6AspectBuckets,
     "m5_interleaved_pack" -> m5InterleavedPack,
@@ -344,6 +399,38 @@ object Multimodal {
     "m7_audio_vad" -> m7AudioVad)
 
   val oracle: Map[String, String] = Map(
+    "m9_scene_cuts" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
+              CAST(length(text) // $sceneFrameBytes AS INT) AS n_frames
+            FROM documents
+            WHERE doc_id % 3 = 2 AND length(text) >= $sceneFrameBytes),
+          fr AS (SELECT doc_id, cm, n_frames,
+              unnest(generate_series(1, n_frames)) AS f
+            FROM d),
+          e AS (SELECT doc_id, n_frames, f,
+              CAST('0x' || substring(md5(cm || ':' || CAST(f AS VARCHAR)),
+                1, 3) AS INT) % 1000 AS e
+            FROM fr),
+          c AS (SELECT doc_id, n_frames, f, e,
+              lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+            FROM e),
+          sc AS (SELECT doc_id, n_frames, f,
+              CAST(sum(CASE WHEN pe IS NOT NULL
+                  AND abs(e - pe) > $sceneCutDelta THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY f
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS scene
+            FROM c),
+          sl AS (SELECT doc_id, scene,
+              CAST(max(n_frames) AS INT) AS n_frames,
+              CAST(count(*) AS BIGINT) AS len
+            FROM sc GROUP BY 1, 2)
+          SELECT doc_id, CAST(max(n_frames) AS INT) AS n_frames,
+            CAST(count(*) AS BIGINT) AS n_scenes,
+            CAST(max(len) AS BIGINT) AS longest_scene,
+            round(CAST(max(n_frames) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+              AS mean_scene_len
+          FROM sl GROUP BY doc_id ORDER BY doc_id""",
     "m8_phash_neardup" ->
       s"""WITH img AS (SELECT doc_id, lang, source, n_chars
             FROM documents WHERE doc_id % 3 = 0),

@@ -922,7 +922,46 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- t27
+
+  /** D147: per-source lexical diversity — Simpson's index in the
+    * UNBIASED form λ = Σ nᵢ(nᵢ−1) / (N(N−1)), its inverse (effective
+    * vocabulary size), and the Berger–Parker dominance (top term
+    * share): the concentration view of what t23's entropy measures —
+    * a collapsed/templated source shows up as λ → 1 long before mean
+    * entropy moves.
+    *
+    * Exactness: the unbiased estimator is a RATIO OF EXACT INTEGERS
+    * (DECIMAL(38,0) — Σ nᵢ² passes 2⁶³ at warehouse scale), so each
+    * output is one double division on identical integers, 4-dp. No
+    * probabilities are ever materialized.
+    *
+    * Scale shape: one tokenize + partial-aggregated (source, term)
+    * census (vocabulary-bounded, the t6 rule), then a source-level
+    * rollup. No windows. */
+  def t27Simpson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("n"))
+    tf.groupBy($"source")
+      .agg(sum($"n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum($"n".cast("decimal(38,0)") * ($"n" - 1)).as("coll"),
+        max($"n").as("max_n"))
+      .select($"source", $"n_tokens", $"vocab",
+        round(expr("""CAST(coll AS DOUBLE) /
+            (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))"""), 4)
+          .as("simpson"),
+        round(expr("""(CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+            / CAST(coll AS DOUBLE)"""), 4).as("inv_simpson"),
+        round(expr("CAST(max_n AS DOUBLE) / CAST(n_tokens AS DOUBLE)"), 4)
+          .as("berger_parker"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_simpson" -> t27Simpson,
     "t26_kl_sources" -> t26KlSources,
     "t25_pmi" -> t25Pmi,
     "t24_vocab_coverage" -> t24VocabCoverage,
@@ -993,6 +1032,26 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t27_simpson" ->
+      s"""WITH tf AS (SELECT source, unnest($toksSql) AS term
+            FROM documents),
+          cen AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+            FROM tf GROUP BY 1, 2),
+          agg AS (SELECT source,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS vocab,
+              sum(CAST(n AS HUGEINT) * (n - 1)) AS coll,
+              CAST(max(n) AS BIGINT) AS max_n
+            FROM cen GROUP BY 1)
+          SELECT source, n_tokens, vocab,
+            round(CAST(coll AS DOUBLE) /
+              (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)), 4)
+              AS simpson,
+            round((CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+              / CAST(coll AS DOUBLE), 4) AS inv_simpson,
+            round(CAST(max_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+              AS berger_parker
+          FROM agg ORDER BY source""",
     "t26_kl_sources" ->
       s"""WITH tok AS (SELECT source, unnest($toksSql) AS term
             FROM documents),

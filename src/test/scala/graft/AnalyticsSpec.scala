@@ -672,4 +672,59 @@ class AnalyticsSpec extends AnyFunSuite {
         s"nation $n month $m missing neighbor ${m + d}"))
     }
   }
+
+  test("q81 migration matrix equals a driver banding replay and conserves customers") {
+    import spark.implicits._
+    val d = Tables.orders(spark, sf)
+      .select($"o_custkey",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")),
+        floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val mid = (d.map(_._2).min + d.map(_._2).max) / 2
+    def bands(half: Array[(Long, Long)]): Map[Long, Int] = {
+      val ranked = half.sortBy(t => (t._2, t._1)).zipWithIndex
+      val cnt = half.length.toLong
+      ranked.map { case ((cust, _), i) =>
+        cust -> ((Analytics.migBands * i.toLong / cnt).toInt + 1)
+      }.toMap
+    }
+    def halfSpend(p: ((Long, Int, Long)) => Boolean): Array[(Long, Long)] =
+      d.filter(p).groupBy(_._1).view.mapValues(_.map(_._3).sum).toArray
+    val b1 = bands(halfSpend(_._2 <= mid))
+    val b2 = bands(halfSpend(_._2 > mid))
+    val expected = (b1.keySet ++ b2.keySet).toSeq
+      .map(c => (b1.getOrElse(c, 0), b2.getOrElse(c, 0)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Analytics.q81SegmentMigration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected && got.nonEmpty)
+    // every customer appears exactly once in the matrix
+    assert(got.values.sum == (b1.keySet ++ b2.keySet).size.toLong)
+  }
+
+  test("q82 Lorenz deciles are convex, conserve totals, and end at share 1") {
+    import spark.implicits._
+    val per = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Analytics.q82LorenzDeciles(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    assert(rows.map(_._2).sum == per.length.toLong)
+    assert(rows.map(_._3).sum == per.map(_._2).sum)
+    assert(math.abs(rows.last._4 - 1.0) < 1e-9)
+    // Lorenz convexity: ascending deciles have nondecreasing mass
+    val mass = rows.map(r => r._3.toDouble / r._2.toDouble)
+    assert(mass.zip(mass.tail).forall { case (a, b) => b >= a - 1e-9 })
+    // replay decile banding exactly
+    val ranked = per.sortBy(t => (t._2, t._1)).zipWithIndex
+    val cnt = per.length.toLong
+    val expDec = ranked.groupBy { case (_, i) => (10L * i / cnt).toInt + 1 }
+      .view.mapValues(g => (g.length.toLong, g.map(_._1._2).sum)).toMap
+    rows.foreach { case (dec, n, cents, _) =>
+      assert(expDec(dec) == ((n, cents)), s"decile $dec")
+    }
+  }
 }

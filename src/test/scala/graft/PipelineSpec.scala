@@ -378,6 +378,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("m9 scene cuts equal a driver stub replay incl. islands scene ids") {
+    import graft.operators.Multimodal
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vids = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 2 &&
+        d._2.getBytes("UTF-8").length >= Multimodal.sceneFrameBytes)
+    val expected = vids.map { case (id, t) =>
+      val cm = md5hex(t)
+      val nf = (t.getBytes("UTF-8").length / Multimodal.sceneFrameBytes).toInt
+      val es = (1 to nf).map(f =>
+        Integer.parseInt(md5hex(s"$cm:$f").substring(0, 3), 16) % 1000)
+      val cuts = es.indices.count(i =>
+        i > 0 && math.abs(es(i) - es(i - 1)) > Multimodal.sceneCutDelta)
+      val lens = es.indices.foldLeft(List(0)) { (acc, i) =>
+        if (i > 0 && math.abs(es(i) - es(i - 1)) > Multimodal.sceneCutDelta)
+          1 :: acc
+        else (acc.head + 1) :: acc.tail
+      }
+      (id, nf, (cuts + 1).toLong, lens.max.toLong,
+        r4(nf.toDouble / (cuts + 1).toDouble))
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.m9SceneCuts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // cuts actually occur on the fixture
+    assert(got.exists(_._3 > 1L))
+    got.foreach { g => assert(g._4 <= g._2 && g._3 <= g._2) }
+  }
+
   test("c9 BPE merges equal an independent list-walk replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, split, lower}

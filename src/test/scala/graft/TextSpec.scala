@@ -468,4 +468,35 @@ class TextSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.size == 20)
   }
+
+  test("t27 Simpson diversity equals an exact BigInt driver replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, split, lower, col}
+    val terms = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = terms.groupBy(_._1).view.mapValues { g =>
+      val counts = g.map(_._2).groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val coll = counts.map(c => BigInt(c) * (c - 1)).sum
+      (n, counts.size.toLong,
+        r4(coll.toDouble / (n.toDouble * (n - 1).toDouble)),
+        r4((n.toDouble * (n - 1).toDouble) / coll.toDouble),
+        r4(counts.max.toDouble / n.toDouble))
+    }.toMap
+    val got = TextAnalysis.t27Simpson(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == expected && got.nonEmpty)
+    // diversity bounds: 1 <= inv_simpson <= vocab
+    got.values.foreach { case (n, v, s1, inv, bp) =>
+      assert(s1 > 0.0 && s1 <= 1.0001)
+      // the UNBIASED inverse can slightly exceed raw richness on
+      // near-uniform counts ((Vc-1)/(c-1) > V); bound by tokens instead
+      assert(inv >= 0.9999 && inv <= n.toDouble + 1e-4)
+      assert(bp > 0.0 && bp <= 1.0001)
+    }
+  }
 }
