@@ -37,7 +37,8 @@ object SparkEntry {
       (streaming.OooAudit.queries, streaming.OooAudit.oracle),
       (streaming.PitTiers.queries, streaming.PitTiers.oracle),
       (streaming.Trending.queries, streaming.Trending.oracle),
-      (streaming.Compact.queries, streaming.Compact.oracle))
+      (streaming.Compact.queries, streaming.Compact.oracle),
+      (streaming.Sample.queries, streaming.Sample.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -426,8 +426,49 @@ object Pipeline {
       .orderBy($"round")
   }
 
+  // ---------------------------------------------------------------- c10
+
+  /** D154: temperature-scaled mixture weights — per source, the raw
+    * token share and the α = 0.5 temperature share
+    * wᵢ = nᵢ^α / Σ nⱼ^α, the standard multilingual/multi-source
+    * rebalancing rule (upweight small sources, α→0 uniform, α=1 raw;
+    * the WEIGHT-side companion of c6's budget-side mixture builder).
+    *
+    * Exactness: nᵢ^0.5 is `sqrt` (IEEE-correctly-rounded, identical
+    * both engines — never `pow`, the t19 rule); the Σ√n fold rides an
+    * ORDERED running frame over the source census (bounded rows,
+    * source order) so the double summation order is pinned (q75
+    * argument); Σn is an exact integer. Shares and the boost ratio
+    * are fixed IEEE trees, 4-dp.
+    *
+    * Scale shape: one tokenize + partial-aggregated source census
+    * (≤ |sources| rows), then window arithmetic on that census. */
+  def c10MixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables.documents(spark, dir)
+      .select($"source", size(split(lower($"text"), " ")).cast("long").as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+    val wCum = Window.orderBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    census
+      .withColumn("tot", sum($"n_tokens").over(wAll))
+      .withColumn("run_sqrt", sum(sqrt($"n_tokens".cast("double"))).over(wCum))
+      .withColumn("tot_sqrt", max($"run_sqrt").over(wAll))
+      .select($"source", $"n_tokens",
+        round(expr("CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)"), 4)
+          .as("raw_share"),
+        round(expr("sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt"), 4)
+          .as("temp_share"),
+        round(expr("""(sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt) /
+            (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))"""), 4)
+          .as("boost"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_bpe_train" -> c9BpeTrain,
+    "c10_mixture_temperature" -> c10MixtureTemperature,
     "c8_dataset_card" -> c8DatasetCard,
     "c7_curriculum" -> c7Curriculum,
     "c1_clean_corpus" -> c1CleanCorpus,
@@ -455,6 +496,24 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c10_mixture_temperature" ->
+      """WITH cen AS (SELECT source,
+              CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                AS n_tokens
+            FROM documents GROUP BY 1),
+          w AS (SELECT source, n_tokens,
+              CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+              sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (ORDER BY source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sqrt
+            FROM cen),
+          w2 AS (SELECT *, max(run_sqrt) OVER () AS tot_sqrt FROM w)
+          SELECT source, n_tokens,
+            round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 4)
+              AS raw_share,
+            round(sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt, 4) AS temp_share,
+            round((sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt) /
+              (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)), 4) AS boost
+          FROM w2 ORDER BY source""",
     "c9_bpe_train" ->
       s"""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS word
             FROM documents),

@@ -594,6 +594,55 @@ object Stats {
       .orderBy($"t_days")
   }
 
+  // ---------------------------------------------------------------- q83
+
+  /** D151: one-way ANOVA — does mean order value differ by day of
+    * week? F = (SSB/(k−1)) / (SSW/(N−k)) plus the η² effect size,
+    * the k-group generalization of q67's two-arm t-test.
+    *
+    * Moments (n, Σy, Σy²) per group are EXACT integers in
+    * DECIMAL(38,0). SSB needs Σ_g S_g²/n_g — a sum of RATIONALS — so
+    * it rides an ORDERED running frame over the ≤ 7-row group census
+    * (dow order), making the double fold sequential and identical on
+    * both engines (the q75 AP-fold argument); SST comes from the
+    * exact global moments. One F and one η² division at the end,
+    * 4-dp.
+    *
+    * Scale shape: one map-side-combined aggregate to ≤ 7 rows, then
+    * arithmetic on that bounded census — nothing downstream of the
+    * scan shuffles more. */
+  def q83Anova(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.orders(spark, dir)
+      .select((dayofweek($"o_orderdate") - 1).as("dow"), // 0=Sunday, both engines
+        floor($"o_totalprice" * 100).cast("long").as("y"))
+      .groupBy($"dow")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum($"y").cast("decimal(38,0)").as("s"),
+        sum($"y".cast("decimal(38,0)") * $"y").as("q"))
+    val wCum = Window.orderBy($"dow")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    g.withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("nn", sum($"n").over(wAll))
+      .withColumn("ss", sum($"s").over(wAll))
+      .withColumn("qq", sum($"q").over(wAll))
+      .withColumn("ssb_run",
+        sum(expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy($"dow".desc)))
+      .filter($"rn" === 1) // last row of the dow-ordered fold
+      .select($"k".cast("long").as("k_groups"), $"nn".cast("long").as("n"),
+        round(expr("""((ssb_run - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+            ((CAST(qq AS DOUBLE) - ssb_run) / CAST(nn - k AS DOUBLE))"""), 4)
+          .as("f_stat"),
+        round(expr("""(ssb_run - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(nn AS DOUBLE)) /
+            (CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(nn AS DOUBLE))"""), 4).as("eta_sq"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,7 +655,8 @@ object Stats {
     "q75_pr_auc" -> q75PrAuc,
     "q76_ks_test" -> q76KsTest,
     "q77_acf" -> q77Acf,
-    "q78_kaplan_meier" -> q78KaplanMeier)
+    "q78_kaplan_meier" -> q78KaplanMeier,
+    "q83_anova" -> q83Anova)
 
   val oracle: Map[String, String] = Map(
     "q67_welch_ttest" ->
@@ -869,5 +919,34 @@ object Stats {
             FROM rec JOIN ev e ON e.rn = rec.rn + 1)
           SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
             round(s, 4) AS survival
-          FROM rec ORDER BY t""")
+          FROM rec ORDER BY t""",
+    "q83_anova" ->
+      """WITH g AS (SELECT CAST(dayofweek(o_orderdate) AS INT) AS dow,
+              CAST(count(*) AS HUGEINT) AS n,
+              sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+                AS s,
+              sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+                * CAST(floor(o_totalprice * 100) AS BIGINT)) AS q
+            FROM orders GROUP BY 1),
+          w AS (SELECT dow, n, s, q,
+              CAST(count(*) OVER () AS BIGINT) AS k,
+              sum(n) OVER () AS nn,
+              sum(s) OVER () AS ss,
+              sum(q) OVER () AS qq,
+              sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                OVER (ORDER BY dow
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS ssb_run,
+              row_number() OVER (ORDER BY dow DESC) AS rn
+            FROM g)
+          SELECT k AS k_groups, CAST(nn AS BIGINT) AS n,
+            round(((ssb_run - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+              ((CAST(qq AS DOUBLE) - ssb_run) / CAST(nn - k AS DOUBLE)), 4)
+              AS f_stat,
+            round((ssb_run - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(nn AS DOUBLE)) /
+              (CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(nn AS DOUBLE)), 4) AS eta_sq
+          FROM w WHERE rn = 1""")
 }

@@ -960,8 +960,54 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- t28
+
+  /** Minimum corpus count for a t28 term (keeps the burst table off
+    * hapax noise). */
+  val burstMinCount = 100L
+  /** t28 leaderboard depth. */
+  val burstTopK = 30
+
+  /** D152: term burstiness — the Fano factor (variance/mean) of each
+    * frequent term's PER-DOCUMENT count, zeros included: a term with
+    * B ≈ 1 is Poisson-scattered (function words); B ≫ 1 concentrates
+    * in few documents (topical or SPAM/template terms — the signal
+    * t8's within-doc repetition can't see because it never compares
+    * across documents). Church & Gale's burstiness diagnostic as a
+    * corpus screen.
+    *
+    * Exactness: with D docs, n total and Σc² over per-doc counts,
+    * B = (D·Σc² − n²) / (D·n) — a ratio of EXACT integers
+    * (DECIMAL(38,0)), one division, 4-dp. Zero-count documents enter
+    * through the closed form, never materialized.
+    *
+    * Scale shape: one tokenize + (doc, term) partial agg, then a
+    * term-level rollup (vocabulary-bounded, t6 rule); the doc count
+    * broadcasts as a one-row cross join; top-K is a TakeOrdered. */
+  def t28Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val perDoc = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val terms = perDoc.groupBy($"term")
+      .agg(sum($"c").as("n"), count(lit(1)).as("df"),
+        sum($"c".cast("decimal(38,0)") * $"c").as("sumsq"))
+      .filter($"n" >= burstMinCount)
+    val d = docs.agg(count(lit(1)).as("n_docs"))
+    terms.crossJoin(broadcast(d))
+      .select($"term", $"n", $"df",
+        round(expr("""CAST(CAST(n_docs AS DECIMAL(38,0)) * sumsq
+              - CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) /
+            (CAST(n_docs AS DOUBLE) * CAST(n AS DOUBLE))"""), 4)
+          .as("burstiness"))
+      .orderBy($"burstiness".desc, $"term")
+      .limit(burstTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_simpson" -> t27Simpson,
+    "t28_burstiness" -> t28Burstiness,
     "t26_kl_sources" -> t26KlSources,
     "t25_pmi" -> t25Pmi,
     "t24_vocab_coverage" -> t24VocabCoverage,
@@ -1032,6 +1078,23 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t28_burstiness" ->
+      s"""WITH pd AS (SELECT doc_id, unnest($toksSql) AS term
+            FROM documents),
+          pc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+            FROM pd GROUP BY 1, 2),
+          tm AS (SELECT term, CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS df,
+              sum(CAST(c AS HUGEINT) * c) AS sumsq
+            FROM pc GROUP BY 1
+            HAVING sum(c) >= $burstMinCount),
+          d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+          SELECT term, n, df,
+            round(CAST(CAST(n_docs AS HUGEINT) * sumsq
+                - CAST(n AS HUGEINT) * n AS DOUBLE) /
+              (CAST(n_docs AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS burstiness
+          FROM tm CROSS JOIN d
+          ORDER BY burstiness DESC, term LIMIT $burstTopK""",
     "t27_simpson" ->
       s"""WITH tf AS (SELECT source, unnest($toksSql) AS term
             FROM documents),

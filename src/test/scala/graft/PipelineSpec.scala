@@ -378,6 +378,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("c10 temperature mixture equals a driver replay and rebalances toward small sources") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{split, lower, col, size => asize}
+    val census = Tables.documents(spark, sf)
+      .select(col("source"), asize(split(lower(col("text")), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val tot = census.map(_._2).sum
+    var totSqrt = 0.0
+    census.foreach { case (_, n) => totSqrt += math.sqrt(n.toDouble) }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = census.map { case (src, n) =>
+      val raw = n.toDouble / tot.toDouble
+      val tmp = math.sqrt(n.toDouble) / totSqrt
+      (src, n, r4(raw), r4(tmp), r4(tmp / raw))
+    }
+    val got = Pipeline.c10MixtureTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // temperature flattens: smallest source boosted, largest damped
+    val smallest = got.minBy(_._2); val largest = got.maxBy(_._2)
+    assert(smallest._5 >= 1.0 - 1e-9 && largest._5 <= 1.0 + 1e-9)
+  }
+
   test("m9 scene cuts equal a driver stub replay incl. islands scene ids") {
     import graft.operators.Multimodal
     def md5hex(s: String): String =

@@ -329,4 +329,33 @@ class StatsSpec extends AnyFunSuite {
     // censoring actually exercised on the fixture
     assert(obs.exists(_._2) && obs.exists(!_._2))
   }
+
+  test("q83 one-way ANOVA matches an exact driver-moments replay") {
+    import spark.implicits._
+    val ys = Tables.orders(spark, sf)
+      .select(dayofweek($"o_orderdate") - 1, floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val groups = ys.groupBy(_._1).toSeq.sortBy(_._1)
+    val k = groups.size
+    val n = ys.length.toLong
+    val ss = ys.map(t => BigInt(t._2)).sum
+    val qq = ys.map(t => BigInt(t._2) * t._2).sum
+    var ssbRun = 0.0
+    groups.foreach { case (_, g) =>
+      val gs = g.map(t => BigInt(t._2)).sum
+      ssbRun += gs.toDouble * gs.toDouble / g.length.toDouble
+    }
+    val ssb = ssbRun - ss.toDouble * ss.toDouble / n.toDouble
+    val ssw = qq.toDouble - ssbRun
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Stats.q83Anova(spark, sf).collect()(0)
+    assert(r.getLong(0) == k.toLong && r.getLong(1) == n)
+    assert(r.getDouble(2) == r4((ssb / (k - 1)) / (ssw / (n - k))))
+    assert(r.getDouble(3) ==
+      r4(ssb / (qq.toDouble - ss.toDouble * ss.toDouble / n.toDouble)))
+    // sanity: eta^2 in [0,1], F nonnegative
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(2) >= 0.0)
+  }
 }

@@ -854,6 +854,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == 3)
     } finally q.stop()
   }
+
+  test("e16 deterministic window sample stream equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 8 events in window 1 (> k, so displacement happens), 3 in window 2
+    val evs = (1L to 8L).map(i => Ev(i, t(i.toInt * 10), i, s"et$i", 0)) ++
+      Seq(Ev(20, t(400), 20, "a", 0), Ev(21, t(410), 21, "b", 0),
+        Ev(22, t(420), 22, "c", 0))
+    val mem = MemoryStream[Ev]
+    val q = streaming.Sample.sampleStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("samp")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(99, t(100000), 99, "sentinel", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("samp").filter($"event_type" =!= "sentinel")
+        .orderBy($"window_start", $"rk").collect().map(_.toString).toSeq
+      val exp = streaming.Sample.sampled(evs.toDF())
+        .orderBy($"window_start", $"rk").collect().map(_.toString).toSeq
+      assert(got == exp, s"stream diverged from batch twin: $got vs $exp")
+      // window 1 keeps exactly k of its 8 events; window 2 all 3
+      assert(got.size == streaming.Sample.sampleK + 3)
+    } finally q.stop()
+  }
 }
 
 /** Row type for the incremental-covariance stream. */

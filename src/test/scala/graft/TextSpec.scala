@@ -499,4 +499,31 @@ class TextSpec extends AnyFunSuite {
       assert(bp > 0.0 && bp <= 1.0001)
     }
   }
+
+  test("t28 burstiness equals an exact Fano-factor driver replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, split, lower, col}
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = perDoc.map(_._1).distinct.length.toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = perDoc.groupBy(_._2).toSeq.flatMap { case (term, occ) =>
+      val counts = occ.groupBy(_._1).map(_._2.length.toLong)
+      val n = counts.sum
+      if (n >= TextAnalysis.burstMinCount) {
+        val sumsq = counts.map(c => BigInt(c) * c).sum
+        val b = (BigInt(nDocs) * sumsq - BigInt(n) * n).toDouble /
+          (nDocs.toDouble * n.toDouble)
+        Some((term, n, counts.size.toLong, r4(b)))
+      } else None
+    }.sortBy(t => (-t._4, t._1)).take(TextAnalysis.burstTopK)
+    val got = TextAnalysis.t28Burstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // Fano >= (1 - n/D) lower bound not useful; assert nonnegative
+    assert(got.forall(_._4 >= -1e-9))
+  }
 }
