@@ -1041,7 +1041,53 @@ object Analytics {
       .orderBy($"decile")
   }
 
+  // ---------------------------------------------------------------- q84
+
+  /** D156: month-over-month Laspeyres price index over the part
+    * catalog — "how much did the SAME basket cost this month vs
+    * last", weighting each part's current unit price by its
+    * PRIOR-month quantity (the standard base-weighted index; the
+    * price-level companion of q80's revenue decomposition).
+    *
+    *   L_m = Σᵢ p_{i,m}·q_{i,m−1} / Σᵢ p_{i,m−1}·q_{i,m−1}
+    *
+    * Exactness: the denominator is Σ ep_{i,m−1} — an EXACT integer
+    * (price×quantity of the base month IS extended-price cents). The
+    * numerator's terms p_{i,m}·q_{i,m−1} = ep_m·q_{m−1}/q_m are
+    * rationals; each is ROUNDED TO THE 4-DP GRID and summed as
+    * DECIMAL (the t26 round-before-sum rule — no float summation
+    * order), then ONE division, 4-dp. Parts must trade in both
+    * months (standard matched-basket rule).
+    *
+    * Scale shape: one partial-aggregated (part, month) census, one
+    * co-partitioned self-join on (part, month−1), a month-level
+    * rollup — census is |parts|·|months|, join is equi on the same
+    * key layout. */
+  def q84PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey".as("pk"),
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).as("m"))
+      .agg(sum(floor($"l_extendedprice" * 100).cast("long")).as("ep"),
+        sum(round($"l_quantity").cast("long")).as("qty"))
+      .filter($"qty" > 0)
+    monthly.as("cur").join(monthly.as("base"),
+        $"cur.pk" === $"base.pk" && $"cur.m" === $"base.m" + 1)
+      .select($"cur.m".as("m"),
+        expr("""CAST(round(CAST(cur.ep AS DOUBLE) * CAST(base.qty AS DOUBLE)
+            / CAST(cur.qty AS DOUBLE), 4) AS DECIMAL(38,6))""").as("num_term"),
+        $"base.ep".as("den_term"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"num_term").as("num"), sum($"den_term").as("den"))
+      .select($"m", $"n_parts",
+        round(expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"), 4)
+          .as("laspeyres"))
+      .orderBy($"m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_price_index" -> q84PriceIndex,
     "q81_segment_migration" -> q81SegmentMigration,
     "q82_lorenz_deciles" -> q82LorenzDeciles,
     "q79_hhi" -> q79Hhi,
@@ -1070,6 +1116,23 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q84_price_index" ->
+      """WITH mon AS (SELECT l_partkey AS pk,
+              year(l_shipdate) * 12 + month(l_shipdate) AS m,
+              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS ep,
+              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY 1, 2 HAVING sum(round(l_quantity)) > 0),
+          j AS (SELECT cur.m AS m,
+              CAST(round(CAST(cur.ep AS DOUBLE) * CAST(base.qty AS DOUBLE)
+                / CAST(cur.qty AS DOUBLE), 4) AS DECIMAL(38,6)) AS num_term,
+              base.ep AS den_term
+            FROM mon cur JOIN mon base
+              ON cur.pk = base.pk AND cur.m = base.m + 1)
+          SELECT CAST(m AS INT) AS m, CAST(count(*) AS BIGINT) AS n_parts,
+            round(CAST(sum(num_term) AS DOUBLE)
+              / CAST(sum(den_term) AS DOUBLE), 4) AS laspeyres
+          FROM j GROUP BY m ORDER BY m""",
     "q81_segment_migration" ->
       s"""WITH d AS (SELECT o_custkey,
               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

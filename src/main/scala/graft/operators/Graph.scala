@@ -383,7 +383,69 @@ object Graph {
       .select($"pa".as("part_a"), $"pb".as("part_b"), $"cn", $"ra_micro")
   }
 
+  /** g7 leaderboard depth. */
+  val ejTopK = 20
+
+  /** D157: edge-neighborhood Jaccard — for each EXISTING strong edge,
+    * |N(u)∩N(v)| / |N(u)∪N(v)| over the endpoint neighborhoods
+    * (excluding u, v themselves): the tie-strength / embeddedness
+    * score (Granovetter; also the Jarvis–Patrick clustering
+    * similarity). g6 scores absent edges for prediction; g7 scores
+    * present ones for strength.
+    *
+    * Exactness: common-neighbor counts come from exact per-edge
+    * triangle counting; J = cn / (du + dv − 2 − cn) is a ratio of
+    * integers, one division (the denominator is ≥ cn ≥ 1 on every
+    * emitted row). Top-[[ejTopK]] is a TakeOrdered with total
+    * (J, u, v) order.
+    *
+    * Scale shape: the g2 degree-ordered wedge machinery — each
+    * triangle closes exactly one oriented wedge, and exploding its 3
+    * canonical edges + a partial-aggregated rollup yields per-edge
+    * common-neighbor counts with O(√m)-bounded wedge fan-out; two
+    * broadcast-size degree joins finish the score. */
+  def g7EdgeJaccard(spark: SparkSession, dir: String): DataFrame =
+    edgeJaccard(strongEdges(spark, dir))
+
+  /** Core per-edge Jaccard over any canonical (src < dst) undirected
+    * edge frame. */
+  def edgeJaccard(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    val deg = und.select($"src".as("vx")).unionAll(und.select($"dst".as("vx")))
+      .groupBy($"vx").agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select($"vx".as("src"), $"dg".as("ds")), "src")
+      .join(deg.select($"vx".as("dst"), $"dg".as("dd")), "dst")
+    val ori = withDeg.select(
+        when($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"),
+          struct($"src".as("u"), $"dst".as("v")))
+          .otherwise(struct($"dst".as("u"), $"src".as("v"))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .localCheckpoint() // consumed 3× (wedge sides + closure)
+    val wedge = ori.as("a").join(ori.as("b"),
+        $"a.u" === $"b.u" && $"a.v" =!= $"b.v")
+      .select($"a.u".as("x"), $"a.v".as("y"), $"b.v".as("z"))
+    val tri = wedge.join(ori.as("c"),
+      $"y" === $"c.u" && $"z" === $"c.v", "left_semi")
+    val cn = tri.select(explode(array(
+        struct(least($"x", $"y").as("s"), greatest($"x", $"y").as("t")),
+        struct(least($"x", $"z").as("s"), greatest($"x", $"z").as("t")),
+        struct(least($"y", $"z").as("s"), greatest($"y", $"z").as("t"))))
+        .as("e"))
+      .select($"e.s".as("src"), $"e.t".as("dst"))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n_common"))
+    und.join(cn, Seq("src", "dst"))
+      .join(deg.select($"vx".as("src"), $"dg".as("du")), "src")
+      .join(deg.select($"vx".as("dst"), $"dg".as("dv")), "dst")
+      .select($"src".as("part_a"), $"dst".as("part_b"), $"n_common",
+        round(expr("""CAST(n_common AS DOUBLE) /
+            CAST(du + dv - 2 - n_common AS DOUBLE)"""), 4).as("jaccard"))
+      .orderBy($"jaccard".desc, $"part_a", $"part_b")
+      .limit(ejTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g7_edge_jaccard" -> g7EdgeJaccard,
     "g6_link_predict" -> g6LinkPredict,
     "g5_ppr" -> g5Ppr,
     "g4_label_prop" -> g4LabelProp,
@@ -442,6 +504,38 @@ object Graph {
         GROUP BY pk)"""
 
   val oracle: Map[String, String] = Map(
+    "g7_edge_jaccard" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          deg AS (SELECT vx, CAST(count(*) AS BIGINT) AS dg
+                  FROM (SELECT src AS vx FROM und
+                        UNION ALL SELECT dst AS vx FROM und)
+                  GROUP BY vx),
+          ori AS (SELECT CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND u.src < u.dst)
+                              THEN u.src ELSE u.dst END AS u,
+                         CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND u.src < u.dst)
+                              THEN u.dst ELSE u.src END AS v
+                  FROM und u JOIN deg ds ON u.src = ds.vx
+                             JOIN deg dd ON u.dst = dd.vx),
+          tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                  FROM ori a JOIN ori b ON a.u = b.u AND a.v <> b.v
+                  WHERE EXISTS (SELECT 1 FROM ori c
+                                WHERE c.u = a.v AND c.v = b.v)),
+          te AS (SELECT least(x, y) AS src, greatest(x, y) AS dst FROM tri
+                 UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+                 UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
+          cn AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_common
+                 FROM te GROUP BY 1, 2)
+          SELECT u.src AS part_a, u.dst AS part_b, cn.n_common,
+            round(CAST(cn.n_common AS DOUBLE)
+              / CAST(ds.dg + dd.dg - 2 - cn.n_common AS DOUBLE), 4) AS jaccard
+          FROM und u JOIN cn ON u.src = cn.src AND u.dst = cn.dst
+          JOIN deg ds ON u.src = ds.vx JOIN deg dd ON u.dst = dd.vx
+          ORDER BY jaccard DESC, part_a, part_b LIMIT $ejTopK""",
     "g6_link_predict" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

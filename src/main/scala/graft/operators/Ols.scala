@@ -131,9 +131,84 @@ object Ols {
     }.toDF("idx", "feature", "coef").orderBy($"idx")
   }
 
+  /** Fold count for [[p12RidgeCv]]. */
+  val cvFolds = 3
+
+  /** D155: k-fold cross-validated ridge — per fold, train p10's ridge
+    * on the OTHER folds and report held-out RMSE plus the fold's
+    * coefficients: the model-selection readout (stable coefficients +
+    * flat RMSE across folds = the fit generalizes).
+    *
+    * The train-on-complement pass is FREE: fold moments partial-
+    * aggregate in the same single scan, and each fold's training
+    * moments are total − fold — EXACT integer subtraction (the
+    * moments commute; no second data pass, no per-fold scan). Each
+    * fold solves the identical shared-by-construction Cramer
+    * expansion (p9/p10), so coefficients are bit-identical to the
+    * oracle's SQL solve. Held-out errors are per-row doubles from the
+    * SAME prediction expression; each squared error is ROUNDED TO THE
+    * 4-DP GRID BEFORE the sum and summed as DECIMAL (the t26
+    * round-before-sum rule), so the SSE has no float summation order.
+    *
+    * Scale shape: one scan for moments (k-row output), one broadcast
+    * join of 3 coefficient rows for scoring, one partial-aggregated
+    * SSE rollup. Folds assigned by the md5 gate (c5: no RNG). */
+  def p12RidgeCv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def s(e: Column, n: String) = sum(e.cast("decimal(38,0)")).as(n)
+    val li = Tables.lineitem(spark, dir).select(
+      (conv(substring(md5(concat_ws(":", $"l_orderkey", $"l_linenumber")),
+        1, 4), 16, 10).cast("long") % cvFolds).cast("int").as("fold"),
+      round($"l_quantity").cast("long").as("q"),
+      round($"l_discount" * 100).cast("long").as("d"),
+      round($"l_tax" * 100).cast("long").as("t"),
+      round($"l_extendedprice" * 100).cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perFold = li.groupBy($"fold").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      s($"q", "sq"), s($"d", "sd"), s($"t", "st"), s($"y", "sy"),
+      s($"q" * $"q", "sqq"), s($"q" * $"d", "sqd"), s($"q" * $"t", "sqt"),
+      s($"d" * $"d", "sdd"), s($"d" * $"t", "sdt"), s($"t" * $"t", "stt"),
+      s($"q" * $"y", "sqy"), s($"d" * $"y", "sdy"), s($"t" * $"y", "sty"))
+      .collect()
+    val names = "n" +: momentNames
+    def bd(r: org.apache.spark.sql.Row, i: Int): BigDecimal =
+      BigDecimal(r.getDecimal(i))
+    val byFold: Map[Int, Map[String, BigDecimal]] = perFold.map { r =>
+      r.getInt(0) ->
+        names.zipWithIndex.map { case (n, i) => n -> bd(r, i + 1) }.toMap
+    }.toMap
+    val tot: Map[String, BigDecimal] =
+      names.map(n => n -> byFold.values.map(_(n)).sum).toMap
+    val coefs = byFold.keys.toSeq.sorted.map { f =>
+      val train = names.map(n => n -> (tot(n) - byFold(f)(n)).toDouble).toMap
+      val m = train ++ Seq("sqq", "sdd", "stt")
+        .map(k => k -> (train(k) + ridgeLambda.toDouble))
+      val da = detVal(-1, m)
+      (f, detVal(0, m) / da, detVal(1, m) / da,
+        detVal(2, m) / da, detVal(3, m) / da)
+    }
+    val cdf = coefs.toDF("fold", "b0", "b1", "b2", "b3")
+    li.join(broadcast(cdf), "fold")
+      .withColumn("err",
+        expr("CAST(y AS DOUBLE) - (b0 + b1 * q + b2 * d + b3 * t)"))
+      .withColumn("term", expr("CAST(round(err * err, 4) AS DECIMAL(38,6))"))
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n_test"), sum($"term").as("sse"),
+        first($"b0").as("b0"), first($"b1").as("b1"),
+        first($"b2").as("b2"), first($"b3").as("b3"))
+      .select($"fold", $"n_test",
+        round($"b0", 4).as("b0"), round($"b1", 4).as("b1"),
+        round($"b2", 4).as("b2"), round($"b3", 4).as("b3"),
+        round(expr("sqrt(CAST(sse AS DOUBLE) / CAST(n_test AS DOUBLE))"), 4)
+          .as("rmse_cents"))
+      .orderBy($"fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p9_ols_multi" -> p9OlsMulti,
-    "p10_ridge" -> p10Ridge)
+    "p10_ridge" -> p10Ridge,
+    "p12_ridge_cv" -> p12RidgeCv)
 
   private val momentNames =
     Seq("sq", "sd", "st", "sy", "sqq", "sqd", "sqt", "sdd", "sdt", "stt",
@@ -175,7 +250,54 @@ object Ols {
         ORDER BY idx"""
   }
 
+  /** DuckDB replay of [[p12RidgeCv]]: identical fold gate, HUGEINT
+    * total−fold training moments, the SAME generated Leibniz solve per
+    * fold row, and the same round-before-decimal-sum SSE. */
+  private def cvOracleSql: String = {
+    val names = "n" +: momentNames
+    val sums = Seq("q" -> "sq", "d" -> "sd", "t" -> "st", "y" -> "sy",
+      "q*q" -> "sqq", "q*d" -> "sqd", "q*t" -> "sqt",
+      "d*d" -> "sdd", "d*t" -> "sdt", "t*t" -> "stt",
+      "q*y" -> "sqy", "d*y" -> "sdy", "t*y" -> "sty")
+      .map { case (e, n) => s"sum($e) AS $n" }.mkString(", ")
+    val totals = names.map(n => s"sum($n) AS $n").mkString(", ")
+    val diag = Set("sqq", "sdd", "stt")
+    val trainCols = names.map { n =>
+      val base = s"CAST(t.$n - f.$n AS DOUBLE)"
+      if (diag(n)) s"$base + $ridgeLambda AS $n" else s"$base AS $n"
+    }.mkString(", ")
+    val dets = (0 to 3)
+      .map(i => s"((${detSql(i)}) / (${detSql(-1)})) AS b$i").mkString(", ")
+    val pred = "(b0 + b1 * q + b2 * d + b3 * t)"
+    s"""WITH li AS (SELECT
+            CAST(CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+              || ':' || CAST(l_linenumber AS VARCHAR)), 1, 4) AS BIGINT)
+              % $cvFolds AS INT) AS fold,
+            CAST(round(l_quantity) AS BIGINT) AS q,
+            CAST(round(l_discount * 100) AS BIGINT) AS d,
+            CAST(round(l_tax * 100) AS BIGINT) AS t,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem),
+        fm AS (SELECT fold, CAST(count(*) AS HUGEINT) AS n, $sums
+          FROM li GROUP BY 1),
+        tm AS (SELECT $totals FROM fm),
+        tr AS (SELECT f.fold, $trainCols FROM fm f CROSS JOIN tm t),
+        cf AS (SELECT fold, $dets FROM tr),
+        er AS (SELECT li.fold,
+            CAST(round((CAST(y AS DOUBLE) - $pred)
+              * (CAST(y AS DOUBLE) - $pred), 4) AS DECIMAL(38,6)) AS term
+          FROM li JOIN cf USING (fold))
+        SELECT e.fold, CAST(count(*) AS BIGINT) AS n_test,
+          round(c.b0, 4) AS b0, round(c.b1, 4) AS b1,
+          round(c.b2, 4) AS b2, round(c.b3, 4) AS b3,
+          round(sqrt(CAST(sum(e.term) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)), 4) AS rmse_cents
+        FROM er e JOIN cf c USING (fold)
+        GROUP BY e.fold, c.b0, c.b1, c.b2, c.b3 ORDER BY e.fold"""
+  }
+
   val oracle: Map[String, String] = Map(
     "p9_ols_multi" -> oracleSql(0L),
-    "p10_ridge" -> oracleSql(ridgeLambda))
+    "p10_ridge" -> oracleSql(ridgeLambda),
+    "p12_ridge_cv" -> cvOracleSql)
 }

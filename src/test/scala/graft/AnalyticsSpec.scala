@@ -727,4 +727,38 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(expDec(dec) == ((n, cents)), s"decile $dec")
     }
   }
+
+  test("q84 Laspeyres index equals a matched-basket driver replay") {
+    import spark.implicits._
+    val mon = Tables.lineitem(spark, sf)
+      .select($"l_partkey",
+        (year($"l_shipdate") * 12 + month($"l_shipdate")),
+        floor($"l_extendedprice" * 100).cast("long"),
+        round($"l_quantity").cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(g => (g.map(_._2._1).sum, g.map(_._2._2).sum))
+      .filter(_._2._2 > 0).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byM = mon.groupBy(_._1._2)
+    val expected = byM.keys.toSeq.sorted.flatMap { m =>
+      val terms = mon.collect {
+        case ((pk, mm), (ep, qty)) if mm == m && mon.contains((pk, m - 1)) =>
+          val (epB, qtyB) = mon((pk, m - 1))
+          (BigDecimal(r4(ep.toDouble * qtyB.toDouble / qty.toDouble)), epB)
+      }.toSeq
+      if (terms.isEmpty) None
+      else Some((m, terms.length.toLong,
+        r4((terms.map(_._1).sum / BigDecimal(terms.map(_._2).sum)).toDouble)))
+    }
+    val got = Analytics.q84PriceIndex(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 2e-4, s"month ${g._1}: ${g._3} vs ${e._3}")
+    }
+    // fixture unit prices swing hard month to month; just pin positivity
+    assert(got.nonEmpty && got.forall(_._3 > 0.0))
+  }
 }

@@ -213,4 +213,45 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == brute && got.nonEmpty)
   }
+
+  test("g7 edge Jaccard matches hand-checkable values on a synthetic graph") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 4 on vertex 1:
+    // edge (2,3): cn=1 (via 1), union = d2+d3-2-cn = 2+2-2-1 = 1 -> J=1
+    // edges (1,2),(1,3): cn=1, union = 3+2-2-1 = 2 -> J=0.5
+    // edge (1,4): no common neighbor -> not emitted
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.edgeJaccard(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((2L, 3L, 1L, 1.0), (1L, 2L, 1L, 0.5), (1L, 3L, 1L, 0.5)))
+  }
+
+  test("g7 equals a brute per-edge common-neighbor replay on the strong graph") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Seq[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap {
+      order =>
+        val ps = order.map(_._2).distinct.toSeq
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+    }
+    val und = pairs.groupBy(identity).toSeq
+      .collect { case (e, g) if g.size >= Graph.triMinSupport => e }.toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = und.toSeq.flatMap { case (u, v) =>
+      val cn = (adj(u) & adj(v)).size.toLong
+      if (cn >= 1)
+        Some((u, v, cn,
+          r4(cn.toDouble / (adj(u).size + adj(v).size - 2 - cn).toDouble)))
+      else None
+    }.sortBy { case (u, v, _, j) => (-j, u, v) }.take(Graph.ejTopK)
+    val got = Graph.g7EdgeJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == brute && got.nonEmpty)
+  }
 }

@@ -138,4 +138,89 @@ class OlsSpec extends AnyFunSuite {
     // step must stay in the same neighborhood (IRLS step, not a blowup)
     assert(math.abs(b2._1 - b1._1) < 1.0 && math.abs(b2._2 - b1._2) < 1.0)
   }
+
+  test("p12 CV equals an independent Gaussian-elimination replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat_ws, conv, md5, substring, round => sround, floor => sfloor}
+    val O = graft.operators.Ols
+    val rows = Tables.lineitem(spark, sf)
+      .select(
+        (conv(substring(md5(concat_ws(":", $"l_orderkey", $"l_linenumber")),
+          1, 4), 16, 10).cast("long") % O.cvFolds).cast("int"),
+        sround($"l_quantity").cast("long"),
+        sround($"l_discount" * 100).cast("long"),
+        sround($"l_tax" * 100).cast("long"),
+        sround($"l_extendedprice" * 100).cast("long"))
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exact BigInt moments per fold + totals
+    def mom(rs: Array[(Int, Long, Long, Long, Long)]) = {
+      val xs = rs.map { case (_, q, d, t, y) => Array(1L, q, d, t, y) }
+      val names = Array("n", "sq", "sd", "st", "sy", "sqq", "sqd", "sqt",
+        "sdd", "sdt", "stt", "sqy", "sdy", "sty")
+      val idx = Array((0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (1, 1), (1, 2),
+        (1, 3), (2, 2), (2, 3), (3, 3), (1, 4), (2, 4), (3, 4))
+      names.zip(idx.map { case (i, j) =>
+        xs.map(x => BigInt(x(i)) * x(j)).sum
+      }).toMap
+    }
+    val tot = mom(rows)
+    // independent solver: Gaussian elimination with partial pivoting
+    def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      val n = b.length
+      val m = a.map(_.clone); val v = b.clone
+      for (c <- 0 until n) {
+        val p = (c until n).maxBy(r => math.abs(m(r)(c)))
+        val (tr, tv) = (m(c), v(c)); m(c) = m(p); v(c) = v(p)
+        m(p) = tr; v(p) = tv
+        for (r <- c + 1 until n) {
+          val f = m(r)(c) / m(c)(c)
+          for (k <- c until n) m(r)(k) -= f * m(c)(k)
+          v(r) -= f * v(c)
+        }
+      }
+      val x = new Array[Double](n)
+      for (r <- n - 1 to 0 by -1) {
+        x(r) = (v(r) - (r + 1 until n).map(k => m(r)(k) * x(k)).sum) / m(r)(r)
+      }
+      x
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (0 until O.cvFolds).map { f =>
+      val fm = mom(rows.filter(_._1 == f))
+      val tr = tot.map { case (k, v) => k -> (v - fm(k)).toDouble }
+      def g(k: String, diagLam: Boolean = false) =
+        tr(k) + (if (diagLam) O.ridgeLambda.toDouble else 0.0)
+      val a = Array(
+        Array(g("n"), g("sq"), g("sd"), g("st")),
+        Array(g("sq"), g("sqq", true), g("sqd"), g("sqt")),
+        Array(g("sd"), g("sqd"), g("sdd", true), g("sdt")),
+        Array(g("st"), g("sqt"), g("sdt"), g("stt", true)))
+      val bb = Array(g("sy"), g("sqy"), g("sdy"), g("sty"))
+      val beta = solve(a, bb)
+      val test = rows.filter(_._1 == f)
+      val sse = test.map { case (_, q, d, t, y) =>
+        val e = y.toDouble - (beta(0) + beta(1) * q + beta(2) * d + beta(3) * t)
+        BigDecimal(r4(e * e))
+      }.sum
+      (f, test.length.toLong, beta,
+        math.sqrt((sse / test.length).toDouble))
+    }
+    val got = O.p12RidgeCv(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.map(_._1).toSeq == (0 until O.cvFolds))
+    assert(got.map(_._2).sum == rows.length.toLong) // folds partition exactly
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._2 == e._2)
+      val bs = Seq(g._3, g._4, g._5, g._6)
+      bs.zip(e._3).foreach { case (gb, eb) =>
+        // different solver (elimination vs Cramer): tiny float drift
+        assert(math.abs(gb - eb) < math.max(5e-3, math.abs(eb) * 1e-6),
+          s"fold ${g._1}: coef $gb vs $eb")
+      }
+      assert(math.abs(g._7 - e._4) < 5e-3, s"fold ${g._1}: rmse ${g._7} vs ${e._4}")
+    }
+  }
 }

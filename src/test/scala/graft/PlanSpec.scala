@@ -237,11 +237,17 @@ class PlanSpec extends AnyFunSuite {
     // t21 joins two dimension/mask-census-sized frames on bit tests;
     // t22 crosses the vocabulary with the broadcast |languages|-row
     // totals frame (bounded ×|L| fan-out, the model grid); q63 crosses
-    // the census with a ONE-row max-revenue aggregate (the q43 shape)
+    // the census with a ONE-row max-revenue aggregate (the q43 shape);
+    // q75 crosses its two ONE-row result frames; q76/q81/t28 cross a
+    // ONE-row global-total/midpoint/doc-count aggregate (q43 shape);
+    // s13 broadcasts the ≤10-row anchor set against the corpus (s1
+    // shape)
     val boundedByDesign = Set("s1_knn_brute", "s3_neardup_pairs", "s7_knn_pq",
       "s9_mmr_rerank", "s10_range_search", "s11_recall_eval",
       "q43_important_parts", "t17_bm25", "t21_source_drift",
-      "t22_nb_lang", "q63_abc", "q66_skew_census", "t24_vocab_coverage")
+      "t22_nb_lang", "q63_abc", "q66_skew_census", "t24_vocab_coverage",
+      "q75_pr_auc", "q76_ks_test", "q81_segment_migration",
+      "s13_triplet_mining", "t28_burstiness")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {
