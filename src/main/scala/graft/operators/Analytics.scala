@@ -1086,7 +1086,47 @@ object Analytics {
       .orderBy($"m")
   }
 
+  // ---------------------------------------------------------------- q85
+
+  /** D158: cohort LTV curves — customers cohorted by FIRST-order
+    * month; for each (cohort, age-in-months) cell, the cohort's
+    * cumulative revenue per member: the lifetime-value ramp that
+    * prices acquisition (q45 counts who RETURNS; q85 tracks what they
+    * are WORTH).
+    *
+    * Exactness: cumulative cents are exact integer running sums over
+    * per-(cohort, age) cells — windows PARTITIONED BY cohort with age
+    * spans bounded by the calendar; cohort sizes are exact counts;
+    * ONE division per cell, 4-dp.
+    *
+    * Scale shape: a per-customer min-month partial agg, one
+    * co-partitioned join back to orders, a (cohort, age) partial agg
+    * (calendar²-bounded output), then the bounded running window. */
+  def q85CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val om = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+    val cohorts = om.groupBy($"o_custkey").agg(min($"m").as("cohort_m"))
+    val sizes = cohorts.groupBy($"cohort_m")
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = om.join(cohorts, "o_custkey")
+      .groupBy($"cohort_m", ($"m" - $"cohort_m").as("age"))
+      .agg(sum($"cents").as("cell_cents"))
+    val wCum = Window.partitionBy($"cohort_m").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum($"cell_cents").over(wCum))
+      .join(sizes, "cohort_m")
+      .select($"cohort_m", $"age", $"n_customers",
+        round(expr("CAST(cum_cents AS DOUBLE) / CAST(n_customers AS DOUBLE)"), 4)
+          .as("ltv_cents"))
+      .orderBy($"cohort_m", $"age")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_cohort_ltv" -> q85CohortLtv,
     "q84_price_index" -> q84PriceIndex,
     "q81_segment_migration" -> q81SegmentMigration,
     "q82_lorenz_deciles" -> q82LorenzDeciles,
@@ -1116,6 +1156,30 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q85_cohort_ltv" ->
+      """WITH om AS (SELECT o_custkey,
+              year(o_orderdate) * 12 + month(o_orderdate) AS m,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+          co AS (SELECT o_custkey, CAST(min(m) AS BIGINT) AS cohort_m
+            FROM om GROUP BY 1),
+          sz AS (SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_customers
+            FROM co GROUP BY 1),
+          cells AS (SELECT co.cohort_m, om.m - co.cohort_m AS age,
+              CAST(sum(om.cents) AS BIGINT) AS cell_cents
+            FROM om JOIN co ON om.o_custkey = co.o_custkey
+            GROUP BY 1, 2),
+          cum AS (SELECT cohort_m, age,
+              CAST(sum(cell_cents) OVER (PARTITION BY cohort_m ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_cents
+            FROM cells)
+          SELECT CAST(c.cohort_m AS INT) AS cohort_m, CAST(c.age AS INT) AS age,
+            s.n_customers,
+            round(CAST(c.cum_cents AS DOUBLE) / CAST(s.n_customers AS DOUBLE), 4)
+              AS ltv_cents
+          FROM cum c JOIN sz s ON c.cohort_m = s.cohort_m
+          ORDER BY cohort_m, age""",
     "q84_price_index" ->
       """WITH mon AS (SELECT l_partkey AS pk,
               year(l_shipdate) * 12 + month(l_shipdate) AS m,

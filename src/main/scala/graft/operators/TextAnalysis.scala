@@ -1005,9 +1005,63 @@ object TextAnalysis {
       .limit(burstTopK)
   }
 
+  // ---------------------------------------------------------------- t29
+
+  /** t29 span width in tokens. */
+  val dupNgramN = 8
+
+  /** D160: duplicate n-gram coverage — per source, what fraction of
+    * its [[dupNgramN]]-token span OCCURRENCES are repeats of a span
+    * seen elsewhere in the corpus: the memorization-risk census of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") — d19/d20 FIND the duplicated spans, t29 reports
+    * how much of each source is made of them. Both a within-source
+    * rate (repeats inside the source) and the cross-corpus rate
+    * (repeats anywhere) are emitted.
+    *
+    * Exactness: rates are (T − D)/T over exact counts — T span
+    * occurrences, D distinct spans — one division each, 4-dp. Spans
+    * hash to md5 before the distinct so only 128-bit keys shuffle
+    * (the d3 signature rule), never the text.
+    *
+    * Scale shape: one tokenize + span explode (fan-out ×(len−N+1)),
+    * partial-aggregated (source, span) census; the cross-corpus
+    * distinct reuses the same census grouped by span. */
+  def t29DupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"source", tokens($"text").as("tk"))
+      .filter(size($"tk") >= dupNgramN)
+      .select($"source", explode(expr(
+        s"""transform(sequence(1, size(tk) - ${dupNgramN - 1}),
+            i -> md5(concat_ws(' ', slice(tk, i, $dupNgramN))))"""))
+        .as("h"))
+    val perSrc = spans.groupBy($"source", $"h")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = perSrc.groupBy($"source")
+      .agg(sum($"c").as("t_spans"), count(lit(1)).as("d_spans"))
+    // an occurrence is cross-corpus duplicated when its span ALSO
+    // appears in another source (gc > this source's own count)
+    val global = perSrc.groupBy($"h")
+      .agg(sum($"c").as("gc"))
+    val cross = perSrc.join(global, "h")
+      .groupBy($"source")
+      .agg(sum(when($"gc" > $"c", $"c").otherwise(lit(0L)))
+        .as("cross_other"))
+    within.join(cross, "source")
+      .select($"source", $"t_spans", $"d_spans",
+        round(expr("CAST(t_spans - d_spans AS DOUBLE) / CAST(t_spans AS DOUBLE)"), 4)
+          .as("within_dup_rate"),
+        round(expr("CAST(cross_other AS DOUBLE) / CAST(t_spans AS DOUBLE)"), 4)
+          .as("cross_dup_rate"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_simpson" -> t27Simpson,
     "t28_burstiness" -> t28Burstiness,
+    "t29_dup_ngrams" -> t29DupNgrams,
     "t26_kl_sources" -> t26KlSources,
     "t25_pmi" -> t25Pmi,
     "t24_vocab_coverage" -> t24VocabCoverage,
@@ -1078,6 +1132,30 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t29_dup_ngrams" ->
+      s"""WITH sp AS (SELECT source, $toksSql AS tk FROM documents
+            WHERE len($toksSql) >= $dupNgramN),
+          ex AS (SELECT source,
+              unnest(list_transform(range(1, len(tk) - ${dupNgramN - 2}),
+                i -> md5(array_to_string(tk[i : i + ${dupNgramN - 1}], ' '))))
+                AS h
+            FROM sp),
+          ps AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+            FROM ex GROUP BY 1, 2),
+          wi AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_spans,
+              CAST(count(*) AS BIGINT) AS d_spans
+            FROM ps GROUP BY 1),
+          gl AS (SELECT h, CAST(sum(c) AS BIGINT) AS gc FROM ps GROUP BY 1),
+          cr AS (SELECT ps.source,
+              CAST(sum(CASE WHEN gl.gc > ps.c THEN ps.c ELSE 0 END)
+                AS BIGINT) AS cross_other
+            FROM ps JOIN gl USING (h) GROUP BY 1)
+          SELECT wi.source, t_spans, d_spans,
+            round(CAST(t_spans - d_spans AS DOUBLE) / CAST(t_spans AS DOUBLE), 4)
+              AS within_dup_rate,
+            round(CAST(cross_other AS DOUBLE) / CAST(t_spans AS DOUBLE), 4)
+              AS cross_dup_rate
+          FROM wi JOIN cr USING (source) ORDER BY source""",
     "t28_burstiness" ->
       s"""WITH pd AS (SELECT doc_id, unnest($toksSql) AS term
             FROM documents),

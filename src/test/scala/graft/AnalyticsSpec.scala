@@ -761,4 +761,34 @@ class AnalyticsSpec extends AnyFunSuite {
     // fixture unit prices swing hard month to month; just pin positivity
     assert(got.nonEmpty && got.forall(_._3 > 0.0))
   }
+
+  test("q85 cohort LTV is monotone per cohort and conserves total revenue") {
+    import spark.implicits._
+    val om = Tables.orders(spark, sf)
+      .select($"o_custkey", (year($"o_orderdate") * 12 + month($"o_orderdate")),
+        floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val cohortOf = om.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val rows = Analytics.q85CohortLtv(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // cohort sizes match a driver census
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).foreach { case (c, g) =>
+      assert(g.head._3 == sizes(c), s"cohort $c size")
+      val ltvs = g.sortBy(_._2).map(_._4).toSeq
+      assert(ltvs == ltvs.sorted, s"cohort $c not monotone") // spend accumulates
+    }
+    // final LTV x size recomposes total revenue (within rounding)
+    val finalTotal = rows.groupBy(_._1).map { case (_, g) =>
+      val last = g.maxBy(_._2)
+      last._4 * last._3
+    }.sum
+    val total = om.map(_._3).sum.toDouble
+    assert(math.abs(finalTotal - total) < 1e-2 * rows.length)
+    // age-0 cell exists for every cohort (the first order IS the cohort)
+    rows.groupBy(_._1).foreach { case (c, g) =>
+      assert(g.exists(_._2 == 0), s"cohort $c missing age 0")
+    }
+  }
 }

@@ -526,4 +526,36 @@ class TextSpec extends AnyFunSuite {
     // Fano >= (1 - n/D) lower bound not useful; assert nonnegative
     assert(got.forall(_._4 >= -1e-9))
   }
+
+  test("t29 dup n-gram coverage equals a driver span-census replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{split, lower, col}
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), split(lower(col("text")), " "))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val n = TextAnalysis.dupNgramN
+    val spans = docs.filter(_._2.length >= n).flatMap { case (src, tk) =>
+      tk.sliding(n).map(w => (src, w.mkString(" ")))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perSrc = spans.groupBy(_._1).view.mapValues { g =>
+      g.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val globalC = spans.map(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val expected = perSrc.toSeq.sortBy(_._1).map { case (src, cs) =>
+      val t = cs.values.sum
+      val d = cs.size.toLong
+      val cross = cs.collect { case (sp, c) if globalC(sp) > c => c }.sum
+      (src, t, d, r4((t - d).toDouble / t.toDouble),
+        r4(cross.toDouble / t.toDouble))
+    }
+    val got = TextAnalysis.t29DupNgrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // duplication actually present in the fixture corpus
+    assert(got.exists(_._4 > 0.0) || got.exists(_._5 > 0.0))
+  }
 }
