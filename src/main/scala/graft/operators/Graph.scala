@@ -444,7 +444,55 @@ object Graph {
       .limit(ejTopK)
   }
 
+  /** D162: modularity of the g4 label-propagation communities over the
+    * undirected co-purchase graph — the one-number "did the clustering
+    * find real structure" audit (Newman–Girvan Q; > 0.3 is the usual
+    * "meaningful community" bar). Unlabeled nodes count as singleton
+    * communities (zero internal edges, degree term only), so Q scores
+    * the WHOLE partition g4 actually produced.
+    *
+    * Exactness: Q = W/m − D₂/(4m²) where W = within-community edge
+    * count, D₂ = Σ_c (Σ_{v∈c} deg v)² + Σ_{unlabeled v} (deg v)² —
+    * ALL exact integers (DECIMAL(38,0) squares), so Q is one fixed
+    * IEEE expression, 4-dp. No per-community float summation exists.
+    *
+    * Scale shape: reuses the session-cached co-purchase edges and
+    * g4's label frame; two label equi-joins for W, one degree rollup
+    * per community + one anti-joined rollup for the singletons —
+    * partial-aggregated throughout, output is ONE row. */
+  def g8Modularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = copurchaseEdges(spark, dir)
+      .filter($"src" < $"dst").select($"src", $"dst")
+    val deg = und.select($"src".as("vx")).unionAll(und.select($"dst".as("vx")))
+      .groupBy($"vx").agg(count(lit(1)).as("dg"))
+    val lab = g4LabelProp(spark, dir).select($"p_partkey".as("node"), $"label")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = und
+      .join(lab.select($"node".as("src"), $"label".as("la")), "src")
+      .join(lab.select($"node".as("dst"), $"label".as("lb")), "dst")
+      .filter($"la" === $"lb")
+      .agg(count(lit(1)).as("w"))
+    val commDeg = lab.join(deg, $"node" === $"vx")
+      .groupBy($"label").agg(sum($"dg").as("sd"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum($"sd".cast("decimal(38,0)") * $"sd").as("d2l"))
+    val unl = deg.join(lab, deg("vx") === lab("node"), "left_anti")
+      .agg(coalesce(sum($"dg".cast("decimal(38,0)") * $"dg"),
+        lit(0).cast("decimal(38,0)")).as("d2u"))
+    val nl = lab.agg(count(lit(1)).as("n_labeled"))
+    val m = und.agg(count(lit(1)).as("me"))
+    commDeg.crossJoin(within).crossJoin(unl).crossJoin(nl).crossJoin(m)
+      .select($"n_communities", $"n_labeled", $"me".as("m_edges"),
+        $"w".as("within_edges"),
+        round(expr("""CAST(w AS DOUBLE) / CAST(me AS DOUBLE)
+            - CAST(d2l + d2u AS DOUBLE)
+              / (4.0 * CAST(me AS DOUBLE) * CAST(me AS DOUBLE))"""), 4)
+          .as("modularity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g8_modularity" -> g8Modularity,
     "g7_edge_jaccard" -> g7EdgeJaccard,
     "g6_link_predict" -> g6LinkPredict,
     "g5_ppr" -> g5Ppr,
@@ -504,6 +552,34 @@ object Graph {
         GROUP BY pk)"""
 
   val oracle: Map[String, String] = Map(
+    "g8_modularity" ->
+      s"""WITH $pairsCte,
+          l0 AS MATERIALIZED (SELECT p_partkey AS node, p_brand AS label,
+                0 AS step FROM part WHERE p_partkey % $lpSeedMod = 0),
+          ${(1 to lpIters).map(lpStepSql).mkString(",\n          ")},
+          und AS (SELECT src, dst FROM pairs WHERE src < dst),
+          deg AS (SELECT vx, CAST(count(*) AS BIGINT) AS dg
+                  FROM (SELECT src AS vx FROM und
+                        UNION ALL SELECT dst AS vx FROM und) GROUP BY 1),
+          lab AS (SELECT node, label FROM l$lpIters),
+          we AS (SELECT CAST(count(*) AS BIGINT) AS w
+                 FROM und JOIN lab a ON und.src = a.node
+                 JOIN lab b ON und.dst = b.node AND a.label = b.label),
+          cd AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                   sum(CAST(sd AS HUGEINT) * sd) AS d2l
+                 FROM (SELECT l.label, CAST(sum(d.dg) AS BIGINT) AS sd
+                       FROM lab l JOIN deg d ON l.node = d.vx GROUP BY 1)),
+          ud AS (SELECT COALESCE(sum(CAST(dg AS HUGEINT) * dg), 0) AS d2u
+                 FROM deg WHERE vx NOT IN (SELECT node FROM lab)),
+          nl AS (SELECT CAST(count(*) AS BIGINT) AS n_labeled FROM lab),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS me FROM und)
+          SELECT n_communities, n_labeled, me AS m_edges,
+            w AS within_edges,
+            round(CAST(w AS DOUBLE) / CAST(me AS DOUBLE)
+              - CAST(d2l + d2u AS DOUBLE)
+                / (4.0 * CAST(me AS DOUBLE) * CAST(me AS DOUBLE)), 4)
+              AS modularity
+          FROM cd CROSS JOIN we CROSS JOIN ud CROSS JOIN nl CROSS JOIN mm""",
     "g7_edge_jaccard" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

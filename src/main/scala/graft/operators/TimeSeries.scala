@@ -80,10 +80,124 @@ object TimeSeries {
       .orderBy($"nation", $"day")
   }
 
+  /** One smoothed q86 observation: level/trend + the day-of-week
+    * seasonal state AFTER folding this day, plus the one-step error
+    * the PREVIOUS state made. */
+  private[operators] case class HwOut(nation: String, day: Date, cents: Long,
+      level: Double, trend: Double, seasonal: Double, forecast_err: Double)
+
+  /** D161: additive Holt–Winters — q65's level+trend fold extended
+    * with a 7-slot day-of-week seasonal state (weekly retail cycle):
+    *
+    *   err = y − (l + b + s_dw)
+    *   l'  = ½(y − s_dw) + ½(l + b)
+    *   b'  = ½(l' − l) + ½b
+    *   s_dw' = ½(y − l') + ½ s_dw
+    *
+    * α = β = γ = ½ are exact dyadics, so every step is a fixed IEEE
+    * sequence with no summation-order freedom (the q65 argument, now
+    * with 9 state doubles). Init: l₁ = y₁, b = 0, s ≡ 0. The seasonal
+    * index is the epoch-day mod 7 (a pure integer both engines derive
+    * from the same date arithmetic). Observation order = observed
+    * days (gaps skipped, the q65 series semantics).
+    *
+    * Scale shape: identical to q65 — one partial-aggregated daily
+    * census, then `groupByKey(nation).flatMapSortedGroups(day)` with
+    * O(1) state (9 doubles) per series; the oracle replays the fold
+    * as a recursive CTE carrying the 7 seasonal columns. */
+  def q86HoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), to_date($"o_orderdate").as("day"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"nation", $"day").agg(sum($"cents").as("y"))
+      .as[HoltIn]
+    daily.groupByKey(_.nation)
+      .flatMapSortedGroups($"day") { (_: String, it: Iterator[HoltIn]) =>
+        hwFold(it)
+      }
+      .toDF()
+      .select($"nation", $"day", $"cents",
+        round($"level", 4).as("level"), round($"trend", 4).as("trend"),
+        round($"seasonal", 4).as("seasonal"),
+        round($"forecast_err", 4).as("forecast_err"))
+      .orderBy($"nation", $"day")
+  }
+
+  private[operators] def hwFold(it: Iterator[HoltIn]): Iterator[HwOut] = {
+    var has = false
+    var l = 0.0
+    var b = 0.0
+    val s = Array.fill(7)(0.0)
+    it.map { r =>
+      val y = r.y.toDouble
+      val dw = java.lang.Math.floorMod(r.day.toLocalDate.toEpochDay, 7L).toInt
+      val (err, nl, nb, ns) =
+        if (!has) (0.0, y, 0.0, 0.0)
+        else {
+          val sd = s(dw)
+          val e = y - (l + b + sd)
+          val l1 = 0.5 * (y - sd) + 0.5 * (l + b)
+          val b1 = 0.5 * (l1 - l) + 0.5 * b
+          val s1 = 0.5 * (y - l1) + 0.5 * sd
+          (e, l1, b1, s1)
+        }
+      has = true; l = nl; b = nb; s(dw) = ns
+      HwOut(r.nation, r.day, r.y, l, b, ns, err)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q65_holt" -> q65Holt)
+    "q65_holt" -> q65Holt,
+    "q86_holt_winters" -> q86HoltWinters)
+
+  /** q86 oracle: the identical Holt–Winters recurrence as a recursive
+    * CTE carrying the 7 day-of-week seasonal slots. Repeated
+    * subexpressions (l1, s_dw) are textual duplicates — deterministic
+    * IEEE, so duplication cannot diverge. */
+  private def hwOracleSql: String = {
+    val sdw = s"(CASE d.dw ${(0 to 6).map(i => s"WHEN $i THEN r.s$i").mkString(" ")} END)"
+    val l1 = s"(0.5 * (d.y - $sdw) + 0.5 * (r.l + r.b))"
+    val sInit = (0 to 6).map(i => s"CAST(0.0 AS DOUBLE) AS s$i").mkString(", ")
+    val sUpd = (0 to 6).map(i =>
+      s"CASE WHEN d.dw = $i THEN 0.5 * (d.y - $l1) + 0.5 * r.s$i ELSE r.s$i END AS s$i")
+      .mkString(",\n              ")
+    s"""WITH RECURSIVE d0 AS (
+          SELECT n.n_name AS nation,
+            CAST(date_trunc('day', o.o_orderdate) AS DATE) AS day,
+            CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2),
+        d AS (SELECT nation, day, y,
+            row_number() OVER (PARTITION BY nation ORDER BY day) AS rn,
+            CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT) AS dw
+          FROM d0),
+        r AS (
+          SELECT nation, day, y, rn, dw, CAST(y AS DOUBLE) AS l,
+            CAST(0.0 AS DOUBLE) AS b, $sInit,
+            CAST(0.0 AS DOUBLE) AS seas, CAST(0.0 AS DOUBLE) AS err
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.nation, d.day, d.y, d.rn, d.dw,
+            $l1 AS l,
+            0.5 * ($l1 - r.l) + 0.5 * r.b AS b,
+            $sUpd,
+            0.5 * (d.y - $l1) + 0.5 * $sdw AS seas,
+            d.y - (r.l + r.b + $sdw) AS err
+          FROM r JOIN d ON d.nation = r.nation AND d.rn = r.rn + 1)
+        SELECT nation, day, y AS cents, round(l, 4) AS level,
+          round(b, 4) AS trend, round(seas, 4) AS seasonal,
+          round(err, 4) AS forecast_err
+        FROM r ORDER BY nation, day"""
+  }
 
   val oracle: Map[String, String] = Map(
+    "q86_holt_winters" -> hwOracleSql,
     "q65_holt" ->
       """WITH RECURSIVE d AS (
             SELECT n.n_name AS nation,

@@ -762,6 +762,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._3 > 0.0))
   }
 
+  test("q86 Holt-Winters equals an independent driver recurrence replay") {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", to_date($"o_orderdate"),
+        floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case ((n, d), c) => (n, d, c) }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (nation, rows) =>
+        var l = 0.0; var b = 0.0; var first = true
+        val s = Array.fill(7)(0.0)
+        rows.sortBy(_._2).map { case (_, day, y0) =>
+          val y = y0.toDouble
+          val dw = java.lang.Math.floorMod(day.toEpochDay, 7L).toInt
+          val (err, nl, nb, ns) =
+            if (first) (0.0, y, 0.0, 0.0)
+            else {
+              val sd = s(dw)
+              val e = y - (l + b + sd)
+              val l1 = 0.5 * (y - sd) + 0.5 * (l + b)
+              (e, l1, 0.5 * (l1 - l) + 0.5 * b, 0.5 * (y - l1) + 0.5 * sd)
+            }
+          first = false; l = nl; b = nb; s(dw) = ns
+          (nation, day, y0, r4(l), r4(b), r4(ns), r4(err))
+        }
+    }
+    val got = graft.operators.TimeSeries.q86HoltWinters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+    // seasonal state actually differentiates days of week somewhere
+    assert(got.map(_._6).distinct.size > 3)
+  }
+
   test("q85 cohort LTV is monotone per cohort and conserves total revenue") {
     import spark.implicits._
     val om = Tables.orders(spark, sf)

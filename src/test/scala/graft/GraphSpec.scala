@@ -254,4 +254,38 @@ class GraphSpec extends AnyFunSuite {
       .toSeq
     assert(got == brute && got.nonEmpty)
   }
+
+  test("g8 modularity equals a driver replay over g4's labels") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap {
+      order =>
+        val ps = order.map(_._2).distinct.toSeq
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val deg = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val labels = Graph.g4LabelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = und.size.toLong
+    val w = und.count { case (a, b) =>
+      labels.contains(a) && labels.contains(b) && labels(a) == labels(b)
+    }.toLong
+    val d2l = labels.keys.toSeq.groupBy(labels).values
+      .map(c => { val sd = c.map(v => deg.getOrElse(v, 0L)).sum; BigInt(sd) * sd })
+      .sum
+    val d2u = deg.collect { case (v, d) if !labels.contains(v) => BigInt(d) * d }.sum
+    val q = w.toDouble / m.toDouble -
+      (d2l + d2u).toDouble / (4.0 * m.toDouble * m.toDouble)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Graph.g8Modularity(spark, sf).collect()(0)
+    assert(r.getLong(1) == labels.size.toLong)
+    assert(r.getLong(2) == m && r.getLong(3) == w)
+    assert(math.abs(r.getDouble(4) - r4(q)) < 2e-4)
+    // Q is within its theoretical range
+    assert(r.getDouble(4) > -0.5001 && r.getDouble(4) < 1.0001)
+  }
 }
