@@ -258,29 +258,39 @@ object Graph {
     * `localCheckpoint` truncates lineage per round (d8/g1). */
   def g4LabelProp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // projection of the session-cached edge frame — no extra persist
-    val edges = copurchaseEdges(spark, dir).select($"src", $"dst")
-    var labels = Tables.part(spark, dir)
-      .filter($"p_partkey" % lpSeedMod === 0L)
-      .select($"p_partkey".as("node"), $"p_brand".as("label"),
-        lit(0).as("step"))
-      .localCheckpoint()
-    for (i <- 1 to lpIters) {
-      val msgs = edges
-        .join(labels.select($"node".as("src"), $"label"), "src")
-        .select($"dst".as("node"), $"label")
-        .join(labels.select($"node"), Seq("node"), "left_anti")
-        .groupBy($"node", $"label").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy($"node").orderBy($"c".desc, $"label")
-      val newly = msgs.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"node", $"label", lit(i).as("step"))
-      labels = labels.unionByName(newly).localCheckpoint()
-    }
-    labels.select($"node".as("p_partkey"), $"label", $"step")
+    lpLabels(spark, dir)
+      .select($"node".as("p_partkey"), $"label", $"step")
       .orderBy($"p_partkey")
   }
+
+  /** Session-cached g4 label frame (node, label, step) — shared by g4
+    * and g8 exactly like the edge cache, so the 12 supersteps run once
+    * per (session, dir). */
+  private def lpLabels(spark: SparkSession, dir: String): DataFrame =
+    cachedEdges(spark, dir, "lplabels") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // projection of the session-cached edge frame — no extra persist
+      val edges = copurchaseEdges(spark, dir).select($"src", $"dst")
+      var labels = Tables.part(spark, dir)
+        .filter($"p_partkey" % lpSeedMod === 0L)
+        .select($"p_partkey".as("node"), $"p_brand".as("label"),
+          lit(0).as("step"))
+        .localCheckpoint()
+      for (i <- 1 to lpIters) {
+        val msgs = edges
+          .join(labels.select($"node".as("src"), $"label"), "src")
+          .select($"dst".as("node"), $"label")
+          .join(labels.select($"node"), Seq("node"), "left_anti")
+          .groupBy($"node", $"label").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy($"node").orderBy($"c".desc, $"label")
+        val newly = msgs.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"node", $"label", lit(i).as("step"))
+        labels = labels.unionByName(newly).localCheckpoint()
+      }
+      labels
+    }
 
   /** Number of seed nodes for g5 (top-degree, ties by part key). */
   val pprSeedK = 3
@@ -466,8 +476,7 @@ object Graph {
       .filter($"src" < $"dst").select($"src", $"dst")
     val deg = und.select($"src".as("vx")).unionAll(und.select($"dst".as("vx")))
       .groupBy($"vx").agg(count(lit(1)).as("dg"))
-    val lab = g4LabelProp(spark, dir).select($"p_partkey".as("node"), $"label")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = lpLabels(spark, dir).select($"node", $"label")
     val within = und
       .join(lab.select($"node".as("src"), $"label".as("la")), "src")
       .join(lab.select($"node".as("dst"), $"label".as("lb")), "dst")
