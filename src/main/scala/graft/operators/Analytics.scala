@@ -902,6 +902,25 @@ object Analytics {
     * nation. Only full 13-month windows emit (standard edge trim). */
   def q80SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    decomposedCells(spark, dir)
+      .select($"nation", $"m", $"cents",
+        round(expr("CAST(trend24 AS DOUBLE) / 24.0"), 4).as("trend"),
+        round(expr("CAST(snum AS DOUBLE) / (24.0 * CAST(sk AS DOUBLE))"), 4)
+          .as("seasonal"),
+        round(expr(residExprSql), 4).as("residual"))
+      .orderBy($"nation", $"m")
+  }
+
+  /** The exact-integer residual expression shared by q80/q87. */
+  private val residExprSql =
+    "CAST(cents AS DOUBLE) - CAST(trend24 AS DOUBLE) / 24.0" +
+      " - CAST(snum AS DOUBLE) / (24.0 * CAST(sk AS DOUBLE))"
+
+  /** Shared q80/q87 decomposition cells: full-window months with the
+    * exact integer state (trend24, seasonal numerator/count) — the
+    * rounded q80 view and q87's anomaly flags both project from it. */
+  private def decomposedCells(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val monthly = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .groupBy($"c_nationkey".as("nation"),
@@ -927,13 +946,7 @@ object Analytics {
         $"t.nation" === $"s.nation" &&
           pmod($"t.m", lit(12)) === $"s.moy")
       .select($"t.nation".as("nation"), $"m", $"cents",
-        round(expr("CAST(trend24 AS DOUBLE) / 24.0"), 4).as("trend"),
-        round(expr("CAST(snum AS DOUBLE) / (24.0 * CAST(sk AS DOUBLE))"), 4)
-          .as("seasonal"),
-        round(expr("""CAST(cents AS DOUBLE) - CAST(trend24 AS DOUBLE) / 24.0
-            - CAST(snum AS DOUBLE) / (24.0 * CAST(sk AS DOUBLE))"""), 4)
-          .as("residual"))
-      .orderBy($"nation", $"m")
+        $"trend24", $"snum", $"sk")
   }
 
   // ---------------------------------------------------------------- q81
@@ -1125,7 +1138,58 @@ object Analytics {
       .orderBy($"cohort_m", $"age")
   }
 
+  // ---------------------------------------------------------------- q87
+
+  /** q87 anomaly threshold in MADs. */
+  val residMadK = 5
+
+  /** D162: seasonal-residual anomaly detection — flag the months whose
+    * q80 decomposition residual sits more than [[residMadK]] MADs from
+    * its nation's median residual: the "this month broke the pattern"
+    * alert that raw-value thresholds (q54) can't see because trend and
+    * weekly/annual cycle mask it. Composes q80's cells with q35's
+    * median/MAD robustness.
+    *
+    * Determinism: residuals are the shared exact-integer expression
+    * ([[residExprSql]]); medians are the q69 row_number/count spelling
+    * (no `percentile` buffering) over PER-NATION windows bounded by
+    * the calendar; the flag compares identical doubles. Only flagged
+    * rows emit.
+    *
+    * Scale shape: q80's census work + two bounded per-nation window
+    * passes (median of residuals, median of absolute deviations) and
+    * one broadcast join of the ≤|nations|-row threshold frame. */
+  def q87ResidualAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = decomposedCells(spark, dir)
+      .withColumn("resid", expr(residExprSql))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
+      val wR = Window.partitionBy($"nation").orderBy(expr(col))
+      val wA = Window.partitionBy($"nation")
+      df.withColumn("rn", row_number().over(wR))
+        .withColumn("cnt", count(lit(1)).over(wA))
+        .filter($"rn" === expr("(cnt + 1) div 2") ||
+          $"rn" === expr("cnt div 2 + 1"))
+        .groupBy($"nation")
+        .agg(expr(s"min($col) + (max($col) - min($col)) * 0.5").as(out))
+    }
+    val med = medianOf(cells, "resid", "med")
+    val dev = cells.join(broadcast(med), "nation")
+      .withColumn("adev", abs($"resid" - $"med"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = medianOf(dev, "adev", "mad")
+    dev.join(broadcast(mad), "nation")
+      // +0.5 cents floor: kills float dust when a small series has
+      // MAD exactly 0 (deviation must be a real half-cent, not 1e-9)
+      .filter($"adev" > lit(residMadK.toDouble) * $"mad" + lit(0.5))
+      .select($"nation", $"m", $"cents", round($"resid", 4).as("residual"),
+        round($"adev", 4).as("deviation"), round($"mad", 4).as("mad"))
+      .orderBy($"nation", $"m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_residual_anomaly" -> q87ResidualAnomaly,
     "q85_cohort_ltv" -> q85CohortLtv,
     "q84_price_index" -> q84PriceIndex,
     "q81_segment_migration" -> q81SegmentMigration,
@@ -1156,6 +1220,60 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q87_residual_anomaly" ->
+      s"""WITH mon AS (SELECT c.c_nationkey AS nation,
+              year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          tr AS (SELECT nation, m, cents,
+              CAST(count(*) OVER w13 AS BIGINT) AS n13,
+              CAST(max(m) OVER w13 - min(m) OVER w13 AS BIGINT) AS span13,
+              CAST(sum(cents) OVER w13 + sum(cents) OVER w11 AS BIGINT)
+                AS trend24
+            FROM mon
+            WINDOW w13 AS (PARTITION BY nation ORDER BY m
+              ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+            w11 AS (PARTITION BY nation ORDER BY m
+              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+          full13 AS (SELECT *, 24 * cents - trend24 AS detr24
+            FROM tr WHERE n13 = 13 AND span13 = 12),
+          se AS (SELECT nation, m % 12 AS moy,
+              CAST(sum(detr24) AS BIGINT) AS snum,
+              CAST(count(*) AS BIGINT) AS sk
+            FROM full13 GROUP BY 1, 2),
+          r0 AS (SELECT f.nation, f.m, f.cents,
+              CAST(f.cents AS DOUBLE) - CAST(f.trend24 AS DOUBLE) / 24.0
+                - CAST(se.snum AS DOUBLE) / (24.0 * CAST(se.sk AS DOUBLE))
+                AS resid
+            FROM full13 f JOIN se
+              ON f.nation = se.nation AND f.m % 12 = se.moy),
+          mrk AS (SELECT *,
+              row_number() OVER (PARTITION BY nation ORDER BY resid) AS rn,
+              CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS cnt
+            FROM r0),
+          med AS (SELECT nation,
+              min(resid) + (max(resid) - min(resid)) * 0.5 AS med
+            FROM mrk WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+            GROUP BY nation),
+          d0 AS (SELECT r0.nation, r0.m, r0.cents, r0.resid,
+              abs(r0.resid - med.med) AS adev
+            FROM r0 JOIN med ON r0.nation = med.nation),
+          drk AS (SELECT *,
+              row_number() OVER (PARTITION BY nation ORDER BY adev) AS rn,
+              CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS cnt
+            FROM d0),
+          mad AS (SELECT nation,
+              min(adev) + (max(adev) - min(adev)) * 0.5 AS mad
+            FROM drk WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+            GROUP BY nation)
+          SELECT d0.nation, CAST(d0.m AS INT) AS m, d0.cents,
+            round(d0.resid, 4) AS residual, round(d0.adev, 4) AS deviation,
+            round(mad.mad, 4) AS mad
+          FROM d0 JOIN mad ON d0.nation = mad.nation
+          WHERE d0.adev > $residMadK.0 * mad.mad + 0.5
+          ORDER BY d0.nation, d0.m""",
     "q85_cohort_ltv" ->
       """WITH om AS (SELECT o_custkey,
               year(o_orderdate) * 12 + month(o_orderdate) AS m,

