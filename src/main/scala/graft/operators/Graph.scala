@@ -454,7 +454,7 @@ object Graph {
       .limit(ejTopK)
   }
 
-  /** D162: modularity of the g4 label-propagation communities over the
+  /** D161: modularity of the g4 label-propagation communities over the
     * undirected co-purchase graph — the one-number "did the clustering
     * find real structure" audit (Newman–Girvan Q; > 0.3 is the usual
     * "meaningful community" bar). Unlabeled nodes count as singleton

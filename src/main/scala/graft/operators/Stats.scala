@@ -643,6 +643,58 @@ object Stats {
               / CAST(nn AS DOUBLE))"""), 4).as("eta_sq"))
   }
 
+  // ---------------------------------------------------------------- q88
+
+  /** D164: Wald–Wolfowitz runs test — per nation, is the daily-revenue
+    * series randomly scattered around its median, or does it cluster
+    * (momentum) / alternate (mean-reversion)? The randomness screen
+    * that q74's monotone-trend test can't express.
+    *
+    * Days equal to the median drop (the classic dichotomization);
+    * R = number of sign runs via the islands trick (sign ≠ previous
+    * sign ⇒ run start — ONE lag window per nation, no sequential
+    * scan); n₊, n₋, R are exact integers and E[R], Var[R], Z are one
+    * fixed IEEE closed form each, 4-dp. The median uses the q69
+    * row_number spelling over the calendar-bounded daily census.
+    *
+    * Scale shape: daily census (one partial-aggregated join), two
+    * bounded per-nation window passes, a ≤|nations|-row rollup. */
+  def q88RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = dailyRevenue(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wR = Window.partitionBy($"nation").orderBy($"cents", $"day")
+    val wA = Window.partitionBy($"nation")
+    val med = daily
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("cnt", count(lit(1)).over(wA))
+      .filter($"rn" === expr("(cnt + 1) div 2") ||
+        $"rn" === expr("cnt div 2 + 1"))
+      .groupBy($"nation")
+      .agg(expr("min(cents) + (max(cents) - min(cents)) * 0.5").as("med"))
+    val signed = daily.join(broadcast(med), "nation")
+      .filter($"cents".cast("double") =!= $"med")
+      .withColumn("sgn", ($"cents".cast("double") > $"med").cast("int"))
+    val wSeq = Window.partitionBy($"nation").orderBy($"day")
+    val runs = signed
+      .withColumn("prev", lag($"sgn", 1).over(wSeq))
+      .groupBy($"nation")
+      .agg(sum($"sgn".cast("long")).as("n_pos"),
+        (count(lit(1)) - sum($"sgn".cast("long"))).as("n_neg"),
+        sum(when($"prev".isNull || $"prev" =!= $"sgn", 1L).otherwise(0L))
+          .as("n_runs"))
+    runs.select($"nation", $"n_pos", $"n_neg", $"n_runs",
+      round(expr("""(CAST(n_runs AS DOUBLE) -
+          (1.0 + 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+            / CAST(n_pos + n_neg AS DOUBLE))) /
+        sqrt(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+          * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+            - CAST(n_pos + n_neg AS DOUBLE))
+          / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
+            * CAST(n_pos + n_neg - 1 AS DOUBLE)))"""), 4).as("z_stat"))
+      .orderBy($"nation")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -656,7 +708,8 @@ object Stats {
     "q76_ks_test" -> q76KsTest,
     "q77_acf" -> q77Acf,
     "q78_kaplan_meier" -> q78KaplanMeier,
-    "q83_anova" -> q83Anova)
+    "q83_anova" -> q83Anova,
+    "q88_runs_test" -> q88RunsTest)
 
   val oracle: Map[String, String] = Map(
     "q67_welch_ttest" ->
@@ -948,5 +1001,45 @@ object Stats {
                 / CAST(nn AS DOUBLE)) /
               (CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
                 / CAST(nn AS DOUBLE)), 4) AS eta_sq
-          FROM w WHERE rn = 1""")
+          FROM w WHERE rn = 1""",
+    "q88_runs_test" ->
+      """WITH daily AS (SELECT c.c_nationkey AS nation,
+              date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+                AS day,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          mrk AS (SELECT *,
+              row_number() OVER (PARTITION BY nation
+                ORDER BY cents, day) AS rn,
+              CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS cnt
+            FROM daily),
+          med AS (SELECT nation,
+              min(cents) + (max(cents) - min(cents)) * 0.5 AS med
+            FROM mrk WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+            GROUP BY nation),
+          sg AS (SELECT d.nation, d.day,
+              CAST(CAST(d.cents AS DOUBLE) > m.med AS INT) AS sgn
+            FROM daily d JOIN med m ON d.nation = m.nation
+            WHERE CAST(d.cents AS DOUBLE) <> m.med),
+          rz AS (SELECT nation, sgn,
+              lag(sgn) OVER (PARTITION BY nation ORDER BY day) AS prev
+            FROM sg),
+          agg AS (SELECT nation,
+              CAST(sum(sgn) AS BIGINT) AS n_pos,
+              CAST(count(*) - sum(sgn) AS BIGINT) AS n_neg,
+              CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_runs
+            FROM rz GROUP BY 1)
+          SELECT nation, n_pos, n_neg, n_runs,
+            round((CAST(n_runs AS DOUBLE) -
+                (1.0 + 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                  / CAST(n_pos + n_neg AS DOUBLE))) /
+              sqrt(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                  - CAST(n_pos + n_neg AS DOUBLE))
+                / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
+                  * CAST(n_pos + n_neg - 1 AS DOUBLE))), 4) AS z_stat
+          FROM agg ORDER BY nation""")
 }

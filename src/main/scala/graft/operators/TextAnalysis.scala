@@ -1010,7 +1010,7 @@ object TextAnalysis {
   /** t29 span width in tokens. */
   val dupNgramN = 8
 
-  /** D160: duplicate n-gram coverage — per source, what fraction of
+  /** D159: duplicate n-gram coverage — per source, what fraction of
     * its [[dupNgramN]]-token span OCCURRENCES are repeats of a span
     * seen elsewhere in the corpus: the memorization-risk census of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -1058,7 +1058,55 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- t30
+
+  /** D165: per-source entropy rate — the bigram conditional entropy
+    * H(next token | current) = H₂ − H₁ over each source's token
+    * stream: the compressibility / templatedness readout (a low rate
+    * means boilerplate-predictable text even when the unigram entropy
+    * t23 reports looks healthy). The t9/t18 LM-surprisal machinery
+    * turned into a one-number source audit.
+    *
+    * Float discipline: counts are exact; each n·ln n term is rounded
+    * to the 4-dp grid BEFORE the sum and the final 4-dp round absorbs
+    * ulp drift (the t23 entropy convention); H₁, H₂, and the rate are
+    * single fixed expressions over those sums.
+    *
+    * Scale shape: one tokenize producing both the unigram census and
+    * the within-doc adjacent-bigram census (vocabulary²-bounded, t6
+    * rule); two source-level rollups. */
+  def t30EntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", tokens($"text").as("tk"))
+    val uni = docs.select($"source", explode($"tk").as("t"))
+      .groupBy($"source", $"t").agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").as("nt"),
+        sum(round($"n" * log($"n".cast("double")), 4)).as("unl"))
+    val bi = docs.filter(size($"tk") >= 2)
+      .select($"source", explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+            i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""))
+        .as("bg"))
+      .groupBy($"source", $"bg").agg(count(lit(1)).as("m"))
+      .groupBy($"source")
+      .agg(sum($"m").as("nb"),
+        sum(round($"m" * log($"m".cast("double")), 4)).as("bnl"))
+    uni.join(bi, "source")
+      .select($"source", $"nt".as("n_tokens"), $"nb".as("n_bigrams"),
+        round(expr("ln(CAST(nt AS DOUBLE)) - unl / CAST(nt AS DOUBLE)"), 4)
+          .as("h_unigram"),
+        round(expr("ln(CAST(nb AS DOUBLE)) - bnl / CAST(nb AS DOUBLE)"), 4)
+          .as("h_bigram"),
+        round(expr("""(ln(CAST(nb AS DOUBLE)) - bnl / CAST(nb AS DOUBLE))
+            - (ln(CAST(nt AS DOUBLE)) - unl / CAST(nt AS DOUBLE))"""), 4)
+          .as("h_rate"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_entropy_rate" -> t30EntropyRate,
     "t27_simpson" -> t27Simpson,
     "t28_burstiness" -> t28Burstiness,
     "t29_dup_ngrams" -> t29DupNgrams,
@@ -1132,6 +1180,31 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t30_entropy_rate" ->
+      s"""WITH dk AS (SELECT source, $toksSql AS tk FROM documents),
+          uni AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT source, unnest(tk) AS t FROM dk) GROUP BY 1, 2),
+          u AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt,
+              sum(round(n * ln(n), 4)) AS unl
+            FROM uni GROUP BY 1),
+          bg AS (SELECT source, b, CAST(count(*) AS BIGINT) AS m
+            FROM (SELECT source,
+                unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS b
+              FROM dk WHERE len(tk) >= 2)
+            GROUP BY 1, 2),
+          bb AS (SELECT source, CAST(sum(m) AS BIGINT) AS nb,
+              sum(round(m * ln(m), 4)) AS bnl
+            FROM bg GROUP BY 1)
+          SELECT u.source, u.nt AS n_tokens, bb.nb AS n_bigrams,
+            round(ln(CAST(nt AS DOUBLE)) - unl / CAST(nt AS DOUBLE), 4)
+              AS h_unigram,
+            round(ln(CAST(nb AS DOUBLE)) - bnl / CAST(nb AS DOUBLE), 4)
+              AS h_bigram,
+            round((ln(CAST(nb AS DOUBLE)) - bnl / CAST(nb AS DOUBLE))
+              - (ln(CAST(nt AS DOUBLE)) - unl / CAST(nt AS DOUBLE)), 4)
+              AS h_rate
+          FROM u JOIN bb ON u.source = bb.source ORDER BY u.source""",
     "t29_dup_ngrams" ->
       s"""WITH sp AS (SELECT source, $toksSql AS tk FROM documents
             WHERE len($toksSql) >= $dupNgramN),

@@ -86,7 +86,7 @@ object TimeSeries {
   private[operators] case class HwOut(nation: String, day: Date, cents: Long,
       level: Double, trend: Double, seasonal: Double, forecast_err: Double)
 
-  /** D161: additive Holt–Winters — q65's level+trend fold extended
+  /** D160: additive Holt–Winters — q65's level+trend fold extended
     * with a 7-slot day-of-week seasonal state (weekly retail cycle):
     *
     *   err = y − (l + b + s_dw)

@@ -247,7 +247,9 @@ class PlanSpec extends AnyFunSuite {
       "q43_important_parts", "t17_bm25", "t21_source_drift",
       "t22_nb_lang", "q63_abc", "q66_skew_census", "t24_vocab_coverage",
       "q75_pr_auc", "q76_ks_test", "q81_segment_migration",
-      "s13_triplet_mining", "t28_burstiness")
+      "s13_triplet_mining", "t28_burstiness",
+      // g8 crosses five ONE-row audit aggregates (q43 shape)
+      "g8_modularity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

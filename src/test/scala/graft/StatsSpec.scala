@@ -358,4 +358,34 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     assert(r.getDouble(2) >= 0.0)
   }
+
+  test("q88 runs test matches a brute sign-sequence replay") {
+    val daily = dailyCensus()
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.map { nat =>
+      val pts = daily.collect { case ((n, d), c) if n == nat => (d, c) }
+        .toSeq.sortBy(_._1)
+      val cs = pts.map(_._2).sorted
+      val n = cs.length
+      val med = cs((n + 1) / 2 - 1) +
+        (cs(n / 2) - cs((n + 1) / 2 - 1)) * 0.5
+      val signs = pts.collect {
+        case (_, c) if c.toDouble != med => c.toDouble > med
+      }
+      val np = signs.count(identity).toLong
+      val nn = signs.size.toLong - np
+      val runs = signs.zipWithIndex.count { case (sg, i) =>
+        i == 0 || signs(i - 1) != sg
+      }.toLong
+      val nt = (np + nn).toDouble
+      val eR = 1.0 + 2.0 * np * nn / nt
+      val vR = 2.0 * np * nn * (2.0 * np * nn - nt) / (nt * nt * (nt - 1.0))
+      (nat, np, nn, runs, r4((runs - eR) / math.sqrt(vR)))
+    }
+    val got = Stats.q88RunsTest(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
 }

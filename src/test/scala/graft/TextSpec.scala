@@ -558,4 +558,41 @@ class TextSpec extends AnyFunSuite {
     // duplication actually present in the fixture corpus
     assert(got.exists(_._4 > 0.0) || got.exists(_._5 > 0.0))
   }
+
+  test("t30 entropy rate equals a driver census replay and is information-consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{split, lower, col}
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), split(lower(col("text")), " "))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def hOf(counts: Iterable[Long]): Double = {
+      val n = counts.sum
+      math.log(n.toDouble) -
+        counts.map(c => r4(c * math.log(c.toDouble))).sum / n.toDouble
+    }
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, ds) =>
+        val uni = ds.flatMap(_._2).groupBy(identity).map(_._2.length.toLong)
+        val bi = ds.flatMap(d => d._2.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")))
+          .groupBy(identity).map(_._2.length.toLong)
+        val (h1, h2) = (hOf(uni), hOf(bi))
+        (src, uni.sum, bi.sum, r4(h1), r4(h2), r4(h2 - h1))
+    }
+    val got = TextAnalysis.t30EntropyRate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    // double aggregation order can drift the last 4-dp ulp; compare with slack
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 2e-4 && math.abs(g._5 - e._5) < 2e-4 &&
+        math.abs(g._6 - e._6) < 4e-4, s"${g._1}: $g vs $e")
+    }
+    // information consistency: 0 <= H1 <= H2 <= H1 + H1 (subadditivity-ish)
+    got.foreach { t =>
+      assert(t._4 >= -1e-9 && t._5 >= t._4 - 1e-9)
+    }
+  }
 }
