@@ -126,8 +126,59 @@ object Logistic {
     }.toDF("iter", "idx", "feature", "coef").orderBy($"iter", $"idx")
   }
 
+  /** D166: trained-GLM classification eval — run the fitted p11 model
+    * over the corpus at the p ≥ ½ decision threshold and report the
+    * exact confusion census + accuracy/precision/recall/F1: the
+    * supervised-model counterpart of q52's score-ranking AUC (q52
+    * grades a raw feature; p13 grades the MODEL p11 actually fit).
+    *
+    * Predictions reuse the identical ppm-quantized sigmoid pipeline
+    * (clamping never crosses the ½ boundary, so the decision equals
+    * η ≥ 0); TP/FP/FN/TN are exact integer sums; each metric is one
+    * fixed IEEE expression over those counts (F1 in the
+    * 2TP/(2TP+FP+FN) form — no intermediate precision/recall
+    * division), 4-dp.
+    *
+    * Scale shape: the two IRLS moment passes (p11) + ONE scoring scan
+    * reduced map-side to a single confusion row. */
+  def p13LogisticEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = design(spark, dir)
+    val beta = Iterator.iterate(List.empty[Beta]) { acc =>
+      acc :+ step(d, acc.lastOption)
+    }.drop(lrIters).next().last
+    val scored = d
+      .withColumn("etaq",
+        round((lit(beta.b0) + lit(beta.b1) * col("x").cast("double"))
+          * lit(1e6)).cast("long"))
+      .withColumn("pq",
+        least(lit(pqMax), greatest(lit(pqMin),
+          round((lit(1.0) / (lit(1.0) +
+            exp(-(col("etaq").cast("double") / lit(1e6))))) * lit(1e6))
+            .cast("long"))))
+      .withColumn("pred", (col("pq") >= 500000L).cast("long"))
+    scored.agg(
+        sum(col("pred") * col("y")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("y"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("y")).as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("y"))).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(expr("CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)"), 4)
+          .as("accuracy"),
+        round(expr("""CASE WHEN tp + fp = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END"""), 4)
+          .as("precision"),
+        round(expr("""CASE WHEN tp + fn = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END"""), 4)
+          .as("recall"),
+        round(expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE 2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END"""), 4)
+          .as("f1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p11_logistic" -> p11Logistic)
+    "p11_logistic" -> p11Logistic,
+    "p13_logistic_eval" -> p13LogisticEval)
 
   /** The shared moment/solve SQL text for one step. `pqExpr` supplies
     * the quantized-p expression over row set `src` (which must expose
@@ -155,6 +206,48 @@ object Logistic {
   }
 
   val oracle: Map[String, String] = Map(
+    "p13_logistic_eval" ->
+      s"""WITH d AS (SELECT n_chars // 100 AS x,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+          s1 AS (SELECT x, y, CAST(500000 AS BIGINT) AS pq FROM d),
+          ${stepSql("s1", "m1", "beta1", withEta = false)},
+          s2 AS (SELECT d.x, d.y,
+              CAST(round((b.b0 + b.b1 * CAST(d.x AS DOUBLE)) * 1e6)
+                AS BIGINT) AS etaq,
+              least($pqMax, greatest($pqMin,
+                CAST(round(1000000.0 * (1.0 / (1.0 +
+                  exp(-(CAST(CAST(round((b.b0 + b.b1 * CAST(d.x AS DOUBLE))
+                    * 1e6) AS BIGINT) AS DOUBLE) / 1e6))))) AS BIGINT)))
+                AS pq
+            FROM d CROSS JOIN beta1 b),
+          ${stepSql("s2", "m2", "beta2", withEta = true)},
+          sc AS (SELECT d.y,
+              CASE WHEN least($pqMax, greatest($pqMin,
+                CAST(round(1000000.0 * (1.0 / (1.0 +
+                  exp(-(CAST(CAST(round((b.b0 + b.b1 * CAST(d.x AS DOUBLE))
+                    * 1e6) AS BIGINT) AS DOUBLE) / 1e6))))) AS BIGINT)))
+                >= 500000 THEN 1 ELSE 0 END AS pred
+            FROM d CROSS JOIN beta2 b),
+          cm AS (SELECT
+              CAST(sum(pred * y) AS BIGINT) AS tp,
+              CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+              CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+              CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+            FROM sc)
+          SELECT tp, fp, fn, tn,
+            round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 4)
+              AS accuracy,
+            round(CASE WHEN tp + fp = 0 THEN NULL
+              ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 4)
+              AS precision,
+            round(CASE WHEN tp + fn = 0 THEN NULL
+              ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 4)
+              AS recall,
+            round(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+              ELSE 2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+              END, 4) AS f1
+          FROM cm""",
     "p11_logistic" ->
       s"""WITH d AS (SELECT n_chars // 100 AS x,
               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y

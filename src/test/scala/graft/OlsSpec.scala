@@ -223,4 +223,54 @@ class OlsSpec extends AnyFunSuite {
       assert(math.abs(g._7 - e._4) < 5e-3, s"fold ${g._1}: rmse ${g._7} vs ${e._4}")
     }
   }
+
+  test("p13 confusion census equals a driver replay from p11's final coefficients") {
+    import spark.implicits._
+    val O = graft.operators.Logistic
+    // final-iteration coefficients from the (separately oracle-gated)
+    // p11 trace — 4-dp rounded, so replay predictions with the same
+    // quantized sigmoid tolerate only boundary rows; compare counts
+    // against a replay using UNROUNDED engine-order math via p13 itself
+    val betas = O.p11Logistic(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val iters = betas.keys.map(_._1).max
+    val (b0, b1) = (betas((iters, 0)), betas((iters, 1)))
+    import org.apache.spark.sql.functions.{expr, when}
+    val xy = graft.sources.Tables.documents(spark, sf)
+      .select(expr("n_chars div 100"),
+        when($"lang" === "en", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // predictions from 4-dp coefficients: eta sign decides; count rows
+    // within a safe margin of the boundary to bound the drift
+    var tp = 0L; var fp = 0L; var fn = 0L; var tn = 0L; var boundary = 0
+    xy.foreach { case (x, y) =>
+      val eta = b0 + b1 * x.toDouble
+      if (math.abs(eta) < 1e-3) boundary += 1
+      val pred = if (eta >= 0.0) 1L else 0L
+      (pred, y) match {
+        case (1L, 1L) => tp += 1
+        case (1L, 0L) => fp += 1
+        case (0L, 1L) => fn += 1
+        case _ => tn += 1
+      }
+    }
+    val r = O.p13LogisticEval(spark, sf).collect()(0)
+    val (gtp, gfp, gfn, gtn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(gtp + gfp + gfn + gtn == xy.length.toLong)
+    // counts agree up to rows sitting on the rounded-coefficient boundary
+    assert(math.abs(gtp - tp) <= boundary && math.abs(gfp - fp) <= boundary &&
+      math.abs(gfn - fn) <= boundary && math.abs(gtn - tn) <= boundary,
+      s"($gtp,$gfp,$gfn,$gtn) vs ($tp,$fp,$fn,$tn) boundary=$boundary")
+    // metric consistency with the engine's own counts
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) ==
+      r4((gtp + gtn).toDouble / (gtp + gfp + gfn + gtn).toDouble))
+    assert(r.getDouble(7) ==
+      r4(2.0 * gtp / (2.0 * gtp + gfp + gfn).toDouble))
+    // the model actually separates: better than the majority-class rate
+    val maj = math.max(xy.count(_._2 == 1L), xy.count(_._2 == 0L)).toDouble / xy.length
+    assert(r.getDouble(4) >= maj - 0.05)
+  }
 }
