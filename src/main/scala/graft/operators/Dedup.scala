@@ -943,7 +943,33 @@ object Dedup {
         concat_ws(" ", $"p_name", $"p_brand", $"p_type").as("name")))
   }
 
+  // ---------------------------------------------------------------- d22
+
+  /** D168: near-dup cluster census — the size histogram of the
+    * connected-component clusters d8/c2 deduplicate by: one row per
+    * cluster size with the cluster count and document mass, the
+    * "how duplicated is this corpus, and in what shape" observability
+    * readout (a fat tail here is what motivates d16's reweighting and
+    * c2's keep-best selection).
+    *
+    * All counts exact integers; reuses the session-cached component
+    * assignment (singletons are size-1 clusters), so the census adds
+    * two partial-aggregated rollups to work d8/c2 already did.
+    * Output is bounded by the LARGEST CLUSTER SIZE, never corpus
+    * rows. */
+  def d22ClusterCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    componentAssignment(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_cluster_census" -> d22ClusterCensus,
     "d21_fuzzy_names" -> d21FuzzyNames,
     "d19_winnowing" -> d19Winnowing,
     "d20_substring_contamination" -> d20SubstringContamination,
@@ -1063,6 +1089,13 @@ object Dedup {
         FROM st_${b}_$r"""
 
   val oracle: Map[String, String] = Map(
+    "d22_cluster_census" ->
+      s"""${componentsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                 FROM assign GROUP BY 1)
+          SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sz * count(*) AS BIGINT) AS n_docs
+          FROM sz GROUP BY sz ORDER BY sz""",
     "d21_fuzzy_names" ->
       """WITH g AS (SELECT p_name || ' ' || p_brand || ' ' || p_type AS name,
               CAST(min(p_partkey) AS BIGINT) AS key,

@@ -466,7 +466,66 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- c11
+
+  /** D167: cleaning-funnel observability — document and token
+    * survival through each stage of the c1 chain (raw → quality gate
+    * → exact dedup → near-dup removal), with retained fractions
+    * against the raw corpus: the per-stage loss report every corpus
+    * curation run ships next to its dataset card (c8 describes the
+    * OUTPUT; c11 explains what the pipeline DID to get there).
+    *
+    * Exactness: doc/token counts are exact integers; retained
+    * fractions are one division each, 4-dp. Stages reuse c1's exact
+    * logic (same quality gate, same content-hash keeper rule, same
+    * d5 near-dup drop), so the funnel is definitionally consistent
+    * with the oracle-gated c1/c2 outputs.
+    *
+    * Scale shape: each stage is the c1 plan plus a one-row rollup;
+    * the stage frames chain (no recomputation of earlier stages —
+    * each adds one operator to the previous). */
+  def c11StageFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s0 = Tables.documents(spark, dir)
+      .withColumn("nt", size(split(lower($"text"), " ")).cast("long"))
+      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s1 = s0.filter($"quality" >= 0.5)
+    val s2 = s1
+      .withColumn("content_hash",
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
+      .withColumn("keep_id",
+        min($"doc_id").over(Window.partitionBy($"content_hash")))
+      .filter($"doc_id" === $"keep_id")
+      .select($"doc_id", $"nt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = s2.select($"doc_id")
+    val livePairs = Dedup.d5Jaccard(spark, dir)
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    val s3 = s2.join(livePairs.select($"doc_b".as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    def stageAgg(df: DataFrame, stage: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          $"n_docs", $"n_tokens")
+    val stages = stageAgg(s0, 0, "raw")
+      .unionByName(stageAgg(s1, 1, "quality_gate"))
+      .unionByName(stageAgg(s2, 2, "exact_dedup"))
+      .unionByName(stageAgg(s3, 3, "near_dedup"))
+    val raw = stageAgg(s0, 0, "raw")
+      .select($"n_docs".as("rd"), $"n_tokens".as("rt"))
+    stages.crossJoin(broadcast(raw))
+      .select($"stage", $"stage_name", $"n_docs", $"n_tokens",
+        round(expr("CAST(n_docs AS DOUBLE) / CAST(rd AS DOUBLE)"), 4)
+          .as("docs_retained"),
+        round(expr("CAST(n_tokens AS DOUBLE) / CAST(rt AS DOUBLE)"), 4)
+          .as("tokens_retained"))
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_stage_funnel" -> c11StageFunnel,
     "c9_bpe_train" -> c9BpeTrain,
     "c10_mixture_temperature" -> c10MixtureTemperature,
     "c8_dataset_card" -> c8DatasetCard,
@@ -496,6 +555,39 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c11_stage_funnel" ->
+      s"""${Dedup.jaccardCte},
+          qual AS (SELECT doc_id, text, lang, source,
+                     CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+                     ${TextAnalysis.qualityScoreSql} AS quality
+                   FROM documents),
+          s1 AS (SELECT doc_id, nt, quality,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS ch
+                 FROM qual WHERE quality >= 0.5),
+          keepers AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY ch),
+          s2 AS (SELECT s1.doc_id, nt FROM s1 JOIN keepers USING (doc_id)),
+          drops AS (SELECT DISTINCT doc_b AS doc_id FROM jp
+                    WHERE doc_a IN (SELECT doc_id FROM s2)
+                      AND doc_b IN (SELECT doc_id FROM s2)),
+          s3 AS (SELECT * FROM s2
+                 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+          st AS (
+            SELECT 0 AS stage, 'raw' AS stage_name,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS n_tokens FROM qual
+            UNION ALL SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+              CAST(sum(nt) AS BIGINT) FROM s1
+            UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+              CAST(sum(nt) AS BIGINT) FROM s2
+            UNION ALL SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT),
+              CAST(sum(nt) AS BIGINT) FROM s3),
+          raw AS (SELECT n_docs AS rd, n_tokens AS rt FROM st WHERE stage = 0)
+          SELECT stage, stage_name, n_docs, n_tokens,
+            round(CAST(n_docs AS DOUBLE) / CAST(rd AS DOUBLE), 4)
+              AS docs_retained,
+            round(CAST(n_tokens AS DOUBLE) / CAST(rt AS DOUBLE), 4)
+              AS tokens_retained
+          FROM st CROSS JOIN raw ORDER BY stage""",
     "c10_mixture_temperature" ->
       """WITH cen AS (SELECT source,
               CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)

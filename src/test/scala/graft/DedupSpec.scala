@@ -422,6 +422,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("d22 cluster census conserves documents and matches the component assignment") {
+    import spark.implicits._
+    val ca = Dedup.componentAssignment(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ca.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (szv, n) => (szv, n, szv * n) }.sortBy(_._1)
+    val got = Dedup.d22ClusterCensus(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // every document appears in exactly one cluster
+    assert(got.map(_._3).sum == ca.length.toLong)
+    // near-dup families exist in the fixture (some cluster size > 1)
+    assert(got.exists(_._1 > 1L))
+  }
+
   test("d21 canonicalizes identical descriptors and pairs exactly word-hamming <= 1") {
     import spark.implicits._
     val names = Seq(

@@ -378,6 +378,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("c11 stage funnel is monotone and consistent with c1's survivor set") {
+    import spark.implicits._
+    val rows = Pipeline.c11StageFunnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // each stage only removes mass
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._1} grew")
+    }
+    // raw row retained == 1.0; fractions within (0, 1]
+    assert(rows.head._5 == 1.0 && rows.head._6 == 1.0)
+    assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    // stage-3 doc count recomposes c1's per-(lang, source) census
+    val c1Docs = Pipeline.c1CleanCorpus(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(rows.last._3 == c1Docs)
+  }
+
   test("c10 temperature mixture equals a driver replay and rebalances toward small sources") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{split, lower, col, size => asize}
