@@ -248,8 +248,9 @@ class PlanSpec extends AnyFunSuite {
       "t22_nb_lang", "q63_abc", "q66_skew_census", "t24_vocab_coverage",
       "q75_pr_auc", "q76_ks_test", "q81_segment_migration",
       "s13_triplet_mining", "t28_burstiness",
-      // g8 crosses five ONE-row audit aggregates (q43 shape)
-      "g8_modularity")
+      // g8 crosses five ONE-row audit aggregates (q43 shape);
+      // c11 crosses the ONE-row raw-totals frame for retained fractions
+      "g8_modularity", "c11_stage_funnel")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {
