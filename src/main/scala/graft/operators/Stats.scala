@@ -695,6 +695,45 @@ object Stats {
       .orderBy($"nation")
   }
 
+  // ---------------------------------------------------------------- q89
+
+  /** D169: paired t-test on month-over-month revenue growth — per
+    * nation, are consecutive-month revenue DIFFERENCES centered at
+    * zero? The paired design removes the between-month level variance
+    * that q67's two-sample form would drown in; contiguous months
+    * only (a gap breaks the pair, the q80 span discipline).
+    *
+    * Differences come from ONE lag window per nation; their moments
+    * (n, Σd, Σd²) are exact integers in DECIMAL(38,0); t = d̄/(s/√n)
+    * and the mean difference are single IEEE closed forms, 4-dp (the
+    * q67 discipline on the paired design). */
+  def q89PairedTtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    val wSeq = Window.partitionBy($"nation").orderBy($"m")
+    monthly
+      .withColumn("pm", lag($"m", 1).over(wSeq))
+      .withColumn("pc", lag($"cents", 1).over(wSeq))
+      .filter($"pm".isNotNull && $"m" === $"pm" + 1)
+      .withColumn("d", $"cents" - $"pc")
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"d".cast("decimal(38,0)")).as("sd"),
+        sum($"d".cast("decimal(38,0)") * $"d").as("sdd"))
+      .select($"nation", $"n_pairs",
+        round(expr("CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE)"), 4)
+          .as("mean_diff_cents"),
+        round(expr("""(CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE)) /
+            sqrt(((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+              / CAST(n_pairs AS DOUBLE)) / CAST(n_pairs - 1 AS DOUBLE))
+              / CAST(n_pairs AS DOUBLE))"""), 4).as("t_stat"))
+      .orderBy($"nation")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -709,7 +748,8 @@ object Stats {
     "q77_acf" -> q77Acf,
     "q78_kaplan_meier" -> q78KaplanMeier,
     "q83_anova" -> q83Anova,
-    "q88_runs_test" -> q88RunsTest)
+    "q88_runs_test" -> q88RunsTest,
+    "q89_paired_ttest" -> q89PairedTtest)
 
   val oracle: Map[String, String] = Map(
     "q67_welch_ttest" ->
@@ -1041,5 +1081,30 @@ object Stats {
                   - CAST(n_pos + n_neg AS DOUBLE))
                 / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
                   * CAST(n_pos + n_neg - 1 AS DOUBLE))), 4) AS z_stat
+          FROM agg ORDER BY nation""",
+    "q89_paired_ttest" ->
+      """WITH mon AS (SELECT c.c_nationkey AS nation,
+              year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          lg AS (SELECT nation, m, cents,
+              lag(m) OVER (PARTITION BY nation ORDER BY m) AS pm,
+              lag(cents) OVER (PARTITION BY nation ORDER BY m) AS pc
+            FROM mon),
+          d AS (SELECT nation, CAST(cents - pc AS HUGEINT) AS d
+            FROM lg WHERE pm IS NOT NULL AND m = pm + 1),
+          agg AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
+              sum(d) AS sd, sum(d * d) AS sdd
+            FROM d GROUP BY 1)
+          SELECT nation, n_pairs,
+            round(CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE), 4)
+              AS mean_diff_cents,
+            round((CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE)) /
+              sqrt(((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)
+                  * CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                / CAST(n_pairs - 1 AS DOUBLE))
+                / CAST(n_pairs AS DOUBLE)), 4) AS t_stat
           FROM agg ORDER BY nation""")
 }

@@ -388,4 +388,35 @@ class StatsSpec extends AnyFunSuite {
         r.getDouble(4))).toSeq
     assert(got == expected && got.nonEmpty)
   }
+
+  test("q89 paired t matches an exact driver replay over contiguous month pairs") {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")),
+        floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = monthly.keys.map(_._1).toSeq.distinct.sorted.map { nat =>
+      val ms = monthly.collect { case ((n, m), c) if n == nat => (m, c) }
+        .toSeq.sortBy(_._1)
+      val ds = ms.sliding(2).collect {
+        case Seq((m1, c1), (m2, c2)) if m2 == m1 + 1 => BigInt(c2 - c1)
+      }.toSeq
+      val n = ds.length.toLong
+      val sd = ds.sum
+      val sdd = ds.map(d => d * d).sum
+      val mean = sd.toDouble / n.toDouble
+      val t = mean / math.sqrt(
+        ((sdd.toDouble - sd.toDouble * sd.toDouble / n.toDouble) / (n - 1)) / n)
+      (nat, n, r4(mean), r4(t))
+    }
+    val got = Stats.q89PairedTtest(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+  }
 }
