@@ -134,6 +134,19 @@ object KMeans {
   /** Cosine threshold for [[d14SemDedup]] — the d9/s3 convention. */
   val semTau = 0.35
 
+  /** d14 target cluster size: the SemDeDup contract is that k GROWS
+    * with the corpus so cluster size (and with it the within-cluster
+    * quadratic pair stage) stays bounded — the paper runs 50k clusters
+    * over LAION. k = max([[k]], ceil(n / 100)) keeps per-cluster pair
+    * work at ~n·100 dots (linear in the corpus) instead of O(n²/8). */
+  val semTargetClusterSize = 100L
+
+  /** The d14 cluster-count formula — replayed verbatim by the oracle's
+    * `kv` CTE (`greatest(8, ceil(count(*) / 100.0))`), so engine and
+    * DuckDB always agree on k for any corpus size. */
+  private[graft] def semK(n: Long): Int =
+    math.max(k, math.ceil(n.toDouble / semTargetClusterSize).toInt)
+
   /** D77: SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the [[fitVectors]]
     * Lloyd k-means, then flag a vector as a semantic duplicate when a
@@ -143,9 +156,12 @@ object KMeans {
     * id) retained witness, and that cosine.
     *
     * Scale shape: this is the SemDeDup contract — the quadratic
-    * pairwise stage is confined within clusters, and k grows with the
-    * corpus so cluster size stays bounded (the paper runs 50k clusters
-    * over LAION); the cross-cluster pair space is never enumerated.
+    * pairwise stage is confined within clusters, and k = [[semK]]
+    * (derived from a cheap metadata count) grows with the corpus so
+    * cluster size stays bounded at ~[[semTargetClusterSize]] and the
+    * pair stage stays LINEAR in n; the cross-cluster pair space is
+    * never enumerated. (At extreme k the n·k assignment term itself
+    * would move to an IVF shortlist — the s6 machinery.)
     * Assignment is the narrow p8 map (centroid literal rides along);
     * the pair stage is one cid-equi-join; per-vector norms are
     * computed ONCE before the join, so each pair costs one dot, not
@@ -156,7 +172,9 @@ object KMeans {
   def d14SemDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val f = fit(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("ord"), $"embedding".cast("array<double>").as("e"))
+    val f = fitVectors(vecs, semK(vecs.count()), iters)
     val asg = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
       .select($"vec_id", $"e", assignCol($"e", f.cents).as("cid"))
@@ -186,8 +204,10 @@ object KMeans {
   // integer sums make every mean exact; list_inner_product matches the
   // ascending HOF dot bit-for-bit.
   /** Shared Lloyd-replay CTE chain (`e`, `init`, `c0`, `a1..c[iters]`)
-    * — interpolated after `WITH` by the p8 and d14 oracles. */
-  private val lloydCtes: String = {
+    * — interpolated after `WITH` by the p8 and d14 oracles. `initCtes`
+    * is the seed-selection CTE: p8 passes the fixed `LIMIT k` form;
+    * d14 passes the `kv`-derived form replaying [[semK]] in SQL. */
+  private def lloydCtes(initCtes: String): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, e, cid FROM (
             SELECT v.vec_id, v.e, c.cid,
@@ -212,9 +232,7 @@ object KMeans {
     }.mkString(",\n          ")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings),
-          init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
-                AS INT) AS cid, e
-            FROM e ORDER BY vec_id LIMIT $k),
+          $initCtes,
           c0 AS (SELECT cid,
               list_transform(e, v -> (CAST(floor(v * $qScale) AS DOUBLE)
                 / 1.0) / $qScale) AS c
@@ -222,8 +240,26 @@ object KMeans {
           $iterCtes"""
   }
 
+  /** p8's fixed-k seed: the [[k]] lowest-vec_id embeddings. */
+  private val initFixed: String =
+    s"""init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                AS INT) AS cid, e
+            FROM e ORDER BY vec_id LIMIT $k)"""
+
+  /** d14's corpus-derived seed: kv replays [[semK]] —
+    * greatest(k, ceil(n / targetClusterSize)) — in SQL, so the oracle
+    * fits the same cluster count the engine derives from its count. */
+  private val initDyn: String =
+    s"""kv AS (SELECT greatest($k,
+              CAST(ceil(count(*) / $semTargetClusterSize.0) AS INT)) AS kk
+            FROM e),
+          init AS (SELECT cid, e FROM (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                  AS INT) AS cid, e
+              FROM e) WHERE cid < (SELECT kk FROM kv))"""
+
   private val oracleSql: String =
-    s"""WITH $lloydCtes
+    s"""WITH ${lloydCtes(initFixed)}
           SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n_vecs,
             round(sqrt(list_inner_product(c, c)), 4) AS centroid_norm
           FROM c$iters ORDER BY cluster_id"""
@@ -233,7 +269,7 @@ object KMeans {
     * assigns with post-fit `f.cents`, i.e. `c$iters`), then the
     * within-cluster pair scan and the rounded-cosine witness rank. */
   private val d14OracleSql: String =
-    s"""WITH $lloydCtes,
+    s"""WITH ${lloydCtes(initDyn)},
           a4 AS (SELECT vec_id, e, cid FROM (
             SELECT v.vec_id, v.e, c.cid,
               row_number() OVER (PARTITION BY v.vec_id ORDER BY

@@ -285,7 +285,7 @@ object Multimodal {
         .cast("long") % 32768).as(s"b$i")
     }
     val ps = (1 to 4).map { j =>
-      (conv(substring(md5($"doc_id".cast("string")), j, 1), 16, 10)
+      (conv(substring(md5($"doc_id".cast("string")), 2 * j - 1, 2), 16, 10)
         .cast("long") % 60).as(s"p$j")
     }
     withPayload(spark, dir).filter($"modality" === "image")
@@ -401,9 +401,9 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "m9_scene_cuts" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
-              CAST(length(text) // $sceneFrameBytes AS INT) AS n_frames
+              CAST(strlen(text) // $sceneFrameBytes AS INT) AS n_frames
             FROM documents
-            WHERE doc_id % 3 = 2 AND length(text) >= $sceneFrameBytes),
+            WHERE doc_id % 3 = 2 AND strlen(text) >= $sceneFrameBytes),
           fr AS (SELECT doc_id, cm, n_frames,
               unnest(generate_series(1, n_frames)) AS f
             FROM d),
@@ -444,10 +444,10 @@ object Multimodal {
               CAST('0x' || substring(md5(lang || ':' || source || ':'
                 || CAST(n_chars // 50 AS VARCHAR) || ':3'), 1, 4) AS BIGINT) % 32768 AS b3,
               doc_id % 5 AS k,
-              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS BIGINT) % 60 AS p1,
-              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) AS BIGINT) % 60 AS p2,
-              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 3, 1) AS BIGINT) % 60 AS p3,
-              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 4, 1) AS BIGINT) % 60 AS p4
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 60 AS p1,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) % 60 AS p2,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 2) AS BIGINT) % 60 AS p3,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 7, 2) AS BIGINT) % 60 AS p4
             FROM img),
           ph AS (SELECT doc_id,
               xor(b0 + b1 * 32768 + b2 * 1073741824 + b3 * 35184372088832,
@@ -474,8 +474,8 @@ object Multimodal {
           WHERE hamming <= $phashMaxHamming ORDER BY doc_a, doc_b""",
     "m7_audio_vad" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
-              CAST(length(text) // $vadFrameBytes AS INT) AS n_frames
-            FROM documents WHERE doc_id % 3 = 1 AND length(text) >= $vadFrameBytes),
+              CAST(strlen(text) // $vadFrameBytes AS INT) AS n_frames
+            FROM documents WHERE doc_id % 3 = 1 AND strlen(text) >= $vadFrameBytes),
           fr AS (SELECT doc_id, cm, n_frames,
               unnest(generate_series(1, n_frames)) AS f
             FROM d),

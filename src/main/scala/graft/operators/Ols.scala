@@ -10,7 +10,7 @@ import graft.sources.Tables
   * the normal equations XᵀXβ = Xᵀy (SURVEY.md §2.B12; the same
   * one-pass-moments-then-driver-solve shape as the reference PCA's
   * covariance route,
-  * /root/reference/src/main/scala/com/nvidia/rapids/ml/RapidsPCA.scala:110-140
+  * /root/reference/src/main/scala/org/apache/spark/ml/feature/RapidsPCA.scala:110-140
   * — there the Gram matrix feeds an eigensolve, here a 4×4 linear
   * solve; p7 covers the single-feature case, this is the general one).
   *

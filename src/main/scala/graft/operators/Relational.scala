@@ -372,101 +372,121 @@ object Relational {
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_year".asc_nulls_first)
   }
 
-  /** D11: EXACT per-group percentiles. Deliberately the exact form:
-    * `percentile` buffers each group's value multiset in the final
-    * aggregation, so per-group state grows with the data — fine for
-    * bounded/low-volume groups and as the correctness anchor, but NOT
-    * the 100 TB path. At scale the engine's answer is
-    * [[AdvancedSql.q31ApproxPercentile]]: a mergeable quantile sketch
-    * with fixed-size state and partial aggregation (the q7/q8
-    * exact-vs-HLL relationship, for quantiles). */
-  def q22Percentile(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
-      .orderBy($"l_returnflag")
-  }
-
-  /** D11: EXACT per-group percentiles WITHOUT buffering raw values —
-    * the distributed form q22's doc promises exists. `percentile`
-    * holds each group's whole value multiset in the final aggregate;
-    * this operator runs histogram + targeted refinement instead:
+  /** Shared two-phase EXACT-percentile core (histogram + targeted
+    * refinement), generalized over several value columns — the 100 TB
+    * plan both q22 and q38 execute. Spark's `percentile` buffers each
+    * group's whole value multiset in the final aggregate; this never
+    * materializes a group:
     *
     *  1. bucket histogram — one map-side-combined shuffle producing
-    *     (#groups × #buckets) counts; the only pass that touches every
-    *     row, and it parallelizes perfectly;
+    *     (#groups × #cols × #buckets) counts; the only pass that
+    *     touches every row, and it parallelizes perfectly;
     *  2. locate each needed order statistic k = p·(N−1) in its bucket
-    *     from the driver-local cumulated histogram (bounded rows);
+    *     from the driver-local cumulated histogram (bounded rows —
+    *     bounded by the value range, never by row count);
     *  3. refine: rank ONLY the target buckets' rows (broadcast
     *     semi-join + per-bucket sort of a few thousand rows, parallel
     *     across buckets — never a per-group global sort), then
     *     interpolate with exactly `percentile`'s formula, so the
-    *     answer is bit-identical to q22's (and DuckDB
-    *     `quantile_cont`'s). */
-  def q38PercentileDist(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ps = Seq(0.5, 0.9)
-    val width = 64.0 // fixture price span ~1e5 → ~1.6k buckets/group
-    val li = Tables.lineitem(spark, dir)
-      .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
-    // Phase 1 — histogram: one map-side-combined shuffle whose output is
-    // (#groups × #buckets) rows, bounded by the value range, not by row
-    // count. Driver-local cumulation of that tiny table locates, for
-    // each needed 0-based order statistic k, the bucket holding it and
-    // the residual rank inside that bucket. (Production with unknown
-    // value ranges derives the bucket bounds from a q31-style sketch
-    // pre-pass; the phase structure is unchanged.)
-    val hist = li.groupBy($"g", floor($"v" / width).cast("long").as("b"))
+    *     answer is bit-identical to the buffering form's (and DuckDB
+    *     `quantile_cont`'s; guarded in RelationalSpec).
+    *
+    * `long` needs columns (g: string, cid: int, v: double); `widths`
+    * is the per-cid histogram bucket width (production with unknown
+    * value ranges derives bounds from a q31-style sketch pre-pass);
+    * `wants` lists the (cid, p) order statistics. Returns
+    * (g, cid, p) → exact 4-dp interpolated percentile. Both collects
+    * are bounded: the histogram by the value range, the picks by
+    * 4 rows per (group, column). */
+  private def twoPhasePercentiles(long: DataFrame, widths: Map[Int, Double],
+      wants: Seq[(Int, Double)]): Map[(String, Int, Double), Double] = {
+    import long.sparkSession.implicits._
+    val withB = long.withColumn("b",
+      floor($"v" / element_at(typedLit(widths), $"cid")).cast("long"))
+    val hist = withB.groupBy($"g", $"cid", $"b")
       .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val counts = hist.groupBy(_._1).map { case (g, rows) =>
-      g -> rows.sortBy(_._2).map { case (_, b, c) => (b, c) }
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2), r.getLong(3)))
+    val counts = hist.groupBy(_._1).map { case (gc, rows) =>
+      gc -> rows.sortBy(_._2).map { case (_, b, c) => (b, c) }
     }
-    val nByG = counts.map { case (g, bs) => g -> bs.map(_._2).sum }
-    val targets: Seq[(String, Long, Long, Long)] = counts.toSeq.flatMap {
-      case (g, bs) =>
-        val n = nByG(g)
-        val positions = ps.flatMap { p =>
-          val k = p * (n - 1).toDouble
-          Seq(math.floor(k).toLong, math.ceil(k).toLong)
-        }.distinct
+    val nByGc = counts.map { case (gc, bs) => gc -> bs.map(_._2).sum }
+    val targets: Seq[(String, Int, Long, Long, Long)] = counts.toSeq.flatMap {
+      case ((g, cid), bs) =>
+        val n = nByGc((g, cid))
+        val positions = wants.collect { case (c, p) if c == cid => p }
+          .flatMap { p =>
+            val k = p * (n - 1).toDouble
+            Seq(math.floor(k).toLong, math.ceil(k).toLong)
+          }.distinct
         var cum = 0L
         val spans = bs.map { case (b, c) => val s = (b, cum, c); cum += c; s }
         positions.map { pos =>
           val (b, before, _) = spans
             .find { case (_, lo, c) => pos >= lo && pos < lo + c }.get
-          (g, pos, b, pos - before)
+          (g, cid, pos, b, pos - before)
         }
     }
-    // Phase 2 — refinement: fetch ONLY the target buckets (broadcast
-    // semi-join; ≤ 4 buckets per group) and rank inside each — a
-    // per-(group, bucket) sort of a few thousand rows, parallel across
-    // buckets. No per-group global sort ever happens.
-    val tDf = targets.toDF("g", "pos", "b", "in_b")
-    val wB = Window.partitionBy($"g", $"b").orderBy($"v")
-    val picked = li.withColumn("b", floor($"v" / width).cast("long"))
-      .join(broadcast(tDf.select($"g", $"b").distinct()), Seq("g", "b"), "left_semi")
+    val tDf = targets.toDF("g", "cid", "pos", "b", "in_b")
+    val wB = Window.partitionBy($"g", $"cid", $"b").orderBy($"v")
+    val picked = withB
+      .join(broadcast(tDf.select($"g", $"cid", $"b").distinct()),
+        Seq("g", "cid", "b"), "left_semi")
       .withColumn("rk", (row_number().over(wB) - 1).cast("long"))
-      .join(broadcast(tDf), Seq("g", "b"), "inner")
+      .join(broadcast(tDf), Seq("g", "cid", "b"), "inner")
       .filter($"rk" === $"in_b")
-      .select($"g", $"pos", $"v")
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // Assemble: percentile's interpolation, identical to q22/DuckDB
+      .select($"g", $"cid", $"pos", $"v")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
     def rnd4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val out = nByG.toSeq.sortBy(_._1).map { case (g, n) =>
-      val Seq(v50, v90) = ps.map { p =>
-        val k = p * (n - 1).toDouble
-        val lo = picked((g, math.floor(k).toLong))
-        val hi = picked((g, math.ceil(k).toLong))
-        rnd4(lo + (k - math.floor(k)) * (hi - lo))
-      }
-      (g, v50, v90)
-    }
-    out.toDF("l_returnflag", "p50", "p90").orderBy($"l_returnflag")
+    (for {
+      ((g, cid), n) <- nByGc.toSeq
+      (c, p) <- wants if c == cid
+    } yield {
+      val k = p * (n - 1).toDouble
+      val lo = picked((g, cid, math.floor(k).toLong))
+      val hi = picked((g, cid, math.ceil(k).toLong))
+      (g, cid, p) -> rnd4(lo + (k - math.floor(k)) * (hi - lo))
+    }).toMap
+  }
+
+  /** D11: EXACT per-group percentiles — median quantity + p90 price
+    * per returnflag. Since round 8 the BENCHED plan is the two-phase
+    * [[twoPhasePercentiles]] form (no value-buffering `percentile`
+    * aggregate anywhere in the executed plan — plan-guarded in
+    * RelationalSpec); the buffering expression survives only inside
+    * the spec as the bit-identity cross-check. Widths: quantity spans
+    * 1..50 → width 1; price spans ~1e5 → width 64 (~1.6k buckets). */
+  def q22Percentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val long = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("g"),
+        posexplode(array($"l_quantity", $"l_extendedprice"))
+          .as(Seq("cid", "v")))
+    val res = twoPhasePercentiles(long, Map(0 -> 1.0, 1 -> 64.0),
+      Seq((0, 0.5), (1, 0.9)))
+    res.keys.map(_._1).toSeq.distinct.sorted
+      .map(g => (g, res((g, 0, 0.5)), res((g, 1, 0.9))))
+      .toDF("l_returnflag", "p50_qty", "p90_price")
+      .orderBy($"l_returnflag")
+  }
+
+  /** D41: the original distributed-percentile operator (p50/p90 of
+    * extendedprice per returnflag), now a thin binding over the shared
+    * [[twoPhasePercentiles]] core. */
+  def q38PercentileDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val long = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("g"), lit(0).as("cid"),
+        $"l_extendedprice".as("v"))
+    val res = twoPhasePercentiles(long, Map(0 -> 64.0),
+      Seq((0, 0.5), (0, 0.9)))
+    res.keys.map(_._1).toSeq.distinct.sorted
+      .map(g => (g, res((g, 0, 0.5)), res((g, 0, 0.9))))
+      .toDF("l_returnflag", "p50", "p90")
+      .orderBy($"l_returnflag")
   }
 
   /** D9+D11: conditional aggregation (TPC-H Q14 promo-revenue shape)

@@ -11,7 +11,7 @@ import graft.sources.Tables
 class KMeansSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def bruteFit(): (Array[Array[Double]], Array[Long]) = {
+  private def bruteFit(kk: Int = KMeans.k): (Array[Array[Double]], Array[Long]) = {
     import TestSpark.spark.implicits._
     val vecs = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding".cast("array<double>"))
@@ -21,17 +21,17 @@ class KMeansSpec extends AnyFunSuite {
     val d = vecs.head._2.length
     def q(v: Double) = math.floor(v * KMeans.qScale).toLong
     def mean(s: Long, n: Long) = (s.toDouble / n.toDouble) / KMeans.qScale
-    var cents = vecs.take(KMeans.k).map(_._2.map(v => mean(q(v), 1L)))
-    var counts = Array.fill(KMeans.k)(0L)
+    var cents = vecs.take(kk).map(_._2.map(v => mean(q(v), 1L)))
+    var counts = Array.fill(kk)(0L)
     for (_ <- 1 to KMeans.iters) {
       def dot(a: Array[Double], b: Array[Double]) =
         a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
       val assign = vecs.map { case (_, e) =>
-        (0 until KMeans.k).map { cid =>
+        (0 until kk).map { cid =>
           (dot(cents(cid), cents(cid)) - 2 * dot(e, cents(cid)), cid)
         }.min._2
       }
-      val next = Array.tabulate(KMeans.k) { cid =>
+      val next = Array.tabulate(kk) { cid =>
         val members = vecs.indices.filter(assign(_) == cid)
         counts(cid) = members.size.toLong
         if (members.isEmpty) cents(cid)
@@ -62,9 +62,18 @@ class KMeansSpec extends AnyFunSuite {
     assert(rows.count(_.getLong(1) > 0) > 1, "degenerate single-cluster fit")
   }
 
+  test("d14 k formula: max(8, ceil(n/100)), and the fixture fit uses it") {
+    assert(KMeans.semK(1L) == 8)
+    assert(KMeans.semK(500L) == 8)        // this fixture: unchanged k
+    assert(KMeans.semK(801L) == 9)        // first count that outgrows 8
+    assert(KMeans.semK(2000L) == 20)      // sf0.1
+    assert(KMeans.semK(2000000L) == 20000) // 100TB-ish posture: k ~ n/100
+  }
+
   test("d14 semdedup equals a brute within-cluster cosine replay") {
     import TestSpark.spark.implicits._
-    val (cents, _) = bruteFit()
+    val kk = KMeans.semK(Tables.embeddings(spark, sf).count())
+    val (cents, _) = bruteFit(kk)
     val vecs = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding".cast("array<double>"))
       .collect()
@@ -74,7 +83,7 @@ class KMeansSpec extends AnyFunSuite {
       a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
     // assign against the FINAL centroids (what d14 does post-fit)
     val asg = vecs.map { case (id, e) =>
-      val cid = (0 until KMeans.k).map { c =>
+      val cid = (0 until kk).map { c =>
         (dot(cents(c), cents(c)) - 2 * dot(e, cents(c)), c)
       }.min._2
       (id, cid, e, math.sqrt(dot(e, e)))

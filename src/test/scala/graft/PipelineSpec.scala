@@ -358,7 +358,7 @@ class PipelineSpec extends AnyFunSuite {
       val k = id % 5
       val hx = md5hex(id.toString)
       val noise = (1 to 4).map { j =>
-        if (j <= k) 1L << (Integer.parseInt(hx.substring(j - 1, j), 16) % 60) else 0L
+        if (j <= k) 1L << (Integer.parseInt(hx.substring(2 * (j - 1), 2 * j), 16) % 60) else 0L
       }.reduce(_ ^ _)
       id -> (base ^ noise)
     }

@@ -97,4 +97,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("percentile"),
       "q38 plan contains a buffering percentile aggregate")
   }
+
+  test("q22 benched plan is two-phase: bit-equal to buffering percentile, none in plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the buffering expression lives ONLY here, as the cross-check
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dist = graft.operators.Relational.q22Percentile(spark, sf)
+    val rows = dist.collect()
+    assert(rows.nonEmpty && rows.length == direct.size)
+    rows.foreach { r =>
+      val (e50, e90) = direct(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Double]("p50_qty") == e50 && r.getAs[Double]("p90_price") == e90,
+        s"q22 two-phase diverged for ${r.getString(0)}")
+    }
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      "q22 benched plan contains a buffering percentile aggregate")
+  }
 }

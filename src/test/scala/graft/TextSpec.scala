@@ -506,7 +506,9 @@ class TextSpec extends AnyFunSuite {
     val perDoc = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val nDocs = perDoc.map(_._1).distinct.length.toLong
+    // mirror the engine's D exactly: ALL documents, including any that
+    // tokenize to zero tokens (the engine and oracle count the table)
+    val nDocs = Tables.documents(spark, sf).count()
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = perDoc.groupBy(_._2).toSeq.flatMap { case (term, occ) =>
