@@ -388,15 +388,20 @@ object Similarity {
 
   /** Driver-local Lloyd iterations over a collected bounded sample —
     * the shared codebook trainer of IVF ([[ivfCentroids]]) and PQ
-    * ([[pqCodebooks]]). Deterministic: seed = first `k` rows,
-    * squared-L2 assignment with strict < and lowest-index ties (the
-    * same rule as the compiled [[nearestCentroid]]), sequential mean
-    * accumulation, empty cells keep their previous centroid. */
+    * ([[pqCodebooks]]). Deterministic AND cross-engine replayable
+    * (the KMeans/d14 discipline): seed = first `k` rows, squared-L2
+    * assignment with strict < and lowest-index ties (the same rule as
+    * the compiled [[nearestCentroid]]), means as INTEGER sums of
+    * `floor(v · 2^20)` quantized components — integer addition
+    * commutes, so the means are order-free and bit-identical to the
+    * DuckDB oracle's `sum(CAST(floor(v*qScale) AS BIGINT))` replay —
+    * empty cells keep their previous centroid. */
   private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
+    val qs = graft.operators.KMeans.qScale
     var cents = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
+      val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Long](k)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
@@ -408,12 +413,12 @@ object Similarity {
           c += 1
         }
         val s = sums(best); var i = 0
-        while (i < dim) { s(i) += v(i); i += 1 }
+        while (i < dim) { s(i) += math.floor(v(i) * qs).toLong; i += 1 }
         counts(best) += 1
       }
       cents = Array.tabulate(k)(c =>
         if (counts(c) == 0) cents(c)
-        else sums(c).map(_ / counts(c)))
+        else sums(c).map(s => (s.toDouble / counts(c).toDouble) / qs))
     }
     cents
   }
@@ -473,8 +478,10 @@ object Similarity {
   /** D19 scale path #2: IVF ANN — corpus partitioned into coarse
     * k-means cells, queries probe their `nprobe` nearest cells, exact
     * cosine ranking inside the probed cells only. Complements
-    * [[s2KnnLsh]]; recall vs brute force asserted in SimilaritySpec
-    * (no SQL oracle — the codebook lives in Scala). */
+    * [[s2KnnLsh]]; recall vs brute force asserted in SimilaritySpec,
+    * and since round 8 the whole pipeline (trainer included) replays
+    * hash-exact in DuckDB ([[s6OracleSql]] — the quantized [[lloyd]]
+    * makes every centroid cross-engine reproducible). */
   def s6KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -578,8 +585,10 @@ object Similarity {
     * shortlist (bounded: shortlist × queries rows) is joined back to
     * the float embeddings for an exact cosine re-rank. The corpus-wide
     * scan touches codes only; full vectors are re-read for ≤ 50·|Q|
-    * rows regardless of corpus size. No SQL oracle (codebooks live in
-    * Scala); recall vs brute force asserted in SimilaritySpec. */
+    * rows regardless of corpus size. Recall vs brute force asserted in
+    * SimilaritySpec, and since round 8 the whole pipeline — all 8
+    * subspace trainers included — replays hash-exact in DuckDB
+    * ([[s7OracleSql]], on the quantized-[[lloyd]] argument). */
   def s7KnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -985,6 +994,177 @@ object Similarity {
         ORDER BY query_id, step"""
   }
 
+  /** Shared replay CTEs for the s6/s7 codebook training: `e` (doubles),
+    * `smp` (the hash-ordered bounded training sample with its rank).
+    * Every arithmetic shape below is the one already proven bit-exact
+    * cross-engine: float→double element cast, ascending
+    * `list_inner_product` dots, squared-L2 distance as
+    * `list_inner_product(diff, diff)` (≡ the engine's ascending t·t
+    * accumulation), and Lloyd means as exact integer sums of
+    * `floor(v·2^20)` (the KMeans/d14 discipline — [[lloyd]] quantizes
+    * identically, so centroid literals need no interpolation at all:
+    * the whole trainer replays in SQL). */
+  private def trainBaseCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        smp AS (SELECT rn, e FROM (
+            SELECT e, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM e) WHERE rn <= $ivfTrainSize)"""
+
+  /** Squared-L2 distance SQL between DOUBLE[] expressions over `dim`
+    * dims — the diff vector is a lateral column alias so it is written
+    * once; `list_inner_product(dv, dv)` sums t·t ascending exactly like
+    * the engine loops. Emits "(SELECT-list fragment, dist alias)". */
+  private def sqDistCols(a: String, b: String, dim: Int): String =
+    s"""list_transform(generate_series(1, $dim), j -> $a[j] - $b[j]) AS dv,
+        list_inner_product(dv, dv) AS dist"""
+
+  /** DuckDB replay of [[s6KnnIvf]] — the full pipeline in SQL: the
+    * bounded hash-ordered sample, 2 quantized Lloyd rounds over 16
+    * cells, corpus cell assignment, 4-cell query probes, exact cosine
+    * rank inside the probed cells. */
+  private def s6OracleSql: String = {
+    val k = 16; val iters = 2; val nprobe = 4; val dim = 64
+    val qs = graft.operators.KMeans.qScale
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT rn, e, cid FROM (
+            SELECT rn, e, cid, row_number() OVER (
+                PARTITION BY rn ORDER BY dist, cid) AS rk
+            FROM (SELECT s.rn, s.e, c.cid,
+                ${sqDistCols("s.e", "c.c", dim)}
+              FROM smp s CROSS JOIN c${i - 1} c)) WHERE rk = 1),
+          s$i AS (SELECT cid, j AS pos,
+              sum(CAST(floor(e[j] * $qs) AS BIGINT)) AS s,
+              CAST(count(*) AS BIGINT) AS n
+            FROM a$i CROSS JOIN
+              (SELECT unnest(generate_series(1, $dim)) AS j)
+            GROUP BY cid, j),
+          c$i AS (SELECT p.cid, coalesce(u.c, p.c) AS c
+            FROM c${i - 1} p LEFT JOIN (
+              SELECT cid,
+                list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / $qs
+                     ORDER BY pos) AS c
+              FROM s$i GROUP BY cid) u ON u.cid = p.cid)"""
+    }.mkString(",\n          ")
+    s"""WITH $trainBaseCtes,
+          c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS c
+            FROM smp WHERE rn <= $k),
+          $iterCtes,
+          cells AS (SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM (SELECT v.vec_id, c.cid,
+                ${sqDistCols("v.e", "c.c", dim)}
+              FROM e v CROSS JOIN c$iters c)) WHERE rk = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM (SELECT v.vec_id, c.cid,
+                ${sqDistCols("v.e", "c.c", dim)}
+              FROM e v CROSS JOIN c$iters c
+              WHERE v.vec_id < 5)) WHERE rk <= $nprobe),
+          scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
+              $cosSql AS cos
+            FROM probes p
+            JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+            JOIN embeddings a ON a.vec_id = p.query_id
+            JOIN embeddings b ON b.vec_id = cl.vec_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rk
+            FROM scored)
+          SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+            round(cos, 4) AS cos_sim
+          FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
+
+  /** DuckDB replay of [[s7KnnPq]] — sample → L2 normalize → 8
+    * per-subspace quantized Lloyd chains (subspace id `m` rides as a
+    * grouping key, so all 8 codebooks train in ONE chain of CTEs) →
+    * corpus codes → per-query ADC tables → ordered-list ADC sum (the
+    * engine's ascending-m fold) → top-[[pqShortlist]] shortlist →
+    * exact cosine re-rank. */
+  private def s7OracleSql: String = {
+    val sub = 64 / pqSubspaces
+    val qs = graft.operators.KMeans.qScale
+    val iterCtes = (1 to pqIters).map { i =>
+      s"""pa$i AS (SELECT m, rn, v, cid FROM (
+            SELECT m, rn, v, cid, row_number() OVER (
+                PARTITION BY m, rn ORDER BY dist, cid) AS rk
+            FROM (SELECT s.m, s.rn, s.v, c.cid,
+                ${sqDistCols("s.v", "c.c", sub)}
+              FROM sl s JOIN pc${i - 1} c ON c.m = s.m)) WHERE rk = 1),
+          ps$i AS (SELECT m, cid, j AS pos,
+              sum(CAST(floor(v[j] * $qs) AS BIGINT)) AS s,
+              CAST(count(*) AS BIGINT) AS n
+            FROM pa$i CROSS JOIN
+              (SELECT unnest(generate_series(1, $sub)) AS j)
+            GROUP BY m, cid, j),
+          pc$i AS (SELECT p.m, p.cid, coalesce(u.c, p.c) AS c
+            FROM pc${i - 1} p LEFT JOIN (
+              SELECT m, cid,
+                list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / $qs
+                     ORDER BY pos) AS c
+              FROM ps$i GROUP BY m, cid) u
+              ON u.m = p.m AND u.cid = p.cid)"""
+    }.mkString(",\n          ")
+    s"""WITH $trainBaseCtes,
+          nsmp AS (SELECT rn,
+              CASE WHEN nrm = 0 THEN e
+                   ELSE list_transform(e, x -> x / nrm) END AS e
+            FROM (SELECT rn, e, sqrt(list_inner_product(e, e)) AS nrm
+                  FROM smp)),
+          sl AS (SELECT rn, m, e[(m * $sub + 1):(m * $sub + $sub)] AS v
+            FROM nsmp CROSS JOIN
+              (SELECT unnest(generate_series(0, ${pqSubspaces - 1})) AS m)),
+          pc0 AS (SELECT m, CAST(rn - 1 AS INT) AS cid, v AS c
+            FROM sl WHERE rn <= $pqCodebookSize),
+          $iterCtes,
+          ne AS (SELECT vec_id,
+              CASE WHEN nrm = 0 THEN e
+                   ELSE list_transform(e, x -> x / nrm) END AS e
+            FROM (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+                  FROM e)),
+          ces AS (SELECT vec_id, m, e[(m * $sub + 1):(m * $sub + $sub)] AS v
+            FROM ne CROSS JOIN
+              (SELECT unnest(generate_series(0, ${pqSubspaces - 1})) AS m)),
+          codes AS (SELECT vec_id, m, cid AS code FROM (
+            SELECT vec_id, m, cid, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+            FROM (SELECT s.vec_id, s.m, c.cid,
+                ${sqDistCols("s.v", "c.c", sub)}
+              FROM ces s JOIN pc$pqIters c ON c.m = s.m)) WHERE rk = 1),
+          qd AS (SELECT query_id, m, cid AS code,
+              list_inner_product(dv, dv) AS dist FROM (
+            SELECT s.vec_id AS query_id, s.m, c.cid,
+              list_transform(generate_series(1, $sub),
+                j -> s.v[j] - c.c[j]) AS dv
+            FROM ces s JOIN pc$pqIters c ON c.m = s.m
+            WHERE s.vec_id < 5)),
+          adc AS (SELECT d.query_id, cd.vec_id AS neighbor_id,
+              list_sum(list(d.dist ORDER BY d.m)) AS adc
+            FROM codes cd
+            JOIN qd d ON d.m = cd.m AND d.code = cd.code
+            WHERE cd.vec_id <> d.query_id
+            GROUP BY d.query_id, cd.vec_id),
+          short AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+            FROM adc) WHERE rk <= $pqShortlist),
+          scored AS (SELECT s.query_id, s.neighbor_id, $cosSql AS cos
+            FROM short s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rk
+            FROM scored)
+          SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+            round(cos, 4) AS cos_sim
+          FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
+
   /** Shared s1 replay (also the exact side of the s11 recall eval). */
   private def s1OracleSql: String =
     s"""WITH scored AS (
@@ -1060,6 +1240,8 @@ object Similarity {
           ORDER BY b.query_id, b.neighbor_id""",
     "s9_mmr_rerank" -> s9OracleSql,
     "s2_knn_lsh" -> s2OracleSql,
+    "s6_knn_ivf" -> s6OracleSql,
+    "s7_knn_pq" -> s7OracleSql,
     "d9_embedding_neardup" -> d9OracleSql,
     "s1_knn_brute" -> s1OracleSql,
     "s11_recall_eval" ->
