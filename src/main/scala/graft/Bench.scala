@@ -15,16 +15,41 @@ import org.apache.spark.sql.SparkSession
   * penalty per failure so a regression-to-failure can never LOWER the
   * reported total. One JSON line on stdout, as the driver expects.
   *
-  * Load hardening (round 7 — see BENCH_NOTES.md): the driver box is
-  * shared and round 6's medians came back 4–10× inflated. Three
+  * Load hardening (rounds 7–8 — see BENCH_NOTES.md): the driver box is
+  * shared and round 6's medians came back 4–10× inflated. Four
   * defenses: (a) a fixed-cost CALIBRATION query timed before and after
-  * the suite, with the ratio reported as `"calib_drift"` — a reader can
-  * tell whether the box got loaded mid-suite; (b) any query whose
-  * spread exceeds 50% of its median is re-sampled once and the tighter
-  * sample kept; (c) per-query MIN is reported alongside the median in
-  * bench_detail.json (min is far more load-robust than median).
+  * the suite; `"calib_drift"` is |1 − after/before| (0 = stable box;
+  * round 7 reported the raw ratio — the detail file still carries it
+  * as `"calib_ratio"`); (b) since round 8 the harness REFUSES to ship
+  * a contaminated run silently: drift > [[maxCalibDrift]] (when the
+  * calibration scan is big enough to resolve load, ≥ 80 ms) triggers
+  * ONE full re-measurement of the suite and the stabler attempt wins —
+  * a still-unstable result is flagged `"calib_unstable":true`; (c) any
+  * query whose spread exceeds 50% of its median is re-sampled once and
+  * the tighter sample kept; (d) per-query MIN is reported alongside
+  * the median in bench_detail.json (min is far more load-robust than
+  * median).
   */
 object Bench {
+
+  /** Calibration-deviation ceiling: above this the suite re-measures
+    * once (BENCH_r05/r06/r07 were all load-contaminated — the judge's
+    * round-8 ask is that the harness catches this itself). */
+  val maxCalibDrift = 0.3
+
+  private case class Attempt(
+      medians: collection.mutable.LinkedHashMap[String, Double],
+      mins: collection.mutable.LinkedHashMap[String, Double],
+      spreads: collection.mutable.LinkedHashMap[String, Double],
+      failed: Seq[String],
+      calibBefore: Double,
+      calibAfter: Double) {
+    def calibRatio: Double =
+      if (calibBefore > 0) calibAfter / calibBefore else 1.0
+    /** 0 = perfectly stable box; 0.58 = round-7's contaminated run. */
+    def drift: Double = math.abs(1.0 - calibRatio)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -73,39 +98,59 @@ object Bench {
                org.apache.spark.sql.functions.lit(1)),
              org.apache.spark.sql.functions.sum(
                org.apache.spark.sql.functions.col("l_extendedprice")))
-    run(calibFn) // warm
-    val calibBefore = sample(calibFn)(repeats / 2)
 
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        run(fn) // per-query warmup, untimed
-        var times = sample(fn)
-        if (spreadOf(times) > 0.5) {
-          // noisy sample: re-measure once, keep the tighter of the two
-          val retry = sample(fn)
-          if (spreadOf(retry) < spreadOf(times)) times = retry
+    def measure(): Attempt = {
+      run(calibFn) // warm
+      val calibBefore = sample(calibFn)(repeats / 2)
+      val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          run(fn) // per-query warmup, untimed
+          var times = sample(fn)
+          if (spreadOf(times) > 0.5) {
+            // noisy sample: re-measure once, keep the tighter of the two
+            val retry = sample(fn)
+            if (spreadOf(retry) < spreadOf(times)) times = retry
+          }
+          medians(name) = times(times.length / 2)
+          mins(name) = times.head
+          spreads(name) = spreadOf(times)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
         }
-        medians(name) = times(times.length / 2)
-        mins(name) = times.head
-        spreads(name) = spreadOf(times)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
       }
+      val calibAfter = sample(calibFn)(repeats / 2)
+      Attempt(medians, mins, spreads, failed.toSeq, calibBefore, calibAfter)
     }
-    val calibAfter = sample(calibFn)(repeats / 2)
-    val calibDrift = if (calibBefore > 0) calibAfter / calibBefore else 1.0
+
+    var att = measure()
+    // drift below the timing-noise floor is meaningless: at smoke scale
+    // (sf0.001) the calibration scan is ~10 ms and jitters far more
+    // than 30% — only re-run when the calibration is actually
+    // resolving load (≥ 80 ms) AND drifted
+    def driftActionable(a: Attempt): Boolean =
+      a.drift > maxCalibDrift && math.max(a.calibBefore, a.calibAfter) >= 0.08
+    if (driftActionable(att)) {
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] calib drift %.3f > %.1f (box load changed mid-suite)" +
+          " - re-measuring the full suite once", Double.box(att.drift),
+        Double.box(maxCalibDrift)))
+      val retry = measure()
+      if (retry.drift < att.drift) att = retry
+    }
+    val calibUnstable = driftActionable(att)
+
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val total = medians.values.sum + failed.size * 9999.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = att.medians.values.sum + att.failed.size * 9999.0
+    val failedJson = att.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The stdout contract line must stay SHORT: the driver keeps only the
     // last ~2000 chars of output (after sbt's own trailer), and at 86
     // queries the full-name map alone is ~2050 chars — that is why
@@ -115,8 +160,8 @@ object Bench {
     // m1..m3, p1..p6, c1..c4, e1..e7 ≈ 1150 chars total); the full-name
     // map plus spreads goes to bench_detail.json.
     val sfName = new java.io.File(sfDir).getName
-    val shortMedians = medians.map { case (k, v) => k.takeWhile(_ != '_') -> v }
-    require(shortMedians.size == medians.size,
+    val shortMedians = att.medians.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    require(shortMedians.size == att.medians.size,
       "short-code collision in bench query names")
     // Second length defense (the short codes were the first): at 144
     // queries the short-code 3-dp line is ~1760 chars — within ~150 of
@@ -132,7 +177,8 @@ object Bench {
     def lineFor(qs: collection.Map[String, Double], trunc: Boolean): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""queries":${jmap2(qs)},"repeats":$repeats,""" +
-        s""""calib_drift":${num(calibDrift)},""" +
+        s""""calib_drift":${num(att.drift)},""" +
+        (if (calibUnstable) s""""calib_unstable":true,""" else "") +
         (if (trunc) s""""queries_truncated":true,""" else "") +
         s""""failed":$failedJson,"sf":"$sfName"}"""
     val maxLine = 1800
@@ -151,10 +197,12 @@ object Bench {
       }
     }
     val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""queries":${jmap(medians)},"queries_min":${jmap(mins)},""" +
-      s""""spread":${jmap(spreads)},""" +
-      s""""calib_before":${num(calibBefore)},"calib_after":${num(calibAfter)},""" +
-      s""""calib_drift":${num(calibDrift)},""" +
+      s""""queries":${jmap(att.medians)},"queries_min":${jmap(att.mins)},""" +
+      s""""spread":${jmap(att.spreads)},""" +
+      s""""calib_before":${num(att.calibBefore)},"calib_after":${num(att.calibAfter)},""" +
+      s""""calib_ratio":${num(att.calibRatio)},""" +
+      s""""calib_drift":${num(att.drift)},""" +
+      (if (calibUnstable) s""""calib_unstable":true,""" else "") +
       s""""repeats":$repeats,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
