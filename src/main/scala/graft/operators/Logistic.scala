@@ -53,7 +53,27 @@ object Logistic {
   val pqMin = 1000L
   val pqMax = 999000L
 
-  private case class Beta(b0: Double, b1: Double)
+  private[graft] case class Beta(b0: Double, b1: Double)
+
+  /** Full IRLS coefficient trace over an (x: long, y: long) design —
+    * the shared fit loop of p11/p13 and the
+    * [[graft.ml.feature.GraftLogistic]] Estimator. */
+  private[graft] def fitTrace(d: DataFrame, iters: Int): List[Beta] =
+    Iterator.iterate(List.empty[Beta]) { acc =>
+      acc :+ step(d, acc.lastOption)
+    }.drop(iters).next()
+
+  /** The ppm-quantized sigmoid score over the integer feature `x` —
+    * ONE expression shared by p13's eval scan and
+    * [[graft.ml.feature.GraftLogisticModel.transform]], so model
+    * scoring is p13's scoring by construction. */
+  private[graft] def pqCol(b0: Double, b1: Double, x: Column): Column = {
+    val etaq = round((lit(b0) + lit(b1) * x.cast("double")) * lit(1e6))
+      .cast("long")
+    least(lit(pqMax), greatest(lit(pqMin),
+      round((lit(1.0) / (lit(1.0) +
+        exp(-(etaq.cast("double") / lit(1e6))))) * lit(1e6)).cast("long")))
+  }
 
   /** (x, y) integer design: hecto-chars and the is-English indicator. */
   private def design(spark: SparkSession, dir: String): DataFrame = {
@@ -117,9 +137,7 @@ object Logistic {
     val d = design(spark, dir)
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val trace = Iterator.iterate(List.empty[Beta]) { acc =>
-      acc :+ step(d, acc.lastOption)
-    }.drop(lrIters).next()
+    val trace = fitTrace(d, lrIters)
     trace.zipWithIndex.flatMap { case (b, i) =>
       Seq((i + 1, 0, "intercept", r4(b.b0)),
         (i + 1, 1, "hecto_chars", r4(b.b1)))
@@ -144,18 +162,9 @@ object Logistic {
   def p13LogisticEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = design(spark, dir)
-    val beta = Iterator.iterate(List.empty[Beta]) { acc =>
-      acc :+ step(d, acc.lastOption)
-    }.drop(lrIters).next().last
+    val beta = fitTrace(d, lrIters).last
     val scored = d
-      .withColumn("etaq",
-        round((lit(beta.b0) + lit(beta.b1) * col("x").cast("double"))
-          * lit(1e6)).cast("long"))
-      .withColumn("pq",
-        least(lit(pqMax), greatest(lit(pqMin),
-          round((lit(1.0) / (lit(1.0) +
-            exp(-(col("etaq").cast("double") / lit(1e6))))) * lit(1e6))
-            .cast("long"))))
+      .withColumn("pq", pqCol(beta.b0, beta.b1, col("x")))
       .withColumn("pred", (col("pq") >= 500000L).cast("long"))
     scored.agg(
         sum(col("pred") * col("y")).as("tp"),

@@ -273,4 +273,61 @@ class OlsSpec extends AnyFunSuite {
     val maj = math.max(xy.count(_._2 == 1L), xy.count(_._2 == 0L)).toDouble / xy.length
     assert(r.getDouble(4) >= maj - 0.05)
   }
+
+  test("GraftLogistic estimator: transform equals p13's scoring; persistence round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, when}
+    import graft.ml.feature.{GraftLogistic, GraftLogisticModel}
+    val O = graft.operators.Logistic
+    val xy = graft.sources.Tables.documents(spark, sf)
+      .select(expr("n_chars div 100").as("hecto"),
+        when($"lang" === "en", 1L).otherwise(0L).as("is_en"))
+    val model = new GraftLogistic()
+      .setFeaturesCol("hecto").setLabelCol("is_en")
+      .setMaxIter(O.lrIters)
+      .fit(xy)
+    // coefficients equal the p11 trace's final iteration (4-dp grid)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val betas = O.p11Logistic(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(r4(model.intercept) == betas((O.lrIters, 0)) &&
+      r4(model.coefficient) == betas((O.lrIters, 1)))
+    assert(model.trace.length == O.lrIters)
+    // transform scoring IS p13's scoring: the confusion counts from the
+    // model's prediction column equal p13's census exactly
+    val preds = model.transform(xy)
+    val counts = preds.groupBy($"prediction", $"is_en").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .withDefaultValue(0L)
+    val p13 = O.p13LogisticEval(spark, sf).collect()(0)
+    assert(counts((1L, 1L)) == p13.getLong(0) && // tp
+      counts((1L, 0L)) == p13.getLong(1) &&      // fp
+      counts((0L, 1L)) == p13.getLong(2) &&      // fn
+      counts((0L, 0L)) == p13.getLong(3))        // tn
+    // probability column is the ppm-quantized sigmoid, in [0.001, 0.999]
+    val probs = preds.select($"probability").collect().map(_.getDouble(0))
+    assert(probs.forall(p => p >= 0.001 && p <= 0.999))
+    assert(probs.forall(p => (p * 1e6) == math.rint(p * 1e6)), "not on ppm grid")
+
+    // persistence: model round-trip preserves coefficients and scoring
+    val dir = java.nio.file.Files.createTempDirectory("graft-logistic").toString
+    model.write.overwrite().save(s"$dir/model")
+    val loaded = GraftLogisticModel.load(s"$dir/model")
+    assert(loaded.intercept == model.intercept &&
+      loaded.coefficient == model.coefficient)
+    assert(loaded.trace.map(_.toSeq).toSeq == model.trace.map(_.toSeq).toSeq)
+    val reCounts = loaded.transform(xy).groupBy($"prediction").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reCounts == preds.groupBy($"prediction").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    // estimator round-trip preserves explicitly-set params
+    new GraftLogistic().setFeaturesCol("hecto").setLabelCol("is_en")
+      .setMaxIter(3).write.overwrite().save(s"$dir/est")
+    val est = GraftLogistic.load(s"$dir/est")
+    assert(est.get(est.maxIter).contains(3) &&
+      est.get(est.featuresCol).contains("hecto") &&
+      est.get(est.labelCol).contains("is_en"))
+  }
 }
