@@ -270,6 +270,17 @@ object Dedup {
     * every factorization of the k=[[numHashes]] signature. */
   val lshSweep: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4))
 
+  /** d18 tuning-sample size: FIXED, not proportional (the
+    * ivfTrainSample argument): a banding configuration's
+    * recall/precision estimate converges long before corpus size
+    * matters, while the widest sweep config's candidate set is
+    * inherently ~quadratic in corpus size (single-component collisions
+    * scale with n² at any fixed background Jaccard). The round-8 ×10
+    * scale audit measured the unsampled instrument at >80× growth;
+    * sampling makes the sweep corpus-size-INDEPENDENT after one
+    * hash-ordered top-N pass. */
+  val tuneSample = 4096
+
   /** D117: LSH banding-parameter sweep — for each (b, r) factorization
     * of the k=8 signature, the candidate-pair count, how many of the
     * TRUE near-dup pairs (exact Jaccard ≥ 0.5) each configuration
@@ -284,15 +295,24 @@ object Dedup {
     * what LSH exists to avoid — the bounded proxy is the standard
     * practice and is documented in the output's semantics.
     *
-    * Scale shape: signatures come from the session cache; each config
-    * is one band explode + bucket self-join (the d4 shape, no bucket
-    * cap — this is an audit, not the production path); exact scoring
-    * touches only the (8,1) candidate set (d5 broadcast-ids
-    * discipline). The 3-row summary assembles driver-side from
-    * scalar counts (the p11 bounded-driver-data pattern). */
+    * Scale shape: the sweep runs on a deterministic hash-ordered
+    * [[tuneSample]]-doc sample (fixed size — see the constant's doc;
+    * one TakeOrdered corpus pass, then everything downstream is
+    * corpus-size-independent), with signatures from the session cache;
+    * each config is one band explode + bucket self-join with the SAME
+    * [[maxBucket]] skew cap as the d4 production path (an instrument
+    * should measure the capped pipeline that actually ships); exact
+    * scoring touches only the (8,1) candidate set (d5 broadcast-ids
+    * discipline). The 3-row summary assembles driver-side from scalar
+    * counts (the p11 bounded-driver-data pattern). */
   def d18LshTuning(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (docSh, sigs) = sharedSigs(spark, dir)
+    val sampleIds = Tables.documents(spark, dir)
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .limit(tuneSample).select($"doc_id")
+    val (docShAll, sigsAll) = sharedSigs(spark, dir)
+    val docSh = docShAll.join(broadcast(sampleIds), "doc_id")
+    val sigs = sigsAll.join(broadcast(sampleIds), "doc_id")
     def candFor(b: Int, r: Int): DataFrame = {
       val bandCols = (0 until b).map { i =>
         val parts = (0 until r).map(j => col(s"sig${i * r + j}"))
@@ -302,8 +322,11 @@ object Dedup {
         .select($"doc_id",
           posexplode(array((0 until b).map(i => col(s"band$i")): _*))
             .as(Seq("bi", "bh")))
-      bands.select($"bi", $"bh", $"doc_id".as("doc_a"))
-        .join(bands.select($"bi", $"bh", $"doc_id".as("doc_b")),
+      val ok = bands.groupBy($"bi", $"bh").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" <= maxBucket).select($"bi", $"bh")
+      val keep = bands.join(ok, Seq("bi", "bh"))
+      keep.select($"bi", $"bh", $"doc_id".as("doc_a"))
+        .join(keep.select($"bi", $"bh", $"doc_id".as("doc_b")),
           Seq("bi", "bh"))
         .filter($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b").distinct()
@@ -1060,10 +1083,15 @@ object Dedup {
     }.mkString(", ")
     val bandList = (0 until b).map(i => s"band$i").mkString(", ")
     s"""bkt_${b}_$r AS (SELECT doc_id, band_idx, band_hash FROM
-            (SELECT doc_id, $bandExprs FROM sig)
+            (SELECT doc_id, $bandExprs FROM sigt)
             UNPIVOT (band_hash FOR band_idx IN ($bandList))),
+        ok_${b}_$r AS (SELECT band_idx, band_hash FROM bkt_${b}_$r
+            GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
         cand_${b}_$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bkt_${b}_$r a JOIN bkt_${b}_$r b
+            FROM bkt_${b}_$r a
+            JOIN ok_${b}_$r o ON o.band_idx = a.band_idx
+              AND o.band_hash = a.band_hash
+            JOIN bkt_${b}_$r b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id)"""
   }
@@ -1149,8 +1177,13 @@ object Dedup {
           WHERE n_shared >= $winnowMinShared ORDER BY doc_a, doc_b""",
     "d18_lsh_tuning" ->
       s"""$sigCte,
+          tsmp AS (SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents) WHERE rn <= $tuneSample),
+          sigt AS (SELECT g.* FROM sig g JOIN tsmp USING (doc_id)),
           dsh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s
-                  FROM documents),
+                  FROM documents JOIN tsmp USING (doc_id)),
           card AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
           ${lshSweep.map { case (b, r) => sweepCandSql(b, r) }
             .mkString(",\n          ")},

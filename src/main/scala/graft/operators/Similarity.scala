@@ -179,22 +179,49 @@ object Similarity {
     h.toDouble / Int.MaxValue
   }
 
-  /** Deterministic hyperplane tensor (tables × planes × dim). */
-  private[graft] def planesTensor(dim: Int): Array[Array[Array[Double]]] =
-    Array.tabulate(lshTables, lshPlanes, dim)(planeComponent)
+  /** Deterministic hyperplane tensor (tables × planes × dim). The
+    * default plane count is [[lshPlanes]]; d9 passes its corpus-derived
+    * [[d9Planes]] count (extra planes are the SAME deterministic
+    * (table, plane, dim) components — a bigger prefix-consistent
+    * tensor, so growing the count refines buckets without moving any
+    * existing sign bit). */
+  private[graft] def planesTensor(dim: Int,
+      nPlanes: Int = lshPlanes): Array[Array[Array[Double]]] =
+    Array.tabulate(lshTables, nPlanes, dim)(planeComponent)
+
+  /** d9 target LSH bucket size: the corpus-scale near-dup pass keeps
+    * pair work ~linear by REFINING buckets as the corpus grows —
+    * bucket size ∝ n / 2^planes, so planes is the smallest p in
+    * [[[lshPlanes]], [[d9MaxPlanes]]] with 2^p · target ≥ n (an exact
+    * integer comparison chain, replayed verbatim by the oracle's `kv`
+    * CTE — the d14 semK precedent). With a FIXED 4-plane table the
+    * round-8 ×10 audit measured 18× growth: n²/16 pair work. */
+  val d9TargetBucket = 250L
+
+  /** Plane-count ceiling — bounds the oracle's interpolated tensor
+    * (4 tables × 12 planes × 64 dims); 2^12 buckets/table holds the
+    * target bucket size to ~1M vectors per table. */
+  val d9MaxPlanes = 12
+
+  /** Smallest p in [lshPlanes, d9MaxPlanes] with 2^p·target ≥ n. */
+  private[graft] def d9Planes(n: Long): Int = {
+    var p = lshPlanes
+    while (p < d9MaxPlanes && (d9TargetBucket << p) < n) p += 1
+    p
+  }
 
   /** All-tables bucket ids in one pass: a compiled closure over the
     * broadcast hyperplane tensor beats 16 interpreted higher-order dot
     * expressions by an order of magnitude, and the semantics (sign bits
     * of hyperplane dot products, float widened to double, ascending-dim
     * summation) are identical to the expression form it replaces. */
-  private[graft] def lshBuckets(dim: Int) = {
-    val planes = planesTensor(dim)
+  private[graft] def lshBuckets(dim: Int, nPlanes: Int = lshPlanes) = {
+    val planes = planesTensor(dim, nPlanes)
     udf { (emb: Seq[Float]) =>
       Array.tabulate(lshTables) { t =>
         var bucket = 0
         var p = 0
-        while (p < lshPlanes) {
+        while (p < nPlanes) {
           val plane = planes(t)(p)
           var s = 0.0; var d = 0
           while (d < dim) { s += emb(d) * plane(d); d += 1 }
@@ -210,11 +237,12 @@ object Similarity {
     * expression ([[graft.functions.LshBuckets]]) under the graft
     * extensions, else the compiled UDF [[lshBuckets]]. Bit-identical
     * bucket ids either way (FunctionsSpec). */
-  def lshBucketsCol(spark: SparkSession, a: Column, dim: Int): Column =
+  def lshBucketsCol(spark: SparkSession, a: Column, dim: Int,
+      nPlanes: Int = lshPlanes): Column =
     if (spark.catalog.functionExists("graft_lsh_buckets"))
       call_function("graft_lsh_buckets", a,
-        typedLit(planesTensor(dim).map(_.map(_.toSeq).toSeq).toSeq))
-    else lshBuckets(dim)(a)
+        typedLit(planesTensor(dim, nPlanes).map(_.map(_.toSeq).toSeq).toSeq))
+    else lshBuckets(dim, nPlanes)(a)
 
   /** D19 scale path: LSH-bucketed approximate top-5 — explode each
     * vector to its `lshTables` (table, bucket) keys, equi-join within
@@ -259,23 +287,31 @@ object Similarity {
     * FULL corpus via LSH bucketing — the unbounded companion of the
     * exact-but-bounded [[s3NearDupPairs]].
     *
-    * Shape for 100 TB: the exploded stream carries only
-    * (tbl, bucket, vec_id) — 12 bytes/row, never the vectors — through
-    * the candidate self-join; the bucket census is bounded by
-    * tables × 2^planes = 64 rows regardless of corpus size, so the
-    * skew-cap filter is a broadcast; vectors are fetched back by two
+    * Shape for 100 TB: the plane count GROWS with the corpus
+    * ([[d9Planes]]: smallest p with 2^p·[[d9TargetBucket]] ≥ n, from a
+    * cheap metadata count), so bucket size — and with it the quadratic
+    * within-bucket pair stage — stays ~constant instead of ∝ n/16 (the
+    * round-8 ×10 audit measured 18× growth on the fixed tensor); the
+    * exploded stream carries only (tbl, bucket, vec_id) — 12 bytes/row,
+    * never the vectors — through the candidate self-join; the bucket
+    * census is bounded by tables × 2^planes rows, so the skew-cap
+    * filter is a broadcast; vectors are fetched back by two
     * id-equi-joins only for surviving deduped pairs, and the exact
     * cosine threshold then makes precision 1.0 (LSH affects recall
     * only). Oracle: hyperplanes are data-independent (MurmurHash3 of
-    * indices), interpolated into the DuckDB SQL — the whole
-    * bucket→cap→pair→score pipeline replays hash-exact. */
+    * indices), interpolated into the DuckDB SQL up to [[d9MaxPlanes]],
+    * with the active count replayed by a `kv` CTE (exact integer
+    * comparisons) — the whole bucket→cap→pair→score pipeline replays
+    * hash-exact. */
   def d9EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val dim = 64 // fixture embedding width (FIXTURES.md)
+    val np = d9Planes(emb.count())
     val keyed = emb.select($"vec_id",
-      posexplode(lshBucketsCol(spark, $"embedding", dim)).as(Seq("tbl", "bucket")))
-    // bounded census (≤ 64 rows): broadcast, not a window over the stream
+      posexplode(lshBucketsCol(spark, $"embedding", dim, np))
+        .as(Seq("tbl", "bucket")))
+    // bounded census (≤ tables × 2^planes rows): broadcast filter
     val okBuckets = keyed.groupBy($"tbl", $"bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter($"bsz" <= maxPairBucket)
@@ -915,12 +951,38 @@ object Similarity {
         FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
   }
 
-  /** DuckDB replay of [[d9EmbeddingNearDup]]: same interpolated-plane
-    * argument as [[s2OracleSql]], plus the bucket-size cap replayed as
-    * a census CTE, so the skew-guarded semantics are what the gate
-    * pins. */
+  /** d9's `kv`/`b`/`k` CTEs: the corpus-derived plane count replayed
+    * as an exact integer CASE chain (the d14 semK precedent), and the
+    * bucket expression carrying the FULL [[d9MaxPlanes]]-plane
+    * interpolated tensor with each bit gated on `p < np` — so one
+    * static SQL string replays [[d9Planes]]'s refinement at any corpus
+    * size. */
+  private def d9KeyedCte: String = {
+    val planes = planesTensor(64, d9MaxPlanes)
+    def bucketExpr(t: Int) = (0 until d9MaxPlanes).map { p =>
+      val arr = planes(t)(p).mkString("[", ", ", "]")
+      s"""(CASE WHEN $p < (SELECT np FROM kv) AND
+            list_inner_product(embedding::DOUBLE[], $arr::DOUBLE[]) >= 0
+            THEN ${1 << p} ELSE 0 END)"""
+    }.mkString(" + ")
+    val kvCase = (lshPlanes until d9MaxPlanes).map(p =>
+      s"WHEN count(*) <= ${d9TargetBucket << p} THEN $p").mkString(" ")
+    val bucketCols = (0 until lshTables)
+      .map(t => s"${bucketExpr(t)} AS b$t").mkString(", ")
+    val bucketCase = s"CASE tbl ${(0 until lshTables)
+      .map(t => s"WHEN $t THEN b$t").mkString(" ")} END"
+    s"""kv AS (SELECT CASE $kvCase ELSE $d9MaxPlanes END AS np
+              FROM embeddings),
+        b AS (SELECT vec_id, $bucketCols FROM embeddings),
+        k AS (SELECT vec_id, tbl, $bucketCase AS bucket
+              FROM b CROSS JOIN (SELECT unnest([${(0 until lshTables).mkString(", ")}]) AS tbl) t)"""
+  }
+
+  /** DuckDB replay of [[d9EmbeddingNearDup]]: the dynamic-plane
+    * [[d9KeyedCte]], plus the bucket-size cap replayed as a census
+    * CTE, so the skew-guarded semantics are what the gate pins. */
   private def d9OracleSql: String =
-    s"""WITH $lshKeyedCte,
+    s"""WITH $d9KeyedCte,
         sz AS (SELECT tbl, bucket FROM k GROUP BY tbl, bucket
                HAVING count(*) <= $maxPairBucket),
         ok AS (SELECT k.* FROM k JOIN sz USING (tbl, bucket)),

@@ -52,6 +52,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, s"PQ mean recall@5 $meanRecall too low")
   }
 
+  test("d9 plane-count formula: smallest p in [4,12] with 2^p*250 >= n") {
+    assert(Similarity.d9Planes(1L) == 4)
+    assert(Similarity.d9Planes(500L) == 4)    // sf0.01 fixture: unchanged
+    assert(Similarity.d9Planes(2000L) == 4)   // sf0.1: still 4
+    assert(Similarity.d9Planes(4001L) == 5)   // first count past 250*16
+    assert(Similarity.d9Planes(20000L) == 7)  // the x10 synth fixture
+    assert(Similarity.d9Planes(Long.MaxValue) == 12) // ceiling
+  }
+
   test("d9 LSH near-dup pairs are a subset of the exact pairs, with useful recall") {
     // s3 is exact (all pairs, ids < 200); d9 is the full-corpus LSH
     // path. Precision must be 1.0 by construction (exact cosine filter
