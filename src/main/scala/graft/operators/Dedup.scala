@@ -219,6 +219,50 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D171: idf-WEIGHTED Jaccard over the d4 LSH candidate pairs —
+    * resemblance where rare shingles count more. Weight
+    * w(s) = N div df(s) (integer division, exact on both engines):
+    * a hapax shingle weighs N, corpus-wide boilerplate weighs ~1, so
+    * the measure separates template near-dups (shared boilerplate
+    * inflates PLAIN Jaccard) from true content overlap — the weighted
+    * variant a production near-dup pass thresholds on when templated
+    * corpora (web boilerplate, license headers) poison the unweighted
+    * score. W∩ and the per-doc totals are exact BIGINT sums;
+    * W∪ = W_a + W_b − W∩ by inclusion–exclusion; the ratio is one
+    * double division rounded 4-dp.
+    *
+    * Scale shape: scores ONLY the d4 capped candidate set with the d5
+    * broadcast-candidate-ids discipline (the corpus shingle frame is
+    * never shuffled for the join); weights come from one
+    * map-side-combined df pass. */
+  def d23WeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (docSh, sigs) = sharedSigs(spark, dir)
+    val nDocs = Tables.documents(spark, dir).count()
+    val cand = candidates(sigs)
+      .persist(StorageLevel.MEMORY_AND_DISK) // id filter + intersection + output
+    val candIds = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val wgt = docSh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .select($"s", expr(s"CAST($nDocs AS BIGINT) div df").as("w"))
+    val shw = docSh.join(broadcast(candIds), "doc_id")
+      .join(wgt, "s")
+      .persist(StorageLevel.MEMORY_AND_DISK) // totals + both join sides
+    val tot = shw.groupBy($"doc_id").agg(sum($"w").as("wt"))
+    val inter = shw.select($"doc_id".as("doc_a"), $"s", $"w")
+      .join(cand, "doc_a")
+      .join(shw.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b").agg(sum($"w").as("w_inter"))
+    inter
+      .join(tot.select($"doc_id".as("doc_a"), $"wt".as("w_a")), "doc_a")
+      .join(tot.select($"doc_id".as("doc_b"), $"wt".as("w_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"w_inter",
+        ($"w_a" + $"w_b" - $"w_inter").as("w_union"),
+        round($"w_inter".cast("double") /
+          ($"w_a" + $"w_b" - $"w_inter").cast("double"), 4).as("w_jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** D112: MinHash estimator fidelity audit — for every LSH candidate
     * pair, the k=[[numHashes]] signature-overlap estimate (d4's
     * `est_sim`) next to the EXACT shingle Jaccard (d5's measurand,
@@ -1065,7 +1109,8 @@ object Dedup {
     "d12_containment" -> d12Containment,
     "d13_contamination_score" -> d13ContaminationScore,
     "d17_minhash_fidelity" -> d17MinhashFidelity,
-    "d18_lsh_tuning" -> d18LshTuning)
+    "d18_lsh_tuning" -> d18LshTuning,
+    "d23_weighted_jaccard" -> d23WeightedJaccard)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
@@ -1324,6 +1369,30 @@ object Dedup {
       "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
     "d3_minhash" ->
       s"""$sigCte SELECT * FROM sig ORDER BY doc_id""",
+    "d23_weighted_jaccard" ->
+      s"""$candCte,
+          dsh AS (SELECT DISTINCT doc_id, unnest($shinglesSql) AS s
+                  FROM documents),
+          wgt AS (SELECT s,
+              (SELECT count(*) FROM documents) // count(*) AS w
+            FROM dsh GROUP BY s),
+          ids AS (SELECT doc_a AS doc_id FROM cand
+                  UNION SELECT doc_b FROM cand),
+          shw AS (SELECT d.doc_id, d.s, w.w
+            FROM dsh d JOIN wgt w USING (s) JOIN ids USING (doc_id)),
+          tot AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wt
+            FROM shw GROUP BY 1),
+          wi AS (SELECT c.doc_a, c.doc_b, CAST(sum(a.w) AS BIGINT) AS w_inter
+            FROM cand c JOIN shw a ON a.doc_id = c.doc_a
+                        JOIN shw b ON b.doc_id = c.doc_b AND b.s = a.s
+            GROUP BY 1, 2)
+          SELECT w.doc_a, w.doc_b, w.w_inter,
+            ta.wt + tb.wt - w.w_inter AS w_union,
+            round(CAST(w.w_inter AS DOUBLE) /
+              CAST(ta.wt + tb.wt - w.w_inter AS DOUBLE), 4) AS w_jaccard
+          FROM wi w JOIN tot ta ON ta.doc_id = w.doc_a
+                    JOIN tot tb ON tb.doc_id = w.doc_b
+          ORDER BY doc_a, doc_b""",
     "d4_lsh_pairs" ->
       s"""$candCte
           SELECT c.doc_a, c.doc_b,

@@ -500,7 +500,52 @@ object Graph {
           .as("modularity"))
   }
 
+  /** D174: degree ASSORTATIVITY of the co-purchase graph — Newman's
+    * r (Phys. Rev. Lett. 89, 208701): the Pearson correlation of
+    * endpoint degrees over the (symmetric) directed edge list.
+    * Positive r → hubs link to hubs (popular parts co-sell with other
+    * popular parts, the "hit-bundle" market); negative → hub-and-spoke
+    * baskets. The one-number structural summary a graph audit reads
+    * before deciding whether degree-based sampling (s14/g5 seeds) is
+    * biased.
+    *
+    * Determinism + scale: degrees ride the session-cached edge frame;
+    * the five moments are exact DECIMAL(38,0)/HUGEINT integer sums in
+    * ONE map-side-combined aggregate (no shuffle wider than the edge
+    * join), and r is a single IEEE closed form over them. The final
+    * 1×1 cross join (moments × node census) is a broadcast one-row
+    * frame (the g8/q43 audited shape). */
+  def g9Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = copurchaseEdges(spark, dir) // (src, dst, deg-of-src)
+    val degs = e.select($"src", $"deg").distinct()
+    val pairs = e.select($"dst", $"deg".as("dj"))
+      .join(degs.select($"src".as("dst"), $"deg".as("dk")), "dst")
+    val m = pairs.agg(
+      count(lit(1)).as("m"),
+      sum($"dj".cast("decimal(38,0)")).as("sj"),
+      sum($"dk".cast("decimal(38,0)")).as("sk"),
+      sum(($"dj".cast("decimal(38,0)") * $"dk")).as("sjk"),
+      sum(($"dj".cast("decimal(38,0)") * $"dj")).as("sjj"),
+      sum(($"dk".cast("decimal(38,0)") * $"dk")).as("skk"))
+    val nn = degs.agg(count(lit(1)).as("n_nodes"),
+      sum($"deg".cast("decimal(38,0)")).as("sdeg"))
+    m.crossJoin(nn)
+      .select($"m".as("n_edges"), $"n_nodes",
+        round(expr("CAST(sdeg AS DOUBLE) / CAST(n_nodes AS DOUBLE)"), 4)
+          .as("mean_deg"),
+        round(expr(
+          """(CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+              - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+             / sqrt((CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                  - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                * (CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                  - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)))"""), 4)
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g9_assortativity" -> g9Assortativity,
     "g8_modularity" -> g8Modularity,
     "g7_edge_jaccard" -> g7EdgeJaccard,
     "g6_link_predict" -> g6LinkPredict,
@@ -561,6 +606,34 @@ object Graph {
         GROUP BY pk)"""
 
   val oracle: Map[String, String] = Map(
+    "g9_assortativity" ->
+      s"""WITH $pairsCte,
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM pairs GROUP BY 1),
+          p AS (SELECT dj.deg AS dj, dk.deg AS dk
+                FROM pairs e JOIN deg dj ON dj.src = e.src
+                             JOIN deg dk ON dk.src = e.dst),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+              sum(CAST(dj AS HUGEINT)) AS sj,
+              sum(CAST(dk AS HUGEINT)) AS sk,
+              sum(CAST(dj AS HUGEINT) * dk) AS sjk,
+              sum(CAST(dj AS HUGEINT) * dj) AS sjj,
+              sum(CAST(dk AS HUGEINT) * dk) AS skk
+            FROM p),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              sum(CAST(deg AS HUGEINT)) AS sdeg
+            FROM deg)
+          SELECT m.m AS n_edges, nn.n_nodes,
+            round(CAST(sdeg AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4)
+              AS mean_deg,
+            round((CAST(m.m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+              / sqrt((CAST(m.m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                    - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                  * (CAST(m.m AS DOUBLE) * CAST(skk AS DOUBLE)
+                    - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))), 4)
+              AS assortativity
+          FROM m CROSS JOIN nn""",
     "g8_modularity" ->
       s"""WITH $pairsCte,
           l0 AS MATERIALIZED (SELECT p_partkey AS node, p_brand AS label,

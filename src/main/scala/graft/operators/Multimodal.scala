@@ -354,7 +354,10 @@ object Multimodal {
     * scene lengths are a per-(doc, scene) partial aggregate. Mean
     * length is the exact integer pair n_frames/n_scenes divided once,
     * 4-dp. */
-  def m9SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-frame scene assignment shared by m9 and m10: md5-derived
+    * frame energies (the m7 STUB decode), lag-delta cuts, running
+    * scene ids — all PARTITIONED BY doc_id (high cardinality). */
+  private def sceneFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val frames = withPayload(spark, dir)
@@ -369,12 +372,42 @@ object Multimodal {
         conv(substring(md5(concat($"cm", lit(":"), $"f".cast("string"))),
           1, 3), 16, 10).cast("int") % 1000)
     val wSeq = Window.partitionBy($"doc_id").orderBy($"f")
-    val scenes = frames
+    frames
       .withColumn("pe", lag($"e", 1).over(wSeq))
       .withColumn("cut",
         when($"pe".isNotNull && abs($"e" - $"pe") > sceneCutDelta, 1L)
           .otherwise(0L))
       .withColumn("scene", sum($"cut").over(wSeq))
+  }
+
+  /** D176: scene KEYFRAME selection — per (video, scene), the
+    * argmax-energy frame (ties → earliest), i.e. the representative
+    * frame a vision-training pipeline samples per shot once m9 has
+    * drawn the shot boundaries (scene-aware sampling beats the m2
+    * uniform stride precisely because it picks one salient frame per
+    * scene instead of k per fixed bytes).
+    *
+    * Scale shape: reuses [[sceneFrames]] (explode bounded by payload
+    * bytes / frame width); the argmax is ONE row_number window over
+    * the high-cardinality (doc, scene) key; output rows = scene count,
+    * not frame count. */
+  def m10Keyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wScene = Window.partitionBy($"doc_id", $"scene")
+    sceneFrames(spark, dir)
+      .withColumn("scene_len", count(lit(1)).over(wScene))
+      .withColumn("rk", row_number().over(
+        wScene.orderBy($"e".desc, $"f")))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"scene", $"scene_len",
+        $"f".as("kf_frame"), $"e".as("kf_energy"))
+      .orderBy($"doc_id", $"scene")
+  }
+
+  def m9SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scenes = sceneFrames(spark, dir)
       .groupBy($"doc_id", $"scene")
       .agg(max($"n_frames").as("n_frames"), count(lit(1)).as("len"))
     scenes.groupBy($"doc_id")
@@ -388,6 +421,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_keyframes" -> m10Keyframes,
     "m9_scene_cuts" -> m9SceneCuts,
     "m8_phash_neardup" -> m8PhashNeardup,
     "m6_aspect_buckets" -> m6AspectBuckets,
@@ -399,6 +433,37 @@ object Multimodal {
     "m7_audio_vad" -> m7AudioVad)
 
   val oracle: Map[String, String] = Map(
+    "m10_keyframes" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
+              CAST(strlen(text) // $sceneFrameBytes AS INT) AS n_frames
+            FROM documents
+            WHERE doc_id % 3 = 2 AND strlen(text) >= $sceneFrameBytes),
+          fr AS (SELECT doc_id, cm, n_frames,
+              unnest(generate_series(1, n_frames)) AS f
+            FROM d),
+          e AS (SELECT doc_id, f,
+              CAST('0x' || substring(md5(cm || ':' || CAST(f AS VARCHAR)),
+                1, 3) AS INT) % 1000 AS e
+            FROM fr),
+          c AS (SELECT doc_id, f, e,
+              lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+            FROM e),
+          sc AS (SELECT doc_id, f, e,
+              CAST(sum(CASE WHEN pe IS NOT NULL
+                  AND abs(e - pe) > $sceneCutDelta THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY f
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS scene
+            FROM c),
+          k AS (SELECT doc_id, scene, e, f,
+              CAST(count(*) OVER (PARTITION BY doc_id, scene)
+                AS BIGINT) AS scene_len,
+              row_number() OVER (PARTITION BY doc_id, scene
+                ORDER BY e DESC, f) AS rk
+            FROM sc)
+          SELECT doc_id, scene, scene_len, CAST(f AS INT) AS kf_frame,
+            e AS kf_energy
+          FROM k WHERE rk = 1 ORDER BY doc_id, scene""",
     "m9_scene_cuts" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
               CAST(strlen(text) // $sceneFrameBytes AS INT) AS n_frames

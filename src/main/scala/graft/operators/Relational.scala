@@ -504,7 +504,59 @@ object Relational {
         round(avg(when($"p_type" === "PROMO", 1.0).otherwise(0.0)), 4).as("promo_frac"))
   }
 
+  /** D175: WINSORIZED robust moments — per returnflag, the mean and
+    * sample std of extendedprice after clamping to the exact
+    * [p5, p95] percentile band: the outlier-robust summary a pricing
+    * audit reports when raw means are tail-dominated (q35's MAD flags
+    * outliers; this prices the distribution with them neutralized).
+    *
+    * Composition: the band bounds come from the SAME two-phase
+    * distributed-percentile core q22/q38 execute (no value buffering
+    * anywhere), tightened to integer cents (ceil(lo), floor(hi) of
+    * the 4-dp interpolated bounds — deterministic on both engines),
+    * so every clamped value is an exact long and the moment sums are
+    * exact DECIMAL(38,0): mean/std are single IEEE closed forms.
+    *
+    * Scale shape: the percentile pre-pass is the q38 bounded-histogram
+    * plan; the winsorized pass is ONE map-side-combined aggregate over
+    * a broadcast 3-row bounds frame. */
+  def q91Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("g"),
+        floor($"l_extendedprice" * 100).cast("long").as("c"))
+    val long = li.select($"g", lit(0).as("cid"), $"c".cast("double").as("v"))
+    // cents span ~1e7 → width 6400 keeps ~1.6k buckets per group
+    val ps = twoPhasePercentiles(long, Map(0 -> 6400.0),
+      Seq((0, 0.05), (0, 0.95)))
+    val bounds = ps.keys.map(_._1).toSeq.distinct.sorted.map { g =>
+      (g, math.ceil(ps((g, 0, 0.05))).toLong,
+        math.floor(ps((g, 0, 0.95))).toLong)
+    }.toDF("g", "lo", "hi")
+    li.join(broadcast(bounds), "g")
+      .withColumn("wc", least(greatest($"c", $"lo"), $"hi"))
+      .withColumn("clip",
+        when($"c" < $"lo" || $"c" > $"hi", 1L).otherwise(0L))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_rows"),
+        max($"lo").as("lo"), max($"hi").as("hi"),
+        sum($"clip").as("n_clipped"),
+        sum($"wc".cast("decimal(38,0)")).as("s"),
+        sum(($"wc".cast("decimal(38,0)") * $"wc")).as("ss"))
+      .select($"g".as("l_returnflag"), $"n_rows",
+        $"lo".as("lo_cents"), $"hi".as("hi_cents"), $"n_clipped",
+        round(expr("CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0"), 4)
+          .as("w_mean"),
+        round(expr(
+          """sqrt((CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE))
+             / CAST(n_rows - 1 AS DOUBLE)) / 100.0"""), 4).as("w_std"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_winsorized" -> q91Winsorized,
     "q1_agg" -> q1Agg,
     "q2_filter" -> q2Filter,
     "q3_join_agg" -> q3JoinAgg,
@@ -531,6 +583,34 @@ object Relational {
     "q23_cube" -> q23Cube)
 
   val oracle: Map[String, String] = Map(
+    "q91_winsorized" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+              CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem),
+          q AS (SELECT g,
+              CAST(ceil(round(quantile_cont(CAST(c AS DOUBLE), 0.05), 4))
+                AS BIGINT) AS lo,
+              CAST(floor(round(quantile_cont(CAST(c AS DOUBLE), 0.95), 4))
+                AS BIGINT) AS hi
+            FROM b GROUP BY g),
+          w AS (SELECT b.g, q.lo, q.hi,
+              least(greatest(b.c, q.lo), q.hi) AS wc,
+              CASE WHEN b.c < q.lo OR b.c > q.hi THEN 1 ELSE 0 END AS clip
+            FROM b JOIN q USING (g)),
+          m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+              max(lo) AS lo_cents, max(hi) AS hi_cents,
+              CAST(sum(clip) AS BIGINT) AS n_clipped,
+              sum(CAST(wc AS HUGEINT)) AS s,
+              sum(CAST(wc AS HUGEINT) * wc) AS ss
+            FROM w GROUP BY g)
+          SELECT g AS l_returnflag, n_rows, lo_cents, hi_cents, n_clipped,
+            round(CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0, 4)
+              AS w_mean,
+            round(sqrt((CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE))
+              / CAST(n_rows - 1 AS DOUBLE)) / 100.0, 4) AS w_std
+          FROM m ORDER BY l_returnflag""",
     "q21_pivot" ->
       """SELECT l_returnflag,
            coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 0) AS qty_f,

@@ -681,6 +681,81 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** D170: composed IVFADC ANN — the production index shape (Jégou et
+    * al. 2011, "Product Quantization for Nearest Neighbor Search"):
+    * IVF coarse cells restrict the search to the probed partitions and
+    * PQ ADC ranks ONLY those members, so a query's scan cost is
+    * ~n·nprobe/k CODE rows (4 small ints each) instead of s6's full
+    * vectors-in-probed-cells or s7's corpus-wide ADC; only the
+    * [[pqShortlist]] survivors are re-read as floats for the exact
+    * re-rank. Both trainers are the shared bounded-sample quantized
+    * Lloyd, so the full composition — cells, probes, codes, ADC,
+    * shortlist, re-rank — replays hash-exact in DuckDB
+    * ([[s15OracleSql]] = the s6 + s7 fragments joined). */
+  def s15KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val books = pqCodebooks(emb)
+    val corpus = emb.select($"vec_id".as("neighbor_id"),
+      nearestCentroidCol(spark, $"embedding", cents).as("cell"),
+      pqEncodeCol(spark, $"embedding", books).as("codes"))
+    val qRows = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    // driver-side probes (5 queries × k cells) — the s6 probe rule:
+    // stable sort on squared L2, lowest cell id on ties
+    val probeDf = qRows.flatMap { case (id, q) =>
+      cents.indices.map { c =>
+        val ct = cents(c); var d = 0.0; var i = 0
+        while (i < ct.length) { val t = q(i) - ct(i); d += t * t; i += 1 }
+        (d, c)
+      }.sortBy(_._1).take(4).map { case (_, c) => (id, c) }
+    }.toSeq.toDF("query_id", "cell")
+    // driver-side ADC tables over the NORMALIZED queries (s7 rule)
+    val sub = qRows.head._2.length / pqSubspaces
+    val tables: Map[Long, Array[Array[Double]]] = qRows.map { case (id, q0) =>
+      val q = normalized(q0)
+      id -> Array.tabulate(pqSubspaces) { m =>
+        books(m).map { ct =>
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = q(m * sub + i) - ct(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    }.toMap
+    val adcU = udf { (qid: Long, codes: Seq[Int]) =>
+      val t = tables(qid)
+      var s = 0.0; var m = 0
+      while (m < t.length) { s += t(m)(codes(m)); m += 1 }
+      s
+    }
+    val scored = corpus.join(broadcast(probeDf), Seq("cell"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("adc", adcU($"query_id", $"codes"))
+      .withColumn("salt", pmod(crc32($"neighbor_id".cast("string")), lit(32)))
+    val wLocal = Window.partitionBy($"query_id", $"salt")
+      .orderBy($"adc".asc, $"neighbor_id")
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adc".asc, $"neighbor_id")
+    val shortlist = scored
+      .withColumn("rk_local", row_number().over(wLocal))
+      .filter($"rk_local" <= pqShortlist)
+      .withColumn("rk_adc", row_number().over(wAdc))
+      .filter($"rk_adc" <= pqShortlist)
+      .select($"query_id", $"neighbor_id")
+    val qEmb = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    shortlist
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id")
+      .join(broadcast(qEmb), "query_id")
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** D21: symmetric int8 quantization of the embedding column +
     * reconstruction-error statistics per label — the compression step a
     * training pipeline applies before shipping embeddings. Quantization
@@ -904,7 +979,8 @@ object Similarity {
     "s12_centroid_drift" -> s12CentroidDrift,
     "s5_quantize" -> s5Quantize,
     "s6_knn_ivf" -> s6KnnIvf,
-    "s7_knn_pq" -> s7KnnPq)
+    "s7_knn_pq" -> s7KnnPq,
+    "s15_knn_ivfpq" -> s15KnnIvfPq)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1086,8 +1162,10 @@ object Similarity {
     * bounded hash-ordered sample, 2 quantized Lloyd rounds over 16
     * cells, corpus cell assignment, 4-cell query probes, exact cosine
     * rank inside the probed cells. */
-  private def s6OracleSql: String = {
-    val k = 16; val iters = 2; val nprobe = 4; val dim = 64
+  /** The IVF side of the s6/s15 replays: quantized Lloyd chain
+    * (c0..c{iters}), corpus `cells`, query `probes`. */
+  private def ivfOracleCtes(k: Int, iters: Int, nprobe: Int,
+      dim: Int): String = {
     val qs = graft.operators.KMeans.qScale
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (SELECT rn, e, cid FROM (
@@ -1109,8 +1187,7 @@ object Similarity {
                      ORDER BY pos) AS c
               FROM s$i GROUP BY cid) u ON u.cid = p.cid)"""
     }.mkString(",\n          ")
-    s"""WITH $trainBaseCtes,
-          c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS c
+    s"""c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS c
             FROM smp WHERE rn <= $k),
           $iterCtes,
           cells AS (SELECT vec_id, cid AS cell FROM (
@@ -1125,13 +1202,16 @@ object Similarity {
             FROM (SELECT v.vec_id, c.cid,
                 ${sqDistCols("v.e", "c.c", dim)}
               FROM e v CROSS JOIN c$iters c
-              WHERE v.vec_id < 5)) WHERE rk <= $nprobe),
-          scored AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
-              $cosSql AS cos
-            FROM probes p
-            JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
-            JOIN embeddings a ON a.vec_id = p.query_id
-            JOIN embeddings b ON b.vec_id = cl.vec_id),
+              WHERE v.vec_id < 5)) WHERE rk <= $nprobe)"""
+  }
+
+  /** The shared top-5 exact-cosine re-rank tail of the s6/s7/s15
+    * replays, over a `(query_id, neighbor_id)` candidate CTE. */
+  private def rerankTailSql(candCte: String): String =
+    s"""scored AS (SELECT s.query_id, s.neighbor_id, $cosSql AS cos
+            FROM $candCte s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
           r AS (SELECT query_id, neighbor_id, cos,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id) AS rk
@@ -1139,7 +1219,14 @@ object Similarity {
           SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
             round(cos, 4) AS cos_sim
           FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
-  }
+
+  private def s6OracleSql: String =
+    s"""WITH $trainBaseCtes,
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = 4, dim = 64)},
+          cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+            FROM probes p
+            JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
+          ${rerankTailSql("cand")}"""
 
   /** DuckDB replay of [[s7KnnPq]] — sample → L2 normalize → 8
     * per-subspace quantized Lloyd chains (subspace id `m` rides as a
@@ -1147,7 +1234,10 @@ object Similarity {
     * corpus codes → per-query ADC tables → ordered-list ADC sum (the
     * engine's ascending-m fold) → top-[[pqShortlist]] shortlist →
     * exact cosine re-rank. */
-  private def s7OracleSql: String = {
+  /** The PQ side of the s7/s15 replays: normalized sample, subspace
+    * slices, 8 quantized Lloyd chains (subspace id `m` as a grouping
+    * key), corpus `codes`, per-query ADC tables `qd`. */
+  private def pqOracleCtes: String = {
     val sub = 64 / pqSubspaces
     val qs = graft.operators.KMeans.qScale
     val iterCtes = (1 to pqIters).map { i =>
@@ -1171,8 +1261,7 @@ object Similarity {
               FROM ps$i GROUP BY m, cid) u
               ON u.m = p.m AND u.cid = p.cid)"""
     }.mkString(",\n          ")
-    s"""WITH $trainBaseCtes,
-          nsmp AS (SELECT rn,
+    s"""nsmp AS (SELECT rn,
               CASE WHEN nrm = 0 THEN e
                    ELSE list_transform(e, x -> x / nrm) END AS e
             FROM (SELECT rn, e, sqrt(list_inner_product(e, e)) AS nrm
@@ -1203,7 +1292,12 @@ object Similarity {
               list_transform(generate_series(1, $sub),
                 j -> s.v[j] - c.c[j]) AS dv
             FROM ces s JOIN pc$pqIters c ON c.m = s.m
-            WHERE s.vec_id < 5)),
+            WHERE s.vec_id < 5))"""
+  }
+
+  private def s7OracleSql: String =
+    s"""WITH $trainBaseCtes,
+          $pqOracleCtes,
           adc AS (SELECT d.query_id, cd.vec_id AS neighbor_id,
               list_sum(list(d.dist ORDER BY d.m)) AS adc
             FROM codes cd
@@ -1214,18 +1308,30 @@ object Similarity {
             SELECT query_id, neighbor_id, row_number() OVER (
                 PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
             FROM adc) WHERE rk <= $pqShortlist),
-          scored AS (SELECT s.query_id, s.neighbor_id, $cosSql AS cos
-            FROM short s
-            JOIN embeddings a ON a.vec_id = s.query_id
-            JOIN embeddings b ON b.vec_id = s.neighbor_id),
-          r AS (SELECT query_id, neighbor_id, cos,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, neighbor_id) AS rk
-            FROM scored)
-          SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
-            round(cos, 4) AS cos_sim
-          FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
-  }
+          ${rerankTailSql("short")}"""
+
+  /** DuckDB replay of [[s15KnnIvfPq]]: the IVF fragments restrict the
+    * ADC scan to probed-cell members; everything else is the s6/s7
+    * machinery verbatim. */
+  private def s15OracleSql: String =
+    s"""WITH $trainBaseCtes,
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = 4, dim = 64)},
+          $pqOracleCtes,
+          cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+            FROM probes p
+            JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
+          adc AS (SELECT c.query_id, c.neighbor_id,
+              list_sum(list(d.dist ORDER BY d.m)) AS adc
+            FROM cand c
+            JOIN codes cd ON cd.vec_id = c.neighbor_id
+            JOIN qd d ON d.query_id = c.query_id
+              AND d.m = cd.m AND d.code = cd.code
+            GROUP BY c.query_id, c.neighbor_id),
+          short AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+            FROM adc) WHERE rk <= $pqShortlist),
+          ${rerankTailSql("short")}"""
 
   /** Shared s1 replay (also the exact side of the s11 recall eval). */
   private def s1OracleSql: String =
@@ -1304,6 +1410,7 @@ object Similarity {
     "s2_knn_lsh" -> s2OracleSql,
     "s6_knn_ivf" -> s6OracleSql,
     "s7_knn_pq" -> s7OracleSql,
+    "s15_knn_ivfpq" -> s15OracleSql,
     "d9_embedding_neardup" -> d9OracleSql,
     "s1_knn_brute" -> s1OracleSql,
     "s11_recall_eval" ->

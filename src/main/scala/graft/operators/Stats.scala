@@ -734,6 +734,69 @@ object Stats {
       .orderBy($"nation")
   }
 
+  /** D172: offline revenue CHANGEPOINT — per nation, the single best
+    * structural break of the monthly revenue series (binary
+    * segmentation's first split): the boundary k minimizing
+    * SSE_left(1..k) + SSE_right(k+1..T), reported with the segment
+    * means and the residual SSE. The "when did this market shift"
+    * question a trend audit asks before fitting anything fancier
+    * (q54/q87 flag points; this finds the regime boundary).
+    *
+    * Determinism: monthly cents are exact longs (the q89 series);
+    * prefix sums and totals are exact DECIMAL(38,0)/HUGEINT; each SSE
+    * is ONE IEEE expression over those exact inputs (the p-family
+    * shared-by-construction argument); the argmin ranks on
+    * (cost, t) so bit-equal costs take the earliest split.
+    *
+    * Scale shape: one monthly-rollup shuffle of the orders scan
+    * (map-side combined), then windows over high-cardinality nation
+    * partitions whose length is bounded by months-per-nation — the
+    * candidate-split frame is #nations × #months rows, never data-
+    * sized. */
+  def q90Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    val wSeq = Window.partitionBy($"nation").orderBy($"m")
+    val wCum = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = monthly
+      .withColumn("t", row_number().over(wSeq))
+      .withColumn("cs", sum($"cents".cast("decimal(38,0)")).over(wCum))
+      .withColumn("css",
+        sum(($"cents".cast("decimal(38,0)") * $"cents")).over(wCum))
+    val tot = monthly.groupBy($"nation").agg(
+      count(lit(1)).as("tn"),
+      sum($"cents".cast("decimal(38,0)")).as("ts"),
+      sum(($"cents".cast("decimal(38,0)") * $"cents")).as("tss"))
+    val cand = t.join(tot, "nation").filter($"t" < $"tn")
+      .withColumn("sse_l", expr(
+        """CAST(css AS DOUBLE)
+           - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(t AS DOUBLE)"""))
+      .withColumn("sse_r", expr(
+        """(CAST(tss AS DOUBLE) - CAST(css AS DOUBLE))
+           - (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+             * (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+             / CAST(tn - t AS DOUBLE)"""))
+      .withColumn("cost", $"sse_l" + $"sse_r")
+    val wRank = Window.partitionBy($"nation").orderBy($"cost".asc, $"t".asc)
+    cand.withColumn("rk", row_number().over(wRank)).filter($"rk" === 1)
+      .select($"nation", $"tn".as("n_months"), $"t".as("split_t"),
+        $"m".as("split_m"),
+        round(expr("CAST(cs AS DOUBLE) / CAST(t AS DOUBLE)"), 4)
+          .as("mean_before_cents"),
+        round(expr(
+          """(CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+             / CAST(tn - t AS DOUBLE)"""), 4).as("mean_after_cents"),
+        // cost is cents^2-scale (~1e18): a 4-dp round is not even
+        // representable and the two engines' scaling differs past
+        // 2^53 — round to integer, where both return the double as-is
+        round($"cost", 0).as("sse_total"))
+      .orderBy($"nation")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -749,7 +812,8 @@ object Stats {
     "q78_kaplan_meier" -> q78KaplanMeier,
     "q83_anova" -> q83Anova,
     "q88_runs_test" -> q88RunsTest,
-    "q89_paired_ttest" -> q89PairedTtest)
+    "q89_paired_ttest" -> q89PairedTtest,
+    "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
     "q67_welch_ttest" ->
@@ -1106,5 +1170,46 @@ object Stats {
                   * CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE))
                 / CAST(n_pairs - 1 AS DOUBLE))
                 / CAST(n_pairs AS DOUBLE)), 4) AS t_stat
-          FROM agg ORDER BY nation""")
+          FROM agg ORDER BY nation""",
+    "q90_changepoint" ->
+      """WITH mon AS (SELECT c.c_nationkey AS nation,
+              CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS INT) AS m,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          tt AS (SELECT nation, m, cents,
+              CAST(row_number() OVER (PARTITION BY nation ORDER BY m)
+                AS INT) AS t,
+              sum(CAST(cents AS HUGEINT)) OVER (PARTITION BY nation
+                ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cs,
+              sum(CAST(cents AS HUGEINT) * cents) OVER (PARTITION BY nation
+                ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS css
+            FROM mon),
+          tot AS (SELECT nation, CAST(count(*) AS BIGINT) AS tn,
+              sum(CAST(cents AS HUGEINT)) AS ts,
+              sum(CAST(cents AS HUGEINT) * cents) AS tss
+            FROM mon GROUP BY 1),
+          cand AS (SELECT tt.nation, tt.m, tt.t, tot.tn, tt.cs, tot.ts,
+              CAST(css AS DOUBLE)
+                - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                  / CAST(t AS DOUBLE) AS sse_l,
+              (CAST(tss AS DOUBLE) - CAST(css AS DOUBLE))
+                - (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                  * (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                  / CAST(tn - t AS DOUBLE) AS sse_r
+            FROM tt JOIN tot USING (nation) WHERE tt.t < tot.tn),
+          r AS (SELECT *, sse_l + sse_r AS cost,
+              row_number() OVER (PARTITION BY nation
+                ORDER BY sse_l + sse_r, t) AS rk
+            FROM cand)
+          SELECT nation, tn AS n_months, t AS split_t, m AS split_m,
+            round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE), 4)
+              AS mean_before_cents,
+            round((CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+              / CAST(tn - t AS DOUBLE), 4) AS mean_after_cents,
+            round(cost, 0) AS sse_total
+          FROM r WHERE rk = 1 ORDER BY nation""")
 }

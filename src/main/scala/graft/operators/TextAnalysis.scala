@@ -778,6 +778,48 @@ object TextAnalysis {
         round($"cxy" * $"cxy" / ($"vx" * $"vy"), 4).as("r2"))
   }
 
+  /** D173: Good–Turing frequency-of-frequencies census per source —
+    * the held-out probability-mass estimate a corpus builder uses to
+    * judge how OPEN each source's vocabulary still is: p0 = N1/N is
+    * the Turing estimate of the probability that the NEXT token drawn
+    * from the source is unseen (high p0 → the source still yields new
+    * vocabulary, keep crawling; low → saturated), plus the
+    * r* = (r+1)·N_{r+1}/N_r adjusted counts for r = 1..3 (Gale &
+    * Sampson 1995's simple Good–Turing, unsmoothed — the raw Turing
+    * estimates; N_r = number of terms seen exactly r times).
+    *
+    * Scale shape: one token explode → (source, term) count table
+    * (map-side combined, vocabulary-bounded — the t6 discipline) →
+    * ONE more per-source aggregate with conditional sums; every count
+    * is an exact integer, each output ratio one 4-dp division (NULL
+    * when its N_r denominator is empty). */
+  def t32GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("t"))
+      .groupBy($"source", $"t").agg(count(lit(1)).as("r"))
+    tf.groupBy($"source").agg(
+        sum($"r").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when($"r" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"r" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"r" === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when($"r" === 4, 1L).otherwise(0L)).as("n4"))
+      .select($"source", $"n_tokens", $"vocab", $"n1", $"n2",
+        round($"n1".cast("double") / $"n_tokens".cast("double"), 4)
+          .as("p0_unseen"),
+        when($"n1" > 0,
+          round(lit(2.0) * $"n2".cast("double") / $"n1".cast("double"), 4))
+          .as("r1_star"),
+        when($"n2" > 0,
+          round(lit(3.0) * $"n3".cast("double") / $"n2".cast("double"), 4))
+          .as("r2_star"),
+        when($"n3" > 0,
+          round(lit(4.0) * $"n4".cast("double") / $"n3".cast("double"), 4))
+          .as("r3_star"))
+      .orderBy($"source")
+  }
+
   /** BM25 parameters (Robertson–Spärck Jones defaults) and the fixed
     * literal query set for [[t17Bm25]] — interpolated into the oracle
     * via Double.toString (the s2 plane-constant precedent), so both
@@ -1120,6 +1162,7 @@ object TextAnalysis {
     "t19_weighted_sample" -> t19WeightedSample,
     "t18_bigram_nll" -> t18BigramNll,
     "t17_bm25" -> t17Bm25,
+    "t32_good_turing" -> t32GoodTuring,
     "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
@@ -1180,6 +1223,31 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t32_good_turing" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS t FROM documents),
+          tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS r
+                 FROM tok GROUP BY 1, 2),
+          ff AS (SELECT source,
+              CAST(sum(r) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS vocab,
+              CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              CAST(sum(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+              CAST(sum(CASE WHEN r = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+            FROM tf GROUP BY 1)
+          SELECT source, n_tokens, vocab, n1, n2,
+            round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+              AS p0_unseen,
+            CASE WHEN n1 > 0 THEN
+              round(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
+            END AS r1_star,
+            CASE WHEN n2 > 0 THEN
+              round(3.0 * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 4)
+            END AS r2_star,
+            CASE WHEN n3 > 0 THEN
+              round(4.0 * CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE), 4)
+            END AS r3_star
+          FROM ff ORDER BY source""",
     "t30_entropy_rate" ->
       s"""WITH dk AS (SELECT source, $toksSql AS tk FROM documents),
           uni AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n

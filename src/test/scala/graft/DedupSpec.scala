@@ -61,6 +61,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d23 weighted jaccard equals a brute idf-weighted set replay on d4's pairs") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets = docs.map { case (id, t) => id -> shinglesOf(t).toSet }.toMap
+    val n = docs.length.toLong
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def w(s: String): Long = n / df(s) // integer division, both engines
+    val pairs = Dedup.d4LshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pairs.map { case (a, b) =>
+      val wi = sets(a).intersect(sets(b)).toSeq.map(w).sum
+      val (wa, wb) = (sets(a).toSeq.map(w).sum, sets(b).toSeq.map(w).sum)
+      (a, b, wi, wa + wb - wi, r4(wi.toDouble / (wa + wb - wi).toDouble))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Dedup.d23WeightedJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the weighting is doing something: at least one pair where the
+    // weighted score differs from the unweighted jaccard
+    val plain = pairs.map { case (a, b) =>
+      val i = sets(a).intersect(sets(b)).size
+      r4(i.toDouble / (sets(a).size + sets(b).size - i).toDouble)
+    }
+    assert(got.map(_._5).zip(plain).exists { case (wj, j) => wj != j })
+  }
+
   test("d5 jaccard scores equal exact set arithmetic on the fixture corpus") {
     import spark.implicits._
     val pairs = Dedup.d5Jaccard(spark, sf).collect()

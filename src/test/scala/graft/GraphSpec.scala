@@ -39,6 +39,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L) > got(4L))
   }
 
+  test("g9 assortativity equals a brute Newman-r replay over the copurchase edges") {
+    val edges = Graph.copurchaseEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (m, nNodes) = (edges.length.toLong, deg.size.toLong)
+    // exact BigInt moments, then the engine's own double closed form
+    def bsum(f: ((Long, Long)) => BigInt) = edges.map(f).sum
+    val sj = bsum(e => BigInt(deg(e._1)))
+    val sk = bsum(e => BigInt(deg(e._2)))
+    val sjk = bsum(e => BigInt(deg(e._1)) * deg(e._2))
+    val sjj = bsum(e => BigInt(deg(e._1)) * deg(e._1))
+    val skk = bsum(e => BigInt(deg(e._2)) * deg(e._2))
+    val mD = m.toDouble
+    val r = (mD * sjk.toDouble - sj.toDouble * sk.toDouble) /
+      math.sqrt((mD * sjj.toDouble - sj.toDouble * sj.toDouble) *
+        (mD * skk.toDouble - sk.toDouble * sk.toDouble))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Graph.g9Assortativity(spark, sf).collect()(0)
+    assert(row.getLong(0) == m && row.getLong(1) == nNodes)
+    // node-level mean degree: Σ_v deg(v) / n = m / n (each directed
+    // edge contributes once to its src's degree)
+    assert(row.getDouble(2) == r4(mD / nNodes.toDouble))
+    assert(row.getDouble(3) == r4(r))
+    // symmetric edge list → sj == sk, and r is a correlation
+    assert(sj == sk && row.getDouble(3) >= -1.0001 && row.getDouble(3) <= 1.0001)
+  }
+
   test("oriented-wedge triangle count equals the brute-force enumeration") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, 3 per vertex) + triangle {5,6,7}

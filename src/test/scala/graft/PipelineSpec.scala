@@ -458,6 +458,42 @@ class PipelineSpec extends AnyFunSuite {
     got.foreach { g => assert(g._4 <= g._2 && g._3 <= g._2) }
   }
 
+  test("m10 keyframes equal a driver per-scene argmax replay") {
+    import graft.operators.Multimodal
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vids = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 2 &&
+        d._2.getBytes("UTF-8").length >= Multimodal.sceneFrameBytes)
+    val expected = vids.flatMap { case (id, t) =>
+      val cm = md5hex(t)
+      val nf = (t.getBytes("UTF-8").length / Multimodal.sceneFrameBytes).toInt
+      val es = (1 to nf).map(f =>
+        Integer.parseInt(md5hex(s"$cm:$f").substring(0, 3), 16) % 1000)
+      // running scene ids, then argmax energy (ties -> earliest frame)
+      val scenes = es.indices.scanLeft(0L) { (s, i) =>
+        if (i > 0 && math.abs(es(i) - es(i - 1)) > Multimodal.sceneCutDelta)
+          s + 1
+        else s
+      }.tail // scanLeft includes the seed; frame i has scene scenes(i)
+      es.indices.groupBy(scenes(_)).toSeq.sortBy(_._1).map { case (sc, fs) =>
+        val kf = fs.minBy(i => (-es(i), i))
+        (id, sc, fs.length.toLong, kf + 1, es(kf))
+      }
+    }.sortBy(x => (x._1, x._2)).toSeq
+    val got = Multimodal.m10Keyframes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // consistency with m9: same scene count per video
+    val m9n = Multimodal.m9SceneCuts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val m10n = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(m10n == m9n)
+  }
+
   test("c9 BPE merges equal an independent list-walk replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, split, lower}

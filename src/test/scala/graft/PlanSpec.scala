@@ -249,8 +249,9 @@ class PlanSpec extends AnyFunSuite {
       "q75_pr_auc", "q76_ks_test", "q81_segment_migration",
       "s13_triplet_mining", "t28_burstiness",
       // g8 crosses five ONE-row audit aggregates (q43 shape);
-      // c11 crosses the ONE-row raw-totals frame for retained fractions
-      "g8_modularity", "c11_stage_funnel")
+      // c11 crosses the ONE-row raw-totals frame for retained fractions;
+      // g9 crosses the ONE-row moment frame with the ONE-row node census
+      "g8_modularity", "c11_stage_funnel", "g9_assortativity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -98,6 +98,50 @@ class RelationalSpec extends AnyFunSuite {
       "q38 plan contains a buffering percentile aggregate")
   }
 
+  test("q91 winsorized moments equal a brute clamp replay; percentile-free plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cents = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", floor($"l_extendedprice" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the bounds as the engine derives them: Spark's own percentile
+    // expression (≡ the two-phase core, proven bit-equal), 4-dp, then
+    // integer tightening
+    val pb = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_returnflag".as("g"),
+        floor($"l_extendedprice" * 100).cast("long").cast("double").as("v"))
+      .groupBy($"g")
+      .agg(round(expr("percentile(v, 0.05)"), 4).as("p5"),
+        round(expr("percentile(v, 0.95)"), 4).as("p95"))
+      .collect().map(r => r.getString(0) ->
+        (math.ceil(r.getDouble(1)).toLong, math.floor(r.getDouble(2)).toLong))
+      .toMap
+    val expected = cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val (lo, hi) = pb(g)
+      val wc = rows.map(r => math.min(math.max(r._2, lo), hi))
+      val clipped = rows.count(r => r._2 < lo || r._2 > hi).toLong
+      val n = wc.length
+      val s = wc.map(BigInt(_)).sum
+      val ss = wc.map(x => BigInt(x) * x).sum
+      val mean = s.toDouble / n.toDouble / 100.0
+      val std = math.sqrt((ss.toDouble - s.toDouble * s.toDouble / n.toDouble)
+        / (n - 1).toDouble) / 100.0
+      (g, n.toLong, lo, hi, clipped, r4(mean), r4(std))
+    }
+    val dist = graft.operators.Relational.q91Winsorized(spark, sf)
+    val got = dist.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+      r.getDouble(6))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // something was actually clipped, and std shrank vs the raw std
+    assert(got.exists(_._5 > 0))
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      "q91 plan contains a buffering percentile aggregate")
+  }
+
   test("q22 benched plan is two-phase: bit-equal to buffering percentile, none in plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

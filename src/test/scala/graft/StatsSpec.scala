@@ -389,6 +389,55 @@ class StatsSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("q90 changepoint equals a brute all-splits SSE scan per nation") {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")),
+        floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r0(x: Double) =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = monthly.keys.map(_._1).toSeq.distinct.sorted.flatMap { nat =>
+      val cs = monthly.collect { case ((n, m), c) if n == nat => (m, c) }
+        .toSeq.sortBy(_._1)
+      val tn = cs.length
+      if (tn < 2) None
+      else {
+        // EXACT prefix sums, then the engine's own double expression
+        // shape (tssD − cssD, not an independently-summed right
+        // segment — at ~1e17 the two round differently)
+        val pre = cs.map(_._2).scanLeft(BigInt(0))(_ + _).tail
+        val preSq = cs.map(x => BigInt(x._2) * x._2)
+          .scanLeft(BigInt(0))(_ + _).tail
+        val (ts, tss) = (pre.last.toDouble, preSq.last.toDouble)
+        def cost(k: Int): Double = {
+          val (csD, cssD) = (pre(k - 1).toDouble, preSq(k - 1).toDouble)
+          val sseL = cssD - csD * csD / k.toDouble
+          val sseR = (tss - cssD) -
+            (ts - csD) * (ts - csD) / (tn - k).toDouble
+          sseL + sseR
+        }
+        val best = (1 until tn).map(k => (cost(k), k)).minBy(x => (x._1, x._2))
+        val k = best._2
+        Some((nat, tn.toLong, k, cs(k - 1)._1,
+          r4(pre(k - 1).toDouble / k.toDouble),
+          r4((ts - pre(k - 1).toDouble) / (tn - k).toDouble),
+          r0(best._1)))
+      }
+    }
+    val got = graft.operators.Stats.q90Changepoint(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the split is non-trivial somewhere: not every nation breaks at k=1
+    assert(got.exists(_._3 > 1))
+  }
+
   test("q89 paired t matches an exact driver replay over contiguous month pairs") {
     import spark.implicits._
     val monthly = Tables.orders(spark, sf)

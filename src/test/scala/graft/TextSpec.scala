@@ -500,6 +500,40 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("t32 Good-Turing census equals a driver frequency-of-frequencies replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower, split}
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), split(lower(col("text")), " "))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val nr = counts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .withDefaultValue(0L)
+      def rStar(r: Int): Option[Double] =
+        if (nr(r.toLong) > 0)
+          Some(r4((r + 1).toDouble * nr(r + 1L).toDouble / nr(r.toLong).toDouble))
+        else None
+      (src, n, counts.size.toLong, nr(1L), nr(2L),
+        r4(nr(1L).toDouble / n.toDouble), rStar(1), rStar(2), rStar(3))
+    }
+    val got = graft.operators.TextAnalysis.t32GoodTuring(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5),
+        Option(r.get(6)).map(_.asInstanceOf[Double]),
+        Option(r.get(7)).map(_.asInstanceOf[Double]),
+        Option(r.get(8)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // GT identities: the freq-of-freqs conserve the corpus and p0 < 1
+    got.foreach { case (_, n, v, n1, _, p0, _, _, _) =>
+      assert(n1 <= v && v <= n)
+      assert(p0 >= 0.0 && p0 < 1.0)
+    }
+  }
+
   test("t28 burstiness equals an exact Fano-factor driver replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, split, lower, col}
