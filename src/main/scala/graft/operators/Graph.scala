@@ -544,7 +544,53 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** The rich-set fractions [[g10RichClub]] reports. */
+  val richClubPcts: Seq[Double] = Seq(0.1, 0.25, 0.5)
+
+  /** D179: rich-club coefficients — for the top-p fraction of nodes by
+    * degree (ties → lowest part id), the edge density φ(p) among them:
+    * E_rich / (|R|·(|R|−1)) over the symmetric directed edge list.
+    * Rising φ toward small p = the market's hubs preferentially
+    * co-sell with each other (the "rich-club ordering" of Colizza et
+    * al. 2006) — with g9's assortativity, the two standard hub-
+    * structure diagnostics.
+    *
+    * Determinism + scale: the degree rank is ONE global window over
+    * the node census (bounded by the part dimension, the t16 global-
+    * rank precedent); each edge reduces to max(rank_src, rank_dst) and
+    * all three thresholds are CONDITIONAL SUMS in one map-side-combined
+    * aggregate — the 3-row output assembles driver-side from scalar
+    * counts (p11 pattern). Cutoffs ceil(p·n) are computed identically
+    * on both engines from the exact node count. */
+  def g10RichClub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = copurchaseEdges(spark, dir)
+    val degs = e.select($"src", $"deg").distinct()
+    val n = degs.count()
+    val ranked = degs.withColumn("rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"deg".desc, $"src")))
+    val m = e.select($"src", $"dst")
+      .join(ranked.select($"src", $"rnk".as("ra")), "src")
+      .join(ranked.select($"src".as("dst"), $"rnk".as("rb")), "dst")
+      .select(greatest($"ra", $"rb").as("m"))
+    val cuts = richClubPcts.map(p => math.ceil(p * n).toLong)
+    val row = m.agg(
+      sum(when($"m" <= cuts(0), 1L).otherwise(0L)).as("e0"),
+      sum(when($"m" <= cuts(1), 1L).otherwise(0L)).as("e1"),
+      sum(when($"m" <= cuts(2), 1L).otherwise(0L)).as("e2")).head()
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    richClubPcts.zipWithIndex.map { case (p, i) =>
+      val (nr, er) = (cuts(i), row.getLong(i))
+      (p, nr, er,
+        if (nr >= 2) Some(r4(er.toDouble / (nr.toDouble * (nr - 1).toDouble)))
+        else None)
+    }.toDF("top_pct", "n_rich", "n_edges_rich", "phi")
+      .orderBy($"top_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_rich_club" -> g10RichClub,
     "g9_assortativity" -> g9Assortativity,
     "g8_modularity" -> g8Modularity,
     "g7_edge_jaccard" -> g7EdgeJaccard,
@@ -606,6 +652,32 @@ object Graph {
         GROUP BY pk)"""
 
   val oracle: Map[String, String] = Map(
+    "g10_rich_club" -> {
+      val selects = richClubPcts.map { p =>
+        s"""SELECT CAST($p AS DOUBLE) AS top_pct,
+            CAST(ceil($p * (SELECT n FROM nn)) AS BIGINT) AS n_rich,
+            (SELECT CAST(sum(CASE WHEN m <=
+                CAST(ceil($p * (SELECT n FROM nn)) AS BIGINT)
+              THEN 1 ELSE 0 END) AS BIGINT) FROM em) AS n_edges_rich"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $pairsCte,
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM pairs GROUP BY 1),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+          rk AS (SELECT src,
+              row_number() OVER (ORDER BY deg DESC, src) AS rnk
+            FROM deg),
+          em AS (SELECT greatest(ra.rnk, rb.rnk) AS m
+            FROM pairs e JOIN rk ra ON ra.src = e.src
+                         JOIN rk rb ON rb.src = e.dst),
+          rows_ AS ($selects)
+          SELECT top_pct, n_rich, n_edges_rich,
+            CASE WHEN n_rich >= 2 THEN
+              round(CAST(n_edges_rich AS DOUBLE)
+                / (CAST(n_rich AS DOUBLE) * CAST(n_rich - 1 AS DOUBLE)), 4)
+            END AS phi
+          FROM rows_ ORDER BY top_pct"""
+    },
     "g9_assortativity" ->
       s"""WITH $pairsCte,
           deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg

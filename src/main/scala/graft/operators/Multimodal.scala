@@ -420,7 +420,46 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** D181: within-video duplicate-frame census — per video, how many
+    * frames are energy-identical to another (the static-shot /
+    * freeze-frame fraction) and the longest run of consecutive
+    * identical frames: the compression-potential readout a video
+    * pipeline checks before paying per-frame decode+embed cost on
+    * frozen content (a 0.9 dup_frac video wants m10's one-keyframe-
+    * per-scene sampling, not the m2 uniform stride).
+    *
+    * Shape: reuses the shared [[sceneFrames]] explode (payload-
+    * bounded); distinct census is one per-(doc, e) aggregate; the
+    * longest run is the islands lag trick (q40/q88 precedent) —
+    * boundaries where e ≠ previous, run ids one running sum, all
+    * PARTITIONED BY doc_id. */
+  def m11FrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy($"doc_id").orderBy($"f")
+    val runs = sceneFrames(spark, dir)
+      .withColumn("brk",
+        when($"pe".isNull || $"e" =!= $"pe", 1L).otherwise(0L))
+      .withColumn("run", sum($"brk").over(wSeq))
+    val longest = runs.groupBy($"doc_id", $"run")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"doc_id").agg(max($"len").as("max_run"))
+    runs.groupBy($"doc_id", $"e")
+      .agg(max($"n_frames").as("n_frames"), count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"n_frames").as("n_frames"),
+        count(lit(1)).as("n_distinct"),
+        sum($"cnt" - lit(1L)).as("n_dup_frames"))
+      .join(longest, "doc_id")
+      .select($"doc_id", $"n_frames", $"n_distinct", $"n_dup_frames",
+        round($"n_dup_frames".cast("double") / $"n_frames".cast("double"), 4)
+          .as("dup_frac"),
+        $"max_run")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_frame_dedup" -> m11FrameDedup,
     "m10_keyframes" -> m10Keyframes,
     "m9_scene_cuts" -> m9SceneCuts,
     "m8_phash_neardup" -> m8PhashNeardup,
@@ -433,6 +472,42 @@ object Multimodal {
     "m7_audio_vad" -> m7AudioVad)
 
   val oracle: Map[String, String] = Map(
+    "m11_frame_dedup" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
+              CAST(strlen(text) // $sceneFrameBytes AS INT) AS n_frames
+            FROM documents
+            WHERE doc_id % 3 = 2 AND strlen(text) >= $sceneFrameBytes),
+          fr AS (SELECT doc_id, cm, n_frames,
+              unnest(generate_series(1, n_frames)) AS f
+            FROM d),
+          e AS (SELECT doc_id, n_frames, f,
+              CAST('0x' || substring(md5(cm || ':' || CAST(f AS VARCHAR)),
+                1, 3) AS INT) % 1000 AS e
+            FROM fr),
+          c AS (SELECT doc_id, n_frames, f, e,
+              lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+            FROM e),
+          rn AS (SELECT doc_id, n_frames, e,
+              CAST(sum(CASE WHEN pe IS NULL OR e <> pe THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY f
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run
+            FROM c),
+          lg AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS max_run
+            FROM (SELECT doc_id, run, count(*) AS len
+                  FROM rn GROUP BY 1, 2) GROUP BY 1),
+          de AS (SELECT doc_id, e, CAST(max(n_frames) AS INT) AS n_frames,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM rn GROUP BY 1, 2),
+          agg AS (SELECT doc_id, CAST(max(n_frames) AS INT) AS n_frames,
+              CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST(sum(cnt - 1) AS BIGINT) AS n_dup_frames
+            FROM de GROUP BY 1)
+          SELECT a.doc_id, a.n_frames, a.n_distinct, a.n_dup_frames,
+            round(CAST(a.n_dup_frames AS DOUBLE)
+              / CAST(a.n_frames AS DOUBLE), 4) AS dup_frac,
+            l.max_run
+          FROM agg a JOIN lg l USING (doc_id) ORDER BY a.doc_id""",
     "m10_keyframes" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
               CAST(strlen(text) // $sceneFrameBytes AS INT) AS n_frames

@@ -524,7 +524,50 @@ object Pipeline {
       .orderBy($"stage")
   }
 
+  /** D180: dedup-aware mixture accounting — per source, the RAW token
+    * supply next to the EFFECTIVE (dedup-corrected) supply, counting
+    * each distinct content once at its canonical (lowest-id) copy: the
+    * table a data-mixing pass must read INSTEAD of raw counts, because
+    * a source that is 40% self-copies contributes 40% fewer unique
+    * training tokens than its size claims (and its mixture share
+    * should shrink accordingly — share_raw vs share_eff shows exactly
+    * how much).
+    *
+    * Exactness + scale: canonical attribution keeps every count an
+    * integer (no fractional 1/n_copies splits); one content-hash
+    * census (the d16 pass), one per-source conditional-sum aggregate,
+    * and a broadcast ONE-row totals frame for the shares (the g8/q43
+    * audited cross-join shape). */
+  def c12DedupMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"),
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("ch"))
+    val census = hashed.groupBy($"ch").agg(min($"doc_id").as("keep_id"))
+    val per = hashed.join(census, "ch")
+      .withColumn("canon", ($"doc_id" === $"keep_id").cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"canon").as("n_canonical"),
+        sum($"n_tokens").as("raw_tokens"),
+        sum($"canon" * $"n_tokens").as("eff_tokens"))
+    val tot = per.agg(sum($"raw_tokens").as("traw"),
+      sum($"eff_tokens").as("teff"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_canonical",
+        $"raw_tokens", $"eff_tokens",
+        round(lit(1.0) - $"eff_tokens".cast("double")
+          / $"raw_tokens".cast("double"), 4).as("dup_overhead"),
+        round($"raw_tokens".cast("double") / $"traw".cast("double"), 4)
+          .as("share_raw"),
+        round($"eff_tokens".cast("double") / $"teff".cast("double"), 4)
+          .as("share_eff"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_dedup_mixture" -> c12DedupMixture,
     "c11_stage_funnel" -> c11StageFunnel,
     "c9_bpe_train" -> c9BpeTrain,
     "c10_mixture_temperature" -> c10MixtureTemperature,
@@ -555,6 +598,32 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c12_dedup_mixture" ->
+      """WITH h AS (SELECT doc_id, source,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                AS n_tokens,
+              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ch
+            FROM documents),
+          c AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY 1),
+          per AS (SELECT h.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN h.doc_id = c.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical,
+              CAST(sum(h.n_tokens) AS BIGINT) AS raw_tokens,
+              CAST(sum(CASE WHEN h.doc_id = c.keep_id THEN h.n_tokens
+                ELSE 0 END) AS BIGINT) AS eff_tokens
+            FROM h JOIN c USING (ch) GROUP BY 1),
+          tot AS (SELECT CAST(sum(raw_tokens) AS BIGINT) AS traw,
+              CAST(sum(eff_tokens) AS BIGINT) AS teff
+            FROM per)
+          SELECT source, n_docs, n_canonical, raw_tokens, eff_tokens,
+            round(1.0 - CAST(eff_tokens AS DOUBLE)
+              / CAST(raw_tokens AS DOUBLE), 4) AS dup_overhead,
+            round(CAST(raw_tokens AS DOUBLE) / CAST(traw AS DOUBLE), 4)
+              AS share_raw,
+            round(CAST(eff_tokens AS DOUBLE) / CAST(teff AS DOUBLE), 4)
+              AS share_eff
+          FROM per CROSS JOIN tot ORDER BY source""",
     "c11_stage_funnel" ->
       s"""${Dedup.jaccardCte},
           qual AS (SELECT doc_id, text, lang, source,

@@ -756,6 +756,38 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** D178: IVF index-balance audit — the per-cell census of the s6/s15
+    * coarse quantizer plus FAISS's imbalance factor
+    * λ = k·Σᵢ(sizeᵢ/n)² (the expected scan-cost inflation of probing
+    * under a size-proportional query distribution; λ = 1 is perfectly
+    * balanced, λ → k is one hot cell). The d18-style instrument for
+    * the ANN family: read THIS before trusting s6/s15 latency at
+    * corpus scale, because a skewed quantizer silently turns nprobe/k
+    * of the corpus into most of it.
+    *
+    * Determinism: λ's numerator is the exact integer Σ sizeᵢ² (one
+    * DECIMAL(38,0) sum — no double summation order), and every output
+    * is a single 4-dp division. Scale shape: the census is ONE
+    * map-side-combined aggregate to k rows; the totals frame is one
+    * broadcast row (the g8/q43 audited cross-join shape). */
+  def s16IvfStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val cells = emb
+      .select(nearestCentroidCol(spark, $"embedding", cents).as("cell"))
+      .groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum($"n_vecs").as("n"),
+      sum(($"n_vecs".cast("decimal(38,0)") * $"n_vecs")).as("ss"),
+      count(lit(1)).as("k"))
+    cells.crossJoin(broadcast(tot))
+      .select($"cell".as("cell_id"), $"n_vecs",
+        round($"n_vecs".cast("double") / $"n".cast("double"), 4).as("frac"),
+        round($"k".cast("double") * expr("CAST(ss AS DOUBLE)") /
+          ($"n".cast("double") * $"n".cast("double")), 4).as("imbalance"))
+      .orderBy($"cell_id")
+  }
+
   /** D21: symmetric int8 quantization of the embedding column +
     * reconstruction-error statistics per label — the compression step a
     * training pipeline applies before shipping embeddings. Quantization
@@ -980,7 +1012,8 @@ object Similarity {
     "s5_quantize" -> s5Quantize,
     "s6_knn_ivf" -> s6KnnIvf,
     "s7_knn_pq" -> s7KnnPq,
-    "s15_knn_ivfpq" -> s15KnnIvfPq)
+    "s15_knn_ivfpq" -> s15KnnIvfPq,
+    "s16_ivf_stats" -> s16IvfStats)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1411,6 +1444,22 @@ object Similarity {
     "s6_knn_ivf" -> s6OracleSql,
     "s7_knn_pq" -> s7OracleSql,
     "s15_knn_ivfpq" -> s15OracleSql,
+    "s16_ivf_stats" ->
+      s"""WITH $trainBaseCtes,
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = 4, dim = 64)},
+          cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+                 FROM cells GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n,
+              sum(CAST(n_vecs AS HUGEINT) * n_vecs) AS ss,
+              CAST(count(*) AS BIGINT) AS k
+            FROM cc)
+          SELECT cc.cell AS cell_id, cc.n_vecs,
+            round(CAST(cc.n_vecs AS DOUBLE) / CAST(tot.n AS DOUBLE), 4)
+              AS frac,
+            round(CAST(tot.k AS DOUBLE) * CAST(tot.ss AS DOUBLE)
+              / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)), 4)
+              AS imbalance
+          FROM cc CROSS JOIN tot ORDER BY cell_id""",
     "d9_embedding_neardup" -> d9OracleSql,
     "s1_knn_brute" -> s1OracleSql,
     "s11_recall_eval" ->

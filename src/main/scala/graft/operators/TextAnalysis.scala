@@ -383,6 +383,42 @@ object TextAnalysis {
       .orderBy($"actual_lang", $"pred_lang")
   }
 
+  /** D177: language-ID classifier EVALUATION — per-language
+    * support/precision/recall/F1 derived from t22's oracle-gated
+    * confusion matrix: the supervised-eval counterpart p13 provides
+    * for the GLM, applied to the NB language classifier (a corpus
+    * pipeline trusts t22's routing only after reading this table —
+    * macro metrics hide which low-resource language the classifier
+    * actually loses).
+    *
+    * Shape: three bounded rollups of the (#langs² max) confusion
+    * frame + one full outer join; every metric is one 4-dp division
+    * over exact counts (NULL when its denominator is empty). */
+  def t33LangidEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cm = t22NbLang(spark, dir)
+    val act = cm.groupBy($"actual_lang".as("lang"))
+      .agg(sum($"n_docs").as("support"))
+    val prd = cm.groupBy($"pred_lang".as("lang"))
+      .agg(sum($"n_docs").as("predicted"))
+    val tp = cm.filter($"actual_lang" === $"pred_lang")
+      .select($"actual_lang".as("lang"), $"n_docs".as("tp"))
+    act.join(prd, Seq("lang"), "full")
+      .join(tp, Seq("lang"), "left")
+      .na.fill(0L, Seq("support", "predicted", "tp"))
+      .select($"lang", $"support", $"predicted", $"tp",
+        when($"predicted" > 0,
+          round($"tp".cast("double") / $"predicted".cast("double"), 4))
+          .as("precision"),
+        when($"support" > 0,
+          round($"tp".cast("double") / $"support".cast("double"), 4))
+          .as("recall"),
+        when($"support" + $"predicted" > 0,
+          round(lit(2.0) * $"tp".cast("double") /
+            ($"support" + $"predicted").cast("double"), 4)).as("f1"))
+      .orderBy($"lang")
+  }
+
   /** D103: per-document token-distribution diagnostics — Shannon
     * entropy (nats) of the document's own unigram distribution and the
     * type-token ratio, the two standard "is this text degenerate"
@@ -1163,6 +1199,7 @@ object TextAnalysis {
     "t18_bigram_nll" -> t18BigramNll,
     "t17_bm25" -> t17Bm25,
     "t32_good_turing" -> t32GoodTuring,
+    "t33_langid_eval" -> t33LangidEval,
     "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
@@ -1181,6 +1218,40 @@ object TextAnalysis {
     "t9_unigram_nll" -> t9UnigramNll)
 
   private val toksSql = "string_split(lower(text), ' ')"
+
+  /** DuckDB replay of [[t22NbLang]] — extracted to a val so the t33
+    * eval oracle can wrap the confusion matrix as a CTE. */
+  private lazy val t22OracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS term
+              FROM documents),
+          v AS (SELECT DISTINCT term FROM tok),
+          vs AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM v),
+          ltc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY 1, 2),
+          ltot AS (SELECT lang AS model_lang, CAST(sum(c) AS BIGINT) AS tl
+                   FROM ltc GROUP BY 1),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          prior AS (SELECT lang AS model_lang,
+              round(ln(count(*) * 1.0 / (SELECT n FROM nd)), 4) AS logprior
+            FROM documents GROUP BY 1),
+          grid AS (SELECT v.term, lt.model_lang,
+              round(ln((COALESCE(c.c, 0) + 1) * 1.0 /
+                (lt.tl + (SELECT vsz FROM vs))), 4) AS logp
+            FROM v CROSS JOIN ltot lt
+            LEFT JOIN ltc c ON c.lang = lt.model_lang AND c.term = v.term),
+          sc AS (SELECT t.doc_id, t.lang, g.model_lang,
+              round(sum(g.logp), 4) AS ll
+            FROM tok t JOIN grid g ON t.term = g.term GROUP BY 1, 2, 3),
+          scored AS (SELECT doc_id, lang, sc.model_lang,
+              round(ll + p.logprior, 4) AS score
+            FROM sc JOIN prior p ON sc.model_lang = p.model_lang),
+          pred AS (SELECT doc_id, lang, model_lang,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, model_lang) AS rn
+            FROM scored)
+          SELECT lang AS actual_lang, model_lang AS pred_lang,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
   private def countInSql(words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -1390,37 +1461,32 @@ object TextAnalysis {
           FROM ks CROSS JOIN st
           JOIN cum c ON c.rk = least(CAST(k AS BIGINT), st.n_terms)
           ORDER BY k""",
-    "t22_nb_lang" ->
-      s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS term
-              FROM documents),
-          v AS (SELECT DISTINCT term FROM tok),
-          vs AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM v),
-          ltc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
-                  FROM tok GROUP BY 1, 2),
-          ltot AS (SELECT lang AS model_lang, CAST(sum(c) AS BIGINT) AS tl
-                   FROM ltc GROUP BY 1),
-          nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-          prior AS (SELECT lang AS model_lang,
-              round(ln(count(*) * 1.0 / (SELECT n FROM nd)), 4) AS logprior
-            FROM documents GROUP BY 1),
-          grid AS (SELECT v.term, lt.model_lang,
-              round(ln((COALESCE(c.c, 0) + 1) * 1.0 /
-                (lt.tl + (SELECT vsz FROM vs))), 4) AS logp
-            FROM v CROSS JOIN ltot lt
-            LEFT JOIN ltc c ON c.lang = lt.model_lang AND c.term = v.term),
-          sc AS (SELECT t.doc_id, t.lang, g.model_lang,
-              round(sum(g.logp), 4) AS ll
-            FROM tok t JOIN grid g ON t.term = g.term GROUP BY 1, 2, 3),
-          scored AS (SELECT doc_id, lang, sc.model_lang,
-              round(ll + p.logprior, 4) AS score
-            FROM sc JOIN prior p ON sc.model_lang = p.model_lang),
-          pred AS (SELECT doc_id, lang, model_lang,
-              row_number() OVER (PARTITION BY doc_id
-                ORDER BY score DESC, model_lang) AS rn
-            FROM scored)
-          SELECT lang AS actual_lang, model_lang AS pred_lang,
-            CAST(count(*) AS BIGINT) AS n_docs
-          FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t33_langid_eval" ->
+      s"""WITH cm AS ($t22OracleSql),
+          act AS (SELECT actual_lang AS lang,
+              CAST(sum(n_docs) AS BIGINT) AS support FROM cm GROUP BY 1),
+          prd AS (SELECT pred_lang AS lang,
+              CAST(sum(n_docs) AS BIGINT) AS predicted FROM cm GROUP BY 1),
+          tp AS (SELECT actual_lang AS lang, n_docs AS tp FROM cm
+                 WHERE actual_lang = pred_lang),
+          j AS (SELECT coalesce(a.lang, p.lang) AS lang,
+              coalesce(a.support, 0) AS support,
+              coalesce(p.predicted, 0) AS predicted
+            FROM act a FULL JOIN prd p ON a.lang = p.lang)
+          SELECT j.lang, j.support, j.predicted,
+            coalesce(t.tp, 0) AS tp,
+            CASE WHEN j.predicted > 0 THEN
+              round(CAST(coalesce(t.tp, 0) AS DOUBLE)
+                / CAST(j.predicted AS DOUBLE), 4) END AS precision,
+            CASE WHEN j.support > 0 THEN
+              round(CAST(coalesce(t.tp, 0) AS DOUBLE)
+                / CAST(j.support AS DOUBLE), 4) END AS recall,
+            CASE WHEN j.support + j.predicted > 0 THEN
+              round(2.0 * CAST(coalesce(t.tp, 0) AS DOUBLE)
+                / CAST(j.support + j.predicted AS DOUBLE), 4) END AS f1
+          FROM j LEFT JOIN tp t ON t.lang = j.lang
+          ORDER BY j.lang""",
+    "t22_nb_lang" -> t22OracleSql,
     "t23_token_entropy" ->
       s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)

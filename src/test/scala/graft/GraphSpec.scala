@@ -68,6 +68,34 @@ class GraphSpec extends AnyFunSuite {
     assert(sj == sk && row.getDouble(3) >= -1.0001 && row.getDouble(3) <= 1.0001)
   }
 
+  test("g10 rich-club coefficients equal a brute ranked-subgraph replay") {
+    val edges = Graph.copurchaseEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size
+    val ranked = deg.toSeq.sortBy { case (v, d) => (-d, v) }
+      .zipWithIndex.map { case ((v, _), i) => v -> (i + 1L) }.toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Graph.richClubPcts.map { p =>
+      val cut = math.ceil(p * n).toLong
+      val er = edges.count { case (a, b) =>
+        math.max(ranked(a), ranked(b)) <= cut }.toLong
+      (p, cut, er,
+        if (cut >= 2) Some(r4(er.toDouble / (cut.toDouble * (cut - 1))))
+        else None)
+    }
+    val got = Graph.g10RichClub(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == expected)
+    // densities are valid and the edge counts grow with the club
+    assert(got.flatMap(_._4).forall(p => p >= 0.0 && p <= 1.0))
+    val ers = got.map(_._3)
+    assert(ers.zip(ers.tail).forall { case (a, b) => a <= b })
+  }
+
   test("oriented-wedge triangle count equals the brute-force enumeration") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, 3 per vertex) + triangle {5,6,7}

@@ -494,6 +494,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(m10n == m9n)
   }
 
+  test("c12 dedup-aware mixture equals a driver canonical-attribution replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower, split}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"),
+        split(lower(col("text")), " "))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getSeq[String](3).length.toLong))
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val keep = docs.groupBy(d => norm(d._3)).map { case (_, ds) =>
+      norm(ds.head._3) -> ds.map(_._1).min }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val per = docs.groupBy(_._2).map { case (src, ds) =>
+      val canon = ds.filter(d => keep(norm(d._3)) == d._1)
+      (src, ds.size.toLong, canon.size.toLong,
+        ds.map(_._4).sum, canon.map(_._4).sum)
+    }.toSeq.sortBy(_._1)
+    val (traw, teff) = (per.map(_._4).sum, per.map(_._5).sum)
+    val expected = per.map { case (src, nd, nc, raw, eff) =>
+      (src, nd, nc, raw, eff, r4(1.0 - eff.toDouble / raw.toDouble),
+        r4(raw.toDouble / traw.toDouble), r4(eff.toDouble / teff.toDouble))
+    }
+    val got = Pipeline.c12DedupMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // effective never exceeds raw; shares are a distribution
+    assert(got.forall(g => g._5 <= g._4 && g._6 >= 0.0))
+    assert(math.abs(got.map(_._7).sum - 1.0) < 0.01 &&
+      math.abs(got.map(_._8).sum - 1.0) < 0.01)
+  }
+
+  test("m11 frame-dedup census equals a driver stub replay") {
+    import graft.operators.Multimodal
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vids = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 2 &&
+        d._2.getBytes("UTF-8").length >= Multimodal.sceneFrameBytes)
+    val expected = vids.map { case (id, t) =>
+      val cm = md5hex(t)
+      val nf = (t.getBytes("UTF-8").length / Multimodal.sceneFrameBytes).toInt
+      val es = (1 to nf).map(f =>
+        Integer.parseInt(md5hex(s"$cm:$f").substring(0, 3), 16) % 1000)
+      val distinct = es.distinct.size.toLong
+      val runs = es.foldLeft(List.empty[(Int, Long)]) { (acc, e) =>
+        acc match {
+          case (pe, len) :: tl if pe == e => (pe, len + 1) :: tl
+          case _ => (e, 1L) :: acc
+        }
+      }
+      (id, nf, distinct, nf - distinct,
+        r4((nf - distinct).toDouble / nf.toDouble), runs.map(_._2).max)
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.m11FrameDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("c9 BPE merges equal an independent list-walk replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, split, lower}

@@ -251,7 +251,12 @@ class PlanSpec extends AnyFunSuite {
       // g8 crosses five ONE-row audit aggregates (q43 shape);
       // c11 crosses the ONE-row raw-totals frame for retained fractions;
       // g9 crosses the ONE-row moment frame with the ONE-row node census
-      "g8_modularity", "c11_stage_funnel", "g9_assortativity")
+      "g8_modularity", "c11_stage_funnel", "g9_assortativity",
+      // s16 crosses the k-row census with its ONE-row totals frame;
+      // c12 crosses per-source rows with the ONE-row token totals;
+      // t33 composes t22's confusion matrix, so it inherits t22's
+      // bounded vocab×|L| model-grid cross
+      "s16_ivf_stats", "c12_dedup_mixture", "t33_langid_eval")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

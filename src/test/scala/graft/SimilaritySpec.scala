@@ -85,6 +85,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top1Hit >= 3, s"only $top1Hit/5 IVFADC top-1s inside s6's top-5")
   }
 
+  test("s16 IVF stats: census conserves the corpus, imbalance formula exact") {
+    val rows = Similarity.s16IvfStats(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "census does not conserve the corpus")
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = rows.length
+    val ss = rows.map(r => BigInt(r._2) * r._2).sum
+    val lambda = r4(k.toDouble * ss.toDouble / (n.toDouble * n.toDouble))
+    rows.foreach { case (_, nv, frac, imb) =>
+      assert(frac == r4(nv.toDouble / n.toDouble))
+      assert(imb == lambda)
+    }
+    // Cauchy-Schwarz: lambda >= 1, with equality only at perfect balance
+    assert(lambda >= 1.0)
+  }
+
   test("d9 plane-count formula: smallest p in [4,12] with 2^p*250 >= n") {
     assert(Similarity.d9Planes(1L) == 4)
     assert(Similarity.d9Planes(500L) == 4)    // sf0.01 fixture: unchanged

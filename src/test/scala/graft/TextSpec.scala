@@ -500,6 +500,32 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("t33 langid eval derives exactly from t22's confusion matrix") {
+    val cm = graft.operators.TextAnalysis.t22NbLang(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val langs = (cm.map(_._1) ++ cm.map(_._2)).distinct.sorted
+    val expected = langs.map { l =>
+      val support = cm.filter(_._1 == l).map(_._3).sum
+      val predicted = cm.filter(_._2 == l).map(_._3).sum
+      val tp = cm.filter(c => c._1 == l && c._2 == l).map(_._3).sum
+      (l, support, predicted, tp,
+        if (predicted > 0) Some(r4(tp.toDouble / predicted)) else None,
+        if (support > 0) Some(r4(tp.toDouble / support)) else None,
+        if (support + predicted > 0)
+          Some(r4(2.0 * tp / (support + predicted).toDouble)) else None)
+    }
+    val got = graft.operators.TextAnalysis.t33LangidEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == expected.toSeq && got.nonEmpty)
+    // supports conserve the corpus
+    assert(got.map(_._2).sum == Tables.documents(spark, sf).count())
+  }
+
   test("t32 Good-Turing census equals a driver frequency-of-frequencies replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lower, split}
