@@ -589,7 +589,44 @@ object Graph {
       .orderBy($"top_pct")
   }
 
+  /** D185: local clustering-coefficient census over the strong
+    * affinity graph — per degree class, the mean fraction of a node's
+    * neighbor pairs that are themselves linked, cc(v) = 2T(v)/(d(d−1)):
+    * the classic "small-world" readout (high cc at high degree = hubs
+    * sit in tight communities; cc falling as 1/d = tree-like growth).
+    * Complements g2 (who has the most triangles) and g9/g10 (hub
+    * mixing) with the closure-density view.
+    *
+    * Exactness: within a degree class d the mean of cc(v) equals
+    * 2·ΣT(v) / (n·d·(d−1)) — ALL-INTEGER numerator and denominator
+    * (no double summed per node), one IEEE division chain, 4-dp.
+    *
+    * Scale shape: per-node triangle counts reuse [[triangleCounts]]'s
+    * degree-ordered oriented wedge join (O(m^1.5) bound, never a hub
+    * blow-up); the census is degree-keyed — output bounded by the
+    * distinct-degree count, a histogram not a node list. Nodes of
+    * degree ≥ 2 with NO triangle enter via the left join (cc = 0,
+    * exactly — dropping them would bias every class upward). */
+  def g11Clustering(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = strongEdges(spark, dir)
+    val deg = und.select($"src".as("vx")).unionAll(und.select($"dst".as("vx")))
+      .groupBy($"vx").agg(count(lit(1)).as("dg"))
+    val tri = triangleCounts(und)
+    deg.filter($"dg" >= 2)
+      .join(tri.select($"part_key".as("vx"), $"n_triangles"), Seq("vx"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .groupBy($"dg".as("degree"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"n_triangles").as("n_closed"))
+      .select($"degree", $"n_nodes", $"n_closed",
+        round(expr("""2.0 * CAST(n_closed AS DOUBLE)
+            / (CAST(n_nodes AS DOUBLE) * CAST(degree AS DOUBLE)
+               * CAST(degree - 1 AS DOUBLE))"""), 4).as("avg_cc"))
+      .orderBy($"degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_clustering" -> g11Clustering,
     "g10_rich_club" -> g10RichClub,
     "g9_assortativity" -> g9Assortativity,
     "g8_modularity" -> g8Modularity,
@@ -818,6 +855,38 @@ object Graph {
           ${(1 to coreIters).map(coreStepSql).mkString(",\n          ")}
           SELECT src AS part_key, CAST(count(*) AS BIGINT) AS core_deg
           FROM e$coreIters GROUP BY src ORDER BY part_key""",
+    "g11_clustering" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          deg AS (SELECT vx, CAST(count(*) AS BIGINT) AS dg
+                  FROM (SELECT src AS vx FROM und
+                        UNION ALL SELECT dst AS vx FROM und)
+                  GROUP BY vx),
+          ori AS (SELECT CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND u.src < u.dst)
+                              THEN u.src ELSE u.dst END AS u,
+                         CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND u.src < u.dst)
+                              THEN u.dst ELSE u.src END AS v
+                  FROM und u JOIN deg ds ON u.src = ds.vx
+                             JOIN deg dd ON u.dst = dd.vx),
+          tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                  FROM ori a JOIN ori b ON a.u = b.u AND a.v <> b.v
+                  WHERE EXISTS (SELECT 1 FROM ori c
+                                WHERE c.u = a.v AND c.v = b.v)),
+          tcnt AS (SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT unnest([x, y, z]) AS part_key FROM tri)
+                   GROUP BY part_key)
+          SELECT d.dg AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(sum(COALESCE(t.n_triangles, 0)) AS BIGINT) AS n_closed,
+            round(2.0 * CAST(sum(COALESCE(t.n_triangles, 0)) AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * CAST(d.dg AS DOUBLE)
+                 * CAST(d.dg - 1 AS DOUBLE)), 4) AS avg_cc
+          FROM deg d LEFT JOIN tcnt t ON t.part_key = d.vx
+          WHERE d.dg >= 2
+          GROUP BY d.dg ORDER BY degree""",
     "g2_triangles" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

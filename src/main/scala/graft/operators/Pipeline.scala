@@ -566,7 +566,58 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** c13's mean-bigram-NLL quality ceiling: documents whose mean
+    * token surprisal under the corpus bigram LM exceeds this are
+    * dropped. Sits at ≈ the fixture's p90 — a data-independent tuned
+    * constant (the CCNet convention: perplexity buckets are fixed by
+    * the released model, not recomputed per shard), so the gate is
+    * O(1) state and identical on every engine. */
+  val pplNllCutoff = 3.44
+
+  /** D186: perplexity-gated quality filter — the CCNet-style pass a
+    * pretraining pipeline runs between cleaning (c1) and mixing (c6):
+    * score every document by MEAN bigram surprisal under t18's
+    * add-one-smoothed corpus LM, drop documents above
+    * [[pplNllCutoff]], and report the per-source funnel (docs and
+    * token supply kept, boundary scores). A source whose kept_frac
+    * craters is mostly improbable word salad — exactly what the gate
+    * exists to catch before it pollutes the mixture.
+    *
+    * Determinism: per-doc mean NLL is t18's hash-green 4-dp sum
+    * divided once by the exact bigram count — an identical double on
+    * both engines, so the threshold comparison and the min/max
+    * boundary scores (order-free aggregates over identical doubles)
+    * replay exactly. Documents with < 2 tokens are unscorable and
+    * fail CLOSED (dropped) via the left join's NULL.
+    *
+    * Scale shape: t18's vocabulary-sized count joins (t6 shuffle-join
+    * rule) + ONE doc-keyed join + ONE per-source rollup — no new
+    * corpus passes beyond the scoring chain itself. */
+  def c13PplFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokens($"text")).cast("long").as("nt"))
+    val sc = TextAnalysis.bigramNllScores(spark, dir)
+      .select($"doc_id", ($"sum_nll" / $"n_bigrams".cast("double")).as("m"))
+    docs.join(sc, Seq("doc_id"), "left")
+      .withColumn("kept", $"m".isNotNull && $"m" <= pplNllCutoff)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"kept".cast("long")).as("n_kept"),
+        sum($"nt").as("raw_tokens"),
+        sum(when($"kept", $"nt").otherwise(0L)).as("kept_tokens"),
+        round(max(when($"kept", $"m")), 4).as("max_kept_nll"),
+        round(min(when(!$"kept", $"m")), 4).as("min_dropped_nll"))
+      .withColumn("kept_frac",
+        round($"n_kept".cast("double") / $"n_docs".cast("double"), 4))
+      .select($"source", $"n_docs", $"n_kept", $"kept_frac",
+        $"raw_tokens", $"kept_tokens", $"max_kept_nll", $"min_dropped_nll")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_ppl_filter" -> c13PplFilter,
     "c12_dedup_mixture" -> c12DedupMixture,
     "c11_stage_funnel" -> c11StageFunnel,
     "c9_bpe_train" -> c9BpeTrain,
@@ -598,6 +649,28 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c13_ppl_filter" ->
+      s"""WITH ${TextAnalysis.bigramNllCtes},
+          sl AS (SELECT doc_id, round(sum(nll), 4) AS sum_nll,
+              CAST(count(*) AS BIGINT) AS nb
+            FROM s GROUP BY doc_id),
+          d AS (SELECT doc_id, source,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+            FROM documents),
+          j AS (SELECT d.source, d.nt, sl.sum_nll / sl.nb AS m,
+              sl.sum_nll IS NOT NULL
+                AND sl.sum_nll / sl.nb <= $pplNllCutoff AS kept
+            FROM d LEFT JOIN sl USING (doc_id))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 4) AS kept_frac,
+            CAST(sum(nt) AS BIGINT) AS raw_tokens,
+            CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
+              AS kept_tokens,
+            round(max(CASE WHEN kept THEN m END), 4) AS max_kept_nll,
+            round(min(CASE WHEN NOT kept THEN m END), 4) AS min_dropped_nll
+          FROM j GROUP BY source ORDER BY source""",
     "c12_dedup_mixture" ->
       """WITH h AS (SELECT doc_id, source,
               CAST(len(string_split(lower(text), ' ')) AS BIGINT)

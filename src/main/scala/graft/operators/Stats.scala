@@ -797,9 +797,119 @@ object Stats {
       .orderBy($"nation")
   }
 
+  // ---------------------------------------------------------------- q92
+
+  /** D182: Mann–Whitney U rank-sum test over q67's A/B split — the
+    * NONPARAMETRIC companion to the Welch t: "does one arm's purchase
+    * value stochastically dominate the other", valid without any
+    * normality assumption (the readout a metrics review trusts when
+    * q66's skew census says the distribution is heavy-tailed).
+    *
+    *   U_A = ΣR_A − n_A(n_A+1)/2,   z = (U_A − n_An_B/2)/σ,
+    *   σ² = (n_An_B/12)·((n+1) − Σ(t³−t)/(n(n−1)))   (tie-corrected)
+    *
+    * Exactness: pooled average ranks ride the q71 DOUBLED-rank trick
+    * lifted to the VALUE CENSUS — per distinct cents value,
+    * 2·avgrank = 2·cumBefore + n_v + 1 is an integer, so ΣR and the
+    * tie term Σ(t³−t) are exact DECIMAL(38,0) sums; doubles appear
+    * only in the one closed-form z/effect-size expression (identical
+    * IEEE tree both engines, 4-dp grid; U itself is half-integer —
+    * exact in IEEE).
+    *
+    * Scale shape: the rank window runs over the DISTINCT-VALUE census
+    * (bounded by the price domain — the q38 two-phase precedent), not
+    * the event stream; the stream is touched once by a map-side-
+    * combined census aggregate, and everything after is census-sized. */
+  def q92MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(
+        when(substring(md5($"user_id".cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A"))
+          .otherwise(lit("B")).as("arm"),
+        floor($"value" * 100).cast("long").as("cents"))
+    val census = ev.groupBy($"cents").agg(
+      sum(when($"arm" === "A", 1L).otherwise(0L)).as("na"),
+      sum(when($"arm" === "B", 1L).otherwise(0L)).as("nb"))
+      .withColumn("nv", $"na" + $"nb")
+    val wCum = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = census
+      .withColumn("cb", coalesce(sum($"nv").over(wCum), lit(0L)))
+    val m = ranked.agg(
+      sum($"na").as("n_a"), sum($"nb").as("n_b"),
+      sum(($"na".cast("decimal(38,0)") * (lit(2L) * $"cb" + $"nv" + 1L)))
+        .as("r2a"),
+      sum(($"nv".cast("decimal(38,0)") * $"nv" * $"nv" - $"nv")).as("ties"))
+    val d = "CAST(%s AS DOUBLE)"
+    val ua = s"(${d.format("r2a - n_a * (n_a + 1)")} / 2.0)"
+    val nn = "(n_a + n_b)"
+    val varU = s"(${d.format("n_a")} * ${d.format("n_b")} / 12.0 * " +
+      s"(${d.format(s"$nn + 1")} - ${d.format("ties")} / " +
+      s"(${d.format(nn)} * ${d.format(s"$nn - 1")})))"
+    m.select($"n_a", $"n_b",
+      expr(ua).as("u_a"),
+      expr(s"round(($ua - ${d.format("n_a")} * ${d.format("n_b")} / 2.0)" +
+        s" / sqrt($varU), 4)").as("z"),
+      expr(s"round(2.0 * $ua / (${d.format("n_a")} * ${d.format("n_b")})" +
+        " - 1.0, 4)").as("rank_biserial"))
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  /** D183: Cramér's V association summary between order status and
+    * priority — q68's contingency table collapsed to the ONE-row
+    * effect-size readout (χ², dof, V = √(χ²/(n·min(r−1, c−1)))): the
+    * number a dashboard tracks over time, where q68 is the per-cell
+    * drill-down.
+    *
+    * Determinism: summing the ≤ r·c per-cell χ² contributions as raw
+    * doubles would be ORDER-DEPENDENT; instead each cell's (identical
+    * IEEE tree, q68's expression) contribution is snapped to a
+    * 1e-6 integer grid — floor(contrib·1e6 + 0.5) — and summed as an
+    * exact BIGINT, so the total is order-free on both engines. One
+    * division chain at the end, 4-dp.
+    *
+    * Scale shape: identical to q68 — one map-side-combined cell
+    * census (≤ |status|·|priority| rows), marginals as windows over
+    * that bounded census, one final one-row aggregate. */
+  def q93CramersV(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus".as("status"), $"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy($"status")
+    val wc = Window.partitionBy($"priority")
+    val wt = Window.partitionBy()
+    val contrib = cells
+      .withColumn("row_n", sum($"n").over(wr))
+      .withColumn("col_n", sum($"n").over(wc))
+      .withColumn("tot", sum($"n").over(wt))
+      .withColumn("c6", expr(
+        """CAST(floor(
+             (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+             * (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT)"""))
+    contrib.agg(
+      max($"tot").as("n"),
+      countDistinct($"status").as("n_rows"),
+      countDistinct($"priority").as("n_cols"),
+      sum($"c6").as("chi6"))
+      .select($"n", $"n_rows", $"n_cols",
+        (($"n_rows" - 1L) * ($"n_cols" - 1L)).as("dof"),
+        round($"chi6".cast("double") / 1e6, 4).as("chi2"),
+        expr("""round(sqrt(CAST(chi6 AS DOUBLE) / 1000000.0
+            / (CAST(n AS DOUBLE) * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))), 4)""")
+          .as("cramers_v"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_mann_whitney" -> q92MannWhitney,
+    "q93_cramers_v" -> q93CramersV,
     "q67_welch_ttest" -> q67WelchTtest,
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
@@ -816,6 +926,67 @@ object Stats {
     "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
+    "q92_mann_whitney" ->
+      """WITH e AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+              CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          census AS (SELECT cents,
+              CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM e GROUP BY cents),
+          rk AS (SELECT na, nb, na + nb AS nv,
+              COALESCE(CAST(sum(na + nb) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cb
+            FROM census),
+          m AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+              CAST(sum(nb) AS BIGINT) AS n_b,
+              sum(CAST(na AS HUGEINT) * (2 * cb + nv + 1)) AS r2a,
+              sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS ties
+            FROM rk),
+          f AS (SELECT n_a, n_b,
+              CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+              CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+                 (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))
+                AS var_u
+            FROM m)
+          SELECT n_a, n_b, u_a,
+            round((u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+              / sqrt(var_u), 4) AS z,
+            round(2.0 * u_a / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              - 1.0, 4) AS rank_biserial
+          FROM f""",
+    "q93_cramers_v" ->
+      """WITH cells AS (SELECT o_orderstatus AS status,
+              o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2),
+          w AS (SELECT status, priority, n,
+              CAST(sum(n) OVER (PARTITION BY status) AS BIGINT) AS row_n,
+              CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS col_n,
+              CAST(sum(n) OVER () AS BIGINT) AS tot
+            FROM cells),
+          c AS (SELECT tot,
+              CAST(floor(
+                (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+                * (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+                / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(tot AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS c6,
+              status, priority
+            FROM w)
+          SELECT CAST(max(tot) AS BIGINT) AS n,
+            CAST(count(DISTINCT status) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT priority) AS BIGINT) AS n_cols,
+            CAST((count(DISTINCT status) - 1)
+              * (count(DISTINCT priority) - 1) AS BIGINT) AS dof,
+            round(CAST(sum(c6) AS DOUBLE) / 1000000.0, 4) AS chi2,
+            round(sqrt(CAST(sum(c6) AS DOUBLE) / 1000000.0
+              / (CAST(max(tot) AS DOUBLE)
+                 * CAST(least(count(DISTINCT status),
+                              count(DISTINCT priority)) - 1 AS DOUBLE))), 4)
+              AS cramers_v
+          FROM c""",
     "q67_welch_ttest" ->
       """WITH e AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
                 IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,

@@ -228,6 +228,14 @@ object TextAnalysis {
     * before their shuffle. */
   def t18BigramNll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bigramNllScores(spark, dir).orderBy($"doc_id")
+  }
+
+  /** Unordered (doc_id, n_bigrams, sum_nll) core of [[t18BigramNll]],
+    * shared with the c13 perplexity gate (which joins it — no point
+    * sorting a corpus-sized frame that is about to be re-shuffled). */
+  private[graft] def bigramNllScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val docTok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
     val vocabSize = docTok.select($"term").distinct().count()
@@ -241,7 +249,6 @@ object TextAnalysis {
         ($"c12" + lit(1L)).cast("double")), 4))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(sum($"v"), 4).as("sum_nll"))
-      .orderBy($"doc_id")
   }
 
   /** D97: first-occurrence novelty scoring — per document, the
@@ -417,6 +424,51 @@ object TextAnalysis {
           round(lit(2.0) * $"tp".cast("double") /
             ($"support" + $"predicted").cast("double"), 4)).as("f1"))
       .orderBy($"lang")
+  }
+
+  /** D184: Heaps'-law vocabulary growth curve — distinct-vocabulary
+    * size and cumulative token supply at ten ingestion-order
+    * checkpoints (doc_id deciles of the id RANGE): the sub-linear
+    * V ≈ K·nᵝ growth a crawl curator reads to decide whether a source
+    * still yields new vocabulary or has saturated (t20's novelty
+    * signal, corpus-cumulative instead of per-document).
+    *
+    * Exactness: checkpoint cutoffs are pure integer arithmetic on the
+    * exact (min, max) id bounds — cut_i = mn−1 + (span·i) div 10 —
+    * computed identically on both engines; every output is an integer
+    * count.
+    *
+    * Scale shape: vocabulary growth needs NO per-checkpoint corpus
+    * pass — a term's contribution is fully determined by its FIRST
+    * occurrence (min doc_id, one vocabulary-sized partial-aggregated
+    * census), so all ten checkpoints are CONDITIONAL SUMS in one
+    * map-side aggregate over that census (and one over the doc-size
+    * frame); the ten-row result assembles driver-side from the two
+    * one-row scalar frames (p11 pattern — no window, no explode, no
+    * cross join). */
+  def t34HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val b = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn + 1
+    val cuts = (1 to 10).map(i => mn - 1 + span * i / 10)
+    val first = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(min($"doc_id").as("fd"))
+    val vAggs = cuts.map(c => sum(when($"fd" <= c, 1L).otherwise(0L)))
+    val vRow = first.agg(vAggs.head, vAggs.tail: _*).head()
+    val dd = docs.select($"doc_id",
+      size(tokens($"text")).cast("long").as("nt"))
+    val dAggs = cuts.flatMap(c => Seq(
+      sum(when($"doc_id" <= c, 1L).otherwise(0L)),
+      sum(when($"doc_id" <= c, $"nt").otherwise(0L))))
+    val dRow = dd.agg(dAggs.head, dAggs.tail: _*).head()
+    (1 to 10).map { i =>
+      (i.toLong, cuts(i - 1), dRow.getLong(2 * (i - 1)),
+        dRow.getLong(2 * i - 1), vRow.getLong(i - 1))
+    }.toDF("decile", "cutoff_id", "n_docs", "n_tokens", "vocab")
+      .orderBy($"decile")
   }
 
   /** D103: per-document token-distribution diagnostics — Shannon
@@ -1200,6 +1252,7 @@ object TextAnalysis {
     "t17_bm25" -> t17Bm25,
     "t32_good_turing" -> t32GoodTuring,
     "t33_langid_eval" -> t33LangidEval,
+    "t34_heaps_law" -> t34HeapsLaw,
     "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
@@ -1218,6 +1271,28 @@ object TextAnalysis {
     "t9_unigram_nll" -> t9UnigramNll)
 
   private val toksSql = "string_split(lower(text), ' ')"
+
+  /** Per-bigram smoothed-surprisal CTE chain (ends at `s`: doc_id,
+    * nll) — the t18 oracle body, extracted so the c13 perplexity-gate
+    * oracle can reuse it. */
+  private[graft] val bigramNllCtes: String =
+    """t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                    FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+          b AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t),
+          uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c1
+                 FROM tok GROUP BY term),
+          bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+                 FROM b GROUP BY bg),
+          v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vsz FROM tok),
+          s AS (SELECT b.doc_id,
+                  round(ln(CAST(uc.c1 + v.vsz AS DOUBLE) /
+                           CAST(bc.c12 + 1 AS DOUBLE)), 4) AS nll
+                FROM b JOIN bc USING (bg)
+                       JOIN uc ON uc.term = split_part(b.bg, ' ', 1)
+                       CROSS JOIN v)"""
 
   /** DuckDB replay of [[t22NbLang]] — extracted to a val so the t33
     * eval oracle can wrap the confusion matrix as a CTE. */
@@ -1487,6 +1562,31 @@ object TextAnalysis {
           FROM j LEFT JOIN tp t ON t.lang = j.lang
           ORDER BY j.lang""",
     "t22_nb_lang" -> t22OracleSql,
+    "t34_heaps_law" ->
+      s"""WITH b AS (SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+              CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+          g AS (SELECT unnest(generate_series(1, 10)) AS i),
+          cuts AS (SELECT CAST(i AS BIGINT) AS decile,
+              mn - 1 + ((mx - mn + 1) * i) // 10 AS cutoff_id
+            FROM g CROSS JOIN b),
+          fd AS (SELECT term, CAST(min(doc_id) AS BIGINT) AS fd
+            FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+            GROUP BY term),
+          voc AS (SELECT c.decile,
+              CAST(sum(CASE WHEN f.fd <= c.cutoff_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS vocab
+            FROM cuts c CROSS JOIN fd f GROUP BY 1),
+          dd AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS nt
+            FROM documents),
+          dcs AS (SELECT c.decile,
+              CAST(sum(CASE WHEN d.doc_id <= c.cutoff_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN d.doc_id <= c.cutoff_id THEN d.nt
+                ELSE 0 END) AS BIGINT) AS n_tokens
+            FROM cuts c CROSS JOIN dd d GROUP BY 1)
+          SELECT c.decile, c.cutoff_id, dcs.n_docs, dcs.n_tokens, voc.vocab
+          FROM cuts c JOIN voc USING (decile) JOIN dcs USING (decile)
+          ORDER BY c.decile""",
     "t23_token_entropy" ->
       s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
@@ -1625,23 +1725,7 @@ object TextAnalysis {
             round(skey, 6) AS skey
           FROM ranked WHERE rk <= $wsampleK ORDER BY rk""",
     "t18_bigram_nll" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-                    FROM documents),
-          tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
-          b AS (SELECT doc_id, unnest(list_transform(
-                  generate_series(1, len(tk) - 1),
-                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t),
-          uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c1
-                 FROM tok GROUP BY term),
-          bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
-                 FROM b GROUP BY bg),
-          v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vsz FROM tok),
-          s AS (SELECT b.doc_id,
-                  round(ln(CAST(uc.c1 + v.vsz AS DOUBLE) /
-                           CAST(bc.c12 + 1 AS DOUBLE)), 4) AS nll
-                FROM b JOIN bc USING (bg)
-                       JOIN uc ON uc.term = split_part(b.bg, ' ', 1)
-                       CROSS JOIN v)
+      s"""WITH $bigramNllCtes
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
             round(sum(nll), 4) AS sum_nll
           FROM s GROUP BY doc_id ORDER BY doc_id""",

@@ -345,4 +345,32 @@ class GraphSpec extends AnyFunSuite {
     // Q is within its theoretical range
     assert(r.getDouble(4) > -0.5001 && r.getDouble(4) < 1.0001)
   }
+
+  test("g11 clustering census equals a brute neighbor-pair replay") {
+    val edges = Graph.strongEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perNode = adj.toSeq.map { case (v, nbrs) =>
+      val tri = nbrs.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }.toLong
+      (v, nbrs.size.toLong, tri)
+    }
+    val expected = perNode.filter(_._2 >= 2).groupBy(_._2).toSeq
+      .map { case (d, ns) =>
+        val sumT = ns.map(_._3).sum
+        (d, ns.size.toLong, sumT,
+          r4(2.0 * sumT.toDouble /
+            (ns.size.toDouble * d.toDouble * (d - 1).toDouble)))
+      }.sortBy(_._1)
+    val got = Graph.g11Clustering(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // every class average is a valid density
+    assert(got.forall(g => g._4 >= 0.0 && g._4 <= 1.0))
+  }
 }

@@ -599,4 +599,49 @@ class PipelineSpec extends AnyFunSuite {
     // merges actually compose: some later merge consumes an earlier one
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
   }
+
+  test("c13 perplexity gate equals a derivation from t18's scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    // t18 is itself oracle-gated, so its per-doc scores are trusted
+    // inputs; the gate must be an exact per-source rollup of them
+    val scores = TextAnalysis.t18BigramNll(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2) / r.getLong(1).toDouble)
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(col("text")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).length.toLong))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (src, ds) =>
+        val kept = ds.filter(d =>
+          scores.get(d._1).exists(_ <= Pipeline.pplNllCutoff))
+        val dropped = ds.filterNot(d =>
+          scores.get(d._1).exists(_ <= Pipeline.pplNllCutoff))
+        val keptM = kept.flatMap(d => scores.get(d._1))
+        val dropM = dropped.flatMap(d => scores.get(d._1))
+        (src, ds.length.toLong, kept.length.toLong,
+          r4(kept.length.toDouble / ds.length.toDouble),
+          ds.map(_._3).sum, kept.map(_._3).sum,
+          if (keptM.nonEmpty) Some(r4(keptM.max)) else None,
+          if (dropM.nonEmpty) Some(r4(dropM.min)) else None)
+    }
+    val got = Pipeline.c13PplFilter(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5),
+        Option(r.get(6)).map(_.asInstanceOf[Double]),
+        Option(r.get(7)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the gate actually separates: every kept boundary sits at or
+    // below the cutoff, every dropped boundary above it
+    got.foreach { g =>
+      g._7.foreach(m => assert(m <= Pipeline.pplNllCutoff))
+      g._8.foreach(m => assert(m > Pipeline.pplNllCutoff))
+      assert(g._6 <= g._5)
+    }
+  }
 }

@@ -468,4 +468,76 @@ class StatsSpec extends AnyFunSuite {
       .toSeq
     assert(got == expected && got.nonEmpty)
   }
+
+  test("q92 Mann-Whitney equals a brute pooled-rank replay") {
+    import spark.implicits._
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", floor($"value" * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val byVal = vals.map(v => (arm(v._1), v._2)).groupBy(_._2)
+    var cb = 0L; var r2a = BigInt(0); var ties = BigInt(0)
+    var nA = 0L; var nB = 0L
+    for (v <- byVal.keys.toSeq.sorted) {
+      val g = byVal(v); val nv = g.length.toLong
+      val na = g.count(_._1 == "A").toLong
+      nA += na; nB += nv - na
+      r2a += BigInt(na) * (2 * cb + nv + 1)
+      ties += BigInt(nv) * nv * nv - BigInt(nv)
+      cb += nv
+    }
+    val uA = (r2a - BigInt(nA) * (nA + 1)).toDouble / 2.0
+    val n = nA + nB
+    val varU = nA.toDouble * nB.toDouble / 12.0 *
+      ((n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1).toDouble))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = r4((uA - nA.toDouble * nB.toDouble / 2.0) / math.sqrt(varU))
+    val rb = r4(2.0 * uA / (nA.toDouble * nB.toDouble) - 1.0)
+    val row = Stats.q92MannWhitney(spark, sf).head()
+    assert(row.getLong(0) == nA && row.getLong(1) == nB)
+    assert(row.getDouble(2) == uA)
+    assert(math.abs(row.getDouble(3) - z) <= 1.01e-4)
+    assert(math.abs(row.getDouble(4) - rb) <= 1.01e-4)
+    // sanity: U within [0, nA*nB], effect size within [-1, 1]
+    assert(uA >= 0.0 && uA <= nA.toDouble * nB.toDouble)
+    assert(rb >= -1.0 && rb <= 1.0)
+  }
+
+  test("q93 Cramer's V equals a brute contingency replay") {
+    import spark.implicits._
+    val cells = Tables.orders(spark, sf)
+      .select($"o_orderstatus", $"o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = cells.keys.map(_._1).toSeq.distinct
+    val cols = cells.keys.map(_._2).toSeq.distinct
+    val rowN = rows.map(s => s -> cells.collect {
+      case ((r, _), c) if r == s => c }.sum).toMap
+    val colN = cols.map(p => p -> cells.collect {
+      case ((_, q), c) if q == p => c }.toSeq.sum).toMap
+    val tot = cells.values.sum
+    // identical IEEE tree to the engine, snapped to the 1e-6 grid
+    val chi6 = cells.toSeq.map { case ((s, p), nc) =>
+      val e = rowN(s).toDouble * colN(p).toDouble / tot.toDouble
+      math.floor((nc.toDouble - e) * (nc.toDouble - e) / e * 1e6 + 0.5).toLong
+    }.sum
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chi2 = r4(chi6.toDouble / 1e6)
+    val v = r4(math.sqrt(chi6.toDouble / 1e6 /
+      (tot.toDouble * (math.min(rows.size, cols.size) - 1).toDouble)))
+    val row = Stats.q93CramersV(spark, sf).head()
+    assert(row.getLong(0) == tot)
+    assert(row.getLong(1) == rows.size.toLong && row.getLong(2) == cols.size.toLong)
+    assert(row.getLong(3) == (rows.size - 1).toLong * (cols.size - 1).toLong)
+    assert(row.getDouble(4) == chi2)
+    assert(row.getDouble(5) == v)
+    assert(v >= 0.0 && v <= 1.0)
+  }
 }

@@ -657,4 +657,37 @@ class TextSpec extends AnyFunSuite {
       assert(t._4 >= -1e-9 && t._5 >= t._4 - 1e-9)
     }
   }
+
+  test("t34 Heaps curve equals a brute first-occurrence replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val mn = docs.map(_._1).min
+    val mx = docs.map(_._1).max
+    val span = mx - mn + 1
+    val cuts = (1 to 10).map(i => mn - 1 + span * i / 10)
+    val firstOcc = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).map { case (t, occ) => t -> occ.map(_._2).min }
+    val expected = (1 to 10).map { i =>
+      val c = cuts(i - 1)
+      val in = docs.filter(_._1 <= c)
+      (i.toLong, c, in.length.toLong, in.map(_._2.length.toLong).sum,
+        firstOcc.values.count(_ <= c).toLong)
+    }
+    val got = TextAnalysis.t34HeapsLaw(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // curve monotonicity: docs, tokens and vocab never shrink
+    Seq[((Long, Long, Long, Long, Long)) => Long](_._3, _._4, _._5)
+      .foreach { f =>
+        val xs = got.map(f)
+        assert(xs.zip(xs.tail).forall { case (a, b) => a <= b })
+      }
+    // final checkpoint covers the whole corpus
+    assert(got.last._3 == docs.length.toLong)
+    assert(got.last._5 == firstOcc.size.toLong)
+  }
 }
