@@ -904,6 +904,49 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D191: duplicate-rate growth curve — at ten ingestion-order
+    * checkpoints (doc_id deciles of the id range, t34's cutoffs), the
+    * cumulative fraction of documents whose exact normalized content
+    * already appeared at a lower id: the crawl curator's "is the
+    * source saturating" readout for DUPLICATES (t34 answers it for
+    * vocabulary; c12 gives the final-state accounting, this gives the
+    * trajectory — a rising curve says stop crawling, you're re-
+    * fetching).
+    *
+    * Exactness: a document is a dup iff doc_id > min(doc_id) of its
+    * d16 content hash — pure integer predicates; dup_frac is one 4-dp
+    * division.
+    *
+    * Scale shape: the t34 pattern on the d16 census — one content-hash
+    * first-occurrence aggregate (hash-domain-sized, partial-
+    * aggregated), one doc-keyed join, ONE map-side aggregate holding
+    * all ten conditional sums, 10-row result assembled driver-side
+    * from the scalar frame (no window, no explode, no cross join). */
+  def d24DupGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", md5(regexp_replace(trim(lower($"text")),
+        "\\s+", " ")).as("ch"))
+    val b = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn + 1
+    val cuts = (1 to 10).map(i => mn - 1 + span * i / 10)
+    val first = docs.groupBy($"ch").agg(min($"doc_id").as("fd"))
+    val j = docs.join(first, "ch")
+      .select($"doc_id", ($"doc_id" > $"fd").cast("long").as("dup"))
+    val aggs = cuts.flatMap(c => Seq(
+      sum(when($"doc_id" <= c, 1L).otherwise(0L)),
+      sum(when($"doc_id" <= c, $"dup").otherwise(0L))))
+    val row = j.agg(aggs.head, aggs.tail: _*).head()
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 10).map { i =>
+      val (n, d) = (row.getLong(2 * (i - 1)), row.getLong(2 * i - 1))
+      (i.toLong, cuts(i - 1), n, d, r4(d.toDouble / n.toDouble))
+    }.toDF("decile", "cutoff_id", "n_docs", "n_dupes", "dup_frac")
+      .orderBy($"decile")
+  }
+
   /** d20 exact-substring gram width (characters). */
   val subK = 40
   /** d20 train-side sampling stride: only every [[subStride]]-th
@@ -1095,6 +1138,7 @@ object Dedup {
     "d19_winnowing" -> d19Winnowing,
     "d20_substring_contamination" -> d20SubstringContamination,
     "d16_dup_weights" -> d16DupWeights,
+    "d24_dup_growth" -> d24DupGrowth,
     "d15_line_dedup" -> d15LineDedup,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_distinct_meta" -> d2DistinctMeta,
@@ -1216,6 +1260,31 @@ object Dedup {
         FROM st_${b}_$r"""
 
   val oracle: Map[String, String] = Map(
+    "d24_dup_growth" ->
+      """WITH h AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ch
+            FROM documents),
+          b AS (SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+              CAST(max(doc_id) AS BIGINT) AS mx FROM h),
+          f AS (SELECT ch, CAST(min(doc_id) AS BIGINT) AS fd
+            FROM h GROUP BY ch),
+          j AS (SELECT h.doc_id,
+              CASE WHEN h.doc_id > f.fd THEN 1 ELSE 0 END AS dup
+            FROM h JOIN f USING (ch)),
+          g AS (SELECT unnest(generate_series(1, 10)) AS i),
+          cuts AS (SELECT CAST(i AS BIGINT) AS decile,
+              mn - 1 + ((mx - mn + 1) * i) // 10 AS cutoff_id
+            FROM g CROSS JOIN b),
+          r AS (SELECT c.decile, c.cutoff_id,
+              CAST(sum(CASE WHEN j.doc_id <= c.cutoff_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN j.doc_id <= c.cutoff_id THEN j.dup
+                ELSE 0 END) AS BIGINT) AS n_dupes
+            FROM cuts c CROSS JOIN j GROUP BY 1, 2)
+          SELECT decile, cutoff_id, n_docs, n_dupes,
+            round(CAST(n_dupes AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+              AS dup_frac
+          FROM r ORDER BY decile""",
     "d22_cluster_census" ->
       s"""${componentsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
           sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz

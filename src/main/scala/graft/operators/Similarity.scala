@@ -788,6 +788,60 @@ object Similarity {
       .orderBy($"cell_id")
   }
 
+  /** D190: PQ distortion audit — per subspace, the mean and max
+    * squared quantization error between each normalized vector's
+    * subspace slice and its assigned codeword: the s16-style
+    * instrument for the PQ side of the ANN family (read THIS before
+    * trusting s7/s15 ADC rankings — a subspace with high distortion
+    * contributes noise, not signal, to every ADC score, and the fix —
+    * more centroids or a rotation — is per-subspace).
+    *
+    * Determinism: assignment and error reuse the [[pqEncode]]
+    * arithmetic (ascending-dim squared-difference fold — identical
+    * IEEE order to the oracle's list_inner_product over the dv list);
+    * each per-vector error is snapped to a 1e-9 integer grid and
+    * summed as DECIMAL(38,0), so the corpus sum is ORDER-FREE; max is
+    * order-free on identical doubles. 6-dp output (errors live at
+    * 1e-2 scale — the 4-dp grid would quantize away the signal).
+    *
+    * Scale shape: codebooks train on the fixed deterministic sample
+    * (corpus-size-independent); the corpus pass is ONE map-side-
+    * combined aggregate over the [[pqSubspaces]]-row explode — output
+    * is 8 rows, no joins, no window. */
+  def s17PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val books = pqCodebooks(emb)
+    val errU = udf { (embv: Seq[Float]) =>
+      val v = normalized(embv.map(_.toDouble).toArray)
+      val sub = v.length / books.length
+      Array.tabulate(books.length) { m =>
+        val book = books(m); val off = m * sub
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val ct = book(c); var d = 0.0; var i = 0
+          while (i < sub) { val t = v(off + i) - ct(i); d += t * t; i += 1 }
+          if (d < bestD) bestD = d
+          c += 1
+        }
+        bestD
+      }
+    }
+    emb.select(posexplode(errU($"embedding")).as(Seq("subspace", "err")))
+      .groupBy($"subspace")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(floor(err * 1000000000.0 + 0.5) AS DECIMAL(38,0))"))
+          .as("s9"),
+        max($"err").as("mx"))
+      .select($"subspace", $"n_vecs",
+        round(expr(
+          "CAST(s9 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000000.0)"), 6)
+          .as("mse"),
+        round($"mx", 6).as("max_err"))
+      .orderBy($"subspace")
+  }
+
   /** D21: symmetric int8 quantization of the embedding column +
     * reconstruction-error statistics per label — the compression step a
     * training pipeline applies before shipping embeddings. Quantization
@@ -1013,7 +1067,8 @@ object Similarity {
     "s6_knn_ivf" -> s6KnnIvf,
     "s7_knn_pq" -> s7KnnPq,
     "s15_knn_ivfpq" -> s15KnnIvfPq,
-    "s16_ivf_stats" -> s16IvfStats)
+    "s16_ivf_stats" -> s16IvfStats,
+    "s17_pq_distortion" -> s17PqDistortion)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1460,6 +1515,26 @@ object Similarity {
               / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)), 4)
               AS imbalance
           FROM cc CROSS JOIN tot ORDER BY cell_id""",
+    "s17_pq_distortion" -> {
+      val sub = 64 / pqSubspaces
+      s"""WITH $trainBaseCtes,
+          $pqOracleCtes,
+          errs AS (SELECT vec_id, m, dist FROM (
+            SELECT vec_id, m, cid, dist, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+            FROM (SELECT s.vec_id, s.m, c.cid,
+                ${sqDistCols("s.v", "c.c", sub)}
+              FROM ces s JOIN pc$pqIters c ON c.m = s.m)) WHERE rk = 1),
+          g AS (SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+              sum(CAST(floor(dist * 1000000000.0 + 0.5) AS HUGEINT)) AS s9,
+              max(dist) AS mx
+            FROM errs GROUP BY m)
+          SELECT CAST(m AS INT) AS subspace, n_vecs,
+            round(CAST(s9 AS DOUBLE)
+              / (CAST(n_vecs AS DOUBLE) * 1000000000.0), 6) AS mse,
+            round(mx, 6) AS max_err
+          FROM g ORDER BY subspace"""
+    },
     "d9_embedding_neardup" -> d9OracleSql,
     "s1_knn_brute" -> s1OracleSql,
     "s11_recall_eval" ->

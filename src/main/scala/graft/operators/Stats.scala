@@ -905,11 +905,57 @@ object Stats {
           .as("cramers_v"))
   }
 
+  // ---------------------------------------------------------------- q94
+
+  /** The paired periods [[q94Mcnemar]] compares. */
+  val mcnemarY1 = 1994; val mcnemarY2 = 1995
+
+  /** D189: McNemar's test on paired binary outcomes — per customer,
+    * "active (≥1 order) in 1994" vs "active in 1995", testing whether
+    * activation and churn between the two years are symmetric (the
+    * within-subject companion to q67/q92's between-group tests: each
+    * customer is their own control).
+    *
+    *   χ² = (|b − c| − 1)² / (b + c)   (continuity-corrected),
+    *
+    * b = active-then-churned, c = newly-activated. Every cell count is
+    * an exact integer from conditional aggregates; χ² is one IEEE
+    * division, 4-dp, NULL when b + c = 0 (no discordant pairs — the
+    * statistic is undefined, not zero).
+    *
+    * Scale shape: one year-filtered orders scan partial-aggregated by
+    * customer (map-side combine), one co-partitioned left join onto
+    * the customer dimension (inactive customers are real d-cell
+    * members), one one-row rollup. */
+  def q94Mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.orders(spark, dir)
+      .filter(year($"o_orderdate").isin(mcnemarY1, mcnemarY2))
+      .groupBy($"o_custkey")
+      .agg(max(when(year($"o_orderdate") === mcnemarY1, 1L).otherwise(0L))
+        .as("a1"),
+        max(when(year($"o_orderdate") === mcnemarY2, 1L).otherwise(0L))
+          .as("a2"))
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(act, $"c_custkey" === $"o_custkey", "left")
+      .na.fill(0L, Seq("a1", "a2"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"a1" * $"a2").as("n_both"),
+        sum($"a1" * (lit(1L) - $"a2")).as("only_y1"),
+        sum((lit(1L) - $"a1") * $"a2").as("only_y2"))
+      .select($"n_customers", $"n_both", $"only_y1", $"only_y2",
+        when($"only_y1" + $"only_y2" > 0L, round(expr(
+          """(CAST(abs(only_y1 - only_y2) - 1 AS DOUBLE)
+             * CAST(abs(only_y1 - only_y2) - 1 AS DOUBLE))
+             / CAST(only_y1 + only_y2 AS DOUBLE)"""), 4)).as("chi2"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_mann_whitney" -> q92MannWhitney,
     "q93_cramers_v" -> q93CramersV,
+    "q94_mcnemar" -> q94Mcnemar,
     "q67_welch_ttest" -> q67WelchTtest,
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
@@ -926,6 +972,28 @@ object Stats {
     "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
+    "q94_mcnemar" ->
+      s"""WITH act AS (SELECT o_custkey,
+              CAST(max(CASE WHEN year(o_orderdate) = $mcnemarY1
+                THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+              CAST(max(CASE WHEN year(o_orderdate) = $mcnemarY2
+                THEN 1 ELSE 0 END) AS BIGINT) AS a2
+            FROM orders
+            WHERE year(o_orderdate) IN ($mcnemarY1, $mcnemarY2)
+            GROUP BY o_custkey),
+          j AS (SELECT COALESCE(a.a1, 0) AS a1, COALESCE(a.a2, 0) AS a2
+            FROM customer c LEFT JOIN act a ON c.c_custkey = a.o_custkey),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(a1 * a2) AS BIGINT) AS n_both,
+              CAST(sum(a1 * (1 - a2)) AS BIGINT) AS only_y1,
+              CAST(sum((1 - a1) * a2) AS BIGINT) AS only_y2
+            FROM j)
+          SELECT n_customers, n_both, only_y1, only_y2,
+            CASE WHEN only_y1 + only_y2 > 0 THEN
+              round((CAST(abs(only_y1 - only_y2) - 1 AS DOUBLE)
+                  * CAST(abs(only_y1 - only_y2) - 1 AS DOUBLE))
+                / CAST(only_y1 + only_y2 AS DOUBLE), 4) END AS chi2
+          FROM m""",
     "q92_mann_whitney" ->
       """WITH e AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
                 IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,

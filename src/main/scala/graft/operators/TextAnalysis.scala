@@ -96,6 +96,17 @@ object TextAnalysis {
     * matches. Checked against the fixture lang label. */
   def t3LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    heuristicLangPred(spark, dir)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** Per-document heuristic language prediction (doc_id, lang,
+    * pred_lang) — the t3 scorer before its confusion rollup, shared
+    * with the t35 agreement test. */
+  private[graft] def heuristicLangPred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // Hit counts land in their own projection; the argmax CASE below
     // references only the (non-cheap, multiply-used) hit columns, which
     // CollapseProject will not inline — each count is computed once per
@@ -113,11 +124,9 @@ object TextAnalysis {
       .when($"hit_en" > lit(0), "en")
       .otherwise("und")
     Tables.documents(spark, dir)
-      .select($"lang" +: hitCols: _*)
+      .select(Seq($"doc_id", $"lang") ++ hitCols: _*)
       .withColumn("pred_lang", pred)
-      .groupBy($"lang", $"pred_lang")
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy($"lang", $"pred_lang")
+      .select($"doc_id", $"lang", $"pred_lang")
   }
 
   /** D20: token frequency — top 10 terms per source by count
@@ -361,6 +370,17 @@ object TextAnalysis {
     * argmax window partitions by doc_id over |L| rows each. */
   def t22NbLang(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    nbLangPred(spark, dir)
+      .groupBy($"lang".as("actual_lang"), $"model_lang".as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"actual_lang", $"pred_lang")
+  }
+
+  /** Per-document NB language prediction (doc_id, lang, model_lang) —
+    * the t22 scorer before its confusion rollup, shared with the t35
+    * agreement test. */
+  private[graft] def nbLangPred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val docTok = docs.select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
     val nDocs = docs.count()
@@ -385,9 +405,50 @@ object TextAnalysis {
       .withColumn("score", round($"ll" + $"logprior", 4))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"model_lang")
     scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .groupBy($"lang".as("actual_lang"), $"model_lang".as("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy($"actual_lang", $"pred_lang")
+      .select($"doc_id", $"lang", $"model_lang")
+  }
+
+  /** D188: Cohen's kappa agreement between the two language
+    * classifiers — t3's marker heuristic vs t22's Naive Bayes, scored
+    * per document and summarized as chance-corrected agreement
+    * κ = (p_o − p_e)/(1 − p_e): the label-quality instrument a corpus
+    * curator reads before trusting EITHER router on unlabeled data
+    * (high κ = the cheap heuristic can stand in for the model at
+    * scale; low κ = the labels are rater-dependent and need review).
+    *
+    * Exactness: p_o = agree/n and p_e = Σ_l n_a(l)·n_b(l) / n² are
+    * ratios of EXACT integer counts (the marginal-product sum is one
+    * bounded |labels|-row join); κ is one IEEE expression, 4-dp.
+    *
+    * Scale shape: one doc-keyed equi-join of the two prediction
+    * frames, one map-side-combined count aggregate, two |labels|-row
+    * censuses joined and folded to ONE row, and a 1×1 broadcast cross
+    * of the two scalar frames (q43 shape). */
+  def t35Kappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val j = heuristicLangPred(spark, dir)
+      .select($"doc_id", $"pred_lang".as("pa"))
+      .join(nbLangPred(spark, dir)
+        .select($"doc_id", $"model_lang".as("pb")), "doc_id")
+    val counts = j.agg(count(lit(1)).as("n_docs"),
+      sum(($"pa" === $"pb").cast("long")).as("n_agree"))
+    val pe = j.groupBy($"pa".as("l")).agg(count(lit(1)).as("na"))
+      .join(j.groupBy($"pb".as("l")).agg(count(lit(1)).as("nb")), "l")
+      .agg(sum($"na".cast("decimal(38,0)") * $"nb").as("pe_num"))
+    counts.crossJoin(broadcast(pe))
+      .select($"n_docs", $"n_agree",
+        round(expr("CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)"), 4)
+          .as("po"),
+        round(expr("""CAST(pe_num AS DOUBLE)
+            / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))"""), 4)
+          .as("pe"),
+        expr("""round(
+            (CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             - CAST(pe_num AS DOUBLE)
+               / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+            / (1.0 - CAST(pe_num AS DOUBLE)
+               / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))), 4)""")
+          .as("kappa"))
   }
 
   /** D177: language-ID classifier EVALUATION — per-language
@@ -1253,6 +1314,7 @@ object TextAnalysis {
     "t32_good_turing" -> t32GoodTuring,
     "t33_langid_eval" -> t33LangidEval,
     "t34_heaps_law" -> t34HeapsLaw,
+    "t35_kappa" -> t35Kappa,
     "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
@@ -1294,10 +1356,10 @@ object TextAnalysis {
                        JOIN uc ON uc.term = split_part(b.bg, ' ', 1)
                        CROSS JOIN v)"""
 
-  /** DuckDB replay of [[t22NbLang]] — extracted to a val so the t33
-    * eval oracle can wrap the confusion matrix as a CTE. */
-  private lazy val t22OracleSql: String =
-    s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS term
+  /** DuckDB replay of the per-doc NB prediction chain (ends at `pred`:
+    * doc_id, lang, model_lang, rn) — shared by t22, t33 and t35. */
+  private lazy val t22PredCtes: String =
+    s"""tok AS (SELECT doc_id, lang, unnest($toksSql) AS term
               FROM documents),
           v AS (SELECT DISTINCT term FROM tok),
           vs AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM v),
@@ -1323,7 +1385,12 @@ object TextAnalysis {
           pred AS (SELECT doc_id, lang, model_lang,
               row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, model_lang) AS rn
-            FROM scored)
+            FROM scored)"""
+
+  /** DuckDB replay of [[t22NbLang]] — the pred chain + confusion
+    * rollup (extracted so the t33 eval oracle can wrap it). */
+  private lazy val t22OracleSql: String =
+    s"""WITH $t22PredCtes
           SELECT lang AS actual_lang, model_lang AS pred_lang,
             CAST(count(*) AS BIGINT) AS n_docs
           FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
@@ -1562,6 +1629,39 @@ object TextAnalysis {
           FROM j LEFT JOIN tp t ON t.lang = j.lang
           ORDER BY j.lang""",
     "t22_nb_lang" -> t22OracleSql,
+    "t35_kappa" ->
+      s"""WITH $t22PredCtes,
+          nbp AS (SELECT doc_id, model_lang AS pb FROM pred WHERE rn = 1),
+          hh AS (SELECT doc_id,
+            ${langMarkers.map { case (l, ws) => s"${countInSql(ws)} AS hit_$l" }.mkString(", ")}
+            FROM documents),
+          hp AS (SELECT doc_id, CASE
+            WHEN hit_fr > greatest(hit_en, hit_es, hit_de, 0) THEN 'fr'
+            WHEN hit_de > greatest(hit_en, hit_es, 0) THEN 'de'
+            WHEN hit_es > greatest(hit_en, 0) THEN 'es'
+            WHEN hit_en > 0 THEN 'en'
+            ELSE 'und' END AS pa FROM hh),
+          j AS (SELECT hp.pa, nbp.pb FROM hp JOIN nbp USING (doc_id)),
+          c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_agree
+            FROM j),
+          pe AS (SELECT sum(CAST(na AS HUGEINT) * nb) AS pe_num FROM
+            (SELECT pa AS l, CAST(count(*) AS BIGINT) AS na
+             FROM j GROUP BY 1) a
+            JOIN (SELECT pb AS l, CAST(count(*) AS BIGINT) AS nb
+                  FROM j GROUP BY 1) b USING (l))
+          SELECT n_docs, n_agree,
+            round(CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS po,
+            round(CAST(pe_num AS DOUBLE)
+              / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4) AS pe,
+            round((CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                - CAST(pe_num AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+              / (1.0 - CAST(pe_num AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))), 4)
+              AS kappa
+          FROM c CROSS JOIN pe""",
     "t34_heaps_law" ->
       s"""WITH b AS (SELECT CAST(min(doc_id) AS BIGINT) AS mn,
               CAST(max(doc_id) AS BIGINT) AS mx FROM documents),

@@ -500,4 +500,32 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  test("d24 dup-growth curve equals a brute first-occurrence replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val firstOf = docs.groupBy(d => norm(d._2))
+      .map { case (k, ds) => k -> ds.map(_._1).min }
+    val mn = docs.map(_._1).min; val mx = docs.map(_._1).max
+    val span = mx - mn + 1
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (1 to 10).map { i =>
+      val c = mn - 1 + span * i / 10
+      val in = docs.filter(_._1 <= c)
+      val dup = in.count(d => firstOf(norm(d._2)) < d._1).toLong
+      (i.toLong, c, in.length.toLong, dup,
+        r4(dup.toDouble / in.length.toDouble))
+    }
+    val got = Dedup.d24DupGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // cumulative counts never shrink and the fraction is a fraction
+    val ns = got.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
+    assert(got.forall(g => g._5 >= 0.0 && g._5 <= 1.0))
+  }
 }

@@ -256,7 +256,10 @@ class PlanSpec extends AnyFunSuite {
       // c12 crosses per-source rows with the ONE-row token totals;
       // t33 composes t22's confusion matrix, so it inherits t22's
       // bounded vocab×|L| model-grid cross
-      "s16_ivf_stats", "c12_dedup_mixture", "t33_langid_eval")
+      "s16_ivf_stats", "c12_dedup_mixture", "t33_langid_eval",
+      // t35 crosses its two ONE-row scalar frames (q43 shape) and
+      // inherits t22's bounded model-grid cross through nbLangPred
+      "t35_kappa")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

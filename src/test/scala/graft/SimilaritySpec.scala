@@ -370,4 +370,41 @@ class SimilaritySpec extends AnyFunSuite {
     val ds = got.flatMap(_._3)
     assert(ds == ds.sorted.reverse)
   }
+
+  test("s17 PQ distortion equals a brute per-subspace replay") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb)
+    val vecs = emb.select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def norm(v: Array[Double]): Array[Double] = {
+      val s = math.sqrt(v.map(x => x * x).sum)
+      if (s == 0.0) v else v.map(_ / s)
+    }
+    val sub = vecs.head.length / books.length
+    // (subspace -> per-vector best squared error), engine arithmetic
+    val errs = vecs.map(norm).map { v =>
+      Array.tabulate(books.length) { m =>
+        books(m).map { ct =>
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = v(m * sub + i) - ct(i); d += t * t; i += 1 }
+          d
+        }.min
+      }
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (0 until books.length).map { m =>
+      val es = errs.map(_(m))
+      val s9 = es.map(e => BigInt(math.floor(e * 1e9 + 0.5).toLong)).sum
+      (m, es.length.toLong, r6(s9.toDouble / (es.length.toDouble * 1e9)),
+        r6(es.max))
+    }
+    val got = Similarity.s17PqDistortion(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // distortion is positive and bounded by the unit-sphere diameter
+    assert(got.forall(g => g._3 >= 0.0 && g._3 <= 4.0 && g._4 <= 4.0))
+  }
 }

@@ -540,4 +540,29 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getDouble(5) == v)
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("q94 McNemar equals a brute paired-activity replay") {
+    import spark.implicits._
+    val active = Tables.orders(spark, sf)
+      .select($"o_custkey", year($"o_orderdate")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val a1 = active.filter(_._2 == Stats.mcnemarY1).map(_._1).toSet
+    val a2 = active.filter(_._2 == Stats.mcnemarY2).map(_._1).toSet
+    val custs = Tables.customer(spark, sf).select($"c_custkey").collect()
+      .map(_.getLong(0))
+    val both = custs.count(c => a1(c) && a2(c)).toLong
+    val b = custs.count(c => a1(c) && !a2(c)).toLong
+    val c = custs.count(cu => !a1(cu) && a2(cu)).toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Stats.q94Mcnemar(spark, sf).head()
+    assert(row.getLong(0) == custs.length.toLong)
+    assert(row.getLong(1) == both && row.getLong(2) == b && row.getLong(3) == c)
+    if (b + c > 0) {
+      val chi = r4((math.abs(b - c) - 1).toDouble *
+        (math.abs(b - c) - 1).toDouble / (b + c).toDouble)
+      assert(row.getDouble(4) == chi)
+      assert(chi >= 0.0)
+    } else assert(row.isNullAt(4))
+  }
 }

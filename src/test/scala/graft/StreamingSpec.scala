@@ -914,6 +914,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == 5) // 4 versions for user 1 + 1 for user 2
     } finally q.stop()
   }
+
+  test("e18 control chart stream equals the batch twin across OOO arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var id = 0L
+    def burst(hour: Int, n: Int, tpe: String, off: Int = 1): Seq[Ev] =
+      (0 until n).map { i => id += 1; Ev(id, t(hour * 60 + off + i), 1, tpe, 0) }
+    // view: 4,4,4,9 per hour → h3 is 9 vs EWMA≈4 → crit;
+    // click: 5,3,4 → h1 is 3 vs baseline 5 (3 ≤ 0.6·5) → warn
+    val b1 = burst(0, 3, "view") ++ burst(0, 5, "click") ++
+      burst(1, 4, "view") ++ burst(1, 3, "click")
+    val late = burst(0, 1, "view", off = 58) // OOO, still above watermark
+    val b2 = late ++ burst(2, 4, "view") ++ burst(2, 4, "click") ++
+      burst(3, 9, "view")
+    val all = b1 ++ b2
+    val mem = MemoryStream[Ev]
+    val q = streaming.ControlChart.chartStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("chart")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*)   // wm = t(64)-10min → h0 still open
+      q.processAllAvailable()
+      mem.addData(b2: _*)   // the t(58) view event must still count
+      q.processAllAvailable()
+      mem.addData(Ev(999, t(100000), 99, "sentinel", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("chart")
+        .filter($"event_type" =!= "sentinel")
+        .orderBy($"event_type", $"hr_ts").collect().map(_.toString).toSeq
+      val exp = streaming.ControlChart.controlChart(all.toDF())
+        .orderBy($"event_type", $"hr_ts").collect().map(_.toString).toSeq
+      assert(got == exp, s"stream diverged from batch twin: $got vs $exp")
+      assert(got.size == 7) // 4 view hours + 3 click hours
+      val levels = spark.table("chart").filter($"event_type" =!= "sentinel")
+        .select("level").collect().map(r => Option(r.getString(0))).toSeq
+      assert(levels.contains(Some("crit")) && levels.contains(Some("warn")))
+    } finally q.stop()
+  }
 }
 
 /** Row type for the incremental-covariance stream. */

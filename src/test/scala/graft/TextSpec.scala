@@ -690,4 +690,33 @@ class TextSpec extends AnyFunSuite {
     assert(got.last._3 == docs.length.toLong)
     assert(got.last._5 == firstOcc.size.toLong)
   }
+
+  test("t35 kappa equals a derivation from the two classifiers' predictions") {
+    import spark.implicits._
+    // t3 and t22 are oracle-gated; the agreement statistic must be an
+    // exact rollup of their per-doc predictions
+    val hp = TextAnalysis.heuristicLangPred(spark, sf)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val np = TextAnalysis.nbLangPred(spark, sf)
+      .select("doc_id", "model_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = hp.keySet.intersect(np.keySet).toSeq
+    val n = ids.length.toLong
+    val agree = ids.count(i => hp(i) == np(i)).toLong
+    val na = ids.groupBy(hp).view.mapValues(_.length.toLong).toMap
+    val nb = ids.groupBy(np).view.mapValues(_.length.toLong).toMap
+    val peNum = na.toSeq.map { case (l, a) =>
+      BigInt(a) * BigInt(nb.getOrElse(l, 0L)) }.sum
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val po = agree.toDouble / n.toDouble
+    val pe = peNum.toDouble / (n.toDouble * n.toDouble)
+    val row = TextAnalysis.t35Kappa(spark, sf).head()
+    assert(row.getLong(0) == n && row.getLong(1) == agree)
+    assert(row.getDouble(2) == r4(po) && row.getDouble(3) == r4(pe))
+    assert(math.abs(row.getDouble(4) - r4((po - pe) / (1.0 - pe))) <= 1.01e-4)
+    // kappa never exceeds 1 and po is a fraction
+    assert(row.getDouble(4) <= 1.0 && po >= 0.0 && po <= 1.0)
+  }
 }
