@@ -458,7 +458,43 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** D195: multimodal token-budget accounting — per (modality, lang),
+    * the TEXT-token and PATCH-token supply (m5's ceil(bytes/64) patch
+    * formula) and each cell's share of the joint training budget: the
+    * table a multimodal mixture designer reads before setting c6-style
+    * sampling weights, because media patches — not text — dominate the
+    * context-window cost and a byte census (m1) hides that by a 64×
+    * factor.
+    *
+    * Exactness: every count is an exact integer; shares are one 4-dp
+    * division against the broadcast ONE-row grand total (g8/q43
+    * audited cross shape).
+    *
+    * Scale shape: ONE map-side-combined pass over the corpus to a
+    * ≤ |modalities|·|langs| census; payloads never shuffle (narrow
+    * column expressions only). */
+  def m12TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = withPayload(spark, dir)
+      .select($"modality", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("tt"),
+        ceil(octet_length($"payload") / patchBytes).cast("long").as("pt"))
+      .groupBy($"modality", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tt").as("text_toks"),
+        sum($"pt").as("patch_toks"))
+      .withColumn("total_toks", $"text_toks" + $"patch_toks")
+    val tot = per.agg(sum($"total_toks").as("g"))
+    per.crossJoin(broadcast(tot))
+      .select($"modality", $"lang", $"n_docs", $"text_toks", $"patch_toks",
+        $"total_toks",
+        round($"total_toks".cast("double") / $"g".cast("double"), 4)
+          .as("share"))
+      .orderBy($"modality", $"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_token_budget" -> m12TokenBudget,
     "m11_frame_dedup" -> m11FrameDedup,
     "m10_keyframes" -> m10Keyframes,
     "m9_scene_cuts" -> m9SceneCuts,
@@ -472,6 +508,24 @@ object Multimodal {
     "m7_audio_vad" -> m7AudioVad)
 
   val oracle: Map[String, String] = Map(
+    "m12_token_budget" ->
+      s"""WITH b AS (SELECT
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+              lang,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tt,
+              CAST(ceil(strlen(text) / $patchBytes) AS BIGINT) AS pt
+            FROM documents),
+          per AS (SELECT modality, lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(tt) AS BIGINT) AS text_toks,
+              CAST(sum(pt) AS BIGINT) AS patch_toks,
+              CAST(sum(tt) + sum(pt) AS BIGINT) AS total_toks
+            FROM b GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(total_toks) AS BIGINT) AS g FROM per)
+          SELECT modality, lang, n_docs, text_toks, patch_toks, total_toks,
+            round(CAST(total_toks AS DOUBLE) / CAST(g AS DOUBLE), 4) AS share
+          FROM per CROSS JOIN tot ORDER BY modality, lang""",
     "m11_frame_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS cm,
               CAST(strlen(text) // $sceneFrameBytes AS INT) AS n_frames

@@ -950,12 +950,146 @@ object Stats {
              / CAST(only_y1 + only_y2 AS DOUBLE)"""), 4)).as("chi2"))
   }
 
+  // ---------------------------------------------------------------- q95
+
+  /** D193: Brown–Forsythe (median-based Levene) test — are the
+    * per-return-flag price VARIANCES equal? The homogeneity screen
+    * q83's ANOVA quietly assumes (and q67's Welch exists to dodge):
+    * one-way ANOVA run on z = |y − median_g|, with the median (not
+    * the mean) making the test robust to the heavy tails q66 reports.
+    *
+    * Exactness: work in DOUBLED cents — med2 = v_lo + v_hi (the two
+    * middle order statistics, equal when n_g is odd) is an exact
+    * integer, so every deviation z = |2y − med2| is an exact long and
+    * the ANOVA moments are exact DECIMAL(38,0). Group medians come
+    * from the q38 two-phase distinct-value census (never a row sort);
+    * Σ S_g²/n_g rides the q83 ordered-fold over the ≤ |flags| census
+    * so the rational sum is sequential and identical on both engines.
+    *
+    * Scale shape: ONE map-side-combined (flag, value) census pass;
+    * medians, deviations and moments all live on census-sized frames
+    * (value-domain-bounded); the final fold touches ≤ |flags| rows. */
+  def q95Levene(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"),
+        floor($"l_extendedprice" * 100).cast("long").as("v"))
+      .groupBy($"flag", $"v").agg(count(lit(1)).as("cnt"))
+    val wSeq = Window.partitionBy($"flag").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAllF = Window.partitionBy($"flag")
+    val withCum = census
+      .withColumn("cb", coalesce(sum($"cnt").over(wSeq), lit(0L)))
+      .withColumn("ng", sum($"cnt").over(wAllF))
+    val med = withCum
+      .withColumn("lo", expr("(ng + 1) div 2"))
+      .withColumn("hi", expr("(ng + 2) div 2"))
+      .groupBy($"flag")
+      .agg(sum(when($"cb" < $"lo" && $"lo" <= $"cb" + $"cnt", $"v")
+          .otherwise(0L)).as("vlo"),
+        sum(when($"cb" < $"hi" && $"hi" <= $"cb" + $"cnt", $"v")
+          .otherwise(0L)).as("vhi"))
+      .select($"flag", ($"vlo" + $"vhi").as("med2"))
+    val g = withCum.join(med, "flag")
+      .select($"flag", abs(lit(2L) * $"v" - $"med2").as("z"), $"cnt")
+      .groupBy($"flag")
+      .agg(sum($"cnt").cast("decimal(38,0)").as("n"),
+        sum($"cnt" * $"z").cast("decimal(38,0)").as("s"),
+        sum($"cnt".cast("decimal(38,0)") * $"z" * $"z").as("q"))
+    val wCum = Window.orderBy($"flag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    g.withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("nn", sum($"n").over(wAll))
+      .withColumn("ss", sum($"s").over(wAll))
+      .withColumn("qq", sum($"q").over(wAll))
+      .withColumn("ssb_run",
+        sum(expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy($"flag".desc)))
+      .filter($"rn" === 1)
+      .select($"k".cast("long").as("k_groups"), $"nn".cast("long").as("n"),
+        round(expr("""((ssb_run - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+            ((CAST(qq AS DOUBLE) - ssb_run) / CAST(nn - k AS DOUBLE))"""), 4)
+          .as("f_stat"),
+        round(expr("""(ssb_run - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(nn AS DOUBLE)) /
+            (CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(nn AS DOUBLE))"""), 4).as("eta_sq"))
+  }
+
+  // ---------------------------------------------------------------- q96
+
+  /** D194: Durbin–Watson serial-correlation diagnostic — per nation,
+    * fit the linear monthly-revenue trend by exact-moment OLS, then
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² over the residuals: "after
+    * removing the trend, do the errors still remember last month?"
+    * (DW ≈ 2 = independent, → 0 = positive autocorrelation, → 4 =
+    * alternation). q77's ACF reads the RAW series; DW reads the
+    * REGRESSION residuals — the standard validity check before
+    * trusting p7-style trend fits.
+    *
+    * Determinism: (a, b) come from exact DECIMAL(38,0) moments by one
+    * IEEE closed form; each residual is the identical double on both
+    * engines and is snapped to the centicent grid (floor(e·100+0.5))
+    * so both DW sums are exact integers; one division, 4-dp.
+    *
+    * Scale shape: one monthly-rollup shuffle (map-side combined),
+    * a ≤ #nations moment census broadcast back onto the months, ONE
+    * lag window partitioned by nation (bounded by months-per-nation),
+    * one final per-nation rollup. */
+  def q96DurbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("y"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy($"nation").orderBy($"m")).cast("long"))
+    val mom = monthly.groupBy($"nation").agg(
+      count(lit(1)).as("n"),
+      sum($"t").cast("decimal(38,0)").as("st"),
+      sum($"t" * $"t").cast("decimal(38,0)").as("stt"),
+      sum($"y").cast("decimal(38,0)").as("sy"),
+      sum($"t".cast("decimal(38,0)") * $"y").as("sty"))
+      .withColumn("b", expr(
+        """(CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"""))
+      .withColumn("a", expr(
+        "(CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)"))
+      .select($"nation", $"n", $"a", $"b")
+    val resid = monthly.join(mom, "nation")
+      .withColumn("eq", expr(
+        """CAST(floor((CAST(y AS DOUBLE) - a - b * CAST(t AS DOUBLE))
+           * 100.0 + 0.5) AS BIGINT)"""))
+      .withColumn("pe", lag($"eq", 1).over(
+        Window.partitionBy($"nation").orderBy($"t")))
+    resid.groupBy($"nation")
+      .agg(max($"n").as("n_months"),
+        sum(when($"pe".isNotNull,
+          ($"eq" - $"pe").cast("decimal(38,0)") * ($"eq" - $"pe"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("num"),
+        sum($"eq".cast("decimal(38,0)") * $"eq").as("den"))
+      .select($"nation", $"n_months",
+        round(expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"), 4)
+          .as("dw"),
+        round(expr("1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0"), 4)
+          .as("rho_approx"))
+      .orderBy($"nation")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_mann_whitney" -> q92MannWhitney,
     "q93_cramers_v" -> q93CramersV,
     "q94_mcnemar" -> q94Mcnemar,
+    "q95_levene" -> q95Levene,
+    "q96_durbin_watson" -> q96DurbinWatson,
     "q67_welch_ttest" -> q67WelchTtest,
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
@@ -972,6 +1106,99 @@ object Stats {
     "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
+    "q96_durbin_watson" ->
+      """WITH monthly AS (SELECT c.c_nationkey AS nation,
+              year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+              CAST(sum(floor(o.o_totalprice * 100)) AS BIGINT) AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          tt AS (SELECT nation, m, y,
+              CAST(row_number() OVER (PARTITION BY nation ORDER BY m)
+                AS BIGINT) AS t
+            FROM monthly),
+          mom AS (SELECT nation,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(t) AS HUGEINT) AS st,
+              CAST(sum(t * t) AS HUGEINT) AS stt,
+              CAST(sum(y) AS HUGEINT) AS sy,
+              sum(CAST(t AS HUGEINT) * y) AS sty
+            FROM tt GROUP BY nation),
+          ab AS (SELECT nation, n,
+              (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+              st, sy
+            FROM mom),
+          ab2 AS (SELECT nation, n, b,
+              (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                / CAST(n AS DOUBLE) AS a
+            FROM ab),
+          r AS (SELECT tt.nation, ab2.n,
+              CAST(floor((CAST(tt.y AS DOUBLE) - ab2.a
+                - ab2.b * CAST(tt.t AS DOUBLE)) * 100.0 + 0.5)
+                AS BIGINT) AS eq,
+              lag(CAST(floor((CAST(tt.y AS DOUBLE) - ab2.a
+                - ab2.b * CAST(tt.t AS DOUBLE)) * 100.0 + 0.5)
+                AS BIGINT)) OVER (PARTITION BY tt.nation ORDER BY tt.t)
+                AS pe
+            FROM tt JOIN ab2 USING (nation)),
+          f AS (SELECT nation, CAST(max(n) AS BIGINT) AS n_months,
+              sum(CASE WHEN pe IS NOT NULL
+                THEN CAST(eq - pe AS HUGEINT) * (eq - pe)
+                ELSE CAST(0 AS HUGEINT) END) AS num,
+              sum(CAST(eq AS HUGEINT) * eq) AS den
+            FROM r GROUP BY nation)
+          SELECT nation, n_months,
+            round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS dw,
+            round(1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0, 4)
+              AS rho_approx
+          FROM f ORDER BY nation""",
+    "q95_levene" ->
+      """WITH census AS (SELECT l_returnflag AS flag,
+              CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1, 2),
+          cum AS (SELECT flag, v, cnt,
+              COALESCE(CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS cb,
+              CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS ng
+            FROM census),
+          med AS (SELECT flag,
+              CAST(sum(CASE WHEN cb < (ng + 1) // 2
+                  AND (ng + 1) // 2 <= cb + cnt THEN v ELSE 0 END)
+                + sum(CASE WHEN cb < (ng + 2) // 2
+                  AND (ng + 2) // 2 <= cb + cnt THEN v ELSE 0 END)
+                AS BIGINT) AS med2
+            FROM cum GROUP BY flag),
+          g AS (SELECT c.flag,
+              CAST(sum(c.cnt) AS HUGEINT) AS n,
+              CAST(sum(c.cnt * abs(2 * c.v - m.med2)) AS HUGEINT) AS s,
+              sum(CAST(c.cnt AS HUGEINT) * abs(2 * c.v - m.med2)
+                * abs(2 * c.v - m.med2)) AS q
+            FROM cum c JOIN med m USING (flag) GROUP BY c.flag),
+          f AS (SELECT flag, n, s, q,
+              CAST(count(*) OVER () AS BIGINT) AS k,
+              sum(n) OVER () AS nn,
+              sum(s) OVER () AS ss,
+              sum(q) OVER () AS qq,
+              sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                OVER (ORDER BY flag
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS ssb_run,
+              row_number() OVER (ORDER BY flag DESC) AS rn
+            FROM g)
+          SELECT k AS k_groups, CAST(nn AS BIGINT) AS n,
+            round(((ssb_run - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+              ((CAST(qq AS DOUBLE) - ssb_run) / CAST(nn - k AS DOUBLE)), 4)
+              AS f_stat,
+            round((ssb_run - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(nn AS DOUBLE)) /
+              (CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(nn AS DOUBLE)), 4) AS eta_sq
+          FROM f WHERE rn = 1""",
     "q94_mcnemar" ->
       s"""WITH act AS (SELECT o_custkey,
               CAST(max(CASE WHEN year(o_orderdate) = $mcnemarY1

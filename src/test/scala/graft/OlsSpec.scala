@@ -330,4 +330,54 @@ class OlsSpec extends AnyFunSuite {
       est.get(est.featuresCol).contains("hecto") &&
       est.get(est.labelCol).contains("is_en"))
   }
+
+  test("p14 Poisson IRLS trace equals a driver integer-moments replay") {
+    import graft.operators.Poisson
+    import org.apache.spark.sql.functions.{col, floor, count, lit}
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    import TestSpark.spark.implicits._
+    val cnts = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(count(lit(1))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = Tables.customer(spark, sf)
+      .select($"c_custkey", floor(col("c_acctbal").cast("double") / 1000.0)
+        .cast("long")).collect()
+      .map(r => (r.getLong(1), cnts.getOrElse(r.getLong(0), 0L)))
+    val b0init = math.log(d.map(_._2).sum.toDouble / d.length.toDouble)
+    def step(b0: Double, b1: Double): (Double, Double) = {
+      var sw, swx, swxx, swz, swxz = BigInt(0)
+      d.foreach { case (x, y) =>
+        val etaq = rnd((b0 + b1 * x.toDouble) * 1e6)
+        val muq = math.min(Poisson.muqMax, math.max(Poisson.muqMin,
+          rnd(math.exp(etaq.toDouble / 1e6) * 1e6)))
+        val zq = etaq + math.floor(
+          ((y * 1000000L - muq).toDouble * 1e6) / muq.toDouble).toLong
+        sw += muq; swx += BigInt(muq) * x; swxx += BigInt(muq) * x * x
+        swz += BigInt(muq) * zq; swxz += BigInt(muq) * x * zq
+      }
+      val (dsw, dswx, dswxx, dswz, dswxz) = (sw.toDouble, swx.toDouble,
+        swxx.toDouble, swz.toDouble, swxz.toDouble)
+      val det = dsw * dswxx - dswx * dswx
+      ((dswz * dswxx - dswx * dswxz) / det / 1e6,
+        (dsw * dswxz - dswx * dswz) / det / 1e6)
+    }
+    val trace = Iterator.iterate(List((b0init, 0.0))) { acc =>
+      acc :+ step(acc.last._1, acc.last._2)
+    }.drop(Poisson.poIters).next()
+    val expected = trace.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i, 0, "intercept", r4(a)), (i, 1, "kilo_acctbal", r4(b)))
+    }
+    val got = Poisson.p14Poisson(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // the fit actually converges: the last two steps agree to 4 dp
+    val byIter = got.groupBy(_._1)
+    assert(byIter(Poisson.poIters).map(_._4) ==
+      byIter(Poisson.poIters - 1).map(_._4),
+      s"IRLS did not converge: $got")
+  }
 }

@@ -559,6 +559,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("m12 token-budget accounting equals a driver replay") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text",
+        org.apache.spark.sql.functions.size(
+          graft.operators.TextAnalysis.tokens($"text")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def modality(id: Long) = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val per = docs.groupBy(d => (modality(d._1), d._2)).map { case (k, ds) =>
+      val tt = ds.map(_._4).sum
+      val pt = ds.map(d =>
+        math.ceil(d._3.getBytes("UTF-8").length / 64.0).toLong).sum
+      (k._1, k._2, ds.length.toLong, tt, pt, tt + pt)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val g = per.map(_._6).sum
+    val expected = per.map(t =>
+      (t._1, t._2, t._3, t._4, t._5, t._6, r4(t._6.toDouble / g.toDouble)))
+    val got = Multimodal.m12TokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // shares form a distribution
+    assert(math.abs(got.map(_._7).sum - 1.0) < 0.01)
+  }
+
   test("c9 BPE merges equal an independent list-walk replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, split, lower}

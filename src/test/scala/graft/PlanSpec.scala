@@ -258,8 +258,9 @@ class PlanSpec extends AnyFunSuite {
       // bounded vocab×|L| model-grid cross
       "s16_ivf_stats", "c12_dedup_mixture", "t33_langid_eval",
       // t35 crosses its two ONE-row scalar frames (q43 shape) and
-      // inherits t22's bounded model-grid cross through nbLangPred
-      "t35_kappa")
+      // inherits t22's bounded model-grid cross through nbLangPred;
+      // m12 crosses the census with its ONE-row grand-total frame
+      "t35_kappa", "m12_token_budget")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -565,4 +565,79 @@ class StatsSpec extends AnyFunSuite {
       assert(chi >= 0.0)
     } else assert(row.isNullAt(4))
   }
+
+  test("q95 Brown-Forsythe equals a brute median-deviation ANOVA replay") {
+    import spark.implicits._
+    val vals = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", floor($"l_extendedprice" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // exact doubled-cents medians + integer deviations
+    val moments = groups.toSeq.sortBy(_._1).map { case (flag, vs) =>
+      val n = vs.length
+      val med2 = vs((n - 1) / 2) + vs(n / 2)
+      val zs = vs.map(v => math.abs(2 * v - med2))
+      (flag, BigInt(n), zs.map(BigInt(_)).sum,
+        zs.map(z => BigInt(z) * z).sum)
+    }
+    val k = moments.length
+    val nn = moments.map(_._2).sum
+    val ss = moments.map(_._3).sum
+    val qq = moments.map(_._4).sum
+    // sequential flag-ordered fold, identical to the engine's wCum
+    val ssbRun = moments.foldLeft(0.0) { case (acc, (_, n, s, _)) =>
+      acc + s.toDouble * s.toDouble / n.toDouble
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ssb = ssbRun - ss.toDouble * ss.toDouble / nn.toDouble
+    val f = (ssb / (k - 1).toDouble) / ((qq.toDouble - ssbRun) /
+      (nn - k).toDouble)
+    val eta = ssb / (qq.toDouble - ss.toDouble * ss.toDouble / nn.toDouble)
+    val row = Stats.q95Levene(spark, sf).head()
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == nn.toLong)
+    assert(math.abs(row.getDouble(2) - r4(f)) <= 1.01e-4)
+    assert(math.abs(row.getDouble(3) - r4(eta)) <= 1.01e-4)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(3) >= 0.0 &&
+      row.getDouble(3) <= 1.0)
+  }
+
+  test("q96 Durbin-Watson equals a brute residual replay") {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")),
+        floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = monthly.keys.map(_._1).toSeq.distinct.sorted.map { nat =>
+      val ys = monthly.collect { case ((n, m), c) if n == nat => (m, c) }
+        .toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((_, y), i) => ((i + 1).toLong, y) }
+      val n = ys.length.toLong
+      val st = ys.map(t => BigInt(t._1)).sum
+      val stt = ys.map(t => BigInt(t._1) * t._1).sum
+      val sy = ys.map(t => BigInt(t._2)).sum
+      val sty = ys.map(t => BigInt(t._1) * t._2).sum
+      val b = (n.toDouble * sty.toDouble - st.toDouble * sy.toDouble) /
+        (n.toDouble * stt.toDouble - st.toDouble * st.toDouble)
+      val a = (sy.toDouble - b * st.toDouble) / n.toDouble
+      val eqs = ys.map { case (t, y) =>
+        math.floor((y.toDouble - a - b * t.toDouble) * 100.0 + 0.5).toLong }
+      val num = eqs.zip(eqs.tail)
+        .map { case (p, e) => BigInt(e - p) * (e - p) }.sum
+      val den = eqs.map(e => BigInt(e) * e).sum
+      (nat, n, r4(num.toDouble / den.toDouble),
+        r4(1.0 - num.toDouble / den.toDouble / 2.0))
+    }
+    val got = Stats.q96DurbinWatson(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // DW lives in [0, 4]
+    assert(got.forall(g => g._3 >= 0.0 && g._3 <= 4.0))
+  }
 }
