@@ -625,7 +625,60 @@ object Graph {
       .orderBy($"degree")
   }
 
+  /** Hop depths [[g12KHop]] reports (fixed — each hop is one
+    * join+distinct superstep, so depth bounds cost). */
+  val khopMax = 3
+
+  /** D196: bounded k-hop reachability census — for h = 1..3, how many
+    * parts each part can reach within h hops of the strong affinity
+    * graph (count, mean, max): the "influence radius" readout
+    * (substitution/cross-sell blast radius in h referral steps) and
+    * the standard small-world diagnostic next to g11's closure
+    * density — a steep hop-2→3 jump says the graph has a short
+    * diameter and hub shortcuts.
+    *
+    * Exactness: reach sets are DISTINCT integer pair frames; mean
+    * reach is one 4-dp division of exact counts.
+    *
+    * Scale shape: frontier expansion is h−1 join+distinct supersteps
+    * over the SUPPORT-PRUNED graph (the g2 argument: pruning is what
+    * keeps path fan-out tractable), each `localCheckpoint`ed — never
+    * an unbounded transitive closure, and h is fixed at 3. Per-hop
+    * stats are one map-side-combined rollup each; the 3-row result
+    * assembles driver-side (p11 pattern). */
+  def g12KHop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = strongEdges(spark, dir)
+    val sym = und.select($"src".as("u"), $"dst".as("v"))
+      .unionAll(und.select($"dst".as("u"), $"src".as("v")))
+      .localCheckpoint()
+    def stats(reach: DataFrame, h: Int): (Long, Long, Long, Long) = {
+      val r = reach.groupBy($"u").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)), sum($"c"), max($"c")).head()
+      (h.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var reach = sym
+    val rows = (1 to khopMax).map { h =>
+      if (h > 1) {
+        reach = reach.as("r").join(sym.as("s"), $"r.v" === $"s.u")
+          .select($"r.u".as("u"), $"s.v".as("v"))
+          .filter($"u" =!= $"v")
+          .unionAll(reach)
+          .distinct()
+          .localCheckpoint()
+      }
+      stats(reach, h)
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.map { case (h, n, p, mx) =>
+      (h, n, p, r4(p.toDouble / n.toDouble), mx)
+    }.toDF("hop", "n_nodes", "n_pairs", "avg_reach", "max_reach")
+      .orderBy($"hop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g12_khop" -> g12KHop,
     "g11_clustering" -> g11Clustering,
     "g10_rich_club" -> g10RichClub,
     "g9_assortativity" -> g9Assortativity,
@@ -855,6 +908,40 @@ object Graph {
           ${(1 to coreIters).map(coreStepSql).mkString(",\n          ")}
           SELECT src AS part_key, CAST(count(*) AS BIGINT) AS core_deg
           FROM e$coreIters GROUP BY src ORDER BY part_key""",
+    "g12_khop" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          sym AS (SELECT src AS u, dst AS v FROM und
+                  UNION ALL SELECT dst, src FROM und),
+          r1 AS (SELECT DISTINCT u, v FROM sym),
+          r2 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT r.u, s.v FROM r1 r JOIN sym s ON r.v = s.u
+            WHERE r.u <> s.v
+            UNION ALL SELECT u, v FROM r1)),
+          r3 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT r.u, s.v FROM r2 r JOIN sym s ON r.v = s.u
+            WHERE r.u <> s.v
+            UNION ALL SELECT u, v FROM r2)),
+          st AS (
+            SELECT 1 AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(c) AS BIGINT) AS n_pairs,
+              CAST(max(c) AS BIGINT) AS max_reach
+            FROM (SELECT u, count(*) AS c FROM r1 GROUP BY u)
+            UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+              CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT)
+            FROM (SELECT u, count(*) AS c FROM r2 GROUP BY u)
+            UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+              CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT)
+            FROM (SELECT u, count(*) AS c FROM r3 GROUP BY u))
+          SELECT CAST(hop AS BIGINT) AS hop, n_nodes, n_pairs,
+            round(CAST(n_pairs AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4)
+              AS avg_reach,
+            max_reach
+          FROM st ORDER BY hop""",
     "g11_clustering" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

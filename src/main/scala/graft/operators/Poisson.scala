@@ -118,8 +118,59 @@ object Poisson {
     }.toDF("iter", "idx", "feature", "coef").orderBy($"iter", $"idx")
   }
 
+  /** ppm-quantized mean under (b0, b1) over the integer feature —
+    * the identical expression tree [[step]] builds, shared with p15's
+    * eval scan (model scoring ≡ training-time scoring by
+    * construction, the p13/pqCol pattern). */
+  private def muqCol(b0: Double, b1: Double,
+      x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(muqMax), greatest(lit(muqMin),
+      round(exp(round((lit(b0) + lit(b1) * x.cast("double")) * lit(1e6))
+        .cast("long").cast("double") / lit(1e6)) * lit(1e6)).cast("long")))
+
+  /** D198: Poisson GLM goodness-of-fit — residual deviance
+    * D = 2Σ[y·ln(y/μ) − (y−μ)], Pearson X² = Σ(y−μ)²/μ, and the
+    * dispersion X²/(n−p): the table that says whether p14's model can
+    * be TRUSTED (dispersion ≫ 1 = overdispersion — the count data
+    * wants a negative-binomial, and every p14 standard error is
+    * understated). The GLM counterpart of p13's confusion census.
+    *
+    * Determinism: μ comes from the same ppm-quantized pipeline as
+    * training; each per-row deviance/Pearson term is one IEEE
+    * expression over (exact y, quantized μq) snapped to a 1e-6 grid,
+    * so both sums are ORDER-FREE exact integers; y = 0 takes the
+    * exact limit (y·ln(y/μ) → 0). Three 4-dp divisions at the end.
+    *
+    * Scale shape: the p14 fit passes + ONE extra scoring scan reduced
+    * map-side to a single row. */
+  def p15PoissonEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = design(spark, dir)
+    val beta = fitTrace(d, poIters).last
+    val scored = d.withColumn("muq", muqCol(beta.b0, beta.b1, col("x")))
+      .withColumn("dev6", expr(
+        """CAST(floor(((CASE WHEN y > 0 THEN CAST(y AS DOUBLE)
+             * ln(CAST(y AS DOUBLE) / (CAST(muq AS DOUBLE) / 1e6))
+             ELSE 0.0 END)
+             - (CAST(y AS DOUBLE) - CAST(muq AS DOUBLE) / 1e6))
+             * 1e6 + 0.5) AS BIGINT)"""))
+      .withColumn("pe6", expr(
+        """CAST(floor(((CAST(y AS DOUBLE) - CAST(muq AS DOUBLE) / 1e6)
+             * (CAST(y AS DOUBLE) - CAST(muq AS DOUBLE) / 1e6)
+             / (CAST(muq AS DOUBLE) / 1e6)) * 1e6 + 0.5) AS BIGINT)"""))
+    scored.agg(count(lit(1)).as("n"),
+        sum($"dev6".cast("decimal(38,0)")).as("sd"),
+        sum($"pe6".cast("decimal(38,0)")).as("sp"))
+      .select($"n",
+        round(expr("2.0 * CAST(sd AS DOUBLE) / 1e6"), 4).as("deviance"),
+        round(expr("CAST(sp AS DOUBLE) / 1e6"), 4).as("pearson_chi2"),
+        round(expr("CAST(sp AS DOUBLE) / 1e6 / CAST(n - 2 AS DOUBLE)"), 4)
+          .as("dispersion"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p14_poisson" -> p14Poisson)
+    "p14_poisson" -> p14Poisson,
+    "p15_poisson_eval" -> p15PoissonEval)
 
   /** One oracle superstep: quantized η/μ over the previous beta CTE,
     * then the moment/solve pair — the SQL twin of [[step]]. */
@@ -151,9 +202,10 @@ object Poisson {
                 - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) / 1e6 AS b1
           FROM m$i)"""
 
-  val oracle: Map[String, String] = Map(
-    "p14_poisson" ->
-      s"""WITH d AS (SELECT
+  /** Shared design + init + chained-step CTE prefix (ends at
+    * beta[[poIters]]). */
+  private def fitCtes: String =
+    s"""d AS (SELECT
               CAST(floor(CAST(c.c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
                 AS x,
               CAST(COALESCE(o.y, 0) AS BIGINT) AS y
@@ -164,7 +216,36 @@ object Poisson {
               ln(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS b0,
               0.0 AS b1
             FROM d),
-          ${(1 to poIters).map(stepSql).mkString(",\n          ")}
+          ${(1 to poIters).map(stepSql).mkString(",\n          ")}"""
+
+  val oracle: Map[String, String] = Map(
+    "p15_poisson_eval" ->
+      s"""WITH $fitCtes,
+          ev AS (SELECT d.y,
+              least($muqMax, greatest($muqMin,
+                CAST(round(exp(CAST(CAST(round((b.b0 + b.b1
+                  * CAST(d.x AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+                  / 1e6) * 1e6) AS BIGINT))) AS muq
+            FROM d CROSS JOIN beta$poIters b),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(floor(((CASE WHEN y > 0 THEN CAST(y AS DOUBLE)
+                * ln(CAST(y AS DOUBLE) / (CAST(muq AS DOUBLE) / 1e6))
+                ELSE 0.0 END)
+                - (CAST(y AS DOUBLE) - CAST(muq AS DOUBLE) / 1e6))
+                * 1e6 + 0.5) AS HUGEINT)) AS sd,
+              sum(CAST(floor(((CAST(y AS DOUBLE) - CAST(muq AS DOUBLE) / 1e6)
+                * (CAST(y AS DOUBLE) - CAST(muq AS DOUBLE) / 1e6)
+                / (CAST(muq AS DOUBLE) / 1e6)) * 1e6 + 0.5) AS HUGEINT))
+                AS sp
+            FROM ev)
+          SELECT n,
+            round(2.0 * CAST(sd AS DOUBLE) / 1e6, 4) AS deviance,
+            round(CAST(sp AS DOUBLE) / 1e6, 4) AS pearson_chi2,
+            round(CAST(sp AS DOUBLE) / 1e6 / CAST(n - 2 AS DOUBLE), 4)
+              AS dispersion
+          FROM t""",
+    "p14_poisson" ->
+      s"""WITH $fitCtes
           SELECT * FROM (
             ${(0 to poIters).map(i =>
         s"""SELECT $i AS iter, 0 AS idx, 'intercept' AS feature,

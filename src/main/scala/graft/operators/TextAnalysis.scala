@@ -487,6 +487,68 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** Gopher-rule fences (t36): word-count bounds, mean-word-length
+    * bounds, symbol-ratio and top-token-share caps — the Rae et al.
+    * 2021 repetition/quality battery, integer-comparison form. */
+  val gopherWcMin = 10L; val gopherWcMax = 100000L
+  val gopherWlMin = 2L; val gopherWlMax = 12L
+  val gopherSymPct = 10L
+  val gopherMaxTfPct = 20L
+
+  /** D197: Gopher quality-rule audit — the canonical pretraining
+    * quality-filter battery (word-count fence, mean-word-length
+    * fence, symbol-ratio cap, stopword presence, top-token-share
+    * cap), reported as a PER-RULE failure census per source: c1/c13
+    * gate the corpus, THIS says which rule fires where — the
+    * observability a curator needs before changing any fence (a
+    * source failing only the stopword rule is non-English, not junk;
+    * one failing the repetition cap is template spam).
+    *
+    * Exactness: every rule is an INTEGER comparison (mean word length
+    * as sumlen vs bound·n, ratios cross-multiplied — no division
+    * anywhere except the final 4-dp pass_frac). Mean word length uses
+    * the single-space corpus identity sumlen = chars − (n − 1).
+    *
+    * Scale shape: one narrow-expression scan + one per-(doc, term)
+    * partial-aggregated explode for the top-token share (the t8
+    * shape), one doc-keyed join, one per-source rollup. */
+  def t36GopherAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"source",
+      size(tokens($"text")).cast("long").as("n"),
+      (length($"text") - (size(tokens($"text")) - 1)).cast("long")
+        .as("sumlen"),
+      regexp_count(lower($"text"), lit("[^a-z0-9 ]")).cast("long").as("sym"),
+      length($"text").cast("long").as("chars"),
+      countIn(tokens($"text"), stopwords).cast("long").as("stop"))
+    val maxtf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("maxtf"))
+    base.join(maxtf, "doc_id")
+      .select($"source",
+        ($"n" >= gopherWcMin && $"n" <= gopherWcMax).cast("long").as("ok_wc"),
+        ($"sumlen" >= lit(gopherWlMin) * $"n" &&
+          $"sumlen" <= lit(gopherWlMax) * $"n").cast("long").as("ok_wl"),
+        ($"sym" * lit(100L) <= lit(gopherSymPct) * $"chars").cast("long")
+          .as("ok_sym"),
+        ($"stop" >= 1L).cast("long").as("ok_stop"),
+        ($"maxtf" * lit(100L) <= lit(gopherMaxTfPct) * $"n").cast("long")
+          .as("ok_rep"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - $"ok_wc").as("fail_wordcount"),
+        sum(lit(1L) - $"ok_wl").as("fail_wordlen"),
+        sum(lit(1L) - $"ok_sym").as("fail_symbol"),
+        sum(lit(1L) - $"ok_stop").as("fail_stopword"),
+        sum(lit(1L) - $"ok_rep").as("fail_repeat"),
+        sum($"ok_wc" * $"ok_wl" * $"ok_sym" * $"ok_stop" * $"ok_rep")
+          .as("n_pass"))
+      .withColumn("pass_frac",
+        round($"n_pass".cast("double") / $"n_docs".cast("double"), 4))
+      .orderBy($"source")
+  }
+
   /** D184: Heaps'-law vocabulary growth curve — distinct-vocabulary
     * size and cumulative token supply at ten ingestion-order
     * checkpoints (doc_id deciles of the id RANGE): the sub-linear
@@ -1315,6 +1377,7 @@ object TextAnalysis {
     "t33_langid_eval" -> t33LangidEval,
     "t34_heaps_law" -> t34HeapsLaw,
     "t35_kappa" -> t35Kappa,
+    "t36_gopher_audit" -> t36GopherAudit,
     "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
@@ -1662,6 +1725,46 @@ object TextAnalysis {
                   / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))), 4)
               AS kappa
           FROM c CROSS JOIN pe""",
+    "t36_gopher_audit" ->
+      s"""WITH tk AS (SELECT doc_id, source, text, $toksSql AS toks
+            FROM documents),
+          base AS (SELECT doc_id, source,
+              CAST(len(toks) AS BIGINT) AS n,
+              CAST(length(text) - (len(toks) - 1) AS BIGINT) AS sumlen,
+              CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+                AS BIGINT) AS sym,
+              CAST(length(text) AS BIGINT) AS chars,
+              CAST(len(list_filter(toks, t -> t IN
+                (${stopwords.map(w => s"'$w'").mkString(",")})))
+                AS BIGINT) AS stop
+            FROM tk),
+          mt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxtf FROM (
+              SELECT doc_id, t, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+              GROUP BY 1, 2) GROUP BY 1),
+          fl AS (SELECT b.source,
+              CASE WHEN b.n >= $gopherWcMin AND b.n <= $gopherWcMax
+                THEN 1 ELSE 0 END AS ok_wc,
+              CASE WHEN b.sumlen >= $gopherWlMin * b.n
+                AND b.sumlen <= $gopherWlMax * b.n
+                THEN 1 ELSE 0 END AS ok_wl,
+              CASE WHEN b.sym * 100 <= $gopherSymPct * b.chars
+                THEN 1 ELSE 0 END AS ok_sym,
+              CASE WHEN b.stop >= 1 THEN 1 ELSE 0 END AS ok_stop,
+              CASE WHEN m.maxtf * 100 <= $gopherMaxTfPct * b.n
+                THEN 1 ELSE 0 END AS ok_rep
+            FROM base b JOIN mt m USING (doc_id))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(1 - ok_wc) AS BIGINT) AS fail_wordcount,
+            CAST(sum(1 - ok_wl) AS BIGINT) AS fail_wordlen,
+            CAST(sum(1 - ok_sym) AS BIGINT) AS fail_symbol,
+            CAST(sum(1 - ok_stop) AS BIGINT) AS fail_stopword,
+            CAST(sum(1 - ok_rep) AS BIGINT) AS fail_repeat,
+            CAST(sum(ok_wc * ok_wl * ok_sym * ok_stop * ok_rep) AS BIGINT)
+              AS n_pass,
+            round(CAST(sum(ok_wc * ok_wl * ok_sym * ok_stop * ok_rep)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS pass_frac
+          FROM fl GROUP BY source ORDER BY source""",
     "t34_heaps_law" ->
       s"""WITH b AS (SELECT CAST(min(doc_id) AS BIGINT) AS mn,
               CAST(max(doc_id) AS BIGINT) AS mx FROM documents),

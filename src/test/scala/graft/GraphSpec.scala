@@ -346,6 +346,34 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getDouble(4) > -0.5001 && r.getDouble(4) < 1.0001)
   }
 
+  test("g12 k-hop reachability equals a brute BFS replay") {
+    val edges = Graph.strongEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-node reach sets, expanded one hop at a time
+    var reach = adj
+    val expected = (1 to Graph.khopMax).map { h =>
+      if (h > 1)
+        reach = reach.map { case (u, s) =>
+          u -> (s ++ s.flatMap(v => adj.getOrElse(v, Set.empty)) - u)
+        }
+      val counts = reach.values.map(_.size.toLong)
+      (h.toLong, reach.size.toLong, counts.sum,
+        r4(counts.sum.toDouble / reach.size.toDouble), counts.max)
+    }
+    val got = Graph.g12KHop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // reach grows (weakly) with the hop budget
+    val avgs = got.map(_._4)
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a <= b })
+  }
+
   test("g11 clustering census equals a brute neighbor-pair replay") {
     val edges = Graph.strongEdges(spark, sf)
       .select("src", "dst").collect()

@@ -379,5 +379,28 @@ class OlsSpec extends AnyFunSuite {
     assert(byIter(Poisson.poIters).map(_._4) ==
       byIter(Poisson.poIters - 1).map(_._4),
       s"IRLS did not converge: $got")
+
+    // p15: deviance/Pearson/dispersion from the same driver trace
+    val (b0, b1) = trace.last
+    var sd, sp = BigInt(0)
+    d.foreach { case (x, y) =>
+      val etaq = rnd((b0 + b1 * x.toDouble) * 1e6)
+      val muq = math.min(Poisson.muqMax, math.max(Poisson.muqMin,
+        rnd(math.exp(etaq.toDouble / 1e6) * 1e6)))
+      val mu = muq.toDouble / 1e6
+      val dev = (if (y > 0) y.toDouble * math.log(y.toDouble / mu) else 0.0) -
+        (y.toDouble - mu)
+      val pe = (y.toDouble - mu) * (y.toDouble - mu) / mu
+      sd += BigInt(math.floor(dev * 1e6 + 0.5).toLong)
+      sp += BigInt(math.floor(pe * 1e6 + 0.5).toLong)
+    }
+    val row = Poisson.p15PoissonEval(spark, sf).head()
+    assert(row.getLong(0) == d.length.toLong)
+    assert(row.getDouble(1) == r4(2.0 * sd.toDouble / 1e6))
+    assert(row.getDouble(2) == r4(sp.toDouble / 1e6))
+    assert(row.getDouble(3) ==
+      r4(sp.toDouble / 1e6 / (d.length - 2).toDouble))
+    // fit-quality values are finite and non-negative
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(3) >= 0.0)
   }
 }

@@ -691,6 +691,47 @@ class TextSpec extends AnyFunSuite {
     assert(got.last._5 == firstOcc.size.toLong)
   }
 
+  test("t36 Gopher audit equals a brute rule replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import TextAnalysis._
+    val flags = docs.map { case (src, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      val n = toks.length.toLong
+      val sumlen = text.length.toLong - (n - 1)
+      val sym = "[^a-z0-9 ]".r.findAllIn(text.toLowerCase).length.toLong
+      val chars = text.length.toLong
+      val stop = toks.count(stopwords.contains).toLong
+      val maxtf = toks.groupBy(identity).values.map(_.length).max.toLong
+      (src,
+        n >= gopherWcMin && n <= gopherWcMax,
+        sumlen >= gopherWlMin * n && sumlen <= gopherWlMax * n,
+        sym * 100 <= gopherSymPct * chars,
+        stop >= 1,
+        maxtf * 100 <= gopherMaxTfPct * n)
+    }
+    val expected = flags.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, fs) =>
+        val pass = fs.count(f => f._2 && f._3 && f._4 && f._5 && f._6).toLong
+        (src, fs.length.toLong,
+          fs.count(!_._2).toLong, fs.count(!_._3).toLong,
+          fs.count(!_._4).toLong, fs.count(!_._5).toLong,
+          fs.count(!_._6).toLong, pass,
+          r4(pass.toDouble / fs.length.toDouble))
+    }
+    val got = TextAnalysis.t36GopherAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the census is conservation-consistent
+    got.foreach(g => assert(g._8 <= g._2))
+  }
+
   test("t35 kappa equals a derivation from the two classifiers' predictions") {
     import spark.implicits._
     // t3 and t22 are oracle-gated; the agreement statistic must be an
