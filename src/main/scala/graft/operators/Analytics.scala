@@ -1188,7 +1188,61 @@ object Analytics {
       .orderBy($"nation", $"m")
   }
 
+  /** D200: log-log price-elasticity regression per brand — for each
+    * part brand, OLS of ln(quantity) on ln(unit price) across its
+    * line items: the slope IS the own-price elasticity (% quantity
+    * change per % price change) and r² says how much of the quantity
+    * variation price explains — the pricing team's first screen for
+    * "which brands can absorb a price increase" (|ε| < 1 = inelastic).
+    *
+    * Determinism: both logs are snapped per row to a 1e-6 integer
+    * grid (floor(ln·1e6 + 0.5) — ln of positive cents/quantities, so
+    * the +0.5 round never crosses zero), making all five regression
+    * moments exact DECIMAL(38,0)/HUGEINT sums — ORDER-FREE; the
+    * elasticity/r² closed forms are one IEEE expression each over
+    * those identical integers, 4-dp. The grid cancels out of the
+    * slope (both axes scaled by 1e6).
+    *
+    * Scale shape: one broadcast part-dim join (the q3 shape), one
+    * map-side-combined moment aggregate to ≤ |brands| rows — nothing
+    * downstream of the scan shuffles more. */
+  def q97Elasticity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        expr("""CAST(floor(ln(CAST(floor(l_extendedprice * 100.0
+            / l_quantity) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)""").as("xq"),
+        expr("CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)")
+          .as("yq"))
+    li.groupBy($"brand")
+      .agg(count(lit(1)).as("n"),
+        sum($"xq".cast("decimal(38,0)")).as("sx"),
+        sum($"yq".cast("decimal(38,0)")).as("sy"),
+        sum($"xq".cast("decimal(38,0)") * $"xq").as("sxx"),
+        sum($"yq".cast("decimal(38,0)") * $"yq").as("syy"),
+        sum($"xq".cast("decimal(38,0)") * $"yq").as("sxy"))
+      .select($"brand", $"n",
+        round(expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 4)
+          .as("elasticity"),
+        round(expr("""((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+            / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""), 4)
+          .as("r2"))
+      .orderBy($"brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_elasticity" -> q97Elasticity,
     "q87_residual_anomaly" -> q87ResidualAnomaly,
     "q85_cohort_ltv" -> q85CohortLtv,
     "q84_price_index" -> q84PriceIndex,
@@ -1220,6 +1274,34 @@ object Analytics {
     "q50_sole_returns" -> q50SoleReturns)
 
   val oracle: Map[String, String] = Map(
+    "q97_elasticity" ->
+      """WITH li AS (SELECT p.p_brand AS brand,
+              CAST(floor(ln(CAST(floor(l.l_extendedprice * 100.0
+                / l.l_quantity) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xq,
+              CAST(floor(ln(CAST(l.l_quantity AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT) AS yq
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          m AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(xq) AS HUGEINT) AS sx,
+              CAST(sum(yq) AS HUGEINT) AS sy,
+              sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+              sum(CAST(yq AS HUGEINT) * yq) AS syy,
+              sum(CAST(xq AS HUGEINT) * yq) AS sxy
+            FROM li GROUP BY brand)
+          SELECT brand, n,
+            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS elasticity,
+            round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+              / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
+          FROM m ORDER BY brand""",
     "q87_residual_anomaly" ->
       s"""WITH mon AS (SELECT c.c_nationkey AS nation,
               year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,

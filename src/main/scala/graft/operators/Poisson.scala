@@ -120,9 +120,10 @@ object Poisson {
 
   /** ppm-quantized mean under (b0, b1) over the integer feature —
     * the identical expression tree [[step]] builds, shared with p15's
-    * eval scan (model scoring ≡ training-time scoring by
-    * construction, the p13/pqCol pattern). */
-  private def muqCol(b0: Double, b1: Double,
+    * eval scan and [[graft.ml.feature.GraftPoissonModel.transform]]
+    * (model scoring ≡ training-time scoring by construction, the
+    * p13/pqCol pattern). */
+  private[graft] def muqCol(b0: Double, b1: Double,
       x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     least(lit(muqMax), greatest(lit(muqMin),
       round(exp(round((lit(b0) + lit(b1) * x.cast("double")) * lit(1e6))

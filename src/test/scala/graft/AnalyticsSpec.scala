@@ -863,4 +863,37 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(g.exists(_._2 == 0), s"cohort $c missing age 0")
     }
   }
+
+  test("q97 elasticity equals a brute grid-snapped log-log OLS replay") {
+    import spark.implicits._
+    val parts = Tables.part(spark, sf).select($"p_partkey", $"p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_extendedprice", $"l_quantity")
+      .collect().map(r => (parts(r.getLong(0)), r.getDouble(1), r.getDouble(2)))
+    def snap(v: Double): Long = math.floor(math.log(v) * 1e6 + 0.5).toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (brand, ls) =>
+        val xy = ls.map { case (_, ep, q) =>
+          (snap(math.floor(ep * 100.0 / q)), snap(q)) }
+        val n = xy.length.toLong
+        val sx = xy.map(t => BigInt(t._1)).sum
+        val sy = xy.map(t => BigInt(t._2)).sum
+        val sxx = xy.map(t => BigInt(t._1) * t._1).sum
+        val syy = xy.map(t => BigInt(t._2) * t._2).sum
+        val sxy = xy.map(t => BigInt(t._1) * t._2).sum
+        val cnum = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+        val dxx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val dyy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+        (brand, n, r4(cnum / dxx), r4(cnum * cnum / (dxx * dyy)))
+    }
+    val got = Analytics.q97Elasticity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // r-squared is a fraction
+    assert(got.forall(g => g._4 >= 0.0 && g._4 <= 1.0))
+  }
 }

@@ -331,6 +331,57 @@ class OlsSpec extends AnyFunSuite {
       est.get(est.labelCol).contains("is_en"))
   }
 
+  test("GraftPoisson estimator: transform equals p14's model; persistence round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, floor, lit}
+    import graft.ml.feature.{GraftPoisson, GraftPoissonModel}
+    val P = graft.operators.Poisson
+    val xy = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders")),
+        $"c_custkey" === $"o_custkey", "left")
+      .na.fill(0L, Seq("n_orders"))
+      .select(floor(col("c_acctbal").cast("double") / 1000.0).cast("long")
+        .as("kilo"), $"n_orders")
+    val model = new GraftPoisson()
+      .setFeaturesCol("kilo").setLabelCol("n_orders")
+      .setMaxIter(P.poIters)
+      .fit(xy)
+    // coefficients equal the p14 trace's final iteration (4-dp grid)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val betas = P.p14Poisson(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(r4(model.intercept) == betas((P.poIters, 0)) &&
+      r4(model.coefficient) == betas((P.poIters, 1)))
+    assert(model.trace.length == P.poIters + 1) // init + supersteps
+    // predicted rates ride the ppm grid within the clamp
+    val rates = model.transform(xy).select($"rate").collect()
+      .map(_.getDouble(0))
+    assert(rates.forall(r => r >= 0.001 && r <= 1000.0))
+    assert(rates.forall(r => (r * 1e6) == math.rint(r * 1e6)),
+      "not on ppm grid")
+
+    // persistence: model round-trip preserves coefficients and scoring
+    val dir = java.nio.file.Files.createTempDirectory("graft-poisson").toString
+    model.write.overwrite().save(s"$dir/model")
+    val loaded = GraftPoissonModel.load(s"$dir/model")
+    assert(loaded.intercept == model.intercept &&
+      loaded.coefficient == model.coefficient)
+    assert(loaded.trace.map(_.toSeq).toSeq == model.trace.map(_.toSeq).toSeq)
+    val re = loaded.transform(xy).select($"rate").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(re == rates.toSeq)
+
+    // estimator round-trip preserves explicitly-set params
+    new GraftPoisson().setFeaturesCol("kilo").setLabelCol("n_orders")
+      .setMaxIter(5).write.overwrite().save(s"$dir/est")
+    val est = GraftPoisson.load(s"$dir/est")
+    assert(est.get(est.maxIter).contains(5) &&
+      est.get(est.featuresCol).contains("kilo") &&
+      est.get(est.labelCol).contains("n_orders"))
+  }
+
   test("p14 Poisson IRLS trace equals a driver integer-moments replay") {
     import graft.operators.Poisson
     import org.apache.spark.sql.functions.{col, floor, count, lit}

@@ -915,6 +915,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e19 gap alerts stream equals the batch twin across OOO arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: t2,t10 .. 6.5h hole .. t400,t420 (one gap);
+    // user 2: t5 .. 13h+ hole .. t800 (one gap)
+    val b1 = Seq(Ev(2, t(10), 1, "view", 0), Ev(3, t(5), 2, "view", 0))
+    val late = Ev(1, t(2), 1, "view", 0) // OOO, still above watermark
+    val b2 = Seq(late, Ev(4, t(400), 1, "view", 0))
+    val b3 = Seq(Ev(5, t(420), 1, "view", 0), Ev(6, t(800), 2, "view", 0))
+    val all = b1 ++ b2 ++ b3
+    val mem = MemoryStream[Ev]
+    val q = streaming.GapAlerts.gapStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      mem.addData(b3: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(999, t(100000), 99, "sentinel", 0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout flush batch
+      val got = spark.table("gaps")
+        .filter($"user_id" =!= 99)
+        .orderBy($"user_id", $"gap_end_ms").collect().map(_.toString).toSeq
+      val exp = streaming.GapAlerts.gapAlerts(all.toDF())
+        .orderBy($"user_id", $"gap_end_ms").collect().map(_.toString).toSeq
+      assert(got == exp, s"stream diverged from batch twin: $got vs $exp")
+      assert(got.size == 2) // exactly the two engineered holes
+    } finally q.stop()
+  }
+
   test("e18 control chart stream equals the batch twin across OOO arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
