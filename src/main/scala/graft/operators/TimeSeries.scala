@@ -15,6 +15,10 @@ case class HoltIn(nation: String, day: Date, y: Long)
 case class HoltOut(nation: String, day: Date, cents: Long,
     level: Double, trend: Double, forecast_err: Double)
 
+/** One q98 backtest verdict per nation. */
+case class BacktestOut(nation: String, n_train: Long, n_test: Long,
+    mae_cents: Double, mape: Double)
+
 /** D113: Holt linear (double-exponential) smoothing over per-nation
   * daily revenue — the classic level+trend forecaster, run as a
   * per-series sequential fold:
@@ -152,7 +156,80 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_holt" -> q65Holt,
-    "q86_holt_winters" -> q86HoltWinters)
+    "q86_holt_winters" -> q86HoltWinters,
+    "q98_holt_backtest" -> q98HoltBacktest)
+
+  /** Held-out observations per series for [[q98HoltBacktest]]. */
+  val backtestHoldout = 7
+
+  /** D202: rolling-origin forecast backtest — per nation, fit q65's
+    * Holt level+trend on all but the last [[backtestHoldout]] observed
+    * days, forecast ŷ_{T+h} = l_T + h·b_T for the held-out tail, and
+    * report MAE and MAPE against the actuals: the evaluation that
+    * decides whether q65's smoothing is TRUSTABLE as a forecaster
+    * (the supervised-eval pattern p13/p15/t33 apply to models,
+    * applied to the time-series family — a forecast without a
+    * backtest is a guess with extra steps).
+    *
+    * Determinism: the train fold is the identical dyadic (α = β = ½)
+    * recurrence as q65 (no summation-order freedom); each holdout
+    * error is one IEEE expression snapped to the cent / 1e-6-APE grid
+    * so both rollup sums are exact integers; two 4-dp divisions per
+    * nation at the end.
+    *
+    * Scale shape: same census + flatMapSortedGroups shape as q65; the
+    * per-series buffer is the nation's daily census — bounded by
+    * CALENDAR DAYS (the q69 argument), not data size. Series shorter
+    * than the holdout emit nothing (un-backtestable, not zero). */
+  def q98HoltBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), to_date($"o_orderdate").as("day"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"nation", $"day").agg(sum($"cents").as("y"))
+      .as[HoltIn]
+    daily.groupByKey(_.nation)
+      .flatMapSortedGroups($"day") { (nation: String, it: Iterator[HoltIn]) =>
+        backtestFold(nation, it)
+      }
+      .toDF()
+      .orderBy($"nation")
+  }
+
+  private[operators] def backtestFold(nation: String,
+      it: Iterator[HoltIn]): Iterator[BacktestOut] = {
+    val xs = it.toVector
+    if (xs.length <= backtestHoldout) Iterator.empty
+    else {
+      val (train, test) = xs.splitAt(xs.length - backtestHoldout)
+      var has = false; var l = 0.0; var b = 0.0
+      train.foreach { r =>
+        val y = r.y.toDouble
+        if (!has) { l = y; b = 0.0; has = true }
+        else {
+          val l1 = 0.5 * y + 0.5 * (l + b)
+          val b1 = 0.5 * (l1 - l) + 0.5 * b
+          l = l1; b = b1
+        }
+      }
+      var se = BigInt(0); var sa = BigInt(0)
+      test.zipWithIndex.foreach { case (r, i) =>
+        val fhat = l + (i + 1).toDouble * b
+        val err = math.abs(r.y.toDouble - fhat)
+        se += BigInt(math.floor(err + 0.5).toLong)
+        sa += BigInt(math.floor(err / r.y.toDouble * 1e6 + 0.5).toLong)
+      }
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Iterator.single(BacktestOut(nation, train.length.toLong,
+        backtestHoldout.toLong,
+        r4(se.toDouble / backtestHoldout.toDouble),
+        r4(sa.toDouble / (backtestHoldout.toDouble * 1e6))))
+    }
+  }
 
   /** q86 oracle: the identical Holt–Winters recurrence as a recursive
     * CTE carrying the 7 day-of-week seasonal slots. Repeated
@@ -221,5 +298,50 @@ object TimeSeries {
             FROM r JOIN d ON d.nation = r.nation AND d.rn = r.rn + 1)
           SELECT nation, day, y AS cents, round(l, 4) AS level,
             round(b, 4) AS trend, round(err, 4) AS forecast_err
-          FROM r ORDER BY nation, day""")
+          FROM r ORDER BY nation, day""",
+    "q98_holt_backtest" ->
+      s"""WITH RECURSIVE d0 AS (
+            SELECT n.n_name AS nation,
+              CAST(date_trunc('day', o.o_orderdate) AS DATE) AS day,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS y,
+              row_number() OVER (PARTITION BY n.n_name
+                ORDER BY CAST(date_trunc('day', o.o_orderdate) AS DATE)) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+          mx AS (SELECT nation,
+              CAST(count(*) AS BIGINT) - $backtestHoldout AS tn
+            FROM d0 GROUP BY nation
+            HAVING count(*) > $backtestHoldout),
+          d AS (SELECT d0.* FROM d0 JOIN mx USING (nation)
+            WHERE d0.rn <= mx.tn),
+          r AS (
+            SELECT nation, rn, CAST(y AS DOUBLE) AS l,
+              CAST(0.0 AS DOUBLE) AS b
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.nation, d.rn,
+              0.5 * d.y + 0.5 * (r.l + r.b),
+              0.5 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+            FROM r JOIN d ON d.nation = r.nation AND d.rn = r.rn + 1),
+          fc AS (SELECT r.nation, r.l, r.b
+            FROM r JOIN mx ON r.nation = mx.nation AND r.rn = mx.tn),
+          ho AS (SELECT d0.nation, d0.rn - mx.tn AS h, d0.y
+            FROM d0 JOIN mx USING (nation) WHERE d0.rn > mx.tn),
+          er AS (SELECT ho.nation,
+              abs(CAST(ho.y AS DOUBLE)
+                - (fc.l + CAST(ho.h AS DOUBLE) * fc.b)) AS err,
+              CAST(ho.y AS DOUBLE) AS yd
+            FROM ho JOIN fc USING (nation)),
+          ag AS (SELECT nation,
+              sum(CAST(floor(err + 0.5) AS HUGEINT)) AS se,
+              sum(CAST(floor(err / yd * 1e6 + 0.5) AS HUGEINT)) AS sa
+            FROM er GROUP BY nation)
+          SELECT ag.nation, mx.tn AS n_train,
+            CAST($backtestHoldout AS BIGINT) AS n_test,
+            round(CAST(se AS DOUBLE) / $backtestHoldout.0, 4) AS mae_cents,
+            round(CAST(sa AS DOUBLE) / ($backtestHoldout.0 * 1e6), 4)
+              AS mape
+          FROM ag JOIN mx USING (nation) ORDER BY ag.nation""")
 }

@@ -48,6 +48,16 @@ object Sinks {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC round-trip — the second columnar interchange format a lake
+    * speaks (Hive-era estates are ORC-first); same pushdown/pruning
+    * properties as parquet, so a reader migrating ORC data onto this
+    * engine keeps its scan behavior. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Streaming parquet sink: append mode + checkpoint, the
     * exactly-once landing pattern for event ingestion. Caller owns
     * `query.processAllAvailable()`/`stop()`. */

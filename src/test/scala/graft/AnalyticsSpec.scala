@@ -864,6 +864,52 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q98 Holt backtest equals a brute train/holdout replay") {
+    import graft.operators.TimeSeries
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("nation", "day").agg(sum("cents").as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val hold = TimeSeries.backtestHoldout
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (nation, xs0) =>
+        val xs = xs0.sortBy(_._2.toLocalDate.toEpochDay).map(_._3)
+        if (xs.length <= hold) None
+        else {
+          val (train, test) = xs.splitAt(xs.length - hold)
+          var has = false; var l = 0.0; var b = 0.0
+          train.foreach { y =>
+            val yd = y.toDouble
+            if (!has) { l = yd; b = 0.0; has = true }
+            else {
+              val l1 = 0.5 * yd + 0.5 * (l + b)
+              b = 0.5 * (l1 - l) + 0.5 * b; l = l1
+            }
+          }
+          var se = BigInt(0); var sa = BigInt(0)
+          test.zipWithIndex.foreach { case (y, i) =>
+            val err = math.abs(y.toDouble - (l + (i + 1).toDouble * b))
+            se += BigInt(math.floor(err + 0.5).toLong)
+            sa += BigInt(math.floor(err / y.toDouble * 1e6 + 0.5).toLong)
+          }
+          Some((nation, train.length.toLong, hold.toLong,
+            r4(se.toDouble / hold.toDouble),
+            r4(sa.toDouble / (hold.toDouble * 1e6))))
+        }
+    }
+    val got = TimeSeries.q98HoltBacktest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // error metrics are non-negative
+    assert(got.forall(g => g._4 >= 0.0 && g._5 >= 0.0))
+  }
+
   test("q97 elasticity equals a brute grid-snapped log-log OLS replay") {
     import spark.implicits._
     val parts = Tables.part(spark, sf).select($"p_partkey", $"p_brand")

@@ -99,6 +99,25 @@ class SinksSpec extends AnyFunSuite {
     assert(jsonBack.toSeq == csvBack.toSeq)
   }
 
+  test("ORC round-trip preserves the frame and pushes filters to the scan") {
+    import spark.implicits._
+    val src = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val dir = tmp("graft_orc")
+    Sinks.writeOrc(src, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.count() == src.count())
+    val a = src.orderBy($"o_orderkey").collect().map(_.toString).toSeq
+    val b = back.orderBy($"o_orderkey").collect().map(_.toString).toSeq
+    assert(a == b)
+    // the comparison filter reaches the ORC scan (same pushdown
+    // property the parquet paths are guarded for)
+    val plan = back.filter($"o_custkey" < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_custkey"),
+      s"no pushdown in:\n${plan.take(1500)}")
+  }
+
   test("streaming parquet sink lands appended batches exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
