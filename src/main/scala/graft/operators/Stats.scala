@@ -1082,6 +1082,63 @@ object Stats {
       .orderBy($"nation")
   }
 
+  // ---------------------------------------------------------------- q99
+
+  /** D204: Kruskal–Wallis rank test — does line-item price
+    * stochastically differ across return flags? The k-group
+    * generalization of q92's Mann–Whitney (and the nonparametric
+    * companion to q83's ANOVA / q95's Brown–Forsythe):
+    *
+    *   H = [12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1)] / (1 − Σ(t³−t)/(n³−n))
+    *
+    * Exactness: pooled average ranks ride the q92 doubled-rank census
+    * (2·avgrank integers over the DISTINCT-VALUE frame); each group's
+    * doubled rank sum R2_g and the tie term are exact DECIMAL(38,0);
+    * Σ R_g²/n_g is a ≤ |flags|-row rational fold on the q83 ordered
+    * frame (sequential, identical on both engines); one H expression,
+    * 4-dp.
+    *
+    * Scale shape: ONE map-side (flag, value) census pass; the rank
+    * window runs over the DISTINCT-VALUE frame (q38 two-phase
+    * precedent); everything after is ≤ |flags| rows. */
+  def q99KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"),
+        floor($"l_extendedprice" * 100).cast("long").as("v"))
+      .groupBy($"flag", $"v").agg(count(lit(1)).as("cnt"))
+    // pooled doubled ranks need the cross-flag value census
+    val pooled = census.groupBy($"v").agg(sum($"cnt").as("nv"))
+      .withColumn("cb", coalesce(sum($"nv").over(
+        Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val g = census.join(pooled, "v")
+      .groupBy($"flag")
+      .agg(sum($"cnt").cast("decimal(38,0)").as("ng"),
+        sum(($"cnt".cast("decimal(38,0)") *
+          (lit(2L) * $"cb" + $"nv" + 1L))).as("r2g"))
+    val ties = pooled.agg(
+      sum($"nv").as("n"),
+      sum(($"nv".cast("decimal(38,0)") * $"nv" * $"nv" - $"nv")).as("tsum"))
+    val wCum = Window.orderBy($"flag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    g.withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("rr_run", sum(expr(
+        """CAST(r2g AS DOUBLE) / 2.0 * (CAST(r2g AS DOUBLE) / 2.0)
+           / CAST(ng AS DOUBLE)""")).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy($"flag".desc)))
+      .filter($"rn" === 1)
+      .crossJoin(broadcast(ties))
+      .select($"k".cast("long").as("k_groups"), $"n",
+        round(expr(
+          """(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * rr_run
+             - 3.0 * CAST(n + 1 AS DOUBLE))
+             / (1.0 - CAST(tsum AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE)))"""), 4).as("h_stat"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1090,6 +1147,7 @@ object Stats {
     "q94_mcnemar" -> q94Mcnemar,
     "q95_levene" -> q95Levene,
     "q96_durbin_watson" -> q96DurbinWatson,
+    "q99_kruskal_wallis" -> q99KruskalWallis,
     "q67_welch_ttest" -> q67WelchTtest,
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
@@ -1106,6 +1164,38 @@ object Stats {
     "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
+    "q99_kruskal_wallis" ->
+      """WITH census AS (SELECT l_returnflag AS flag,
+              CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1, 2),
+          pooled AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS nv,
+              COALESCE(CAST(sum(sum(cnt)) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS cb
+            FROM census GROUP BY v),
+          g AS (SELECT c.flag, CAST(sum(c.cnt) AS HUGEINT) AS ng,
+              sum(CAST(c.cnt AS HUGEINT) * (2 * p.cb + p.nv + 1)) AS r2g
+            FROM census c JOIN pooled p USING (v) GROUP BY c.flag),
+          ties AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+              sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS tsum
+            FROM pooled),
+          f AS (SELECT flag,
+              CAST(count(*) OVER () AS BIGINT) AS k,
+              sum(CAST(r2g AS DOUBLE) / 2.0 * (CAST(r2g AS DOUBLE) / 2.0)
+                / CAST(ng AS DOUBLE)) OVER (ORDER BY flag
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS rr_run,
+              row_number() OVER (ORDER BY flag DESC) AS rn
+            FROM g)
+          SELECT f.k AS k_groups, t.n,
+            round((12.0 / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+                * f.rr_run - 3.0 * CAST(t.n + 1 AS DOUBLE))
+              / (1.0 - CAST(t.tsum AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE))), 4)
+              AS h_stat
+          FROM f CROSS JOIN ties t WHERE f.rn = 1""",
     "q96_durbin_watson" ->
       """WITH monthly AS (SELECT c.c_nationkey AS nation,
               year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,

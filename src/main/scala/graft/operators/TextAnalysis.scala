@@ -549,6 +549,67 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** D205: Jensen–Shannon divergence, each source vs the REST of the
+    * corpus — the symmetric, bounded (≤ ln 2) cousin of t26's KL: the
+    * "how different is this source's vocabulary usage, really" number
+    * a mixture designer can compare ACROSS sources because the scale
+    * is fixed (KL is unbounded and asymmetric, so its per-source
+    * values don't rank cleanly).
+    *
+    * Terms absent from the source contribute exactly ½·ln2·q_t
+    * (p = 0 ⇒ m = q/2); their total mass is 1 − Σ_present q_t, so
+    * the absent side folds into ONE correction term — no
+    * per-absent-term rows anywhere.
+    *
+    * Determinism: each present-term contribution and each q_t is one
+    * IEEE expression over exact counts, snapped to a 1e-9 grid →
+    * both rollup sums are ORDER-FREE exact integers; JS is one final
+    * expression with the shortest-round-trip ln 2 literal
+    * interpolated into both engines, 4-dp.
+    *
+    * Scale shape: the (term, source) census is vocabulary-sized and
+    * both its joins are term-keyed SHUFFLE joins (the t6 rule); the
+    * source-totals frame (≤ |sources| rows) and the one-row corpus
+    * total broadcast. Output is |sources| rows. */
+  def t37JsSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ln2 = math.log(2.0)
+    val ts = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"source").agg(count(lit(1)).as("c"))
+    val st = ts.groupBy($"source").agg(sum($"c").as("tot_s"))
+    val ct = ts.groupBy($"term").agg(sum($"c").as("tot_t"))
+    val nn = st.agg(sum($"tot_s").as("nn"))
+    ts.join(ct, "term")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(nn))
+      .select($"source",
+        expr(s"""CAST(floor((
+            0.5 * (CAST(c AS DOUBLE) / CAST(tot_s AS DOUBLE))
+              * ln((CAST(c AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                / ((CAST(c AS DOUBLE) / CAST(tot_s AS DOUBLE)
+                    + CAST(tot_t - c AS DOUBLE) / CAST(nn - tot_s AS DOUBLE))
+                   / 2.0))
+            + CASE WHEN tot_t - c > 0 THEN
+                0.5 * (CAST(tot_t - c AS DOUBLE) / CAST(nn - tot_s AS DOUBLE))
+                * ln((CAST(tot_t - c AS DOUBLE) / CAST(nn - tot_s AS DOUBLE))
+                  / ((CAST(c AS DOUBLE) / CAST(tot_s AS DOUBLE)
+                      + CAST(tot_t - c AS DOUBLE) / CAST(nn - tot_s AS DOUBLE))
+                     / 2.0))
+              ELSE 0.0 END) * 1e9 + 0.5) AS BIGINT)""").as("contrib9"),
+        expr("""CAST(floor((CAST(tot_t - c AS DOUBLE)
+            / CAST(nn - tot_s AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)""")
+          .as("q9"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"contrib9".cast("decimal(38,0)")).as("sc"),
+        sum($"q9".cast("decimal(38,0)")).as("sq"))
+      .select($"source", $"n_terms",
+        round(expr(s"""CAST(sc AS DOUBLE) / 1e9
+            + 0.5 * $ln2 * (1.0 - CAST(sq AS DOUBLE) / 1e9)"""), 4).as("js"))
+      .orderBy($"source")
+  }
+
   /** D184: Heaps'-law vocabulary growth curve — distinct-vocabulary
     * size and cumulative token supply at ten ingestion-order
     * checkpoints (doc_id deciles of the id RANGE): the sub-linear
@@ -1378,6 +1439,7 @@ object TextAnalysis {
     "t34_heaps_law" -> t34HeapsLaw,
     "t35_kappa" -> t35Kappa,
     "t36_gopher_audit" -> t36GopherAudit,
+    "t37_js_sources" -> t37JsSources,
     "t16_zipf" -> t16Zipf,
     "t15_doc_keywords" -> t15DocKeywords,
     "t14_vocab_encode" -> t14VocabEncode,
@@ -1725,6 +1787,41 @@ object TextAnalysis {
                   / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))), 4)
               AS kappa
           FROM c CROSS JOIN pe""",
+    "t37_js_sources" ->
+      s"""WITH ts AS (SELECT term, source, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT source, unnest($toksSql) AS term FROM documents)
+            GROUP BY 1, 2),
+          st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot_s
+            FROM ts GROUP BY source),
+          ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS tot_t
+            FROM ts GROUP BY term),
+          nn AS (SELECT CAST(sum(tot_s) AS BIGINT) AS nn FROM st),
+          j AS (SELECT ts.source,
+              CAST(floor((
+                0.5 * (CAST(c AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                  * ln((CAST(c AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                    / ((CAST(c AS DOUBLE) / CAST(tot_s AS DOUBLE)
+                        + CAST(tot_t - c AS DOUBLE)
+                          / CAST(nn - tot_s AS DOUBLE)) / 2.0))
+                + CASE WHEN tot_t - c > 0 THEN
+                    0.5 * (CAST(tot_t - c AS DOUBLE)
+                      / CAST(nn - tot_s AS DOUBLE))
+                    * ln((CAST(tot_t - c AS DOUBLE)
+                        / CAST(nn - tot_s AS DOUBLE))
+                      / ((CAST(c AS DOUBLE) / CAST(tot_s AS DOUBLE)
+                          + CAST(tot_t - c AS DOUBLE)
+                            / CAST(nn - tot_s AS DOUBLE)) / 2.0))
+                  ELSE 0.0 END) * 1e9 + 0.5) AS BIGINT) AS contrib9,
+              CAST(floor((CAST(tot_t - c AS DOUBLE)
+                / CAST(nn - tot_s AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS q9
+            FROM ts JOIN ct USING (term) JOIN st USING (source)
+              CROSS JOIN nn)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+            round(CAST(sum(CAST(contrib9 AS HUGEINT)) AS DOUBLE) / 1e9
+              + 0.5 * ${math.log(2.0)}
+                * (1.0 - CAST(sum(CAST(q9 AS HUGEINT)) AS DOUBLE) / 1e9), 4)
+              AS js
+          FROM j GROUP BY source ORDER BY source""",
     "t36_gopher_audit" ->
       s"""WITH tk AS (SELECT doc_id, source, text, $toksSql AS toks
             FROM documents),

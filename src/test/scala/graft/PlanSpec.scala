@@ -259,8 +259,11 @@ class PlanSpec extends AnyFunSuite {
       "s16_ivf_stats", "c12_dedup_mixture", "t33_langid_eval",
       // t35 crosses its two ONE-row scalar frames (q43 shape) and
       // inherits t22's bounded model-grid cross through nbLangPred;
-      // m12 crosses the census with its ONE-row grand-total frame
-      "t35_kappa", "m12_token_budget")
+      // m12 crosses the census with its ONE-row grand-total frame;
+      // q99 crosses the ONE-row pooled tie census; t37 crosses the
+      // ONE-row corpus-total frame
+      "t35_kappa", "m12_token_budget", "q99_kruskal_wallis",
+      "t37_js_sources")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -602,6 +602,43 @@ class StatsSpec extends AnyFunSuite {
       row.getDouble(3) <= 1.0)
   }
 
+  test("q99 Kruskal-Wallis equals a brute pooled-rank replay") {
+    import spark.implicits._
+    val vals = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", floor($"l_extendedprice" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byVal = vals.groupBy(_._2)
+    var cb = 0L
+    val r2 = scala.collection.mutable.Map.empty[String, BigInt]
+      .withDefaultValue(BigInt(0))
+    var tsum = BigInt(0)
+    for (v <- byVal.keys.toSeq.sorted) {
+      val g = byVal(v); val nv = g.length.toLong
+      g.groupBy(_._1).foreach { case (flag, fs) =>
+        r2(flag) += BigInt(fs.length) * (2 * cb + nv + 1)
+      }
+      tsum += BigInt(nv) * nv * nv - BigInt(nv)
+      cb += nv
+    }
+    val n = vals.length.toLong
+    val flags = vals.map(_._1).distinct.sorted
+    val ng = vals.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // sequential flag-ordered fold, identical to the engine's wCum
+    val rrRun = flags.foldLeft(0.0) { (acc, f) =>
+      acc + r2(f).toDouble / 2.0 * (r2(f).toDouble / 2.0) / ng(f).toDouble
+    }
+    val h = (12.0 / (n.toDouble * (n + 1).toDouble) * rrRun -
+      3.0 * (n + 1).toDouble) /
+      (1.0 - tsum.toDouble /
+        (n.toDouble * n.toDouble * n.toDouble - n.toDouble))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Stats.q99KruskalWallis(spark, sf).head()
+    assert(row.getLong(0) == flags.length.toLong && row.getLong(1) == n)
+    assert(math.abs(row.getDouble(2) - r4(h)) <= 1.01e-4)
+    assert(row.getDouble(2) >= 0.0)
+  }
+
   test("q96 Durbin-Watson equals a brute residual replay") {
     import spark.implicits._
     val monthly = Tables.orders(spark, sf)

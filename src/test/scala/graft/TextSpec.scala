@@ -732,6 +732,41 @@ class TextSpec extends AnyFunSuite {
     got.foreach(g => assert(g._8 <= g._2))
   }
 
+  test("t37 JS divergence equals a brute full-distribution replay") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1)
+        .map(t => (r.getString(0), t)))
+    val bySrc = toks.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toLong
+    // direct JS over the FULL vocabulary (no correction trick): an
+    // independent derivation, so it also validates the engine's
+    // absent-mass identity, not just its arithmetic
+    val expected = bySrc.toSeq.sortBy(_._1).map { case (src, cs) =>
+      val totS = cs.values.sum
+      val totR = n - totS
+      val js = corpus.toSeq.map { case (t, ct) =>
+        val c = cs.getOrElse(t, 0L)
+        val p = c.toDouble / totS.toDouble
+        val q = (ct - c).toDouble / totR.toDouble
+        val m = (p + q) / 2.0
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+      }.sum
+      (src, cs.size.toLong, js)
+    }
+    val got = TextAnalysis.t37JsSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(g => (g._1, g._2)) == expected.map(e => (e._1, e._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 2e-4, s"${g._1}: ${g._3} vs ${e._3}")
+    }
+    // JS is bounded by ln 2
+    assert(got.forall(g => g._3 >= -1e-9 && g._3 <= math.log(2.0) + 1e-9))
+  }
+
   test("t35 kappa equals a derivation from the two classifiers' predictions") {
     import spark.implicits._
     // t3 and t22 are oracle-gated; the agreement statistic must be an
