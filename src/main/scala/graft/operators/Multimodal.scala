@@ -493,7 +493,36 @@ object Multimodal {
       .orderBy($"modality", $"lang")
   }
 
+  /** D208: corrupt-blob audit — per modality, how many payloads fail
+    * their integrity check (STUB: md5 first hex digit = '0', a
+    * deterministic 1/16 "checksum mismatch" — real pipelines check a
+    * stored digest against a recomputed one, which is exactly the
+    * md5-compare plumbing exercised here), with the byte supply lost:
+    * the ingest-health readout a media pipeline checks before blaming
+    * the decoder for bad samples (m1's census says what arrived; THIS
+    * says what arrived BROKEN).
+    *
+    * Exactness: all counts/bytes exact integers; one 4-dp fraction.
+    * Scale shape: ONE narrow-expression scan, map-side-combined to
+    * ≤ |modalities| rows; payloads never shuffle. */
+  def m13CorruptAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select($"modality",
+        (substring(md5($"payload"), 1, 1) === "0").cast("long").as("bad"),
+        octet_length($"payload").cast("long").as("nb"))
+      .groupBy($"modality")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum($"bad").as("n_corrupt"),
+        sum($"bad" * $"nb").as("bytes_lost"),
+        sum($"nb").as("bytes_total"))
+      .withColumn("corrupt_frac",
+        round($"n_corrupt".cast("double") / $"n_blobs".cast("double"), 4))
+      .orderBy($"modality")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_corrupt_audit" -> m13CorruptAudit,
     "m12_token_budget" -> m12TokenBudget,
     "m11_frame_dedup" -> m11FrameDedup,
     "m10_keyframes" -> m10Keyframes,
@@ -508,6 +537,21 @@ object Multimodal {
     "m7_audio_vad" -> m7AudioVad)
 
   val oracle: Map[String, String] = Map(
+    "m13_corrupt_audit" ->
+      """WITH b AS (SELECT
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+              CASE WHEN substr(md5(text), 1, 1) = '0' THEN 1 ELSE 0 END
+                AS bad,
+              CAST(strlen(text) AS BIGINT) AS nb
+            FROM documents)
+          SELECT modality, CAST(count(*) AS BIGINT) AS n_blobs,
+            CAST(sum(bad) AS BIGINT) AS n_corrupt,
+            CAST(sum(bad * nb) AS BIGINT) AS bytes_lost,
+            CAST(sum(nb) AS BIGINT) AS bytes_total,
+            round(CAST(sum(bad) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+              AS corrupt_frac
+          FROM b GROUP BY modality ORDER BY modality""",
     "m12_token_budget" ->
       s"""WITH b AS (SELECT
               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -616,7 +616,62 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** c15 training-token budget (fixture-scale constant; production =
+    * the run's total token budget) and the repeat-epoch ceiling above
+    * which a source is flagged oversubscribed (the "4 epochs of the
+    * same data starts to hurt" rule of thumb). */
+  val mixPlanBudget = 500000L
+  val mixPlanMaxEpochs = 4.0
+
+  /** D206: mixture PLANNING table — c10's √-temperature shares
+    * applied to a fixed training budget, accounted against c12's
+    * DEDUP-EFFECTIVE supply: per source, the allocated tokens, the
+    * implied repeat epochs (allocation / effective supply), and an
+    * oversubscription flag when the plan would cycle a source more
+    * than [[mixPlanMaxEpochs]] times. This is the artifact a mixture
+    * designer actually signs off on — c10 says what the shares should
+    * be, c12 says what each source can really supply, THIS says
+    * whether the plan is feasible.
+    *
+    * Exactness: raw/effective token counts are exact integers (the
+    * c12 canonical attribution); the √-share fold rides the c10
+    * ordered frame (pinned double order); allocation is one floor of
+    * an identical double; epochs one 4-dp division.
+    *
+    * Scale shape: the c12 hash census + ONE source-census pass with
+    * window arithmetic on ≤ |sources| rows. */
+  def c15MixPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"),
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("ch"))
+    val census = hashed.groupBy($"ch").agg(min($"doc_id").as("keep_id"))
+    val per = hashed.join(census, "ch")
+      .withColumn("canon", ($"doc_id" === $"keep_id").cast("long"))
+      .groupBy($"source")
+      .agg(sum($"n_tokens").as("raw_tokens"),
+        sum($"canon" * $"n_tokens").as("eff_tokens"))
+    val wCum = Window.orderBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    per
+      .withColumn("run_sqrt", sum(sqrt($"raw_tokens".cast("double"))).over(wCum))
+      .withColumn("tot_sqrt", max($"run_sqrt").over(wAll))
+      .withColumn("share", expr("sqrt(CAST(raw_tokens AS DOUBLE)) / tot_sqrt"))
+      .withColumn("alloc_tokens",
+        floor($"share" * lit(mixPlanBudget.toDouble)).cast("long"))
+      .select($"source", $"raw_tokens", $"eff_tokens",
+        round($"share", 4).as("temp_share"), $"alloc_tokens",
+        round(expr("CAST(alloc_tokens AS DOUBLE) / CAST(eff_tokens AS DOUBLE)"), 4)
+          .as("epochs"),
+        (expr("CAST(alloc_tokens AS DOUBLE) / CAST(eff_tokens AS DOUBLE)")
+          > mixPlanMaxEpochs).cast("int").as("over_cap"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_mix_plan" -> c15MixPlan,
     "c13_ppl_filter" -> c13PplFilter,
     "c12_dedup_mixture" -> c12DedupMixture,
     "c11_stage_funnel" -> c11StageFunnel,
@@ -649,6 +704,39 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c15_mix_plan" ->
+      s"""WITH h AS (SELECT doc_id, source,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                AS n_tokens,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS ch
+            FROM documents),
+          c AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY 1),
+          per AS (SELECT h.source,
+              CAST(sum(h.n_tokens) AS BIGINT) AS raw_tokens,
+              CAST(sum(CASE WHEN h.doc_id = c.keep_id THEN h.n_tokens
+                ELSE 0 END) AS BIGINT) AS eff_tokens
+            FROM h JOIN c USING (ch) GROUP BY 1),
+          w AS (SELECT *,
+              sum(sqrt(CAST(raw_tokens AS DOUBLE))) OVER (ORDER BY source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS run_sqrt
+            FROM per),
+          w2 AS (SELECT *, max(run_sqrt) OVER () AS tot_sqrt FROM w),
+          p AS (SELECT source, raw_tokens, eff_tokens,
+              sqrt(CAST(raw_tokens AS DOUBLE)) / tot_sqrt AS share
+            FROM w2),
+          a AS (SELECT *,
+              CAST(floor(share * ${mixPlanBudget.toDouble}) AS BIGINT)
+                AS alloc_tokens
+            FROM p)
+          SELECT source, raw_tokens, eff_tokens,
+            round(share, 4) AS temp_share, alloc_tokens,
+            round(CAST(alloc_tokens AS DOUBLE) / CAST(eff_tokens AS DOUBLE),
+              4) AS epochs,
+            CAST(CASE WHEN CAST(alloc_tokens AS DOUBLE)
+                / CAST(eff_tokens AS DOUBLE) > $mixPlanMaxEpochs
+              THEN 1 ELSE 0 END AS INT) AS over_cap
+          FROM a ORDER BY source""",
     "c13_ppl_filter" ->
       s"""WITH ${TextAnalysis.bigramNllCtes},
           sl AS (SELECT doc_id, round(sum(nll), 4) AS sum_nll,

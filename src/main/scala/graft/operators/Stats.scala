@@ -1139,6 +1139,54 @@ object Stats {
                    - CAST(n AS DOUBLE)))"""), 4).as("h_stat"))
   }
 
+  // --------------------------------------------------------------- q100
+
+  /** D207: two-proportion z-test — HIGH-VALUE conversion (fraction
+    * of users with ≥ 1 purchase of value ≥ [[convThreshold]]) between
+    * q67's A/B arms, pooled-variance z: the binary-outcome member of
+    * the test family (q67/q92 compare VALUE distributions; most
+    * product experiments ship a conversion rate). The threshold keeps
+    * the outcome non-degenerate on a fixture where every user
+    * purchases something. Continuity-uncorrected, pooled p̂ — the
+    * standard large-n form.
+    *
+    * Exactness: per-arm user and converter counts are exact integers
+    * from one distinct-user census; p̂s and z are one IEEE expression
+    * chain, 4-dp.
+    *
+    * Scale shape: ONE user-keyed partial-aggregated census (users ≪
+    * events), then a one-row rollup. */
+  /** q100's high-value purchase floor. */
+  val convThreshold = 90.0
+
+  def q100TwoProportion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase" &&
+        $"value" >= convThreshold).cast("long")).as("conv"))
+      .select(
+        when(substring(md5($"user_id".cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A"))
+          .otherwise(lit("B")).as("arm"),
+        $"conv")
+    val m = users.agg(
+      sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === "A", $"conv").otherwise(0L)).as("x_a"),
+      sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when($"arm" === "B", $"conv").otherwise(0L)).as("x_b"))
+    val d = "CAST(%s AS DOUBLE)"
+    val pa = s"(${d.format("x_a")} / ${d.format("n_a")})"
+    val pb = s"(${d.format("x_b")} / ${d.format("n_b")})"
+    val pp = s"(${d.format("x_a + x_b")} / ${d.format("n_a + n_b")})"
+    m.select($"n_a", $"x_a", $"n_b", $"x_b",
+      expr(s"round($pa, 4)").as("p_a"),
+      expr(s"round($pb, 4)").as("p_b"),
+      expr(s"""round(($pa - $pb) / sqrt($pp * (1.0 - $pp)
+          * (1.0 / ${d.format("n_a")} + 1.0 / ${d.format("n_b")})), 4)""")
+        .as("z"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1148,6 +1196,7 @@ object Stats {
     "q95_levene" -> q95Levene,
     "q96_durbin_watson" -> q96DurbinWatson,
     "q99_kruskal_wallis" -> q99KruskalWallis,
+    "q100_two_proportion" -> q100TwoProportion,
     "q67_welch_ttest" -> q67WelchTtest,
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
@@ -1164,6 +1213,36 @@ object Stats {
     "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
+    "q100_two_proportion" ->
+      """WITH u AS (SELECT user_id,
+              CAST(max(CASE WHEN event_type = 'purchase' AND value >= 90.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS conv
+            FROM events GROUP BY user_id),
+          a AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+                AS arm, conv
+            FROM u),
+          m AS (SELECT
+              CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+              CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+                AS x_a,
+              CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b,
+              CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+                AS x_b
+            FROM a)
+          SELECT n_a, x_a, n_b, x_b,
+            round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 4) AS p_a,
+            round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4) AS p_b,
+            round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
+              4) AS z
+          FROM m""",
     "q99_kruskal_wallis" ->
       """WITH census AS (SELECT l_returnflag AS flag,
               CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,

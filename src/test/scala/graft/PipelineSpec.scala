@@ -590,6 +590,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._7).sum - 1.0) < 0.01)
   }
 
+  test("c15 mixture plan equals a driver replay and is budget-consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"),
+        org.apache.spark.sql.functions.size(
+          graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val keep = docs.groupBy(d => norm(d._3))
+      .map { case (k, ds) => k -> ds.map(_._1).min }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val per = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      (src, ds.map(_._4).sum,
+        ds.filter(d => keep(norm(d._3)) == d._1).map(_._4).sum)
+    }
+    // sequential source-ordered sqrt fold, identical to the engine
+    val totSqrt = per.foldLeft(0.0) { case (a, (_, raw, _)) =>
+      a + math.sqrt(raw.toDouble) }
+    val expected = per.map { case (src, raw, eff) =>
+      val share = math.sqrt(raw.toDouble) / totSqrt
+      val alloc = math.floor(share * Pipeline.mixPlanBudget.toDouble).toLong
+      val ep = alloc.toDouble / eff.toDouble
+      (src, raw, eff, r4(share), alloc, r4(ep),
+        if (ep > Pipeline.mixPlanMaxEpochs) 1 else 0)
+    }
+    val got = Pipeline.c15MixPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // allocations respect the budget (floor can only undershoot)
+    assert(got.map(_._5).sum <= Pipeline.mixPlanBudget)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 0.01)
+  }
+
+  test("m13 corrupt audit equals a driver stub replay") {
+    import graft.operators.Multimodal
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def modality(id: Long) = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val expected = docs.groupBy(d => modality(d._1)).toSeq.sortBy(_._1)
+      .map { case (m, ds) =>
+        val bad = ds.filter(d => md5hex(d._2).startsWith("0"))
+        (m, ds.length.toLong, bad.length.toLong,
+          bad.map(_._2.getBytes("UTF-8").length.toLong).sum,
+          ds.map(_._2.getBytes("UTF-8").length.toLong).sum,
+          r4(bad.length.toDouble / ds.length.toDouble))
+      }
+    val got = Multimodal.m13CorruptAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("c9 BPE merges equal an independent list-walk replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, split, lower}

@@ -639,6 +639,38 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getDouble(2) >= 0.0)
   }
 
+  test("q100 two-proportion z equals a brute conversion replay") {
+    import spark.implicits._
+    val users = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(es =>
+        if (es.exists(e => e._2 == "purchase" && e._3 >= Stats.convThreshold))
+          1L else 0L).toMap
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val (as, bs) = users.toSeq.partition(u => arm(u._1) == "A")
+    val (na, xa) = (as.length.toLong, as.map(_._2).sum)
+    val (nb, xb) = (bs.length.toLong, bs.map(_._2).sum)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pa = xa.toDouble / na.toDouble
+    val pb = xb.toDouble / nb.toDouble
+    val pp = (xa + xb).toDouble / (na + nb).toDouble
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) *
+      (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    val row = Stats.q100TwoProportion(spark, sf).head()
+    assert(row.getLong(0) == na && row.getLong(1) == xa &&
+      row.getLong(2) == nb && row.getLong(3) == xb)
+    assert(row.getDouble(4) == r4(pa) && row.getDouble(5) == r4(pb))
+    assert(math.abs(row.getDouble(6) - r4(z)) <= 1.01e-4)
+    // the outcome is genuinely mixed (the threshold's whole point)
+    assert(xa + xb > 0 && xa + xb < na + nb)
+  }
+
   test("q96 Durbin-Watson equals a brute residual replay") {
     import spark.implicits._
     val monthly = Tables.orders(spark, sf)
