@@ -677,7 +677,66 @@ object Graph {
       .orderBy($"hop")
   }
 
+  /** HITS fixed-point scale (1e4 — small enough that score·SCALE
+    * stays in BIGINT at any realistic degree) and superstep count. */
+  val hitsScale = 10000L
+  val hitsIters = 3
+
+  /** D209: HITS hubs & authorities over the customer→part purchase
+    * bipartite graph — authority(part) = Σ hub(customer) over its
+    * buyers, hub(customer) = Σ authority(part) over their basket,
+    * max-normalized each half-step: the "which parts do the BIG
+    * buyers buy" ranking that pagerank's undirected co-purchase view
+    * cannot express (g1 ranks centrality among parts; HITS couples
+    * the two sides of the market). Kleinberg 1999, the g1 integer
+    * fixed-point discipline.
+    *
+    * Determinism: scores are integers at [[hitsScale]] resolution;
+    * each half-step is sum → max-normalize (s·SCALE div max) — all
+    * exact integer arithmetic, no doubles anywhere; ranking ties
+    * break on part id.
+    *
+    * Scale shape: the (customer, part) edge list is distinct pairs
+    * (bounded by purchase history, not its square); each half-step is
+    * ONE co-partitioned equi-join + partial-aggregated sum + a
+    * single-scalar max (broadcast back); `localCheckpoint` truncates
+    * per-round lineage (the g1/d8 discipline). Top-20 is
+    * TakeOrdered. */
+  def g13Hits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p"))
+      .distinct()
+    // the g1 cached-layout trick, once per join key: each half-step's
+    // sort-merge join reuses the cached exchange+sort of the (large)
+    // edge side — only the score frames move per round
+    val ec = e.repartition($"c").sortWithinPartitions($"c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ep = e.repartition($"p").sortWithinPartitions($"p")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var hubs = ec.select($"c").distinct().withColumn("h", lit(hitsScale))
+    var auth: DataFrame = null
+    for (_ <- 1 to hitsIters) {
+      val araw = ec.join(hubs, "c").groupBy($"p").agg(sum($"h").as("a"))
+      val am = araw.agg(max($"a")).head().getLong(0)
+      auth = araw.select($"p", expr(s"(a * $hitsScale) div $am").as("a"))
+        .localCheckpoint()
+      val hraw = ep.join(auth, "p").groupBy($"c").agg(sum($"a").as("h"))
+      val hm = hraw.agg(max($"h")).head().getLong(0)
+      hubs = hraw.select($"c", expr(s"(h * $hitsScale) div $hm").as("h"))
+        .localCheckpoint()
+    }
+    val out = auth
+      .orderBy($"a".desc, $"p")
+      .limit(20)
+      .select($"p".as("part_key"), $"a".as("authority"))
+    ec.unpersist(); ep.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g13_hits" -> g13Hits,
     "g12_khop" -> g12KHop,
     "g11_clustering" -> g11Clustering,
     "g10_rich_club" -> g10RichClub,
@@ -908,6 +967,27 @@ object Graph {
           ${(1 to coreIters).map(coreStepSql).mkString(",\n          ")}
           SELECT src AS part_key, CAST(count(*) AS BIGINT) AS core_deg
           FROM e$coreIters GROUP BY src ORDER BY part_key""",
+    "g13_hits" -> {
+      val rounds = (1 to hitsIters).map { i =>
+        s"""a${i}r AS MATERIALIZED (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
+              FROM e JOIN h${i - 1} h USING (c) GROUP BY e.p),
+            a$i AS MATERIALIZED (SELECT p,
+                (a * $hitsScale) // (SELECT max(a) FROM a${i}r) AS a
+              FROM a${i}r),
+            h${i}r AS MATERIALIZED (SELECT e.c, CAST(sum(a.a) AS BIGINT) AS h
+              FROM e JOIN a$i a USING (p) GROUP BY e.c),
+            h$i AS MATERIALIZED (SELECT c,
+                (h * $hitsScale) // (SELECT max(h) FROM h${i}r) AS h
+              FROM h${i}r)"""
+      }.mkString(",\n          ")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+              l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          h0 AS (SELECT DISTINCT c, CAST($hitsScale AS BIGINT) AS h FROM e),
+          $rounds
+          SELECT p AS part_key, CAST(a AS BIGINT) AS authority
+          FROM a$hitsIters ORDER BY a DESC, p LIMIT 20"""
+    },
     "g12_khop" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

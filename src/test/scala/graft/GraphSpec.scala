@@ -346,6 +346,35 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getDouble(4) > -0.5001 && r.getDouble(4) < 1.0001)
   }
 
+  test("g13 HITS equals a brute integer fixed-point replay") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byC = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byP = pairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val S = Graph.hitsScale
+    var hubs = byC.keys.map(_ -> S).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to Graph.hitsIters) {
+      val araw = byP.map { case (p, cs) => p -> cs.map(hubs).sum }
+      val am = araw.values.max
+      auth = araw.map { case (p, a) => p -> a * S / am }
+      val hraw = byC.map { case (c, ps) => c -> ps.map(auth).sum }
+      val hm = hraw.values.max
+      hubs = hraw.map { case (c, h) => c -> h * S / hm }
+    }
+    val expected = auth.toSeq.sortBy { case (p, a) => (-a, p) }.take(20)
+    val got = Graph.g13Hits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // normalization holds: the top authority is exactly SCALE
+    assert(got.head._2 == S)
+  }
+
   test("g12 k-hop reachability equals a brute BFS replay") {
     val edges = Graph.strongEdges(spark, sf)
       .select("src", "dst").collect()
