@@ -1241,7 +1241,57 @@ object Analytics {
       .orderBy($"brand")
   }
 
+  /** D210: seasonal/trend STRENGTH summary — per nation, Hyndman's
+    * F_t = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_s = max(0, 1 − Var(R)/Var(S+R)) over q80's classical
+    * decomposition: the one-row-per-series answer to "is this market
+    * actually seasonal, and how strong is its trend" that q80's
+    * month-by-month table makes the reader compute by eye. Both lie
+    * in [0, 1]; a mixture of markets ranks directly.
+    *
+    * Determinism: q80's 4-dp components are identical doubles on both
+    * engines; each is snapped to its exact 1e-4 integer
+    * (round(v·1e4)), so every variance moment is an exact
+    * DECIMAL(38,0)/HUGEINT sum — ORDER-FREE; strengths are one IEEE
+    * expression each, clamped at 0, 4-dp.
+    *
+    * Scale shape: q80's windowed decomposition (bounded by
+    * nation × months) + ONE census-sized moment rollup. */
+  def q101SeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q80SeasonalDecompose(spark, dir)
+      .select($"nation",
+        round($"trend" * 1e4).cast("long").as("tq"),
+        round($"seasonal" * 1e4).cast("long").as("sq"),
+        round($"residual" * 1e4).cast("long").as("rq"))
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n"),
+        sum($"rq".cast("decimal(38,0)")).as("s_r"),
+        sum($"rq".cast("decimal(38,0)") * $"rq").as("q_r"),
+        sum(($"sq" + $"rq").cast("decimal(38,0)")).as("s_sr"),
+        sum(($"sq" + $"rq").cast("decimal(38,0)") * ($"sq" + $"rq"))
+          .as("q_sr"),
+        sum(($"tq" + $"rq").cast("decimal(38,0)")).as("s_tr"),
+        sum(($"tq" + $"rq").cast("decimal(38,0)") * ($"tq" + $"rq"))
+          .as("q_tr"))
+      .select($"nation", $"n".as("n_months"),
+        round(expr("""greatest(0.0, 1.0 -
+            (CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)
+              - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(q_tr AS DOUBLE)
+              - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE)))"""), 4)
+          .as("trend_strength"),
+        round(expr("""greatest(0.0, 1.0 -
+            (CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)
+              - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(q_sr AS DOUBLE)
+              - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE)))"""), 4)
+          .as("seasonal_strength"))
+      .orderBy($"nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_seasonal_strength" -> q101SeasonalStrength,
     "q97_elasticity" -> q97Elasticity,
     "q87_residual_anomaly" -> q87ResidualAnomaly,
     "q85_cohort_ltv" -> q85CohortLtv,
@@ -1272,6 +1322,41 @@ object Analytics {
     "q48_transitions" -> q48Transitions,
     "q49_trailing_dau" -> q49TrailingDau,
     "q50_sole_returns" -> q50SoleReturns)
+
+  /** DuckDB replay of [[q80SeasonalDecompose]] — extracted so q101's
+    * strength oracle can wrap it as a CTE. */
+  private lazy val q80OracleSql: String =
+    """WITH mon AS (SELECT c.c_nationkey AS nation,
+              year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+          tr AS (SELECT nation, m, cents,
+              CAST(count(*) OVER w13 AS BIGINT) AS n13,
+              CAST(max(m) OVER w13 - min(m) OVER w13 AS BIGINT) AS span13,
+              CAST(sum(cents) OVER w13 + sum(cents) OVER w11 AS BIGINT)
+                AS trend24
+            FROM mon
+            WINDOW w13 AS (PARTITION BY nation ORDER BY m
+              ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+            w11 AS (PARTITION BY nation ORDER BY m
+              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+          full13 AS (SELECT *, 24 * cents - trend24 AS detr24
+            FROM tr WHERE n13 = 13 AND span13 = 12),
+          se AS (SELECT nation, m % 12 AS moy,
+              CAST(sum(detr24) AS BIGINT) AS snum,
+              CAST(count(*) AS BIGINT) AS sk
+            FROM full13 GROUP BY 1, 2)
+          SELECT f.nation, CAST(f.m AS INT) AS m, f.cents,
+            round(CAST(f.trend24 AS DOUBLE) / 24.0, 4) AS trend,
+            round(CAST(se.snum AS DOUBLE) / (24.0 * CAST(se.sk AS DOUBLE)), 4)
+              AS seasonal,
+            round(CAST(f.cents AS DOUBLE) - CAST(f.trend24 AS DOUBLE) / 24.0
+              - CAST(se.snum AS DOUBLE) / (24.0 * CAST(se.sk AS DOUBLE)), 4)
+              AS residual
+          FROM full13 f JOIN se ON f.nation = se.nation AND f.m % 12 = se.moy
+          ORDER BY f.nation, f.m"""
 
   val oracle: Map[String, String] = Map(
     "q97_elasticity" ->
@@ -1450,38 +1535,37 @@ object Analytics {
             round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
               AS top_share
           FROM sp GROUP BY 1 ORDER BY 1""",
-    "q80_seasonal_decompose" ->
-      """WITH mon AS (SELECT c.c_nationkey AS nation,
-              year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
-              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
-                AS BIGINT) AS cents
-            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-            GROUP BY 1, 2),
-          tr AS (SELECT nation, m, cents,
-              CAST(count(*) OVER w13 AS BIGINT) AS n13,
-              CAST(max(m) OVER w13 - min(m) OVER w13 AS BIGINT) AS span13,
-              CAST(sum(cents) OVER w13 + sum(cents) OVER w11 AS BIGINT)
-                AS trend24
-            FROM mon
-            WINDOW w13 AS (PARTITION BY nation ORDER BY m
-              ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
-            w11 AS (PARTITION BY nation ORDER BY m
-              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
-          full13 AS (SELECT *, 24 * cents - trend24 AS detr24
-            FROM tr WHERE n13 = 13 AND span13 = 12),
-          se AS (SELECT nation, m % 12 AS moy,
-              CAST(sum(detr24) AS BIGINT) AS snum,
-              CAST(count(*) AS BIGINT) AS sk
-            FROM full13 GROUP BY 1, 2)
-          SELECT f.nation, CAST(f.m AS INT) AS m, f.cents,
-            round(CAST(f.trend24 AS DOUBLE) / 24.0, 4) AS trend,
-            round(CAST(se.snum AS DOUBLE) / (24.0 * CAST(se.sk AS DOUBLE)), 4)
-              AS seasonal,
-            round(CAST(f.cents AS DOUBLE) - CAST(f.trend24 AS DOUBLE) / 24.0
-              - CAST(se.snum AS DOUBLE) / (24.0 * CAST(se.sk AS DOUBLE)), 4)
-              AS residual
-          FROM full13 f JOIN se ON f.nation = se.nation AND f.m % 12 = se.moy
-          ORDER BY f.nation, f.m""",
+    "q80_seasonal_decompose" -> q80OracleSql,
+    "q101_seasonal_strength" ->
+      s"""WITH q80 AS ($q80OracleSql),
+          sn AS (SELECT nation,
+              CAST(round(trend * 1e4) AS BIGINT) AS tq,
+              CAST(round(seasonal * 1e4) AS BIGINT) AS sq,
+              CAST(round(residual * 1e4) AS BIGINT) AS rq
+            FROM q80),
+          m AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(rq) AS HUGEINT) AS s_r,
+              sum(CAST(rq AS HUGEINT) * rq) AS q_r,
+              CAST(sum(sq + rq) AS HUGEINT) AS s_sr,
+              sum(CAST(sq + rq AS HUGEINT) * (sq + rq)) AS q_sr,
+              CAST(sum(tq + rq) AS HUGEINT) AS s_tr,
+              sum(CAST(tq + rq AS HUGEINT) * (tq + rq)) AS q_tr
+            FROM sn GROUP BY nation)
+          SELECT nation, n AS n_months,
+            round(greatest(0.0, 1.0 -
+              (CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)
+                - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(q_tr AS DOUBLE)
+                - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE))), 4)
+              AS trend_strength,
+            round(greatest(0.0, 1.0 -
+              (CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)
+                - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(q_sr AS DOUBLE)
+                - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE))), 4)
+              AS seasonal_strength
+          FROM m ORDER BY nation""",
+
     "q66_skew_census" ->
       """WITH kc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
             FROM lineitem GROUP BY 1),

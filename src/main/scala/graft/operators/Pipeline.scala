@@ -670,7 +670,47 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** D211: shard checksum manifest — per packed training sequence
+    * (c3's bins), the document count, token supply, and an ORDER-FREE
+    * content fingerprint (sum of each member's 60-bit content-hash
+    * value, mod 1e18): the integrity artifact shipped WITH the shards
+    * so a consumer can verify "the shard I loaded is the shard you
+    * packed" without re-reading the corpus — and re-packing after any
+    * upstream change shows up as a fingerprint diff, not a silent
+    * drift.
+    *
+    * Exactness: the fingerprint is commutative integer addition of
+    * md5-derived values (DECIMAL(38,0)/HUGEINT, one pmod) — immune to
+    * partitioning and order; counts/tokens exact.
+    *
+    * Scale shape: c3's streaming pack fold + ONE doc-keyed join to
+    * the hash projection + a per-(bucket, seq) partial-aggregated
+    * rollup. */
+  def c16ChecksumManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(($"doc_id" % packBuckets).as("bucket"), $"doc_id",
+        size(TextAnalysis.tokens($"text")).cast("long").as("toks"))
+      .as[PackDoc]
+    val packed = docs.groupByKey(_.bucket)
+      .flatMapSortedGroups($"doc_id") { (_: Long, it: Iterator[PackDoc]) =>
+        packFold(it, packBudget)
+      }
+      .toDF()
+    val hashes = Tables.documents(spark, dir)
+      .select($"doc_id",
+        conv(substring(md5(regexp_replace(trim(lower($"text")),
+          "\\s+", " ")), 1, 15), 16, 10).cast("long").as("h"))
+    packed.join(hashes, "doc_id")
+      .groupBy($"bucket", $"seq_id".as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        pmod(sum($"h".cast("decimal(38,0)")), lit(1000000000000000000L))
+          .cast("long").as("fingerprint"))
+      .orderBy($"bucket", $"shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_checksum_manifest" -> c16ChecksumManifest,
     "c15_mix_plan" -> c15MixPlan,
     "c13_ppl_filter" -> c13PplFilter,
     "c12_dedup_mixture" -> c12DedupMixture,
@@ -704,6 +744,36 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c16_checksum_manifest" ->
+      s"""WITH RECURSIVE d AS (
+            SELECT doc_id % $packBuckets AS bucket, doc_id,
+              CAST(length(string_split(lower(text), ' ')) AS BIGINT) AS toks,
+              row_number() OVER (PARTITION BY doc_id % $packBuckets
+                ORDER BY doc_id) AS rn
+            FROM documents),
+          r AS (
+            SELECT bucket, doc_id, toks, rn,
+              CAST(0 AS BIGINT) AS seq_id, toks AS fill
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.bucket, d.doc_id, d.toks, d.rn,
+              CASE WHEN r.fill + d.toks > $packBudget
+                   THEN r.seq_id + 1 ELSE r.seq_id END,
+              CASE WHEN r.fill + d.toks > $packBudget
+                   THEN d.toks ELSE r.fill + d.toks END
+            FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1),
+          h AS (SELECT doc_id,
+              CAST(CAST('0x' || substring(md5(regexp_replace(trim(
+                lower(text)), '\\s+', ' ', 'g')), 1, 15) AS UBIGINT)
+                AS HUGEINT) AS hv
+            FROM documents)
+          SELECT r.bucket, r.seq_id AS shard_id,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(r.toks) AS BIGINT) AS n_tokens,
+            CAST(sum(h.hv) % 1000000000000000000 AS BIGINT) AS fingerprint
+          FROM r JOIN h USING (doc_id)
+          GROUP BY r.bucket, r.seq_id
+          ORDER BY r.bucket, shard_id""",
     "c15_mix_plan" ->
       s"""WITH h AS (SELECT doc_id, source,
               CAST(len(string_split(lower(text), ' ')) AS BIGINT)

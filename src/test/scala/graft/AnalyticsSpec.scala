@@ -864,6 +864,40 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q101 strength summary equals a derivation from q80's components") {
+    import spark.implicits._
+    // q80 is oracle-gated; the strengths must be an exact rollup of it
+    val rows = Analytics.q80SeasonalDecompose(spark, sf)
+      .select($"nation", $"trend", $"seasonal", $"residual").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def snap(v: Double): Long =
+      BigDecimal(v * 1e4).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (nat, xs) =>
+        val n = xs.length.toLong
+        def mom(f: ((Int, Double, Double, Double)) => Long) = {
+          val vs = xs.map(f)
+          (vs.map(BigInt(_)).sum, vs.map(v => BigInt(v) * v).sum)
+        }
+        val (sr, qr) = mom(x => snap(x._4))
+        val (ssr, qsr) = mom(x => snap(x._3) + snap(x._4))
+        val (str, qtr) = mom(x => snap(x._2) + snap(x._4))
+        def strength(s: BigInt, q: BigInt) = r4(math.max(0.0,
+          1.0 - (n.toDouble * qr.toDouble - sr.toDouble * sr.toDouble) /
+            (n.toDouble * q.toDouble - s.toDouble * s.toDouble)))
+        (nat, n, strength(str, qtr), strength(ssr, qsr))
+    }
+    val got = Analytics.q101SeasonalStrength(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // strengths are fractions
+    assert(got.forall(g => g._3 >= 0.0 && g._3 <= 1.0 &&
+      g._4 >= 0.0 && g._4 <= 1.0))
+  }
+
   test("q98 Holt backtest equals a brute train/holdout replay") {
     import graft.operators.TimeSeries
     def r4(v: Double) =

@@ -653,6 +653,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("c16 checksum manifest equals a driver fingerprint replay") {
+    import spark.implicits._
+    // c3's packing is oracle-gated; the manifest must be an exact
+    // rollup of it plus the commutative content fingerprint
+    val packed = Pipeline.c3PackSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hashes = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map { r =>
+        val norm = r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+        r.getLong(0) -> java.lang.Long.parseUnsignedLong(
+          md5hex(norm).substring(0, 15), 16)
+      }.toMap
+    val expected = packed.groupBy(p => (p._2, p._3)).toSeq
+      .sortBy(_._1).map { case ((bucket, seq), ds) =>
+        val fp = (ds.map(d => BigInt(hashes(d._1))).sum %
+          BigInt(1000000000000000000L)).toLong
+        (bucket, seq, ds.length.toLong, ds.map(_._4).sum, fp)
+      }
+    val got = Pipeline.c16ChecksumManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // fingerprints discriminate: no two shards in a bucket collide
+    got.groupBy(_._1).values.foreach { shards =>
+      assert(shards.map(_._5).distinct.size == shards.size)
+    }
+  }
+
   test("c9 BPE merges equal an independent list-walk replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, split, lower}
