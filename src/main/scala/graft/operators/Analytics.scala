@@ -1290,7 +1290,59 @@ object Analytics {
       .orderBy($"nation")
   }
 
+  /** q102's late-shipment fence (days from order to ship). */
+  val slaLateDays = 90L
+
+  /** D212: fulfillment-lag census — per order priority, the exact
+    * order-to-ship lag distribution (mean, median, p90 as TRUE order
+    * statistics, late fraction beyond [[slaLateDays]]): the ops
+    * dashboard that q68's independence test motivates — IF status
+    * depends on priority, this says by how many days. Medians/p90 are
+    * exact rank-based values from the q38 two-phase distinct-value
+    * census (the doubled-median trick handles even counts without
+    * interpolation); no percentile buffering anywhere.
+    *
+    * Scale shape: ONE co-partitioned lineitem⋈orders join +
+    * map-side-combined (priority, lag) census; windows run over the
+    * census (bounded by the lag domain), never rows. */
+  def q102ShipLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority".as("priority"),
+        datediff($"l_shipdate", $"o_orderdate").cast("long").as("lag"))
+      .groupBy($"priority", $"lag").agg(count(lit(1)).as("cnt"))
+    val wSeq = Window.partitionBy($"priority").orderBy($"lag")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy($"priority")
+    census
+      .withColumn("cb", coalesce(sum($"cnt").over(wSeq), lit(0L)))
+      .withColumn("ng", sum($"cnt").over(wAll))
+      .groupBy($"priority")
+      .agg(max($"ng").as("n_items"),
+        sum($"cnt" * $"lag").as("sl"),
+        sum(when($"cb" < expr("(ng + 1) div 2") &&
+          expr("(ng + 1) div 2") <= $"cb" + $"cnt", $"lag").otherwise(0L))
+          .as("vlo"),
+        sum(when($"cb" < expr("(ng + 2) div 2") &&
+          expr("(ng + 2) div 2") <= $"cb" + $"cnt", $"lag").otherwise(0L))
+          .as("vhi"),
+        sum(when($"cb" < expr("(9 * ng + 9) div 10") &&
+          expr("(9 * ng + 9) div 10") <= $"cb" + $"cnt", $"lag")
+          .otherwise(0L)).as("v90"),
+        sum(when($"lag" > slaLateDays, $"cnt").otherwise(0L)).as("n_late"))
+      .select($"priority", $"n_items",
+        round(expr("CAST(sl AS DOUBLE) / CAST(n_items AS DOUBLE)"), 4)
+          .as("avg_lag_days"),
+        (($"vlo" + $"vhi").cast("double") / 2.0).as("med_lag_days"),
+        $"v90".as("p90_lag_days"),
+        round(expr("CAST(n_late AS DOUBLE) / CAST(n_items AS DOUBLE)"), 4)
+          .as("late_frac"))
+      .orderBy($"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_ship_lag" -> q102ShipLag,
     "q101_seasonal_strength" -> q101SeasonalStrength,
     "q97_elasticity" -> q97Elasticity,
     "q87_residual_anomaly" -> q87ResidualAnomaly,
@@ -1359,6 +1411,42 @@ object Analytics {
           ORDER BY f.nation, f.m"""
 
   val oracle: Map[String, String] = Map(
+    "q102_ship_lag" ->
+      s"""WITH census AS (SELECT o.o_orderpriority AS priority,
+              CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                AS lag,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2),
+          cum AS (SELECT priority, lag, cnt,
+              COALESCE(CAST(sum(cnt) OVER (PARTITION BY priority
+                ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) AS BIGINT), 0) AS cb,
+              CAST(sum(cnt) OVER (PARTITION BY priority) AS BIGINT) AS ng
+            FROM census),
+          g AS (SELECT priority,
+              CAST(max(ng) AS BIGINT) AS n_items,
+              CAST(sum(cnt * lag) AS BIGINT) AS sl,
+              CAST(sum(CASE WHEN cb < (ng + 1) // 2
+                AND (ng + 1) // 2 <= cb + cnt THEN lag ELSE 0 END)
+                AS BIGINT) AS vlo,
+              CAST(sum(CASE WHEN cb < (ng + 2) // 2
+                AND (ng + 2) // 2 <= cb + cnt THEN lag ELSE 0 END)
+                AS BIGINT) AS vhi,
+              CAST(sum(CASE WHEN cb < (9 * ng + 9) // 10
+                AND (9 * ng + 9) // 10 <= cb + cnt THEN lag ELSE 0 END)
+                AS BIGINT) AS v90,
+              CAST(sum(CASE WHEN lag > $slaLateDays THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_late
+            FROM cum GROUP BY priority)
+          SELECT priority, n_items,
+            round(CAST(sl AS DOUBLE) / CAST(n_items AS DOUBLE), 4)
+              AS avg_lag_days,
+            CAST(vlo + vhi AS DOUBLE) / 2.0 AS med_lag_days,
+            v90 AS p90_lag_days,
+            round(CAST(n_late AS DOUBLE) / CAST(n_items AS DOUBLE), 4)
+              AS late_frac
+          FROM g ORDER BY priority""",
     "q97_elasticity" ->
       """WITH li AS (SELECT p.p_brand AS brand,
               CAST(floor(ln(CAST(floor(l.l_extendedprice * 100.0

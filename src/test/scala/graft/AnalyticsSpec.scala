@@ -864,6 +864,33 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 ship-lag census equals a brute order-statistic replay") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate", $"o_orderdate").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (pri, ls) =>
+        val v = ls.map(_._2).sorted
+        val n = v.length
+        val med = (v((n - 1) / 2) + v(n / 2)).toDouble / 2.0
+        val p90 = v(((9 * n + 9) / 10) - 1) // 1-based rank ceil(0.9n)
+        (pri, n.toLong, r4(v.map(BigInt(_)).sum.toDouble / n.toDouble),
+          med, p90,
+          r4(v.count(_ > Analytics.slaLateDays).toDouble / n.toDouble))
+    }
+    val got = Analytics.q102ShipLag(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // order statistics are ordered: median <= p90
+    assert(got.forall(g => g._4 <= g._5.toDouble))
+  }
+
   test("q101 strength summary equals a derivation from q80's components") {
     import spark.implicits._
     // q80 is oracle-gated; the strengths must be an exact rollup of it
