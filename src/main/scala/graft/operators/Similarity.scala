@@ -842,6 +842,45 @@ object Similarity {
       .orderBy($"subspace")
   }
 
+  /** D213: ANN index leaderboard — mean recall@5 vs the exact brute
+    * ranking for ALL FOUR committed index types (LSH, IVF, PQ+ADC,
+    * IVFADC) in one table: the decision artifact for "which index do
+    * we ship" that s11 (one method), s16 (IVF balance) and s17 (PQ
+    * distortion) each answer only a facet of. Methods rank directly
+    * because every pipeline here is the committed, oracle-gated one —
+    * the leaderboard can never drift from what the engine actually
+    * retrieves.
+    *
+    * Determinism: intersections are equi-joins of oracle-gated
+    * outputs; recall is exact hit counting over 5·|queries| pairs,
+    * one 4-dp division.
+    *
+    * Scale shape: the four retrieval plans dominate (each its own
+    * audited shape); the eval joins k·|queries|-row frames against a
+    * 4-row broadcast method list — negligible at any corpus size. */
+  def s18IndexLeaderboard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val methods = Seq(
+      ("ivf", s6KnnIvf(spark, dir)), ("ivfpq", s15KnnIvfPq(spark, dir)),
+      ("lsh", s2KnnLsh(spark, dir)), ("pq", s7KnnPq(spark, dir)))
+    val anns = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), $"query_id", $"neighbor_id",
+        lit(1L).as("hit"))
+    }.reduce(_ unionAll _)
+    val tags = methods.map(_._1).toDF("method")
+    s1KnnBrute(spark, dir).select($"query_id", $"neighbor_id")
+      .crossJoin(broadcast(tags))
+      .join(anns, Seq("method", "query_id", "neighbor_id"), "left")
+      .groupBy($"method")
+      .agg(countDistinct($"query_id").as("n_queries"),
+        sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"method", $"n_queries",
+        round(expr(
+          "CAST(n_hits AS DOUBLE) / (5.0 * CAST(n_queries AS DOUBLE))"), 4)
+          .as("mean_recall_at_5"))
+      .orderBy($"method")
+  }
+
   /** D21: symmetric int8 quantization of the embedding column +
     * reconstruction-error statistics per label — the compression step a
     * training pipeline applies before shipping embeddings. Quantization
@@ -1068,7 +1107,8 @@ object Similarity {
     "s7_knn_pq" -> s7KnnPq,
     "s15_knn_ivfpq" -> s15KnnIvfPq,
     "s16_ivf_stats" -> s16IvfStats,
-    "s17_pq_distortion" -> s17PqDistortion)
+    "s17_pq_distortion" -> s17PqDistortion,
+    "s18_index_leaderboard" -> s18IndexLeaderboard)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1535,6 +1575,31 @@ object Similarity {
             round(mx, 6) AS max_err
           FROM g ORDER BY subspace"""
     },
+    "s18_index_leaderboard" ->
+      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($s1OracleSql)),
+          ann AS (
+            SELECT 'ivf' AS method, query_id, neighbor_id
+            FROM ($s6OracleSql)
+            UNION ALL SELECT 'ivfpq', query_id, neighbor_id
+            FROM ($s15OracleSql)
+            UNION ALL SELECT 'lsh', query_id, neighbor_id
+            FROM ($s2OracleSql)
+            UNION ALL SELECT 'pq', query_id, neighbor_id
+            FROM ($s7OracleSql)),
+          t AS (SELECT m.method, b.query_id,
+              CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM brute b
+            CROSS JOIN (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq'))
+              m(method)
+            LEFT JOIN ann a ON a.method = m.method
+              AND a.query_id = b.query_id
+              AND a.neighbor_id = b.neighbor_id)
+          SELECT method, CAST(count(DISTINCT query_id) AS BIGINT)
+              AS n_queries,
+            round(CAST(sum(hit) AS DOUBLE)
+              / (5.0 * CAST(count(DISTINCT query_id) AS DOUBLE)), 4)
+              AS mean_recall_at_5
+          FROM t GROUP BY method ORDER BY method""",
     "d9_embedding_neardup" -> d9OracleSql,
     "s1_knn_brute" -> s1OracleSql,
     "s11_recall_eval" ->

@@ -263,7 +263,10 @@ class PlanSpec extends AnyFunSuite {
       // q99 crosses the ONE-row pooled tie census; t37 crosses the
       // ONE-row corpus-total frame
       "t35_kappa", "m12_token_budget", "q99_kruskal_wallis",
-      "t37_js_sources")
+      "t37_js_sources",
+      // s18 composes s1/s2/s6/s7/s15 (inheriting their bounded query
+      // broadcasts) and crosses the 4-row method list
+      "s18_index_leaderboard")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

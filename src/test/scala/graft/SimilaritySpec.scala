@@ -371,6 +371,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ds == ds.sorted.reverse)
   }
 
+  test("s18 leaderboard equals a derivation from the five retrieval outputs") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.s1KnnBrute(spark, sf))
+    val nq = brute.map(_._1).size.toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val methods = Seq(
+      "ivf" -> pairs(Similarity.s6KnnIvf(spark, sf)),
+      "ivfpq" -> pairs(Similarity.s15KnnIvfPq(spark, sf)),
+      "lsh" -> pairs(Similarity.s2KnnLsh(spark, sf)),
+      "pq" -> pairs(Similarity.s7KnnPq(spark, sf)))
+    val expected = methods.map { case (m, ann) =>
+      (m, nq, r4(brute.count(ann.contains).toDouble / (5.0 * nq.toDouble)))
+    }
+    val got = Similarity.s18IndexLeaderboard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // recalls are fractions and the board covers all four indexes
+    assert(got.size == 4 && got.forall(g => g._3 >= 0.0 && g._3 <= 1.0))
+  }
+
   test("s17 PQ distortion equals a brute per-subspace replay") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, sf)
