@@ -22,9 +22,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * swap in HLL registers (constant width) when the vertex-id domain
   * itself is unbounded.
   *
-  * Both aggregators keep the buffer as a mutable object inside Spark's
-  * object-hash aggregation; the encoder serializes only at partial /
-  * final merge boundaries (the MisraGries discipline).
+  * Both aggregators run as `ScalaAggregator`s (via `functions.udaf`),
+  * which is a `TypedImperativeAggregate`: Spark plans them through
+  * ObjectHashAggregate, so the buffer lives as a mutable JVM array and
+  * the encoder serializes only at partial/final merge boundaries —
+  * the same plan discipline MisraGries gets from its kryo buffer.
   */
 object BitsetReach {
   private def longArrayEnc: Encoder[Array[Long]] =
@@ -34,8 +36,11 @@ object BitsetReach {
     * groupBy(u).agg(neighborBits(v)) builds hop-1 reach sets. */
   final class NeighborBitset(nWords: Int)
       extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(nWords > 0, s"register width must be positive, got $nWords")
     override def zero: Array[Long] = new Array[Long](nWords)
     override def reduce(b: Array[Long], key: Long): Array[Long] = {
+      require(key >= 0 && key < 64L * nWords,
+        s"key $key outside register domain [0, ${64L * nWords})")
       b((key >> 6).toInt) |= 1L << (key & 63L)
       b
     }
@@ -53,11 +58,14 @@ object BitsetReach {
     * Inputs may be null (outer-ish unions) — treated as empty. */
   final class BitsetUnion(nWords: Int)
       extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    require(nWords > 0, s"register width must be positive, got $nWords")
     override def zero: Array[Long] = new Array[Long](nWords)
     override def reduce(b: Array[Long], in: Array[Long]): Array[Long] =
       merge(b, in)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       if (b != null) {
+        require(b.length == nWords,
+          s"register width mismatch: got ${b.length} words, expected $nWords")
         var i = 0
         while (i < nWords) { a(i) |= b(i); i += 1 }
       }

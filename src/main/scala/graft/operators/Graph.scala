@@ -626,7 +626,7 @@ object Graph {
   }
 
   /** Hop depths [[g12KHop]] reports (fixed — each hop is one
-    * join+distinct superstep, so depth bounds cost). */
+    * register-fold superstep, so depth bounds cost). */
   val khopMax = 3
 
   /** D196: bounded k-hop reachability census — for h = 1..3, how many
@@ -637,37 +637,65 @@ object Graph {
     * density — a steep hop-2→3 jump says the graph has a short
     * diameter and hub shortcuts.
     *
-    * Exactness: reach sets are DISTINCT integer pair frames; mean
-    * reach is one 4-dp division of exact counts.
+    * Plan: the HyperBall fold ([[graft.functions.BitsetReach]]) with
+    * EXACT fixed-width bitset registers over the bounded part-key
+    * domain. Hop 1 ORs each vertex's neighbor one-hots into one
+    * register (`groupBy(u).agg(neighborBits(v))`); each further hop
+    * joins the register frame with the symmetric edge list and
+    * re-folds with the element-wise-OR aggregator, so the frame stays
+    * ONE ROW PER VERTEX throughout — never the (u, v) reach-pair
+    * frame + `distinct()`, which materializes every reachable pair
+    * and goes near-quadratic on a power-law graph by hop 3. Both
+    * folds are `TypedImperativeAggregate`s → partial-aggregated
+    * map-side, so superstep shuffle width is #vertices × register
+    * width, independent of path multiplicity. Counts are exact
+    * popcounts (minus the self bit the symmetric fold sets from hop 2
+    * on), so the DuckDB pair-frame oracle still hash-matches; swap
+    * the registers for HLL counters when the key domain itself is
+    * unbounded (the HyperBall original).
     *
-    * Scale shape: frontier expansion is h−1 join+distinct supersteps
-    * over the SUPPORT-PRUNED graph (the g2 argument: pruning is what
-    * keeps path fan-out tractable), each `localCheckpoint`ed — never
-    * an unbounded transitive closure, and h is fixed at 3. Per-hop
-    * stats are one map-side-combined rollup each; the 3-row result
-    * assembles driver-side (p11 pattern). */
+    * Scale shape: h−1 join+fold supersteps over the SUPPORT-PRUNED
+    * graph (the g2 argument), each `localCheckpoint`ed; h fixed at 3.
+    * Per-hop stats are one map-side-combined rollup each; the 3-row
+    * result assembles driver-side (p11 pattern). */
   def g12KHop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val und = strongEdges(spark, dir)
     val sym = und.select($"src".as("u"), $"dst".as("v"))
       .unionAll(und.select($"dst".as("u"), $"src".as("v")))
       .localCheckpoint()
-    def stats(reach: DataFrame, h: Int): (Long, Long, Long, Long) = {
-      val r = reach.groupBy($"u").agg(count(lit(1)).as("c"))
+    // register geometry: one pre-loop scalar over the checkpointed
+    // edge frame (part keys are dense and bounded by the part table)
+    val maxKey = sym.agg(max($"v")).head().getLong(0)
+    val nWords = (maxKey >> 6).toInt + 1
+    val nbrBits = udaf(new graft.functions.BitsetReach.NeighborBitset(nWords),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val orBits = udaf(new graft.functions.BitsetReach.BitsetUnion(nWords),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    // exact reach count: popcount of the register, minus the self bit
+    // (hop-1 registers never hold it — no self loops; the symmetric
+    // superstep fold sets it from hop 2 on)
+    val reachCnt =
+      expr("""aggregate(bits, CAST(0 AS BIGINT),
+              (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))""") -
+      expr("""shiftright(element_at(bits, CAST(shiftright(u, 6) AS INT) + 1),
+              CAST(u % 64 AS INT)) & 1""")
+    def stats(reg: DataFrame, h: Int): (Long, Long, Long, Long) = {
+      val r = reg.select($"u", reachCnt.as("c"))
         .agg(count(lit(1)), sum($"c"), max($"c")).head()
       (h.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    var reach = sym
+    var reg = sym.groupBy($"u").agg(nbrBits($"v").as("bits"))
+      .localCheckpoint()
     val rows = (1 to khopMax).map { h =>
       if (h > 1) {
-        reach = reach.as("r").join(sym.as("s"), $"r.v" === $"s.u")
-          .select($"r.u".as("u"), $"s.v".as("v"))
-          .filter($"u" =!= $"v")
-          .unionAll(reach)
-          .distinct()
+        reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
+          .select($"s.u".as("u"), $"r.bits".as("bits"))
+          .unionAll(reg.select($"u", $"bits"))
+          .groupBy($"u").agg(orBits($"bits").as("bits"))
           .localCheckpoint()
       }
-      stats(reach, h)
+      stats(reg, h)
     }
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -717,15 +745,20 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var hubs = ec.select($"c").distinct().withColumn("h", lit(hitsScale))
     var auth: DataFrame = null
+    // each half-step's max-normalization folds the single-scalar max
+    // back in via a broadcast cross-join of a 1-row frame (the q43
+    // pattern) instead of a blocking driver .head(): the only action
+    // per half-step is the lineage-truncating localCheckpoint, and
+    // the integer `div` semantics are unchanged
     for (_ <- 1 to hitsIters) {
       val araw = ec.join(hubs, "c").groupBy($"p").agg(sum($"h").as("a"))
-      val am = araw.agg(max($"a")).head().getLong(0)
-      auth = araw.select($"p", expr(s"(a * $hitsScale) div $am").as("a"))
         .localCheckpoint()
+      auth = araw.crossJoin(broadcast(araw.agg(max($"a").as("am"))))
+        .select($"p", expr(s"(a * $hitsScale) div am").as("a"))
       val hraw = ep.join(auth, "p").groupBy($"c").agg(sum($"a").as("h"))
-      val hm = hraw.agg(max($"h")).head().getLong(0)
-      hubs = hraw.select($"c", expr(s"(h * $hitsScale) div $hm").as("h"))
         .localCheckpoint()
+      hubs = hraw.crossJoin(broadcast(hraw.agg(max($"h").as("hm"))))
+        .select($"c", expr(s"(h * $hitsScale) div hm").as("h"))
     }
     val out = auth
       .orderBy($"a".desc, $"p")

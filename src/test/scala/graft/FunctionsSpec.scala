@@ -198,4 +198,60 @@ class FunctionsSpec extends AnyFunSuite {
       Similarity.cosineCol(spark, $"a", $"b").as("c")).head.getDouble(0)
     assert(math.abs(viaDispatch - 1.0) < 1e-15)
   }
+
+  test("BitsetReach folds neighbor one-hots and unions registers exactly") {
+    import spark.implicits._
+    import graft.functions.BitsetReach
+    val nWords = 2 // key domain [0, 128)
+    val nbr = udaf(new BitsetReach.NeighborBitset(nWords),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val or = udaf(new BitsetReach.BitsetUnion(nWords),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    // vertex 1 sees {0, 63, 64}; vertex 2 sees {127}; duplicates no-op
+    val edges = Seq((1L, 0L), (1L, 63L), (1L, 64L), (1L, 63L), (2L, 127L))
+      .toDF("u", "v")
+    val regs = edges.groupBy($"u").agg(nbr($"v").as("bits"))
+    val got = regs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(got(1L).sameElements(Array(1L | (1L << 63), 1L)))
+    assert(got(2L).sameElements(Array(0L, 1L << 63)))
+    // re-fold both registers onto one key: element-wise OR
+    val unioned = regs.select(lit(0L).as("k"), $"bits")
+      .groupBy($"k").agg(or($"bits").as("bits"))
+      .head().getSeq[Long](1).toArray
+    assert(unioned.sameElements(
+      Array(1L | (1L << 63), 1L | (1L << 63))))
+  }
+
+  test("BitsetReach rejects keys outside the register domain") {
+    import spark.implicits._
+    import graft.functions.BitsetReach
+    val nbr = udaf(new BitsetReach.NeighborBitset(1),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bad = Seq((1L, 64L), (1L, -1L)).toDF("u", "v")
+    val e = intercept[Exception] {
+      bad.groupBy($"u").agg(nbr($"v")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("register domain")))
+  }
+
+  test("g12's register folds plan through ObjectHashAggregate, no pair distinct") {
+    val plan = SparkEntry.queries("g12_khop")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the census result itself is a tiny localRelation; the fold plan
+    // is what the supersteps ran — assert on a superstep's own plan
+    import spark.implicits._
+    import graft.functions.BitsetReach
+    val nbr = udaf(new BitsetReach.NeighborBitset(4),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val fold = edges.groupBy($"u").agg(nbr($"v").as("bits"))
+    val foldPlan = fold.queryExecution.executedPlan.toString
+    assert(foldPlan.contains("ObjectHashAggregate"),
+      s"register fold not object-hash aggregated:\n$foldPlan")
+  }
 }

@@ -39,7 +39,7 @@ class RelationalSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the rows-only list explicit so additions are deliberate
     assert(noOracle.subsetOf(
-      Set("q8_approx_distinct", "q31_approx_percentile", "s6_knn_ivf", "s7_knn_pq")),
+      Set("q8_approx_distinct", "q31_approx_percentile")),
       s"missing oracle for $noOracle")
   }
 
