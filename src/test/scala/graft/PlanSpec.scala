@@ -266,7 +266,10 @@ class PlanSpec extends AnyFunSuite {
       "t37_js_sources",
       // s18 composes s1/s2/s6/s7/s15 (inheriting their bounded query
       // broadcasts) and crosses the 4-row method list
-      "s18_index_leaderboard")
+      "s18_index_leaderboard",
+      // g13 crosses each half-step's ONE-row max-normalization frame
+      // (q43 shape — replaced the former blocking driver .head())
+      "g13_hits")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {
