@@ -121,6 +121,12 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failed += name
+        } finally {
+          // release this query's scoped persists AFTER its warm+timed
+          // cycle (timed runs measure warm caches, as before) so
+          // per-query caches can't accumulate suite-long and evict the
+          // session-scoped shared frames — the d17 churn fix
+          CacheScope.drain()
         }
       }
       val calibAfter = sample(calibFn)(repeats / 2)

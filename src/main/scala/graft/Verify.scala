@@ -31,7 +31,7 @@ object Verify {
       } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally CacheScope.drain() // release the query's scoped persists
     }
     println(s"[verify] dumped $ok queries, $failed failed, oracle entries: ${SparkEntry.oracleSql.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.CacheScope.ScopedPersist
 
 /** Product/behavioral analytics operators (SURVEY.md §2.B11, D61–D64):
   * slowly-changing-dimension interval builds with point-in-time joins,
@@ -827,7 +828,7 @@ object Analytics {
     import spark.implicits._
     val keyCnt = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val top10 = keyCnt.orderBy($"cnt".desc, $"l_partkey").limit(10)
       .agg(sum($"cnt").as("top10"))
     keyCnt
@@ -937,7 +938,7 @@ object Analytics {
       .filter($"n13" === 13 && $"span13" === 12)
       .withColumn("detr24",
         lit(24L) * $"cents" - $"trend24")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val seasonal = trended
       .groupBy($"nation", pmod($"m", lit(12)).as("moy"))
       .agg(sum($"detr24").as("snum"), count(lit(1)).as("sk"))
@@ -977,7 +978,7 @@ object Analytics {
       .select($"o_custkey",
         datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val mid = days.agg(((min($"day") + max($"day")) / 2).cast("long").as("mid"))
     val halves = days.crossJoin(broadcast(mid))
       .groupBy($"o_custkey", ($"day" <= $"mid").as("first_half"))
@@ -1163,7 +1164,7 @@ object Analytics {
     import spark.implicits._
     val cells = decomposedCells(spark, dir)
       .withColumn("resid", expr(residExprSql))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
       val wR = Window.partitionBy($"nation").orderBy(expr(col))
       val wA = Window.partitionBy($"nation")
@@ -1177,7 +1178,7 @@ object Analytics {
     val med = medianOf(cells, "resid", "med")
     val dev = cells.join(broadcast(med), "nation")
       .withColumn("adev", abs($"resid" - $"med"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val mad = medianOf(dev, "adev", "mad")
     dev.join(broadcast(mad), "nation")
       // +0.5 cents floor: kills float dust when a small series has

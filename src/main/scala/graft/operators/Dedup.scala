@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
+import graft.CacheScope.ScopedPersist
 
 /** Deduplication operators (SURVEY.md §2.B D17–D18).
   *
@@ -198,13 +199,13 @@ object Dedup {
     import spark.implicits._
     val (docSh, sigs) = sharedSigs(spark, dir)
     val cand = candidates(sigs)
-      .persist(StorageLevel.MEMORY_AND_DISK) // id filter + intersection + output
+      .scopedPersist() // id filter + intersection + output
     // candidates are rare: broadcast their ids and score only those docs,
     // so the corpus-wide shingle frame is never shuffled for the join
     val candIds = cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val shCand = docSh.join(broadcast(candIds), "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK) // card + both join sides
+      .scopedPersist() // card + both join sides
     val card = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = shCand.select($"doc_id".as("doc_a"), $"s")
       .join(cand, "doc_a")
@@ -240,14 +241,14 @@ object Dedup {
     val (docSh, sigs) = sharedSigs(spark, dir)
     val nDocs = Tables.documents(spark, dir).count()
     val cand = candidates(sigs)
-      .persist(StorageLevel.MEMORY_AND_DISK) // id filter + intersection + output
+      .scopedPersist() // id filter + intersection + output
     val candIds = cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val wgt = docSh.groupBy($"s").agg(count(lit(1)).as("df"))
       .select($"s", expr(s"CAST($nDocs AS BIGINT) div df").as("w"))
     val shw = docSh.join(broadcast(candIds), "doc_id")
       .join(wgt, "s")
-      .persist(StorageLevel.MEMORY_AND_DISK) // totals + both join sides
+      .scopedPersist() // totals + both join sides
     val tot = shw.groupBy($"doc_id").agg(sum($"w").as("wt"))
     val inter = shw.select($"doc_id".as("doc_a"), $"s", $"w")
       .join(cand, "doc_a")
@@ -280,11 +281,11 @@ object Dedup {
     import spark.implicits._
     val (docSh, sigs) = sharedSigs(spark, dir)
     val cand = candidates(sigs)
-      .persist(StorageLevel.MEMORY_AND_DISK) // ids + est join + true join
+      .scopedPersist() // ids + est join + true join
     val candIds = cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val shCand = docSh.join(broadcast(candIds), "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val card = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = shCand.select($"doc_id".as("doc_a"), $"s")
       .join(cand, "doc_a")
@@ -376,11 +377,11 @@ object Dedup {
         .select($"doc_a", $"doc_b").distinct()
     }
     val widest = candFor(8, 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val candIds = widest
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val shCand = docSh.join(broadcast(candIds), "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val card = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val truth = shCand.select($"doc_id".as("doc_a"), $"s")
       .join(widest, "doc_a")
@@ -390,13 +391,13 @@ object Dedup {
       .join(card.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
       .filter(round($"n_inter" / ($"n_a" + $"n_b" - $"n_inter"), 4) >= 0.5)
       .select($"doc_a", $"doc_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val nTruth = truth.count()
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = lshSweep.map { case (b, r) =>
       val c = if (b == 8 && r == 1) widest else candFor(b, r)
-      val cp = c.persist(StorageLevel.MEMORY_AND_DISK)
+      val cp = c.scopedPersist()
       val nCand = cp.count()
       val nFound = cp.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
       if (!(b == 8 && r == 1)) cp.unpersist()
@@ -512,13 +513,13 @@ object Dedup {
     val h = Tables.documents(spark, dir).select($"doc_id",
       md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("ch"))
     val reps = h.groupBy($"ch").agg(min($"doc_id").as("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // shingle filter + expansion
+      .scopedPersist() // shingle filter + expansion
     val shR = sh.join(reps.select($"doc_id"), "doc_id")
     // df over the FULL corpus (collapse must not change the rare set)
     val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxShingleDf).select($"s")
     val rsh = shR.join(rare, "s")
-      .persist(StorageLevel.MEMORY_AND_DISK) // pair join + within-group
+      .scopedPersist() // pair join + within-group
     // rare-side intersection counts come straight off the candidate
     // self-join — the pair aggregate replaces the old distinct()
     val rpair = rsh.select($"s", $"doc_id".as("doc_a"))
@@ -528,12 +529,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_rare"))
     // boilerplate shingles (df > cap); tiny by construction
     val csh = shR.join(rare, Seq("s"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK) // stats + both join sides
+      .scopedPersist() // stats + both join sides
     val sizes = shR.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       .join(csh.groupBy($"doc_id").agg(count(lit(1)).as("c")),
         Seq("doc_id"), "left")
       .withColumn("c", coalesce($"c", lit(0L)))
-      .persist(StorageLevel.MEMORY_AND_DISK) // prune + within-group n
+      .scopedPersist() // prune + within-group n
     // n_shared ≤ n_rare + min(c_a, c_b): drop pairs that cannot reach
     // the threshold before paying the common-intersection join
     val pruned = rpair
@@ -543,7 +544,7 @@ object Dedup {
         $"n".as("n_b"), $"c".as("c_b"))), "doc_b")
       .filter(($"n_rare" + least($"c_a", $"c_b")).cast("double")
         >= lit(containmentMin) * least($"n_a", $"n_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // cinter probe + final join
+      .scopedPersist() // cinter probe + final join
     val cinter = pruned.select($"doc_a", $"doc_b")
       .join(csh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
       .join(csh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
+import graft.CacheScope.ScopedPersist
 
 /** Similarity search over the embedding column (SURVEY.md §2.B D19).
   *
@@ -386,7 +387,7 @@ object Similarity {
         posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
       .agg(avg($"v".cast("double") / $"nrm").as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // dot sides + both norms
+      .scopedPersist() // dot sides + both norms
     val n = c.groupBy($"label").agg(sqrt(sum($"c" * $"c")).as("nn"))
     val dot = c.select($"label".as("label_a"), $"pos", $"c".as("ca"))
       .join(broadcast(c.select($"label".as("label_b"), $"pos", $"c".as("cb"))),
@@ -950,14 +951,14 @@ object Similarity {
       .withColumn("lrk", row_number().over(wL)).filter($"lrk" <= mmrPool)
       .withColumn("rk", row_number().over(wG)).filter($"rk" <= mmrPool)
       .select($"query_id", $"cid", $"rel", $"embedding")
-      .persist()
+      .scopedPersist()
     val csim = cand.select($"query_id", $"cid".as("cid_a"), $"embedding".as("ea"))
       .join(cand.select($"query_id", $"cid".as("cid_b"), $"embedding".as("eb")),
         Seq("query_id"))
       .filter($"cid_a" =!= $"cid_b")
       .withColumn("sim", round(cosineCol(spark, $"ea", $"eb"), 4))
       .select($"query_id", $"cid_a", $"cid_b", $"sim")
-      .persist()
+      .scopedPersist()
     val pool = cand.select($"query_id", $"cid", $"rel")
     val wPick = Window.partitionBy($"query_id").orderBy($"score".desc, $"cid")
     var picks = pool.withColumn("score", $"rel")
@@ -1018,7 +1019,7 @@ object Similarity {
       .filter($"cand_id" =!= $"anchor_id")
       .withColumn("cos", cosineCol(spark, $"a_emb", $"embedding"))
       .withColumn("salt", pmod(crc32($"cand_id".cast("string")), lit(32)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     def extreme(df: DataFrame, asc: Boolean): DataFrame = {
       val ord = if (asc) Seq($"cos".asc, $"cand_id".asc)
                 else Seq($"cos".desc, $"cand_id".asc)

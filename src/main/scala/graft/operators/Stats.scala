@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.CacheScope.ScopedPersist
 
 /** Statistical-inference operators (SURVEY.md §2.B11, D119–D122):
   * Welch's two-sample t-test, chi-square independence, Theil–Sen
@@ -204,7 +205,7 @@ object Stats {
   def q70Interpolate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = dailyRevenue(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val cal = daily.groupBy($"nation")
       .agg(min($"day").as("d0"), max($"day").as("d1"))
       .select($"nation", explode(sequence($"d0", $"d1")).as("day"))
@@ -314,7 +315,7 @@ object Stats {
       .groupBy($"c_nationkey".as("nation"),
         (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))
       .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val s = monthly.as("a").join(monthly.as("b"),
         $"a.nation" === $"b.nation" && $"a.m" < $"b.m")
       .groupBy($"a.nation".as("nation"))
@@ -372,7 +373,7 @@ object Stats {
       .agg(count(lit(1)).as("n_tot"), sum($"pos").as("n_pos"))
       // consumed by BOTH the AP and best-F1 branches: persist so the
       // corpus join+agg runs once (the q43 no-second-scan discipline)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val wCum = Window.orderBy($"score".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
@@ -490,7 +491,7 @@ object Stats {
   def q77Acf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = dailyRevenue(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val cal = daily.groupBy($"nation")
       .agg(min($"day").as("d0"), max($"day").as("d1"))
       .select($"nation", explode(sequence($"d0", $"d1")).as("day"))
@@ -505,7 +506,7 @@ object Stats {
     val withLags = z.select(
       Seq($"nation", $"z") ++
         (1 to acfMaxLag).map(k => lag($"z", k).over(w).as(s"z$k")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val den = withLags.groupBy($"nation").agg(sum($"z" * $"z").as("den"))
     val nums = withLags
       .select($"nation", $"z",
@@ -662,7 +663,7 @@ object Stats {
   def q88RunsTest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = dailyRevenue(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val wR = Window.partitionBy($"nation").orderBy($"cents", $"day")
     val wA = Window.partitionBy($"nation")
     val med = daily

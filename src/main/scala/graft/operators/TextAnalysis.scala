@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.CacheScope.ScopedPersist
 
 /** Text-analysis operators (SURVEY.md §2.B D20): token counting
   * (whitespace + BPE-ish regex), quality scoring, language-ID heuristic,
@@ -1352,7 +1353,7 @@ object TextAnalysis {
         .as("h"))
     val perSrc = spans.groupBy($"source", $"h")
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val within = perSrc.groupBy($"source")
       .agg(sum($"c").as("t_spans"), count(lit(1)).as("d_spans"))
     // an occurrence is cross-corpus duplicated when its span ALSO

@@ -528,4 +528,20 @@ class DedupSpec extends AnyFunSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
     assert(got.forall(g => g._5 >= 0.0 && g._5 <= 1.0))
   }
+
+  test("CacheScope: per-query persists drain; session-shared sigs survive") {
+    CacheScope.drain() // clean slate from earlier tests
+    val d = Dedup.d17MinhashFidelity(spark, sf)
+    d.write.format("noop").mode("overwrite").save()
+    assert(CacheScope.liveCount > 0, "d17's scoped persists were not tracked")
+    val n = CacheScope.drain()
+    assert(n > 0 && CacheScope.liveCount == 0)
+    // the deliberate session-scoped signature frames are NOT drained
+    val (sh, _) = Dedup.sharedSigs(spark, sf)
+    assert(sh.storageLevel.useMemory || sh.storageLevel.useDisk,
+      "session-shared shingle frame lost its persist level after drain")
+    // and the query recomputes identically on a cold cache
+    assert(Dedup.d17MinhashFidelity(spark, sf).count() == d.count())
+    CacheScope.drain()
+  }
 }
