@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.CacheScope.ScopedPersist
 
 /** D79: closed-form MULTIVARIATE least squares over lineitem —
   * `price_cents ~ intercept + quantity + discount_pct + tax_pct` via
@@ -97,23 +98,34 @@ object Ols {
   def p10Ridge(spark: SparkSession, dir: String): DataFrame =
     solveFromMoments(spark, dir, ridgeLambda)
 
-  /** Shared p9/p10 body: one-pass exact moments, optional ridge shift
-    * on the non-intercept diagonal, driver Cramer solve. */
-  private def solveFromMoments(spark: SparkSession, dir: String,
-      lam: Long): DataFrame = {
+  /** The p9/p10 design projection: lineitem → exact integer features
+    * (x1 = quantity, x2 = discount×100, x3 = tax×100) and target
+    * (y = price cents). */
+  def designFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def s(e: Column, n: String) = sum(e.cast("decimal(38,0)")).as(n)
-    val li = Tables.lineitem(spark, dir).select(
-      round($"l_quantity").cast("long").as("q"),
-      round($"l_discount" * 100).cast("long").as("d"),
-      round($"l_tax" * 100).cast("long").as("t"),
+    Tables.lineitem(spark, dir).select(
+      round($"l_quantity").cast("long").as("x1"),
+      round($"l_discount" * 100).cast("long").as("x2"),
+      round($"l_tax" * 100).cast("long").as("x3"),
       round($"l_extendedprice" * 100).cast("long").as("y"))
-    val row = li.agg(
+  }
+
+  /** One-pass exact-moments fit over an (x1, x2, x3, y) long-column
+    * frame: 14 mergeable integer moments in ONE partial-aggregated
+    * scan, the optional ridge shift on the non-intercept diagonal,
+    * then the driver-side shared-by-construction Cramer solve.
+    * Returns (b0, b1, b2, b3) UNROUNDED — the [[ml.feature.GraftLinear]]
+    * estimator and the p9/p10 queries both fit through here, so
+    * `model.transform` scores with bit-identical coefficients. */
+  def fitExact(df: DataFrame, lam: Long): Array[Double] = {
+    def s(e: Column, n: String) = sum(e.cast("decimal(38,0)")).as(n)
+    val (c1, c2, c3, cy) = (col("x1"), col("x2"), col("x3"), col("y"))
+    val row = df.agg(
       count(lit(1)).as("n"),
-      s($"q", "sq"), s($"d", "sd"), s($"t", "st"), s($"y", "sy"),
-      s($"q" * $"q", "sqq"), s($"q" * $"d", "sqd"), s($"q" * $"t", "sqt"),
-      s($"d" * $"d", "sdd"), s($"d" * $"t", "sdt"), s($"t" * $"t", "stt"),
-      s($"q" * $"y", "sqy"), s($"d" * $"y", "sdy"), s($"t" * $"y", "sty"))
+      s(c1, "sq"), s(c2, "sd"), s(c3, "st"), s(cy, "sy"),
+      s(c1 * c1, "sqq"), s(c1 * c2, "sqd"), s(c1 * c3, "sqt"),
+      s(c2 * c2, "sdd"), s(c2 * c3, "sdt"), s(c3 * c3, "stt"),
+      s(c1 * cy, "sqy"), s(c2 * cy, "sdy"), s(c3 * cy, "sty"))
       .head()
     val m0 = row.schema.fieldNames.zipWithIndex.map { case (name, i) =>
       name -> (row.get(i) match {
@@ -124,9 +136,18 @@ object Ols {
     val m = m0 ++ Seq("sqq", "sdd", "stt")
       .map(k => k -> (m0(k) + lam.toDouble))
     val da = detVal(-1, m)
+    (0 to 3).map(i => detVal(i, m) / da).toArray
+  }
+
+  /** Shared p9/p10 body: [[fitExact]] over the lineitem design, 4-dp
+    * rounded into the (idx, feature, coef) readout. */
+  private def solveFromMoments(spark: SparkSession, dir: String,
+      lam: Long): DataFrame = {
+    import spark.implicits._
+    val b = fitExact(designFrame(spark, dir), lam)
     features.map { case (idx, feat) =>
       (idx, feat,
-        BigDecimal(detVal(idx, m) / da)
+        BigDecimal(b(idx))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("idx", "feature", "coef").orderBy($"idx")
   }
@@ -163,7 +184,7 @@ object Ols {
       round($"l_discount" * 100).cast("long").as("d"),
       round($"l_tax" * 100).cast("long").as("t"),
       round($"l_extendedprice" * 100).cast("long").as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val perFold = li.groupBy($"fold").agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       s($"q", "sq"), s($"d", "sd"), s($"t", "st"), s($"y", "sy"),

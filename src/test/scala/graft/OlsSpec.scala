@@ -454,4 +454,67 @@ class OlsSpec extends AnyFunSuite {
     // fit-quality values are finite and non-negative
     assert(row.getDouble(1) >= 0.0 && row.getDouble(3) >= 0.0)
   }
+
+  test("GraftLinear estimator: fit equals p9/p10 coefficients; transform scores; persistence round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ml.feature.{GraftLinear, GraftLinearModel}
+    val O = graft.operators.Ols
+    // the p9 design, under user-facing column names
+    val xy = Tables.lineitem(spark, sf).select(
+      org.apache.spark.sql.functions.round($"l_quantity").cast("long").as("qty"),
+      org.apache.spark.sql.functions.round($"l_discount" * 100).cast("long").as("disc_pct"),
+      org.apache.spark.sql.functions.round($"l_tax" * 100).cast("long").as("tax_pct"),
+      org.apache.spark.sql.functions.round($"l_extendedprice" * 100).cast("long").as("cents"))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val model = new GraftLinear()
+      .setFeaturesCols(Array("qty", "disc_pct", "tax_pct"))
+      .setLabelCol("cents")
+      .fit(xy)
+    // λ=0 fit is BIT-identical to the p9 query's coefficients (4-dp grid)
+    val p9 = O.p9OlsMulti(spark, sf).collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(r4(model.intercept) == p9(0))
+    model.coefficients.zipWithIndex.foreach { case (b, i) =>
+      assert(r4(b) == p9(i + 1), s"coef $i: ${r4(b)} vs ${p9(i + 1)}")
+    }
+    // λ=ridgeLambda fit equals the p10 query
+    val ridge = new GraftLinear()
+      .setFeaturesCols(Array("qty", "disc_pct", "tax_pct"))
+      .setLabelCol("cents").setRegParam(O.ridgeLambda)
+      .fit(xy)
+    val p10 = O.p10Ridge(spark, sf).collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(r4(ridge.intercept) == p10(0) &&
+      ridge.coefficients.zipWithIndex.forall { case (b, i) => r4(b) == p10(i + 1) })
+    // transform appends the exact linear form b0 + Σ bᵢxᵢ (spot replay)
+    val preds = model.transform(xy.limit(200))
+      .select($"qty", $"disc_pct", $"tax_pct", $"prediction").collect()
+    preds.foreach { r =>
+      val want = model.intercept + model.coefficients(0) * r.getLong(0) +
+        model.coefficients(1) * r.getLong(1) + model.coefficients(2) * r.getLong(2)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(want))
+    }
+    // persistence: model round-trip preserves coefficients and scoring
+    val dir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+    model.write.overwrite().save(s"$dir/model")
+    val loaded = GraftLinearModel.load(s"$dir/model")
+    assert(loaded.intercept == model.intercept &&
+      loaded.coefficients.toSeq == model.coefficients.toSeq)
+    val re = loaded.transform(xy.limit(200)).select($"prediction")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(re == preds.map(_.getDouble(3)).toSeq)
+    // estimator round-trip preserves explicitly-set params
+    new GraftLinear().setFeaturesCols(Array("qty", "disc_pct", "tax_pct"))
+      .setLabelCol("cents").setRegParam(42L)
+      .write.overwrite().save(s"$dir/est")
+    val est = GraftLinear.load(s"$dir/est")
+    assert(est.get(est.featuresCols).map(_.toSeq).contains(Seq("qty", "disc_pct", "tax_pct")) &&
+      est.get(est.labelCol).contains("cents") &&
+      est.get(est.regParam).contains(42L))
+    // guard: the 4x4 design requires exactly three distinct features
+    intercept[IllegalArgumentException] {
+      new GraftLinear().setFeaturesCols(Array("qty", "qty", "tax_pct"))
+    }
+  }
 }
