@@ -267,9 +267,12 @@ object KMeans {
   /** DuckDB replay of [[d14SemDedup]]: the shared Lloyd chain, one
     * more assignment pass against the FINAL centroids (the engine
     * assigns with post-fit `f.cents`, i.e. `c$iters`), then the
-    * within-cluster pair scan and the rounded-cosine witness rank. */
-  private val d14OracleSql: String =
-    s"""WITH ${lloydCtes(initDyn)},
+    * within-cluster pair scan and the rounded-cosine witness rank.
+    * Exposed as a CTE chain ending in
+    * `r(vec_id, cid, dup_of, cos_sim, rk)` so the c17 composition
+    * oracle ([[Pipeline]]) replays the semantic-dedup stage verbatim. */
+  private[operators] lazy val semWitnessCtes: String =
+    s"""${lloydCtes(initDyn)},
           a4 AS (SELECT vec_id, e, cid FROM (
             SELECT v.vec_id, v.e, c.cid,
               row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -285,7 +288,10 @@ object KMeans {
           r AS (SELECT vec_id, cid, dup_of, cos_sim,
               row_number() OVER (PARTITION BY vec_id
                 ORDER BY cos_sim DESC, dup_of) AS rk
-            FROM pairs WHERE cos_sim >= $semTau)
+            FROM pairs WHERE cos_sim >= $semTau)"""
+
+  private val d14OracleSql: String =
+    s"""WITH $semWitnessCtes
           SELECT vec_id, cid AS cluster_id, dup_of, cos_sim
           FROM r WHERE rk = 1 ORDER BY vec_id"""
 

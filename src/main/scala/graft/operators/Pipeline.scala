@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.CacheScope.ScopedPersist
 
 /** End-to-end corpus-cleaning pipeline — the composition a training-data
   * engineer actually runs, built entirely from the engine's own
@@ -489,7 +490,7 @@ object Pipeline {
     val s0 = Tables.documents(spark, dir)
       .withColumn("nt", size(split(lower($"text"), " ")).cast("long"))
       .withColumn("quality", TextAnalysis.qualityScore($"text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val s1 = s0.filter($"quality" >= 0.5)
     val s2 = s1
       .withColumn("content_hash",
@@ -498,7 +499,7 @@ object Pipeline {
         min($"doc_id").over(Window.partitionBy($"content_hash")))
       .filter($"doc_id" === $"keep_id")
       .select($"doc_id", $"nt")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val ids = s2.select($"doc_id")
     val livePairs = Dedup.d5Jaccard(spark, dir)
       .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
@@ -709,7 +710,129 @@ object Pipeline {
       .orderBy($"bucket", $"shard_id")
   }
 
+  /** c17 training-token budget: deliberately SMALLER than c15's
+    * planning budget so the √-temperature draw actually trims sources
+    * at fixture scale (spec-pinned); production = the run's budget. */
+  val pretrainBudget = 20000L
+
+  /** D214: the FULL pretraining-data run in one composition — every
+    * stage a pipeline engineer signs off on, chained on one session
+    * and gated end-to-end by the final shard manifest (the way c1
+    * gates cleaning):
+    *
+    *  1. quality gate (t2's score ≥ 0.5 — c1 stage 1);
+    *  2. exact dedup (min doc_id per normalized-content hash — d1);
+    *  3. near dedup (drop the doc_b of every surviving d5
+    *     Jaccard ≥ 0.5 LSH pair — c1 stage 3);
+    *  4. SEMANTIC dedup (drop a survivor whose d14 top
+    *     embedding-cosine witness also survived stage 3 — SemDeDup's
+    *     cluster-local rule on the engine's own quantized-Lloyd fit);
+    *  5. decontaminate (withhold the d7 eval split entirely AND every
+    *     train doc sharing ≥ 2 rare test 3-grams with it);
+    *  6. mix (√-temperature shares over the SURVIVING per-source
+    *     token supply, allocated against [[pretrainBudget]]; the draw
+    *     is c6's salted-local-prune + per-source hash-ordered token
+    *     prefix — deterministic, no RNG, no corpus-wide window);
+    *  7. pack (c3's per-bucket streaming first-fit fold at
+    *     [[packBudget]] tokens);
+    *  8. manifest (c16's order-free content fingerprint per shard) —
+    *     the artifact the run SHIPS, and the oracle-verified output.
+    *
+    * Every upstream operator is reused verbatim (d5's shared shingle
+    * frames, d14's fitted centroids, d7's decontamination pairs), so
+    * the whole chain costs one pass over each already-cached
+    * intermediate; the DuckDB oracle replays all eight stages as one
+    * CTE chain ending in the identical manifest.
+    *
+    * Scale shape: stages 1–5 are narrow filters and bucketed joins
+    * (never all-pairs); stage 6's windows are bounded by the salt
+    * prune (each cell caps at alloc rows, and alloc ≤ budget — a
+    * constant, not a corpus fraction); stage 7 is the c3 fold
+    * (parallelism = bucket count, production sets buckets ∝ corpus);
+    * stage 8 a partial-aggregated rollup. */
+  def c17PretrainRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // stages 1+2: quality gate, then exact dedup among survivors
+    val qual = Tables.documents(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+      .filter($"quality" >= 0.5)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokens($"text")).cast("long").as("nt"),
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("ch"))
+    val g2 = qual
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"ch")))
+      .filter($"doc_id" === $"keep_id")
+      .select($"doc_id", $"source", $"nt")
+      .scopedPersist() // near-dup semi-joins + stage-4 carry
+    // stage 3: near dedup (c1's single-pass drop-doc_b rule)
+    val ids2 = g2.select($"doc_id")
+    val livePairs = Dedup.d5Jaccard(spark, dir)
+      .join(ids2.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(ids2.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    val g3 = g2.join(livePairs.select($"doc_b".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .scopedPersist() // semantic witness probe + stage-5 carry
+    // stage 4: semantic dedup — embeddings are doc-aligned (vec_id =
+    // doc_id); a survivor drops when its top semantic witness survived
+    val semDrop = KMeans.d14SemDedup(spark, dir)
+      .select($"vec_id".as("doc_id"), $"dup_of")
+      .join(g3.select($"doc_id".as("dup_of")), Seq("dup_of"), "left_semi")
+      .select($"doc_id")
+    val g4 = g3.join(semDrop, Seq("doc_id"), "left_anti")
+    // stage 5: decontamination — the eval split itself plus every
+    // train doc d7 flags as sharing rare test n-grams
+    val contaminated = Dedup.d7Decontaminate(spark, dir)
+      .select($"train_id".as("doc_id")).distinct()
+    val g5 = g4.filter($"doc_id" % Dedup.testModulus =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .scopedPersist() // supply census + draw
+    // stage 6: √-temperature allocation over surviving supply (c15's
+    // pinned-order share fold), then the c6-style deterministic draw
+    val per = g5.groupBy($"source").agg(sum($"nt").as("supply"))
+    val wCum = Window.orderBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val alloc = per
+      .withColumn("run_sqrt", sum(sqrt($"supply".cast("double"))).over(wCum))
+      .withColumn("tot_sqrt", max($"run_sqrt").over(Window.partitionBy()))
+      .withColumn("alloc_tokens",
+        floor(expr("sqrt(CAST(supply AS DOUBLE)) / tot_sqrt")
+          * lit(pretrainBudget.toDouble)).cast("long"))
+      .select($"source", $"alloc_tokens")
+    val local = Window.partitionBy($"source", pmod($"doc_id", lit(32)))
+      .orderBy($"h", $"doc_id")
+    val global = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    val drawn = g5
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .join(broadcast(alloc), "source")
+      .withColumn("lrk", row_number().over(local))
+      .filter($"lrk" <= $"alloc_tokens") // ≥1 token/doc ⇒ safe local prune
+      .withColumn("cum", sum($"nt").over(
+        global.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter($"cum" <= $"alloc_tokens")
+    // stages 7+8: pack the drawn docs, fingerprint the shards
+    val packed = drawn
+      .select(($"doc_id" % packBuckets).as("bucket"), $"doc_id",
+        $"nt".as("toks"))
+      .as[PackDoc]
+      .groupByKey(_.bucket)
+      .flatMapSortedGroups($"doc_id") { (_: Long, it: Iterator[PackDoc]) =>
+        packFold(it, packBudget)
+      }
+      .toDF()
+    val hashes = Tables.documents(spark, dir)
+      .select($"doc_id",
+        conv(substring(md5(regexp_replace(trim(lower($"text")),
+          "\\s+", " ")), 1, 15), 16, 10).cast("long").as("hv"))
+    packed.join(hashes, "doc_id")
+      .groupBy($"bucket", $"seq_id".as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        pmod(sum($"hv".cast("decimal(38,0)")), lit(1000000000000000000L))
+          .cast("long").as("fingerprint"))
+      .orderBy($"bucket", $"shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_pretrain_run" -> c17PretrainRun,
     "c16_checksum_manifest" -> c16ChecksumManifest,
     "c15_mix_plan" -> c15MixPlan,
     "c13_ppl_filter" -> c13PplFilter,
@@ -744,6 +867,95 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    // c17: all eight stages as ONE chain — the d5 LSH/Jaccard CTEs,
+    // the d14 quantized-Lloyd semantic-witness CTEs, the c11-style
+    // gate chain, d7's decontamination, the c15 share fold, the c6
+    // hash-ordered draw, and the c16 recursive pack + fingerprint.
+    "c17_pretrain_run" ->
+      s"""${Dedup.jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          ${KMeans.semWitnessCtes},
+          qual AS (SELECT doc_id, source, text,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+              ${TextAnalysis.qualityScoreSql} AS quality
+            FROM documents),
+          g1 AS (SELECT doc_id, source, nt,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS ch
+            FROM qual WHERE quality >= 0.5),
+          keep2 AS (SELECT min(doc_id) AS doc_id FROM g1 GROUP BY ch),
+          g2 AS (SELECT g1.doc_id, g1.source, g1.nt
+                 FROM g1 JOIN keep2 USING (doc_id)),
+          drops3 AS (SELECT DISTINCT doc_b AS doc_id FROM jp
+                     WHERE doc_a IN (SELECT doc_id FROM g2)
+                       AND doc_b IN (SELECT doc_id FROM g2)),
+          g3 AS (SELECT * FROM g2
+                 WHERE doc_id NOT IN (SELECT doc_id FROM drops3)),
+          semdrop AS (SELECT vec_id AS doc_id FROM r
+                      WHERE rk = 1
+                        AND dup_of IN (SELECT doc_id FROM g3)),
+          g4 AS (SELECT * FROM g3
+                 WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
+          te AS (SELECT doc_id AS test_id, s FROM dsh
+                 WHERE doc_id % ${Dedup.testModulus} = 0),
+          okd AS (SELECT s FROM te GROUP BY s
+                  HAVING count(*) <= ${Dedup.maxShingleDf}),
+          dpair AS (SELECT tr.doc_id AS train_id
+                    FROM dsh tr JOIN te ON tr.s = te.s
+                                JOIN okd ON te.s = okd.s
+                    WHERE tr.doc_id % ${Dedup.testModulus} <> 0
+                    GROUP BY tr.doc_id, te.test_id
+                    HAVING count(*) >= ${Dedup.minSharedShingles}),
+          contam AS (SELECT DISTINCT train_id AS doc_id FROM dpair),
+          g5 AS (SELECT * FROM g4
+                 WHERE doc_id % ${Dedup.testModulus} <> 0
+                   AND doc_id NOT IN (SELECT doc_id FROM contam)),
+          per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS supply
+                  FROM g5 GROUP BY 1),
+          wsh AS (SELECT *,
+              sum(sqrt(CAST(supply AS DOUBLE))) OVER (ORDER BY source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS run_sqrt
+            FROM per),
+          wsh2 AS (SELECT *, max(run_sqrt) OVER () AS tot_sqrt FROM wsh),
+          allo AS (SELECT source,
+              CAST(floor(sqrt(CAST(supply AS DOUBLE)) / tot_sqrt
+                * ${pretrainBudget.toDouble}) AS BIGINT) AS alloc_tokens
+            FROM wsh2),
+          drawn AS (SELECT doc_id, nt FROM (
+              SELECT g5.doc_id, g5.nt, allo.alloc_tokens,
+                sum(g5.nt) OVER (PARTITION BY g5.source
+                  ORDER BY md5(CAST(g5.doc_id AS VARCHAR)), g5.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM g5 JOIN allo USING (source))
+            WHERE cum <= alloc_tokens),
+          pd AS (SELECT doc_id % $packBuckets AS bucket, doc_id,
+              nt AS toks,
+              row_number() OVER (PARTITION BY doc_id % $packBuckets
+                ORDER BY doc_id) AS rn
+            FROM drawn),
+          pr AS (SELECT bucket, doc_id, toks, rn,
+              CAST(0 AS BIGINT) AS seq_id, toks AS fill
+            FROM pd WHERE rn = 1
+            UNION ALL
+            SELECT d.bucket, d.doc_id, d.toks, d.rn,
+              CASE WHEN p.fill + d.toks > $packBudget
+                   THEN p.seq_id + 1 ELSE p.seq_id END,
+              CASE WHEN p.fill + d.toks > $packBudget
+                   THEN d.toks ELSE p.fill + d.toks END
+            FROM pr p JOIN pd d ON d.bucket = p.bucket
+                               AND d.rn = p.rn + 1),
+          hsh AS (SELECT doc_id,
+              CAST(CAST('0x' || substring(md5(regexp_replace(trim(
+                lower(text)), '\\s+', ' ', 'g')), 1, 15) AS UBIGINT)
+                AS HUGEINT) AS hv
+            FROM documents)
+          SELECT pr.bucket, pr.seq_id AS shard_id,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(pr.toks) AS BIGINT) AS n_tokens,
+            CAST(sum(hsh.hv) % 1000000000000000000 AS BIGINT)
+              AS fingerprint
+          FROM pr JOIN hsh USING (doc_id)
+          GROUP BY pr.bucket, pr.seq_id
+          ORDER BY pr.bucket, shard_id""",
     "c16_checksum_manifest" ->
       s"""WITH RECURSIVE d AS (
             SELECT doc_id % $packBuckets AS bucket, doc_id,

@@ -769,4 +769,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(g._6 <= g._5)
     }
   }
+
+  test("c17 pretraining run: funnel binds, shards respect the pack budget, draw is deterministic") {
+    import spark.implicits._
+    val m = Pipeline.c17PretrainRun(spark, sf).collect()
+    assert(m.nonEmpty)
+    // every shard respects the pack budget (fixture docs are far
+    // shorter than packBudget, so no single-doc overflow shard exists)
+    m.foreach(r => assert(r.getAs[Long]("n_tokens") <= Pipeline.packBudget))
+    // the mix draw binds: total manifest tokens stay within the global
+    // training budget, and the funnel genuinely dropped documents
+    val total = m.map(_.getAs[Long]("n_tokens")).sum
+    assert(total <= Pipeline.pretrainBudget)
+    val nDocs = m.map(_.getAs[Long]("n_docs")).sum
+    val raw = Tables.documents(spark, sf).count()
+    assert(nDocs > 0 && nDocs < raw,
+      s"funnel did not bind: $nDocs of $raw docs survived to the manifest")
+    // deterministic end to end: a second run reproduces every fingerprint
+    val again = Pipeline.c17PretrainRun(spark, sf).collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq)
+    CacheScope.drain()
+  }
 }
