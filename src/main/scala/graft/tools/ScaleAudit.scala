@@ -2,27 +2,58 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.SparkEntry
+import graft.{CacheScope, SparkEntry}
 
-/** Builder-side 10× scale audit (round-8 verdict task #1): times each
-  * named query at a base fixture dir and at a scaled synthetic dir
-  * (see [[SynthScale]]) in ONE JVM, and prints the growth ratio. A
-  * query whose runtime grows by much more than the data factor
-  * (allowing log factors — the flag threshold is 1.5 × factor) has a
-  * superlinear plan that 100 TB would kill.
+/** Builder-side growth-exponent scale audit (round-9 verdict task #2):
+  * times each named query at SEVERAL scale points in ONE JVM — e.g.
+  * sf0.01 → sf0.1 → sf1-synth (see [[SynthScale]]) — and fits the
+  * per-query growth EXPONENT: the least-squares slope of
+  * ln(runtime) vs ln(scale). A single ×10 ratio (the round-8 audit)
+  * can hide curvature that two ratios expose: a query whose 0.01→0.1
+  * ratio looks linear but whose 0.1→1 ratio balloons has a
+  * superlinear term that only dominates past the small fixtures —
+  * the d14-class failure this audit exists to catch a round early.
+  *
+  * Exponent ≈ 1 is linear scaling, ≲ 1.3 allows log factors;
+  * > [[flagExponent]] is flagged SUPERLINEAR. With only two points
+  * the exponent degenerates to log(ratio)/log(factor) — the round-8
+  * audit as a special case.
   *
   * Each measured run is warm (one untimed run first) and guarded by a
-  * cancellable per-query time budget, so one runaway plan cannot hang
-  * the whole audit — a cancelled query prints `TIMEOUT` and counts as
-  * flagged.
+  * cancellable per-query time budget so a runaway plan cannot hang
+  * the audit — a timeout prints TIMEOUT and counts as flagged.
+  * Per-query scoped caches are drained between queries (the Bench
+  * discipline) so one query's leftovers never skew the next.
   *
   * Usage: SPARK_GRAFT_AUDIT_BUDGET=<sec> runMain graft.tools.ScaleAudit
-  *          <baseDir> <scaledDir> <factor> <query...>
+  *          <dir1>=<scale1> <dir2>=<scale2> [<dir3>=<scale3> ...] -- <query...>
+  * e.g.     /root/testdata/sf0.01=0.01 /root/testdata/sf0.1=0.1 \
+  *          /tmp/sf1synth=1.0 -- g12_khop d17_minhash_fidelity
   */
 object ScaleAudit {
+
+  /** Growth exponents above this are flagged (linear + log headroom). */
+  val flagExponent = 1.3
+
+  /** Least-squares slope of ln(t) vs ln(s). */
+  def exponent(points: Seq[(Double, Double)]): Double = {
+    val n = points.length.toDouble
+    val xs = points.map(p => math.log(p._1))
+    val ys = points.map(p => math.log(p._2))
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
   def main(args: Array[String]): Unit = {
-    val (baseDir, scaledDir, factor) = (args(0), args(1), args(2).toDouble)
-    val names = args.drop(3)
+    val sep = args.indexOf("--")
+    require(sep >= 2, "usage: <dir>=<scale> <dir>=<scale> [...] -- <query...>")
+    val points = args.take(sep).map { a =>
+      val Array(dir, s) = a.split("=", 2)
+      (dir, s.toDouble)
+    }.toSeq.sortBy(_._2)
+    val names = args.drop(sep + 1)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_AUDIT_BUDGET", "150").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -63,27 +94,33 @@ object ScaleAudit {
 
     var flagged = List.empty[String]
     names.foreach { name =>
-      val base = timeAt(name, baseDir, budgetSec)
-      // scaled budget: generous linear allowance over the base time
-      val scaledBudget = base match {
-        case Some(b) => math.max(budgetSec, (b * factor * 3).toInt + 30)
-        case None => budgetSec
+      // budget grows with scale assuming linear cost off the first point
+      var budget = budgetSec
+      val times = points.map { case (dir, scale) =>
+        val r = timeAt(name, dir, budget)
+        r.foreach { t =>
+          budget = math.max(budgetSec, (t * 3).toInt + 30)
+        }
+        CacheScope.drain() // this query's scoped caches, per scale point
+        (scale, r)
       }
-      val scaled = timeAt(name, scaledDir, scaledBudget)
-      (base, scaled) match {
-        case (Some(b), Some(s)) =>
-          val ratio = if (b > 0) s / b else Double.NaN
-          val flag = if (ratio > 1.5 * factor) { flagged ::= name; " <<< SUPERLINEAR" } else ""
-          println(f"[audit] $name%-28s base=$b%7.2fs scaled=$s%8.2fs ratio=$ratio%6.1fx$flag")
-        case (Some(b), None) =>
-          flagged ::= name
-          println(f"[audit] $name%-28s base=$b%7.2fs scaled=TIMEOUT(>${budgetSec * 3}s) <<< SUPERLINEAR")
-        case _ =>
-          flagged ::= name
-          println(s"[audit] $name base run failed or timed out <<< CHECK")
+      val ok = times.collect { case (s, Some(t)) => (s, t) }
+      val cols = times.map {
+        case (s, Some(t)) => f"sf$s%s=$t%7.2fs"
+        case (s, None) => f"sf$s%s=TIMEOUT"
+      }.mkString(" ")
+      if (ok.length == times.length && ok.length >= 2) {
+        val e = exponent(ok)
+        val flag = if (e > flagExponent) { flagged ::= name; " <<< SUPERLINEAR" }
+                   else ""
+        println(f"[audit] $name%-28s $cols exp=$e%5.2f$flag")
+      } else {
+        flagged ::= name
+        println(s"[audit] $name $cols <<< TIMEOUT/FAIL")
       }
     }
-    println(s"[audit] flagged: ${if (flagged.isEmpty) "none" else flagged.reverse.mkString(", ")}")
+    println(s"[audit] flagged: ${if (flagged.isEmpty) "none"
+      else flagged.reverse.mkString(", ")}")
     spark.stop()
   }
 }
