@@ -1342,7 +1342,73 @@ object Analytics {
       .orderBy($"priority")
   }
 
+  // --------------------------------------------------------------- q104
+
+  /** Shared IEEE fragments for [[q104TheilDecomposition]] — one
+    * expression text interpolated into both engines (the q103/q67
+    * discipline). `sg`/`s` are exact DECIMAL/HUGEINT cent sums,
+    * `ng`/`n` exact counts. */
+  private val theilMuG = "(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))"
+  private val theilRatio = s"(CAST(cents AS DOUBLE) / $theilMuG)"
+  private val theilTerm =
+    s"""CAST(floor(($theilRatio * ln($theilRatio)) * 1000000000.0 + 0.5)
+        AS DECIMAL(38,0))"""
+  private val theilShare = "(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))"
+  private val theilBetween =
+    s"""($theilShare
+        * ln($theilShare / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))))"""
+
+  /** D219: Theil-T inequality decomposition of order revenue by
+    * nation — within-nation Theil index T_g = (1/n_g)·Σ (x/μ_g)·
+    * ln(x/μ_g) plus each nation's between-group term s_g·ln(s_g/p_g),
+    * so Σ between + Σ s_g·T_g reconstructs total inequality: the
+    * decomposable-inequality readout q60's Gini cannot give (Gini
+    * does not split into within + between; Theil does — that is the
+    * whole reason this index exists). A mix curator reads it the same
+    * way an economist does: "is revenue concentration a cross-nation
+    * story or an intra-nation story?"
+    *
+    * Determinism: the per-row transcendental term is snapped to the
+    * 1e-9 grid (floor(x·1e9 + 0.5) — round-half-toward-+inf, the s5
+    * negative-safe form) and summed as DECIMAL(38,0), so the
+    * corpus-wide sum is ORDER-FREE (the s17 discipline); group/total
+    * moments are exact integer cents summed as DECIMAL(38,0) (BIGINT
+    * overflows cent sums long before 100 TB); every emitted double is
+    * one shared IEEE tree, 4/6-dp.
+    *
+    * Scale shape: orders⋈customer is the one real shuffle join
+    * (both corpus-sized, keyed on custkey); nation and the ≤|nation|
+    * group-stat frames ride broadcasts; the projected (nation, cents)
+    * frame persists for exactly two partial-aggregated passes. */
+  def q104TheilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.orders(spark, dir)
+      .select($"o_custkey", floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), "o_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey".as("c_nationkey"), $"n_name".as("nation"))),
+        "c_nationkey")
+      .select($"nation", $"cents")
+      .scopedPersist()
+    val g = rows.groupBy($"nation").agg(count(lit(1)).as("ng"),
+      sum($"cents".cast("decimal(38,0)")).as("sg"))
+    val tot = g.agg(sum($"ng").as("n"), sum($"sg").as("s"))
+    val terms = rows.join(broadcast(g), "nation")
+      .select($"nation", expr(theilTerm).as("tq"))
+      .groupBy($"nation").agg(sum($"tq").as("tsum"))
+    g.join(terms, "nation").crossJoin(broadcast(tot))
+      .select($"nation", $"ng".as("n_orders"),
+        round(expr(theilShare), 4).as("income_share"),
+        round(expr(
+          "CAST(tsum AS DOUBLE) / (CAST(ng AS DOUBLE) * 1000000000.0)"), 6)
+          .as("theil_within"),
+        round(expr(theilBetween), 6).as("between_term"))
+      .orderBy($"nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_theil" -> q104TheilDecomposition,
     "q102_ship_lag" -> q102ShipLag,
     "q101_seasonal_strength" -> q101SeasonalStrength,
     "q97_elasticity" -> q97Elasticity,
@@ -1412,6 +1478,27 @@ object Analytics {
           ORDER BY f.nation, f.m"""
 
   val oracle: Map[String, String] = Map(
+    "q104_theil" ->
+      s"""WITH r AS (SELECT n.n_name AS nation,
+                  CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders o
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey),
+          g AS (SELECT nation, CAST(count(*) AS BIGINT) AS ng,
+                  sum(cents) AS sg
+                FROM r GROUP BY nation),
+          tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s
+                  FROM g),
+          t AS (SELECT r.nation, $theilTerm AS tq
+                FROM r JOIN g USING (nation)),
+          ts AS (SELECT nation, sum(tq) AS tsum FROM t GROUP BY nation)
+          SELECT g.nation, g.ng AS n_orders,
+            round($theilShare, 4) AS income_share,
+            round(CAST(tsum AS DOUBLE)
+              / (CAST(ng AS DOUBLE) * 1000000000.0), 6) AS theil_within,
+            round($theilBetween, 6) AS between_term
+          FROM g JOIN ts USING (nation) CROSS JOIN tot
+          ORDER BY nation""",
     "q102_ship_lag" ->
       s"""WITH census AS (SELECT o.o_orderpriority AS priority,
               CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)

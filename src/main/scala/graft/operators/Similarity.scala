@@ -882,6 +882,50 @@ object Similarity {
       .orderBy($"method")
   }
 
+  /** RRF rank constant (Cormack & Clarke's k=60, the standard). */
+  val rrfK = 60
+  /** Fixed-point scale for RRF contributions: 1e6 div (k + rank) —
+    * integer division so the per-list contribution is an EXACT
+    * integer and the cross-list sum is order-free (the q60 `div`
+    * discipline; summing 1/(k+r) doubles would hang the hash on
+    * cross-engine addition order). */
+  val rrfScale = 1000000L
+
+  /** D216: reciprocal-rank-fusion of two committed retrieval
+    * pipelines (LSH + IVF) — the standard hybrid-retrieval merge
+    * (Cormack, Clarke & Buettcher, SIGIR'09): each candidate scores
+    * Σ_lists 1/(k + rank), which rewards appearing in BOTH lists
+    * without ever comparing raw cosine scores across indexes. The
+    * production shape for "vector + keyword" or "two ANN indexes with
+    * different failure modes" search — s18 says which single index
+    * wins; s19 is what you ship when you can afford two.
+    *
+    * Determinism: contributions are exact integer micros
+    * ([[rrfScale]] div (k + rk)); the fused ordering ties-break on
+    * neighbor_id. Scale shape: the two retrieval plans dominate (each
+    * its own audited shape); fusion itself is one groupBy + one
+    * per-query top-5 window over ≤ 2·5·|queries| rows. */
+  def s19RankFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lists =
+      s2KnnLsh(spark, dir).select($"query_id", $"neighbor_id", $"rk")
+        .unionAll(
+          s6KnnIvf(spark, dir).select($"query_id", $"neighbor_id", $"rk"))
+    val fused = lists
+      .select($"query_id", $"neighbor_id",
+        expr(s"CAST($rrfScale div ($rrfK + rk) AS BIGINT)").as("micros"))
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"micros").as("rrf_micros"),
+        count(lit(1)).cast("int").as("n_lists"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"rrf_micros".desc, $"neighbor_id")
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter($"fused_rank" <= 5)
+      .select($"query_id", $"fused_rank", $"neighbor_id",
+        $"rrf_micros", $"n_lists")
+      .orderBy($"query_id", $"fused_rank")
+  }
+
   /** D21: symmetric int8 quantization of the embedding column +
     * reconstruction-error statistics per label — the compression step a
     * training pipeline applies before shipping embeddings. Quantization
@@ -1109,7 +1153,8 @@ object Similarity {
     "s15_knn_ivfpq" -> s15KnnIvfPq,
     "s16_ivf_stats" -> s16IvfStats,
     "s17_pq_distortion" -> s17PqDistortion,
-    "s18_index_leaderboard" -> s18IndexLeaderboard)
+    "s18_index_leaderboard" -> s18IndexLeaderboard,
+    "s19_rank_fusion" -> s19RankFusion)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1601,6 +1646,24 @@ object Similarity {
               / (5.0 * CAST(count(DISTINCT query_id) AS DOUBLE)), 4)
               AS mean_recall_at_5
           FROM t GROUP BY method ORDER BY method""",
+    "s19_rank_fusion" ->
+      s"""WITH lists AS (
+            SELECT query_id, neighbor_id, rk FROM ($s2OracleSql)
+            UNION ALL
+            SELECT query_id, neighbor_id, rk FROM ($s6OracleSql)),
+          c AS (SELECT query_id, neighbor_id,
+                  CAST($rrfScale // ($rrfK + rk) AS BIGINT) AS micros
+                FROM lists),
+          f AS (SELECT query_id, neighbor_id,
+                  CAST(sum(micros) AS BIGINT) AS rrf_micros,
+                  CAST(count(*) AS INT) AS n_lists
+                FROM c GROUP BY query_id, neighbor_id),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_micros DESC, neighbor_id) AS fr
+                FROM f)
+          SELECT query_id, CAST(fr AS INT) AS fused_rank, neighbor_id,
+            rrf_micros, n_lists
+          FROM r WHERE fr <= 5 ORDER BY query_id, fused_rank""",
     "d9_embedding_neardup" -> d9OracleSql,
     "s1_knn_brute" -> s1OracleSql,
     "s11_recall_eval" ->

@@ -1188,6 +1188,67 @@ object Stats {
         .as("z"))
   }
 
+  // --------------------------------------------------------------- q103
+
+  /** Shared IEEE expression fragments for [[q103JarqueBera]] — built
+    * once and interpolated into BOTH the Spark plan and the DuckDB
+    * oracle so the two engines evaluate the identical operator tree
+    * over the identical exact-integer moments (the q67 discipline;
+    * squares spelled x*x, never pow). */
+  private val jbMu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val jbM2 =
+    s"((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - $jbMu * $jbMu)"
+  private val jbM3 =
+    s"""((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        - 3.0 * $jbMu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        + 2.0 * $jbMu * $jbMu * $jbMu)"""
+  private val jbM4 =
+    s"""((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+        - 4.0 * $jbMu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        + 6.0 * $jbMu * $jbMu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        - 3.0 * $jbMu * $jbMu * $jbMu * $jbMu)"""
+  private val jbSkew = s"($jbM3 / ($jbM2 * sqrt($jbM2)))"
+  private val jbKurt = s"($jbM4 / ($jbM2 * $jbM2))"
+  private val jbStat =
+    s"""((CAST(n AS DOUBLE) / 6.0)
+        * ($jbSkew * $jbSkew
+           + (($jbKurt - 3.0) * ($jbKurt - 3.0)) / 4.0))"""
+
+  /** D218: Jarque–Bera normality audit per event type — sample
+    * skewness, excess kurtosis, and JB = n/6·(S² + K²/4) over the
+    * integerized metric v = floor(value): the distribution-shape
+    * screen an experimentation / anomaly pipeline runs before
+    * trusting any z- or t-based readout (q67/q100 assume the tails
+    * this query measures).
+    *
+    * Exactness: the four raw moments Σv..Σv⁴ are EXACT integers from
+    * ONE partial-aggregated pass — v⁴ ≤ ~1e11 per row fits BIGINT
+    * comfortably, and the third/fourth sums accumulate as
+    * DECIMAL(38,0) (s17's order-free discipline) because Σv⁴ outgrows
+    * BIGINT around 1e8 rows — long before 100 TB. Central moments,
+    * skewness, kurtosis, and JB are ONE shared IEEE expression tree
+    * ([[jbStat]]) interpolated into both engines, 4-dp.
+    *
+    * Scale shape: one map-side-combined aggregate to ≤ |event_type|
+    * rows; nothing after the scan shuffles more than that. */
+  def q103JarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.events(spark, dir)
+      .select($"event_type", floor($"value").cast("long").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"v").as("s1"),
+        sum($"v" * $"v").as("s2"),
+        sum(($"v" * $"v" * $"v").cast("decimal(38,0)")).as("s3"),
+        sum((($"v" * $"v") * ($"v" * $"v")).cast("decimal(38,0)")).as("s4"))
+    m.select($"event_type", $"n",
+        expr(s"round($jbMu, 4)").as("mean_v"),
+        expr(s"round($jbSkew, 4)").as("skewness"),
+        expr(s"round($jbKurt - 3.0, 4)").as("ex_kurtosis"),
+        expr(s"round($jbStat, 4)").as("jb_stat"))
+      .orderBy($"event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1198,6 +1259,7 @@ object Stats {
     "q96_durbin_watson" -> q96DurbinWatson,
     "q99_kruskal_wallis" -> q99KruskalWallis,
     "q100_two_proportion" -> q100TwoProportion,
+    "q103_jarque_bera" -> q103JarqueBera,
     "q67_welch_ttest" -> q67WelchTtest,
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
@@ -1214,6 +1276,21 @@ object Stats {
     "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
+    "q103_jarque_bera" ->
+      s"""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+                     FROM events),
+          m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(v) AS BIGINT) AS s1,
+                  CAST(sum(v * v) AS BIGINT) AS s2,
+                  sum(v * v * v) AS s3,
+                  sum((v * v) * (v * v)) AS s4
+                FROM e GROUP BY event_type)
+          SELECT event_type, n,
+            round($jbMu, 4) AS mean_v,
+            round($jbSkew, 4) AS skewness,
+            round($jbKurt - 3.0, 4) AS ex_kurtosis,
+            round($jbStat, 4) AS jb_stat
+          FROM m ORDER BY event_type""",
     "q100_two_proportion" ->
       """WITH u AS (SELECT user_id,
               CAST(max(CASE WHEN event_type = 'purchase' AND value >= 90.0

@@ -261,6 +261,64 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(sum($"v"), 4).as("sum_nll"))
   }
 
+  /** Kneser–Ney absolute discount for [[t38KnNll]]. */
+  val knDiscount = 0.75
+
+  /** D217: interpolated Kneser–Ney bigram NLL per document — the
+    * KenLM-style quality filter (Heafield '11; Kneser & Ney '95):
+    * token surprisal under
+    *
+    *   p(w2|w1) = (c(w1w2) − D)/c(w1) + D·N1+(w1·)/c(w1) · p_cont(w2),
+    *   p_cont(w2) = N1+(·w2) / |bigram types|,
+    *
+    * where N1+(w1·)/N1+(·w2) are distinct-continuation/-predecessor
+    * counts. Differs from t18's add-one model exactly where it
+    * matters for filtering: a token that follows MANY distinct
+    * predecessors (high continuation probability) is cheap even after
+    * a rare context, so formulaic documents score differently than
+    * under count-only smoothing — this is the smoothing every
+    * production n-gram filter actually uses.
+    *
+    * Float discipline: all five count tables are exact integers; p is
+    * ONE IEEE tree of casts/divisions (discount interpolated via
+    * Double.toString), −ln rounded to 4 dp BEFORE the per-document
+    * sum (the t9/c1 lesson). Every bigram here is attested (c12 ≥ 1 >
+    * D), so p ∈ (0, 1] and the backoff never needs the unseen branch.
+    *
+    * Scale shape: the count tables are VOCABULARY-/bigram-type-sized,
+    * so all four joins stay shuffle joins keyed on the gram (the t6
+    * df-join rule); both token-stream passes partial-aggregate before
+    * their shuffle; the only corpus-sized frames carry (doc_id, bg)
+    * plus a handful of longs. */
+  def t38KnNll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val docTok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+    val docBig = docs.select($"doc_id", explode(bigrams($"text")).as("bg"))
+    val uniCnt = docTok.select($"term".as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val bigCnt = docBig.groupBy($"bg").agg(count(lit(1)).as("c12"))
+      .scopedPersist()
+    val bigTypes = bigCnt.count()
+    val fwd = bigCnt.select(substring_index($"bg", " ", 1).as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("n1p"))
+    val pred = bigCnt.select(substring_index($"bg", " ", -1).as("w2"))
+      .groupBy($"w2").agg(count(lit(1)).as("pred2"))
+    val d = knDiscount.toString
+    docBig.join(bigCnt, "bg")
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .withColumn("w2", substring_index($"bg", " ", -1))
+      .join(uniCnt, "w1").join(fwd, "w1").join(pred, "w2")
+      .withColumn("v", expr(
+        s"""round(-ln(((CAST(c12 AS DOUBLE) - $d)
+            + $d * CAST(n1p AS DOUBLE)
+              * (CAST(pred2 AS DOUBLE) / $bigTypes.0))
+            / CAST(c1 AS DOUBLE)), 4)"""))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(sum($"v"), 4).as("sum_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** D97: first-occurrence novelty scoring — per document, the
     * fraction of its word 3-shingles whose FIRST corpus occurrence
     * (min doc_id, the ingestion-order proxy) is this document. The
@@ -1434,6 +1492,7 @@ object TextAnalysis {
     "t20_novelty" -> t20Novelty,
     "t19_weighted_sample" -> t19WeightedSample,
     "t18_bigram_nll" -> t18BigramNll,
+    "t38_kn_nll" -> t38KnNll,
     "t17_bm25" -> t17Bm25,
     "t32_good_turing" -> t32GoodTuring,
     "t33_langid_eval" -> t33LangidEval,
@@ -2025,6 +2084,37 @@ object TextAnalysis {
           SELECT CAST(rk AS INT) AS rk, doc_id, n_chars,
             round(skey, 6) AS skey
           FROM ranked WHERE rk <= $wsampleK ORDER BY rk""",
+    "t38_kn_nll" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                     FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+          b AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t),
+          uc AS (SELECT term AS w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM tok GROUP BY term),
+          bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+                 FROM b GROUP BY bg),
+          tz AS (SELECT CAST(count(*) AS BIGINT) AS tsz FROM bc),
+          fwd AS (SELECT split_part(bg, ' ', 1) AS w1,
+                    CAST(count(*) AS BIGINT) AS n1p
+                  FROM bc GROUP BY 1),
+          pr AS (SELECT split_part(bg, ' ', 2) AS w2,
+                    CAST(count(*) AS BIGINT) AS pred2
+                  FROM bc GROUP BY 1),
+          s AS (SELECT b.doc_id,
+                  round(-ln(((CAST(c12 AS DOUBLE) - $knDiscount)
+                    + $knDiscount * CAST(n1p AS DOUBLE)
+                      * (CAST(pred2 AS DOUBLE) / CAST(tsz AS DOUBLE)))
+                    / CAST(c1 AS DOUBLE)), 4) AS v
+                FROM b JOIN bc USING (bg)
+                       JOIN uc ON uc.w1 = split_part(b.bg, ' ', 1)
+                       JOIN fwd ON fwd.w1 = split_part(b.bg, ' ', 1)
+                       JOIN pr ON pr.w2 = split_part(b.bg, ' ', 2)
+                       CROSS JOIN tz)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            round(sum(v), 4) AS sum_nll
+          FROM s GROUP BY doc_id ORDER BY doc_id""",
     "t18_bigram_nll" ->
       s"""WITH $bigramNllCtes
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,

@@ -1003,4 +1003,48 @@ class AnalyticsSpec extends AnyFunSuite {
     // r-squared is a fraction
     assert(got.forall(g => g._4 >= 0.0 && g._4 <= 1.0))
   }
+
+  test("q104 Theil decomposition matches a brute replay and reconstructs " +
+    "the total index") {
+    import spark.implicits._
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val byNat = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = rows.length.toDouble
+    val s = rows.map(x => BigInt(x._2)).sum.toDouble
+    val expected = byNat.toSeq.sortBy(_._1).map { case (nat, cs) =>
+      val ng = cs.length.toDouble
+      val sg = cs.map(BigInt(_)).sum.toDouble
+      val mu = sg / ng
+      val tsum = cs.map { c =>
+        val ratio = c.toDouble / mu
+        BigInt(math.floor(ratio * math.log(ratio) * 1e9 + 0.5).toLong)
+      }.sum
+      val share = sg / s
+      (nat, cs.length.toLong, r(share, 4),
+        r(tsum.toDouble / (ng * 1e9), 6),
+        r(share * math.log(share / (ng / n)), 6))
+    }
+    val got = Analytics.q104TheilDecomposition(spark, sf).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // decomposition identity: Σ between + Σ share·T_g equals the
+    // directly-computed total Theil index (to grid+rounding slack)
+    val muAll = s / n
+    val totalT = rows.map { x =>
+      val ratio = x._2.toDouble / muAll
+      ratio * math.log(ratio)
+    }.sum / n
+    val reconstructed = got.map(_._5).sum +
+      got.map(g => g._3 * g._4).sum
+    assert(math.abs(reconstructed - totalT) <= 1e-3)
+    // within-group terms are nonnegative (Jensen)
+    assert(got.forall(_._4 >= -1e-9))
+  }
 }

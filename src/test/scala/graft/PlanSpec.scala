@@ -269,7 +269,9 @@ class PlanSpec extends AnyFunSuite {
       "s18_index_leaderboard",
       // g13 crosses each half-step's ONE-row max-normalization frame
       // (q43 shape — replaced the former blocking driver .head())
-      "g13_hits")
+      "g13_hits",
+      // q104 crosses the ONE-row grand-total frame (q43 shape)
+      "q104_theil")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

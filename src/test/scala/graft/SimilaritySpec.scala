@@ -430,4 +430,28 @@ class SimilaritySpec extends AnyFunSuite {
     // distortion is positive and bounded by the unit-sphere diameter
     assert(got.forall(g => g._3 >= 0.0 && g._3 <= 4.0 && g._4 <= 4.0))
   }
+
+  test("s19 RRF fusion is an exact integer derivation of the s2+s6 lists") {
+    def ranks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => ((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")), r.getAs[Int]("rk"))).toMap
+    val lsh = ranks(Similarity.s2KnnLsh(spark, sf).collect())
+    val ivf = ranks(Similarity.s6KnnIvf(spark, sf).collect())
+    val fused = (lsh.keySet ++ ivf.keySet).toSeq.map { k =>
+      val micros = Seq(lsh.get(k), ivf.get(k)).flatten
+        .map(rk => Similarity.rrfScale / (Similarity.rrfK + rk))
+      (k._1, k._2, micros.sum, micros.length)
+    }
+    val expected = fused.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+      cands.sortBy(c => (-c._3, c._2)).take(5).zipWithIndex
+        .map { case ((_, nb, mic, nl), i) => (q, i + 1, nb, mic, nl) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.s19RankFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // fusion actually merges: at least one fused candidate is on both
+    // lists (micros from two ranks), else RRF degenerates to concat
+    assert(got.exists(_._5 == 2))
+  }
 }

@@ -709,4 +709,41 @@ class StatsSpec extends AnyFunSuite {
     // DW lives in [0, 4]
     assert(got.forall(g => g._3 >= 0.0 && g._3 <= 4.0))
   }
+
+  test("q103 Jarque-Bera matches a brute moments replay per event type") {
+    import spark.implicits._
+    val vals = Tables.events(spark, sf)
+      .select($"event_type", floor($"value").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Stats.q103JarqueBera(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == vals.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val xs = vals(r.getString(0))
+      val n = xs.length.toDouble
+      val s1 = xs.map(BigInt(_)).sum.toDouble
+      val s2 = xs.map(x => BigInt(x) * x).sum.toDouble
+      val s3 = xs.map(x => BigInt(x) * x * x).sum.toDouble
+      val s4 = xs.map(x => BigInt(x) * x * x * x).sum.toDouble
+      val mu = s1 / n
+      val m2 = s2 / n - mu * mu
+      val m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+      val m4 = s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) -
+        3.0 * mu * mu * mu * mu
+      val skew = m3 / (m2 * math.sqrt(m2))
+      val kurt = m4 / (m2 * m2)
+      val jb = (n / 6.0) * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - r4(mu)) <= 1.01e-4)
+      assert(math.abs(r.getDouble(3) - r4(skew)) <= 1.01e-4)
+      assert(math.abs(r.getDouble(4) - r4(kurt - 3.0)) <= 1.01e-4)
+      // JB can be O(n); allow the 4-dp grid plus relative slack
+      assert(math.abs(r.getDouble(5) - jb) <=
+        1e-4 + 1e-9 * math.abs(jb))
+      // the synthetic metric is right-skewed, decisively non-normal
+      assert(r.getDouble(3) > 0.0 && r.getDouble(5) > 1.0)
+    }
+  }
 }

@@ -328,6 +328,43 @@ class TextSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("t38 Kneser-Ney NLL equals a driver continuation-count replay") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1).toSeq))
+    val uniCnt = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val bigCnt = docs.flatMap(_._2.sliding(2).filter(_.size == 2))
+      .map(_.mkString(" ")).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val tTypes = bigCnt.size.toLong
+    val fwd = bigCnt.keys.groupBy(_.split(" ")(0)).view
+      .mapValues(_.size.toLong).toMap
+    val pred = bigCnt.keys.groupBy(_.split(" ")(1)).view
+      .mapValues(_.size.toLong).toMap
+    val d = TextAnalysis.knDiscount
+    val expected = docs.flatMap { case (id, toks) =>
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      if (bgs.isEmpty) None
+      else {
+        val nll = bgs.map { bg =>
+          val Array(w1, w2) = bg.split(" ")
+          val p = ((bigCnt(bg).toDouble - d) +
+            d * fwd(w1).toDouble * (pred(w2).toDouble / tTypes.toDouble)) /
+            uniCnt(w1).toDouble
+          r4(-math.log(p))
+        }.sum
+        Some((id, bgs.size.toLong, r4(nll)))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.t38KnNll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // every attested-bigram probability is a genuine probability
+    assert(got.forall(_._3 >= 0.0))
+  }
+
   test("t22 NB confusion matrix equals a driver naive-Bayes replay") {
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
