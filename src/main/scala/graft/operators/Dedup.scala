@@ -358,6 +358,28 @@ object Dedup {
     val (docShAll, sigsAll) = sharedSigs(spark, dir)
     val docSh = docShAll.join(broadcast(sampleIds), "doc_id")
     val sigs = sigsAll.join(broadcast(sampleIds), "doc_id")
+    lshSweepRows(docSh, sigs)
+      .toDF("bands", "rows_per_band", "n_candidates", "n_true_found",
+        "recall", "precision")
+      .orderBy($"bands".desc)
+  }
+
+  /** The [[d18LshTuning]] sweep core, shared with the
+    * `GraftMinHash` Estimator's fit (which runs it over a USER
+    * dataset instead of the fixture table): given a SAMPLE-bounded
+    * (doc_id, s) shingle frame and its sig0..sig{k−1} signature
+    * frame, evaluate every [[lshSweep]] banding configuration with
+    * the production [[maxBucket]] skew cap and return one
+    * (bands, rowsPerBand, nCandidates, nTrueFound, recall, precision)
+    * tuple per configuration. Truth = exact Jaccard ≥ 0.5 over the
+    * most permissive configuration's candidates (the documented
+    * bounded proxy — exact all-pairs truth is sample² and is what LSH
+    * exists to avoid). Caller bounds the inputs; everything here is
+    * sample-sized. */
+  private[graft] def lshSweepRows(docSh: DataFrame, sigs: DataFrame)
+      : Seq[(Int, Int, Long, Long, Double, Double)] = {
+    val spark = docSh.sparkSession
+    import spark.implicits._
     def candFor(b: Int, r: Int): DataFrame = {
       val bandCols = (0 until b).map { i =>
         val parts = (0 until r).map(j => col(s"sig${i * r + j}"))
@@ -405,9 +427,7 @@ object Dedup {
         if (nTruth > 0) r4(nFound.toDouble / nTruth.toDouble) else 0.0,
         if (nCand > 0) r4(nFound.toDouble / nCand.toDouble) else 0.0)
     }
-    rows.toDF("bands", "rows_per_band", "n_candidates", "n_true_found",
-      "recall", "precision")
-      .orderBy($"bands".desc)
+    rows
   }
 
   /** D18: 32-bit SimHash from md5-derived token hashes — explode

@@ -544,4 +544,69 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.d17MinhashFidelity(spark, sf).count() == d.count())
     CacheScope.drain()
   }
+
+  test("GraftMinHash fit reproduces the d18 sweep and picks its F1-best config") {
+    import graft.ml.feature.GraftMinHash
+    val docs = Tables.documents(spark, sf)
+    val model = new GraftMinHash().setIdCol("doc_id").setTextCol("text")
+      .fit(docs)
+    val d18 = Dedup.d18LshTuning(spark, sf).collect()
+      .map(r => Array[Double](r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // same sweep core on the same sample → identical table
+    assert(model.sweep.map(_.toSeq).sortBy(-_.head).toSeq ==
+      d18.map(_.toSeq).toSeq)
+    def f1(r: Array[Double]): Double =
+      if (r(4) + r(5) == 0.0) 0.0 else 2.0 * r(4) * r(5) / (r(4) + r(5))
+    val best = model.sweep.minBy(r => (-f1(r), r(2), r(0)))
+    assert((model.numBands, model.rowsPerBand) ==
+      ((best(0).toInt, best(1).toInt)))
+    assert(Dedup.lshSweep.contains((model.numBands, model.rowsPerBand)))
+    CacheScope.drain()
+  }
+
+  test("GraftMinHash transform bands equal the exploded-aggregate derivation " +
+    "and the model round-trips") {
+    import graft.ml.feature.{GraftMinHash, GraftMinHashModel}
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.documents(spark, sf)
+    val model = new GraftMinHash().setIdCol("doc_id").setTextCol("text")
+      .setBandsCol("bands").fit(docs)
+    val (b, r) = (model.numBands, model.rowsPerBand)
+    // aggregate-path bands at the chosen config (the d4/d18 derivation)
+    val sigs = Dedup.signaturesOf(
+      docs.select($"doc_id", explode(Dedup.shingles($"text")).as("s")))
+    val bandCols = (0 until b).map { i =>
+      md5(concat_ws("|",
+        (0 until r).map(j => col(s"sig${i * r + j}")): _*)).as(s"b$i")
+    }
+    val expected = sigs.select(col("doc_id") +: bandCols: _*).collect()
+      .map(x => (x.getLong(0),
+        (0 until b).map(i => x.getString(i + 1)).toSeq)).toMap
+    val got = model.transform(docs).select($"doc_id", $"bands").collect()
+      .map(x => (x.getLong(0),
+        Option(x.getSeq[String](1)).map(_.toSeq))).toMap
+    assert(got.size == docs.count())
+    expected.foreach { case (id, bands) =>
+      assert(got(id).contains(bands), s"band mismatch for doc $id")
+    }
+    // docs absent from the aggregate path (< 3 tokens) must be null
+    (got.keySet -- expected.keySet).foreach { id =>
+      assert(got(id).isEmpty, s"doc $id has no shingles but non-null bands")
+    }
+    // persistence round-trip preserves the learned plan and transform
+    val dir = java.nio.file.Files.createTempDirectory("gmh").toString
+    model.write.overwrite().save(s"$dir/m")
+    val loaded = GraftMinHashModel.load(s"$dir/m")
+    assert(loaded.numBands == model.numBands &&
+      loaded.rowsPerBand == model.rowsPerBand &&
+      loaded.sweep.map(_.toSeq).toSeq == model.sweep.map(_.toSeq).toSeq)
+    val reGot = loaded.transform(docs).select($"doc_id", $"bands").collect()
+      .map(x => (x.getLong(0),
+        Option(x.getSeq[String](1)).map(_.toSeq))).toMap
+    assert(reGot == got)
+    CacheScope.drain()
+  }
 }
