@@ -540,6 +540,53 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** D221: attribute-FILTERED vector search — the s6 IVF pipeline
+    * with a metadata predicate (neighbor.label = query.label) applied
+    * INSIDE candidate generation, before the exact re-rank: the
+    * "filtered ANN" shape every production vector store exposes
+    * (search only documents matching a tenant/language/category
+    * filter). Pre-filtering the candidate stream is the scale-correct
+    * order — filter-AFTER-top-k silently returns < k results whenever
+    * the filter is selective, and filter-BEFORE-index (a separate
+    * index per attribute value) explodes index count; in-probe
+    * filtering reuses ONE index and keeps the re-rank k-deep.
+    *
+    * Probe width: [[filteredProbes]] (6) instead of s6's 4 — the
+    * standard filtered-search compensation: a selective predicate
+    * thins every probed cell, so the index OVER-probes to keep the
+    * effective candidate depth of the unfiltered search (what
+    * production vector stores do when a filter is attached).
+    *
+    * Determinism: identical quantized-Lloyd cells/probes as s6 (the
+    * hash-exact DuckDB replay) plus one equi-predicate; same top-5
+    * re-rank tail. Scale shape: s6's — the filter only SHRINKS the
+    * candidate stream (a narrow predicate on the cell join), and the
+    * label column rides the probe join, never a separate corpus
+    * pass. */
+  /** s20's widened probe count (filter-compensating over-probe). */
+  val filteredProbes = 6
+
+  def s20FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val corpus = emb.select($"vec_id".as("neighbor_id"),
+      $"label".as("n_label"), $"embedding",
+      nearestCentroidCol(spark, $"embedding", cents).as("cell"))
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"),
+        explode(probes(cents, filteredProbes)($"embedding")).as("cell"))
+    val cands = corpus.join(qs, Seq("cell"))
+      .filter($"neighbor_id" =!= $"query_id" && $"n_label" === $"q_label")
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    cands.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** PQ layout: 8 subspaces × 8 dims (over the 64-dim fixture), 64
     * centroids per subspace → 8 small codes per vector, a 32×
     * compression of the float embedding. */
@@ -1154,7 +1201,8 @@ object Similarity {
     "s16_ivf_stats" -> s16IvfStats,
     "s17_pq_distortion" -> s17PqDistortion,
     "s18_index_leaderboard" -> s18IndexLeaderboard,
-    "s19_rank_fusion" -> s19RankFusion)
+    "s19_rank_fusion" -> s19RankFusion,
+    "s20_filtered_knn" -> s20FilteredKnn)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1402,6 +1450,19 @@ object Similarity {
             JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
           ${rerankTailSql("cand")}"""
 
+  /** DuckDB replay of [[s20FilteredKnn]] — s6's cells/probes chain
+    * with the label equi-predicate inside the candidate CTE. */
+  private def s20OracleSql: String =
+    s"""WITH $trainBaseCtes,
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = filteredProbes, dim = 64)},
+          cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+            FROM probes p
+            JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+            JOIN embeddings qe ON qe.vec_id = p.query_id
+            JOIN embeddings ne ON ne.vec_id = cl.vec_id
+            WHERE ne.label = qe.label),
+          ${rerankTailSql("cand")}"""
+
   /** DuckDB replay of [[s7KnnPq]] — sample → L2 normalize → 8
     * per-subspace quantized Lloyd chains (subspace id `m` rides as a
     * grouping key, so all 8 codebooks train in ONE chain of CTEs) →
@@ -1583,6 +1644,7 @@ object Similarity {
     "s9_mmr_rerank" -> s9OracleSql,
     "s2_knn_lsh" -> s2OracleSql,
     "s6_knn_ivf" -> s6OracleSql,
+    "s20_filtered_knn" -> s20OracleSql,
     "s7_knn_pq" -> s7OracleSql,
     "s15_knn_ivfpq" -> s15OracleSql,
     "s16_ivf_stats" ->

@@ -454,4 +454,45 @@ class SimilaritySpec extends AnyFunSuite {
     // lists (micros from two ranks), else RRF degenerates to concat
     assert(got.exists(_._5 == 2))
   }
+
+  test("s20 filtered kNN honors the label predicate and recalls the " +
+    "label-filtered brute top-5") {
+    val emb = TestSpark.spark.read
+      .parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray))
+    val byId = emb.map(e => (e._1, e)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = Similarity.s20FilteredKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every neighbor carries the query's label (the filter semantics)
+    rows.foreach { case (q, _, n, _) =>
+      assert(byId(q)._2 == byId(n)._2, s"label leak: query $q neighbor $n")
+    }
+    // per query: ranks contiguous from 1, cosine non-increasing
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+    }
+    // recall@5 vs the label-filtered exact brute ranking (the s2 gate)
+    val recalls = rows.groupBy(_._1).map { case (q, rs) =>
+      val (_, ql, qe) = byId(q)
+      val brute = emb.filter(e => e._1 != q && e._2 == ql)
+        .map(e => (cos(qe, e._3), e._1))
+        .sortBy(t => (-t._1, t._2)).take(5).map(_._2).toSet
+      rs.map(_._3).count(brute) / 5.0
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"filtered recall too low: $recalls")
+  }
 }
