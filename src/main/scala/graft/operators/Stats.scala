@@ -1249,6 +1249,65 @@ object Stats {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------------------- q105
+
+  /** D222: Friedman rank test — does monthly revenue RANKING differ
+    * systematically across order priorities, treating each month as a
+    * matched block? The nonparametric repeated-measures companion to
+    * q83's one-way ANOVA: ANOVA compares level MEANS across
+    * independent groups; Friedman ranks the k=5 priorities WITHIN
+    * each month and asks whether some priority is consistently
+    * ranked higher, immune to month-level scale shifts (seasonality,
+    * growth) that inflate q83's between-month variance.
+    *
+    * Exactness: per-(month, priority) revenue is an exact cent sum;
+    * within-block average ranks ride the q92 DOUBLED-rank census
+    * trick (2·below + ties + 1 — exact integers, no fractional rank
+    * state); only complete blocks (all 5 priorities present) enter,
+    * so rank sums are directly comparable. Q = 12/(n·k·(k+1))·ΣR_j²
+    * − 3·n·(k+1) (classic uncorrected form, average ranks for ties)
+    * is one IEEE tree over exact integer sums, 4-dp.
+    *
+    * Scale shape: one partial-aggregated rollup to the (months × 5)
+    * block frame; ranking windows PARTITION BY month (parallel in
+    * blocks); the final Q rides a window over the 5-row rank-sum
+    * frame (the t14 bounded-global-window exemption). */
+  def q105Friedman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate")).as("mo"),
+        $"o_orderpriority".as("priority"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"mo", $"priority").agg(sum($"cents").as("rev"))
+      .scopedPersist()
+    val complete = monthly.groupBy($"mo").agg(count(lit(1)).as("kk"))
+      .filter($"kk" === 5).select($"mo")
+    val rows = monthly.join(complete, "mo")
+    val cen = rows.groupBy($"mo", $"rev").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"mo").orderBy($"rev")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cen
+      .withColumn("cb", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .select($"mo", $"rev",
+        (lit(2L) * $"cb" + $"cnt" + lit(1L)).as("rank2"))
+    val rsum = rows.join(ranked, Seq("mo", "rev"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_blocks"), sum($"rank2").as("r2"))
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rsum
+      .withColumn("ssum",
+        sum($"r2".cast("decimal(38,0)") * $"r2").over(wAll))
+      .select($"priority", $"n_blocks",
+        expr("CAST(r2 AS DOUBLE) / 2.0").as("rank_sum"),
+        expr("round(CAST(r2 AS DOUBLE) / (2.0 * CAST(n_blocks AS DOUBLE)), 4)")
+          .as("mean_rank"),
+        expr("""round(12.0 / (CAST(n_blocks AS DOUBLE) * 5.0 * 6.0)
+            * (CAST(ssum AS DOUBLE) / 4.0)
+            - 3.0 * CAST(n_blocks AS DOUBLE) * 6.0, 4)""").as("q_stat"))
+      .orderBy($"priority")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1260,6 +1319,7 @@ object Stats {
     "q99_kruskal_wallis" -> q99KruskalWallis,
     "q100_two_proportion" -> q100TwoProportion,
     "q103_jarque_bera" -> q103JarqueBera,
+    "q105_friedman" -> q105Friedman,
     "q67_welch_ttest" -> q67WelchTtest,
     "q68_chi2" -> q68Chi2,
     "q69_theilsen" -> q69TheilSen,
@@ -1276,6 +1336,34 @@ object Stats {
     "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
+    "q105_friedman" ->
+      """WITH m AS (SELECT (year(o_orderdate) * 12 + month(o_orderdate))
+                  AS mo, o_orderpriority AS priority,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+              FROM orders GROUP BY 1, 2),
+          cb AS (SELECT mo FROM m GROUP BY mo HAVING count(*) = 5),
+          r AS (SELECT m.* FROM m JOIN cb USING (mo)),
+          cen AS (SELECT mo, rev, CAST(count(*) AS BIGINT) AS cnt
+                  FROM r GROUP BY 1, 2),
+          rk AS (SELECT mo, rev,
+                  2 * coalesce(sum(cnt) OVER (PARTITION BY mo ORDER BY rev
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS rank2
+                 FROM cen),
+          rs AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_blocks,
+                  CAST(sum(rank2) AS BIGINT) AS r2
+                 FROM r JOIN rk USING (mo, rev) GROUP BY priority),
+          t AS (SELECT *, sum(CAST(r2 AS HUGEINT) * r2) OVER () AS ssum
+                FROM rs)
+          SELECT priority, n_blocks,
+            CAST(r2 AS DOUBLE) / 2.0 AS rank_sum,
+            round(CAST(r2 AS DOUBLE) / (2.0 * CAST(n_blocks AS DOUBLE)), 4)
+              AS mean_rank,
+            round(12.0 / (CAST(n_blocks AS DOUBLE) * 5.0 * 6.0)
+              * (CAST(ssum AS DOUBLE) / 4.0)
+              - 3.0 * CAST(n_blocks AS DOUBLE) * 6.0, 4) AS q_stat
+          FROM t ORDER BY priority""",
     "q103_jarque_bera" ->
       s"""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v
                      FROM events),

@@ -746,4 +746,41 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getDouble(3) > 0.0 && r.getDouble(5) > 1.0)
     }
   }
+
+  test("q105 Friedman matches a brute within-month rank replay") {
+    import spark.implicits._
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val monthly = Tables.orders(spark, sf)
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate")),
+        $"o_orderpriority", floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byMonth = monthly.toSeq.map { case ((mo, p), rev) => (mo, p, rev) }
+      .groupBy(_._1).filter(_._2.length == 5)
+    val rankSums = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    byMonth.foreach { case (_, rows) =>
+      rows.foreach { case (_, p, rev) =>
+        val below = rows.count(_._3 < rev)
+        val ties = rows.count(_._3 == rev)
+        rankSums(p) += (2 * below + ties + 1) / 2.0
+      }
+    }
+    val n = byMonth.size.toDouble
+    val ssum = rankSums.values.map(r => r * r).sum
+    val q = 12.0 / (n * 5.0 * 6.0) * ssum - 3.0 * n * 6.0
+    val got = Stats.q105Friedman(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == rankSums.keys.toSeq.sorted)
+    got.foreach { case (p, nb, rs, mr, qs) =>
+      assert(nb == byMonth.size.toLong)
+      assert(rs == rankSums(p))
+      assert(math.abs(mr - r4(rankSums(p) / n)) <= 1.01e-4)
+      assert(math.abs(qs - r4(q)) <= 2e-4)
+    }
+    // rank sums across priorities partition the total block ranks
+    assert(math.abs(rankSums.values.sum - n * 15.0) < 1e-9)
+  }
 }
