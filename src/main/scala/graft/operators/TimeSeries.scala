@@ -154,10 +154,59 @@ object TimeSeries {
     }
   }
 
+  /** D223: OHLC downsampling — per-nation WEEKLY open/high/low/close
+    * candles plus order count and revenue from the raw order stream,
+    * the canonical time-series resample (finance candles; any
+    * metric's "first/peak/trough/latest per bucket" rollup). Open and
+    * close are the chronologically first/last order's total in the
+    * bucket with a total-order tie-break (orderdate, then orderkey),
+    * so the candle is deterministic under any partitioning — the
+    * first()/last() aggregates Spark offers are explicitly
+    * order-dependent and are exactly what this operator avoids.
+    *
+    * Exactness: all five candle fields are exact integer cents /
+    * counts (no doubles anywhere).
+    *
+    * Scale shape: one orders⋈customer shuffle join (nation
+    * broadcast); both row_number windows PARTITION BY (nation, week)
+    * — high-cardinality, parallel in buckets; then ONE
+    * partial-aggregated rollup. Conditional max(when(rn=1)) turns the
+    * endpoint picks into plain aggregates — no self-join back. */
+  def q106OhlcResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), "o_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey".as("c_nationkey"), $"n_name".as("nation"))),
+        "c_nationkey")
+      .select($"nation",
+        (datediff(to_date($"o_orderdate"), lit("1970-01-01")) / 7)
+          .cast("long").as("week"),
+        $"o_orderdate", $"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+    val wAsc = Window.partitionBy($"nation", $"week")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val wDesc = Window.partitionBy($"nation", $"week")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    o.withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy($"nation", $"week")
+      .agg(count(lit(1)).as("n_orders"),
+        max(when($"rna" === 1, $"cents")).as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max(when($"rnd" === 1, $"cents")).as("close_cents"),
+        sum($"cents").as("volume_cents"))
+      .orderBy($"nation", $"week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_holt" -> q65Holt,
     "q86_holt_winters" -> q86HoltWinters,
-    "q98_holt_backtest" -> q98HoltBacktest)
+    "q98_holt_backtest" -> q98HoltBacktest,
+    "q106_ohlc" -> q106OhlcResample)
 
   /** Held-out observations per series for [[q98HoltBacktest]]. */
   val backtestHoldout = 7
@@ -274,6 +323,31 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q106_ohlc" ->
+      """WITH o AS (SELECT n.n_name AS nation,
+                (date_diff('day', DATE '1970-01-01',
+                   CAST(o.o_orderdate AS DATE)) // 7) AS week,
+                o.o_orderdate, o.o_orderkey,
+                CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY nation, week
+                    ORDER BY o_orderdate, o_orderkey) AS rna,
+                  row_number() OVER (PARTITION BY nation, week
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnd
+                FROM o)
+          SELECT nation, CAST(week AS BIGINT) AS week,
+            CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(max(CASE WHEN rna = 1 THEN cents END) AS BIGINT)
+              AS open_cents,
+            CAST(max(cents) AS BIGINT) AS high_cents,
+            CAST(min(cents) AS BIGINT) AS low_cents,
+            CAST(max(CASE WHEN rnd = 1 THEN cents END) AS BIGINT)
+              AS close_cents,
+            CAST(sum(cents) AS BIGINT) AS volume_cents
+          FROM r GROUP BY nation, week ORDER BY nation, week""",
     "q86_holt_winters" -> hwOracleSql,
     "q65_holt" ->
       """WITH RECURSIVE d AS (

@@ -1047,4 +1047,32 @@ class AnalyticsSpec extends AnyFunSuite {
     // within-group terms are nonnegative (Jensen)
     assert(got.forall(_._4 >= -1e-9))
   }
+
+  test("q106 OHLC candles match a brute per-bucket replay") {
+    import spark.implicits._
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")),
+        $"o_orderkey", floor($"o_totalprice" * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong / 7,
+        (r.getInt(1), r.getLong(2)), r.getLong(3)))
+    val expected = rows.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((nat, wk), os) =>
+        val asc = os.sortBy(_._3)
+        (nat, wk, os.length.toLong, asc.head._4,
+          os.map(_._4).max, os.map(_._4).min, asc.last._4,
+          os.map(_._4).sum)
+      }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.TimeSeries.q106OhlcResample(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // candle sanity: low <= open/close <= high
+    assert(got.forall(c => c._6 <= c._4 && c._4 <= c._5 &&
+      c._6 <= c._7 && c._7 <= c._5))
+  }
 }
