@@ -832,6 +832,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_filter_ablation" -> c18FilterAblation,
     "c17_pretrain_run" -> c17PretrainRun,
     "c16_checksum_manifest" -> c16ChecksumManifest,
     "c15_mix_plan" -> c15MixPlan,
@@ -848,6 +849,63 @@ object Pipeline {
     "c4_chunk_overlap" -> c4ChunkOverlap,
     "c5_stable_split" -> c5StableSplit,
     "c6_mixture" -> c6Mixture)
+
+  /** D224: leave-one-out filter ablation — the "which cleaning filter
+    * costs the most data" dashboard a corpus curator reads before
+    * loosening anything: for the full c1 filter set and each
+    * single-filter ablation (no_quality / no_exact / no_neardup), the
+    * surviving document count, total quality mass, and survivor ratio
+    * vs the full pipeline.
+    *
+    * Semantics: each filter's pass flag is computed INDEPENDENTLY on
+    * the full corpus (quality ≥ 0.5; exact-dup keep = min doc_id of
+    * the content-hash group; near-dup drop = appears as doc_b in the
+    * d5 pair set) and a configuration is the conjunction of its
+    * flags — the standard marginal-ablation dashboard, NOT four
+    * sequential pipeline re-runs (documented: under sequential
+    * semantics the dedup keep-sets would shift with the quality
+    * gate).
+    *
+    * Scale shape: ONE corpus pass computes all three flags (the
+    * content-hash window is the c1 near-unique-key shuffle; the d5
+    * pair set arrives as a distinct doc_b semi-structure), then ONE
+    * map-side-combined conditional aggregate to a single 8-column
+    * row; the 4-row output explodes from that one row driver-free. */
+  def c18FilterAblation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nd = Dedup.d5Jaccard(spark, dir)
+      .select($"doc_b".as("doc_id")).distinct()
+    val flags = Tables.documents(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+      .withColumn("ch",
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"ch")))
+      .join(nd.withColumn("nd", lit(1)), Seq("doc_id"), "left")
+      .select($"quality",
+        ($"quality" >= 0.5).cast("int").as("qok"),
+        ($"doc_id" === $"keep_id").cast("int").as("eok"),
+        (coalesce($"nd", lit(0)) === 0).cast("int").as("nok"))
+    val configs = Seq(
+      ("full", true, true, true), ("no_quality", false, true, true),
+      ("no_exact", true, false, true), ("no_neardup", true, true, false))
+    val aggCols = configs.flatMap { case (name, q, e, n) =>
+      val cond = Seq(if (q) Some($"qok" === 1) else None,
+        if (e) Some($"eok" === 1) else None,
+        if (n) Some($"nok" === 1) else None).flatten.reduce(_ && _)
+      Seq(sum(when(cond, 1L).otherwise(0L)).as(s"n_$name"),
+        sum(when(cond, $"quality").otherwise(0.0)).as(s"sq_$name"))
+    }
+    val m = flags.agg(aggCols.head, aggCols.tail: _*)
+    m.select(explode(array(configs.map { case (name, _, _, _) =>
+          struct(lit(name).as("config"), col(s"n_$name").as("n_docs"),
+            col(s"sq_$name").as("sq"))
+        }: _*)).as("c"), $"n_full")
+      .select($"c.config".as("config"), $"c.n_docs".as("n_docs"),
+        round($"c.sq", 4).as("sum_quality"),
+        round($"c.n_docs".cast("double") / $"n_full".cast("double"), 4)
+          .as("vs_full"))
+      .orderBy($"config")
+  }
 
   /** One BPE round as chained CTEs (MATERIALIZED is load-bearing: each
     * v is referenced by the next round AND the final union — plain CTEs
@@ -867,6 +925,49 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c18_filter_ablation" ->
+      s"""${Dedup.jaccardCte},
+          qual AS (SELECT doc_id, text,
+                ${TextAnalysis.qualityScoreSql} AS quality
+              FROM documents),
+          f AS (SELECT doc_id, quality,
+                CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS qok,
+                CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY
+                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+                  THEN 1 ELSE 0 END AS eok,
+                CASE WHEN doc_id IN (SELECT doc_b FROM jp)
+                  THEN 0 ELSE 1 END AS nok
+              FROM qual),
+          m AS (SELECT
+              CAST(sum(CASE WHEN qok = 1 AND eok = 1 AND nok = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+              sum(CASE WHEN qok = 1 AND eok = 1 AND nok = 1
+                THEN quality ELSE 0.0 END) AS sq_full,
+              CAST(sum(CASE WHEN eok = 1 AND nok = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_no_quality,
+              sum(CASE WHEN eok = 1 AND nok = 1
+                THEN quality ELSE 0.0 END) AS sq_no_quality,
+              CAST(sum(CASE WHEN qok = 1 AND nok = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_no_exact,
+              sum(CASE WHEN qok = 1 AND nok = 1
+                THEN quality ELSE 0.0 END) AS sq_no_exact,
+              CAST(sum(CASE WHEN qok = 1 AND eok = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_no_neardup,
+              sum(CASE WHEN qok = 1 AND eok = 1
+                THEN quality ELSE 0.0 END) AS sq_no_neardup
+            FROM f)
+          SELECT config, n_docs, round(sq, 4) AS sum_quality,
+            round(CAST(n_docs AS DOUBLE) / CAST(nf AS DOUBLE), 4) AS vs_full
+          FROM (
+            SELECT 'full' AS config, n_full AS n_docs, sq_full AS sq,
+              n_full AS nf FROM m
+            UNION ALL SELECT 'no_quality', n_no_quality, sq_no_quality,
+              n_full FROM m
+            UNION ALL SELECT 'no_exact', n_no_exact, sq_no_exact,
+              n_full FROM m
+            UNION ALL SELECT 'no_neardup', n_no_neardup, sq_no_neardup,
+              n_full FROM m)
+          ORDER BY config""",
     // c17: all eight stages as ONE chain — the d5 LSH/Jaccard CTEs,
     // the d14 quantized-Lloyd semantic-witness CTEs, the c11-style
     // gate chain, d7's decontamination, the c15 share fold, the c6

@@ -791,4 +791,42 @@ class PipelineSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq)
     CacheScope.drain()
   }
+
+  test("c18 ablation equals a driver flag replay; ablations are monotone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.qualityScore($"text").as("q"),
+        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("ch"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val keep = docs.groupBy(_._3).view.mapValues(_.map(_._1).min).toMap
+    val nd = graft.operators.Dedup.d5Jaccard(spark, sf)
+      .select($"doc_b").distinct().collect().map(_.getLong(0)).toSet
+    def count(q: Boolean, e: Boolean, n: Boolean): (Long, Double) = {
+      val sel = docs.filter { case (id, ql, ch) =>
+        (!q || ql >= 0.5) && (!e || keep(ch) == id) && (!n || !nd(id))
+      }
+      (sel.length.toLong, sel.map(_._2).sum)
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map(
+      "full" -> count(true, true, true),
+      "no_quality" -> count(false, true, true),
+      "no_exact" -> count(true, false, true),
+      "no_neardup" -> count(true, true, false))
+    val got = Pipeline.c18FilterAblation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(_._1) == exp.keys.toSeq.sorted)
+    got.foreach { case (cfg, n, sq, vf) =>
+      assert(n == exp(cfg)._1, s"$cfg count")
+      assert(math.abs(sq - r4(exp(cfg)._2)) <= 1.01e-4, s"$cfg quality")
+      assert(vf == r4(n.toDouble / exp("full")._1.toDouble), s"$cfg ratio")
+    }
+    // removing a filter can only let documents through
+    val full = exp("full")._1
+    assert(exp.values.forall(_._1 >= full))
+    CacheScope.drain()
+  }
 }
