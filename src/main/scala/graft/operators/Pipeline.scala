@@ -395,6 +395,18 @@ object Pipeline {
     * the 8-deep replace lineage (g1 discipline). */
   def c9BpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bpeTrace(spark, dir)._2
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"round")
+  }
+
+  /** The c9 training loop, shared with [[c19BpeApply]]: returns the
+    * FINAL (word, n, rep) vocabulary after all [[bpeMerges]] rounds
+    * plus the merge trace. The only corpus-sized work is the one
+    * word-count pass; the loop runs over the distinct vocabulary. */
+  private[operators] def bpeTrace(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    import spark.implicits._
     var vocab = Tables.documents(spark, dir)
       .select(explode(split(lower($"text"), " ")).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
@@ -423,8 +435,46 @@ object Pipeline {
           expr(s"replace(rep, '<$x><$y>', '<$x$y>')"))
         .localCheckpoint()
     }
-    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy($"round")
+    (vocab, merges.toSeq)
+  }
+
+  /** D225: BPE tokenizer APPLICATION — encode the corpus with the
+    * merges c9 just learned and report, per source, the word count,
+    * pre-BPE character mass (end-of-word marker included) and
+    * post-BPE symbol count, with the chars-per-symbol compression
+    * ratio: the readout that decides whether a learned tokenizer is
+    * WORTH shipping, and the per-source drift view (a source whose
+    * compression lags trained merges is out-of-domain for the
+    * tokenizer — the tokenizer-side twin of t24's vocabulary-coverage
+    * curve). Training (c9) without application is half a tokenizer.
+    *
+    * Scale shape: encoding happens on the DISTINCT vocabulary (the
+    * merges chain is word-type-sized, Heaps-law sublinear), never the
+    * token stream; the corpus contributes one (source, word)
+    * partial-aggregated census that joins the encoded vocabulary on
+    * the word key (t6 rule: vocabulary-sized shuffle join, no
+    * broadcast hint). Counts are exact integers; the ratio is one
+    * 4-dp division. */
+  def c19BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = bpeTrace(spark, dir)._1
+      .withColumn("n_sym",
+        size(expr("split(substring(rep, 2, length(rep) - 2), '><')"))
+          .cast("long"))
+      .select($"word", $"n_sym")
+    val ws = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("occ"))
+    ws.join(vocab, "word")
+      .groupBy($"source")
+      .agg(sum($"occ").as("n_words"),
+        sum($"occ" * (length($"word") + lit(1))).as("n_chars"),
+        sum($"occ" * $"n_sym").as("n_bpe_tokens"))
+      .select($"source", $"n_words", $"n_chars", $"n_bpe_tokens",
+        round($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"), 4)
+          .as("compression"))
+      .orderBy($"source")
   }
 
   // ---------------------------------------------------------------- c10
@@ -840,6 +890,7 @@ object Pipeline {
     "c12_dedup_mixture" -> c12DedupMixture,
     "c11_stage_funnel" -> c11StageFunnel,
     "c9_bpe_train" -> c9BpeTrain,
+    "c19_bpe_apply" -> c19BpeApply,
     "c10_mixture_temperature" -> c10MixtureTemperature,
     "c8_dataset_card" -> c8DatasetCard,
     "c7_curriculum" -> c7Curriculum,
@@ -1219,6 +1270,32 @@ object Pipeline {
             round((sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt) /
               (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)), 4) AS boost
           FROM w2 ORDER BY source""",
+    "c19_bpe_apply" ->
+      s"""WITH tok AS (SELECT source,
+              unnest(string_split(lower(text), ' ')) AS word
+            FROM documents),
+          wf AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok
+            WHERE regexp_full_match(word, '[a-z]+') GROUP BY 1),
+          v0 AS MATERIALIZED (SELECT word, n,
+            '<' || array_to_string(list_transform(
+              range(1, length(word) + 1), i -> substring(word, i, 1)),
+              '><') || '><_>' AS rep
+            FROM wf),
+          ${(1 to bpeMerges).map(bpeRoundSql).mkString(",\n          ")},
+          sym AS (SELECT word,
+              CAST(len(string_split(substring(rep, 2, length(rep) - 2),
+                '><')) AS BIGINT) AS n_sym
+            FROM v$bpeMerges),
+          ws AS (SELECT source, word, CAST(count(*) AS BIGINT) AS occ
+            FROM tok WHERE regexp_full_match(word, '[a-z]+')
+            GROUP BY 1, 2)
+          SELECT source, CAST(sum(occ) AS BIGINT) AS n_words,
+            CAST(sum(occ * (length(word) + 1)) AS BIGINT) AS n_chars,
+            CAST(sum(occ * n_sym) AS BIGINT) AS n_bpe_tokens,
+            round(CAST(sum(occ * (length(word) + 1)) AS DOUBLE)
+              / CAST(sum(occ * n_sym) AS DOUBLE), 4) AS compression
+          FROM ws JOIN sym USING (word)
+          GROUP BY source ORDER BY source""",
     "c9_bpe_train" ->
       s"""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS word
             FROM documents),

@@ -829,4 +829,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(exp.values.forall(_._1 >= full))
     CacheScope.drain()
   }
+
+  test("c19 BPE apply equals a driver merge-replay encoding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val merges = Pipeline.c9BpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def enc(w: String): Long = {
+      var rep = "<" + w.split("").mkString("><") + "><_>"
+      merges.foreach { case (x, y) =>
+        rep = rep.replace(s"<$x><$y>", s"<$x$y>")
+      }
+      rep.substring(1, rep.length - 1).split("><").length.toLong
+    }
+    val words = Tables.documents(spark, sf)
+      .select($"source", explode(split(lower($"text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.matches("^[a-z]+$"))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = words.groupBy(_._1).toSeq.map { case (src, ws) =>
+      val chars = ws.map(_._2.length.toLong + 1L).sum
+      val syms = ws.map(w => enc(w._2)).sum
+      (src, ws.length.toLong, chars, syms,
+        r4(chars.toDouble / syms.toDouble))
+    }.sortBy(_._1)
+    val got = Pipeline.c19BpeApply(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // merges only ever shrink the symbol stream
+    assert(got.forall(g => g._4 <= g._3 && g._5 >= 1.0))
+  }
 }
