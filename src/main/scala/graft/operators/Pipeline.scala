@@ -405,9 +405,16 @@ object Pipeline {
     * plus the merge trace. The only corpus-sized work is the one
     * word-count pass; the loop runs over the distinct vocabulary. */
   private[operators] def bpeTrace(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) =
+    bpeTraceOn(Tables.documents(spark, dir))
+
+  /** [[bpeTrace]] over any frame with a `text` column — the entry the
+    * GraftBPE Estimator fits through (same loop, user data). */
+  private[graft] def bpeTraceOn(docs: DataFrame)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = Tables.documents(spark, dir)
+    var vocab = docs
       .select(explode(split(lower($"text"), " ")).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
       .groupBy($"word").agg(count(lit(1)).as("n"))

@@ -861,4 +861,42 @@ class PipelineSpec extends AnyFunSuite {
     // merges only ever shrink the symbol stream
     assert(got.forall(g => g._4 <= g._3 && g._5 >= 1.0))
   }
+
+  test("GraftBPE fit equals the c9 merge table, transform matches a " +
+    "driver encode, and the model round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ml.feature.{GraftBPE, GraftBPEModel}
+    val docs = Tables.documents(spark, sf)
+    val model = new GraftBPE().setTextCol("text").fit(docs)
+    val c9 = Pipeline.c9BpeTrain(spark, sf).collect()
+      .map(r => Seq(r.getString(1), r.getString(2)))
+    assert(model.merges.map(_.toSeq).toSeq == c9.toSeq)
+    def encSyms(w: String): Seq[String] = {
+      var rep = "<" + w.split("").mkString("><") + "><_>"
+      model.merges.foreach { case Array(x, y) =>
+        rep = rep.replace(s"<$x><$y>", s"<$x$y>")
+      }
+      rep.substring(1, rep.length - 1).split("><").toSeq
+    }
+    val expected = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ", -1).toSeq
+          .filter(_.matches("^[a-z]+$")).flatMap(encSyms))).toMap
+    val got = model.transform(docs)
+      .select($"doc_id", $"bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+    assert(got == expected && got.nonEmpty)
+    // encoded stream still ends every word with the merged-in marker
+    assert(got.values.forall(_.forall(_.nonEmpty)))
+    val dir = java.nio.file.Files.createTempDirectory("gbpe").toString
+    model.write.overwrite().save(s"$dir/m")
+    val loaded = GraftBPEModel.load(s"$dir/m")
+    assert(loaded.merges.map(_.toSeq).toSeq ==
+      model.merges.map(_.toSeq).toSeq)
+    val reGot = loaded.transform(docs)
+      .select($"doc_id", $"bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+    assert(reGot == got)
+  }
 }
