@@ -102,6 +102,13 @@ class GraftMinHash(override val uid: String)
     finally {
       sigs.unpersist(blocking = false)
       docSh.unpersist(blocking = false)
+      // the sweep core registers its own per-call frames (widest,
+      // candidate shingles, truth) via scopedPersist; fit is a cache
+      // boundary, so release them here — repeated fits must not
+      // accumulate session-lifetime persists (the CacheScope
+      // contract). Callers holding their OWN scoped persists across a
+      // fit() should not exist (fit is not an operator stage).
+      graft.CacheScope.drain()
     }
     def f1(r: (Int, Int, Long, Long, Double, Double)): Double =
       if (r._5 + r._6 == 0.0) 0.0 else 2.0 * r._5 * r._6 / (r._5 + r._6)
@@ -152,7 +159,7 @@ class GraftMinHashModel private[feature] (override val uid: String,
         (0 until rowsPerBand).map(j => sig(b * rowsPerBand + j)): _*))
     }
     hashed.withColumn($(bandsCol),
-        when(size(col(tmp)) === 0, lit(null))
+        when(col(tmp).isNull || size(col(tmp)) === 0, lit(null))
           .otherwise(array(bandCols: _*)))
       .drop(tmp)
   }

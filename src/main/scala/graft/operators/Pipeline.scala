@@ -951,7 +951,11 @@ object Pipeline {
         if (e) Some($"eok" === 1) else None,
         if (n) Some($"nok" === 1) else None).flatten.reduce(_ && _)
       Seq(sum(when(cond, 1L).otherwise(0L)).as(s"n_$name"),
-        sum(when(cond, $"quality").otherwise(0.0)).as(s"sq_$name"))
+        // quality is a 4-dp score: sum it as EXACT 1e-4 integer units
+        // so the corpus-wide sum is order-free (the q104 grid
+        // discipline — raw double sums depend on partial-agg order)
+        sum(when(cond, floor($"quality" * 10000 + 0.5).cast("long"))
+          .otherwise(0L)).as(s"sq_$name"))
     }
     val m = flags.agg(aggCols.head, aggCols.tail: _*)
     m.select(explode(array(configs.map { case (name, _, _, _) =>
@@ -959,7 +963,7 @@ object Pipeline {
             col(s"sq_$name").as("sq"))
         }: _*)).as("c"), $"n_full")
       .select($"c.config".as("config"), $"c.n_docs".as("n_docs"),
-        round($"c.sq", 4).as("sum_quality"),
+        round($"c.sq".cast("double") / 10000.0, 4).as("sum_quality"),
         round($"c.n_docs".cast("double") / $"n_full".cast("double"), 4)
           .as("vs_full"))
       .orderBy($"config")
@@ -999,22 +1003,27 @@ object Pipeline {
           m AS (SELECT
               CAST(sum(CASE WHEN qok = 1 AND eok = 1 AND nok = 1
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
-              sum(CASE WHEN qok = 1 AND eok = 1 AND nok = 1
-                THEN quality ELSE 0.0 END) AS sq_full,
+              CAST(sum(CASE WHEN qok = 1 AND eok = 1 AND nok = 1
+                THEN CAST(floor(quality * 10000 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sq_full,
               CAST(sum(CASE WHEN eok = 1 AND nok = 1
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_quality,
-              sum(CASE WHEN eok = 1 AND nok = 1
-                THEN quality ELSE 0.0 END) AS sq_no_quality,
+              CAST(sum(CASE WHEN eok = 1 AND nok = 1
+                THEN CAST(floor(quality * 10000 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sq_no_quality,
               CAST(sum(CASE WHEN qok = 1 AND nok = 1
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_exact,
-              sum(CASE WHEN qok = 1 AND nok = 1
-                THEN quality ELSE 0.0 END) AS sq_no_exact,
+              CAST(sum(CASE WHEN qok = 1 AND nok = 1
+                THEN CAST(floor(quality * 10000 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sq_no_exact,
               CAST(sum(CASE WHEN qok = 1 AND eok = 1
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_neardup,
-              sum(CASE WHEN qok = 1 AND eok = 1
-                THEN quality ELSE 0.0 END) AS sq_no_neardup
+              CAST(sum(CASE WHEN qok = 1 AND eok = 1
+                THEN CAST(floor(quality * 10000 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sq_no_neardup
             FROM f)
-          SELECT config, n_docs, round(sq, 4) AS sum_quality,
+          SELECT config, n_docs,
+            round(CAST(sq AS DOUBLE) / 10000.0, 4) AS sum_quality,
             round(CAST(n_docs AS DOUBLE) / CAST(nf AS DOUBLE), 4) AS vs_full
           FROM (
             SELECT 'full' AS config, n_full AS n_docs, sq_full AS sq,

@@ -94,13 +94,20 @@ object ScaleAudit {
 
     var flagged = List.empty[String]
     names.foreach { name =>
-      // budget grows with scale assuming linear cost off the first point
-      var budget = budgetSec
+      // budget grows with scale assuming linear cost off the previous
+      // point TIMES the inter-point data factor — without the factor a
+      // perfectly linear query whose next-point cycle outgrows the
+      // flat budget would be misflagged SUPERLINEAR via TIMEOUT
+      var prev: Option[(Double, Double)] = None // (scale, time)
       val times = points.map { case (dir, scale) =>
-        val r = timeAt(name, dir, budget)
-        r.foreach { t =>
-          budget = math.max(budgetSec, (t * 3).toInt + 30)
+        val budget = prev match {
+          case Some((ps, pt)) =>
+            val factor = math.max(1.0, scale / ps)
+            math.max(budgetSec, (pt * factor * 3).toInt + 30)
+          case None => budgetSec
         }
+        val r = timeAt(name, dir, budget)
+        r.foreach(t => prev = Some((scale, t)))
         CacheScope.drain() // this query's scoped caches, per scale point
         (scale, r)
       }

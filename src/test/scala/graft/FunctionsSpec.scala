@@ -240,8 +240,6 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("g12's register folds plan through ObjectHashAggregate, no pair distinct") {
-    val plan = SparkEntry.queries("g12_khop")(spark, sf)
-      .queryExecution.executedPlan.toString
     // the census result itself is a tiny localRelation; the fold plan
     // is what the supersteps ran — assert on a superstep's own plan
     import spark.implicits._

@@ -806,7 +806,9 @@ class PipelineSpec extends AnyFunSuite {
       val sel = docs.filter { case (id, ql, ch) =>
         (!q || ql >= 0.5) && (!e || keep(ch) == id) && (!n || !nd(id))
       }
-      (sel.length.toLong, sel.map(_._2).sum)
+      // the engine sums exact 1e-4 integer units (order-free grid)
+      (sel.length.toLong,
+        sel.map(d => math.floor(d._2 * 10000 + 0.5).toLong).sum / 10000.0)
     }
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -821,7 +823,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._1) == exp.keys.toSeq.sorted)
     got.foreach { case (cfg, n, sq, vf) =>
       assert(n == exp(cfg)._1, s"$cfg count")
-      assert(math.abs(sq - r4(exp(cfg)._2)) <= 1.01e-4, s"$cfg quality")
+      assert(sq == r4(exp(cfg)._2), s"$cfg quality")
       assert(vf == r4(n.toDouble / exp("full")._1.toDouble), s"$cfg ratio")
     }
     // removing a filter can only let documents through
