@@ -271,7 +271,10 @@ class PlanSpec extends AnyFunSuite {
       // (q43 shape — replaced the former blocking driver .head())
       "g13_hits",
       // q104 crosses the ONE-row grand-total frame (q43 shape)
-      "q104_theil")
+      "q104_theil",
+      // e20 crosses the ONE-row lateness-census totals frame (q43
+      // shape) against the bounded lateness-domain census
+      "e20_watermark_advisor")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -681,6 +681,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e20 watermark advisor matches a brute lateness-percentile replay") {
+    import spark.implicits._
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val lates = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values.flatMap { evs =>
+        var mx = Long.MinValue
+        evs.sortBy(e => (md5hex(e._2), e._2)).map { case (_, _, sec) =>
+          val l = if (mx != Long.MinValue && mx > sec) mx - sec else 0L
+          if (sec > mx) mx = sec
+          l
+        }
+      }.toSeq.sorted
+    val n = lates.length
+    def pct(q: Double): Long = lates(math.ceil(q * n).toInt - 1)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = streaming.OooAudit.e20WatermarkAdvisor(spark, sf).head()
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == lates.count(_ > 0L).toLong)
+    assert(row.getLong(2) == pct(0.50) && row.getLong(3) == pct(0.95) &&
+      row.getLong(4) == pct(0.99))
+    assert(row.getLong(5) == lates.max)
+    assert(row.getLong(6) == row.getLong(4)) // advised = p99
+    val covered = lates.count(_ <= pct(0.99)).toLong
+    assert(row.getDouble(7) == r4(covered.toDouble / n.toDouble))
+    // the advice is non-trivial on the fixture: some lateness exists
+    assert(row.getLong(5) > 0L && row.getDouble(7) >= 0.99)
+  }
+
   test("budget state carries the running total across micro-batches, re-sorting late arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
