@@ -566,6 +566,58 @@ object Similarity {
   /** s20's widened probe count (filter-compensating over-probe). */
   val filteredProbes = 6
 
+  /** s21's ingest-batch selector: vec_id % this == 0 is the NEW batch
+    * (a deterministic 10% stand-in for "vectors that arrived after
+    * the index was built"). */
+  val ingestMod = 10
+
+  /** Shared IEEE fragments for [[s21IncrementalIndex]]. */
+  private val s21Frac =
+    """(CAST(n_new AS DOUBLE)
+       / (CAST(n_old AS DOUBLE) + CAST(n_new AS DOUBLE)))"""
+  private val s21Share =
+    """(CAST(tn AS DOUBLE)
+       / (CAST(to_ AS DOUBLE) + CAST(tn AS DOUBLE)))"""
+
+  /** D228: incremental index ingest — assign a NEW vector batch into
+    * an IVF index whose centroids were trained on the OLD corpus
+    * only, and report the per-cell old/new census with each cell's
+    * new-vector fraction and its drift vs the corpus-wide new share:
+    * the d11 incremental-ingest story for the ANN side. Production
+    * vector stores ingest WITHOUT retraining (retraining invalidates
+    * every stored cell assignment); the operational question this
+    * table answers is "is the new data drifting into a few cells" —
+    * sustained positive drift in one cell is the signal to retrain
+    * (s16's imbalance audit, read longitudinally).
+    *
+    * Determinism: centroids come from the quantized-Lloyd trainer
+    * over the OLD-only deterministic sample (hash-exact replay);
+    * assignment is the s6 nearestCentroid rule; everything else is
+    * exact integer counts + two shared 4-dp IEEE fragments.
+    *
+    * Scale shape: ONE corpus assignment pass (codegen'd nearest-
+    * centroid over a driver-trained, sample-bounded codebook) →
+    * partial-aggregated ≤k-row cell census → 1-row totals broadcast
+    * (q43 shape). The new batch never triggers a retrain or a
+    * re-shuffle of the old corpus. */
+  def s21IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(emb.filter($"vec_id" % ingestMod =!= 0),
+      k = 16, iters = 2)
+    val cells = emb
+      .select(nearestCentroidCol(spark, $"embedding", cents).as("cell_id"),
+        ($"vec_id" % ingestMod === 0).cast("long").as("isnew"))
+      .groupBy($"cell_id")
+      .agg(sum(lit(1L) - $"isnew").as("n_old"), sum($"isnew").as("n_new"))
+    val tot = cells.agg(sum($"n_old").as("to_"), sum($"n_new").as("tn"))
+    cells.crossJoin(broadcast(tot))
+      .select($"cell_id", $"n_old", $"n_new",
+        expr(s"round($s21Frac, 4)").as("new_frac"),
+        expr(s"round($s21Frac - $s21Share, 4)").as("drift"))
+      .orderBy($"cell_id")
+  }
+
   def s20FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -1202,7 +1254,8 @@ object Similarity {
     "s17_pq_distortion" -> s17PqDistortion,
     "s18_index_leaderboard" -> s18IndexLeaderboard,
     "s19_rank_fusion" -> s19RankFusion,
-    "s20_filtered_knn" -> s20FilteredKnn)
+    "s20_filtered_knn" -> s20FilteredKnn,
+    "s21_incremental_index" -> s21IncrementalIndex)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1663,6 +1716,28 @@ object Similarity {
               / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)), 4)
               AS imbalance
           FROM cc CROSS JOIN tot ORDER BY cell_id""",
+    "s21_incremental_index" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+          smp AS (SELECT rn, e FROM (
+              SELECT e, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM e WHERE vec_id % $ingestMod <> 0)
+            WHERE rn <= $ivfTrainSize),
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = 4, dim = 64)},
+          cen AS (SELECT cell AS cell_id,
+              CAST(count(*) FILTER (vec_id % $ingestMod <> 0) AS BIGINT)
+                AS n_old,
+              CAST(count(*) FILTER (vec_id % $ingestMod = 0) AS BIGINT)
+                AS n_new
+            FROM cells GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS to_,
+              CAST(sum(n_new) AS BIGINT) AS tn
+            FROM cen)
+          SELECT cell_id, n_old, n_new,
+            round($s21Frac, 4) AS new_frac,
+            round($s21Frac - $s21Share, 4) AS drift
+          FROM cen CROSS JOIN tot ORDER BY cell_id""",
     "s17_pq_distortion" -> {
       val sub = 64 / pqSubspaces
       s"""WITH $trainBaseCtes,

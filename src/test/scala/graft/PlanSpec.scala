@@ -274,7 +274,10 @@ class PlanSpec extends AnyFunSuite {
       "q104_theil",
       // e20 crosses the ONE-row lateness-census totals frame (q43
       // shape) against the bounded lateness-domain census
-      "e20_watermark_advisor")
+      "e20_watermark_advisor",
+      // s21 crosses the ≤k-row cell census with its ONE-row totals
+      // frame (the s16 shape)
+      "s21_incremental_index")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -495,4 +495,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.4,
       s"filtered recall too low: $recalls")
   }
+
+  test("s21 incremental ingest: old-trained assignment census, drift " +
+    "identity, every vector accounted for") {
+    import TestSpark.spark.implicits._
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // independent re-derivation: train on OLD only, assign ALL, census
+    // in the driver (same committed pieces, different composition)
+    val cents = Similarity.ivfCentroids(
+      emb.filter($"vec_id" % Similarity.ingestMod =!= 0), k = 16, iters = 2)
+    val assigned = emb.select(
+        Similarity.nearestCentroidCol(spark, $"embedding", cents),
+        ($"vec_id" % Similarity.ingestMod === 0))
+      .collect().map(r => (r.getInt(0), r.getBoolean(1)))
+    val expected = assigned.groupBy(_._1).toSeq.map { case (cell, xs) =>
+      (cell, xs.count(!_._2).toLong, xs.count(_._2).toLong)
+    }.sortBy(_._1)
+    val got = Similarity.s21IncrementalIndex(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == expected)
+    // every vector lands in exactly one cell
+    assert(got.map(g => g._2 + g._3).sum == emb.count())
+    assert(got.map(_._3).sum ==
+      assigned.count(_._2).toLong && got.length <= 16)
+    // fraction/drift are the documented IEEE forms of the counts
+    val (to, tn) = (got.map(_._2).sum.toDouble, got.map(_._3).sum.toDouble)
+    got.foreach { case (_, no, nn, nf, dr) =>
+      val f = nn.toDouble / (no.toDouble + nn.toDouble)
+      assert(nf == r4(f))
+      assert(math.abs(dr - r4(f - tn / (to + tn))) <= 1.01e-4)
+    }
+    // the fixture actually exercises the ingest path
+    assert(got.exists(_._3 > 0L))
+  }
 }
