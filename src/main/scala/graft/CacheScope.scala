@@ -42,6 +42,34 @@ object CacheScope {
     }
   }
 
+  /** Identity snapshot of the currently-tracked frames — pair with
+    * [[drainSince]] so a nested cache boundary (an Estimator.fit
+    * running inside a caller's query) releases only the frames IT
+    * registered, never an enclosing query's still-live persists. */
+  def snapshot(): java.util.Set[DataFrame] = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    live.forEach(df => s.add(df))
+    s
+  }
+
+  /** Release only the frames registered AFTER `snap` was taken;
+    * frames in the snapshot stay tracked for their owner's drain. */
+  def drainSince(snap: java.util.Set[DataFrame]): Int = {
+    var n = 0
+    val it = live.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (!snap.contains(df)) {
+        it.remove()
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        n += 1
+      }
+    }
+    n
+  }
+
   /** Release every tracked per-query cache; returns how many. */
   def drain(): Int = {
     var n = 0

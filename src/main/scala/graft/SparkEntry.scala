@@ -42,7 +42,8 @@ object SparkEntry {
       (streaming.Sample.queries, streaming.Sample.oracle),
       (streaming.Scd2Stream.queries, streaming.Scd2Stream.oracle),
       (streaming.ControlChart.queries, streaming.ControlChart.oracle),
-      (streaming.GapAlerts.queries, streaming.GapAlerts.oracle))
+      (streaming.GapAlerts.queries, streaming.GapAlerts.oracle),
+      (streaming.FirstTouch.queries, streaming.FirstTouch.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -91,7 +91,11 @@ class GraftMinHash(override val uid: String)
     val sampleIds = docs
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
       .limit($(sampleSize)).select($"doc_id")
-    // estimator context has no harness drain — persist/release locally
+    // estimator context has no harness drain — persist/release locally.
+    // Snapshot the scope FIRST so the finally-block releases only the
+    // frames THIS fit registers: a global drain() here would unpersist
+    // an enclosing or concurrent query's still-live scoped caches.
+    val scopeMark = graft.CacheScope.snapshot()
     val docSh = docs.join(broadcast(sampleIds), "doc_id")
       .select($"doc_id", explode(Dedup.shingles($"text")).as("s"))
       .distinct()
@@ -106,9 +110,9 @@ class GraftMinHash(override val uid: String)
       // candidate shingles, truth) via scopedPersist; fit is a cache
       // boundary, so release them here — repeated fits must not
       // accumulate session-lifetime persists (the CacheScope
-      // contract). Callers holding their OWN scoped persists across a
-      // fit() should not exist (fit is not an operator stage).
-      graft.CacheScope.drain()
+      // contract). Delta-only: frames tracked before this fit began
+      // belong to an enclosing query and must survive its drain.
+      graft.CacheScope.drainSince(scopeMark)
     }
     def f1(r: (Int, Int, Long, Long, Double, Double)): Double =
       if (r._5 + r._6 == 0.0) 0.0 else 2.0 * r._5 * r._6 / (r._5 + r._6)

@@ -629,6 +629,15 @@ object Graph {
     * register-fold superstep, so depth bounds cost). */
   val khopMax = 3
 
+  /** Widest key domain the EXACT bitset registers are allowed: above
+    * [[khopExactMaxWords]] 64-bit words per vertex (= 1 M keys,
+    * 128 KB/vertex) [[g12KHop]] switches to the constant-width HLL
+    * registers ([[graft.functions.HllReach]]) — per-vertex state stops
+    * growing with the domain, counts become ~1.6%-error estimates
+    * (the HyperBall original). Fixture domains are far below this, so
+    * the oracle-gated path stays exact. */
+  val khopExactMaxWords = 1 << 14
+
   /** D196: bounded k-hop reachability census — for h = 1..3, how many
     * parts each part can reach within h hops of the strong affinity
     * graph (count, mean, max): the "influence radius" readout
@@ -650,9 +659,12 @@ object Graph {
     * map-side, so superstep shuffle width is #vertices × register
     * width, independent of path multiplicity. Counts are exact
     * popcounts (minus the self bit the symmetric fold sets from hop 2
-    * on), so the DuckDB pair-frame oracle still hash-matches; swap
-    * the registers for HLL counters when the key domain itself is
-    * unbounded (the HyperBall original).
+    * on), so the DuckDB pair-frame oracle still hash-matches. Past
+    * [[khopExactMaxWords]] the SAME supersteps auto-switch to
+    * constant-width HLL registers ([[g12KHopHll]] — the HyperBall
+    * original): per-vertex state stops growing with the key domain,
+    * counts become ~1.6%-error estimates, GraphSpec gates the two
+    * modes against each other at ±2% per hop.
     *
     * Scale shape: h−1 join+fold supersteps over the SUPPORT-PRUNED
     * graph (the g2 argument), each `localCheckpoint`ed; h fixed at 3.
@@ -665,8 +677,26 @@ object Graph {
       .unionAll(und.select($"dst".as("u"), $"src".as("v")))
       .localCheckpoint()
     // register geometry: one pre-loop scalar over the checkpointed
-    // edge frame (part keys are dense and bounded by the part table)
-    val maxKey = sym.agg(max($"v")).head().getLong(0)
+    // edge frame (part keys are dense and bounded by the part table).
+    // max of an EMPTY frame is null — a support-pruned graph with no
+    // strong edges short-circuits to the all-zero census instead of
+    // an NPE (the old pair-frame path degraded gracefully too).
+    val maxKeyOpt = Option(sym.agg(max($"v")).head().get(0))
+      .map(_.asInstanceOf[Long])
+    if (maxKeyOpt.isEmpty) {
+      return (1 to khopMax).map(h => (h.toLong, 0L, 0L, 0.0, 0L))
+        .toDF("hop", "n_nodes", "n_pairs", "avg_reach", "max_reach")
+        .orderBy($"hop")
+    }
+    val maxKey = maxKeyOpt.get
+    // unbounded-domain guard (round-10 verdict #1): past the exact
+    // registers' width ceiling, run the SAME supersteps over
+    // constant-width HLL registers instead — per-vertex state is 2^p
+    // bytes regardless of maxKey, so the fold survives a key domain
+    // the dense bitset cannot (~2.5 MB/vertex at a 20M-key domain).
+    if ((maxKey >> 6) + 1 > khopExactMaxWords) {
+      return khopCensusHll(spark, sym, graft.functions.HllReach.defaultP)
+    }
     val nWords = (maxKey >> 6).toInt + 1
     val nbrBits = udaf(new graft.functions.BitsetReach.NeighborBitset(nWords),
       org.apache.spark.sql.Encoders.scalaLong)
@@ -702,6 +732,162 @@ object Graph {
     rows.map { case (h, n, p, mx) =>
       (h, n, p, r4(p.toDouble / n.toDouble), mx)
     }.toDF("hop", "n_nodes", "n_pairs", "avg_reach", "max_reach")
+      .orderBy($"hop")
+  }
+
+  /** D229: [[g12KHop]]'s scale path — the identical HyperBall
+    * supersteps over CONSTANT-width HLL registers
+    * ([[graft.functions.HllReach]], 2^p bytes/vertex for any key
+    * domain). [[g12KHop]] auto-switches here past
+    * [[khopExactMaxWords]]; this public entry forces the sketch mode
+    * so GraphSpec can gate its per-hop estimates against the exact
+    * census (±2% band) on the fixture graph, where both modes run.
+    *
+    * Self-count alignment with the exact mode: hop-1 registers hold
+    * neighbors only (no self-loops in the edge frame); from hop 2 on
+    * the symmetric fold inevitably folds u into its own sketch, so
+    * the readout subtracts 1 per vertex for h ≥ 2 — the sketch
+    * estimate of |reach \ {u}|, the exact mode's popcount-minus-self.
+    *
+    * Scale shape: identical to the exact mode — h−1 join+fold
+    * supersteps, map-side-combined register max-merge, one row per
+    * vertex throughout — with per-superstep shuffle width
+    * #vertices × 2^p bytes, FLAT in the key domain. */
+  def g12KHopHll(spark: SparkSession, dir: String,
+      p: Int = graft.functions.HllReach.defaultP): DataFrame = {
+    import spark.implicits._
+    val und = strongEdges(spark, dir)
+    val sym = und.select($"src".as("u"), $"dst".as("v"))
+      .unionAll(und.select($"dst".as("u"), $"src".as("v")))
+      .localCheckpoint()
+    khopCensusHll(spark, sym, p)
+  }
+
+  /** The HLL superstep loop shared by [[g12KHopHll]] and the
+    * [[g12KHop]] wide-domain auto-switch. `sym` is the symmetric
+    * (u, v) strong-edge frame. */
+  private[graft] def khopCensusHll(spark: SparkSession, sym: DataFrame,
+      p: Int): DataFrame = {
+    import spark.implicits._
+    val nbrHll = udaf(new graft.functions.HllReach.NeighborHll(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val orHll = udaf(new graft.functions.HllReach.HllUnion(p),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+    val estU = udf((reg: Array[Byte]) => graft.functions.HllReach.estimate(reg))
+    def stats(reg: DataFrame, h: Int): (Long, Long, Long, Long) = {
+      // h >= 2: the symmetric fold put u into its own sketch — read
+      // the estimate as |reach \ {u}| by subtracting the self element
+      val self = if (h >= 2) 1.0 else 0.0
+      val r = reg
+        .select($"u", greatest(estU($"bits") - lit(self), lit(0.0)).as("c"))
+        .agg(count(lit(1)), round(sum($"c")).cast("long"),
+          round(max($"c")).cast("long")).head()
+      (h.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var reg = sym.groupBy($"u").agg(nbrHll($"v").as("bits"))
+      .localCheckpoint()
+    val rows = (1 to khopMax).map { h =>
+      if (h > 1) {
+        reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
+          .select($"s.u".as("u"), $"r.bits".as("bits"))
+          .unionAll(reg.select($"u", $"bits"))
+          .groupBy($"u").agg(orHll($"bits").as("bits"))
+          .localCheckpoint()
+      }
+      stats(reg, h)
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.map { case (h, n, pr, mx) =>
+      (h, n, pr, if (n == 0) 0.0 else r4(pr.toDouble / n.toDouble), mx)
+    }.toDF("hop", "n_nodes", "n_pairs", "avg_reach", "max_reach")
+      .orderBy($"hop")
+  }
+
+  /** D236: hop-distance distribution + per-vertex effective radius —
+    * the HyperBall NEIGHBOURHOOD-FUNCTION readout (Boldi & Vigna 2013
+    * §4, the statistic HyperBall was built to compute) over the same
+    * strong-affinity graph as [[g12KHop]]: per hop h = 1..[[khopMax]],
+    * how many ordered (u, v) pairs sit at EXACT distance h
+    * (N(h) − N(h−1)), that hop's share of all ≤[[khopMax]]-hop pairs,
+    * the cumulative share (the empirical distance CDF — the
+    * small-world curve), and how many vertices have effective radius
+    * h (smallest h whose reach covers ≥ 90% of the vertex's
+    * [[khopMax]]-hop reach — HyperBall's per-node effective-radius
+    * definition with r = 0.9). A distribution that jumps to ~1.0 by
+    * hop 2 says hub shortcuts dominate; a flat curve says the graph
+    * is chain-like and propagation analyses need deeper horizons.
+    *
+    * Plan: ONE register-superstep loop (the g12 exact bitset fold —
+    * identical shuffle discipline, one row per vertex throughout)
+    * keeping the per-vertex popcount AFTER EACH hop as a narrow
+    * (u, c_h) frame; the three frames join on the vertex key (reach
+    * sets only grow, so the vertex sets are identical), the
+    * effective radius is a per-row integer CASE (10·c_h ≥ 9·c_3 —
+    * integer arithmetic, no float compare), and ONE partial-aggregated
+    * rollup reduces everything to a single driver row from which the
+    * 3-row result assembles (p11 pattern). Cost over g12: two extra
+    * vertex-keyed joins of long-pair frames — no new register passes.
+    *
+    * Scale shape: inherits g12's — supersteps over the support-pruned
+    * graph, map-side-combined bitset folds; past [[khopExactMaxWords]]
+    * the same readout would run over [[graft.functions.HllReach]]
+    * estimates (effective radius is a RATIO of a vertex's own
+    * estimates, so the shared-universe collision bias largely
+    * cancels); the fixture domain stays exact/oracle-gated. */
+  def g14DistanceDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = strongEdges(spark, dir)
+    val sym = und.select($"src".as("u"), $"dst".as("v"))
+      .unionAll(und.select($"dst".as("u"), $"src".as("v")))
+      .localCheckpoint()
+    val zero = (1 to khopMax).map(h => (h.toLong, 0L, 0.0, 0.0, 0L))
+      .toDF("hop", "n_new_pairs", "pct_pairs", "cum_share", "n_radius_nodes")
+    val maxKeyOpt = Option(sym.agg(max($"v")).head().get(0))
+      .map(_.asInstanceOf[Long])
+    if (maxKeyOpt.isEmpty) return zero.orderBy($"hop")
+    val nWords = (maxKeyOpt.get >> 6).toInt + 1
+    val nbrBits = udaf(new graft.functions.BitsetReach.NeighborBitset(nWords),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val orBits = udaf(new graft.functions.BitsetReach.BitsetUnion(nWords),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    val reachCnt =
+      expr("""aggregate(bits, CAST(0 AS BIGINT),
+              (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))""") -
+      expr("""shiftright(element_at(bits, CAST(shiftright(u, 6) AS INT) + 1),
+              CAST(u % 64 AS INT)) & 1""")
+    var reg = sym.groupBy($"u").agg(nbrBits($"v").as("bits"))
+      .localCheckpoint()
+    val perHop = (1 to khopMax).map { h =>
+      if (h > 1) {
+        reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
+          .select($"s.u".as("u"), $"r.bits".as("bits"))
+          .unionAll(reg.select($"u", $"bits"))
+          .groupBy($"u").agg(orBits($"bits").as("bits"))
+          .localCheckpoint()
+      }
+      reg.select($"u", reachCnt.as(s"c$h"))
+    }
+    val cu = perHop.reduce(_.join(_, "u"))
+      .withColumn("eff",
+        when($"c1" * 10 >= $"c3" * 9, 1)
+          .when($"c2" * 10 >= $"c3" * 9, 2).otherwise(3))
+    val t = cu.agg(
+      sum($"c1"), sum($"c2" - $"c1"), sum($"c3" - $"c2"), sum($"c3"),
+      sum(when($"eff" === 1, 1L).otherwise(0L)),
+      sum(when($"eff" === 2, 1L).otherwise(0L)),
+      sum(when($"eff" === 3, 1L).otherwise(0L))).head()
+    val nNew = Array(t.getLong(0), t.getLong(1), t.getLong(2))
+    val nTot = t.getLong(3)
+    val nEff = Array(t.getLong(4), t.getLong(5), t.getLong(6))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to khopMax).map { h =>
+      val cum = nNew.take(h).sum
+      (h.toLong, nNew(h - 1),
+        r4(nNew(h - 1).toDouble / nTot.toDouble),
+        r4(cum.toDouble / nTot.toDouble), nEff(h - 1))
+    }.toDF("hop", "n_new_pairs", "pct_pairs", "cum_share", "n_radius_nodes")
       .orderBy($"hop")
   }
 
@@ -769,6 +955,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g14_distance_dist" -> g14DistanceDist,
     "g13_hits" -> g13Hits,
     "g12_khop" -> g12KHop,
     "g11_clustering" -> g11Clustering,
@@ -1054,6 +1241,55 @@ object Graph {
             round(CAST(n_pairs AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4)
               AS avg_reach,
             max_reach
+          FROM st ORDER BY hop""",
+    "g14_distance_dist" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          sym AS (SELECT src AS u, dst AS v FROM und
+                  UNION ALL SELECT dst, src FROM und),
+          r1 AS (SELECT DISTINCT u, v FROM sym),
+          r2 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT r.u, s.v FROM r1 r JOIN sym s ON r.v = s.u
+            WHERE r.u <> s.v
+            UNION ALL SELECT u, v FROM r1)),
+          r3 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT r.u, s.v FROM r2 r JOIN sym s ON r.v = s.u
+            WHERE r.u <> s.v
+            UNION ALL SELECT u, v FROM r2)),
+          k1 AS (SELECT u, CAST(count(*) AS BIGINT) AS c1
+                 FROM r1 GROUP BY u),
+          k2 AS (SELECT u, CAST(count(*) AS BIGINT) AS c2
+                 FROM r2 GROUP BY u),
+          k3 AS (SELECT u, CAST(count(*) AS BIGINT) AS c3
+                 FROM r3 GROUP BY u),
+          cu AS (SELECT k1.u, c1, c2, c3,
+              CASE WHEN c1 * 10 >= c3 * 9 THEN 1
+                   WHEN c2 * 10 >= c3 * 9 THEN 2 ELSE 3 END AS eff
+            FROM k1 JOIN k2 ON k1.u = k2.u JOIN k3 ON k1.u = k3.u),
+          tot AS (SELECT
+              CAST(sum(c1) AS BIGINT) AS n1,
+              CAST(sum(c2 - c1) AS BIGINT) AS n2,
+              CAST(sum(c3 - c2) AS BIGINT) AS n3,
+              CAST(sum(c3) AS BIGINT) AS nt,
+              CAST(count(*) FILTER (WHERE eff = 1) AS BIGINT) AS e1,
+              CAST(count(*) FILTER (WHERE eff = 2) AS BIGINT) AS e2,
+              CAST(count(*) FILTER (WHERE eff = 3) AS BIGINT) AS e3
+            FROM cu),
+          st AS (
+            SELECT 1 AS hop, n1 AS n_new_pairs,
+              round(CAST(n1 AS DOUBLE) / nt, 4) AS pct_pairs,
+              round(CAST(n1 AS DOUBLE) / nt, 4) AS cum_share,
+              e1 AS n_radius_nodes FROM tot
+            UNION ALL SELECT 2, n2, round(CAST(n2 AS DOUBLE) / nt, 4),
+              round(CAST(n1 + n2 AS DOUBLE) / nt, 4), e2 FROM tot
+            UNION ALL SELECT 3, n3, round(CAST(n3 AS DOUBLE) / nt, 4),
+              round(CAST(n1 + n2 + n3 AS DOUBLE) / nt, 4), e3 FROM tot)
+          SELECT CAST(hop AS BIGINT) AS hop, n_new_pairs, pct_pairs,
+            cum_share, n_radius_nodes
           FROM st ORDER BY hop""",
     "g11_clustering" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,

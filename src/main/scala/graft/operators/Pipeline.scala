@@ -423,8 +423,10 @@ object Pipeline {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
-    for (r <- 1 to bpeMerges) {
-      val best = vocab
+    var r = 1
+    var exhausted = false
+    while (r <= bpeMerges && !exhausted) {
+      val bestRows = vocab
         .select($"n", expr("""explode(transform(
             sequence(1, size(split(substring(rep, 2, length(rep) - 2), '><')) - 1),
             i -> struct(
@@ -434,13 +436,24 @@ object Pipeline {
         .groupBy($"p.x".as("x"), $"p.y".as("y"))
         .agg(sum($"n").as("cnt"))
         .orderBy($"cnt".desc, $"x", $"y")
-        .limit(1).collect()(0)
-      val (x, y, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, x, y, x + y, cnt))
-      vocab = vocab
-        .withColumn("rep",
-          expr(s"replace(rep, '<$x><$y>', '<$x$y>')"))
-        .localCheckpoint()
+        .limit(1).collect()
+      if (bestRows.isEmpty) {
+        // no adjacent symbol pair anywhere (empty vocabulary, or every
+        // word already fused to a single symbol): training is DONE —
+        // stop merging instead of indexing into an empty census. The
+        // GraftBPE Estimator runs this loop over arbitrary user data,
+        // so this is a reachable end state, not an error.
+        exhausted = true
+      } else {
+        val best = bestRows(0)
+        val (x, y, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r, x, y, x + y, cnt))
+        vocab = vocab
+          .withColumn("rep",
+            expr(s"replace(rep, '<$x><$y>', '<$x$y>')"))
+          .localCheckpoint()
+        r += 1
+      }
     }
     (vocab, merges.toSeq)
   }
@@ -840,8 +853,16 @@ object Pipeline {
     // train doc d7 flags as sharing rare test n-grams
     val contaminated = Dedup.d7Decontaminate(spark, dir)
       .select($"train_id".as("doc_id")).distinct()
+    // nt > 0 enforced HERE (and in the oracle's g5 CTE): the salted
+    // local prune below (lrk <= alloc_tokens) is equivalent to the
+    // cumulative-token draw ONLY when every surviving doc carries at
+    // least one token — a 0-token doc costs nothing against the cum
+    // budget but does consume an lrk slot. Filtering it out (it
+    // contributes no tokens to supply either) makes the equivalence
+    // an invariant instead of a fixture property.
     val g5 = g4.filter($"doc_id" % Dedup.testModulus =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter($"nt" > 0)
       .scopedPersist() // supply census + draw
     // stage 6: √-temperature allocation over surviving supply (c15's
     // pinned-order share fold), then the c6-style deterministic draw
@@ -1075,7 +1096,8 @@ object Pipeline {
           contam AS (SELECT DISTINCT train_id AS doc_id FROM dpair),
           g5 AS (SELECT * FROM g4
                  WHERE doc_id % ${Dedup.testModulus} <> 0
-                   AND doc_id NOT IN (SELECT doc_id FROM contam)),
+                   AND doc_id NOT IN (SELECT doc_id FROM contam)
+                   AND nt > 0),
           per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS supply
                   FROM g5 GROUP BY 1),
           wsh AS (SELECT *,

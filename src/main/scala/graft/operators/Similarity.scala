@@ -433,7 +433,7 @@ object Similarity {
     * commutes, so the means are order-free and bit-identical to the
     * DuckDB oracle's `sum(CAST(floor(v*qScale) AS BIGINT))` replay —
     * empty cells keep their previous centroid. */
-  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[graft] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     val qs = graft.operators.KMeans.qScale
     var cents = sample.take(k).map(_.clone())
@@ -488,7 +488,7 @@ object Similarity {
     }
 
   /** Probed cluster ids (the `nprobe` nearest centroids) for a query. */
-  private def probes(cents: Array[Array[Double]], nprobe: Int) =
+  private[graft] def probes(cents: Array[Array[Double]], nprobe: Int) =
     udf { (emb: Seq[Float]) =>
       cents.indices.map { c =>
         val ct = cents(c); var d = 0.0; var i = 0
@@ -618,6 +618,75 @@ object Similarity {
       .orderBy($"cell_id")
   }
 
+  /** How many logical arrival batches [[s22IndexIngest]] splits the
+    * new-vector stream into (deterministic: batch = (id div 10) mod
+    * this — a fixed stand-in for commit epochs). */
+  val numIngestBatches = 3
+
+  /** D232: STREAMING index-ingest census, batch twin — s21's
+    * incremental IVF ingest replayed per ARRIVAL BATCH: new vectors
+    * land in [[numIngestBatches]] logical commit epochs, and for each
+    * (batch, cell) the table reports the adds, the cell's cumulative
+    * new count, and the cell's occupancy share of the whole index
+    * AFTER that batch — the longitudinal view an index operator
+    * watches to decide when drift has accumulated enough to retrain
+    * (s16's imbalance audit as a time series instead of a snapshot).
+    * The streaming face ([[graft.streaming.IvfIngest]]) folds the
+    * same per-batch census in `foreachBatch`; StreamingSpec gates
+    * stream ≡ batch including an out-of-order batch boundary.
+    *
+    * Determinism: centroids from the OLD-only quantized-Lloyd trainer
+    * (the s21 hash-exact replay); assignment the s6 rule; batch ids a
+    * pure function of vec_id; everything else exact integer counts +
+    * one 4-dp IEEE share.
+    *
+    * Scale shape: ONE corpus assignment pass → a partial-aggregated
+    * ≤ k·(batches+1)-row census; every later frame (grid, cumulative
+    * windows, totals) is bounded by k × batches — constants — so the
+    * whole readout after the scan is driver-trivial no matter the
+    * corpus size. The batches-per-cell window orders a 3-element
+    * partition; the per-batch totals window a 3-row frame. */
+  def s22IndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(emb.filter($"vec_id" % ingestMod =!= 0),
+      k = 16, iters = 2)
+    // one corpus pass: (cell, old|batch) census, ≤ k·(batches+1) rows
+    val census = emb
+      .select(nearestCentroidCol(spark, $"embedding", cents).as("cell_id"),
+        ($"vec_id" % ingestMod === 0).as("isnew"),
+        expr(s"CASE WHEN vec_id % $ingestMod = 0 THEN " +
+          s"(vec_id div $ingestMod) % $numIngestBatches ELSE -1 END")
+          .as("batch_id"))
+      .groupBy($"cell_id", $"isnew", $"batch_id")
+      .agg(count(lit(1)).as("n"))
+      .scopedPersist()
+    val oldC = census.filter(!$"isnew")
+      .groupBy($"cell_id").agg(sum($"n").as("n_old"))
+    val adds = census.filter($"isnew")
+      .select($"batch_id", $"cell_id", $"n".as("n_added"))
+    val grid = census.select($"cell_id").distinct()
+      .crossJoin(broadcast(
+        spark.range(numIngestBatches).select($"id".as("batch_id"))))
+    val g = grid
+      .join(adds, Seq("batch_id", "cell_id"), "left")
+      .na.fill(0L, Seq("n_added"))
+      .join(oldC, Seq("cell_id"), "left")
+      .na.fill(0L, Seq("n_old"))
+      .withColumn("cum_new", sum($"n_added").over(
+        Window.partitionBy($"cell_id").orderBy($"batch_id")))
+    val btot = g.groupBy($"batch_id").agg(sum($"n_added").as("badd"))
+      .withColumn("cum_tot", sum($"badd").over(Window.orderBy($"batch_id")))
+      .select($"batch_id", $"cum_tot")
+    val totOld = oldC.agg(sum($"n_old").as("tot_old"))
+    g.join(broadcast(btot), "batch_id")
+      .crossJoin(broadcast(totOld))
+      .select($"batch_id", $"cell_id", $"n_added", $"cum_new",
+        round(($"n_old" + $"cum_new").cast("double")
+          / ($"tot_old" + $"cum_tot").cast("double"), 4).as("occ_share"))
+      .orderBy($"batch_id", $"cell_id")
+  }
+
   def s20FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -648,7 +717,7 @@ object Similarity {
   /** ADC shortlist size per query before the exact re-rank. */
   val pqShortlist = 50
 
-  private def normalized(v: Array[Double]): Array[Double] = {
+  private[graft] def normalized(v: Array[Double]): Array[Double] = {
     var n = 0.0; var i = 0
     while (i < v.length) { n += v(i) * v(i); i += 1 }
     val s = math.sqrt(n)
@@ -1255,7 +1324,8 @@ object Similarity {
     "s18_index_leaderboard" -> s18IndexLeaderboard,
     "s19_rank_fusion" -> s19RankFusion,
     "s20_filtered_knn" -> s20FilteredKnn,
-    "s21_incremental_index" -> s21IncrementalIndex)
+    "s21_incremental_index" -> s21IncrementalIndex,
+    "s22_index_ingest" -> s22IndexIngest)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1738,6 +1808,46 @@ object Similarity {
             round($s21Frac, 4) AS new_frac,
             round($s21Frac - $s21Share, 4) AS drift
           FROM cen CROSS JOIN tot ORDER BY cell_id""",
+    "s22_index_ingest" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+          smp AS (SELECT rn, e FROM (
+              SELECT e, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM e WHERE vec_id % $ingestMod <> 0)
+            WHERE rn <= $ivfTrainSize),
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = 4, dim = 64)},
+          oldc AS (SELECT cell AS cell_id, CAST(count(*) AS BIGINT) AS n_old
+                   FROM cells WHERE vec_id % $ingestMod <> 0 GROUP BY 1),
+          adds AS (SELECT (vec_id // $ingestMod) % $numIngestBatches
+                AS batch_id, cell AS cell_id,
+              CAST(count(*) AS BIGINT) AS n_added
+            FROM cells WHERE vec_id % $ingestMod = 0 GROUP BY 1, 2),
+          grid AS (SELECT b.batch_id, c.cell_id
+            FROM (SELECT DISTINCT cell AS cell_id FROM cells) c
+            CROSS JOIN (SELECT unnest(generate_series(0,
+                ${numIngestBatches - 1})) AS batch_id) b),
+          g AS (SELECT grid.batch_id, grid.cell_id,
+              coalesce(adds.n_added, 0) AS n_added,
+              coalesce(oldc.n_old, 0) AS n_old
+            FROM grid
+            LEFT JOIN adds ON adds.batch_id = grid.batch_id
+                          AND adds.cell_id = grid.cell_id
+            LEFT JOIN oldc ON oldc.cell_id = grid.cell_id),
+          g2 AS (SELECT *, sum(n_added) OVER (PARTITION BY cell_id
+                ORDER BY batch_id) AS cum_new
+            FROM g),
+          bt AS (SELECT batch_id, sum(sum(n_added)) OVER
+                (ORDER BY batch_id) AS cum_tot
+            FROM g GROUP BY batch_id),
+          toto AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_old FROM oldc)
+          SELECT g2.batch_id, g2.cell_id,
+            CAST(g2.n_added AS BIGINT) AS n_added,
+            CAST(g2.cum_new AS BIGINT) AS cum_new,
+            round(CAST(g2.n_old + g2.cum_new AS DOUBLE)
+              / CAST(toto.tot_old + bt.cum_tot AS DOUBLE), 4) AS occ_share
+          FROM g2 JOIN bt USING (batch_id) CROSS JOIN toto
+          ORDER BY g2.batch_id, g2.cell_id""",
     "s17_pq_distortion" -> {
       val sub = 64 / pqSubspaces
       s"""WITH $trainBaseCtes,

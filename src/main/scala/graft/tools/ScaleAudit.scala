@@ -43,7 +43,10 @@ object ScaleAudit {
     val (mx, my) = (xs.sum / n, ys.sum / n)
     val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
     val den = xs.map(x => (x - mx) * (x - mx)).sum
-    num / den
+    // den = 0 (single point, or duplicate scale values) has no slope:
+    // return NaN explicitly; callers must treat a non-finite exponent
+    // as flag-worthy, because NaN > threshold is silently false.
+    if (den == 0.0) Double.NaN else num / den
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,6 +56,9 @@ object ScaleAudit {
       val Array(dir, s) = a.split("=", 2)
       (dir, s.toDouble)
     }.toSeq.sortBy(_._2)
+    require(points.map(_._2).distinct.length == points.length,
+      s"scale points must be distinct (a duplicate scale has no " +
+        s"growth slope): ${points.map(_._2).mkString(", ")}")
     val names = args.drop(sep + 1)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_AUDIT_BUDGET", "150").toInt
     val spark = SparkSession.builder().master("local[32]")
@@ -118,8 +124,11 @@ object ScaleAudit {
       }.mkString(" ")
       if (ok.length == times.length && ok.length >= 2) {
         val e = exponent(ok)
-        val flag = if (e > flagExponent) { flagged ::= name; " <<< SUPERLINEAR" }
-                   else ""
+        // non-finite exponent = degenerate audit (should be unreachable
+        // behind the distinct-scales guard) — flag, never pass silently
+        val flag = if (e > flagExponent || !java.lang.Double.isFinite(e)) {
+          flagged ::= name; " <<< SUPERLINEAR"
+        } else ""
         println(f"[audit] $name%-28s $cols exp=$e%5.2f$flag")
       } else {
         flagged ::= name

@@ -403,6 +403,116 @@ class GraphSpec extends AnyFunSuite {
     assert(avgs.zip(avgs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("g14 distance distribution equals a brute BFS replay") {
+    val edges = Graph.strongEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-node reach sets after each hop budget
+    var reach = adj
+    val perHop = (1 to Graph.khopMax).map { h =>
+      if (h > 1)
+        reach = reach.map { case (u, s) =>
+          u -> (s ++ s.flatMap(v => adj.getOrElse(v, Set.empty)) - u)
+        }
+      reach.map { case (u, s) => u -> s.size.toLong }
+    }
+    val c1 = perHop(0); val c2 = perHop(1); val c3 = perHop(2)
+    val eff = c1.keys.map { u =>
+      u -> (if (c1(u) * 10 >= c3(u) * 9) 1
+            else if (c2(u) * 10 >= c3(u) * 9) 2 else 3)
+    }.toMap
+    // .toSeq first: mapping over the KEY SET would collapse equal deltas
+    val nNew = Seq(c1.values.sum,
+      c1.keys.toSeq.map(u => c2(u) - c1(u)).sum,
+      c1.keys.toSeq.map(u => c3(u) - c2(u)).sum)
+    val nTot = c3.values.sum
+    val expected = (1 to Graph.khopMax).map { h =>
+      (h.toLong, nNew(h - 1),
+        r4(nNew(h - 1).toDouble / nTot.toDouble),
+        r4(nNew.take(h).sum.toDouble / nTot.toDouble),
+        eff.values.count(_ == h).toLong)
+    }
+    val got = Graph.g14DistanceDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the distance CDF is monotone and ends at exactly 1.0
+    assert(got.map(_._4).last == 1.0)
+    // every vertex lands in exactly one effective-radius bucket
+    assert(got.map(_._5).sum == c1.size.toLong)
+  }
+
+  test("g12 HLL mode tracks the exact census within 2% per hop") {
+    val exact = Graph.g12KHop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val hll = Graph.g12KHopHll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(exact.length == Graph.khopMax && hll.length == Graph.khopMax)
+    exact.zip(hll).foreach { case ((he, ne, pe, me), (hh, nh, ph, mh)) =>
+      assert(he == hh && ne == nh) // vertex census is exact in both modes
+      // hop-aggregate reach estimate inside the ±2% band
+      assert(math.abs(ph - pe).toDouble / pe.toDouble <= 0.02,
+        s"hop $he n_pairs: exact $pe vs hll $ph")
+      // per-vertex max is a single sketch readout — wider band
+      assert(math.abs(mh - me).toDouble / me.toDouble <= 0.10,
+        s"hop $he max_reach: exact $me vs hll $mh")
+    }
+  }
+
+  test("g12 HLL per-vertex state is flat across a 10x-wider key domain") {
+    import spark.implicits._
+    // ring + chords over 200 nodes; the widened twin spreads the SAME
+    // topology over ids x1000 (a 10x+-wider key domain in bits)
+    val n = 200
+    val base = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % n).toLong), (i.toLong, ((i + 7) % n).toLong))
+    }
+    def symDf(scale: Long) = {
+      val e = base.map { case (a, b) => (a * scale, b * scale) }
+      (e ++ e.map(_.swap)).toDF("u", "v")
+    }
+    val p = graft.functions.HllReach.defaultP
+    // exact per-vertex state GROWS with the domain ...
+    val wordsNarrow = ((n - 1L) >> 6) + 1
+    val wordsWide = ((n - 1L) * 1000L >> 6) + 1
+    assert(wordsWide >= 10 * wordsNarrow)
+    // ... the HLL register does not: 2^p bytes in both domains
+    assert(new graft.functions.HllReach.NeighborHll(p).zero.length == (1 << p))
+    // and the wide-domain estimates still track the brute BFS census
+    val adj = (base ++ base.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var reach = adj
+    val brute = (1 to Graph.khopMax).map { h =>
+      if (h > 1)
+        reach = reach.map { case (u, s) =>
+          u -> (s ++ s.flatMap(v => adj.getOrElse(v, Set.empty)) - u)
+        }
+      reach.values.map(_.size.toLong).sum
+    }
+    val wide = Graph.khopCensusHll(spark, symDf(1000L), p).collect()
+      .map(_.getLong(2))
+    brute.zip(wide).foreach { case (b, w) =>
+      assert(math.abs(w - b).toDouble / b.toDouble <= 0.02,
+        s"wide-domain n_pairs: brute $b vs hll $w")
+    }
+  }
+
+  test("HLL estimate error stays inside the register's design band") {
+    val p = graft.functions.HllReach.defaultP
+    val agg = new graft.functions.HllReach.NeighborHll(p)
+    Seq(100L, 1000L, 20000L).foreach { card =>
+      val reg = (0L until card).foldLeft(agg.zero)((b, k) =>
+        agg.reduce(b, k * 7919L + 13L))
+      val est = graft.functions.HllReach.estimate(reg)
+      assert(math.abs(est - card) / card.toDouble <= 0.05,
+        s"cardinality $card estimated as $est")
+    }
+  }
+
   test("g11 clustering census equals a brute neighbor-pair replay") {
     val edges = Graph.strongEdges(spark, sf)
       .select("src", "dst").collect()

@@ -328,6 +328,40 @@ class PCASpec extends AnyFunSuite {
     assert(first.size == 5)
   }
 
+  test("width past Cov.MaxCols fails fast, before any n x n allocation") {
+    import spark.implicits._
+    // reference parity: RapidsRowMatrix.scala:66-68 documents the same
+    // 65535-column covariance ceiling. The guard must fire from the
+    // first row's width — at MaxCols+1 the gram would be ~34 GB, so
+    // reaching allocation would BE the failure.
+    val wide = Seq(Tuple1(Array.fill(graft.ml.Cov.MaxCols + 1)(1.0)))
+      .toDF("f")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ml.Cov.stats(wide, "f")
+    }
+    assert(ex.getMessage.contains(graft.ml.Cov.MaxCols.toString))
+  }
+
+  test("2048-dim PCA fits through the blocked-GEMM path without OOM") {
+    import spark.implicits._
+    // pins the memory envelope of the widest realistic embedding width:
+    // gram = 2048^2 doubles = 32 MB driver-side, blockRows x 2048
+    // doubles = 64 MB per in-flight executor block — both flat in the
+    // row count.
+    val rng = new scala.util.Random(11)
+    val df = Seq.fill(256)(
+        Vectors.dense(Array.fill(2048)(rng.nextGaussian())): Vector)
+      .map(Tuple1(_)).toDF("f")
+    val model = new GraftPCA().setK(3).setInputCol("f").setOutputCol("o")
+      .fit(df)
+    assert(model.pc.numRows == 2048 && model.pc.numCols == 3)
+    val ev = model.explainedVariance.values
+    assert(ev.forall(v => v > 0 && v < 1) && ev.sameElements(ev.sorted.reverse))
+    val first = model.transform(df).select("o").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(first.size == 3)
+  }
+
   test("fitted components are orthonormal on fixture embeddings") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val model = new GraftPCA().setK(4).setInputCol("embedding")

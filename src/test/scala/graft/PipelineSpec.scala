@@ -901,4 +901,48 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
     assert(reGot == got)
   }
+
+  test("BlobDecoder SPI: an injected decoder drives m3 with a " +
+      "once-per-partition open/close lifecycle") {
+    import graft.operators.Multimodal
+    val baseline = Multimodal.m3DecodeFeatures(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    PipelineSpec.opens.set(0)
+    PipelineSpec.closes.set(0)
+    PipelineSpec.decodes.set(0)
+    val saved = Multimodal.decoderFactory
+    try {
+      Multimodal.decoderFactory = () => new PipelineSpec.CountingStub
+      val got = Multimodal.m3DecodeFeatures(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+      // same answer through the SPI as through the default stub
+      assert(got == baseline && got.nonEmpty)
+      // every row decoded, one open and one close per decoder instance
+      val nPayloads = Multimodal.withPayload(spark, sf).count()
+      assert(PipelineSpec.decodes.get() == nPayloads)
+      assert(PipelineSpec.opens.get() > 0)
+      assert(PipelineSpec.opens.get() == PipelineSpec.closes.get(),
+        s"opens ${PipelineSpec.opens.get()} != closes ${PipelineSpec.closes.get()}")
+      // per-PARTITION lifecycle, not per-row
+      assert(PipelineSpec.opens.get() < nPayloads)
+    } finally Multimodal.decoderFactory = saved
+  }
+}
+
+object PipelineSpec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val decodes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stub decoder instrumented to prove the SPI lifecycle (local-mode
+    * statics: executors share the JVM). */
+  final class CountingStub extends graft.operators.Multimodal.BlobDecoder {
+    override def open(): Unit = { opens.incrementAndGet(); () }
+    override def decode(docId: Long,
+        payload: Array[Byte]): graft.operators.Multimodal.DecodedMedia = {
+      decodes.incrementAndGet()
+      graft.operators.Multimodal.decodeImageStub(docId, payload)
+    }
+    override def close(): Unit = { closes.incrementAndGet(); () }
+  }
 }

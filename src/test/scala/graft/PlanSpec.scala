@@ -277,7 +277,10 @@ class PlanSpec extends AnyFunSuite {
       "e20_watermark_advisor",
       // s21 crosses the ≤k-row cell census with its ONE-row totals
       // frame (the s16 shape)
-      "s21_incremental_index")
+      "s21_incremental_index",
+      // s22 crosses the ≤k-row distinct-cell frame with the 3-row
+      // epoch list (constant grid) and the ONE-row old-total frame
+      "s22_index_ingest")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -531,4 +531,78 @@ class SimilaritySpec extends AnyFunSuite {
     // the fixture actually exercises the ingest path
     assert(got.exists(_._3 > 0L))
   }
+
+  test("GraftIVF fit equals the s6 trainer bit-identically; transform, " +
+      "probes and persistence replay the query-internal pipeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ml.feature.{GraftIVF, GraftIVFModel}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val model = new GraftIVF().setK(16).setMaxIter(2).fit(emb)
+    // fit ≡ the committed query-internal trainer, array-for-array
+    val direct = Similarity.ivfCentroids(emb, k = 16, iters = 2)
+    assert(model.centroids.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    // transform cells ≡ the s6 corpus assignment
+    val viaModel = model.transform(emb)
+      .select($"vec_id", col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaQuery = emb.select($"vec_id",
+        Similarity.nearestCentroidCol(spark, $"embedding", direct).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaModel == viaQuery && viaModel.nonEmpty)
+    // query-side probe list ≡ the s6 probe udf
+    val viaProbe = emb.filter($"vec_id" < 5)
+      .select($"vec_id", model.probeCol($"embedding", 4).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val directProbe = emb.filter($"vec_id" < 5)
+      .select($"vec_id", Similarity.probes(direct, 4)($"embedding").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(viaProbe == directProbe)
+    // persistence round-trip: same codebook, same assignments
+    val dir = java.nio.file.Files.createTempDirectory("givf").toString
+    model.write.overwrite().save(s"$dir/m")
+    val loaded = GraftIVFModel.load(s"$dir/m")
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    val reCells = loaded.transform(emb)
+      .select($"vec_id", col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reCells == viaModel)
+    // estimator round-trip preserves explicitly-set params
+    val est = new GraftIVF().setK(8).setMaxIter(1).setCellCol("c2")
+    est.write.overwrite().save(s"$dir/e")
+    val eLoaded = GraftIVF.load(s"$dir/e")
+    assert(eLoaded.getOrDefault(eLoaded.k) == 8 &&
+      eLoaded.getOrDefault(eLoaded.cellCol) == "c2")
+  }
+
+  test("GraftPQ fit equals the s7 codebook trainer bit-identically; " +
+      "transform codes and persistence replay the encoder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ml.feature.{GraftPQ, GraftPQModel}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val model = new GraftPQ().fit(emb)
+    val direct = Similarity.pqCodebooks(emb)
+    assert(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      direct.map(_.map(_.toSeq).toSeq).toSeq)
+    // transform codes ≡ the s7 corpus encoding
+    val viaModel = model.transform(emb)
+      .select($"vec_id", col("pq_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val viaQuery = emb.select($"vec_id",
+        Similarity.pqEncodeCol(spark, $"embedding", direct).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(viaModel == viaQuery && viaModel.nonEmpty)
+    // persistence round-trip: same codebooks, same codes
+    val dir = java.nio.file.Files.createTempDirectory("gpq").toString
+    model.write.overwrite().save(s"$dir/m")
+    val loaded = GraftPQModel.load(s"$dir/m")
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val reCodes = loaded.transform(emb)
+      .select($"vec_id", col("pq_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(reCodes == viaModel)
+  }
 }

@@ -645,6 +645,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e21 streaming first-touch converges to the batch canonical frame " +
+      "across an inverted epoch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sf)
+    // feed LATER epochs first: trigger 1 = decades 1-2, trigger 2 =
+    // decade 0 — the worst-case out-of-order arrival; the keyed
+    // min-merge must still converge to the batch rn=1 frame
+    val rows = ev.select($"user_id", $"event_type", $"ts", $"event_id",
+        $"value").collect()
+      .map(r => streaming.TouchEv(r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    val (later, first) = rows.partition(e =>
+      (e.ts.toLocalDateTime.getDayOfMonth - 1) / 10 >= 1)
+    val mem = MemoryStream[streaming.TouchEv]
+    val q = streaming.FirstTouch.firstTouchStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("ft1")
+      .outputMode("update").start()
+    try {
+      mem.addData(later.toSeq: _*); q.processAllAvailable()
+      mem.addData(first.toSeq: _*); q.processAllAvailable()
+      // converged state per key = the minimal emission (merge is a
+      // monotone min, so min over update-mode emissions IS the state)
+      val got = spark.table("ft1").collect()
+        .map(r => ((r.getLong(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).minBy(t => (t._1, t._2))).toMap
+      val batch = streaming.FirstTouch.canonical(ev).collect()
+        .map(r => ((r.getLong(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == batch && batch.nonEmpty)
+      // the fixture genuinely exercises the dedup path
+      assert(rows.length > batch.size,
+        "fixture has no duplicate (user, event_type) keys")
+    } finally q.stop()
+  }
+
+  test("e21 census accounting identities hold on the fixture") {
+    import spark.implicits._
+    val c = streaming.FirstTouch.e21FirstTouch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(c.nonEmpty)
+    // dups = arrivals - first touches, epoch by epoch
+    assert(c.forall { case (_, arr, fst, dup, _) => dup == arr - fst })
+    // cumulative uniques are the running sum and end at the key count
+    assert(c.map(_._3).sum == c.last._5)
+    val keys = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").distinct().count()
+    assert(c.last._5 == keys)
+  }
+
   test("e13 stream lateness rollup equals the batch twin on fixture data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1022,7 +1075,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(levels.contains(Some("crit")) && levels.contains(Some("warn")))
     } finally q.stop()
   }
+
+  test("streaming IVF ingest census equals the s22 batch twin across " +
+      "out-of-order epoch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val ing = graft.streaming.IvfIngest.fit(
+      emb.filter($"vec_id" % Similarity.ingestMod =!= 0))
+    val newRows = emb.filter($"vec_id" % Similarity.ingestMod === 0)
+      .select($"vec_id", $"embedding").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        IngestVec((id / Similarity.ingestMod) % Similarity.numIngestBatches,
+          id, r.getSeq[Float](1).toArray)
+      }
+    val by = newRows.groupBy(_.batch_id)
+      .view.mapValues(_.toSeq).toMap.withDefaultValue(Seq.empty)
+    // deliberately out of order: epoch 2 first, then epoch 0 SPLIT
+    // across two triggers with epoch 1 interleaved between its halves
+    val e0 = by(0L)
+    val triggers = Seq(by(2L), e0.take(e0.length / 2) ++ by(1L),
+      e0.drop(e0.length / 2))
+    val mem = MemoryStream[IngestVec]
+    val q = mem.toDF().writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        ing.update(df))
+      .outputMode("append").start()
+    try {
+      triggers.foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+      q.processAllAvailable() // one empty trigger (no-op fold)
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val got = ing.census(spark).collect().map(key).toSeq
+    val exp = Similarity.s22IndexIngest(spark, sf).collect().map(key).toSeq
+    assert(got == exp && got.nonEmpty)
+    // the fixture exercised a real out-of-order split
+    assert(e0.length >= 2 && by(1L).nonEmpty && by(2L).nonEmpty)
+  }
 }
 
 /** Row type for the incremental-covariance stream. */
 case class EmbRow(vec_id: Long, embedding: Array[Double])
+
+/** Row type for the streaming IVF-ingest epochs. */
+case class IngestVec(batch_id: Long, vec_id: Long, embedding: Array[Float])
