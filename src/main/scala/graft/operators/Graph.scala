@@ -891,6 +891,50 @@ object Graph {
       .orderBy($"hop")
   }
 
+  /** Tail thresholds the power-law fit is evaluated at. */
+  val plawDmins = Seq(1L, 2L, 4L)
+
+  /** D238: degree power-law fit — the continuous-MLE exponent
+    * (Clauset, Shalizi & Newman 2009, eq. 3.1 with the −0.5
+    * discreteness correction: alpha = 1 + n / Σ ln(d_i/(dmin−0.5)))
+    * of the strong-affinity graph's degree distribution, evaluated at
+    * each tail threshold in [[plawDmins]], with the tail size and
+    * tail share. The single most-quoted scale-free diagnostic: an
+    * alpha that HOLDS (≈ constant) as dmin rises says the tail is
+    * genuinely power-law and hub-centric sampling/salting strategies
+    * apply; an alpha that drifts says the tail is truncated and g10's
+    * rich-club readout is the better guide.
+    *
+    * Plan: one degree rollup off the symmetric edge frame (the g9/g10
+    * shuffle), then the ≤|V|-row degree frame crosses the 3-row
+    * broadcast threshold list and ONE partial-aggregated rollup per
+    * threshold produces the 3-row result — no joins back to the
+    * corpus, no iteration. ln sums are IEEE doubles; the readout
+    * rounds to 4 dp (the q60/q69 float-sum precedent).
+    *
+    * Scale shape: degree census is one exchange; everything after is
+    * bounded by |V| × 3 rows partial-aggregated map-side. */
+  def g15PowerlawFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = strongEdges(spark, dir)
+    val sym = und.select($"src".as("u")).unionAll(und.select($"dst".as("u")))
+    val deg = sym.groupBy($"u").agg(count(lit(1)).as("d"))
+    val totN = deg.agg(count(lit(1)).as("n_nodes"))
+    val dmins = plawDmins.toDF("dmin")
+    deg.crossJoin(broadcast(dmins))
+      .filter($"d" >= $"dmin")
+      .groupBy($"dmin")
+      .agg(count(lit(1)).as("n_tail"),
+        sum(log($"d".cast("double") / ($"dmin".cast("double") - 0.5)))
+          .as("lnsum"))
+      .crossJoin(broadcast(totN))
+      .select($"dmin", $"n_tail",
+        round($"n_tail".cast("double") / $"n_nodes".cast("double"), 4)
+          .as("tail_share"),
+        round(lit(1.0) + $"n_tail".cast("double") / $"lnsum", 4).as("alpha"))
+      .orderBy($"dmin")
+  }
+
   /** HITS fixed-point scale (1e4 — small enough that score·SCALE
     * stays in BIGINT at any realistic degree) and superstep count. */
   val hitsScale = 10000L
@@ -955,6 +999,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g15_powerlaw" -> g15PowerlawFit,
     "g14_distance_dist" -> g14DistanceDist,
     "g13_hits" -> g13Hits,
     "g12_khop" -> g12KHop,
@@ -1291,6 +1336,28 @@ object Graph {
           SELECT CAST(hop AS BIGINT) AS hop, n_new_pairs, pct_pairs,
             cum_share, n_radius_nodes
           FROM st ORDER BY hop""",
+    "g15_powerlaw" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT src AS u FROM und UNION ALL SELECT dst FROM und)
+            GROUP BY u),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+          dm AS (SELECT unnest([${plawDmins.mkString(", ")}]) AS dmin),
+          tl AS (SELECT dm.dmin, CAST(count(*) AS BIGINT) AS n_tail,
+              sum(ln(CAST(d AS DOUBLE) / (CAST(dmin AS DOUBLE) - 0.5)))
+                AS lnsum
+            FROM deg CROSS JOIN dm WHERE deg.d >= dm.dmin
+            GROUP BY dm.dmin)
+          SELECT CAST(dmin AS BIGINT) AS dmin, n_tail,
+            round(CAST(n_tail AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4)
+              AS tail_share,
+            round(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 4) AS alpha
+          FROM tl CROSS JOIN tot ORDER BY dmin""",
     "g11_clustering" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

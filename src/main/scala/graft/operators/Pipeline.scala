@@ -909,7 +909,62 @@ object Pipeline {
       .orderBy($"bucket", $"shard_id")
   }
 
+  /** Snapshot-membership moduli for [[c20SnapshotDiff]]: the previous
+    * crawl keeps ids % 11 ≠ 0, the current crawl ids % 7 ≠ 0, and the
+    * current crawl's extractor output changed for ids % 5 = 0. */
+  val snapPrevMod = 11
+  val snapCurMod = 7
+  val snapMutMod = 5
+
+  /** D240: corpus snapshot diff — the crawl-over-crawl delta census a
+    * pipeline operator reads before re-running downstream stages: per
+    * source, how many documents were ADDED (in the current snapshot
+    * only), REMOVED (previous only), CHANGED (both, but the extracted
+    * text differs — re-crawl or extractor change), UNCHANGED, and the
+    * churn rate over the union. Tells you whether an incremental run
+    * (d11's pattern) suffices or the source needs a full rebuild.
+    * Snapshots are simulated by the id-modulus membership rule above
+    * (the s21/s22 old-vs-new convention); the "changed" extraction is
+    * a deterministic first-token drop.
+    *
+    * Scale shape: each snapshot reduces to (doc_id, source, 16-byte
+    * md5) BEFORE the diff, so TEXT NEVER SHUFFLES (the d1 digest
+    * discipline); the diff is ONE id-keyed full-outer join of digest
+    * frames + a partial-aggregated per-source census (≤ #sources
+    * rows). */
+  def c20SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+    val prev = docs.filter($"doc_id" % snapPrevMod =!= 0)
+      .select($"doc_id".as("ida"), $"source".as("sa"), md5($"text").as("ha"))
+    val cur = docs.filter($"doc_id" % snapCurMod =!= 0)
+      .select($"doc_id".as("idb"), $"source".as("sb"),
+        md5(when($"doc_id" % snapMutMod === 0,
+            regexp_replace($"text", "^[^ ]+ ", ""))
+          .otherwise($"text")).as("hb"))
+    prev.join(cur, $"ida" === $"idb", "full_outer")
+      .select(coalesce($"sa", $"sb").as("source"),
+        when($"ida".isNull, "added")
+          .when($"idb".isNull, "removed")
+          .when($"ha" =!= $"hb", "changed")
+          .otherwise("unchanged").as("cls"))
+      .groupBy($"source")
+      .agg(sum(when($"cls" === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"cls" === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"cls" === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when($"cls" === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        count(lit(1)).as("n_union"))
+      .select($"source", $"n_added", $"n_removed", $"n_changed",
+        $"n_unchanged",
+        round(($"n_added" + $"n_removed" + $"n_changed").cast("double")
+          / $"n_union".cast("double"), 4).as("churn"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_snapshot_diff" -> c20SnapshotDiff,
     "c18_filter_ablation" -> c18FilterAblation,
     "c17_pretrain_run" -> c17PretrainRun,
     "c16_checksum_manifest" -> c16ChecksumManifest,
@@ -1008,6 +1063,33 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c20_snapshot_diff" ->
+      s"""WITH a AS (SELECT doc_id, source, md5(text) AS ha
+            FROM documents WHERE doc_id % $snapPrevMod <> 0),
+          b AS (SELECT doc_id, source,
+              md5(CASE WHEN doc_id % $snapMutMod = 0
+                  THEN regexp_replace(text, '^[^ ]+ ', '')
+                  ELSE text END) AS hb
+            FROM documents WHERE doc_id % $snapCurMod <> 0),
+          j AS (SELECT coalesce(a.source, b.source) AS source,
+              CASE WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'removed'
+                   WHEN ha <> hb THEN 'changed'
+                   ELSE 'unchanged' END AS cls
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+          SELECT source,
+            CAST(count(*) FILTER (WHERE cls = 'added') AS BIGINT)
+              AS n_added,
+            CAST(count(*) FILTER (WHERE cls = 'removed') AS BIGINT)
+              AS n_removed,
+            CAST(count(*) FILTER (WHERE cls = 'changed') AS BIGINT)
+              AS n_changed,
+            CAST(count(*) FILTER (WHERE cls = 'unchanged') AS BIGINT)
+              AS n_unchanged,
+            round(CAST(count(*) FILTER (WHERE cls IN
+                ('added', 'removed', 'changed')) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 4) AS churn
+          FROM j GROUP BY source ORDER BY source""",
     "c18_filter_ablation" ->
       s"""${Dedup.jaccardCte},
           qual AS (SELECT doc_id, text,

@@ -202,11 +202,64 @@ object TimeSeries {
       .orderBy($"nation", $"week")
   }
 
+  /** Rolling-regression window length (days) and the minimum observed
+    * days before a slope is emitted (half the window). */
+  val rollWindowDays = 28
+  val rollMinDays = 14
+
+  /** D239: rolling linear trend — a [[rollWindowDays]]-day rolling OLS
+    * of daily revenue on time: per day, the regression SLOPE
+    * (cents/day — the local growth rate, the statistic a "revenue is
+    * decelerating" alert thresholds on) and INTERCEPT over the
+    * trailing window. Complements the q65/q86 exponential smoothers
+    * (recursive, infinite memory) with the fixed-memory local trend,
+    * and q69's global Theil–Sen with a time-resolved readout.
+    *
+    * Determinism: daily revenue is an exact integer cents sum; the
+    * day index anchors at 1995-01-01 (the fixture's first order) so
+    * all five window sums (n, Σt, Σy, Σty, Σt²) are exact BIGINTs;
+    * slope/intercept are the closed forms computed in DOUBLE from
+    * those exact integers — the same two-operand IEEE ops in both
+    * engines, so 2-dp rounds match bit-for-bit (no summation-order
+    * freedom anywhere).
+    *
+    * Scale shape: ONE partial-aggregated rollup to the daily census
+    * (calendar-bounded — rows = days, not orders), then an
+    * unpartitioned range-frame window over that census; emit only
+    * windows with ≥ [[rollMinDays]] observed days (the ramp-in is
+    * noise). */
+  def q107RollingTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .select(datediff(to_date($"o_orderdate"), lit("1995-01-01"))
+          .cast("long").as("t"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"t").agg(sum($"cents").as("y"))
+    val w = Window.orderBy($"t").rangeBetween(-(rollWindowDays - 1), 0)
+    daily.select($"t",
+        count(lit(1)).over(w).as("n"),
+        sum($"t").over(w).as("st"),
+        sum($"y").over(w).as("sy"),
+        sum($"t" * $"y").over(w).as("sty"),
+        sum($"t" * $"t").over(w).as("stt"))
+      .filter($"n" >= rollMinDays)
+      .select($"t".as("day"), $"n".as("n_days"),
+        round(($"n".cast("double") * $"sty" - $"st".cast("double") * $"sy") /
+          ($"n".cast("double") * $"stt" - $"st".cast("double") * $"st"), 2)
+          .as("slope_cents"),
+        round(($"sy".cast("double") * $"stt" - $"st".cast("double") * $"sty") /
+          ($"n".cast("double") * $"stt" - $"st".cast("double") * $"st"), 2)
+          .as("icept_cents"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_holt" -> q65Holt,
     "q86_holt_winters" -> q86HoltWinters,
     "q98_holt_backtest" -> q98HoltBacktest,
-    "q106_ohlc" -> q106OhlcResample)
+    "q106_ohlc" -> q106OhlcResample,
+    "q107_rolling_trend" -> q107RollingTrend)
 
   /** Held-out observations per series for [[q98HoltBacktest]]. */
   val backtestHoldout = 7
@@ -323,6 +376,29 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q107_rolling_trend" ->
+      s"""WITH d AS (SELECT date_diff('day', DATE '1995-01-01',
+                CAST(o_orderdate AS DATE)) AS t,
+              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+          w AS (SELECT t,
+              CAST(count(*) OVER win AS BIGINT) AS n,
+              CAST(sum(t) OVER win AS BIGINT) AS st,
+              CAST(sum(y) OVER win AS BIGINT) AS sy,
+              CAST(sum(t * y) OVER win AS BIGINT) AS sty,
+              CAST(sum(t * t) OVER win AS BIGINT) AS stt
+            FROM d
+            WINDOW win AS (ORDER BY t RANGE BETWEEN
+              ${rollWindowDays - 1} PRECEDING AND CURRENT ROW))
+          SELECT CAST(t AS BIGINT) AS day, n AS n_days,
+            round((CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st), 2)
+              AS slope_cents,
+            round((CAST(sy AS DOUBLE) * stt - CAST(st AS DOUBLE) * sty)
+              / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st), 2)
+              AS icept_cents
+          FROM w WHERE n >= $rollMinDays ORDER BY day""",
     "q106_ohlc" ->
       """WITH o AS (SELECT n.n_name AS nation,
                 (date_diff('day', DATE '1970-01-01',

@@ -1075,4 +1075,75 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(c => c._6 <= c._4 && c._4 <= c._5 &&
       c._6 <= c._7 && c._7 <= c._5))
   }
+
+  test("q107 rolling trend equals a brute per-window OLS replay") {
+    import spark.implicits._
+    val ts = graft.operators.TimeSeries
+    // independent daily census: exact integer cents per epoch-1995 day
+    val daily = graft.sources.Tables.orders(spark, sf)
+      .select(datediff(to_date($"o_orderdate"), lit("1995-01-01"))
+          .cast("long").as("t"),
+        floor($"o_totalprice" * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def r2(x: Double) =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.keys.toSeq.sorted.flatMap { day =>
+      val win = daily.toSeq
+        .filter { case (t, _) => t >= day - (ts.rollWindowDays - 1) && t <= day }
+      val n = win.length.toLong
+      if (n < ts.rollMinDays) None
+      else {
+        val st = win.map(_._1).sum; val sy = win.map(_._2).sum
+        val sty = win.map { case (t, y) => t * y }.sum
+        val stt = win.map { case (t, _) => t * t }.sum
+        val den = n.toDouble * stt - st.toDouble * st
+        Some((day, n,
+          r2((n.toDouble * sty - st.toDouble * sy) / den),
+          r2((sy.toDouble * stt - st.toDouble * sty) / den)))
+      }
+    }
+    val got = ts.q107RollingTrend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // every emitted window is inside [minDays, windowDays] (days can
+    // be sparse at the smoke SF, so full windows aren't guaranteed)
+    assert(got.forall(g =>
+      g._2 >= ts.rollMinDays.toLong && g._2 <= ts.rollWindowDays.toLong))
+  }
+
+  test("c20 snapshot diff census satisfies the set-arithmetic identities") {
+    import spark.implicits._
+    val p = graft.operators.Pipeline
+    val got = p.c20SnapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    // independent membership derivation straight from the id rules
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", length($"text").as("len"),
+        instr($"text", " ").as("sp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val bySrc = ids.groupBy(_._2)
+    got.foreach { case (src, added, removed, changed, unchanged, churn) =>
+      val rows = bySrc(src)
+      val a = rows.filter(_._1 % p.snapPrevMod != 0).map(_._1).toSet
+      val b = rows.filter(_._1 % p.snapCurMod != 0).map(_._1).toSet
+      assert(added == (b -- a).size.toLong)
+      assert(removed == (a -- b).size.toLong)
+      // changed = in both, mutated id, and the first-token drop
+      // actually alters the text (it always does when a space exists)
+      val chg = (a & b).count { id =>
+        id % p.snapMutMod == 0 &&
+          rows.find(_._1 == id).exists(_._4 > 0)
+      }.toLong
+      assert(changed == chg)
+      assert(unchanged == (a & b).size.toLong - chg)
+      val union = (a ++ b).size.toDouble
+      val r4 = BigDecimal((added + removed + changed).toDouble / union)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(churn == r4)
+    }
+  }
 }

@@ -540,4 +540,33 @@ class GraphSpec extends AnyFunSuite {
     // every class average is a valid density
     assert(got.forall(g => g._4 >= 0.0 && g._4 <= 1.0))
   }
+
+  test("g15 power-law fit equals a brute degree-census MLE replay") {
+    val edges = Graph.strongEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Graph.g15PowerlawFit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(_._1) == Graph.plawDmins)
+    got.foreach { case (dmin, nTail, share, alpha) =>
+      val tail = deg.values.filter(_ >= dmin).toSeq
+      assert(nTail == tail.length.toLong)
+      assert(share == r4(nTail.toDouble / n.toDouble))
+      // the engine reports 4 dp and its ln-sum order differs from the
+      // brute's — compare inside the 4-dp half-ulp + float slack
+      val lnsum = tail.map(d => math.log(d.toDouble / (dmin - 0.5))).sum
+      assert(math.abs(alpha - (1.0 + nTail / lnsum)) < 1e-4,
+        s"dmin=$dmin alpha $alpha vs brute ${1.0 + nTail / lnsum}")
+      // a continuous-MLE exponent on a degree tail is > 1 by definition
+      assert(alpha > 1.0)
+    }
+    // the fixture's tails are non-degenerate at every threshold
+    assert(got.forall(_._2 > 0))
+  }
 }

@@ -280,7 +280,10 @@ class PlanSpec extends AnyFunSuite {
       "s21_incremental_index",
       // s22 crosses the ≤k-row distinct-cell frame with the 3-row
       // epoch list (constant grid) and the ONE-row old-total frame
-      "s22_index_ingest")
+      "s22_index_ingest",
+      // g15 crosses the degree census with the 3-row threshold list
+      // and the ONE-row node-total frame
+      "g15_powerlaw")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {
