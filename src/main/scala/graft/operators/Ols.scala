@@ -226,10 +226,54 @@ object Ols {
       .orderBy($"fold")
   }
 
+  /** D241: weighted least squares — price cents regressed on discount
+    * (×100), each LINE ITEM weighted by its quantity: the regression a
+    * pricing analyst actually wants (a 50-unit line should pull the
+    * discount-elasticity fit 50× harder than a 1-unit line), and the
+    * family's missing estimator next to p9 OLS / p10 ridge / p11
+    * logistic / p14 Poisson. Reports the weighted slope and intercept
+    * (cents), the weighted R², and the weight total.
+    *
+    * Determinism: the p9 discipline — w, x, y are exact integers, the
+    * SIX weighted moments (Σw, Σwx, Σwy, Σwxx, Σwxy, Σwyy) accumulate
+    * as decimal(38,0) in ONE partial-aggregated scan (integer addition
+    * commutes), and the closed forms evaluate driver-side on
+    * bit-identical doubles in both engines.
+    *
+    * Scale shape: one scan, six mergeable moments, a 1-row result —
+    * corpus-size-independent after the scan (exactly p9). */
+  def p16Wls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def s(e: org.apache.spark.sql.Column, n: String) =
+      sum(e.cast("decimal(38,0)")).as(n)
+    val d = designFrame(spark, dir)
+      .select($"x1".as("w"), $"x2".as("x"), $"y")
+    val r = d.agg(count(lit(1)).as("n"), s($"w", "sw"),
+        s($"w" * $"x", "swx"), s($"w" * $"y", "swy"),
+        s($"w" * $"x" * $"x", "swxx"), s($"w" * $"x" * $"y", "swxy"),
+        s($"w" * $"y" * $"y", "swyy")).head()
+    val n = r.getLong(0)
+    val Seq(sw, swx, swy, swxx, swxy, swyy) = (1 to 6)
+      .map(i => r.getDecimal(i).doubleValue)
+    val den = sw * swxx - swx * swx
+    val b1 = (sw * swxy - swx * swy) / den
+    val b0 = (swy - b1 * swx) / sw
+    // weighted R² = 1 − SSE/SST over the weighted moments
+    val sst = swyy - swy * swy / sw
+    val sse = swyy - 2.0 * (b0 * swy + b1 * swxy) +
+      b0 * b0 * sw + 2.0 * b0 * b1 * swx + b1 * b1 * swxx
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, r.getDecimal(1).toBigInteger.longValueExact(),
+      r4(b0), r4(b1), r4(1.0 - sse / sst)))
+      .toDF("n_rows", "sum_w", "b0_cents", "b1_cents_per_pct", "r2_weighted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p9_ols_multi" -> p9OlsMulti,
     "p10_ridge" -> p10Ridge,
-    "p12_ridge_cv" -> p12RidgeCv)
+    "p12_ridge_cv" -> p12RidgeCv,
+    "p16_wls" -> p16Wls)
 
   private val momentNames =
     Seq("sq", "sd", "st", "sy", "sqq", "sqd", "sqt", "sdd", "sdt", "stt",
@@ -320,5 +364,33 @@ object Ols {
   val oracle: Map[String, String] = Map(
     "p9_ols_multi" -> oracleSql(0L),
     "p10_ridge" -> oracleSql(ridgeLambda),
-    "p12_ridge_cv" -> cvOracleSql)
+    "p12_ridge_cv" -> cvOracleSql,
+    "p16_wls" ->
+      """WITH d AS (SELECT
+              CAST(round(l_quantity) AS BIGINT) AS w,
+              CAST(round(l_discount * 100) AS BIGINT) AS x,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(w) AS BIGINT) AS sw_i,
+              CAST(sum(w) AS DOUBLE) AS sw,
+              CAST(sum(w * x) AS DOUBLE) AS swx,
+              CAST(sum(w * y) AS DOUBLE) AS swy,
+              CAST(sum(w * x * x) AS DOUBLE) AS swxx,
+              CAST(sum(w * x * y) AS DOUBLE) AS swxy,
+              CAST(sum(w * y * y) AS DOUBLE) AS swyy
+            FROM d),
+          b AS (SELECT *,
+              (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+            FROM m),
+          b2 AS (SELECT *, (swy - b1 * swx) / sw AS b0 FROM b),
+          e AS (SELECT *,
+              swyy - 2.0 * (b0 * swy + b1 * swxy) + b0 * b0 * sw
+                + 2.0 * b0 * b1 * swx + b1 * b1 * swxx AS sse,
+              swyy - swy * swy / sw AS sst
+            FROM b2)
+          SELECT n AS n_rows, sw_i AS sum_w, round(b0, 4) AS b0_cents,
+            round(b1, 4) AS b1_cents_per_pct,
+            round(1.0 - sse / sst, 4) AS r2_weighted
+          FROM e""")
 }

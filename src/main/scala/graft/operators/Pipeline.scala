@@ -963,7 +963,75 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** Cells in the c21 lifecycle index (the s6/s21/s22 constant). */
+  val lifecycleK = 16
+
+  /** D242: ANN index lifecycle — the s-family's operational story as
+    * ONE composition (the c17 pattern applied to index maintenance):
+    * stage 1 TRAINS the coarse quantizer on the old corpus and reads
+    * its occupancy balance; stage 2 INGESTS the new vectors into the
+    * old cells without retraining (the s21/s22 move) and reads the
+    * occupancy drift it caused; stage 3 RETRAINS on the full corpus
+    * and reads how much of the occupancy histogram the retrain
+    * actually moved — the number that tells the operator whether the
+    * retrain was worth invalidating every stored cell assignment.
+    * Per stage: vectors indexed, non-empty cells, max cell share, and
+    * the stage's drift statistic (stage 2: max per-cell share change
+    * vs the trained baseline — same centroids, so cells align; stage
+    * 3: total-variation distance between the SORTED occupancy
+    * histograms — alignment-free, since retrained cell ids don't
+    * correspond).
+    *
+    * Determinism: both trainers are the s6 quantized-Lloyd replay;
+    * every statistic is integer counts (share arithmetic stays in
+    * BIGINT cross-products — |nc·n_old − no·n_all| — until one final
+    * 4-dp division), so the DuckDB twin (two prefixed Lloyd CTE
+    * chains) hash-matches.
+    *
+    * Scale shape: two bounded `ivfTrainSample` collects (the audited
+    * s6 shape), THREE codegen'd assignment passes over the corpus,
+    * each reduced map-side to a ≤k-row census; all lifecycle math runs
+    * on those ≤k-row frames driver-side. */
+  def c21IndexLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val old = emb.filter($"vec_id" % Similarity.ingestMod =!= 0)
+    val centsOld = Similarity.ivfCentroids(old, lifecycleK, iters = 2)
+    val centsNew = Similarity.ivfCentroids(emb, lifecycleK, iters = 2)
+    def census(df: DataFrame, cents: Array[Array[Double]]): Map[Int, Long] =
+      df.select(Similarity.nearestCentroidCol(spark, $"embedding", cents)
+          .as("c"))
+        .groupBy($"c").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oldC = census(old, centsOld)
+    val combC = census(emb, centsOld)
+    val retC = census(emb, centsNew)
+    val nOld = oldC.values.sum
+    val nAll = combC.values.sum
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def maxShare(c: Map[Int, Long], tot: Long) =
+      r4(c.values.max.toDouble / tot.toDouble)
+    // stage 2: same centroids, so cells align — max per-cell share
+    // change, kept in BIGINT cross-products until the one division
+    val drift2 = r4((0 until lifecycleK).map(i =>
+        math.abs(combC.getOrElse(i, 0L) * nOld - oldC.getOrElse(i, 0L) * nAll))
+      .max.toDouble / (nOld.toDouble * nAll.toDouble))
+    // stage 3: retrained ids don't correspond — TV distance between
+    // the SORTED occupancy count vectors (same total, exact integers)
+    def sortedCounts(c: Map[Int, Long]) =
+      (0 until lifecycleK).map(i => c.getOrElse(i, 0L)).sorted.reverse
+    val tv = r4(0.5 * sortedCounts(combC).zip(sortedCounts(retC))
+      .map { case (a, b) => math.abs(a - b) }.sum.toDouble / nAll.toDouble)
+    Seq(
+      ("1_train", nOld, oldC.size.toLong, maxShare(oldC, nOld), 0.0),
+      ("2_ingest", nAll, combC.size.toLong, maxShare(combC, nAll), drift2),
+      ("3_retrain", nAll, retC.size.toLong, maxShare(retC, nAll), tv))
+      .toDF("stage", "n_vecs", "n_cells", "max_share", "drift")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c21_index_lifecycle" -> c21IndexLifecycle,
     "c20_snapshot_diff" -> c20SnapshotDiff,
     "c18_filter_ablation" -> c18FilterAblation,
     "c17_pretrain_run" -> c17PretrainRun,
@@ -1063,6 +1131,77 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c21_index_lifecycle" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+          smpo AS (SELECT rn, e FROM (
+              SELECT e, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM e WHERE vec_id % ${Similarity.ingestMod} <> 0)
+            WHERE rn <= ${Similarity.ivfTrainSize}),
+          smpa AS (SELECT rn, e FROM (
+              SELECT e, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM e) WHERE rn <= ${Similarity.ivfTrainSize}),
+          ${Similarity.ivfOracleCtes(k = lifecycleK, iters = 2, nprobe = 4,
+            dim = 64, pfx = "o", smpCte = "smpo")},
+          ${Similarity.ivfOracleCtes(k = lifecycleK, iters = 2, nprobe = 4,
+            dim = 64, pfx = "r", smpCte = "smpa")},
+          oldc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+            FROM ocells WHERE vec_id % ${Similarity.ingestMod} <> 0
+            GROUP BY cell),
+          comb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+            FROM ocells GROUP BY cell),
+          ret AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+            FROM rcells GROUP BY cell),
+          grid AS (SELECT unnest(generate_series(0, ${lifecycleK - 1}))
+            AS cell),
+          g AS (SELECT grid.cell,
+              coalesce(oldc.n, 0) AS no, coalesce(comb.n, 0) AS nc,
+              coalesce(ret.n, 0) AS nr
+            FROM grid
+            LEFT JOIN oldc ON oldc.cell = grid.cell
+            LEFT JOIN comb ON comb.cell = grid.cell
+            LEFT JOIN ret ON ret.cell = grid.cell),
+          tots AS (SELECT CAST(sum(no) AS BIGINT) AS n_old,
+              CAST(sum(nc) AS BIGINT) AS n_all,
+              CAST(count(*) FILTER (WHERE no > 0) AS BIGINT) AS k_old,
+              CAST(count(*) FILTER (WHERE nc > 0) AS BIGINT) AS k_comb,
+              CAST(count(*) FILTER (WHERE nr > 0) AS BIGINT) AS k_ret,
+              CAST(max(no) AS BIGINT) AS mx_old,
+              CAST(max(nc) AS BIGINT) AS mx_comb,
+              CAST(max(nr) AS BIGINT) AS mx_ret
+            FROM g),
+          d2 AS (SELECT CAST(max(abs(g.nc * t.n_old - g.no * t.n_all))
+              AS BIGINT) AS m
+            FROM g CROSS JOIN tots t),
+          sc AS (SELECT row_number() OVER (ORDER BY nc DESC) AS rk, nc
+            FROM g),
+          sr AS (SELECT row_number() OVER (ORDER BY nr DESC) AS rk, nr
+            FROM g),
+          tv AS (SELECT CAST(sum(abs(sc.nc - sr.nr)) AS BIGINT) AS sd
+            FROM sc JOIN sr ON sc.rk = sr.rk)
+          SELECT s.stage, s.n_vecs, s.n_cells, s.max_share, s.drift
+          FROM (
+            SELECT '1_train' AS stage, t.n_old AS n_vecs,
+              t.k_old AS n_cells,
+              round(CAST(t.mx_old AS DOUBLE) / CAST(t.n_old AS DOUBLE), 4)
+                AS max_share,
+              0.0 AS drift
+            FROM tots t
+            UNION ALL
+            SELECT '2_ingest', t.n_all, t.k_comb,
+              round(CAST(t.mx_comb AS DOUBLE) / CAST(t.n_all AS DOUBLE), 4),
+              round(CAST(d2.m AS DOUBLE)
+                / (CAST(t.n_old AS DOUBLE) * CAST(t.n_all AS DOUBLE)), 4)
+            FROM tots t CROSS JOIN d2
+            UNION ALL
+            SELECT '3_retrain', t.n_all, t.k_ret,
+              round(CAST(t.mx_ret AS DOUBLE) / CAST(t.n_all AS DOUBLE), 4),
+              round(0.5 * CAST(tv.sd AS DOUBLE)
+                / CAST(t.n_all AS DOUBLE), 4)
+            FROM tots t CROSS JOIN tv) s
+          ORDER BY s.stage""",
     "c20_snapshot_diff" ->
       s"""WITH a AS (SELECT doc_id, source, md5(text) AS ha
             FROM documents WHERE doc_id % $snapPrevMod <> 0),

@@ -1487,7 +1487,7 @@ object Similarity {
     * `floor(v·2^20)` (the KMeans/d14 discipline — [[lloyd]] quantizes
     * identically, so centroid literals need no interpolation at all:
     * the whole trainer replays in SQL). */
-  private def trainBaseCtes: String =
+  private[operators] def trainBaseCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings),
         smp AS (SELECT rn, e FROM (
@@ -1509,44 +1509,44 @@ object Similarity {
     * rank inside the probed cells. */
   /** The IVF side of the s6/s15 replays: quantized Lloyd chain
     * (c0..c{iters}), corpus `cells`, query `probes`. */
-  private def ivfOracleCtes(k: Int, iters: Int, nprobe: Int,
-      dim: Int): String = {
+  private[operators] def ivfOracleCtes(k: Int, iters: Int, nprobe: Int,
+      dim: Int, pfx: String = "", smpCte: String = "smp"): String = {
     val qs = graft.operators.KMeans.qScale
     val iterCtes = (1 to iters).map { i =>
-      s"""a$i AS (SELECT rn, e, cid FROM (
+      s"""${pfx}a$i AS (SELECT rn, e, cid FROM (
             SELECT rn, e, cid, row_number() OVER (
                 PARTITION BY rn ORDER BY dist, cid) AS rk
             FROM (SELECT s.rn, s.e, c.cid,
                 ${sqDistCols("s.e", "c.c", dim)}
-              FROM smp s CROSS JOIN c${i - 1} c)) WHERE rk = 1),
-          s$i AS (SELECT cid, j AS pos,
+              FROM $smpCte s CROSS JOIN ${pfx}c${i - 1} c)) WHERE rk = 1),
+          ${pfx}s$i AS (SELECT cid, j AS pos,
               sum(CAST(floor(e[j] * $qs) AS BIGINT)) AS s,
               CAST(count(*) AS BIGINT) AS n
-            FROM a$i CROSS JOIN
+            FROM ${pfx}a$i CROSS JOIN
               (SELECT unnest(generate_series(1, $dim)) AS j)
             GROUP BY cid, j),
-          c$i AS (SELECT p.cid, coalesce(u.c, p.c) AS c
-            FROM c${i - 1} p LEFT JOIN (
+          ${pfx}c$i AS (SELECT p.cid, coalesce(u.c, p.c) AS c
+            FROM ${pfx}c${i - 1} p LEFT JOIN (
               SELECT cid,
                 list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / $qs
                      ORDER BY pos) AS c
-              FROM s$i GROUP BY cid) u ON u.cid = p.cid)"""
+              FROM ${pfx}s$i GROUP BY cid) u ON u.cid = p.cid)"""
     }.mkString(",\n          ")
-    s"""c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS c
-            FROM smp WHERE rn <= $k),
+    s"""${pfx}c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS c
+            FROM $smpCte WHERE rn <= $k),
           $iterCtes,
-          cells AS (SELECT vec_id, cid AS cell FROM (
+          ${pfx}cells AS (SELECT vec_id, cid AS cell FROM (
             SELECT vec_id, cid, row_number() OVER (
                 PARTITION BY vec_id ORDER BY dist, cid) AS rk
             FROM (SELECT v.vec_id, c.cid,
                 ${sqDistCols("v.e", "c.c", dim)}
-              FROM e v CROSS JOIN c$iters c)) WHERE rk = 1),
-          probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+              FROM e v CROSS JOIN ${pfx}c$iters c)) WHERE rk = 1),
+          ${pfx}probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
             SELECT vec_id, cid, row_number() OVER (
                 PARTITION BY vec_id ORDER BY dist, cid) AS rk
             FROM (SELECT v.vec_id, c.cid,
                 ${sqDistCols("v.e", "c.c", dim)}
-              FROM e v CROSS JOIN c$iters c
+              FROM e v CROSS JOIN ${pfx}c$iters c
               WHERE v.vec_id < 5)) WHERE rk <= $nprobe)"""
   }
 

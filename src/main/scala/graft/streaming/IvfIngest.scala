@@ -95,8 +95,25 @@ object IvfIngest {
     * bounded sample + the per-cell baseline census — one assignment
     * pass, ≤ k rows collected. */
   def fit(old: DataFrame, k: Int = 16, iters: Int = 2): IvfIngest = {
-    val spark = old.sparkSession
     val cents = Similarity.ivfCentroids(old, k, iters)
+    fromCentroids(cents, old)
+  }
+
+  /** Build the ingest state from a PERSISTED index artifact
+    * ([[graft.ml.feature.GraftIVFModel]]) instead of re-fitting — the
+    * production path: the index is fit once (`GraftIVF.fit` → `save`),
+    * and every later ingest job `load`s it and only re-derives the
+    * baseline census (one assignment pass over the old corpus, ≤ k
+    * rows collected). Equal to [[fit]] whenever the model was fit on
+    * the same old corpus with the same params (StreamingSpec pins
+    * that). */
+  def fromModel(model: graft.ml.feature.GraftIVFModel,
+      old: DataFrame): IvfIngest =
+    fromCentroids(model.centroids, old)
+
+  private def fromCentroids(cents: Array[Array[Double]],
+      old: DataFrame): IvfIngest = {
+    val spark = old.sparkSession
     val oldCensus = old
       .select(Similarity.nearestCentroidCol(spark, col("embedding"), cents)
         .as("cell"))

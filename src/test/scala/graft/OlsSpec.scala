@@ -517,4 +517,37 @@ class OlsSpec extends AnyFunSuite {
       new GraftLinear().setFeaturesCols(Array("qty", "qty", "tax_pct"))
     }
   }
+
+  test("p16 weighted least squares equals a brute BigInt-moment replay") {
+    import spark.implicits._
+    val rows = graft.operators.Ols.designFrame(spark, sf)
+      .select($"x1", $"x2", $"y").collect()
+      .map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2))))
+    // exact rational moments, then the closed forms in double
+    val sw = rows.map(_._1).sum
+    val swx = rows.map { case (w, x, _) => w * x }.sum
+    val swy = rows.map { case (w, _, y) => w * y }.sum
+    val swxx = rows.map { case (w, x, _) => w * x * x }.sum
+    val swxy = rows.map { case (w, x, y) => w * x * y }.sum
+    val swyy = rows.map { case (w, _, y) => w * y * y }.sum
+    val (dw, dwx, dwy, dwxx, dwxy, dwyy) = (sw.toDouble, swx.toDouble,
+      swy.toDouble, swxx.toDouble, swxy.toDouble, swyy.toDouble)
+    val b1 = (dw * dwxy - dwx * dwy) / (dw * dwxx - dwx * dwx)
+    val b0 = (dwy - b1 * dwx) / dw
+    val sse = dwyy - 2.0 * (b0 * dwy + b1 * dwxy) + b0 * b0 * dw +
+      2.0 * b0 * b1 * dwx + b1 * b1 * dwxx
+    val sst = dwyy - dwy * dwy / dw
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.operators.Ols.p16Wls(spark, sf).collect()(0)
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(got.getLong(1) == sw.toLong)
+    assert(got.getDouble(2) == r4(b0))
+    assert(got.getDouble(3) == r4(b1))
+    assert(got.getDouble(4) == r4(1.0 - sse / sst))
+    // a discount regression on this fixture explains SOME variance
+    // and prices fall with discount
+    assert(got.getDouble(4) > 0.0 && got.getDouble(4) < 1.0)
+  }
 }

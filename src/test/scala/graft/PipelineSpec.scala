@@ -927,6 +927,63 @@ class PipelineSpec extends AnyFunSuite {
       assert(PipelineSpec.opens.get() < nPayloads)
     } finally Multimodal.decoderFactory = saved
   }
+
+  test("c21 index lifecycle equals a brute driver-side assignment replay") {
+    import spark.implicits._
+    import graft.operators.{Pipeline, Similarity}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val k = Pipeline.lifecycleK
+    val spark0 = spark
+    def embDf = {
+      import spark0.implicits._
+      graft.sources.Tables.embeddings(spark0, sf)
+    }
+    val centsOld = Similarity.ivfCentroids(
+      embDf.filter($"vec_id" % Similarity.ingestMod =!= 0), k, 2)
+    val centsNew = Similarity.ivfCentroids(embDf, k, 2)
+    // brute per-row assignment: own distance loop, lowest-cid ties
+    def assign(v: Array[Double], cents: Array[Array[Double]]): Int =
+      cents.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) {
+          val t = v(i) - cents(c)(i); d += t * t; i += 1
+        }
+        (d, c)
+      }
+    def census(rows: Array[(Long, Array[Double])],
+        cents: Array[Array[Double]]): Map[Int, Long] =
+      rows.groupBy(r => assign(r._2, cents)).view
+        .mapValues(_.length.toLong).toMap
+    val oldRows = emb.filter(_._1 % Similarity.ingestMod != 0)
+    val oldC = census(oldRows, centsOld)
+    val combC = census(emb, centsOld)
+    val retC = census(emb, centsNew)
+    val nOld = oldRows.length.toLong; val nAll = emb.length.toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pad(c: Map[Int, Long]) = (0 until k).map(i => c.getOrElse(i, 0L))
+    val drift2 = r4(pad(combC).zip(pad(oldC))
+      .map { case (nc, no) => (nc * nOld - no * nAll).abs }
+      .max.toDouble / (nOld.toDouble * nAll.toDouble))
+    val tv = r4(0.5 * pad(combC).sorted.reverse
+      .zip(pad(retC).sorted.reverse)
+      .map { case (a, b) => (a - b).abs }.sum.toDouble / nAll.toDouble)
+    val expected = Seq(
+      ("1_train", nOld, oldC.size.toLong,
+        r4(oldC.values.max.toDouble / nOld.toDouble), 0.0),
+      ("2_ingest", nAll, combC.size.toLong,
+        r4(combC.values.max.toDouble / nAll.toDouble), drift2),
+      ("3_retrain", nAll, retC.size.toLong,
+        r4(retC.values.max.toDouble / nAll.toDouble), tv))
+    val got = Pipeline.c21IndexLifecycle(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // the fixture genuinely moves occupancy in both lifecycle steps
+    assert(got(1)._5 > 0.0)
+  }
 }
 
 object PipelineSpec {

@@ -1118,6 +1118,24 @@ class StreamingSpec extends AnyFunSuite {
     // the fixture exercised a real out-of-order split
     assert(e0.length >= 2 && by(1L).nonEmpty && by(2L).nonEmpty)
   }
+
+  test("IvfIngest built from a persisted GraftIVF artifact equals fit()") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val old = emb.filter($"vec_id" % Similarity.ingestMod =!= 0)
+    // production path: fit the index ONCE, persist, load, ingest
+    val dir = java.nio.file.Files.createTempDirectory("ivf_art").toString
+    new graft.ml.feature.GraftIVF().setK(16).setMaxIter(2)
+      .fit(old).write.overwrite().save(dir)
+    val loaded = graft.ml.feature.GraftIVFModel.load(dir)
+    val viaArtifact = graft.streaming.IvfIngest.fromModel(loaded, old)
+    val viaFit = graft.streaming.IvfIngest.fit(old)
+    assert(viaArtifact.centroids.map(_.toSeq).toSeq ==
+      viaFit.centroids.map(_.toSeq).toSeq)
+    assert(viaArtifact.oldCensus == viaFit.oldCensus &&
+      viaArtifact.oldCensus.nonEmpty)
+  }
 }
 
 /** Row type for the incremental-covariance stream. */
