@@ -687,6 +687,66 @@ object Similarity {
       .orderBy($"batch_id", $"cell_id")
   }
 
+  /** Probe counts [[s23NprobeSweep]] evaluates (must fit in k = 16). */
+  val sweepProbes = Seq(1, 2, 4, 8)
+
+  /** D243: nprobe recall sweep — the IVF tuning curve an index
+    * operator reads before pinning the production probe count: for
+    * each nprobe in [[sweepProbes]], recall@5 of the s6 pipeline
+    * against the s1 brute-force truth and the total candidates the
+    * re-rank had to score (the recall/cost trade in one table — d18's
+    * banding sweep, for the vector index). The standard operating
+    * point is the knee: the smallest nprobe whose recall plateaus.
+    *
+    * Plan: ONE probe expansion at the widest setting (posexplode of
+    * the max-nprobe probe list keeps the probe RANK), ONE candidate
+    * join + cosine pass shared by every setting (scoped-persisted);
+    * each sweep row is then a rank-filtered window over the shared
+    * candidate frame — no re-probing, no extra corpus passes. Truth
+    * is the committed s1 query.
+    *
+    * Scale shape: candidate volume is bounded by #queries ×
+    * (maxProbes/k) × corpus-per-cell — the s6 shape at its widest
+    * setting, paid once; the sweep itself re-reads the persisted
+    * frame (queries × shortlist rows). */
+  def s23NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding",
+      nearestCentroidCol(spark, $"embedding", cents).as("cell"))
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        posexplode(probes(cents, sweepProbes.max)($"embedding"))
+          .as(Seq("pidx", "cell")))
+    val cands = corpus.join(qs, Seq("cell"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"pidx",
+        cosineCol(spark, $"q_emb", $"embedding").as("cos"))
+      .scopedPersist()
+    val truth = s1KnnBrute(spark, dir)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val top = sweepProbes.map { p =>
+      cands.filter($"pidx" < p)
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select(lit(p.toLong).as("nprobe"), $"query_id", $"neighbor_id")
+    }.reduce(_.unionAll(_))
+    val counts = sweepProbes.map { p =>
+      cands.filter($"pidx" < p)
+        .agg(count(lit(1)).as("n_cands"))
+        .select(lit(p.toLong).as("nprobe"), $"n_cands")
+    }.reduce(_.unionAll(_))
+    val rec = top.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"nprobe")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+    counts.join(rec, Seq("nprobe"), "left")
+      .select($"nprobe", $"n_cands",
+        round(coalesce($"hits", lit(0L)).cast("double") / 25.0, 4)
+          .as("recall_at_5"))
+      .orderBy($"nprobe")
+  }
+
   def s20FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -1325,7 +1385,8 @@ object Similarity {
     "s19_rank_fusion" -> s19RankFusion,
     "s20_filtered_knn" -> s20FilteredKnn,
     "s21_incremental_index" -> s21IncrementalIndex,
-    "s22_index_ingest" -> s22IndexIngest)
+    "s22_index_ingest" -> s22IndexIngest,
+    "s23_nprobe_sweep" -> s23NprobeSweep)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1848,6 +1909,51 @@ object Similarity {
               / CAST(toto.tot_old + bt.cum_tot AS DOUBLE), 4) AS occ_share
           FROM g2 JOIN bt USING (batch_id) CROSS JOIN toto
           ORDER BY g2.batch_id, g2.cell_id""",
+    "s23_nprobe_sweep" ->
+      s"""WITH $trainBaseCtes,
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = sweepProbes.max,
+            dim = 64)},
+          pr AS (SELECT vec_id AS query_id, cid AS cell, rk FROM (
+              SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist, cid) AS rk
+              FROM (SELECT v.vec_id, c.cid,
+                  ${sqDistCols("v.e", "c.c", 64)}
+                FROM e v CROSS JOIN c2 c
+                WHERE v.vec_id < 5)) WHERE rk <= ${sweepProbes.max}),
+          cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id, p.rk
+            FROM pr p
+            JOIN cells cl ON cl.cell = p.cell
+                         AND cl.vec_id <> p.query_id),
+          sc AS (SELECT s.query_id, s.neighbor_id, s.rk, $cosSql AS cos
+            FROM cand s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          brute AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              $cosSql AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < 5 AND b.vec_id != a.vec_id),
+          truth AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                AS rk FROM brute) WHERE rk <= 5),
+          pp AS (SELECT unnest([${sweepProbes.mkString(", ")}]) AS np),
+          top5 AS (SELECT np, query_id, neighbor_id FROM (
+              SELECT pp.np, s.query_id, s.neighbor_id,
+                row_number() OVER (PARTITION BY pp.np, s.query_id
+                  ORDER BY s.cos DESC, s.neighbor_id) AS rk2
+              FROM sc s JOIN pp ON s.rk <= pp.np) WHERE rk2 <= 5),
+          cc AS (SELECT pp.np, CAST(count(*) AS BIGINT) AS n_cands
+            FROM sc s JOIN pp ON s.rk <= pp.np GROUP BY pp.np),
+          rec AS (SELECT t.np, CAST(count(tr.neighbor_id) AS BIGINT)
+                AS hits
+            FROM top5 t LEFT JOIN truth tr
+              ON tr.query_id = t.query_id
+             AND tr.neighbor_id = t.neighbor_id
+            GROUP BY t.np)
+          SELECT CAST(cc.np AS BIGINT) AS nprobe, cc.n_cands,
+            round(CAST(coalesce(rec.hits, 0) AS DOUBLE) / 25.0, 4)
+              AS recall_at_5
+          FROM cc LEFT JOIN rec ON rec.np = cc.np ORDER BY nprobe""",
     "s17_pq_distortion" -> {
       val sub = 64 / pqSubspaces
       s"""WITH $trainBaseCtes,

@@ -283,7 +283,10 @@ class PlanSpec extends AnyFunSuite {
       "s22_index_ingest",
       // g15 crosses the degree census with the 3-row threshold list
       // and the ONE-row node-total frame
-      "g15_powerlaw")
+      "g15_powerlaw",
+      // s23 embeds the s1 brute-truth plan (5 fixed queries x corpus
+      // — the same bounded-query-set shape s1/s11 are allowed for)
+      "s23_nprobe_sweep")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

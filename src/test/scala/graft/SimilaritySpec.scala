@@ -605,4 +605,28 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
     assert(reCodes == viaModel)
   }
+
+  test("s23 nprobe sweep is monotone and its nprobe=4 row replays s6 vs s1") {
+    import spark.implicits._
+    val got = Similarity.s23NprobeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == Similarity.sweepProbes.map(_.toLong))
+    // candidates strictly grow with probes; recall never falls
+    assert(got.map(_._2).sliding(2).forall { case Seq(a, b) => a < b })
+    assert(got.map(_._3).sliding(2).forall { case Seq(a, b) => a <= b })
+    // cross-operator identity: the nprobe=4 recall IS s6's top-5 hit
+    // rate against the s1 brute truth
+    val truth = Similarity.s1KnnBrute(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s6 = Similarity.s6KnnIvf(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hits = s6.count(truth.contains)
+    val r4 = BigDecimal(hits.toDouble / 25.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.find(_._1 == 4L).map(_._3).contains(r4))
+    // the sweep's widest setting reaches useful recall on the fixture
+    assert(got.last._3 >= 0.5)
+  }
 }
