@@ -1407,7 +1407,67 @@ object Analytics {
       .orderBy($"nation")
   }
 
+  /** D244: year-over-year revenue growth accounting — decompose each
+    * consecutive-year revenue change into the four levers a finance
+    * review asks about: VOLUME (quantity change at last year's unit
+    * price), PRICE (this year's quantity at the unit-price change),
+    * NEW parts (revenue from parts with no prior-year sales) and
+    * DISCONTINUED parts (lost prior-year revenue), plus the explicit
+    * RESIDUAL the unit-price quantization leaves. Complements q84's
+    * Laspeyres index (a pure price ratio) with the additive
+    * bridge-chart decomposition.
+    *
+    * Determinism: per-(year, part) quantity and revenue-cents are
+    * exact integer sums; the unit price is QUANTIZED to integer
+    * milli-cents by integer division (r·1000 div q) so every effect is
+    * a BIGINT sum — no float anywhere, and the identity
+    * Δrev·1000 = vol + price + new − disc + residual is exact and
+    * spec-gated. Effects report in milli-cents.
+    *
+    * Scale shape: one partial-aggregated (year, part) census off the
+    * lineitem⋈orders join (the q84 shuffle), one part-keyed full-outer
+    * self-join of adjacent-year slices, ≤ #year-pairs output rows. */
+  def q108GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val yp = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select($"o_orderkey".as("l_orderkey"), year($"o_orderdate").as("yr")),
+        "l_orderkey")
+      .groupBy($"yr", $"l_partkey")
+      .agg(sum(round($"l_quantity").cast("long")).as("q"),
+        sum(floor($"l_extendedprice" * 100).cast("long")).as("r"))
+      .withColumn("p_mc", expr("(r * 1000) div q"))
+      .scopedPersist()
+    val a = yp.select($"yr", $"l_partkey", $"q".as("q1"), $"r".as("r1"),
+      $"p_mc".as("p1"))
+    val b = yp.select(($"yr" - 1).as("yr"), $"l_partkey", $"q".as("q2"),
+      $"r".as("r2"), $"p_mc".as("p2"))
+    val j = a.join(b, Seq("yr", "l_partkey"), "full_outer")
+      .filter($"yr".isNotNull)
+    // drop the sentinel pair beyond the last year (b shifted past max)
+    // and before the first (a only): only yr pairs with BOTH sides
+    val pairs = j.groupBy($"yr").agg(
+        sum(coalesce($"r2", lit(0L)) - coalesce($"r1", lit(0L)))
+          .as("delta_cents"),
+        sum(when($"q1".isNotNull && $"q2".isNotNull,
+          ($"q2" - $"q1") * $"p1").otherwise(0L)).as("vol_mc"),
+        sum(when($"q1".isNotNull && $"q2".isNotNull,
+          $"q2" * ($"p2" - $"p1")).otherwise(0L)).as("price_mc"),
+        sum(when($"q1".isNull, $"r2" * 1000).otherwise(0L)).as("new_mc"),
+        sum(when($"q2".isNull, $"r1" * 1000).otherwise(0L)).as("disc_mc"),
+        max($"r1".isNotNull.cast("long")).as("has1"),
+        max($"r2".isNotNull.cast("long")).as("has2"))
+      .filter($"has1" === 1L && $"has2" === 1L)
+    pairs.select($"yr".cast("long").as("year_from"),
+        ($"yr" + 1).cast("long").as("year_to"),
+        $"delta_cents", $"vol_mc", $"price_mc", $"new_mc", $"disc_mc",
+        ($"delta_cents" * 1000 - $"vol_mc" - $"price_mc" - $"new_mc"
+          + $"disc_mc").as("residual_mc"))
+      .orderBy($"year_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_growth_accounting" -> q108GrowthAccounting,
     "q104_theil" -> q104TheilDecomposition,
     "q102_ship_lag" -> q102ShipLag,
     "q101_seasonal_strength" -> q101SeasonalStrength,
@@ -1478,6 +1538,42 @@ object Analytics {
           ORDER BY f.nation, f.m"""
 
   val oracle: Map[String, String] = Map(
+    "q108_growth_accounting" ->
+      """WITH yp AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+              l.l_partkey,
+              CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                AS q,
+              CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS r
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2),
+          yq AS (SELECT yr, l_partkey, q, r, (r * 1000) // q AS p_mc
+            FROM yp),
+          j AS (SELECT coalesce(a.yr, b.yr - 1) AS yr,
+              a.q AS q1, a.r AS r1, a.p_mc AS p1,
+              b.q AS q2, b.r AS r2, b.p_mc AS p2
+            FROM yq a FULL OUTER JOIN yq b
+              ON a.yr = b.yr - 1 AND a.l_partkey = b.l_partkey),
+          g AS (SELECT yr,
+              CAST(sum(coalesce(r2, 0) - coalesce(r1, 0)) AS BIGINT)
+                AS delta_cents,
+              CAST(sum(CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL
+                THEN (q2 - q1) * p1 ELSE 0 END) AS BIGINT) AS vol_mc,
+              CAST(sum(CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL
+                THEN q2 * (p2 - p1) ELSE 0 END) AS BIGINT) AS price_mc,
+              CAST(sum(CASE WHEN q1 IS NULL THEN r2 * 1000 ELSE 0 END)
+                AS BIGINT) AS new_mc,
+              CAST(sum(CASE WHEN q2 IS NULL THEN r1 * 1000 ELSE 0 END)
+                AS BIGINT) AS disc_mc,
+              max(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS has1,
+              max(CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS has2
+            FROM j GROUP BY yr)
+          SELECT yr AS year_from, yr + 1 AS year_to, delta_cents,
+            vol_mc, price_mc, new_mc, disc_mc,
+            CAST(delta_cents * 1000 - vol_mc - price_mc - new_mc
+              + disc_mc AS BIGINT) AS residual_mc
+          FROM g WHERE has1 = 1 AND has2 = 1
+          ORDER BY year_from""",
     "q104_theil" ->
       s"""WITH r AS (SELECT n.n_name AS nation,
                   CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents

@@ -1113,6 +1113,36 @@ class AnalyticsSpec extends AnyFunSuite {
       g._2 >= ts.rollMinDays.toLong && g._2 <= ts.rollWindowDays.toLong))
   }
 
+  test("q108 growth accounting bridges exactly and bounds its residual") {
+    import spark.implicits._
+    val got = graft.operators.Analytics.q108GrowthAccounting(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.nonEmpty)
+    // consecutive-year pairs covering the fixture's order span
+    assert(got.map(_._1).toSeq == got.map(_._1).min.to(got.map(_._1).max))
+    assert(got.forall(g => g._2 == g._1 + 1))
+    // the bridge identity is EXACT in milli-cents by construction —
+    // verify against an INDEPENDENT per-year revenue census
+    val yearRev = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf)
+        .select($"o_orderkey".as("l_orderkey"),
+          year($"o_orderdate").cast("long").as("yr")), "l_orderkey")
+      .groupBy($"yr")
+      .agg(sum(floor($"l_extendedprice" * 100).cast("long")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (y1, y2, delta, vol, price, nw, disc, resid) =>
+      assert(delta == yearRev(y2) - yearRev(y1),
+        s"$y1->$y2 delta $delta vs census ${yearRev(y2) - yearRev(y1)}")
+      assert(delta * 1000L == vol + price + nw - disc + resid)
+    }
+    // quantization residual is bounded by total traded quantity
+    val totQ = graft.sources.Tables.lineitem(spark, sf)
+      .agg(sum(round($"l_quantity").cast("long"))).head().getLong(0)
+    assert(got.forall(g => math.abs(g._8) <= 2L * totQ))
+  }
+
   test("c20 snapshot diff census satisfies the set-arithmetic identities") {
     import spark.implicits._
     val p = graft.operators.Pipeline
