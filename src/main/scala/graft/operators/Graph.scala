@@ -841,32 +841,73 @@ object Graph {
     val sym = und.select($"src".as("u"), $"dst".as("v"))
       .unionAll(und.select($"dst".as("u"), $"src".as("v")))
       .localCheckpoint()
+    distanceDistFrom(spark, sym)
+  }
+
+  /** The g14 readout over an already-built symmetric edge frame —
+    * split out so GraphSpec can drive the wide-domain HLL branch on a
+    * synthetic graph (`forceHll`). */
+  private[graft] def distanceDistFrom(spark: SparkSession, sym: DataFrame,
+      forceHll: Boolean = false): DataFrame = {
+    import spark.implicits._
     val zero = (1 to khopMax).map(h => (h.toLong, 0L, 0.0, 0.0, 0L))
       .toDF("hop", "n_new_pairs", "pct_pairs", "cum_share", "n_radius_nodes")
     val maxKeyOpt = Option(sym.agg(max($"v")).head().get(0))
       .map(_.asInstanceOf[Long])
     if (maxKeyOpt.isEmpty) return zero.orderBy($"hop")
-    val nWords = (maxKeyOpt.get >> 6).toInt + 1
-    val nbrBits = udaf(new graft.functions.BitsetReach.NeighborBitset(nWords),
-      org.apache.spark.sql.Encoders.scalaLong)
-    val orBits = udaf(new graft.functions.BitsetReach.BitsetUnion(nWords),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
-    val reachCnt =
-      expr("""aggregate(bits, CAST(0 AS BIGINT),
-              (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))""") -
-      expr("""shiftright(element_at(bits, CAST(shiftright(u, 6) AS INT) + 1),
-              CAST(u % 64 AS INT)) & 1""")
-    var reg = sym.groupBy($"u").agg(nbrBits($"v").as("bits"))
-      .localCheckpoint()
-    val perHop = (1 to khopMax).map { h =>
-      if (h > 1) {
-        reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
-          .select($"s.u".as("u"), $"r.bits".as("bits"))
-          .unionAll(reg.select($"u", $"bits"))
-          .groupBy($"u").agg(orBits($"bits").as("bits"))
-          .localCheckpoint()
+    // same unbounded-domain guard as g12: past the exact registers'
+    // width ceiling run the identical supersteps over constant-width
+    // HLL registers — per-hop counts become ~1.6%-error estimates and
+    // the effective radius a RATIO of a vertex's own estimates (the
+    // shared-universe collision bias largely cancels)
+    val wide = forceHll || (maxKeyOpt.get >> 6) + 1 > khopExactMaxWords
+    val perHop: Seq[DataFrame] = if (wide) {
+      val p = graft.functions.HllReach.defaultP
+      val nbrHll = udaf(new graft.functions.HllReach.NeighborHll(p),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val orHll = udaf(new graft.functions.HllReach.HllUnion(p),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+      val estU = udf((reg: Array[Byte]) =>
+        graft.functions.HllReach.estimate(reg))
+      var reg = sym.groupBy($"u").agg(nbrHll($"v").as("bits"))
+        .localCheckpoint()
+      (1 to khopMax).map { h =>
+        if (h > 1) {
+          reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
+            .select($"s.u".as("u"), $"r.bits".as("bits"))
+            .unionAll(reg.select($"u", $"bits"))
+            .groupBy($"u").agg(orHll($"bits").as("bits"))
+            .localCheckpoint()
+        }
+        // hop >= 2: the symmetric fold put u into its own sketch
+        val self = if (h >= 2) 1.0 else 0.0
+        reg.select($"u",
+          greatest(round(estU($"bits") - lit(self)), lit(0.0))
+            .cast("long").as(s"c$h"))
       }
-      reg.select($"u", reachCnt.as(s"c$h"))
+    } else {
+      val nWords = (maxKeyOpt.get >> 6).toInt + 1
+      val nbrBits = udaf(new graft.functions.BitsetReach.NeighborBitset(nWords),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val orBits = udaf(new graft.functions.BitsetReach.BitsetUnion(nWords),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      val reachCnt =
+        expr("""aggregate(bits, CAST(0 AS BIGINT),
+                (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))""") -
+        expr("""shiftright(element_at(bits, CAST(shiftright(u, 6) AS INT) + 1),
+                CAST(u % 64 AS INT)) & 1""")
+      var reg = sym.groupBy($"u").agg(nbrBits($"v").as("bits"))
+        .localCheckpoint()
+      (1 to khopMax).map { h =>
+        if (h > 1) {
+          reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
+            .select($"s.u".as("u"), $"r.bits".as("bits"))
+            .unionAll(reg.select($"u", $"bits"))
+            .groupBy($"u").agg(orBits($"bits").as("bits"))
+            .localCheckpoint()
+        }
+        reg.select($"u", reachCnt.as(s"c$h"))
+      }
     }
     val cu = perHop.reduce(_.join(_, "u"))
       .withColumn("eff",

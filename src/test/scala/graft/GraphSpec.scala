@@ -541,6 +541,30 @@ class GraphSpec extends AnyFunSuite {
     assert(got.forall(g => g._4 >= 0.0 && g._4 <= 1.0))
   }
 
+  test("g14 HLL branch tracks the exact distance distribution on a " +
+      "synthetic graph") {
+    import spark.implicits._
+    // the flat-state ring+chords fixture (the g12 HLL proof graph)
+    val n = 200
+    val base = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % n).toLong), (i.toLong, ((i + 7) % n).toLong))
+    }
+    val sym = (base ++ base.map(_.swap)).toDF("u", "v").localCheckpoint()
+    val exact = Graph.distanceDistFrom(spark, sym).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val hll = Graph.distanceDistFrom(spark, sym, forceHll = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    exact.zip(hll).foreach { case ((he, ne, ee), (hh, nh, eh)) =>
+      assert(he == hh)
+      // per-hop new-pair estimates inside a 3% band (a DIFFERENCE of
+      // two ~1%-error sketch sums)
+      assert(math.abs(nh - ne).toDouble / math.max(ne, 1L).toDouble <= 0.03,
+        s"hop $he n_new_pairs: exact $ne vs hll $nh")
+      // radius census: every vertex still lands in exactly one bucket
+    }
+    assert(hll.map(_._3).sum == n.toLong)
+  }
+
   test("g15 power-law fit equals a brute degree-census MLE replay") {
     val edges = Graph.strongEdges(spark, sf)
       .select("src", "dst").collect()
