@@ -1,0 +1,205 @@
+package graft.ml.feature
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+/** Estimator/Model API over the corpus IDF table (SURVEY.md §2.D
+  * D245) — the reference's fit/transform/persistence protocol
+  * (reference: /root/reference/src/main/scala/org/apache/spark/ml/feature/RapidsPCA.scala:81-137,
+  * the Estimator–Model–MLWritable lifecycle) applied to the text
+  * family: what the t6/t15 queries derive inline (document frequency
+  * → ln(N/df) inverse document frequency) becomes a persistable
+  * artifact fit ONCE on the reference corpus, so scoring jobs — and
+  * DRIFTING corpora — reuse the frozen table instead of re-censusing.
+  *
+  * What fit learns: the (term → idf) table over the fit corpus's
+  * vocabulary (whitespace tokens, the corpus convention), restricted
+  * to terms with document frequency ≥ [[GraftIDFParams.minDf]], plus
+  * the corpus document count. The vocabulary is Heaps-law-bounded
+  * (t34's measured exponent), so the table stays broadcastable at
+  * corpus scales where the corpus itself is not.
+  *
+  * What transform does: appends the document's total TF·IDF mass
+  * (Σ_t tf(t, doc) · idf(t), 4-dp — the t15 "keywordness" scalar,
+  * rounded per the cross-engine float rule) via explode → BROADCAST
+  * join against the idf table → partial-aggregated per-doc sum →
+  * one id-keyed join back. Out-of-vocabulary terms contribute zero
+  * (the frozen-table semantics scoring against drift wants). */
+trait GraftIDFParams extends Params {
+  final val idCol = new Param[String](this, "idCol",
+    "document id column (transform groups and joins back on it)")
+  final val inputCol = new Param[String](this, "inputCol",
+    "string text column (whitespace-tokenized, lowercased)")
+  final val outputCol = new Param[String](this, "outputCol",
+    "output column: the document's summed tf*idf mass (4-dp)")
+  final val minDf = new IntParam(this, "minDf",
+    "minimum document frequency for a term to enter the idf table",
+    ParamValidators.gtEq(1))
+
+  setDefault(idCol -> "doc_id", inputCol -> "text",
+    outputCol -> "tfidf_mass", minDf -> 1)
+
+  protected def validateAndTransformSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(inputCol)),
+      s"input column '${$(inputCol)}' not in ${schema.fieldNames.mkString(",")}")
+    require(schema($(inputCol)).dataType == StringType,
+      s"input column '${$(inputCol)}' must be string")
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"output column '${$(outputCol)}' already exists")
+    StructType(schema.fields :+
+      StructField($(outputCol), DoubleType, nullable = true))
+  }
+}
+
+class GraftIDF(override val uid: String)
+    extends Estimator[GraftIDFModel] with GraftIDFParams with MLWritable {
+
+  def this() = this(Identifiable.randomUID("graftIdf"))
+
+  def setIdCol(value: String): this.type = set(idCol, value)
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setMinDf(value: Int): this.type = set(minDf, value)
+
+  override def fit(dataset: Dataset[_]): GraftIDFModel = {
+    transformSchema(dataset.schema, logging = true)
+    val spark = dataset.sparkSession
+    import spark.implicits._
+    val docs = dataset.toDF()
+      .select(col($(idCol)).as("id"),
+        graft.operators.TextAnalysis.tokens(col($(inputCol))).as("toks"))
+    val nDocs = docs.count()
+    val idf = docs.select($"id", explode($"toks").as("term"))
+      .distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .filter($"df" >= $(minDf))
+      .select($"term", org.apache.spark.sql.functions
+        .log(lit(nDocs.toDouble) / $"df").as("idf"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    copyValues(new GraftIDFModel(uid, nDocs, idf).setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): GraftIDF = defaultCopy(extra)
+
+  override def write: MLWriter = new GraftIDF.Writer(this)
+}
+
+/** Fitted IDF table: (term → ln(nDocs/df)) over the fit corpus. */
+class GraftIDFModel private[feature] (override val uid: String,
+    val nDocs: Long, val idf: Map[String, Double])
+    extends Model[GraftIDFModel] with GraftIDFParams with MLWritable {
+
+  def setIdCol(value: String): this.type = set(idCol, value)
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema, logging = true)
+    val spark = dataset.sparkSession
+    import spark.implicits._
+    val idfDf = idf.toSeq.toDF("term", "idf")
+    val mass = dataset.toDF()
+      .select(col($(idCol)).as("__gid"),
+        explode(graft.operators.TextAnalysis.tokens(col($(inputCol))))
+          .as("term"))
+      .join(broadcast(idfDf), Seq("term"))
+      .groupBy($"__gid")
+      .agg(round(sum($"idf"), 4).as($(outputCol)))
+    dataset.toDF().join(mass,
+      dataset.toDF()(($(idCol))) === mass("__gid"), "left")
+      .drop("__gid")
+      .na.fill(0.0, Seq($(outputCol)))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): GraftIDFModel =
+    copyValues(new GraftIDFModel(uid, nDocs, idf), extra).setParent(parent)
+
+  override def write: MLWriter = new GraftIDFModel.Writer(this)
+}
+
+/** Explicitly-set params, one parquet row (the GraftPCA layout). */
+private[feature] case class IdfParamsData(uid: String, idCol: Option[String],
+    inputCol: Option[String], outputCol: Option[String], minDf: Option[Int])
+
+private[feature] case class IdfModelMeta(params: IdfParamsData, nDocs: Long)
+
+object GraftIDF extends MLReadable[GraftIDF] {
+
+  private[feature] def paramsData(
+      p: GraftIDFParams with Params): IdfParamsData =
+    IdfParamsData(p.uid, p.get(p.idCol), p.get(p.inputCol),
+      p.get(p.outputCol), p.get(p.minDf))
+
+  private[feature] def restoreParams(t: GraftIDFParams,
+      d: IdfParamsData): Unit = {
+    d.idCol.foreach(v => t.set(t.idCol, v))
+    d.inputCol.foreach(v => t.set(t.inputCol, v))
+    d.outputCol.foreach(v => t.set(t.outputCol, v))
+    d.minDf.foreach(v => t.set(t.minDf, v))
+  }
+
+  private[feature] class Writer(instance: GraftIDF) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(paramsData(instance)).toDS()
+        .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+      GraftPCA.writeMetadata(path, spark, instance)
+    }
+  }
+
+  private class Reader extends MLReader[GraftIDF] {
+    override def load(path: String): GraftIDF = {
+      val spark = sparkSession
+      import spark.implicits._
+      val d = spark.read.parquet(s"$path/params").as[IdfParamsData].head()
+      val e = new GraftIDF(d.uid)
+      restoreParams(e, d)
+      e
+    }
+  }
+
+  override def read: MLReader[GraftIDF] = new Reader
+  override def load(path: String): GraftIDF = super.load(path)
+}
+
+object GraftIDFModel extends MLReadable[GraftIDFModel] {
+
+  private[feature] class Writer(instance: GraftIDFModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(IdfModelMeta(GraftIDF.paramsData(instance), instance.nDocs)).toDS()
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      instance.idf.toSeq.toDF("term", "idf")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/idf")
+      GraftPCA.writeMetadata(path, spark, instance)
+    }
+  }
+
+  private class Reader extends MLReader[GraftIDFModel] {
+    override def load(path: String): GraftIDFModel = {
+      val spark = sparkSession
+      import spark.implicits._
+      val meta = spark.read.parquet(s"$path/meta").as[IdfModelMeta].head()
+      val idf = spark.read.parquet(s"$path/idf")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val m = new GraftIDFModel(meta.params.uid, meta.nDocs, idf)
+      GraftIDF.restoreParams(m, meta.params)
+      m
+    }
+  }
+
+  override def read: MLReader[GraftIDFModel] = new Reader
+  override def load(path: String): GraftIDFModel = super.load(path)
+}

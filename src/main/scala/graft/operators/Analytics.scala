@@ -1466,7 +1466,48 @@ object Analytics {
       .orderBy($"year_from")
   }
 
+  /** Deepest purchase rank [[q109RepeatPurchase]] reports. */
+  val repeatMaxRank = 20
+
+  /** D246: repeat-purchase curve — for purchase rank n = 1..20, how
+    * many customers ever reached an nth order, their share of the
+    * first-order cohort (the retention curve a subscription/repeat
+    * business plots first), and the n→n+1 conversion rate (where the
+    * curve actually leaks). Complements q45's calendar cohorts (time
+    * × cohort) with the ORDINAL view (rank × cohort), and q62's
+    * cadence (how fast) with how FAR customers get.
+    *
+    * Determinism: rank = one row_number window per customer ordered
+    * by (date, orderkey); everything after is integer counts and two
+    * 4-dp divisions of exact integers.
+    *
+    * Scale shape: one customer-keyed window (the q45 exchange) → a
+    * ≤[[repeatMaxRank]]-row census via partial-aggregated groupBy —
+    * the curve math runs on ≤20 rows. */
+  def q109RepeatPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val census = Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= repeatMaxRank)
+      .groupBy($"rk").agg(count(lit(1)).as("n_customers"))
+    val first = census.filter($"rk" === 1)
+      .select($"n_customers".as("c1"))
+    val nxt = census.select(($"rk" - 1).as("rk"), $"n_customers".as("c_next"))
+    census.join(nxt, Seq("rk"), "left")
+      .crossJoin(broadcast(first))
+      .select($"rk".cast("long").as("purchase_rank"), $"n_customers",
+        round($"n_customers".cast("double") / $"c1".cast("double"), 4)
+          .as("cohort_share"),
+        round($"c_next".cast("double") / $"n_customers".cast("double"), 4)
+          .as("conversion_to_next"))
+      .orderBy($"purchase_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_repeat_purchase" -> q109RepeatPurchase,
     "q108_growth_accounting" -> q108GrowthAccounting,
     "q104_theil" -> q104TheilDecomposition,
     "q102_ship_lag" -> q102ShipLag,
@@ -1538,6 +1579,22 @@ object Analytics {
           ORDER BY f.nation, f.m"""
 
   val oracle: Map[String, String] = Map(
+    "q109_repeat_purchase" ->
+      s"""WITH r AS (SELECT row_number() OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              AS rk
+            FROM orders),
+          c AS (SELECT rk, CAST(count(*) AS BIGINT) AS n_customers
+            FROM r WHERE rk <= $repeatMaxRank GROUP BY rk),
+          f AS (SELECT n_customers AS c1 FROM c WHERE rk = 1),
+          nx AS (SELECT rk - 1 AS rk, n_customers AS c_next FROM c)
+          SELECT CAST(c.rk AS BIGINT) AS purchase_rank, c.n_customers,
+            round(CAST(c.n_customers AS DOUBLE) / CAST(f.c1 AS DOUBLE), 4)
+              AS cohort_share,
+            round(CAST(nx.c_next AS DOUBLE)
+              / CAST(c.n_customers AS DOUBLE), 4) AS conversion_to_next
+          FROM c LEFT JOIN nx ON nx.rk = c.rk CROSS JOIN f
+          ORDER BY purchase_rank""",
     "q108_growth_accounting" ->
       """WITH yp AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
               l.l_partkey,

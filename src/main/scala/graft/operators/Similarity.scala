@@ -747,6 +747,52 @@ object Similarity {
       .orderBy($"nprobe")
   }
 
+  /** D247: codebook stability census — after c21's retrain, how far
+    * did the codebook actually move? For each RETRAINED centroid: its
+    * nearest OLD centroid (lowest-id ties), the squared distance
+    * between them (4-dp), and whether that old centroid was already
+    * claimed by a closer retrained one (a collision means two new
+    * cells carved up one old cell — the assignment-invalidation
+    * hotspot). The operator-facing answer to "do stored cell ids
+    * survive the retrain approximately, or not at all".
+    *
+    * Determinism: both codebooks are the bit-deterministic quantized-
+    * Lloyd fits (s21's old-only trainer, the full-corpus retrain);
+    * distances are the ascending-index squared-L2 both engines
+    * evaluate identically (the s6 precedent); collision flags are
+    * integer ranks.
+    *
+    * Scale shape: the cross-distance table is k × k = 256 driver-side
+    * doubles — corpus cost is exactly the two bounded-sample fits
+    * (s6's audited shape); no corpus pass at all beyond them. */
+  def s24CodebookStability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val centsOld = ivfCentroids(emb.filter($"vec_id" % ingestMod =!= 0),
+      k = 16, iters = 2)
+    val centsNew = ivfCentroids(emb, k = 16, iters = 2)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nearest = centsNew.indices.map { n =>
+      val (d, o) = centsOld.indices
+        .map(o => (sq(centsNew(n), centsOld(o)), o)).min
+      (n, o, d)
+    }
+    // collision: the old centroid is claimed by a CLOSER new centroid
+    // (ties by lower new cid)
+    val best = nearest.groupBy(_._2).view
+      .mapValues(_.map(t => (t._3, t._1)).min._2).toMap
+    nearest.map { case (n, o, d) =>
+      (n.toLong, o.toLong, r4(d), if (best(o) == n) 0L else 1L)
+    }.toDF("new_cid", "old_cid", "sq_dist", "displaced")
+      .orderBy($"new_cid")
+  }
+
   def s20FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -1386,7 +1432,8 @@ object Similarity {
     "s20_filtered_knn" -> s20FilteredKnn,
     "s21_incremental_index" -> s21IncrementalIndex,
     "s22_index_ingest" -> s22IndexIngest,
-    "s23_nprobe_sweep" -> s23NprobeSweep)
+    "s23_nprobe_sweep" -> s23NprobeSweep,
+    "s24_codebook_stability" -> s24CodebookStability)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1954,6 +2001,40 @@ object Similarity {
             round(CAST(coalesce(rec.hits, 0) AS DOUBLE) / 25.0, 4)
               AS recall_at_5
           FROM cc LEFT JOIN rec ON rec.np = cc.np ORDER BY nprobe""",
+    "s24_codebook_stability" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+          smpo AS (SELECT rn, e FROM (
+              SELECT e, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM e WHERE vec_id % $ingestMod <> 0)
+            WHERE rn <= $ivfTrainSize),
+          smpa AS (SELECT rn, e FROM (
+              SELECT e, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM e) WHERE rn <= $ivfTrainSize),
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = 4, dim = 64,
+            pfx = "o", smpCte = "smpo")},
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = 4, dim = 64,
+            pfx = "r", smpCte = "smpa")},
+          x AS (SELECT r.cid AS new_cid, o.cid AS old_cid,
+              ${sqDistCols("r.c", "o.c", 64)}
+            FROM rc2 r CROSS JOIN oc2 o),
+          near AS (SELECT new_cid, old_cid, dist FROM (
+              SELECT new_cid, old_cid, dist, row_number() OVER (
+                  PARTITION BY new_cid ORDER BY dist, old_cid) AS rk
+              FROM x) WHERE rk = 1),
+          best AS (SELECT old_cid, new_cid AS best_new FROM (
+              SELECT old_cid, new_cid, row_number() OVER (
+                  PARTITION BY old_cid ORDER BY dist, new_cid) AS rk
+              FROM near) WHERE rk = 1)
+          SELECT CAST(n.new_cid AS BIGINT) AS new_cid,
+            CAST(n.old_cid AS BIGINT) AS old_cid,
+            round(n.dist, 4) AS sq_dist,
+            CAST(CASE WHEN b.best_new = n.new_cid THEN 0 ELSE 1 END
+              AS BIGINT) AS displaced
+          FROM near n JOIN best b ON b.old_cid = n.old_cid
+          ORDER BY new_cid""",
     "s17_pq_distortion" -> {
       val sub = 64 / pqSubspaces
       s"""WITH $trainBaseCtes,

@@ -1143,6 +1143,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(g => math.abs(g._8) <= 2L * totQ))
   }
 
+  test("q109 repeat-purchase curve equals a brute per-customer replay") {
+    import spark.implicits._
+    val a = graft.operators.Analytics
+    val perCust = graft.sources.Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val counts = (1 to a.repeatMaxRank)
+      .map(rk => rk.toLong -> perCust.count(_ >= rk).toLong)
+      .filter(_._2 > 0)
+    val c1 = counts.head._2
+    val byRank = counts.toMap
+    val expected = counts.map { case (rk, c) =>
+      val nxt = byRank.get(rk + 1)
+      (rk, c, r4(c.toDouble / c1.toDouble),
+        nxt.map(x => r4(x.toDouble / c.toDouble)))
+    }
+    val got = a.q109RepeatPurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the curve is monotone non-increasing
+    assert(got.map(_._2).sliding(2).forall { case Seq(x, y) => y <= x })
+  }
+
   test("c20 snapshot diff census satisfies the set-arithmetic identities") {
     import spark.implicits._
     val p = graft.operators.Pipeline

@@ -286,7 +286,10 @@ class PlanSpec extends AnyFunSuite {
       "g15_powerlaw",
       // s23 embeds the s1 brute-truth plan (5 fixed queries x corpus
       // — the same bounded-query-set shape s1/s11 are allowed for)
-      "s23_nprobe_sweep")
+      "s23_nprobe_sweep",
+      // q109 crosses the <=20-row rank census with its ONE-row
+      // first-cohort base (the q43 scalar-fold shape)
+      "q109_repeat_purchase")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -606,6 +606,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(reCodes == viaModel)
   }
 
+  test("s24 codebook stability equals a brute cross-distance replay") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val co = Similarity.ivfCentroids(
+      emb.filter($"vec_id" % Similarity.ingestMod =!= 0), 16, 2)
+    val cn = Similarity.ivfCentroids(emb, 16, 2)
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.s24CodebookStability(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == 16 && got.map(_._1).toSeq == (0L until 16L))
+    got.foreach { case (n, o, d, _) =>
+      // the reported old cid IS the brute argmin, and the distance
+      // matches (zip-order sum vs engine loop — identical ascending)
+      val (bd, bo) = co.indices.map(i => (sq(cn(n.toInt), co(i)), i)).min
+      assert(o == bo.toLong && d == r4(bd), s"new $n")
+    }
+    // displacement flags: exactly one claimant per contested old cell
+    got.groupBy(_._2).foreach { case (_, claims) =>
+      assert(claims.count(_._4 == 0L) == 1)
+    }
+    // retraining on 10% more data keeps most centroids near an old one
+    assert(got.count(_._4 == 0L) >= 8)
+  }
+
   test("s23 nprobe sweep is monotone and its nprobe=4 row replays s6 vs s1") {
     import spark.implicits._
     val got = Similarity.s23NprobeSweep(spark, sf).collect()

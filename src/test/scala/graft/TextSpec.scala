@@ -832,4 +832,52 @@ class TextSpec extends AnyFunSuite {
     // kappa never exceeds 1 and po is a fraction
     assert(row.getDouble(4) <= 1.0 && po >= 0.0 && po <= 1.0)
   }
+
+  test("GraftIDF fit equals the inline idf derivation; transform scores " +
+      "and persistence replay it") {
+    import spark.implicits._
+    import graft.ml.feature.{GraftIDF, GraftIDFModel}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val model = new GraftIDF().setMinDf(2).fit(docs)
+    // fit ≡ the t6-style df census computed independently
+    val rows = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ").toSeq))
+    val n = rows.length.toLong
+    val df = rows.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expIdf = df.filter(_._2 >= 2).map { case (t, d) =>
+      t -> math.log(n.toDouble / d.toDouble)
+    }
+    assert(model.nDocs == n)
+    assert(model.idf.keySet == expIdf.keySet)
+    model.idf.foreach { case (t, v) =>
+      assert(math.abs(v - expIdf(t)) < 1e-12, s"term $t")
+    }
+    // transform ≡ the brute per-doc tf·idf mass (4-dp)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = model.transform(docs)
+      .select($"doc_id", org.apache.spark.sql.functions.col(model.getOrDefault(model.outputCol)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, ts) =>
+      val exp = r4(ts.flatMap(expIdf.get).sum)
+      assert(math.abs(got(id) - exp) <= 1e-4, s"doc $id: ${got(id)} vs $exp")
+    }
+    // round-trip: identical table, identical scores
+    val dir = java.nio.file.Files.createTempDirectory("gidf").toString
+    model.write.overwrite().save(s"$dir/m")
+    val loaded = GraftIDFModel.load(s"$dir/m")
+    assert(loaded.idf == model.idf && loaded.nDocs == model.nDocs)
+    val re = loaded.transform(docs)
+      .select($"doc_id", org.apache.spark.sql.functions.col(model.getOrDefault(model.outputCol)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == got)
+    // minDf actually prunes (the fixture vocab is fully shared, so
+    // exercise the gate on a crafted corpus with one singleton term)
+    assert(df.size >= model.idf.size)
+    val crafted = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "alpha beta")).toDF("doc_id", "text")
+    val pruned = new GraftIDF().setMinDf(2).fit(crafted)
+    assert(pruned.idf.keySet == Set("alpha", "beta"))
+  }
 }
