@@ -1478,7 +1478,66 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Snapshot modulus for [[t40OovDrift]]'s frozen vocabulary (the
+    * c20 "previous crawl" convention), the CAP on the frozen table
+    * (production vocab/embedding tables are size-capped — OOV is
+    * measured against the capped table, not the unbounded term set),
+    * and the arrival-epoch modulus (the s22 convention). */
+  val oovSnapMod = 11
+  val oovVocabCap = 20
+  val oovEpochs = 3
+
+  /** D248: out-of-vocabulary drift monitor — the operational
+    * complement to the frozen-IDF scoring artifact
+    * ([[graft.ml.feature.GraftIDF]]): per arrival epoch, what share
+    * of incoming TOKENS falls outside the vocabulary table the model
+    * was shipped with, and how many NOVEL distinct terms the epoch
+    * introduced. A rising OOV rate is the signal to refit (and
+    * generally that the corpus distribution moved — new language,
+    * new domain, new boilerplate). The frozen table = the
+    * [[oovVocabCap]] most frequent terms of the snapshot docs
+    * (ids % [[oovSnapMod]] ≠ 0; frequency-desc, term-asc ties — a
+    * size-capped table, the shape every production embedding/BPE
+    * vocabulary actually has); epoch = (doc_id div 10) mod
+    * [[oovEpochs]] over the ARRIVING docs (the remaining ids).
+    *
+    * Scale shape: the vocabulary census is one token exchange over
+    * the snapshot (vocabulary-sized, Heaps-bounded) + a cap-sized
+    * TakeOrdered; arriving tokens LEFT-JOIN the capped table keyed on
+    * the term (the t6/t9 shuffle shape) and reduce to a ≤#epochs-row
+    * census. The novel-terms count is a distinct-per-epoch rollup of
+    * the same joined frame — nothing wider than (term, epoch) ever
+    * shuffles. */
+  def t40OovDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs.filter($"doc_id" % oovSnapMod =!= 0)
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term").limit(oovVocabCap)
+      .select($"term").withColumn("known", lit(1L))
+    val arriving = docs.filter($"doc_id" % oovSnapMod === 0)
+      .select(expr(s"(doc_id div 10) % $oovEpochs").as("epoch"),
+        explode(tokens($"text")).as("term"))
+      .join(vocab, Seq("term"), "left")
+      .scopedPersist()
+    val tok = arriving.groupBy($"epoch")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"known".isNull, 1L).otherwise(0L)).as("n_oov"))
+    val novel = arriving.filter($"known".isNull)
+      .select($"epoch", $"term").distinct()
+      .groupBy($"epoch").agg(count(lit(1)).as("n_novel_terms"))
+    tok.join(novel, Seq("epoch"), "left")
+      .na.fill(0L, Seq("n_novel_terms"))
+      .select($"epoch", $"n_tokens", $"n_oov",
+        round($"n_oov".cast("double") / $"n_tokens".cast("double"), 4)
+          .as("oov_rate"),
+        $"n_novel_terms")
+      .orderBy($"epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_oov_drift" -> t40OovDrift,
     "t30_entropy_rate" -> t30EntropyRate,
     "t27_simpson" -> t27Simpson,
     "t28_burstiness" -> t28Burstiness,
@@ -1621,6 +1680,30 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t40_oov_drift" ->
+      s"""WITH vocab AS (SELECT term FROM (
+              SELECT unnest($toksSql) AS term
+              FROM documents WHERE doc_id % $oovSnapMod <> 0)
+            GROUP BY term ORDER BY count(*) DESC, term
+            LIMIT $oovVocabCap),
+          arr AS (SELECT (doc_id // 10) % $oovEpochs AS epoch,
+              unnest($toksSql) AS term
+            FROM documents WHERE doc_id % $oovSnapMod = 0),
+          j AS (SELECT arr.epoch, arr.term,
+              CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END AS oov
+            FROM arr LEFT JOIN vocab ON vocab.term = arr.term),
+          tk AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(oov) AS BIGINT) AS n_oov
+            FROM j GROUP BY epoch),
+          nv AS (SELECT epoch,
+              CAST(count(DISTINCT term) AS BIGINT) AS n_novel_terms
+            FROM j WHERE oov = 1 GROUP BY epoch)
+          SELECT tk.epoch, tk.n_tokens, tk.n_oov,
+            round(CAST(tk.n_oov AS DOUBLE)
+              / CAST(tk.n_tokens AS DOUBLE), 4) AS oov_rate,
+            coalesce(nv.n_novel_terms, 0) AS n_novel_terms
+          FROM tk LEFT JOIN nv ON nv.epoch = tk.epoch
+          ORDER BY tk.epoch""",
     "t32_good_turing" ->
       s"""WITH tok AS (SELECT source, unnest($toksSql) AS t FROM documents),
           tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS r

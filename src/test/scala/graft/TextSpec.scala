@@ -880,4 +880,35 @@ class TextSpec extends AnyFunSuite {
     val pruned = new GraftIDF().setMinDf(2).fit(crafted)
     assert(pruned.idf.keySet == Set("alpha", "beta"))
   }
+
+  test("t40 OOV drift equals a brute capped-vocabulary replay") {
+    import spark.implicits._
+    val t = TextAnalysis
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split(" ").toSeq))
+    val vocab = docs.filter(_._1 % t.oovSnapMod != 0).flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (term, n) => (-n, term) }
+      .take(t.oovVocabCap).map(_._1).toSet
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val arriving = docs.filter(_._1 % t.oovSnapMod == 0)
+      .flatMap { case (id, ts) =>
+        ts.map(term => ((id / 10) % t.oovEpochs, term))
+      }
+    val expected = arriving.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (e, rows) =>
+        val oov = rows.filterNot(r => vocab.contains(r._2))
+        (e, rows.length.toLong, oov.length.toLong,
+          r4(oov.length.toDouble / rows.length.toDouble),
+          oov.map(_._2).distinct.length.toLong)
+      }
+    val got = t.t40OovDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the capped table leaves genuine OOV mass on the fixture
+    assert(got.forall(g => g._3 > 0L && g._5 > 0L))
+  }
 }
