@@ -54,7 +54,12 @@ object CacheScope {
   }
 
   /** Release only the frames registered AFTER `snap` was taken;
-    * frames in the snapshot stay tracked for their owner's drain. */
+    * frames in the snapshot stay tracked for their owner's drain.
+    * NOTE: this isolates an ENCLOSING caller, not a concurrent one —
+    * frames another thread registers between snapshot and drain are
+    * indistinguishable from the snapshot-taker's own and get released
+    * with them. Callers composing fits concurrently need external
+    * coordination (the registry carries no ownership tags). */
   def drainSince(snap: java.util.Set[DataFrame]): Int = {
     var n = 0
     val it = live.iterator()

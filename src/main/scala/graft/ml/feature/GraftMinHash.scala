@@ -92,9 +92,14 @@ class GraftMinHash(override val uid: String)
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
       .limit($(sampleSize)).select($"doc_id")
     // estimator context has no harness drain — persist/release locally.
-    // Snapshot the scope FIRST so the finally-block releases only the
-    // frames THIS fit registers: a global drain() here would unpersist
-    // an enclosing or concurrent query's still-live scoped caches.
+    // Snapshot the scope FIRST so the finally-block releases only
+    // frames registered after this fit began: an ENCLOSING query's
+    // still-live scoped caches survive the drain. (A query running
+    // CONCURRENTLY on another thread that registers caches during this
+    // fit is NOT protected — delta-draining by timestamp cannot
+    // distinguish its registrations from ours; true isolation would
+    // need per-owner tags on the registry. Single-threaded composition
+    // — the supported shape — is fully safe.)
     val scopeMark = graft.CacheScope.snapshot()
     val docSh = docs.join(broadcast(sampleIds), "doc_id")
       .select($"doc_id", explode(Dedup.shingles($"text")).as("s"))

@@ -1489,10 +1489,14 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"o_custkey")
       .orderBy($"o_orderdate", $"o_orderkey")
+    // three subtrees read the census (itself, the shifted next-rank
+    // frame, the cohort base) — persist so the orders window exchange
+    // runs once
     val census = Tables.orders(spark, dir)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= repeatMaxRank)
       .groupBy($"rk").agg(count(lit(1)).as("n_customers"))
+      .scopedPersist()
     val first = census.filter($"rk" === 1)
       .select($"n_customers".as("c1"))
     val nxt = census.select(($"rk" - 1).as("rk"), $"n_customers".as("c_next"))

@@ -760,6 +760,14 @@ object Graph {
     val sym = und.select($"src".as("u"), $"dst".as("v"))
       .unionAll(und.select($"dst".as("u"), $"src".as("v")))
       .localCheckpoint()
+    // empty-graph short-circuit (the g12KHop guard's HLL twin): a
+    // support-pruned graph with no strong edges degrades to the
+    // all-zero census instead of an NPE in the stats rollup
+    if (sym.isEmpty) {
+      return (1 to khopMax).map(h => (h.toLong, 0L, 0L, 0.0, 0L))
+        .toDF("hop", "n_nodes", "n_pairs", "avg_reach", "max_reach")
+        .orderBy($"hop")
+    }
     khopCensusHll(spark, sym, p)
   }
 
@@ -909,7 +917,13 @@ object Graph {
         reg.select($"u", reachCnt.as(s"c$h"))
       }
     }
+    // per-vertex reach is monotone in h by construction; enforce it on
+    // the JOINED counts so the HLL branch (where round(est−self) can
+    // dip one below the previous hop on saturated vertices) can never
+    // produce a negative per-hop delta — a no-op for the exact branch
     val cu = perHop.reduce(_.join(_, "u"))
+      .withColumn("c2", greatest($"c2", $"c1"))
+      .withColumn("c3", greatest($"c3", $"c2"))
       .withColumn("eff",
         when($"c1" * 10 >= $"c3" * 9, 1)
           .when($"c2" * 10 >= $"c3" * 9, 2).otherwise(3))

@@ -70,8 +70,13 @@ object Multimodal {
   }
 
   /** Shared decode stage: one [[BlobDecoder]] per PARTITION (open →
-    * decode each row → close when the iterator drains), never one per
-    * row — the shape that amortizes codec/model init at scale. */
+    * decode each row → close when the TASK completes), never one per
+    * row — the shape that amortizes codec/model init at scale.
+    * close() is bound to the task-completion listener, NOT to iterator
+    * exhaustion: a downstream limit/take or a decode() exception leaves
+    * the iterator undrained, and a real codec's native handles must be
+    * released on that path too (completion listeners run on success,
+    * failure, and early termination alike). */
   private[graft] def decodePartitions(
       ds: Dataset[(Long, Array[Byte])]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
@@ -79,10 +84,13 @@ object Multimodal {
     ds.mapPartitions { it =>
       val d = factory()
       d.open()
-      // lazy concat: close() runs exactly when the partition drains
-      it.map { case (id, bytes) => d.decode(id, bytes) } ++ {
-        d.close(); Iterator.empty
-      }
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => d.close())
+      val mapped = it.map { case (id, bytes) => d.decode(id, bytes) }
+      // no task context (driver-local testing shape): fall back to
+      // close-on-drain so the lifecycle still completes
+      if (tc != null) mapped
+      else mapped ++ { d.close(); Iterator.empty }
     }
   }
 

@@ -219,9 +219,12 @@ class AvroSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("path option required"))
-    val files = AvroSource.listDataFiles(path)
+    val conf = AvroSource.sessionConf()
+    AvroSource.checkCommitted(path, conf,
+      options.getBoolean("ignoreMissingSuccess", false))
+    val files = AvroSource.listDataFiles(path, conf)
     require(files.nonEmpty, s"no .avro files under $path")
-    val (reader, in) = AvroSource.openFile(files.head)
+    val (reader, in) = AvroSource.openFile(files.head, conf)
     try Avro.toSparkSchema(reader.getSchema)
     finally { reader.close(); in.close() }
   }
@@ -232,9 +235,40 @@ class AvroSource extends TableProvider {
 }
 
 object AvroSource {
-  private[sources] def listDataFiles(path: String): Seq[String] = {
+  /** The ACTIVE session's Hadoop configuration — the write path ships
+    * it to executors, and the read path must resolve filesystems with
+    * the same spark.hadoop.* settings (a bare `new Configuration()`
+    * works on write and then fails auth/resolution on read for any
+    * fs configured through the session). */
+  private[sources] def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+
+  /** Enforce the sink's commit contract: a directory holding .avro
+    * part files but NO `_SUCCESS` marker is an uncommitted write (a
+    * producer died mid-job) and must not be silently half-read.
+    * Externally-produced directories without the marker opt out via
+    * `.option("ignoreMissingSuccess", true)`. */
+  private[sources] def checkCommitted(path: String, conf: Configuration,
+      ignore: Boolean): Unit = {
+    if (ignore) return
     val dir = new HPath(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) {
+      val hasData = fs.listStatus(dir)
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      if (hasData && !fs.exists(new HPath(dir, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"$path has .avro part files but no _SUCCESS marker - the " +
+            "producing job did not commit; read anyway with " +
+            ".option(\"ignoreMissingSuccess\", true)")
+    }
+  }
+
+  private[sources] def listDataFiles(path: String,
+      conf: Configuration): Seq[String] = {
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
@@ -242,10 +276,10 @@ object AvroSource {
   }
 
   /** Seekable Hadoop-FS input + a positioned Avro container reader. */
-  private[sources] def openFile(file: String)
+  private[sources] def openFile(file: String, conf: Configuration)
       : (DataFileReader[GenericRecord], SeekableInput) = {
     val p = new HPath(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val status = fs.getFileStatus(p)
     val stream = fs.open(p)
     val in = new SeekableInput {
@@ -289,10 +323,12 @@ private[sources] class AvroTable(path: String, tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, tableSchema)
+    new AvroScanBuilder(path, tableSchema,
+      options.getBoolean("ignoreMissingSuccess", false))
 }
 
-private[sources] class AvroScanBuilder(path: String, full: StructType)
+private[sources] class AvroScanBuilder(path: String, full: StructType,
+    ignoreMissingSuccess: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
@@ -302,31 +338,38 @@ private[sources] class AvroScanBuilder(path: String, full: StructType)
     required = StructType(full.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new AvroScan(path, required)
+  override def build(): Scan =
+    new AvroScan(path, required, ignoreMissingSuccess)
 }
 
-private[sources] class AvroScan(path: String, required: StructType)
+private[sources] class AvroScan(path: String, required: StructType,
+    ignoreMissingSuccess: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-avro $path ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroSource.listDataFiles(path)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = AvroSource.sessionConf()
+    AvroSource.checkCommitted(path, conf, ignoreMissingSuccess)
+    AvroSource.listDataFiles(path, conf)
       .map(f => AvroFilePartition(f): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.json)
+    new AvroReaderFactory(required.json,
+      new SerializableHadoopConf(AvroSource.sessionConf()))
 }
 
 private[sources] case class AvroFilePartition(file: String)
     extends InputPartition
 
-private[sources] class AvroReaderFactory(requiredJson: String)
+private[sources] class AvroReaderFactory(requiredJson: String,
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val (reader, in) = AvroSource.openFile(
-      p.asInstanceOf[AvroFilePartition].file)
+      p.asInstanceOf[AvroFilePartition].file, conf.value)
     val fileFields = reader.getSchema.getFields.asScala.toSeq
     // per-required-column (file position, converter): pruned columns
     // are skipped entirely at decode

@@ -928,6 +928,29 @@ class PipelineSpec extends AnyFunSuite {
     } finally Multimodal.decoderFactory = saved
   }
 
+  test("BlobDecoder close() still runs when the task terminates early") {
+    import graft.operators.Multimodal
+    val s0 = spark
+    import s0.implicits._
+    PipelineSpec.opens.set(0)
+    PipelineSpec.closes.set(0)
+    val saved = Multimodal.decoderFactory
+    try {
+      Multimodal.decoderFactory = () => new PipelineSpec.CountingStub
+      // a limit leaves the partition iterators UNDRAINED — the
+      // task-completion listener must still release every decoder
+      val ds = Multimodal.withPayload(spark, sf)
+        .select($"doc_id", $"payload")
+        .as[(Long, Array[Byte])]
+      val few = Multimodal.decodePartitions(ds).limit(1).collect()
+      assert(few.length == 1)
+      assert(PipelineSpec.opens.get() > 0)
+      assert(PipelineSpec.opens.get() == PipelineSpec.closes.get(),
+        s"early termination leaked decoders: opens " +
+          s"${PipelineSpec.opens.get()} closes ${PipelineSpec.closes.get()}")
+    } finally Multimodal.decoderFactory = saved
+  }
+
   test("c21 index lifecycle equals a brute driver-side assignment replay") {
     import spark.implicits._
     import graft.operators.{Pipeline, Similarity}

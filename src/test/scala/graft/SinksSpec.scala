@@ -158,6 +158,25 @@ class SinksSpec extends AnyFunSuite {
       s"scan read ${scans.head.fieldNames.mkString(",")}")
   }
 
+  test("Avro source rejects an uncommitted directory unless told not to") {
+    import spark.implicits._
+    import graft.sources.{Avro, AvroSource}
+    val src = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice").limit(10)
+    val dir = tmp("graft_avro_uncommitted")
+    Avro.write(src, dir)
+    // simulate a producer that died before committing
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    val ex = intercept[IllegalStateException] {
+      spark.read.format(classOf[AvroSource].getName).load(dir).collect()
+    }
+    assert(ex.getMessage.contains("_SUCCESS"))
+    // the documented escape hatch for externally-produced directories
+    val n = spark.read.format(classOf[AvroSource].getName)
+      .option("ignoreMissingSuccess", true).load(dir).count()
+    assert(n == 10L)
+  }
+
   test("streaming parquet sink lands appended batches exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
