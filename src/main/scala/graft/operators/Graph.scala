@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
@@ -638,6 +638,68 @@ object Graph {
     * the oracle-gated path stays exact. */
   val khopExactMaxWords = 1 << 14
 
+  /** The ONE HyperBall superstep loop shared by every register mode of
+    * [[g12KHop]]/[[g12KHopHll]]/[[g14DistanceDist]]: fold each
+    * vertex's neighbor set into a register, then for each further hop
+    * join the register frame across the symmetric edge frame and
+    * re-fold with the element-wise union aggregator — the frame stays
+    * ONE ROW PER VERTEX throughout (never the reach-pair frame +
+    * `distinct()`, which goes near-quadratic on a power-law graph by
+    * hop 3). Both folds are `TypedImperativeAggregate`s →
+    * partial-aggregated map-side, so superstep shuffle width is
+    * #vertices × register width, independent of path multiplicity.
+    * Each hop's frame is `localCheckpoint`ed (lineage truncation).
+    * Returns the register frame after each hop 1..[[khopMax]];
+    * register representation (exact bitset vs HLL sketch) is entirely
+    * the aggregator pair's concern. */
+  private def hopRegisterFrames(sym: DataFrame,
+      nbrAgg: Column => Column, unionAgg: Column => Column): Seq[DataFrame] = {
+    import sym.sparkSession.implicits._
+    var reg = sym.groupBy($"u").agg(nbrAgg($"v").as("bits"))
+      .localCheckpoint()
+    (1 to khopMax).map { h =>
+      if (h > 1) {
+        reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
+          .select($"s.u".as("u"), $"r.bits".as("bits"))
+          .unionAll(reg.select($"u", $"bits"))
+          .groupBy($"u").agg(unionAgg($"bits").as("bits"))
+          .localCheckpoint()
+      }
+      reg
+    }
+  }
+
+  /** The exact-mode aggregator pair: one-hot neighbor bitsets +
+    * element-wise OR, both width-fixed at `nWords` 64-bit words. */
+  private def exactRegisterAggs(nWords: Int)
+      : (Column => Column, Column => Column) = {
+    val nbr = udaf(new graft.functions.BitsetReach.NeighborBitset(nWords),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val or = udaf(new graft.functions.BitsetReach.BitsetUnion(nWords),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    (nbr(_), or(_))
+  }
+
+  /** The sketch-mode aggregator pair: per-neighbor HLL inserts +
+    * register-wise max-merge, constant 2^p bytes per vertex. */
+  private def hllRegisterAggs(p: Int)
+      : (Column => Column, Column => Column) = {
+    val nbr = udaf(new graft.functions.HllReach.NeighborHll(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val or = udaf(new graft.functions.HllReach.HllUnion(p),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+    (nbr(_), or(_))
+  }
+
+  /** Exact reach count off a bitset register row: popcount minus the
+    * self bit (hop-1 registers never hold it — no self loops; the
+    * symmetric superstep fold sets it from hop 2 on). */
+  private def exactReachCnt: Column =
+    expr("""aggregate(bits, CAST(0 AS BIGINT),
+            (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))""") -
+    expr("""shiftright(element_at(bits, CAST(shiftright(u, 6) AS INT) + 1),
+            CAST(u % 64 AS INT)) & 1""")
+
   /** D196: bounded k-hop reachability census — for h = 1..3, how many
     * parts each part can reach within h hops of the strong affinity
     * graph (count, mean, max): the "influence radius" readout
@@ -698,35 +760,14 @@ object Graph {
       return khopCensusHll(spark, sym, graft.functions.HllReach.defaultP)
     }
     val nWords = (maxKey >> 6).toInt + 1
-    val nbrBits = udaf(new graft.functions.BitsetReach.NeighborBitset(nWords),
-      org.apache.spark.sql.Encoders.scalaLong)
-    val orBits = udaf(new graft.functions.BitsetReach.BitsetUnion(nWords),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
-    // exact reach count: popcount of the register, minus the self bit
-    // (hop-1 registers never hold it — no self loops; the symmetric
-    // superstep fold sets it from hop 2 on)
-    val reachCnt =
-      expr("""aggregate(bits, CAST(0 AS BIGINT),
-              (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))""") -
-      expr("""shiftright(element_at(bits, CAST(shiftright(u, 6) AS INT) + 1),
-              CAST(u % 64 AS INT)) & 1""")
+    val (nbrBits, orBits) = exactRegisterAggs(nWords)
     def stats(reg: DataFrame, h: Int): (Long, Long, Long, Long) = {
-      val r = reg.select($"u", reachCnt.as("c"))
+      val r = reg.select($"u", exactReachCnt.as("c"))
         .agg(count(lit(1)), sum($"c"), max($"c")).head()
       (h.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    var reg = sym.groupBy($"u").agg(nbrBits($"v").as("bits"))
-      .localCheckpoint()
-    val rows = (1 to khopMax).map { h =>
-      if (h > 1) {
-        reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
-          .select($"s.u".as("u"), $"r.bits".as("bits"))
-          .unionAll(reg.select($"u", $"bits"))
-          .groupBy($"u").agg(orBits($"bits").as("bits"))
-          .localCheckpoint()
-      }
-      stats(reg, h)
-    }
+    val rows = hopRegisterFrames(sym, nbrBits, orBits)
+      .zipWithIndex.map { case (reg, i) => stats(reg, i + 1) }
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     rows.map { case (h, n, p, mx) =>
@@ -777,10 +818,7 @@ object Graph {
   private[graft] def khopCensusHll(spark: SparkSession, sym: DataFrame,
       p: Int): DataFrame = {
     import spark.implicits._
-    val nbrHll = udaf(new graft.functions.HllReach.NeighborHll(p),
-      org.apache.spark.sql.Encoders.scalaLong)
-    val orHll = udaf(new graft.functions.HllReach.HllUnion(p),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+    val (nbrHll, orHll) = hllRegisterAggs(p)
     val estU = udf((reg: Array[Byte]) => graft.functions.HllReach.estimate(reg))
     def stats(reg: DataFrame, h: Int): (Long, Long, Long, Long) = {
       // h >= 2: the symmetric fold put u into its own sketch — read
@@ -792,18 +830,8 @@ object Graph {
           round(max($"c")).cast("long")).head()
       (h.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    var reg = sym.groupBy($"u").agg(nbrHll($"v").as("bits"))
-      .localCheckpoint()
-    val rows = (1 to khopMax).map { h =>
-      if (h > 1) {
-        reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
-          .select($"s.u".as("u"), $"r.bits".as("bits"))
-          .unionAll(reg.select($"u", $"bits"))
-          .groupBy($"u").agg(orHll($"bits").as("bits"))
-          .localCheckpoint()
-      }
-      stats(reg, h)
-    }
+    val rows = hopRegisterFrames(sym, nbrHll, orHll)
+      .zipWithIndex.map { case (reg, i) => stats(reg, i + 1) }
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     rows.map { case (h, n, pr, mx) =>
@@ -870,23 +898,11 @@ object Graph {
     // shared-universe collision bias largely cancels)
     val wide = forceHll || (maxKeyOpt.get >> 6) + 1 > khopExactMaxWords
     val perHop: Seq[DataFrame] = if (wide) {
-      val p = graft.functions.HllReach.defaultP
-      val nbrHll = udaf(new graft.functions.HllReach.NeighborHll(p),
-        org.apache.spark.sql.Encoders.scalaLong)
-      val orHll = udaf(new graft.functions.HllReach.HllUnion(p),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+      val (nbrHll, orHll) = hllRegisterAggs(graft.functions.HllReach.defaultP)
       val estU = udf((reg: Array[Byte]) =>
         graft.functions.HllReach.estimate(reg))
-      var reg = sym.groupBy($"u").agg(nbrHll($"v").as("bits"))
-        .localCheckpoint()
-      (1 to khopMax).map { h =>
-        if (h > 1) {
-          reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
-            .select($"s.u".as("u"), $"r.bits".as("bits"))
-            .unionAll(reg.select($"u", $"bits"))
-            .groupBy($"u").agg(orHll($"bits").as("bits"))
-            .localCheckpoint()
-        }
+      hopRegisterFrames(sym, nbrHll, orHll).zipWithIndex.map { case (reg, i) =>
+        val h = i + 1
         // hop >= 2: the symmetric fold put u into its own sketch
         val self = if (h >= 2) 1.0 else 0.0
         reg.select($"u",
@@ -895,26 +911,9 @@ object Graph {
       }
     } else {
       val nWords = (maxKeyOpt.get >> 6).toInt + 1
-      val nbrBits = udaf(new graft.functions.BitsetReach.NeighborBitset(nWords),
-        org.apache.spark.sql.Encoders.scalaLong)
-      val orBits = udaf(new graft.functions.BitsetReach.BitsetUnion(nWords),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
-      val reachCnt =
-        expr("""aggregate(bits, CAST(0 AS BIGINT),
-                (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))""") -
-        expr("""shiftright(element_at(bits, CAST(shiftright(u, 6) AS INT) + 1),
-                CAST(u % 64 AS INT)) & 1""")
-      var reg = sym.groupBy($"u").agg(nbrBits($"v").as("bits"))
-        .localCheckpoint()
-      (1 to khopMax).map { h =>
-        if (h > 1) {
-          reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
-            .select($"s.u".as("u"), $"r.bits".as("bits"))
-            .unionAll(reg.select($"u", $"bits"))
-            .groupBy($"u").agg(orBits($"bits").as("bits"))
-            .localCheckpoint()
-        }
-        reg.select($"u", reachCnt.as(s"c$h"))
+      val (nbrBits, orBits) = exactRegisterAggs(nWords)
+      hopRegisterFrames(sym, nbrBits, orBits).zipWithIndex.map { case (reg, i) =>
+        reg.select($"u", exactReachCnt.as(s"c${i + 1}"))
       }
     }
     // per-vertex reach is monotone in h by construction; enforce it on

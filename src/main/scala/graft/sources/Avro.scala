@@ -58,9 +58,14 @@ object Avro {
     val fields = SchemaBuilder.record(name).namespace("graft").fields()
     st.fields.foldLeft(fields) { (fb, f) =>
       val base = scalarSchema(f.dataType)
-      val sch = if (f.nullable) ASchema.createUnion(
-        java.util.List.of(ASchema.create(ASchema.Type.NULL), base)) else base
-      fb.name(f.name).`type`(sch).withDefault(null)
+      // a `null` default is only legal for nullable (null-first union)
+      // fields — Avro 1.12 validates defaults at schema build and
+      // rejects null for non-nullable types
+      if (f.nullable) {
+        val sch = ASchema.createUnion(
+          java.util.List.of(ASchema.create(ASchema.Type.NULL), base))
+        fb.name(f.name).`type`(sch).withDefault(null)
+      } else fb.name(f.name).`type`(base).noDefault()
     }.endRecord()
   }
 
@@ -177,8 +182,17 @@ object Avro {
         (i, toAvro(f.dataType, schema.getFields.get(i).schema()))
       }
       val file = new HPath(dir, f"part-$pid%05d.avro")
+      // attempt-unique temp + rename-into-place: a speculative or
+      // zombie attempt writing the same part id cannot interleave
+      // bytes with the winner (fs.create(file, overwrite) alone is
+      // idempotent only when attempts are serialized)
+      val attempt = org.apache.spark.TaskContext.get() match {
+        case null => 0L
+        case tc => tc.taskAttemptId()
+      }
+      val tmp = new HPath(dir, f".part-$pid%05d-attempt-$attempt.avro.tmp")
       val fs = file.getFileSystem(conf.value)
-      val out = fs.create(file, true) // overwrite: idempotent re-attempt
+      val out = fs.create(tmp, true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -192,7 +206,16 @@ object Avro {
           w.append(rec)
         }
       } finally w.close()
+      // last complete attempt wins atomically
+      if (fs.exists(file)) fs.delete(file, false)
+      if (!fs.rename(tmp, file))
+        throw new java.io.IOException(s"rename $tmp -> $file failed")
     }
+    // schema sidecar: lets readers infer the schema even when the
+    // committed frame had zero partitions (no .avro part files)
+    val sOut = dfs.create(new HPath(dir, "_schema.avsc"), true)
+    try sOut.write(schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally sOut.close()
     // job-completion marker (readers treat its absence as uncommitted)
     dfs.create(new HPath(dir, "_SUCCESS"), true).close()
   }
@@ -223,10 +246,22 @@ class AvroSource extends TableProvider {
     AvroSource.checkCommitted(path, conf,
       options.getBoolean("ignoreMissingSuccess", false))
     val files = AvroSource.listDataFiles(path, conf)
-    require(files.nonEmpty, s"no .avro files under $path")
-    val (reader, in) = AvroSource.openFile(files.head, conf)
-    try Avro.toSparkSchema(reader.getSchema)
-    finally { reader.close(); in.close() }
+    if (files.nonEmpty) {
+      val (reader, in) = AvroSource.openFile(files.head, conf)
+      try Avro.toSparkSchema(reader.getSchema)
+      finally { reader.close(); in.close() }
+    } else {
+      // committed-but-empty write (zero-partition frame): no part
+      // files exist, so fall back to the driver-written schema sidecar
+      val side = new HPath(path, "_schema.avsc")
+      val fs = side.getFileSystem(conf)
+      require(fs.exists(side),
+        s"no .avro files and no _schema.avsc sidecar under $path")
+      val in = fs.open(side)
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Avro.toSparkSchema(new ASchema.Parser().parse(json))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

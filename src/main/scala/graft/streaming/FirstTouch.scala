@@ -90,8 +90,10 @@ object FirstTouch {
       .groupBy($"epoch")
       .agg(count(lit(1)).as("n_arrivals"),
         sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_first_touch"),
-        round(sum(when($"rn" === 1, $"value").otherwise(lit(0.0))), 2)
-          .as("first_value_sum"))
+        // exact BIGINT cents (the e15/e17 precision rule, matching the
+        // stream side's TouchState.cents) — divide only at the readout
+        (sum(when($"rn" === 1, floor($"value" * 100).cast("long"))
+          .otherwise(0L)) / 100.0).as("first_value_sum"))
     census
       .select($"epoch", $"n_arrivals", $"n_first_touch",
         ($"n_arrivals" - $"n_first_touch").as("n_dup_dropped"),
@@ -151,7 +153,9 @@ object FirstTouch {
           c AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_arrivals,
               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
                 AS n_first_touch,
-              round(sum(CASE WHEN rn = 1 THEN value ELSE 0 END), 2)
+              CAST(sum(CASE WHEN rn = 1
+                  THEN CAST(floor(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) / 100.0
                 AS first_value_sum
             FROM r GROUP BY epoch)
           SELECT epoch, n_arrivals, n_first_touch,

@@ -177,6 +177,38 @@ class SinksSpec extends AnyFunSuite {
     assert(n == 10L)
   }
 
+  test("Avro sink writes non-nullable columns (no illegal null default) " +
+      "and an empty committed frame reads back via the schema sidecar") {
+    import spark.implicits._
+    import graft.sources.{Avro, AvroSource}
+    // aggregate counts / spark.range produce NON-NULLABLE columns;
+    // Avro 1.12 rejects a null default on a non-union field, so the
+    // schema build must only default nullable fields
+    val src = graft.sources.Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(src.schema("n").nullable == false)
+    val dir = tmp("graft_avro_nonnull")
+    Avro.write(src, dir)
+    val back = spark.read.format(classOf[AvroSource].getName).load(dir)
+    val a = src.orderBy($"o_orderstatus").collect().map(_.toString).toSeq
+    val b = back.orderBy($"o_orderstatus").collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+    // zero-row frame: committed write leaves part files with no rows
+    // (or none at all for zero partitions) — the _schema.avsc sidecar
+    // makes the round-trip degrade to an empty frame, not a throw
+    val empty = src.filter(lit(false)).repartition(1).filter(lit(false))
+    val edir = tmp("graft_avro_empty")
+    Avro.write(empty.limit(0), edir)
+    assert(new java.io.File(edir, "_schema.avsc").exists())
+    // delete any zero-row part files to simulate a zero-partition job
+    new java.io.File(edir).listFiles()
+      .filter(_.getName.endsWith(".avro")).foreach(f => assert(f.delete()))
+    val eback = spark.read.format(classOf[AvroSource].getName).load(edir)
+    assert(eback.schema == src.schema ||
+      eback.schema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
+    assert(eback.count() == 0L)
+  }
+
   test("streaming parquet sink lands appended batches exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
