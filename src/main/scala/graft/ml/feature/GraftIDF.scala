@@ -18,17 +18,29 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   *
   * What fit learns: the (term → idf) table over the fit corpus's
   * vocabulary (whitespace tokens, the corpus convention), restricted
-  * to terms with document frequency ≥ [[GraftIDFParams.minDf]], plus
-  * the corpus document count. The vocabulary is Heaps-law-bounded
-  * (t34's measured exponent), so the table stays broadcastable at
-  * corpus scales where the corpus itself is not.
+  * to terms with document frequency ≥ [[GraftIDFParams.minDf]] and
+  * CAPPED at the [[GraftIDFParams.vocabSize]] highest-df terms
+  * (ties by term, ascending — t40's TakeOrdered discipline), plus the
+  * corpus document count. The cap is what makes the artifact's size a
+  * CONFIGURED constant rather than a Heaps-law function of the fit
+  * corpus: at 100 TB the uncapped vocabulary is 10⁸–10⁹ terms of
+  * long-tail noise, and MLlib's own IDFModel is O(numFeatures) by the
+  * same argument. The table lives as a DataFrame artifact end-to-end
+  * — fit, transform, save, load — and is NEVER collected to the
+  * driver on the scoring path.
   *
   * What transform does: appends the document's total TF·IDF mass
   * (Σ_t tf(t, doc) · idf(t), 4-dp — the t15 "keywordness" scalar,
-  * rounded per the cross-engine float rule) via explode → BROADCAST
-  * join against the idf table → partial-aggregated per-doc sum →
-  * one id-keyed join back. Out-of-vocabulary terms contribute zero
-  * (the frozen-table semantics scoring against drift wants). */
+  * rounded per the cross-engine float rule) via explode → join
+  * against the idf table → partial-aggregated per-doc sum → one
+  * id-keyed join back. The idf join follows the t6
+  * broadcast-vs-shuffle rule: BROADCAST while the configured cap is
+  * ≤ [[GraftIDF.broadcastMaxVocab]] (the table is then at most a few
+  * tens of MB by construction), a term-keyed SHUFFLE join above it
+  * (broadcasting a 10⁷⁺-term table would OOM the driver).
+  * Out-of-vocabulary terms contribute zero (the frozen-table
+  * semantics scoring against drift wants — and, post-cap, the
+  * semantics of dropping the long tail). */
 trait GraftIDFParams extends Params {
   final val idCol = new Param[String](this, "idCol",
     "document id column (transform groups and joins back on it)")
@@ -39,9 +51,13 @@ trait GraftIDFParams extends Params {
   final val minDf = new IntParam(this, "minDf",
     "minimum document frequency for a term to enter the idf table",
     ParamValidators.gtEq(1))
+  final val vocabSize = new IntParam(this, "vocabSize",
+    "max number of terms kept in the idf table (top document " +
+      "frequency, ties by term ascending)",
+    ParamValidators.gtEq(1))
 
   setDefault(idCol -> "doc_id", inputCol -> "text",
-    outputCol -> "tfidf_mass", minDf -> 1)
+    outputCol -> "tfidf_mass", minDf -> 1, vocabSize -> (1 << 20))
 
   protected def validateAndTransformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains($(inputCol)),
@@ -64,6 +80,7 @@ class GraftIDF(override val uid: String)
   def setInputCol(value: String): this.type = set(inputCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
   def setMinDf(value: Int): this.type = set(minDf, value)
+  def setVocabSize(value: Int): this.type = set(vocabSize, value)
 
   override def fit(dataset: Dataset[_]): GraftIDFModel = {
     transformSchema(dataset.schema, logging = true)
@@ -73,14 +90,19 @@ class GraftIDF(override val uid: String)
       .select(col($(idCol)).as("id"),
         graft.operators.TextAnalysis.tokens(col($(inputCol))).as("toks"))
     val nDocs = docs.count()
-    val idf = docs.select($"id", explode($"toks").as("term"))
+    // df census → minDf floor → vocabSize cap (top df, ties by term —
+    // a deterministic total order, so the kept set is reproducible) →
+    // idf; localCheckpoint freezes the artifact so the model does not
+    // drag the fit corpus's lineage into every scoring job
+    val idfDf = docs.select($"id", explode($"toks").as("term"))
       .distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
       .filter($"df" >= $(minDf))
+      .orderBy($"df".desc, $"term").limit($(vocabSize))
       .select($"term", org.apache.spark.sql.functions
         .log(lit(nDocs.toDouble) / $"df").as("idf"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    copyValues(new GraftIDFModel(uid, nDocs, idf).setParent(this))
+      .localCheckpoint()
+    copyValues(new GraftIDFModel(uid, nDocs, idfDf).setParent(this))
   }
 
   override def transformSchema(schema: StructType): StructType =
@@ -91,25 +113,37 @@ class GraftIDF(override val uid: String)
   override def write: MLWriter = new GraftIDF.Writer(this)
 }
 
-/** Fitted IDF table: (term → ln(nDocs/df)) over the fit corpus. */
+/** Fitted IDF table: (term, ln(nDocs/df)) rows over the fit corpus's
+  * capped vocabulary, held as a DataFrame artifact. */
 class GraftIDFModel private[feature] (override val uid: String,
-    val nDocs: Long, val idf: Map[String, Double])
+    val nDocs: Long, val idfTable: DataFrame)
     extends Model[GraftIDFModel] with GraftIDFParams with MLWritable {
 
   def setIdCol(value: String): this.type = set(idCol, value)
   def setInputCol(value: String): this.type = set(inputCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
 
+  /** Driver-side view of the idf table — a spec/debug convenience,
+    * bounded by the vocabSize cap. The transform path never calls
+    * this (the table stays distributed end-to-end). */
+  lazy val idf: Map[String, Double] = idfTable
+    .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
     val spark = dataset.sparkSession
     import spark.implicits._
-    val idfDf = idf.toSeq.toDF("term", "idf")
+    // t6 broadcast-vs-shuffle rule: the cap bounds the table size, so
+    // below broadcastMaxVocab a broadcast join skips the term shuffle;
+    // above it the join must stay a shuffle join keyed on the term
+    val idfSide =
+      if ($(vocabSize) <= GraftIDF.broadcastMaxVocab) broadcast(idfTable)
+      else idfTable
     val mass = dataset.toDF()
       .select(col($(idCol)).as("__gid"),
         explode(graft.operators.TextAnalysis.tokens(col($(inputCol))))
           .as("term"))
-      .join(broadcast(idfDf), Seq("term"))
+      .join(idfSide, Seq("term"))
       .groupBy($"__gid")
       .agg(round(sum($"idf"), 4).as($(outputCol)))
     dataset.toDF().join(mass,
@@ -122,23 +156,30 @@ class GraftIDFModel private[feature] (override val uid: String,
     validateAndTransformSchema(schema)
 
   override def copy(extra: ParamMap): GraftIDFModel =
-    copyValues(new GraftIDFModel(uid, nDocs, idf), extra).setParent(parent)
+    copyValues(new GraftIDFModel(uid, nDocs, idfTable), extra)
+      .setParent(parent)
 
   override def write: MLWriter = new GraftIDFModel.Writer(this)
 }
 
 /** Explicitly-set params, one parquet row (the GraftPCA layout). */
 private[feature] case class IdfParamsData(uid: String, idCol: Option[String],
-    inputCol: Option[String], outputCol: Option[String], minDf: Option[Int])
+    inputCol: Option[String], outputCol: Option[String], minDf: Option[Int],
+    vocabSize: Option[Int])
 
 private[feature] case class IdfModelMeta(params: IdfParamsData, nDocs: Long)
 
 object GraftIDF extends MLReadable[GraftIDF] {
 
+  /** Widest configured cap the transform join is allowed to broadcast
+    * (t6 rule): 2²¹ (term, double) rows is a few tens of MB — fine on
+    * a driver/executor; past it the term-keyed shuffle join wins. */
+  val broadcastMaxVocab: Int = 1 << 21
+
   private[feature] def paramsData(
       p: GraftIDFParams with Params): IdfParamsData =
     IdfParamsData(p.uid, p.get(p.idCol), p.get(p.inputCol),
-      p.get(p.outputCol), p.get(p.minDf))
+      p.get(p.outputCol), p.get(p.minDf), p.get(p.vocabSize))
 
   private[feature] def restoreParams(t: GraftIDFParams,
       d: IdfParamsData): Unit = {
@@ -146,6 +187,7 @@ object GraftIDF extends MLReadable[GraftIDF] {
     d.inputCol.foreach(v => t.set(t.inputCol, v))
     d.outputCol.foreach(v => t.set(t.outputCol, v))
     d.minDf.foreach(v => t.set(t.minDf, v))
+    d.vocabSize.foreach(v => t.set(t.vocabSize, v))
   }
 
   private[feature] class Writer(instance: GraftIDF) extends MLWriter {
@@ -181,8 +223,9 @@ object GraftIDFModel extends MLReadable[GraftIDFModel] {
       import spark.implicits._
       Seq(IdfModelMeta(GraftIDF.paramsData(instance), instance.nDocs)).toDS()
         .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-      instance.idf.toSeq.toDF("term", "idf")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/idf")
+      // the idf table writes DISTRIBUTED (no driver round-trip); the
+      // vocabSize cap bounds it, so the file count stays small
+      instance.idfTable.write.mode("overwrite").parquet(s"$path/idf")
       GraftPCA.writeMetadata(path, spark, instance)
     }
   }
@@ -192,9 +235,11 @@ object GraftIDFModel extends MLReadable[GraftIDFModel] {
       val spark = sparkSession
       import spark.implicits._
       val meta = spark.read.parquet(s"$path/meta").as[IdfModelMeta].head()
-      val idf = spark.read.parquet(s"$path/idf")
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val m = new GraftIDFModel(meta.params.uid, meta.nDocs, idf)
+      // loads as a DataFrame over the persisted parquet — the model is
+      // usable without materializing the vocabulary anywhere
+      val idfDf = spark.read.parquet(s"$path/idf")
+        .select(col("term"), col("idf"))
+      val m = new GraftIDFModel(meta.params.uid, meta.nDocs, idfDf)
       GraftIDF.restoreParams(m, meta.params)
       m
     }

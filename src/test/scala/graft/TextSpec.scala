@@ -881,6 +881,48 @@ class TextSpec extends AnyFunSuite {
     assert(pruned.idf.keySet == Set("alpha", "beta"))
   }
 
+  test("GraftIDF vocabSize caps the table at the top-df terms (ties by " +
+      "term) and the transform join is broadcast only below the cap") {
+    import spark.implicits._
+    import graft.ml.feature.GraftIDF
+    // crafted dfs: alpha=3, beta=2, delta=1, gamma=1
+    val crafted = Seq((1L, "alpha beta"), (2L, "alpha beta gamma"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val cap2 = new GraftIDF().setVocabSize(2).fit(crafted)
+    assert(cap2.idf.keySet == Set("alpha", "beta"))
+    // the df=1 tie breaks term-ascending: delta in, gamma out
+    val cap3 = new GraftIDF().setVocabSize(3).fit(crafted)
+    assert(cap3.idf.keySet == Set("alpha", "beta", "delta"))
+    // capped transform still scores: gamma/delta are OOV under cap2
+    val got = cap2.transform(crafted)
+      .select($"doc_id", $"tfidf_mass")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ia = math.log(3.0 / 3.0); val ib = math.log(3.0 / 2.0)
+    assert(math.abs(got(1L) - r4(ia + ib)) <= 1e-4)
+    assert(math.abs(got(2L) - r4(ia + ib)) <= 1e-4) // gamma OOV → 0
+    assert(math.abs(got(3L) - r4(ia)) <= 1e-4) // delta OOV → 0
+    // plan guard (t6 broadcast-vs-shuffle rule), with auto-broadcast
+    // off so only the model's own hint can produce a broadcast join
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val below = new GraftIDF().fit(docs) // default cap 2^20 ≤ max
+      val planB = below.transform(docs)
+        .queryExecution.executedPlan.toString
+      assert(planB.contains("BroadcastHashJoin"),
+        s"no hinted broadcast below the cap:\n${planB.take(1200)}")
+      val above = new GraftIDF()
+        .setVocabSize(GraftIDF.broadcastMaxVocab + 1).fit(docs)
+      val planA = above.transform(docs)
+        .queryExecution.executedPlan.toString
+      assert(!planA.contains("BroadcastHashJoin"),
+        s"idf join broadcast above the cap:\n${planA.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+  }
+
   test("t40 OOV drift equals a brute capped-vocabulary replay") {
     import spark.implicits._
     val t = TextAnalysis
