@@ -87,15 +87,27 @@ class GraftPCA(override val uid: String) extends Estimator[GraftPCAModel]
 
   /** Fit: one distributed pass (count+mean+Gram, Cov.scala), then
     * driver-local eigen post-processing (Eigen.scala). Mirrors the
-    * reference lifecycle (RapidsPCA.scala:111-125). */
+    * reference lifecycle (RapidsPCA.scala:111-125).
+    *
+    * Past the reference's [[Cov.MaxCols]] ceiling — where the exact
+    * route would need an n×n covariance the reference fails fast on
+    * (RapidsRowMatrix.scala:66-68) — fit auto-selects the randomized
+    * sketch ([[graft.ml.Rsvd]]): same output contract, O(n·(k+10))
+    * memory instead of O(n²), so this engine accepts widths the
+    * reference documents as unsupported. */
   override def fit(dataset: Dataset[_]): GraftPCAModel = {
     transformSchema(dataset.schema, logging = true)
     val rows = Cov.vectorRdd(dataset.toDF(), $(inputCol))
-    val stats = Cov.stats(rows, $(useGemm))
-    val n = stats.mean.length
+    val n = rows.first().size
     require($(k) <= n, s"k=${$(k)} must be <= numFeatures=$n")
-    val matrix = if ($(meanCentering)) stats.covariance else stats.gramNormalized
-    val res = Eigen.pca(matrix, $(k))
+    val res =
+      if (n > Cov.MaxCols) graft.ml.Rsvd.pca(rows, n, $(k), $(meanCentering))
+      else {
+        val stats = Cov.stats(rows, $(useGemm))
+        val matrix =
+          if ($(meanCentering)) stats.covariance else stats.gramNormalized
+        Eigen.pca(matrix, $(k))
+      }
     copyValues(new GraftPCAModel(uid, res.pc, res.explainedVariance)
       .setParent(this))
   }
@@ -135,6 +147,11 @@ object GraftPCA extends MLReadable[GraftPCA] {
       spark: org.apache.spark.sql.SparkSession, instance: Params): Unit = {
     def jsonVal(v: Any): String = v match {
       case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // array-typed params (e.g. featuresCols) must render as JSON
+      // arrays — Array.toString would corrupt the metadata file that
+      // Pipeline persistence parses to discover the stage class
+      case a: Array[_] => "[" + a.map(jsonVal).mkString(",") + "]"
+      case s: Seq[_] => "[" + s.map(jsonVal).mkString(",") + "]"
       case other => other.toString
     }
     val pairs = instance.params.flatMap(p => instance.get(p).map(v =>

@@ -916,6 +916,15 @@ object Pipeline {
   val snapCurMod = 7
   val snapMutMod = 5
 
+  /** Stable scratch path for c20's versioned snapshot table — one
+    * fixed location per input dir so repeated runs (Bench warm+timed)
+    * rebuild the same two versions deterministically. */
+  private def snapScratchPath(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_snapshot_c20_$h"
+  }
+
   /** D240: corpus snapshot diff — the crawl-over-crawl delta census a
     * pipeline operator reads before re-running downstream stages: per
     * source, how many documents were ADDED (in the current snapshot
@@ -927,22 +936,38 @@ object Pipeline {
     * (the s21/s22 old-vs-new convention); the "changed" extraction is
     * a deterministic first-token drop.
     *
+    * Since round 12 the two snapshots are TWO REAL COMMITTED VERSIONS
+    * of one [[graft.sources.SnapshotTable]] (D249): the query writes
+    * crawl N as version 1 and crawl N+1 as an overwriting version 2,
+    * then time-travel-reads BOTH sides of the diff from the same table
+    * path — the production shape, where the previous crawl is history
+    * you query, not a frame you kept around.
+    *
     * Scale shape: each snapshot reduces to (doc_id, source, 16-byte
     * md5) BEFORE the diff, so TEXT NEVER SHUFFLES (the d1 digest
     * discipline); the diff is ONE id-keyed full-outer join of digest
     * frames + a partial-aggregated per-source census (≤ #sources
-    * rows). */
+    * rows). The snapshot writes are one linear pass each. */
   def c20SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"text")
-    val prev = docs.filter($"doc_id" % snapPrevMod =!= 0)
+    val table = snapScratchPath(dir)
+    val tPath = new org.apache.hadoop.fs.Path(table)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tPath, true)
+    graft.sources.SnapshotTable.writeSnapshot(
+      docs.filter($"doc_id" % snapPrevMod =!= 0), table)
+    graft.sources.SnapshotTable.writeSnapshot(
+      docs.filter($"doc_id" % snapCurMod =!= 0)
+        .select($"doc_id", $"source",
+          when($"doc_id" % snapMutMod === 0,
+              regexp_replace($"text", "^[^ ]+ ", ""))
+            .otherwise($"text").as("text")), table)
+    val prev = graft.sources.SnapshotTable.readSnapshot(spark, table, 1)
       .select($"doc_id".as("ida"), $"source".as("sa"), md5($"text").as("ha"))
-    val cur = docs.filter($"doc_id" % snapCurMod =!= 0)
-      .select($"doc_id".as("idb"), $"source".as("sb"),
-        md5(when($"doc_id" % snapMutMod === 0,
-            regexp_replace($"text", "^[^ ]+ ", ""))
-          .otherwise($"text")).as("hb"))
+    val cur = graft.sources.SnapshotTable.readSnapshot(spark, table, 2)
+      .select($"doc_id".as("idb"), $"source".as("sb"), md5($"text").as("hb"))
     prev.join(cur, $"ida" === $"idb", "full_outer")
       .select(coalesce($"sa", $"sb").as("source"),
         when($"ida".isNull, "added")

@@ -1409,6 +1409,136 @@ object Similarity {
       .orderBy($"rk")
   }
 
+  /** Compiled squared-L2 distance for `array<float>` pairs: float →
+    * double per element, ascending sequential summation — bit-identical
+    * to DuckDB's `list_inner_product(dv, dv)` over the ascending diff
+    * list ([[sqDistCols]]), the same parity contract as [[cosineF]]. */
+  private[graft] val sqDistF = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var d = 0.0; var i = 0
+    val n = a.length
+    while (i < n) {
+      val t = a(i).toDouble - b(i).toDouble
+      d += t * t; i += 1
+    }
+    d
+  }
+
+  /** s25 NSW graph degree: exact nearest neighbors kept per node
+    * within its cell. 8 is the HNSW-family default M — degree 4
+    * measured 2/5 recall@1 on the smoke fixture (greedy descent
+    * strands in local minima on a too-sparse graph). */
+  val nswM = 8
+  /** s25 greedy-walk superstep count — FIXED, so the search replays as
+    * a bounded CTE chain (the g1 fixed-superstep discipline); staying
+    * put is idempotent, so extra hops past convergence are free. */
+  val nswHops = 8
+  /** s25 probe width. */
+  val nswProbes = 2
+
+  /** D251: graph-ANN hybrid — a navigable-small-world neighbor graph
+    * (Malkov et al., the NSW/HNSW family's base layer) built WITHIN
+    * each IVF cell, searched by greedy best-first descent inside the
+    * query's probed cells. The one modern index family LSH/IVF/PQ
+    * don't cover, made Spark-shaped by the cell restriction: graph
+    * construction is a CELL-KEYED self-join (bounded per cell under
+    * the d14 rule that k grows ∝ n, so cell size stays ~constant) and
+    * each walk step touches only [[nswM]] adjacency rows per live
+    * walker — never a corpus scan per hop.
+    *
+    * Search: per (query, probed cell), start at the cell's minimum
+    * vec_id (excluding the query itself — deterministic entry), take
+    * [[nswHops]] supersteps; each step moves to the best adjacent
+    * node iff it strictly improves the squared-L2 distance (staying
+    * put is idempotent, so the FIXED step count subsumes "stop at a
+    * local minimum"). Result: each query's best node across its
+    * probed walks, plus a `hit` flag against the exact within-probed-
+    * cells top-1 — the recall readout that tells the operator whether
+    * graph descent found what cell-exhaustive scan would have.
+    *
+    * Determinism: quantized-Lloyd cells/probes (the s6 hash-exact
+    * replay), strict-< moves on bit-identical doubles ([[sqDistF]] ≡
+    * the oracle's diff-list inner product), lexicographic
+    * (distance, id) ties everywhere.
+    *
+    * Scale shape: supersteps are the g1 fixed-count pattern over a
+    * walker frame of |Q|·nprobe rows; the per-hop joins key on
+    * cur_id/nbr_id against the persisted adjacency (corpus-linear,
+    * ~nswM rows per node); the only pairwise stage is the within-cell
+    * kNN-graph build, cell-bounded by construction. */
+  def s25NswIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val cells = emb.select($"vec_id", $"embedding",
+      nearestCentroidCol(spark, $"embedding", cents).as("cell"))
+      .scopedPersist()
+    // within-cell exact kNN graph: the NSW base layer, cell-confined
+    val a = cells.select($"cell", $"vec_id".as("node_id"),
+      $"embedding".as("a_emb"))
+    val b = cells.select($"cell", $"vec_id".as("nbr_id"),
+      $"embedding".as("b_emb"))
+    val wAdj = Window.partitionBy($"node_id").orderBy($"d", $"nbr_id")
+    val adj = a.join(b, Seq("cell"))
+      .filter($"node_id" =!= $"nbr_id")
+      // project the embeddings AWAY before the ranking shuffle: the
+      // window moves (node, nbr, d) triples, never the vectors
+      .select($"node_id", $"nbr_id", sqDistF($"a_emb", $"b_emb").as("d"))
+      .withColumn("rk", row_number().over(wAdj))
+      .filter($"rk" <= nswM)
+      .select($"node_id", $"nbr_id")
+      .scopedPersist()
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(probes(cents, nswProbes)($"embedding")).as("cell"))
+      .scopedPersist()
+    // deterministic entry: the probed cell's min id, query excluded
+    val entry = q.join(cells.select($"cell", $"vec_id"), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"cell").agg(min($"vec_id").as("cur_id"))
+    val nbrEmb = cells.select($"vec_id".as("__nid"), $"embedding".as("n_emb"))
+    var state = q.join(entry, Seq("query_id", "cell"))
+      .join(nbrEmb, $"cur_id" === $"__nid")
+      .select($"query_id", $"cell", $"q_emb", $"cur_id",
+        sqDistF($"q_emb", $"n_emb").as("cur_d"))
+    for (_ <- 1 to nswHops) {
+      val best = state.join(adj, state("cur_id") === adj("node_id"))
+        .filter($"nbr_id" =!= $"query_id")
+        .join(nbrEmb, $"nbr_id" === $"__nid")
+        .withColumn("nd", sqDistF($"q_emb", $"n_emb"))
+        .groupBy($"query_id", $"cell")
+        .agg(min(struct($"nd", $"nbr_id")).as("b"))
+        .select($"query_id", $"cell",
+          $"b.nd".as("bd"), $"b.nbr_id".as("bn"))
+      state = state.join(best, Seq("query_id", "cell"), "left")
+        .select($"query_id", $"cell", $"q_emb",
+          when($"bd" < $"cur_d", $"bn").otherwise($"cur_id").as("cur_id"),
+          when($"bd" < $"cur_d", $"bd").otherwise($"cur_d").as("cur_d"))
+        // the walker frame feeds the NEXT hop twice (candidate join +
+        // keep-or-move); truncate lineage per superstep (the g13
+        // discipline) or the plan doubles every hop
+        .localCheckpoint()
+    }
+    val found = state.groupBy($"query_id")
+      .agg(min(struct($"cur_d", $"cur_id")).as("b"))
+      .select($"query_id", $"b.cur_id".as("found_id"),
+        round($"b.cur_d", 4).as("found_d"))
+    // exact top-1 inside the probed cells: the walk's recall oracle;
+    // its candidate count is the COST the graph descent avoided (the
+    // walk evaluates ≤ 1 + nswHops·nswM distances per probed cell —
+    // a constant — vs the probed cells' full occupancy here)
+    val exact = q.join(cells, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("d", sqDistF($"q_emb", $"embedding"))
+      .groupBy($"query_id")
+      .agg(min(struct($"d", $"vec_id")).as("b"),
+        count(lit(1)).as("n_exact"))
+      .select($"query_id", $"b.vec_id".as("exact_id"), $"n_exact")
+    found.join(exact, Seq("query_id"))
+      .select($"query_id", $"found_id", $"found_d",
+        ($"found_id" === $"exact_id").cast("int").as("hit"), $"n_exact")
+      .orderBy($"query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_triplet_mining" -> s13TripletMining,
     "s14_kcenter_sample" -> s14KcenterSample,
@@ -1433,7 +1563,8 @@ object Similarity {
     "s21_incremental_index" -> s21IncrementalIndex,
     "s22_index_ingest" -> s22IndexIngest,
     "s23_nprobe_sweep" -> s23NprobeSweep,
-    "s24_codebook_stability" -> s24CodebookStability)
+    "s24_codebook_stability" -> s24CodebookStability,
+    "s25_nsw_ivf" -> s25NswIvf)
 
   private val cosSql =
     """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1673,6 +1804,81 @@ object Similarity {
             round(cos, 4) AS cos_sim
           FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
 
+  /** DuckDB replay of [[s25NswIvf]]: the s6 cells/probes chain, a
+    * within-cell kNN adjacency CTE, then the greedy walk unrolled as
+    * [[nswHops]] fixed CTE supersteps (candidate → per-walker best →
+    * conditional move), ending in the cross-cell best + the exact
+    * probed-cell top-1 recall flag. */
+  private def s25OracleSql: String = {
+    val hopCtes = (1 to nswHops).map { i =>
+      s"""cd$i AS MATERIALIZED (SELECT query_id, cell, nbr_id, dist FROM (
+            SELECT s.query_id, s.cell, a.nbr_id,
+              ${sqDistCols("q.e", "b.e", 64)}
+            FROM st${i - 1} s
+            JOIN adj a ON a.node_id = s.cur_id
+            JOIN e q ON q.vec_id = s.query_id
+            JOIN e b ON b.vec_id = a.nbr_id
+            WHERE a.nbr_id <> s.query_id)),
+          bt$i AS MATERIALIZED (SELECT query_id, cell, nbr_id, dist FROM (
+            SELECT query_id, cell, nbr_id, dist, row_number() OVER (
+                PARTITION BY query_id, cell ORDER BY dist, nbr_id) AS rk
+            FROM cd$i) WHERE rk = 1),
+          st$i AS MATERIALIZED (SELECT s.query_id, s.cell,
+              CASE WHEN b.dist < s.cur_d THEN b.nbr_id
+                   ELSE s.cur_id END AS cur_id,
+              CASE WHEN b.dist < s.cur_d THEN b.dist
+                   ELSE s.cur_d END AS cur_d
+            FROM st${i - 1} s LEFT JOIN bt$i b
+              ON b.query_id = s.query_id AND b.cell = s.cell)"""
+    }.mkString(",\n          ")
+    s"""WITH $trainBaseCtes,
+          ${ivfOracleCtes(k = 16, iters = 2, nprobe = nswProbes, dim = 64)},
+          apr AS MATERIALIZED (SELECT node_id, nbr_id, dist FROM (
+            SELECT ca.vec_id AS node_id, cb.vec_id AS nbr_id,
+              ${sqDistCols("ea.e", "eb.e", 64)}
+            FROM cells ca
+            JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id <> ca.vec_id
+            JOIN e ea ON ea.vec_id = ca.vec_id
+            JOIN e eb ON eb.vec_id = cb.vec_id)),
+          adj AS MATERIALIZED (SELECT node_id, nbr_id FROM (
+            SELECT node_id, nbr_id, row_number() OVER (
+                PARTITION BY node_id ORDER BY dist, nbr_id) AS rk
+            FROM apr) WHERE rk <= $nswM),
+          ent AS MATERIALIZED (SELECT p.query_id, p.cell, min(c.vec_id) AS cur_id
+            FROM probes p JOIN cells c ON c.cell = p.cell
+              AND c.vec_id <> p.query_id
+            GROUP BY p.query_id, p.cell),
+          st0 AS MATERIALIZED (SELECT query_id, cell, cur_id, dist AS cur_d FROM (
+            SELECT en.query_id, en.cell, en.cur_id,
+              ${sqDistCols("q.e", "c.e", 64)}
+            FROM ent en
+            JOIN e q ON q.vec_id = en.query_id
+            JOIN e c ON c.vec_id = en.cur_id)),
+          $hopCtes,
+          fin AS MATERIALIZED (SELECT query_id, cur_id AS found_id, cur_d FROM (
+            SELECT query_id, cur_id, cur_d, row_number() OVER (
+                PARTITION BY query_id ORDER BY cur_d, cur_id) AS rk
+            FROM st$nswHops) WHERE rk = 1),
+          exd AS MATERIALIZED (SELECT query_id, vec_id, dist FROM (
+            SELECT p.query_id, c.vec_id,
+              ${sqDistCols("q.e", "b.e", 64)}
+            FROM probes p
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+            JOIN e q ON q.vec_id = p.query_id
+            JOIN e b ON b.vec_id = c.vec_id)),
+          ex AS MATERIALIZED (SELECT query_id, vec_id AS exact_id, n_exact FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, vec_id) AS rk,
+              count(*) OVER (PARTITION BY query_id) AS n_exact
+            FROM exd) WHERE rk = 1)
+        SELECT f.query_id, f.found_id, round(f.cur_d, 4) AS found_d,
+          CAST(CASE WHEN f.found_id = x.exact_id THEN 1 ELSE 0 END AS INT)
+            AS hit,
+          CAST(x.n_exact AS BIGINT) AS n_exact
+        FROM fin f JOIN ex x ON x.query_id = f.query_id
+        ORDER BY f.query_id"""
+  }
+
   private def s6OracleSql: String =
     s"""WITH $trainBaseCtes,
           ${ivfOracleCtes(k = 16, iters = 2, nprobe = 4, dim = 64)},
@@ -1875,6 +2081,7 @@ object Similarity {
     "s9_mmr_rerank" -> s9OracleSql,
     "s2_knn_lsh" -> s2OracleSql,
     "s6_knn_ivf" -> s6OracleSql,
+    "s25_nsw_ivf" -> s25OracleSql,
     "s20_filtered_knn" -> s20OracleSql,
     "s7_knn_pq" -> s7OracleSql,
     "s15_knn_ivfpq" -> s15OracleSql,

@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Versioned snapshot table (SURVEY.md §2.D D249) — the Delta/Iceberg-
+  * class capability gap a warehouse user hits in week one: atomic
+  * commits, snapshot isolation for readers, and time travel, built
+  * from parquet data files plus a manifest-per-version commit log.
+  * The reference persists models as PLAIN parquet directories
+  * (reference: RapidsPCA.scala:218-228 — overwrite-in-place, readers
+  * of a mid-write directory see torn state); this extends that story
+  * the same way the Avro sink extended `_SUCCESS` discipline.
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/c-<commitId>/part-*.parquet   immutable data files
+  *   <table>/_manifest/v0000000001.manifest     one file per version
+  * }}}
+  *
+  * A manifest is: line 1 the Spark schema JSON, following lines the
+  * table-relative data-file paths of THAT version. Data files are
+  * immutable once referenced — an overwrite publishes a manifest
+  * listing only the new commit's files, an append publishes the old
+  * list plus the new files — so every prior version stays readable
+  * (time travel) until [[vacuum]] retires it.
+  *
+  * Commit protocol (why readers never see torn state):
+  *  1. the writer lands data files under `data/c-<commitId>/`, a
+  *     directory no manifest references yet — readers cannot see them;
+  *  2. the writer then creates `_manifest/v{N+1}.manifest` with
+  *     create(overwrite = false): create-if-absent is the atomicity
+  *     primitive, so of two racing writers targeting the same version
+  *     exactly ONE wins;
+  *  3. the loser's data files are orphans (vacuum reclaims them); the
+  *     loser RETRIES manifest publication at the next version number —
+  *     last-commit-wins for overwrites, both-commits-land for appends
+  *     (the retry re-reads the then-latest file list).
+  *
+  * Scale notes: the manifest holds file PATHS, not data — listing cost
+  * is O(files), and readers plan a scan from the explicit file list
+  * (no directory listing of `data/`, which at 100 TB holds millions of
+  * files across dead commits). Readers pass the manifest's schema
+  * explicitly so a read never pays an inference footer pass.
+  */
+object SnapshotTable {
+
+  private def conf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  private def manifestDir(path: String) = new HPath(path, "_manifest")
+
+  private def manifestPath(path: String, v: Long) =
+    new HPath(manifestDir(path), f"v$v%010d.manifest")
+
+  private def versionOf(p: HPath): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v") && n.endsWith(".manifest"))
+      n.stripPrefix("v").stripSuffix(".manifest").toLongOption
+    else None
+  }
+
+  /** Committed versions, ascending (empty for a nonexistent table). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = manifestDir(path)
+    val fs = dir.getFileSystem(conf(spark))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).sorted
+  }
+
+  /** Latest committed version, or 0 for an empty/nonexistent table. */
+  def latestVersion(spark: SparkSession, path: String): Long =
+    versions(spark, path).lastOption.getOrElse(0L)
+
+  private final case class Manifest(schema: StructType, files: Seq[String])
+
+  private def readManifest(fs: FileSystem, path: String, v: Long): Manifest = {
+    val in = fs.open(manifestPath(path, v))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    Manifest(DataType.fromJson(lines.head).asInstanceOf[StructType],
+      lines.tail)
+  }
+
+  /** Atomic create-if-absent publication; false = lost the race. */
+  private def tryPublish(fs: FileSystem, path: String, v: Long,
+      m: Manifest): Boolean = {
+    val target = manifestPath(path, v)
+    val out =
+      try fs.create(target, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.io.IOException if fs.exists(target) => return false
+      }
+    try {
+      val body = (m.schema.json +: m.files).mkString("\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    true
+  }
+
+  /** Land one commit's data files; returns table-relative paths.
+    * An empty frame commits zero files (a valid, empty version). */
+  private def landDataFiles(df: DataFrame, path: String,
+      commitId: String): Seq[String] = {
+    val rel = s"data/c-$commitId"
+    val dataDir = new HPath(path, rel)
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val fs = dataDir.getFileSystem(conf(df.sparkSession))
+    fs.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$rel/${s.getPath.getName}").sorted
+  }
+
+  /** Commit `df` as the table's next version. `overwrite = true`
+    * replaces the visible contents; `false` appends to them. Returns
+    * the committed version number. Readers concurrent with this call
+    * see either the previous version or the new one, never a mix. */
+  def writeSnapshot(df: DataFrame, path: String,
+      overwrite: Boolean = true): Long = {
+    val spark = df.sparkSession
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    fs.mkdirs(manifestDir(path))
+    val commitId = java.util.UUID.randomUUID().toString
+    val newFiles = landDataFiles(df, path, commitId)
+    // publish loop: create-if-absent is the mutex; on a lost race,
+    // re-resolve the latest version (appends must fold in the winner's
+    // files) and retry at the next number
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(spark, path)
+      val base =
+        if (overwrite || latest == 0) Seq.empty
+        else readManifest(fs, path, latest).files
+      if (!overwrite && latest > 0) {
+        val prior = readManifest(fs, path, latest).schema
+        require(prior == df.schema,
+          s"append schema mismatch: table has $prior, frame has ${df.schema}")
+      }
+      if (tryPublish(fs, path, latest + 1,
+          Manifest(df.schema, base ++ newFiles)))
+        committed = latest + 1
+    }
+    committed
+  }
+
+  def appendSnapshot(df: DataFrame, path: String): Long =
+    writeSnapshot(df, path, overwrite = false)
+
+  /** Read a committed version (default -1 = latest). The scan plans
+    * from the manifest's explicit file list with its recorded schema —
+    * no directory listing, no schema inference. */
+  def readSnapshot(spark: SparkSession, path: String,
+      version: Long = -1L): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    val m = readManifest(fs, path, v)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema)
+    else
+      spark.read.schema(m.schema)
+        .parquet(m.files.map(f => new HPath(path, f).toString): _*)
+  }
+
+  /** Retire history: keep the newest `keepVersions` manifests, delete
+    * older ones plus every data file no kept manifest references
+    * (orphans from lost commit races included). Readers of retired
+    * versions fail loudly on the missing manifest rather than
+    * half-reading deleted files. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must keep at least one version")
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    val live = keep.flatMap(v => readManifest(fs, path, v).files).toSet
+    // delete unreferenced data files (and then empty commit dirs)
+    val dataDir = new HPath(path, "data")
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).foreach { cd =>
+        if (cd.isDirectory) {
+          fs.listStatus(cd.getPath).foreach { f =>
+            val rel = s"data/${cd.getPath.getName}/${f.getPath.getName}"
+            if (!live.contains(rel)) fs.delete(f.getPath, false)
+          }
+          if (fs.listStatus(cd.getPath).isEmpty) fs.delete(cd.getPath, false)
+        }
+      }
+    }
+    drop.foreach(v => fs.delete(manifestPath(path, v), false))
+  }
+}

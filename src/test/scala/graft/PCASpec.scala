@@ -342,6 +342,78 @@ class PCASpec extends AnyFunSuite {
     assert(ex.getMessage.contains(graft.ml.Cov.MaxCols.toString))
   }
 
+  test("randomized sketch matches the exact path within 1e-5 at 2048 dims") {
+    import spark.implicits._
+    // narrow-rank fixture: 5 directions with well-separated scales, so
+    // the sketch (l = k + 10 >= rank) captures the whole column space
+    // and HMT is exact up to fp
+    val n = 2048; val rank = 5; val m = 300
+    val rng = new scala.util.Random(23)
+    val bases = Array.fill(rank)(Array.fill(n)(rng.nextGaussian()))
+    val scales = Array(10.0, 8.0, 6.0, 4.0, 2.0)
+    val rows = Seq.fill(m) {
+      val v = new Array[Double](n)
+      for (r <- 0 until rank) {
+        val c = scales(r) * rng.nextGaussian()
+        var i = 0
+        while (i < n) { v(i) += c * bases(r)(i); i += 1 }
+      }
+      Vectors.dense(v): Vector
+    }
+    val df = rows.map(Tuple1(_)).toDF("f")
+    val rdd = Cov.vectorRdd(df, "f")
+    val exact = Eigen.pca(Cov.stats(rdd).covariance, rank)
+    val sk = graft.ml.Rsvd.pca(rdd, n, rank)
+    for (j <- 0 until rank) {
+      assert(math.abs(sk.explainedVariance(j) - exact.explainedVariance(j))
+        < tol, s"ev($j): ${sk.explainedVariance(j)} vs " +
+        s"${exact.explainedVariance(j)}")
+      for (i <- 0 until n)
+        assert(math.abs(sk.pc(i, j) - exact.pc(i, j)) < tol,
+          s"pc($i,$j): ${sk.pc(i, j)} vs ${exact.pc(i, j)}")
+    }
+    // seeded sketch: a refit reproduces up to treeAggregate's
+    // combine-order FP noise (the same envelope as the exact path's
+    // distributed pass — the sketch matrix itself is bit-identical)
+    val again = graft.ml.Rsvd.pca(rdd, n, rank)
+    again.pc.values.zip(sk.pc.values).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-8, s"refit drifted: $x vs $y")
+    }
+  }
+
+  test("GraftPCA auto-routes past Cov.MaxCols: 66,000 dims fit and transform") {
+    import spark.implicits._
+    // the one documented reference limitation this engine lifts
+    // (RapidsRowMatrix.scala:66-68): above 65,535 columns the exact
+    // n x n route is impossible (34+ GB gram); the randomized sketch
+    // fits in O(n*(k+10)) — here ~13 MB of driver/executor state.
+    val n = graft.ml.Cov.MaxCols + 465 // 66,000
+    val rank = 3; val m = 64
+    val rng = new scala.util.Random(31)
+    val bases = Array.fill(rank)(Array.fill(n)(rng.nextGaussian()))
+    val scales = Array(9.0, 5.0, 2.0)
+    val rows = Seq.fill(m) {
+      val v = new Array[Double](n)
+      for (r <- 0 until rank) {
+        val c = scales(r) * rng.nextGaussian()
+        var i = 0
+        while (i < n) { v(i) += c * bases(r)(i); i += 1 }
+      }
+      Vectors.dense(v): Vector
+    }
+    val df = rows.map(Tuple1(_)).toDF("f").repartition(4)
+    val model = new GraftPCA().setK(rank).setInputCol("f").setOutputCol("o")
+      .fit(df)
+    assert(model.pc.numRows == n && model.pc.numCols == rank)
+    val ev = model.explainedVariance.values
+    // rank-3 data: the top 3 components carry (essentially) all variance
+    assert(ev.sum > 0.999, s"explained ${ev.sum}")
+    assert(ev.sameElements(ev.sorted.reverse))
+    val out = model.transform(df).select("o").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(out.size == rank)
+  }
+
   test("2048-dim PCA fits through the blocked-GEMM path without OOM") {
     import spark.implicits._
     // pins the memory envelope of the widest realistic embedding width:

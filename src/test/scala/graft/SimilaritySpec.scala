@@ -633,6 +633,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.count(_._4 == 0L) >= 8)
   }
 
+  test("s25 NSW-over-IVF equals a brute driver greedy-walk replay") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(emb, 16, 2)
+    val vecs: Map[Long, Array[Double]] = emb.select($"vec_id", $"embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val cellOf: Map[Long, Int] = vecs.map { case (id, v) =>
+      id -> cents.indices.minBy(c => (sq(v, cents(c)), c))
+    }
+    val byCell: Map[Int, Seq[Long]] =
+      cellOf.toSeq.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1) }
+    // within-cell exact kNN adjacency, degree nswM, (dist, id) order
+    val adj: Map[Long, Seq[Long]] = vecs.keys.map { id =>
+      id -> byCell(cellOf(id)).filter(_ != id)
+        .sortBy(o => (sq(vecs(id), vecs(o)), o)).take(Similarity.nswM)
+    }.toMap
+    val queries = vecs.keys.filter(_ < 5).toSeq.sorted
+    val expected = queries.map { qid =>
+      val qv = vecs(qid)
+      val probed = cents.indices
+        .sortBy(c => (sq(qv, cents(c)), c)).take(Similarity.nswProbes)
+      val walks = probed.map { cell =>
+        var cur = byCell(cell).filter(_ != qid).min
+        var curD = sq(qv, vecs(cur))
+        for (_ <- 1 to Similarity.nswHops) {
+          val cands = adj(cur).filter(_ != qid)
+          if (cands.nonEmpty) {
+            val (bd, bn) = cands.map(n => (sq(qv, vecs(n)), n)).min
+            if (bd < curD) { cur = bn; curD = bd }
+          }
+        }
+        (curD, cur)
+      }
+      val (fd, fid) = walks.min
+      val pool = probed.flatMap(byCell(_)).filter(_ != qid)
+      val (_, exactId) = pool.map(n => (sq(qv, vecs(n)), n)).min
+      (qid, fid,
+        BigDecimal(fd).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (fid == exactId) 1 else 0, pool.size.toLong)
+    }
+    val got = Similarity.s25NswIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the graph walk must actually be finding things on the fixture
+    assert(got.count(_._4 == 1) >= 3,
+      s"NSW recall collapsed: ${got.map(_._4).mkString(",")}")
+  }
+
   test("s23 nprobe sweep is monotone and its nprobe=4 row replays s6 vs s1") {
     import spark.implicits._
     val got = Similarity.s23NprobeSweep(spark, sf).collect()

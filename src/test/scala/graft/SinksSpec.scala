@@ -228,6 +228,102 @@ class SinksSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot table: versioned commits round-trip with time travel") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap") + "/tbl"
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val v2 = Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+    val v3 = Seq((9L, "z")).toDF("id", "v")
+    assert(SnapshotTable.writeSnapshot(v1, t) == 1L)
+    assert(SnapshotTable.appendSnapshot(v2, t) == 2L)       // append
+    assert(SnapshotTable.writeSnapshot(v3, t) == 3L)        // overwrite
+    assert(SnapshotTable.versions(spark, t) == Seq(1L, 2L, 3L))
+    def ids(v: Long) = SnapshotTable.readSnapshot(spark, t, v)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(1) == Seq(1L, 2L, 3L))
+    assert(ids(2) == Seq(1L, 2L, 3L, 4L, 5L))               // v1 + appended
+    assert(ids(3) == Seq(9L))                               // overwritten
+    // default read = latest
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 1L)
+    // append schema mismatch fails loudly, commits nothing visible
+    val bad = Seq((1L, 2.0)).toDF("id", "x")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendSnapshot(bad, t)
+    }
+    assert(SnapshotTable.latestVersion(spark, t) == 3L)
+    // a predicate on the snapshot read still reaches the parquet scan
+    val q = SnapshotTable.readSnapshot(spark, t, 2).filter($"id" > 3L)
+    assert(q.count() == 2L)
+    val scans = q.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("GreaterThan")), "filter not pushed to snapshot scan")
+  }
+
+  test("snapshot table: empty-frame version commits and reads back empty") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_empty") + "/tbl"
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    assert(SnapshotTable.writeSnapshot(empty, t) == 1L)
+    val back = SnapshotTable.readSnapshot(spark, t, 1)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(back.count() == 0L)
+  }
+
+  test("snapshot table: racing writers both commit, last version wins") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_race") + "/tbl"
+    SnapshotTable.writeSnapshot(Seq((0L, "base")).toDF("id", "v"), t)
+    // two overwriting writers released simultaneously: the create-if-
+    // absent manifest mutex must serialize them into versions 2 and 3
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("w1", "w2").map { w =>
+      val df = Seq((1L, w)).toDF("id", "v")
+      new Thread(() => {
+        try { gate.await(); got.add(SnapshotTable.writeSnapshot(df, t)) }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val vs = got.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    assert(vs.toSeq == Seq(2L, 3L), s"expected versions 2,3 got ${vs.toSeq}")
+    // every version remains readable and internally consistent
+    assert(SnapshotTable.readSnapshot(spark, t, 1).count() == 1L)
+    val w2 = SnapshotTable.readSnapshot(spark, t, 2).select($"v").head.getString(0)
+    val w3 = SnapshotTable.readSnapshot(spark, t, 3).select($"v").head.getString(0)
+    assert(Set(w2, w3) == Set("w1", "w2"), "each commit holds one writer's rows")
+  }
+
+  test("snapshot table: vacuum retires history and orphaned data files") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_vac") + "/tbl"
+    SnapshotTable.writeSnapshot(Seq((1L, "a")).toDF("id", "v"), t)
+    SnapshotTable.writeSnapshot(Seq((2L, "b")).toDF("id", "v"), t)
+    SnapshotTable.writeSnapshot(Seq((3L, "c")).toDF("id", "v"), t)
+    SnapshotTable.vacuum(spark, t, keepVersions = 1)
+    assert(SnapshotTable.versions(spark, t) == Seq(3L))
+    assert(SnapshotTable.readSnapshot(spark, t).select($"id")
+      .head.getLong(0) == 3L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readSnapshot(spark, t, 1)
+    }
+    // only the surviving version's commit directory remains under data/
+    val dataDirs = new java.io.File(s"$t/data").listFiles()
+      .filter(_.isDirectory)
+    assert(dataDirs.length == 1, s"expected 1 live commit dir, got " +
+      dataDirs.map(_.getName).mkString(","))
+  }
+
   test("zkey-sorted sink: parquet min/max stats prune files on EITHER dimension") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
