@@ -5,6 +5,7 @@ import java.sql.Date
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedPersist
 import graft.sources.Tables
 
 /** One observation of a per-nation daily revenue series. */
@@ -254,12 +255,69 @@ object TimeSeries {
       .orderBy($"day")
   }
 
+  /** Max lead/lag (days) scanned by [[q110Ccf]]. */
+  val ccfMaxLag = 7
+
+  /** D254: cross-correlation function between two event series — the
+    * lead-lag diagnostic ("do views TODAY predict purchases in L
+    * days?") a marketing/causal pipeline reads before fitting any
+    * lagged model. For each lag in ±[[ccfMaxLag]]: Pearson r between
+    * the daily 'view' count and the lag-shifted daily 'purchase'
+    * count, over the days where both series exist.
+    *
+    * Determinism: the daily series are INTEGER counts, so each lag's
+    * six moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    * decimal(38,0) sums (the p12 discipline — integer addition
+    * commutes, so cross-engine partial-agg order cannot flip them);
+    * r's one double division + sqrt happens on those exact integers,
+    * then rounds 4-dp in the FRAME (Spark round ≡ DuckDB round).
+    *
+    * Scale shape: one partial-aggregated pass reduces events to ≤
+    * #days daily rows; the lag explode (×15) and self-join run on
+    * that days-sized frame, and the moment census is ≤ 15 rows — the
+    * driver finish is a k-row census (the audited p12 shape). */
+  def q110Ccf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .scopedPersist()
+    def s(e: org.apache.spark.sql.Column, n: String) =
+      sum(e.cast("decimal(38,0)")).as(n)
+    val lagged = daily.select($"day", $"x")
+      .withColumn("lag",
+        explode(typedLit((-ccfMaxLag to ccfMaxLag).toArray)))
+    val m = lagged
+      .join(daily.select($"day".as("day2"), $"y"),
+        expr("day2 = date_add(day, lag)"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n"), s($"x", "sx"), s($"y", "sy"),
+        s($"x" * $"y", "sxy"), s($"x" * $"x", "sxx"), s($"y" * $"y", "syy"))
+      .collect()
+    // ≤ 15-row census: finish r on exact BigDecimal moments driver-side
+    val rows = m.map { r =>
+      val n = BigDecimal(r.getLong(1))
+      def bd(i: Int) = BigDecimal(r.getDecimal(i))
+      val num = n * bd(4) - bd(2) * bd(3)
+      val dx = n * bd(5) - bd(2) * bd(2)
+      val dy = n * bd(6) - bd(3) * bd(3)
+      (r.getInt(0), r.getLong(1),
+        num.toDouble / math.sqrt(dx.toDouble * dy.toDouble))
+    }.toSeq
+    rows.toDF("lag", "n_days", "r_raw")
+      .select($"lag", $"n_days", round($"r_raw", 4).as("r"))
+      .orderBy($"lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_holt" -> q65Holt,
     "q86_holt_winters" -> q86HoltWinters,
     "q98_holt_backtest" -> q98HoltBacktest,
     "q106_ohlc" -> q106OhlcResample,
-    "q107_rolling_trend" -> q107RollingTrend)
+    "q107_rolling_trend" -> q107RollingTrend,
+    "q110_ccf" -> q110Ccf)
 
   /** Held-out observations per series for [[q98HoltBacktest]]. */
   val backtestHoldout = 7
@@ -376,6 +434,30 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q110_ccf" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+              CAST(count(*) FILTER (WHERE event_type = 'view')
+                AS BIGINT) AS x,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                AS BIGINT) AS y
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1),
+          l AS (SELECT unnest(generate_series(-$ccfMaxLag, $ccfMaxLag))
+              AS lag),
+          j AS (SELECT l.lag, a.x, b.y
+            FROM daily a CROSS JOIN l
+            JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+          m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM j GROUP BY lag)
+          SELECT CAST(lag AS INT) AS lag, n AS n_days,
+            round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r
+          FROM m ORDER BY lag""",
     "q107_rolling_trend" ->
       s"""WITH d AS (SELECT date_diff('day', DATE '1995-01-01',
                 CAST(o_orderdate AS DATE)) AS t,

@@ -74,15 +74,22 @@ object SnapshotTable {
   def latestVersion(spark: SparkSession, path: String): Long =
     versions(spark, path).lastOption.getOrElse(0L)
 
-  private final case class Manifest(schema: StructType, files: Seq[String])
+  private final case class Manifest(schema: StructType, files: Seq[String],
+      batchId: Option[Long] = None)
 
   private def readManifest(fs: FileSystem, path: String, v: Long): Manifest = {
     val in = fs.open(manifestPath(path, v))
     val text = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    // '#'-prefixed lines are commit metadata (e.g. the streaming batch
+    // tag); absent in pre-tag manifests, so old tables stay readable
+    val (meta, body) = lines.tail.partition(_.startsWith("#"))
+    val batch = meta.collectFirst {
+      case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+    }
     Manifest(DataType.fromJson(lines.head).asInstanceOf[StructType],
-      lines.tail)
+      body, batch)
   }
 
   /** Atomic create-if-absent publication; false = lost the race. */
@@ -96,7 +103,8 @@ object SnapshotTable {
         case _: java.io.IOException if fs.exists(target) => return false
       }
     try {
-      val body = (m.schema.json +: m.files).mkString("\n")
+      val tag = m.batchId.map(b => s"#batch=$b").toSeq
+      val body = (m.schema.json +: (tag ++ m.files)).mkString("\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     true
@@ -120,7 +128,11 @@ object SnapshotTable {
     * the committed version number. Readers concurrent with this call
     * see either the previous version or the new one, never a mix. */
   def writeSnapshot(df: DataFrame, path: String,
-      overwrite: Boolean = true): Long = {
+      overwrite: Boolean = true): Long =
+    writeTagged(df, path, overwrite, batchId = None)
+
+  private def writeTagged(df: DataFrame, path: String, overwrite: Boolean,
+      batchId: Option[Long]): Long = {
     val spark = df.sparkSession
     val fs = new HPath(path).getFileSystem(conf(spark))
     fs.mkdirs(manifestDir(path))
@@ -141,7 +153,7 @@ object SnapshotTable {
           s"append schema mismatch: table has $prior, frame has ${df.schema}")
       }
       if (tryPublish(fs, path, latest + 1,
-          Manifest(df.schema, base ++ newFiles)))
+          Manifest(df.schema, base ++ newFiles, batchId)))
         committed = latest + 1
     }
     committed
@@ -149,6 +161,45 @@ object SnapshotTable {
 
   def appendSnapshot(df: DataFrame, path: String): Long =
     writeSnapshot(df, path, overwrite = false)
+
+  /** The streaming batch tag of the latest commit, if it has one. */
+  def latestBatchId(spark: SparkSession, path: String): Option[Long] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) None
+    else {
+      val fs = new HPath(path).getFileSystem(conf(spark))
+      readManifest(fs, path, vs.last).batchId
+    }
+  }
+
+  /** Exactly-once streaming append: commit `df` as the next version
+    * TAGGED with the micro-batch id. The tag rides INSIDE the atomic
+    * manifest publication, so a foreachBatch RETRY of an
+    * already-committed batch — Structured Streaming's failure mode
+    * after a crash between epoch commit and checkpoint advance — is
+    * detected from the latest manifest and skipped, not re-appended.
+    * (Batch ids arrive in order per query, so checking the LATEST
+    * tag suffices.) Returns the committed version, or None if the
+    * batch had already landed. */
+  def appendBatch(df: DataFrame, path: String, batchId: Long): Option[Long] = {
+    if (latestBatchId(df.sparkSession, path).exists(_ >= batchId)) None
+    else Some(writeTagged(df, path, overwrite = false, Some(batchId)))
+  }
+
+  /** Streaming sink: every micro-batch lands as one committed,
+    * batch-tagged snapshot version — the CDC-to-versioned-table
+    * landing pattern, exactly-once by [[appendBatch]]'s idempotence.
+    * Caller owns the query lifecycle. */
+  def streamAppend(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        appendBatch(batch.toDF(), path, id); ()
+      }
+      .outputMode("append")
+      .start()
 
   /** Read a committed version (default -1 = latest). The scan plans
     * from the manifest's explicit file list with its recorded schema —

@@ -1076,6 +1076,46 @@ class AnalyticsSpec extends AnyFunSuite {
       c._6 <= c._7 && c._7 <= c._5))
   }
 
+  test("q110 cross-correlation equals a brute per-lag Pearson replay") {
+    import spark.implicits._
+    val ts = graft.operators.TimeSeries
+    // independent daily census in plain Scala, UTC date semantics
+    val utc = java.time.ZoneOffset.UTC
+    val byDay = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"ts", $"event_type").collect()
+      .map(r => (r.getTimestamp(0).toInstant.atZone(utc).toLocalDate,
+        r.getString(1)))
+      .groupBy(_._1).view.mapValues { es =>
+        (es.count(_._2 == "view").toLong,
+          es.count(_._2 == "purchase").toLong)
+      }.toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (-ts.ccfMaxLag to ts.ccfMaxLag).map { lag =>
+      val pairs = byDay.keys.toSeq
+        .flatMap(d => byDay.get(d.plusDays(lag.toLong))
+          .map(o => (byDay(d)._1, o._2)))
+      val n = BigDecimal(pairs.length)
+      def bsum(f: ((Long, Long)) => BigDecimal) = pairs.map(f).sum
+      val sx = bsum(p => BigDecimal(p._1)); val sy = bsum(p => BigDecimal(p._2))
+      val sxy = bsum(p => BigDecimal(p._1) * BigDecimal(p._2))
+      val sxx = bsum(p => BigDecimal(p._1) * BigDecimal(p._1))
+      val syy = bsum(p => BigDecimal(p._2) * BigDecimal(p._2))
+      val r = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      (lag, pairs.length.toLong, r4(r))
+    }
+    val got = ts.q110Ccf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // correlations are proper (finite, in [-1, 1]) and overlap shrinks
+    // by exactly |lag| days off the full span
+    assert(got.forall(t => t._3.abs <= 1.0))
+    val full = got.find(_._1 == 0).get._2
+    assert(got.forall(t => t._2 == full - math.abs(t._1)))
+  }
+
   test("q107 rolling trend equals a brute per-window OLS replay") {
     import spark.implicits._
     val ts = graft.operators.TimeSeries

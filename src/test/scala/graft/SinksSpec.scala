@@ -303,6 +303,36 @@ class SinksSpec extends AnyFunSuite {
     assert(Set(w2, w3) == Set("w1", "w2"), "each commit holds one writer's rows")
   }
 
+  test("snapshot table: streaming batches land exactly-once as tagged versions") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tmp("graft_snap_stream") + "/tbl"
+    val ck = tmp("graft_snap_stream_ck")
+    val mem = MemoryStream[Ev]
+    val q = SnapshotTable.streamAppend(mem.toDF(), t, ck)
+    try {
+      mem.addData(Ev(1, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, java.sql.Timestamp.valueOf("2026-01-01 00:01:00"),
+        1, "click", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one committed, batch-tagged version per micro-batch
+    assert(SnapshotTable.versions(spark, t) == Seq(1L, 2L))
+    assert(SnapshotTable.latestBatchId(spark, t).contains(1L))
+    assert(SnapshotTable.readSnapshot(spark, t).select($"event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a foreachBatch RETRY of an already-committed batch is a no-op
+    val replay = SnapshotTable.readSnapshot(spark, t, 1)
+    assert(SnapshotTable.appendBatch(replay, t, 1L).isEmpty)
+    assert(SnapshotTable.versions(spark, t) == Seq(1L, 2L))
+    // time travel still sees batch 0 alone
+    assert(SnapshotTable.readSnapshot(spark, t, 1).count() == 1L)
+  }
+
   test("snapshot table: vacuum retires history and orphaned data files") {
     import spark.implicits._
     import graft.sources.SnapshotTable
