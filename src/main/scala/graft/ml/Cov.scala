@@ -203,8 +203,13 @@ object Cov {
   /** Run the distributed pass; feature width inferred from the first row
     * (reference: RapidsPCA.scala:117). `useGemm` selects blocked-GEMM
     * (default, like the reference) vs per-row accumulation. */
-  def stats(rows: RDD[Vector], useGemm: Boolean = true): Stats = {
-    val n = rows.first().size
+  def stats(rows: RDD[Vector], useGemm: Boolean = true): Stats =
+    stats(rows, rows.first().size, useGemm)
+
+  /** As above with the width already known — callers that probed the
+    * first row for routing (GraftPCA's exact-vs-sketch decision) must
+    * not pay a second first() job. */
+  def stats(rows: RDD[Vector], n: Int, useGemm: Boolean): Stats = {
     val p = if (useGemm) meanAndGramGemm(rows, n) else meanAndGram(rows, n)
     require(p.m > 0, "empty input")
     val moment = if (useGemm) p.gram else symmetrize(p.gram)

@@ -90,18 +90,51 @@ class GraftIDF(override val uid: String)
       .select(col($(idCol)).as("id"),
         graft.operators.TextAnalysis.tokens(col($(inputCol))).as("toks"))
     val nDocs = docs.count()
-    // df census → minDf floor → vocabSize cap (top df, ties by term —
-    // a deterministic total order, so the kept set is reproducible) →
-    // idf; localCheckpoint freezes the artifact so the model does not
-    // drag the fit corpus's lineage into every scoring job
-    val idfDf = docs.select($"id", explode($"toks").as("term"))
+    // df census → minDf floor → vocabSize cap → idf. The cap keeps the
+    // top-df terms, ties by term ascending — a deterministic total
+    // order, so the kept set is reproducible.
+    val census = docs.select($"id", explode($"toks").as("term"))
       .distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
       .filter($"df" >= $(minDf))
-      .orderBy($"df".desc, $"term").limit($(vocabSize))
-      .select($"term", org.apache.spark.sql.functions
-        .log(lit(nDocs.toDouble) / $"df").as("idf"))
-      .localCheckpoint()
+      .persist()
+    // Cap selection goes through the DF-VALUE HISTOGRAM, not a global
+    // (df, term) sort: orderBy+limit at a 2^20 cap is past Spark's
+    // top-k fallback threshold, so it would full-sort the whole
+    // Heaps-law census and funnel it through one GlobalLimit task.
+    // Instead: histogram rows are (df, #terms) — each carries ≥ 1
+    // term, so the top `vocabSize` of them always cover the cap; walk
+    // them driver-side (≤ cap rows, transient) to find the threshold
+    // df value, keep everything strictly above it, and sort-limit ONLY
+    // the tie slice at the threshold.
+    val hist = census.groupBy($"df").agg(count(lit(1)).as("nt"))
+      .orderBy($"df".desc).limit($(vocabSize)).collect()
+    var before = 0L
+    var tieDf = -1L
+    var tieRoom = 0L
+    val it = hist.iterator
+    while (it.hasNext && tieDf < 0) {
+      val r = it.next()
+      if (before + r.getLong(1) >= $(vocabSize)) {
+        tieDf = r.getLong(0); tieRoom = $(vocabSize) - before
+      } else before += r.getLong(1)
+    }
+    val selected =
+      if (tieDf < 0) census // the whole vocabulary fits under the cap
+      else census.filter($"df" > tieDf).unionAll(
+        census.filter($"df" === tieDf).orderBy($"term").limit(tieRoom.toInt))
+    // Freeze the artifact so the model does not drag the fit corpus's
+    // lineage into every scoring job: a RELIABLE checkpoint when the
+    // session has one configured (survives executor loss — this table
+    // is an artifact that outlives the fit job), else localCheckpoint
+    // (executor-storage blocks; always safe in local mode, and
+    // model.write remains the durable form either way).
+    val idfRaw = selected.select($"term", org.apache.spark.sql.functions
+      .log(lit(nDocs.toDouble) / $"df").as("idf"))
+    val idfDf =
+      if (spark.sparkContext.getCheckpointDir.isDefined) idfRaw.checkpoint()
+      else idfRaw.localCheckpoint()
+    census.unpersist()
     copyValues(new GraftIDFModel(uid, nDocs, idfDf).setParent(this))
   }
 
@@ -218,6 +251,26 @@ object GraftIDF extends MLReadable[GraftIDF] {
 object GraftIDFModel extends MLReadable[GraftIDFModel] {
 
   private[feature] class Writer(instance: GraftIDFModel) extends MLWriter {
+    private var staged: Option[String] = None
+
+    /** Stage the idf table to a sibling temp dir BEFORE MLWriter's
+      * overwrite handling deletes the target: a LOADED model's table
+      * lazily reads from the very path an overwrite().save(samePath)
+      * is about to clear — without staging, the delete destroys the
+      * artifact and the re-save then reads from nothing. */
+    override def save(path: String): Unit = {
+      val tmp = s"$path.__idf_staging_${java.util.UUID.randomUUID()}"
+      instance.idfTable.write.mode("overwrite").parquet(tmp)
+      staged = Some(tmp)
+      try super.save(path)
+      finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(
+          sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+        staged = None
+      }
+    }
+
     override protected def saveImpl(path: String): Unit = {
       val spark = sparkSession
       import spark.implicits._
@@ -225,7 +278,9 @@ object GraftIDFModel extends MLReadable[GraftIDFModel] {
         .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
       // the idf table writes DISTRIBUTED (no driver round-trip); the
       // vocabSize cap bounds it, so the file count stays small
-      instance.idfTable.write.mode("overwrite").parquet(s"$path/idf")
+      val src = staged.getOrElse(throw new IllegalStateException(
+        "GraftIDFModel.Writer.saveImpl called outside save()"))
+      spark.read.parquet(src).write.mode("overwrite").parquet(s"$path/idf")
       GraftPCA.writeMetadata(path, spark, instance)
     }
   }

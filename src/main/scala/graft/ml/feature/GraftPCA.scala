@@ -98,12 +98,20 @@ class GraftPCA(override val uid: String) extends Estimator[GraftPCAModel]
   override def fit(dataset: Dataset[_]): GraftPCAModel = {
     transformSchema(dataset.schema, logging = true)
     val rows = Cov.vectorRdd(dataset.toDF(), $(inputCol))
+    // ONE width probe routes exact-vs-sketch; the n-aware stats
+    // overload reuses it, so neither route pays a second first() job
     val n = rows.first().size
     require($(k) <= n, s"k=${$(k)} must be <= numFeatures=$n")
     val res =
-      if (n > Cov.MaxCols) graft.ml.Rsvd.pca(rows, n, $(k), $(meanCentering))
-      else {
-        val stats = Cov.stats(rows, $(useGemm))
+      if (n > Cov.MaxCols) {
+        // the sketch makes powerIters+2 passes: cache the extracted
+        // vectors so each pass rereads storage instead of re-running
+        // the upstream query's whole lineage
+        rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try graft.ml.Rsvd.pca(rows, n, $(k), $(meanCentering))
+        finally { rows.unpersist(blocking = false); () }
+      } else {
+        val stats = Cov.stats(rows, n, $(useGemm))
         val matrix =
           if ($(meanCentering)) stats.covariance else stats.gramNormalized
         Eigen.pca(matrix, $(k))

@@ -916,13 +916,17 @@ object Pipeline {
   val snapCurMod = 7
   val snapMutMod = 5
 
-  /** Stable scratch path for c20's versioned snapshot table — one
-    * fixed location per input dir so repeated runs (Bench warm+timed)
-    * rebuild the same two versions deterministically. */
-  private def snapScratchPath(dir: String): String = {
+  /** Scratch path for c20's versioned snapshot table: stable per
+    * (application, input dir) so repeated runs inside one app (Bench
+    * warm+timed) rebuild the same two versions deterministically,
+    * while the applicationId scope keeps concurrent sessions — or two
+    * users sharing a host's tmpdir — from deleting each other's
+    * in-flight tables. */
+  private def snapScratchPath(spark: SparkSession, dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_snapshot_c20_$h"
+    val app = spark.sparkContext.applicationId
+    s"${sys.props("java.io.tmpdir")}/graft_snapshot_c20_${app}_$h"
   }
 
   /** D240: corpus snapshot diff — the crawl-over-crawl delta census a
@@ -952,7 +956,7 @@ object Pipeline {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"text")
-    val table = snapScratchPath(dir)
+    val table = snapScratchPath(spark, dir)
     val tPath = new org.apache.hadoop.fs.Path(table)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tPath, true)

@@ -293,8 +293,12 @@ object TimeSeries {
       .join(daily.select($"day".as("day2"), $"y"),
         expr("day2 = date_add(day, lag)"))
       .groupBy($"lag")
+      // cast BEFORE multiplying: long*long would wrap past ~3e9 daily
+      // counts while the oracle's HUGEINT product stays exact
       .agg(count(lit(1)).as("n"), s($"x", "sx"), s($"y", "sy"),
-        s($"x" * $"y", "sxy"), s($"x" * $"x", "sxx"), s($"y" * $"y", "syy"))
+        s($"x".cast("decimal(38,0)") * $"y", "sxy"),
+        s($"x".cast("decimal(38,0)") * $"x", "sxx"),
+        s($"y".cast("decimal(38,0)") * $"y", "syy"))
       .collect()
     // ≤ 15-row census: finish r on exact BigDecimal moments driver-side
     val rows = m.map { r =>

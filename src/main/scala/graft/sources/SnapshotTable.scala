@@ -92,22 +92,32 @@ object SnapshotTable {
       body, batch)
   }
 
-  /** Atomic create-if-absent publication; false = lost the race. */
+  /** Atomic publication; false = lost the race. The body is written
+    * COMPLETELY to a writer-unique temp name and only then renamed
+    * into place, so a reader (or a writer crash) can never observe a
+    * torn or empty manifest — the version either exists whole or not
+    * at all. The exists-check + rename is the mutex: on HDFS-like
+    * stores rename-to-existing fails outright; on the local FS the
+    * residual check-to-rename window is far narrower than the old
+    * create-then-write one, and both sides' bodies are complete, so
+    * the worst local-FS race outcome is last-writer-wins on ONE
+    * version number (exactly the documented overwrite semantics). */
   private def tryPublish(fs: FileSystem, path: String, v: Long,
       m: Manifest): Boolean = {
     val target = manifestPath(path, v)
-    val out =
-      try fs.create(target, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-        case _: java.io.IOException if fs.exists(target) => return false
-      }
+    if (fs.exists(target)) return false
+    val tmp = new HPath(manifestDir(path),
+      s".v$v.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
     try {
       val tag = m.batchId.map(b => s"#batch=$b").toSeq
       val body = (m.schema.json +: (tag ++ m.files)).mkString("\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
-    true
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      false
+    } else true
   }
 
   /** Land one commit's data files; returns table-relative paths.
@@ -220,26 +230,40 @@ object SnapshotTable {
         .parquet(m.files.map(f => new HPath(path, f).toString): _*)
   }
 
+  /** Default vacuum grace: unreferenced files younger than this are
+    * presumed to belong to an IN-FLIGHT commit (landed but not yet
+    * published) and are left alone — the Delta/Iceberg retention
+    * idea, sized to any sane commit duration. */
+  val vacuumMinAgeMs: Long = 10 * 60 * 1000L
+
   /** Retire history: keep the newest `keepVersions` manifests, delete
     * older ones plus every data file no kept manifest references
-    * (orphans from lost commit races included). Readers of retired
-    * versions fail loudly on the missing manifest rather than
-    * half-reading deleted files. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    * (orphans from lost commit races included) that is older than
+    * `minAgeMs`. The age floor is what makes vacuum safe to run
+    * concurrently with writers: a commit's files land BEFORE its
+    * manifest publishes, so a freshly-landed unreferenced file may be
+    * seconds from becoming referenced — deleting it would publish a
+    * manifest pointing at nothing. Readers of retired versions fail
+    * loudly on the missing manifest rather than half-reading deleted
+    * files. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+      minAgeMs: Long = vacuumMinAgeMs): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
     val fs = new HPath(path).getFileSystem(conf(spark))
     val vs = versions(spark, path)
     if (vs.isEmpty) return
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
     val live = keep.flatMap(v => readManifest(fs, path, v).files).toSet
-    // delete unreferenced data files (and then empty commit dirs)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    // delete old-enough unreferenced data files (then empty commit dirs)
     val dataDir = new HPath(path, "data")
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).foreach { cd =>
         if (cd.isDirectory) {
           fs.listStatus(cd.getPath).foreach { f =>
             val rel = s"data/${cd.getPath.getName}/${f.getPath.getName}"
-            if (!live.contains(rel)) fs.delete(f.getPath, false)
+            if (!live.contains(rel) && f.getModificationTime < cutoff)
+              fs.delete(f.getPath, false)
           }
           if (fs.listStatus(cd.getPath).isEmpty) fs.delete(cd.getPath, false)
         }

@@ -340,7 +340,13 @@ class SinksSpec extends AnyFunSuite {
     SnapshotTable.writeSnapshot(Seq((1L, "a")).toDF("id", "v"), t)
     SnapshotTable.writeSnapshot(Seq((2L, "b")).toDF("id", "v"), t)
     SnapshotTable.writeSnapshot(Seq((3L, "c")).toDF("id", "v"), t)
+    // default grace period protects freshly-landed files of in-flight
+    // commits; these versions are seconds old, so nothing may go yet
     SnapshotTable.vacuum(spark, t, keepVersions = 1)
+    assert(new java.io.File(s"$t/data").listFiles().count(_.isDirectory) == 3,
+      "grace period must protect young unreferenced files")
+    // negative age floor: everything is safe to collect NOW
+    SnapshotTable.vacuum(spark, t, keepVersions = 1, minAgeMs = -1000L)
     assert(SnapshotTable.versions(spark, t) == Seq(3L))
     assert(SnapshotTable.readSnapshot(spark, t).select($"id")
       .head.getLong(0) == 3L)

@@ -872,6 +872,12 @@ class TextSpec extends AnyFunSuite {
       .select($"doc_id", org.apache.spark.sql.functions.col(model.getOrDefault(model.outputCol)))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(re == got)
+    // self-overwrite: a LOADED model's idf table lazily reads from the
+    // artifact path itself — re-saving to that SAME path must stage
+    // the table before the overwrite delete, not destroy it
+    loaded.write.overwrite().save(s"$dir/m")
+    val again = GraftIDFModel.load(s"$dir/m")
+    assert(again.idf == model.idf && again.nDocs == model.nDocs)
     // minDf actually prunes (the fixture vocab is fully shared, so
     // exercise the gate on a crafted corpus with one singleton term)
     assert(df.size >= model.idf.size)
