@@ -638,6 +638,22 @@ object Graph {
     * the oracle-gated path stays exact. */
   val khopExactMaxWords = 1 << 14
 
+  /** Exact-register TOTAL budget: worst-case aggregate bitset bytes
+    * (every key a vertex, so deterministic from maxKey alone — no
+    * extra count pass) must stay well inside one executor's share of
+    * heap. Width alone is not enough: 3,000-word registers are fine
+    * per vertex but 200k of them are 5 GB through every superstep
+    * fold — measured OOMing the 8 GB audit JVM at the sf1-synth
+    * domain while the per-vertex width was nowhere near the ceiling. */
+  val khopExactMaxTotalBytes = 2L << 30
+
+  /** The shared exact-vs-HLL register routing of g12/g14/g16. */
+  private[graft] def useWideRegisters(maxKey: Long): Boolean = {
+    val words = (maxKey >> 6) + 1
+    words > khopExactMaxWords ||
+      words * 8L * (maxKey + 1) > khopExactMaxTotalBytes
+  }
+
   /** The ONE HyperBall superstep loop shared by every register mode of
     * [[g12KHop]]/[[g12KHopHll]]/[[g14DistanceDist]]: fold each
     * vertex's neighbor set into a register, then for each further hop
@@ -659,7 +675,14 @@ object Graph {
       .localCheckpoint()
     (1 to khopMax).map { h =>
       if (h > 1) {
-        reg = sym.as("s").join(reg.as("r"), $"s.v" === $"r.u")
+        // shuffle-hash hint, build side = the narrow edge frame: the
+        // checkpointed register frame's size ESTIMATE ignores the wide
+        // `bits` arrays, so the planner would otherwise try to
+        // broadcast gigabytes of registers (OOMs at wide key domains);
+        // pinning the join keeps register movement at the documented
+        // superstep shuffle width and never in a broadcast
+        reg = sym.as("s").hint("shuffle_hash")
+          .join(reg.as("r"), $"s.v" === $"r.u")
           .select($"s.u".as("u"), $"r.bits".as("bits"))
           .unionAll(reg.select($"u", $"bits"))
           .groupBy($"u").agg(unionAgg($"bits").as("bits"))
@@ -756,7 +779,7 @@ object Graph {
     // constant-width HLL registers instead — per-vertex state is 2^p
     // bytes regardless of maxKey, so the fold survives a key domain
     // the dense bitset cannot (~2.5 MB/vertex at a 20M-key domain).
-    if ((maxKey >> 6) + 1 > khopExactMaxWords) {
+    if (useWideRegisters(maxKey)) {
       return khopCensusHll(spark, sym, graft.functions.HllReach.defaultP)
     }
     val nWords = (maxKey >> 6).toInt + 1
@@ -880,6 +903,52 @@ object Graph {
     distanceDistFrom(spark, sym)
   }
 
+  /** Per-vertex cumulative reach counts (u, c1, c2, c3) at hops
+    * 1..[[khopMax]], exact-bitset or HLL mode — the shared readout of
+    * [[g14DistanceDist]] and [[g16Harmonic]]. Counts are clamped
+    * monotone in h on the JOINED frame: per-vertex reach is monotone
+    * by construction, but the HLL branch's round(est − self) can dip
+    * one below the previous hop on saturated vertices, which would
+    * otherwise produce a negative per-hop delta — a no-op for the
+    * exact branch. */
+  private def monotoneReachCounts(sym: DataFrame, maxKey: Long,
+      wide: Boolean): DataFrame = {
+    import sym.sparkSession.implicits._
+    val perHop: Seq[DataFrame] = if (wide) {
+      val (nbrHll, orHll) = hllRegisterAggs(graft.functions.HllReach.defaultP)
+      val estU = udf((reg: Array[Byte]) =>
+        graft.functions.HllReach.estimate(reg))
+      hopRegisterFrames(sym, nbrHll, orHll).zipWithIndex.map { case (reg, i) =>
+        val h = i + 1
+        // hop >= 2: the symmetric fold put u into its own sketch
+        val self = if (h >= 2) 1.0 else 0.0
+        reg.select($"u",
+          greatest(round(estU($"bits") - lit(self)), lit(0.0))
+            .cast("long").as(s"c$h"))
+      }
+    } else {
+      val nWords = (maxKey >> 6).toInt + 1
+      val (nbrBits, orBits) = exactRegisterAggs(nWords)
+      hopRegisterFrames(sym, nbrBits, orBits).zipWithIndex.map { case (reg, i) =>
+        reg.select($"u", exactReachCnt.as(s"c${i + 1}"))
+      }
+    }
+    // fold the hop frames into (u, c1, c2, c3) with ONE union+groupBy
+    // instead of a 3-way join: Spark's size estimate for the
+    // checkpointed register RDDs includes the wide `bits` arrays, so
+    // the join planner tries to BROADCAST a "small" count frame whose
+    // estimate is actually gigabytes — the fold has no broadcast to
+    // mis-plan and ships one narrow exchange
+    val tagged = perHop.zipWithIndex.map { case (df, i) =>
+      df.select($"u", lit(i + 1).as("h"), col(s"c${i + 1}").as("c"))
+    }.reduce(_ unionAll _)
+    val aggs = (1 to khopMax).map(h =>
+      max(when($"h" === h, $"c")).as(s"c$h"))
+    tagged.groupBy($"u").agg(aggs.head, aggs.tail: _*)
+      .withColumn("c2", greatest($"c2", $"c1"))
+      .withColumn("c3", greatest($"c3", $"c2"))
+  }
+
   /** The g14 readout over an already-built symmetric edge frame —
     * split out so GraphSpec can drive the wide-domain HLL branch on a
     * synthetic graph (`forceHll`). */
@@ -896,33 +965,8 @@ object Graph {
     // HLL registers — per-hop counts become ~1.6%-error estimates and
     // the effective radius a RATIO of a vertex's own estimates (the
     // shared-universe collision bias largely cancels)
-    val wide = forceHll || (maxKeyOpt.get >> 6) + 1 > khopExactMaxWords
-    val perHop: Seq[DataFrame] = if (wide) {
-      val (nbrHll, orHll) = hllRegisterAggs(graft.functions.HllReach.defaultP)
-      val estU = udf((reg: Array[Byte]) =>
-        graft.functions.HllReach.estimate(reg))
-      hopRegisterFrames(sym, nbrHll, orHll).zipWithIndex.map { case (reg, i) =>
-        val h = i + 1
-        // hop >= 2: the symmetric fold put u into its own sketch
-        val self = if (h >= 2) 1.0 else 0.0
-        reg.select($"u",
-          greatest(round(estU($"bits") - lit(self)), lit(0.0))
-            .cast("long").as(s"c$h"))
-      }
-    } else {
-      val nWords = (maxKeyOpt.get >> 6).toInt + 1
-      val (nbrBits, orBits) = exactRegisterAggs(nWords)
-      hopRegisterFrames(sym, nbrBits, orBits).zipWithIndex.map { case (reg, i) =>
-        reg.select($"u", exactReachCnt.as(s"c${i + 1}"))
-      }
-    }
-    // per-vertex reach is monotone in h by construction; enforce it on
-    // the JOINED counts so the HLL branch (where round(est−self) can
-    // dip one below the previous hop on saturated vertices) can never
-    // produce a negative per-hop delta — a no-op for the exact branch
-    val cu = perHop.reduce(_.join(_, "u"))
-      .withColumn("c2", greatest($"c2", $"c1"))
-      .withColumn("c3", greatest($"c3", $"c2"))
+    val wide = forceHll || useWideRegisters(maxKeyOpt.get)
+    val cu = monotoneReachCounts(sym, maxKeyOpt.get, wide)
       .withColumn("eff",
         when($"c1" * 10 >= $"c3" * 9, 1)
           .when($"c2" * 10 >= $"c3" * 9, 2).otherwise(3))
@@ -943,6 +987,48 @@ object Graph {
         r4(cum.toDouble / nTot.toDouble), nEff(h - 1))
     }.toDF("hop", "n_new_pairs", "pct_pairs", "cum_share", "n_radius_nodes")
       .orderBy($"hop")
+  }
+
+  /** Rows on the g16 leaderboard. */
+  val harmonicTopK = 10
+
+  /** D256: bounded harmonic-centrality leaderboard — the top-10 most
+    * central parts of the strong affinity graph by hop-bounded
+    * harmonic centrality Σ_{h≤3} new_h/h (Boldi & Vigna's axiomatized
+    * centrality, the quantity HyperBall was built to estimate): the
+    * "which products sit closest to everything" readout g14 only
+    * aggregates in distribution form. Reported as `harmonic6` =
+    * 6·new₁ + 3·new₂ + 2·new₃ — six times the harmonic sum, an EXACT
+    * INTEGER (no per-vertex double accumulation to hash-drift), ties
+    * by part key.
+    *
+    * Plan: the SAME HyperBall register supersteps as g12/g14
+    * ([[hopRegisterFrames]] via [[monotoneReachCounts]] — third
+    * consumer of the shared loop), auto-switching to HLL registers
+    * past the exact-width ceiling like its siblings; the leaderboard
+    * is a TakeOrdered top-10, never a global sort.
+    *
+    * Scale shape: g14's exactly — 2 join+fold supersteps over the
+    * support-pruned graph, one row per vertex throughout, plus a
+    * top-k. */
+  def g16Harmonic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = strongEdges(spark, dir)
+    val sym = und.select($"src".as("u"), $"dst".as("v"))
+      .unionAll(und.select($"dst".as("u"), $"src".as("v")))
+      .localCheckpoint()
+    val maxKeyOpt = Option(sym.agg(max($"v")).head().get(0))
+      .map(_.asInstanceOf[Long])
+    if (maxKeyOpt.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("part_key", "reach1", "reach3", "harmonic6")
+    val wide = useWideRegisters(maxKeyOpt.get)
+    monotoneReachCounts(sym, maxKeyOpt.get, wide)
+      .select($"u".as("part_key"), $"c1".as("reach1"), $"c3".as("reach3"),
+        (lit(6L) * $"c1" + lit(3L) * ($"c2" - $"c1")
+          + lit(2L) * ($"c3" - $"c2")).as("harmonic6"))
+      .orderBy($"harmonic6".desc, $"part_key").limit(harmonicTopK)
+      .orderBy($"harmonic6".desc, $"part_key")
   }
 
   /** Tail thresholds the power-law fit is evaluated at. */
@@ -1053,6 +1139,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g16_harmonic" -> g16Harmonic,
     "g15_powerlaw" -> g15PowerlawFit,
     "g14_distance_dist" -> g14DistanceDist,
     "g13_hits" -> g13Hits,
@@ -1341,6 +1428,34 @@ object Graph {
               AS avg_reach,
             max_reach
           FROM st ORDER BY hop""",
+    "g16_harmonic" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          sym AS (SELECT src AS u, dst AS v FROM und
+                  UNION ALL SELECT dst, src FROM und),
+          r1 AS (SELECT DISTINCT u, v FROM sym),
+          r2 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT r.u, s.v FROM r1 r JOIN sym s ON r.v = s.u
+            WHERE r.u <> s.v
+            UNION ALL SELECT u, v FROM r1)),
+          r3 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT r.u, s.v FROM r2 r JOIN sym s ON r.v = s.u
+            WHERE r.u <> s.v
+            UNION ALL SELECT u, v FROM r2)),
+          k1 AS (SELECT u, CAST(count(*) AS BIGINT) AS c1
+                 FROM r1 GROUP BY u),
+          k2 AS (SELECT u, CAST(count(*) AS BIGINT) AS c2
+                 FROM r2 GROUP BY u),
+          k3 AS (SELECT u, CAST(count(*) AS BIGINT) AS c3
+                 FROM r3 GROUP BY u)
+          SELECT k1.u AS part_key, c1 AS reach1, c3 AS reach3,
+            6 * c1 + 3 * (c2 - c1) + 2 * (c3 - c2) AS harmonic6
+          FROM k1 JOIN k2 ON k1.u = k2.u JOIN k3 ON k1.u = k3.u
+          ORDER BY harmonic6 DESC, part_key LIMIT $harmonicTopK""",
     "g14_distance_dist" ->
       s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

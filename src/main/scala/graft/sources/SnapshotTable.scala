@@ -230,6 +230,34 @@ object SnapshotTable {
         .parquet(m.files.map(f => new HPath(path, f).toString): _*)
   }
 
+  /** Copy-on-write upsert (MERGE-lite): commit a version whose
+    * contents are the current snapshot with `updates` rows replacing
+    * same-key rows and new-key rows appended — the CDC-apply step
+    * (q33's semantics) landed as a TABLE operation, so readers time
+    * travel across merge generations. The rewrite is full-snapshot:
+    * right for the dimension-sized tables merges target (SCD feeds,
+    * registries); a data-scale MERGE needs file-level pruning of
+    * untouched files, deliberately out of scope here. Returns the
+    * committed version. */
+  def merge(updates: DataFrame, path: String,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = updates.sparkSession
+    if (versions(spark, path).isEmpty)
+      return writeSnapshot(updates, path)
+    val cur = readSnapshot(spark, path)
+    // names + types must line up; nullability may differ (a parquet
+    // read-back is nullable even when the writing frame was not)
+    require(cur.schema.map(f => (f.name, f.dataType)) ==
+        updates.schema.map(f => (f.name, f.dataType)),
+      s"merge schema mismatch: table has ${cur.schema}, " +
+        s"updates have ${updates.schema}")
+    val survivors = cur.join(
+      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+      keyCols, "left_anti")
+    writeSnapshot(survivors.unionAll(updates), path)
+  }
+
   /** Default vacuum grace: unreferenced files younger than this are
     * presumed to belong to an IN-FLIGHT commit (landed but not yet
     * published) and are left alone — the Delta/Iceberg retention

@@ -446,6 +446,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._5).sum == c1.size.toLong)
   }
 
+  test("g16 harmonic leaderboard equals a brute BFS replay") {
+    val edges = Graph.strongEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var reach = adj
+    val counts: Seq[Map[Long, Long]] = (1 to Graph.khopMax).map { h =>
+      if (h > 1)
+        reach = reach.map { case (u, s) =>
+          u -> (s ++ s.flatMap(v => adj.getOrElse(v, Set.empty)) - u)
+        }
+      reach.map { case (u, s) => u -> s.size.toLong }
+    }
+    val expected = adj.keys.toSeq.map { u =>
+      val c1 = counts(0)(u); val c2 = counts(1)(u); val c3 = counts(2)(u)
+      (u, c1, c3, 6 * c1 + 3 * (c2 - c1) + 2 * (c3 - c2))
+    }.sortBy(t => (-t._4, t._1)).take(Graph.harmonicTopK)
+    val got = Graph.g16Harmonic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // the integer harmonic is bounded by its reach counts: every
+    // reached vertex contributes 2..6 of the 6-scaled weight
+    got.foreach { case (_, _, c3, h6) =>
+      assert(h6 >= 2 * c3 && h6 <= 6 * c3)
+    }
+  }
+
   test("g12 HLL mode tracks the exact census within 2% per hop") {
     val exact = Graph.g12KHop(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))

@@ -303,6 +303,28 @@ class SinksSpec extends AnyFunSuite {
     assert(Set(w2, w3) == Set("w1", "w2"), "each commit holds one writer's rows")
   }
 
+  test("snapshot table: merge upserts by key and preserves history") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_merge") + "/tbl"
+    // merge into an empty table = plain first commit
+    assert(SnapshotTable.merge(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq("id")) == 1L)
+    // update key 2, insert key 3
+    assert(SnapshotTable.merge(
+      Seq((2L, "x"), (3L, "c")).toDF("id", "v"), t, Seq("id")) == 2L)
+    def rows(ver: Long) = SnapshotTable.readSnapshot(spark, t, ver)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows(2) == Seq((1L, "a"), (2L, "x"), (3L, "c")))
+    // time travel across merge generations: v1 is untouched
+    assert(rows(1) == Seq((1L, "a"), (2L, "b")))
+    // schema drift is rejected before any commit lands
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(Seq((9L, 1.5)).toDF("id", "z"), t, Seq("id"))
+    }
+    assert(SnapshotTable.latestVersion(spark, t) == 2L)
+  }
+
   test("snapshot table: streaming batches land exactly-once as tagged versions") {
     import spark.implicits._
     import graft.sources.SnapshotTable
