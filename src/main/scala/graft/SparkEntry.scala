@@ -26,6 +26,7 @@ object SparkEntry {
       (operators.KMeans.queries, operators.KMeans.oracle),
       (operators.Ols.queries, operators.Ols.oracle),
       (operators.Logistic.queries, operators.Logistic.oracle),
+      (operators.Stump.queries, operators.Stump.oracle),
       (operators.Poisson.queries, operators.Poisson.oracle),
       (operators.TimeSeries.queries, operators.TimeSeries.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),

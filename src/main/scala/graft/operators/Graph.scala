@@ -1138,7 +1138,62 @@ object Graph {
     out
   }
 
+  /** D259: weakly-connected-component census over the support-pruned
+    * affinity graph — component count and size distribution: the
+    * "product family" structural readout (how many independent
+    * co-purchase clusters exist, and are they a few giants or many
+    * small families?). The graph twin of d8's near-dup clustering,
+    * run on [[strongEdges]] where components are MEANINGFUL (the
+    * un-pruned basket graph is one giant blob by construction).
+    * Parts in no strong edge are singleton components (counted — a
+    * census that silently drops isolated nodes under-reports the
+    * denominator).
+    *
+    * Scale shape: min-label propagation to FIXPOINT (d8's loop: one
+    * co-partitioned join + one min-aggregation per superstep,
+    * `localCheckpoint` lineage truncation, convergence by exact
+    * label-sum invariant — supersteps bounded by component diameter,
+    * which support-pruning keeps small); the census is two
+    * partial-aggregated rollups (assignment → size → histogram), and
+    * the histogram is bounded by #distinct sizes ≤ √(2·|V|) rows.
+    * The oracle replays the components as d8's recursive-closure CTE
+    * (exact same assignment, engine-independent). */
+  def g17Wcc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = strongEdges(spark, dir).select($"src", $"dst")
+    val edges = und.union(und.select($"dst", $"src"))
+      .toDF("u", "v").localCheckpoint()
+    var labels = edges.select($"u").distinct()
+      .select($"u", $"u".as("lbl")).localCheckpoint()
+    var prevSum = labels.agg(coalesce(sum($"lbl"), lit(0L))).as[Long].head()
+    var converged = edges.isEmpty
+    var iters = 0
+    while (!converged && iters < Dedup.maxLabelIters) {
+      val next = labels
+        .union(edges.join(labels.withColumnRenamed("u", "v"), "v")
+          .select($"u", $"lbl"))
+        .groupBy($"u").agg(min($"lbl").as("lbl"))
+        .localCheckpoint()
+      val sum2 = next.agg(coalesce(sum($"lbl"), lit(0L))).as[Long].head()
+      labels = next
+      converged = sum2 == prevSum
+      prevSum = sum2
+      iters += 1
+    }
+    require(converged,
+      s"label propagation did not converge in ${Dedup.maxLabelIters} rounds")
+    val assign = Tables.part(spark, dir).select($"p_partkey")
+      .join(labels.withColumnRenamed("u", "p_partkey"), Seq("p_partkey"), "left")
+      .select(coalesce($"lbl", $"p_partkey").as("comp"))
+    assign.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
+      .groupBy($"comp_size").agg(count(lit(1)).as("n_components"))
+      .select($"comp_size", $"n_components",
+        ($"comp_size" * $"n_components").as("n_parts"))
+      .orderBy($"comp_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g17_wcc" -> g17Wcc,
     "g16_harmonic" -> g16Harmonic,
     "g15_powerlaw" -> g15PowerlawFit,
     "g14_distance_dist" -> g14DistanceDist,
@@ -1207,6 +1262,26 @@ object Graph {
         GROUP BY pk)"""
 
   val oracle: Map[String, String] = Map(
+    "g17_wcc" ->
+      s"""WITH RECURSIVE p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          und AS (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          edges AS (SELECT src AS u, dst AS v FROM und
+                    UNION ALL SELECT dst AS u, src AS v FROM und),
+          r(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+                      UNION
+                      SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u, min(v) AS lbl FROM r GROUP BY u),
+          assign AS (SELECT coalesce(c.lbl, p.p_partkey) AS comp
+                     FROM part p LEFT JOIN comp c ON p.p_partkey = c.u),
+          cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS comp_size
+                 FROM assign GROUP BY comp)
+          SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components,
+            CAST(comp_size * count(*) AS BIGINT) AS n_parts
+          FROM cs GROUP BY comp_size ORDER BY comp_size""",
     "g10_rich_club" -> {
       val selects = richClubPcts.map { p =>
         s"""SELECT CAST($p AS DOUBLE) AS top_pct,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedPersist
 import graft.sources.Tables
 
 /** D111: logistic regression by IRLS over the documents table —
@@ -185,9 +186,60 @@ object Logistic {
           .as("f1"))
   }
 
+  /** D265: calibration curve + Brier score for the trained GLM — per
+    * predicted-probability decile: row count, mean predicted
+    * probability, observed positive rate; plus the overall row
+    * (bin = −1 via ROLLUP) whose Brier score is the proper scoring
+    * rule. p13 grades the DECISIONS (threshold confusion); this
+    * grades the PROBABILITIES — the readout that decides whether the
+    * model's scores can be consumed as probabilities (mixture
+    * weighting, expected-loss ranking) or only as a ranking.
+    *
+    * Bins are ten equal-width slices of the OBSERVED ppm score range
+    * (a weakly-separating model concentrates its scores — absolute
+    * [0,1] deciles would put the whole corpus in one bin and no curve
+    * exists to read).
+    *
+    * Exactness: the score pq is already a ppm-grid INTEGER
+    * ([[pqCol]]); the range bin ((pq−min)·10 div (max−min+1)), Σpq,
+    * Σy, and the Brier numerator Σ(pq − y·10⁶)² are all exact
+    * integers (decimal(38,0)/HUGEINT — the squared term reaches 1e12
+    * per row); each output stat is ONE double division over exact
+    * integers, 4-dp. No float ever sums across rows.
+    *
+    * Scale shape: the two IRLS moment passes + a scoring scan reduced
+    * map-side to the 1-row range frame (broadcast-crossed back, the
+    * q43 shape) + ONE census scan reduced to ≤ 11 rollup rows. */
+  def p18Calibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = design(spark, dir)
+    val beta = fitTrace(d, lrIters).last
+    val pqd = d.withColumn("pq", pqCol(beta.b0, beta.b1, col("x")))
+      .scopedPersist()
+    val range = pqd.agg(min($"pq").as("mnq"), max($"pq").as("mxq"))
+    val scored = pqd
+      .crossJoin(broadcast(range))
+      .withColumn("bin", expr("((pq - mnq) * 10) div (mxq - mnq + 1)"))
+      .withColumn("eq", ($"pq" - $"y" * lit(1000000L)).cast("decimal(38,0)"))
+    scored.rollup($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum($"pq".cast("decimal(38,0)")).as("spq"),
+        sum($"y").as("sy"),
+        sum($"eq" * $"eq").as("se"))
+      .select(coalesce($"bin", lit(-1L)).as("bin"), $"n",
+        expr("round(CAST(spq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 4)")
+          .as("mean_pred"),
+        expr("round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4)")
+          .as("obs_rate"),
+        expr("round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 4)")
+          .as("brier"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p11_logistic" -> p11Logistic,
-    "p13_logistic_eval" -> p13LogisticEval)
+    "p13_logistic_eval" -> p13LogisticEval,
+    "p18_calibration" -> p18Calibration)
 
   /** The shared moment/solve SQL text for one step. `pqExpr` supplies
     * the quantized-p expression over row set `src` (which must expose
@@ -215,6 +267,47 @@ object Logistic {
   }
 
   val oracle: Map[String, String] = Map(
+    "p18_calibration" ->
+      s"""WITH d AS (SELECT n_chars // 100 AS x,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+          s1 AS (SELECT x, y, CAST(500000 AS BIGINT) AS pq FROM d),
+          ${stepSql("s1", "m1", "beta1", withEta = false)},
+          s2 AS (SELECT d.x, d.y,
+              CAST(round((b.b0 + b.b1 * CAST(d.x AS DOUBLE)) * 1e6)
+                AS BIGINT) AS etaq,
+              least($pqMax, greatest($pqMin,
+                CAST(round(1000000.0 * (1.0 / (1.0 +
+                  exp(-(CAST(CAST(round((b.b0 + b.b1 * CAST(d.x AS DOUBLE))
+                    * 1e6) AS BIGINT) AS DOUBLE) / 1e6))))) AS BIGINT)))
+                AS pq
+            FROM d CROSS JOIN beta1 b),
+          ${stepSql("s2", "m2", "beta2", withEta = true)},
+          sc AS (SELECT d.y,
+              least($pqMax, greatest($pqMin,
+                CAST(round(1000000.0 * (1.0 / (1.0 +
+                  exp(-(CAST(CAST(round((b.b0 + b.b1 * CAST(d.x AS DOUBLE))
+                    * 1e6) AS BIGINT) AS DOUBLE) / 1e6))))) AS BIGINT)))
+                AS pq
+            FROM d CROSS JOIN beta2 b),
+          rg AS (SELECT CAST(min(pq) AS BIGINT) AS mnq,
+              CAST(max(pq) AS BIGINT) AS mxq FROM sc),
+          b0 AS (SELECT ((sc.pq - rg.mnq) * 10) // (rg.mxq - rg.mnq + 1)
+                AS bin, sc.y, sc.pq,
+              sc.pq - sc.y * 1000000 AS e
+            FROM sc CROSS JOIN rg),
+          g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(pq AS HUGEINT)) AS spq,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(e AS HUGEINT) * e) AS se
+            FROM b0 GROUP BY ROLLUP(bin))
+          SELECT coalesce(bin, -1) AS bin, n,
+            round(CAST(spq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 4)
+              AS mean_pred,
+            round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS obs_rate,
+            round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 4)
+              AS brier
+          FROM g ORDER BY bin""",
     "p13_logistic_eval" ->
       s"""WITH d AS (SELECT n_chars // 100 AS x,
               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y

@@ -1539,7 +1539,81 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** SQ8 quantization levels (codes 0..255 — the classic one-byte
+    * scalar quantizer). */
+  val sqLevels = 255
+
+  /** Shared per-dimension SQ8 code expression over columns (v, mn, mx)
+    * — interpolated into BOTH engines. Degenerate dimensions
+    * (mx = mn) code to 0; the top of the range clamps to
+    * [[sqLevels]]. */
+  private val sqCodeSql =
+    s"""(CASE WHEN CAST(mx AS DOUBLE) = CAST(mn AS DOUBLE)
+        THEN CAST(0 AS BIGINT)
+        ELSE CAST(least(floor((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE))
+          / ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / $sqLevels.0)),
+          $sqLevels.0) AS BIGINT) END)"""
+
+  /** D263: SQ8 scalar-quantization ANN — the third classic index
+    * compression next to PQ (s7) and IVF (s6): each dimension is
+    * independently quantized to one byte against its corpus min/max,
+    * candidate ranking is the EXACT integer squared distance in code
+    * space (symmetric SQ distance), and only the [[pqShortlist]]
+    * survivors are re-read as floats for the exact cosine re-rank
+    * (s7's readout contract). SQ8 is what production stores default
+    * to when recall matters more than PQ's 32× compression — 4× is
+    * free and nearly lossless.
+    *
+    * Determinism: per-dim min/max are exact float order statistics;
+    * the code is ONE shared IEEE expression ([[sqCodeSql]]); code
+    * distances are exact integers, so the shortlist — ordered by
+    * (distance, neighbor_id) — is engine-independent; the re-rank
+    * reuses the s1 ascending-fold cosine.
+    *
+    * Scale shape: the stats census reduces to DIM rows; codes ride a
+    * broadcast equi-join on the dim index; the corpus-wide candidate
+    * scan carries integer codes only (the s7 ADC cost argument), with
+    * the salted two-phase top-k so no single reducer sees the corpus;
+    * float vectors are re-read for ≤ shortlist·|Q| rows. */
+  def s26KnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val ex = emb.select($"vec_id", posexplode($"embedding").as(Seq("i", "v")))
+    val stats = ex.groupBy($"i").agg(min($"v").as("mn"), max($"v").as("mx"))
+    val codes = ex.join(broadcast(stats), "i")
+      .select($"vec_id".as("neighbor_id"), $"i", expr(sqCodeSql).as("code"))
+      .scopedPersist()
+    val qCodes = codes.filter($"neighbor_id" < 5)
+      .select($"neighbor_id".as("query_id"), $"i", $"code".as("qcode"))
+    val dists = codes.join(broadcast(qCodes), "i")
+      .filter($"neighbor_id" =!= $"query_id")
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum(($"qcode" - $"code") * ($"qcode" - $"code")).as("d"))
+      .withColumn("salt", pmod(crc32($"neighbor_id".cast("string")), lit(32)))
+    val wLocal = Window.partitionBy($"query_id", $"salt")
+      .orderBy($"d".asc, $"neighbor_id")
+    val wAll = Window.partitionBy($"query_id").orderBy($"d".asc, $"neighbor_id")
+    val shortlist = dists
+      .withColumn("rk_local", row_number().over(wLocal))
+      .filter($"rk_local" <= pqShortlist)
+      .withColumn("rk_sq", row_number().over(wAll))
+      .filter($"rk_sq" <= pqShortlist)
+      .select($"query_id", $"neighbor_id")
+    val qEmb = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    shortlist
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id")
+      .join(broadcast(qEmb), "query_id")
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_knn_sq8" -> s26KnnSq8,
     "s13_triplet_mining" -> s13TripletMining,
     "s14_kcenter_sample" -> s14KcenterSample,
     "s9_mmr_rerank" -> s9MmrRerank,
@@ -2033,6 +2107,35 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "s26_knn_sq8" ->
+      s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings),
+          st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i),
+          c0 AS (SELECT e.vec_id, e.i, e.v, s.mn, s.mx
+                 FROM ex e JOIN st s USING (i)),
+          cc AS (SELECT vec_id AS neighbor_id, i, $sqCodeSql AS code
+                 FROM c0),
+          qc AS (SELECT neighbor_id AS query_id, i, code AS qcode
+                 FROM cc WHERE neighbor_id < 5),
+          d AS (SELECT q.query_id, c.neighbor_id,
+                  CAST(sum((q.qcode - c.code) * (q.qcode - c.code))
+                    AS BIGINT) AS d
+                FROM cc c JOIN qc q ON c.i = q.i
+                WHERE c.neighbor_id <> q.query_id
+                GROUP BY 1, 2),
+          sl AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+                  FROM d) WHERE rk <= $pqShortlist),
+          scored AS (SELECT s.query_id, s.neighbor_id, $cosSql AS cos
+                     FROM sl s JOIN embeddings a ON a.vec_id = s.query_id
+                               JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+          SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+            round(cos, 4) AS cos_sim
+          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "s13_triplet_mining" ->
       s"""WITH sc AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
               (b.label = a.label) AS same, $cosSql AS cos

@@ -1308,9 +1308,81 @@ object Stats {
       .orderBy($"priority")
   }
 
+  // --------------------------------------------------------------- q112
+
+  /** BH false-discovery-rate level. */
+  val bhAlpha = 0.05
+
+  /** Shared IEEE fragments for [[q112BhFdr]] (the q103 discipline).
+    * z over the exact integer census columns (n, x, nr, xr, nt, xt);
+    * the two-sided normal p-value over column z via the
+    * Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7):
+    * p = 2(1 − Φ(|z|)) = erfc(|z|/√2) = poly(t)·exp(−x²). */
+  private val bhZSql =
+    """((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        - CAST(xr AS DOUBLE) / CAST(nr AS DOUBLE))
+        / sqrt((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+          * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+          * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nr AS DOUBLE))))"""
+  private val bhXSql = "(abs(z) / sqrt(2.0))"
+  private val bhTSql = s"(1.0 / (1.0 + 0.3275911 * $bhXSql))"
+  private val bhPSql =
+    s"""((((((1.061405429 * $bhTSql - 1.453152027) * $bhTSql
+        + 1.421413741) * $bhTSql - 0.284496736) * $bhTSql
+        + 0.254829592) * $bhTSql) * exp(-$bhXSql * $bhXSql))"""
+
+  /** D262: Benjamini–Hochberg FDR over the per-nation test family —
+    * for every nation, a pooled two-proportion z-test of its URGENT
+    * order share against the rest of the world, then the BH step-up
+    * procedure at α = [[bhAlpha]] across all m simultaneous tests:
+    * the multiple-comparisons control that turns q67/q100-style
+    * per-group readouts into an honest discovery list (25 uncorrected
+    * tests at α=.05 expect a false positive; a per-nation anomaly
+    * dashboard without FDR control IS that false positive).
+    *
+    * Determinism: the per-nation census (n, x) and complements are
+    * exact integers; z and p are ONE shared IEEE tree interpolated
+    * into both engines ([[bhZSql]]/[[bhPSql]] — exp() is the t12/t26
+    * transcendental precedent); ranks order by (raw p, nation); the
+    * BH cutoff k* = max rank with p ≤ αk/m and the rejected flags are
+    * integer comparisons on those shared doubles.
+    *
+    * Scale shape: one partial-aggregated census to ≤ |nation| rows,
+    * a 1-row total broadcast-crossed in, and windows over the
+    * m-row frame — nothing after the scan is data-sized. */
+  def q112BhFdr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byNation = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(($"o_orderpriority" === "1-URGENT").cast("long")).as("x"))
+    val tot = byNation.agg(sum($"n").as("nt"), sum($"x").as("xt"),
+      count(lit(1)).as("m"))
+    val base = byNation.crossJoin(broadcast(tot))
+      .withColumn("nr", $"nt" - $"n").withColumn("xr", $"xt" - $"x")
+      .withColumn("z", expr(bhZSql))
+      .withColumn("p", expr(bhPSql))
+    val w = Window.orderBy($"p", $"nation")
+    val all = Window.partitionBy()
+    base.withColumn("p_rank", row_number().over(w))
+      .withColumn("flag",
+        when(expr(s"p <= $bhAlpha * CAST(p_rank AS DOUBLE) / CAST(m AS DOUBLE)"),
+          $"p_rank").otherwise(lit(0)))
+      .withColumn("kstar", max($"flag").over(all))
+      .select($"nation", $"n".as("n_orders"), $"x".as("n_urgent"),
+        round($"z", 4).as("z"), round($"p", 4).as("p_value"),
+        $"p_rank", ($"p_rank" <= $"kstar").cast("int").as("rejected"))
+      .orderBy($"nation")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_bh_fdr" -> q112BhFdr,
     "q92_mann_whitney" -> q92MannWhitney,
     "q93_cramers_v" -> q93CramersV,
     "q94_mcnemar" -> q94Mcnemar,
@@ -1336,6 +1408,33 @@ object Stats {
     "q90_changepoint" -> q90Changepoint)
 
   val oracle: Map[String, String] = Map(
+    "q112_bh_fdr" ->
+      s"""WITH c AS (SELECT n.n_name AS nation,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+                AS BIGINT) AS x
+            FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+              JOIN nation n ON cu.c_nationkey = n.n_nationkey
+            GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+              CAST(sum(x) AS BIGINT) AS xt,
+              CAST(count(*) AS BIGINT) AS m FROM c),
+          b AS (SELECT c.nation, c.n, c.x, t.nt, t.xt, t.m,
+              t.nt - c.n AS nr, t.xt - c.x AS xr
+            FROM c CROSS JOIN t),
+          z0 AS (SELECT *, $bhZSql AS z FROM b),
+          p0 AS (SELECT *, $bhPSql AS p FROM z0),
+          r0 AS (SELECT *, CAST(row_number()
+              OVER (ORDER BY p, nation) AS INT) AS p_rank FROM p0),
+          f0 AS (SELECT *, CASE WHEN p <= $bhAlpha
+                * CAST(p_rank AS DOUBLE) / CAST(m AS DOUBLE)
+              THEN p_rank ELSE 0 END AS flag FROM r0),
+          k0 AS (SELECT *, max(flag) OVER () AS kstar FROM f0)
+          SELECT nation, n AS n_orders, x AS n_urgent,
+            round(z, 4) AS z, round(p, 4) AS p_value, p_rank,
+            CAST(CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END AS INT)
+              AS rejected
+          FROM k0 ORDER BY nation""",
     "q105_friedman" ->
       """WITH m AS (SELECT (year(o_orderdate) * 12 + month(o_orderdate))
                   AS mo, o_orderpriority AS priority,

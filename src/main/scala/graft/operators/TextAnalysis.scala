@@ -1536,7 +1536,56 @@ object TextAnalysis {
       .orderBy($"epoch")
   }
 
+  /** Shared IEEE readability expressions over exact integer columns
+    * (n_words, n_sentences, n_syllables) — interpolated into BOTH
+    * engines (the q103 discipline). */
+  private val fleschSql =
+    """(206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+        / CAST(n_sentences AS DOUBLE))
+        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))"""
+  private val fkGradeSql =
+    """(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        - 15.59)"""
+
+  /** D261: Flesch readability per document — reading-ease score and
+    * Flesch–Kincaid grade level from exact word / sentence / syllable
+    * counts: the classic text-difficulty feature a curriculum builder
+    * (c7) or quality filter (t3/t35) consumes as a complexity axis
+    * the existing length/stopword heuristics don't capture.
+    * Sentences = terminal-punctuation runs are approximated by
+    * counting [.!?] glyphs (min 1 so fragments don't divide by
+    * zero); syllables per word = vowel-group count ([aeiouy]+ runs,
+    * min 1) — the standard cheap deterministic approximation (real
+    * hyphenation dictionaries are a lookup table this pipeline would
+    * broadcast; the COUNTING plumbing is identical).
+    *
+    * Determinism: all three counts are exact integers (regexp_count
+    * over each engine's regex on a character-class pattern — no
+    * engine-divergent syntax); the two scores are ONE shared IEEE
+    * tree ([[fleschSql]]/[[fkGradeSql]]), 4-dp.
+    *
+    * Scale shape: a pure per-row projection — the syllable fold is a
+    * higher-order `aggregate` over the token array (codegen'd, no
+    * UDF), no shuffle anywhere except the output sort. */
+  def t41Flesch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id",
+      size(tokens($"text")).cast("long").as("n_words"),
+      greatest(regexp_count($"text", lit("[.!?]")), lit(1)).cast("long")
+        .as("n_sentences"),
+      aggregate(transform(tokens($"text"),
+          w => greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_syllables"))
+    base.select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        expr(s"round($fleschSql, 4)").as("flesch"),
+        expr(s"round($fkGradeSql, 4)").as("fk_grade"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t41_flesch" -> t41Flesch,
     "t40_oov_drift" -> t40OovDrift,
     "t30_entropy_rate" -> t30EntropyRate,
     "t27_simpson" -> t27Simpson,
@@ -1680,6 +1729,20 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t41_flesch" ->
+      s"""WITH b AS (SELECT doc_id,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                AS n_words,
+              CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                AS BIGINT) AS n_sentences,
+              CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+                AS BIGINT) AS n_syllables
+            FROM documents)
+          SELECT doc_id, n_words, n_sentences, n_syllables,
+            round($fleschSql, 4) AS flesch,
+            round($fkGradeSql, 4) AS fk_grade
+          FROM b ORDER BY doc_id""",
     "t40_oov_drift" ->
       s"""WITH vocab AS (SELECT term FROM (
               SELECT unnest($toksSql) AS term

@@ -315,13 +315,82 @@ object TimeSeries {
       .orderBy($"lag")
   }
 
+  /** Shared IEEE expression fragments for [[q111YuleWalker]] — built
+    * once and interpolated into BOTH the Spark plan and the DuckDB
+    * oracle so the two engines evaluate the identical operator tree
+    * over the identical exact-integer moments (the q103 discipline).
+    * c_k is the biased lag-k autocovariance expanded so every input
+    * is an exact integer: c_k = (p_k − ȳ(a_k+b_k) + n_k·ȳ²)/n. */
+  private val ywYbar = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+  private def ywC(k: Int) =
+    s"""((CAST(p$k AS DOUBLE) - $ywYbar * (CAST(a$k AS DOUBLE)
+        + CAST(b$k AS DOUBLE)) + CAST(n$k AS DOUBLE) * $ywYbar * $ywYbar)
+        / CAST(n AS DOUBLE))"""
+  private val ywR1 = s"(${ywC(1)} / ${ywC(0)})"
+  private val ywR2 = s"(${ywC(2)} / ${ywC(0)})"
+  private val ywDen = s"(1.0 - $ywR1 * $ywR1)"
+  private val ywPhi1 = s"($ywR1 * (1.0 - $ywR2) / $ywDen)"
+  private val ywPhi2 = s"(($ywR2 - $ywR1 * $ywR1) / $ywDen)"
+
+  /** D258: AR(2) fit by Yule–Walker — autoregressive coefficients
+    * φ₁, φ₂ of the daily-revenue series from its lag-1/lag-2
+    * autocorrelations: the first MODEL in the time-series family
+    * (q77 measures the ACF; this solves the 2×2 Yule–Walker system
+    * r₁ = φ₁ + φ₂r₁, r₂ = φ₁r₁ + φ₂ for the coefficients a forecaster
+    * or residual-whitening step would actually use). Lags are in
+    * OBSERVATION order (q65's series semantics — unobserved days are
+    * skipped, not zero-filled).
+    *
+    * Determinism: all eleven moments (n, Σy, Σy², per-lag pair count,
+    * Σy_t·y_{t−k} and the two boundary sums Σ_{t>k}y_t, Σ_{t≤n−k}y_t)
+    * are EXACT integers accumulated as decimal(38,0)/HUGEINT in one
+    * aggregate; autocovariances, r₁/r₂, and the YW closed forms are
+    * ONE shared IEEE expression tree ([[ywPhi1]]/[[ywPhi2]])
+    * interpolated into both engines, 4-dp.
+    *
+    * Scale shape: one partial-aggregated rollup to the daily census
+    * (rows = calendar days, not orders — the q107 bound), one
+    * unpartitioned lag window over that days-sized frame, ONE
+    * map-side-combined aggregate to a single moment row. */
+  def q111YuleWalker(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .select(to_date($"o_orderdate").as("day"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("y"))
+    val w = Window.orderBy($"day")
+    val lagged = daily.select($"y",
+      lag($"y", 1).over(w).as("y1"), lag($"y", 2).over(w).as("y2"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // null lag products drop out of sum() — exactly the t>k boundary
+    val m = lagged.agg(
+      count(lit(1)).as("n"), sum(dec($"y")).as("s"),
+      sum(dec($"y") * $"y").as("p0"),
+      count($"y1").as("n1"),
+      sum(dec($"y") * $"y1").as("p1"),
+      sum(when($"y1".isNotNull, dec($"y"))).as("a1"),
+      sum(dec($"y1")).as("b1"),
+      count($"y2").as("n2"),
+      sum(dec($"y") * $"y2").as("p2"),
+      sum(when($"y2".isNotNull, dec($"y"))).as("a2"),
+      sum(dec($"y2")).as("b2"))
+      .withColumn("n0", $"n").withColumn("a0", $"s").withColumn("b0", $"s")
+    m.select($"n".as("n_days"),
+      expr(s"round($ywR1, 4)").as("r1"),
+      expr(s"round($ywR2, 4)").as("r2"),
+      expr(s"round($ywPhi1, 4)").as("phi1"),
+      expr(s"round($ywPhi2, 4)").as("phi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_holt" -> q65Holt,
     "q86_holt_winters" -> q86HoltWinters,
     "q98_holt_backtest" -> q98HoltBacktest,
     "q106_ohlc" -> q106OhlcResample,
     "q107_rolling_trend" -> q107RollingTrend,
-    "q110_ccf" -> q110Ccf)
+    "q110_ccf" -> q110Ccf,
+    "q111_yule_walker" -> q111YuleWalker)
 
   /** Held-out observations per series for [[q98HoltBacktest]]. */
   val backtestHoldout = 7
@@ -438,6 +507,33 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q111_yule_walker" ->
+      s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+          l AS (SELECT y,
+              lag(y, 1) OVER (ORDER BY day) AS y1,
+              lag(y, 2) OVER (ORDER BY day) AS y2 FROM d),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(y AS HUGEINT)) AS s,
+              sum(CAST(y AS HUGEINT) * y) AS p0,
+              CAST(count(y1) AS BIGINT) AS n1,
+              sum(CAST(y AS HUGEINT) * y1) AS p1,
+              sum(CASE WHEN y1 IS NOT NULL
+                THEN CAST(y AS HUGEINT) END) AS a1,
+              sum(CAST(y1 AS HUGEINT)) AS b1,
+              CAST(count(y2) AS BIGINT) AS n2,
+              sum(CAST(y AS HUGEINT) * y2) AS p2,
+              sum(CASE WHEN y2 IS NOT NULL
+                THEN CAST(y AS HUGEINT) END) AS a2,
+              sum(CAST(y2 AS HUGEINT)) AS b2
+            FROM l),
+          m2 AS (SELECT m.*, n AS n0, s AS a0, s AS b0 FROM m)
+          SELECT n AS n_days, round($ywR1, 4) AS r1,
+            round($ywR2, 4) AS r2, round($ywPhi1, 4) AS phi1,
+            round($ywPhi2, 4) AS phi2
+          FROM m2""",
     "q110_ccf" ->
       s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
               CAST(count(*) FILTER (WHERE event_type = 'view')

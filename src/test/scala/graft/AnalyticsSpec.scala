@@ -1153,6 +1153,44 @@ class AnalyticsSpec extends AnyFunSuite {
       g._2 >= ts.rollMinDays.toLong && g._2 <= ts.rollWindowDays.toLong))
   }
 
+  test("q111 Yule-Walker AR(2) equals a brute BigDecimal-moment replay") {
+    import spark.implicits._
+    val ts = graft.operators.TimeSeries
+    // independent daily census (observation order = observed days)
+    val ys = graft.sources.Tables.orders(spark, sf)
+      .select(to_date($"o_orderdate").as("day"),
+        floor($"o_totalprice" * 100).cast("long").as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1).map(p => BigDecimal(p._2)).toVector
+    val n = ys.length
+    val s = ys.sum
+    def lagMoments(k: Int) = {
+      val pairs = (k until n).map(t => (ys(t), ys(t - k)))
+      (BigDecimal(pairs.length), pairs.map(p => p._1 * p._2).sum,
+        pairs.map(_._1).sum, pairs.map(_._2).sum)
+    }
+    // the engines' shared IEEE tree, same operand order
+    val ybar = s.toDouble / n.toDouble
+    def c(k: Int) = {
+      val (nk, pk, ak, bk) = lagMoments(k)
+      (pk.toDouble - ybar * (ak.toDouble + bk.toDouble) +
+        nk.toDouble * ybar * ybar) / n.toDouble
+    }
+    val r1e = c(1) / c(0); val r2e = c(2) / c(0)
+    val den = 1.0 - r1e * r1e
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = ts.q111YuleWalker(spark, sf).collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getDouble(1) == r4(r1e))
+    assert(row.getDouble(2) == r4(r2e))
+    assert(row.getDouble(3) == r4(r1e * (1.0 - r2e) / den))
+    assert(row.getDouble(4) == r4((r2e - r1e * r1e) / den))
+    // autocorrelations are proper
+    assert(row.getDouble(1).abs <= 1.0 && row.getDouble(2).abs <= 1.0)
+  }
+
   test("q108 growth accounting bridges exactly and bounds its residual") {
     import spark.implicits._
     val got = graft.operators.Analytics.q108GrowthAccounting(spark, sf)

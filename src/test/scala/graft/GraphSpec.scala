@@ -622,4 +622,35 @@ class GraphSpec extends AnyFunSuite {
     // the fixture's tails are non-degenerate at every threshold
     assert(got.forall(_._2 > 0))
   }
+
+  test("g17 WCC census equals a brute union-find replay") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val edges = Graph.strongEdges(spark, sf).select($"src", $"dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parts = Tables.part(spark, sf).select($"p_partkey")
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(parts.map(p => p -> p): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sizes = parts.groupBy(find).map(_._2.length.toLong).toSeq
+    val expected = sizes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.g17Wcc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => (g._1, g._2)).toMap == expected)
+    // row identity + the census accounts for every part exactly once
+    assert(got.forall(g => g._3 == g._1 * g._2))
+    assert(got.map(_._3).sum == parts.length.toLong)
+    // the census is not degenerate: a non-trivial component exists
+    // (singletons appear only when some part escapes every strong
+    // edge, which the dense smoke fixture does not guarantee)
+    assert(got.exists(_._1 > 1L))
+  }
 }

@@ -550,4 +550,94 @@ class OlsSpec extends AnyFunSuite {
     // and prices fall with discount
     assert(got.getDouble(4) > 0.0 && got.getDouble(4) < 1.0)
   }
+
+  test("p18 calibration equals a driver replay and its bins tile the corpus") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Logistic => O}
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val d = Tables.documents(spark, sf).select(
+      expr("n_chars div 100").as("x"),
+      when($"lang" === "en", 1L).otherwise(0L).as("y"))
+    // engine beta — its trace is pinned by the p11 replay test above
+    val beta = O.fitTrace(d, O.lrIters).last
+    val docs = Tables.documents(spark, sf).select("n_chars", "lang")
+      .collect()
+      .map(r => (r.getLong(0) / 100L, if (r.getString(1) == "en") 1L else 0L))
+    val scored = docs.map { case (x, y) =>
+      val e = rnd((beta.b0 + beta.b1 * x.toDouble) * 1e6)
+      val p = 1.0 / (1.0 + math.exp(-(e.toDouble / 1e6)))
+      (math.min(O.pqMax, math.max(O.pqMin, rnd(p * 1e6))), y)
+    }.toSeq
+    val mnq = scored.map(_._1).min
+    val mxq = scored.map(_._1).max
+    def binOf(pq: Long) = ((pq - mnq) * 10L) / (mxq - mnq + 1L)
+    def statsOf(rows: Seq[(Long, Long)]) = {
+      val n = rows.length.toLong
+      val spq = rows.map(r => BigInt(r._1)).sum
+      val sy = rows.map(_._2).sum
+      val se = rows.map { r =>
+        val e = BigInt(r._1 - r._2 * 1000000L); e * e
+      }.sum
+      (n, r4(spq.toDouble / (n.toDouble * 1e6)),
+        r4(sy.toDouble / n.toDouble),
+        r4(se.toDouble / (n.toDouble * 1e12)))
+    }
+    val expected = (scored.groupBy(s => binOf(s._1)).toSeq
+      .map { case (b, rows) => (b, statsOf(rows)) } :+ (-1L, statsOf(scored)))
+      .sortBy(_._1)
+      .map { case (b, (n, mp, or, br)) => (b, n, mp, or, br) }
+    val got = O.p18Calibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the decile rows tile the corpus (total row counts everything once)
+    val total = got.find(_._1 == -1L).get
+    assert(got.filter(_._1 >= 0L).map(_._2).sum == total._2)
+    // Brier is a proper score in [0, 1]
+    assert(total._5 >= 0.0 && total._5 <= 1.0)
+  }
+
+  test("p17 stump equals a brute exact-Gini split search") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sf)
+      .select(floor($"l_extendedprice" / 100.0).cast("long").as("bin"),
+        ($"l_returnflag" === "R").cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val pos = rows.map(_._2).sum
+    val hist = rows.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum))
+      .toSeq.sortBy(_._1)
+    var cnl = 0L; var cpl = 0L
+    val cands = hist.map { case (bin, (c, p)) =>
+      cnl += c; cpl += p; (bin, cnl, cpl)
+    }.filter(_._2 < n)
+    // the engines' shared IEEE tree, same operand order
+    def gini(p: Long, q: Long, m: Long) =
+      1.0 - (p.toDouble / m.toDouble) * (p.toDouble / m.toDouble) -
+        (q.toDouble / m.toDouble) * (q.toDouble / m.toDouble)
+    def wg(nl: Long, pl: Long) = {
+      val nr = n - nl; val pr = pos - pl
+      (nl.toDouble * gini(pl, nl - pl, nl) +
+        nr.toDouble * gini(pr, nr - pr, nr)) / n.toDouble
+    }
+    val best = cands.minBy(c => (wg(c._2, c._3), c._1))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.operators.Stump.p17Stump(spark, sf).collect()
+    assert(got.length == 1)
+    val g = got(0)
+    assert(g.getLong(0) == best._1)
+    assert(g.getLong(1) == best._2 && g.getLong(2) == n - best._2)
+    assert(g.getLong(3) == best._3 && g.getLong(4) == pos - best._3)
+    assert(g.getDouble(5) == r4(wg(best._2, best._3)))
+    assert(g.getDouble(6) == r4(gini(pos, n - pos, n) - wg(best._2, best._3)))
+    // a split can never be worse than the parent
+    assert(g.getDouble(6) >= 0.0)
+  }
 }

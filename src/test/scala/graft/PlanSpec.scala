@@ -289,7 +289,12 @@ class PlanSpec extends AnyFunSuite {
       "s23_nprobe_sweep",
       // q109 crosses the <=20-row rank census with its ONE-row
       // first-cohort base (the q43 scalar-fold shape)
-      "q109_repeat_purchase")
+      "q109_repeat_purchase",
+      // p17 crosses the domain-bounded bin histogram with its ONE-row
+      // total frame (q43 shape); q112 crosses the |nation|-row test
+      // census with its ONE-row totals frame (q43 shape); p18 crosses
+      // the scoring scan with its ONE-row score-range frame (q43 shape)
+      "p17_stump", "q112_bh_fdr", "p18_calibration")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

@@ -170,6 +170,48 @@ class SimilaritySpec extends AnyFunSuite {
       "training sample grew with the corpus")
   }
 
+  test("s26 SQ8 equals a brute quantize/shortlist/re-rank replay") {
+    import TestSpark.spark.implicits._
+    val vecsF = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecsF.head._2.length
+    val mn = Array.tabulate(dim)(i => vecsF.values.map(_(i)).min)
+    val mx = Array.tabulate(dim)(i => vecsF.values.map(_(i)).max)
+    // the engines' shared IEEE code expression, same operand order
+    def code(v: Float, i: Int): Long =
+      if (mx(i).toDouble == mn(i).toDouble) 0L
+      else math.min(math.floor((v.toDouble - mn(i).toDouble) /
+        ((mx(i).toDouble - mn(i).toDouble) / 255.0)), 255.0).toLong
+    val codes = vecsF.view
+      .mapValues(v => Array.tabulate(dim)(i => code(v(i), i))).toMap
+    val vecsD = vecsF.view.mapValues(_.map(_.toDouble)).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (0L until 5L).flatMap { qid =>
+      val qc = codes(qid)
+      val short = codes.toSeq.filter(_._1 != qid)
+        .map { case (id, c) =>
+          (id, c.indices.map(i => { val d = qc(i) - c(i); d * d }).sum)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(Similarity.pqShortlist)
+        .map(_._1)
+      short.map { id =>
+        val (x, y) = (vecsD(qid), vecsD(id))
+        (id, dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y))))
+      }.sortBy { case (id, c) => (-c, id) }.take(5)
+        .zipWithIndex.map { case ((id, c), k) => (qid, k + 1, id, r4(c)) }
+    }.toSeq
+    val got = Similarity.s26KnnSq8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // every code is a legal byte
+    assert(codes.values.forall(_.forall(c => c >= 0L && c <= 255L)))
+  }
+
   test("s9 MMR selection equals a driver greedy replay and is diverse") {
     import TestSpark.spark.implicits._
     val vecs = graft.sources.Tables.embeddings(spark, sf)

@@ -303,6 +303,44 @@ class SinksSpec extends AnyFunSuite {
     assert(Set(w2, w3) == Set("w1", "w2"), "each commit holds one writer's rows")
   }
 
+  test("snapshot table: manifest stats skip files on a range read") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_stats") + "/tbl"
+    def frame(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "v").repartition(2)
+    // three id-clustered commits → disjoint per-commit id ranges
+    SnapshotTable.writeSnapshot(frame(0, 100), t)
+    SnapshotTable.appendSnapshot(frame(100, 200), t)
+    SnapshotTable.appendSnapshot(frame(200, 300), t)
+    val full = SnapshotTable.readSnapshot(spark, t)
+    val allFiles = full.inputFiles.length
+    val pruned = SnapshotTable.readSnapshotRange(spark, t, "id",
+      BigDecimal(150), BigDecimal(160))
+    // identical to the unpruned filter (pruning deletes I/O, not rows)
+    val exp = full.filter($"id" >= 150L && $"id" <= 160L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val got = pruned.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == exp && got.size == 11)
+    // only the middle commit's files intersect [150, 160]
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < allFiles)
+    // append carried the BASE files' stats forward: a range inside
+    // commit 1 read at the latest version still skips commits 2/3
+    val p1 = SnapshotTable.readSnapshotRange(spark, t, "id",
+      BigDecimal(0), BigDecimal(10))
+    assert(p1.inputFiles.length < allFiles && p1.count() == 11L)
+    // an empty intersection plans zero files and returns empty
+    val p0 = SnapshotTable.readSnapshotRange(spark, t, "id",
+      BigDecimal(1000), BigDecimal(2000))
+    assert(p0.count() == 0L)
+    // unknown column fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readSnapshotRange(spark, t, "nope",
+        BigDecimal(0), BigDecimal(1))
+    }
+  }
+
   test("snapshot table: merge upserts by key and preserves history") {
     import spark.implicits._
     import graft.sources.SnapshotTable

@@ -783,4 +783,50 @@ class StatsSpec extends AnyFunSuite {
     // rank sums across priorities partition the total block ranks
     assert(math.abs(rankSums.values.sum - n * 15.0) < 1e-9)
   }
+
+  test("q112 BH-FDR equals a brute step-up replay") {
+    import spark.implicits._
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", ($"o_orderpriority" === "1-URGENT").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val census = rows.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val nt = census.values.map(_._1).sum
+    val xt = census.values.map(_._2).sum
+    val m = census.size.toLong
+    // the engines' shared IEEE tree, same operand order
+    def zp(n: Long, x: Long): (Double, Double) = {
+      val nr = nt - n; val xr = xt - x
+      val z = (x.toDouble / n.toDouble - xr.toDouble / nr.toDouble) /
+        math.sqrt((xt.toDouble / nt.toDouble) *
+          (1.0 - xt.toDouble / nt.toDouble) *
+          (1.0 / n.toDouble + 1.0 / nr.toDouble))
+      val x0 = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x0)
+      val p = (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t) * math.exp(-x0 * x0)
+      (z, p)
+    }
+    val tests = census.toSeq.map { case (nat, (n, x)) =>
+      val (z, p) = zp(n, x); (nat, n, x, z, p)
+    }
+    val ranked = tests.sortBy(t => (t._5, t._1)).zipWithIndex
+      .map { case (t, i) => (t, i + 1) }
+    val kstar = ranked.filter { case (t, rk) =>
+      t._5 <= Stats.bhAlpha * rk.toDouble / m.toDouble
+    }.map(_._2).maxOption.getOrElse(0)
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ranked.map { case ((nat, n, x, z, p), rk) =>
+      (nat, n, x, r4(z), r4(p), rk, if (rk <= kstar) 1 else 0)
+    }.sortBy(_._1)
+    val got = Stats.q112BhFdr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5), r.getInt(6))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // every BH rejection is below the raw level too (step-up property)
+    assert(got.filter(_._7 == 1).forall(_._5 <= Stats.bhAlpha))
+  }
 }

@@ -959,4 +959,37 @@ class TextSpec extends AnyFunSuite {
     // the capped table leaves genuine OOV mass on the fixture
     assert(got.forall(g => g._3 > 0L && g._5 > 0L))
   }
+
+  test("t41 Flesch readability equals a brute per-doc replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val vowels = java.util.regex.Pattern.compile("[aeiouy]+")
+    val sentEnd = java.util.regex.Pattern.compile("[.!?]")
+    def count(p: java.util.regex.Pattern, s: String) = {
+      val m = p.matcher(s); var c = 0
+      while (m.find()) c += 1
+      c
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.sortBy(_._1).map { case (id, text) =>
+      // limit -1: Spark's split / DuckDB string_split keep trailing empties
+      val words = text.toLowerCase.split(" ", -1)
+      val w = words.length.toLong
+      val s = math.max(count(sentEnd, text), 1).toLong
+      val sy = words.map(t => math.max(count(vowels, t), 1).toLong).sum
+      val fl = 206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (sy.toDouble / w.toDouble)
+      val fk = 0.39 * (w.toDouble / s.toDouble) +
+        11.8 * (sy.toDouble / w.toDouble) - 15.59
+      (id, w, s, sy, r4(fl), r4(fk))
+    }.toSeq
+    val got = TextAnalysis.t41Flesch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // fixture prose has multi-syllable words: syllables strictly exceed words
+    assert(got.exists(g => g._4 > g._2))
+  }
 }
