@@ -1192,7 +1192,60 @@ object Graph {
       .orderBy($"comp_size")
   }
 
+  /** k-truss support threshold: every surviving edge must sit in
+    * ≥ [[trussK]]−2 triangles among surviving edges (k = 3: the
+    * triangle-connected subgraph — k = 4 is EMPTY on the sf0.01
+    * fixture's support-pruned graph, a degenerate census). */
+  val trussK = 3L
+  /** Fixed truss-peel supersteps (the [[coreIters]] convention: the
+    * operator is DEFINED as this many rounds, identical on both
+    * engines; 6 reaches fixpoint on the fixtures). */
+  val trussIters = 6
+
+  /** D266: bounded k-truss peel over the strong affinity graph — the
+    * EDGE-cohesion analogue of g3's k-core (a vertex can sit in a
+    * k-core through many weak neighbors; a k-truss edge must itself
+    * close ≥ k−2 triangles among surviving edges, so trusses are the
+    * tightly-knit sub-communities community detection actually wants).
+    * Each round enumerates surviving triangles, counts per-edge
+    * support, and drops edges below [[trussK]]−2; output is each
+    * part's degree inside the truss subgraph.
+    *
+    * Scale shape: per round, triangle enumeration is the canonical
+    * a<b<c path join (two equi-joins on the canonical edge set — each
+    * triangle found exactly once; the degree-ordered orientation g2
+    * uses is the drop-in replacement if a hub-heavy graph makes the
+    * id-order wedge fan out), one explode to 3 edge-rows per triangle,
+    * one partial-aggregated support count, and a semi-join filter;
+    * `localCheckpoint` truncates lineage per round (d8/g1). Rounds are
+    * FIXED, so 100 TB cost = trussIters × (triangle pass on the
+    * support-pruned graph). */
+  def g18Truss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var e = strongEdges(spark, dir).select($"src", $"dst").localCheckpoint()
+    for (_ <- 1 to trussIters) {
+      val path = e.as("ab").join(e.as("bc"), $"ab.dst" === $"bc.src")
+        .select($"ab.src".as("a"), $"ab.dst".as("b"), $"bc.dst".as("c"))
+      val tri = path.join(e.select($"src".as("a"), $"dst".as("c")),
+        Seq("a", "c"), "left_semi")
+      val sup = tri.select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"c".as("dst")),
+          struct($"a".as("src"), $"c".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("sup"))
+      e = e.join(sup.filter($"sup" >= trussK - 2),
+          Seq("src", "dst"), "left_semi")
+        .localCheckpoint()
+    }
+    e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      .groupBy($"src").agg(count(lit(1)).as("truss_deg"))
+      .select($"src".as("part_key"), $"truss_deg")
+      .orderBy($"part_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g18_truss" -> g18Truss,
     "g17_wcc" -> g17Wcc,
     "g16_harmonic" -> g16Harmonic,
     "g15_powerlaw" -> g15PowerlawFit,
@@ -1261,7 +1314,36 @@ object Graph {
           SELECT pk, CAST(${prOne * 15L / 100L} AS BIGINT) AS s FROM seeds)
         GROUP BY pk)"""
 
+  /** One truss-peel superstep: triangle enumeration over e{i-1},
+    * per-edge support, threshold filter — the SQL twin of the g18
+    * loop body (MATERIALIZED for the g3 inlining-blowup reason). */
+  private def trussStepSql(i: Int): String =
+    s"""t$i AS MATERIALIZED (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+          FROM e${i - 1} ab JOIN e${i - 1} bc ON ab.dst = bc.src
+          JOIN e${i - 1} ac ON ac.src = ab.src AND ac.dst = bc.dst),
+        s$i AS MATERIALIZED (SELECT src, dst,
+            CAST(count(*) AS BIGINT) AS sup
+          FROM (SELECT a AS src, b AS dst FROM t$i
+                UNION ALL SELECT b AS src, c AS dst FROM t$i
+                UNION ALL SELECT a AS src, c AS dst FROM t$i)
+          GROUP BY src, dst),
+        e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+          JOIN s$i s ON e.src = s.src AND e.dst = s.dst
+          WHERE s.sup >= ${trussK - 2})"""
+
   val oracle: Map[String, String] = Map(
+    "g18_truss" ->
+      s"""WITH p0 AS (SELECT DISTINCT a.l_orderkey,
+              a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey),
+          e0 AS MATERIALIZED (SELECT src, dst FROM p0 GROUP BY src, dst
+                  HAVING count(*) >= $triMinSupport),
+          ${(1 to trussIters).map(trussStepSql).mkString(",\n          ")}
+          SELECT src AS part_key, CAST(count(*) AS BIGINT) AS truss_deg
+          FROM (SELECT src, dst FROM e$trussIters
+                UNION ALL SELECT dst AS src, src AS dst FROM e$trussIters)
+          GROUP BY src ORDER BY part_key""",
     "g17_wcc" ->
       s"""WITH RECURSIVE p0 AS (SELECT DISTINCT a.l_orderkey,
               a.l_partkey AS src, b.l_partkey AS dst

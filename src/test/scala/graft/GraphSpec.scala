@@ -623,6 +623,36 @@ class GraphSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0))
   }
 
+  test("g18 truss peel equals a brute triangle-support replay") {
+    import spark.implicits._
+    val edges0 = Graph.strongEdges(spark, sf).select($"src", $"dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var es = edges0
+    for (_ <- 1 to Graph.trussIters) {
+      val byA = es.groupBy(_._1)
+      val triEdges = es.toSeq.flatMap { case (a, b) =>
+        byA.getOrElse(b, Set.empty).toSeq.collect {
+          case (_, c) if es.contains((a, c)) =>
+            Seq((a, b), (b, c), (a, c))
+        }.flatten
+      }
+      val sup = triEdges.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      es = es.filter(e => sup.getOrElse(e, 0L) >= Graph.trussK - 2)
+    }
+    val expected = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.g18Truss(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toMap == expected && got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    // the truss is a subgraph of the input: degrees can only shrink
+    val deg0 = (edges0.toSeq.map(_._1) ++ edges0.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.forall { case (v, d) => d <= deg0(v) })
+    // a truss vertex has ≥ trussK − 1 truss neighbors by definition,
+    // and the fixture's truss is non-degenerate
+    assert(got.nonEmpty && got.forall(_._2 >= Graph.trussK - 1))
+  }
+
   test("g17 WCC census equals a brute union-find replay") {
     import spark.implicits._
     import graft.sources.Tables
