@@ -44,7 +44,8 @@ object SparkEntry {
       (streaming.Scd2Stream.queries, streaming.Scd2Stream.oracle),
       (streaming.ControlChart.queries, streaming.ControlChart.oracle),
       (streaming.GapAlerts.queries, streaming.GapAlerts.oracle),
-      (streaming.FirstTouch.queries, streaming.FirstTouch.oracle))
+      (streaming.FirstTouch.queries, streaming.FirstTouch.oracle),
+      (streaming.MvSnapshot.queries, streaming.MvSnapshot.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -358,11 +358,15 @@ object SnapshotTable {
     * untouched files, deliberately out of scope here. Returns the
     * committed version. */
   def merge(updates: DataFrame, path: String,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String]): Long =
+    mergeTagged(updates, path, keyCols, batchId = None)
+
+  private def mergeTagged(updates: DataFrame, path: String,
+      keyCols: Seq[String], batchId: Option[Long]): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
     if (versions(spark, path).isEmpty)
-      return writeSnapshot(updates, path)
+      return writeTagged(updates, path, overwrite = true, batchId)
     val cur = readSnapshot(spark, path)
     // names + types must line up; nullability may differ (a parquet
     // read-back is nullable even when the writing frame was not)
@@ -373,7 +377,19 @@ object SnapshotTable {
     val survivors = cur.join(
       updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
       keyCols, "left_anti")
-    writeSnapshot(survivors.unionAll(updates), path)
+    writeTagged(survivors.unionAll(updates), path, overwrite = true, batchId)
+  }
+
+  /** Exactly-once streaming MERGE: the [[appendBatch]] idempotence
+    * contract applied to upserts — a foreachBatch retry of an
+    * already-merged micro-batch is detected from the latest manifest's
+    * batch tag and skipped (the tag rides inside the same atomic
+    * manifest publication as the merge itself, so there is no window
+    * where the data landed but the tag did not). */
+  def mergeBatch(updates: DataFrame, path: String, keyCols: Seq[String],
+      batchId: Long): Option[Long] = {
+    if (latestBatchId(updates.sparkSession, path).exists(_ >= batchId)) None
+    else Some(mergeTagged(updates, path, keyCols, Some(batchId)))
   }
 
   /** Default vacuum grace: unreferenced files younger than this are

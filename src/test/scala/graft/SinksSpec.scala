@@ -393,6 +393,48 @@ class SinksSpec extends AnyFunSuite {
     assert(SnapshotTable.readSnapshot(spark, t, 1).count() == 1L)
   }
 
+  test("streaming MV maintenance lands exactly-once versioned refreshes") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.streaming.MvSnapshot
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tmp("graft_snap_mv") + "/tbl"
+    val ck = tmp("graft_snap_mv_ck")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[Ev]
+    val q = MvSnapshot.streamMv(mem.toDF(), t, ck)
+    def mv(ver: Long) = SnapshotTable.readSnapshot(spark, t, ver)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    try {
+      mem.addData(Ev(1, ts("2026-01-01 00:00:00"), 1, "view", 1.5),
+        Ev(2, ts("2026-01-01 00:01:00"), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts("2026-01-01 00:02:00"), 2, "view", 2.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one refreshed view VERSION per micro-batch, deltas folded in
+    assert(SnapshotTable.versions(spark, t) == Seq(1L, 2L))
+    assert(mv(1) == Seq(("purchase", 1L, 1000L), ("view", 1L, 150L)))
+    assert(mv(2) == Seq(("purchase", 1L, 1000L), ("view", 2L, 400L)))
+    // a foreachBatch retry of an applied batch is a no-op (no
+    // double-count, no extra version)
+    val replayBatch = Seq(
+      Ev(3, ts("2026-01-01 00:02:00"), 2, "view", 2.5)).toDF()
+    assert(MvSnapshot.applyBatch(replayBatch, t, 1L).isEmpty)
+    assert(SnapshotTable.versions(spark, t) == Seq(1L, 2L) &&
+      mv(2) == Seq(("purchase", 1L, 1000L), ("view", 2L, 400L)))
+    // the view converges to the batch twin over the union of batches
+    val all = Seq(Ev(1, ts("2026-01-01 00:00:00"), 1, "view", 1.5),
+      Ev(2, ts("2026-01-01 00:01:00"), 1, "purchase", 10.0),
+      Ev(3, ts("2026-01-01 00:02:00"), 2, "view", 2.5)).toDF()
+    val twin = MvSnapshot.mvOf(all).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(mv(2) == twin)
+  }
+
   test("snapshot table: vacuum retires history and orphaned data files") {
     import spark.implicits._
     import graft.sources.SnapshotTable
