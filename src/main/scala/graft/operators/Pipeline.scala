@@ -992,6 +992,64 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** D268: incremental corpus refresh — the c20 decision ACTED ON:
+    * re-process ONLY the delta (docs added or text-changed between
+    * the two committed snapshot versions) through the c1-style
+    * quality gate, and report per source what the refresh costs and
+    * yields: delta size, quality pass/fail split, tokens the
+    * increment contributes, and the delta's share of the current
+    * snapshot. At 100 TB this is THE operating mode — a crawl refresh
+    * touches a few percent of the corpus, and re-running the full
+    * clean/dedup (c17) over the other 97% is the cost this operator
+    * exists to avoid (d11's incremental-ingest argument applied to
+    * the pipeline itself).
+    *
+    * Scale shape: both snapshot sides reduce to (doc_id, digest)
+    * BEFORE the diff (text rides only on the CURRENT side, which must
+    * be read anyway to process the delta); the diff is one id-keyed
+    * left join; the quality gate is a pure projection over the
+    * delta-sized frame; two partial-aggregated per-source censuses.
+    * The snapshot writes are the c20 scratch-table build (real
+    * committed versions, D249). */
+  def c22IncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+    val table = snapScratchPath(spark, dir) + "_c22"
+    val tPath = new org.apache.hadoop.fs.Path(table)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tPath, true)
+    graft.sources.SnapshotTable.writeSnapshot(
+      docs.filter($"doc_id" % snapPrevMod =!= 0), table)
+    graft.sources.SnapshotTable.writeSnapshot(
+      docs.filter($"doc_id" % snapCurMod =!= 0)
+        .select($"doc_id", $"source",
+          when($"doc_id" % snapMutMod === 0,
+              regexp_replace($"text", "^[^ ]+ ", ""))
+            .otherwise($"text").as("text")), table)
+    val prev = graft.sources.SnapshotTable.readSnapshot(spark, table, 1)
+      .select($"doc_id".as("ida"), md5($"text").as("ha"))
+    val cur = graft.sources.SnapshotTable.readSnapshot(spark, table, 2)
+      .scopedPersist()
+    val delta = cur.join(prev, cur("doc_id") === prev("ida"), "left")
+      .filter($"ida".isNull || md5($"text") =!= $"ha")
+      .select($"source", $"text")
+    val gated = delta
+      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+      .withColumn("toks", size(TextAnalysis.tokens($"text")).cast("long"))
+      .withColumn("pass", ($"quality" >= 0.5).cast("long"))
+    val v2 = cur.groupBy($"source").agg(count(lit(1)).as("n_v2"))
+    gated.groupBy($"source")
+      .agg(count(lit(1)).as("n_delta"), sum($"pass").as("n_pass"),
+        (count(lit(1)) - sum($"pass")).as("n_fail"),
+        sum(when($"pass" === 1L, $"toks").otherwise(0L)).as("delta_tokens"))
+      .join(v2, Seq("source"))
+      .select($"source", $"n_delta", $"n_pass", $"n_fail", $"delta_tokens",
+        round($"n_delta".cast("double") / $"n_v2".cast("double"), 4)
+          .as("delta_share"))
+      .orderBy($"source")
+  }
+
   /** Cells in the c21 lifecycle index (the s6/s21/s22 constant). */
   val lifecycleK = 16
 
@@ -1060,6 +1118,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c22_incremental_refresh" -> c22IncrementalRefresh,
     "c21_index_lifecycle" -> c21IndexLifecycle,
     "c20_snapshot_diff" -> c20SnapshotDiff,
     "c18_filter_ablation" -> c18FilterAblation,
@@ -1231,6 +1290,34 @@ object Pipeline {
                 / CAST(t.n_all AS DOUBLE), 4)
             FROM tots t CROSS JOIN tv) s
           ORDER BY s.stage""",
+    "c22_incremental_refresh" ->
+      s"""WITH a AS (SELECT doc_id, md5(text) AS ha
+            FROM documents WHERE doc_id % $snapPrevMod <> 0),
+          b AS (SELECT doc_id, source,
+              CASE WHEN doc_id % $snapMutMod = 0
+                  THEN regexp_replace(text, '^[^ ]+ ', '')
+                  ELSE text END AS text
+            FROM documents WHERE doc_id % $snapCurMod <> 0),
+          d AS (SELECT b.source, b.text FROM b
+            LEFT JOIN a ON b.doc_id = a.doc_id
+            WHERE a.doc_id IS NULL OR md5(b.text) <> a.ha),
+          g AS (SELECT source,
+              CASE WHEN ${TextAnalysis.qualityScoreSql} >= 0.5
+                THEN 1 ELSE 0 END AS pass,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+            FROM d),
+          v2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_v2
+            FROM b GROUP BY source),
+          c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_delta,
+              CAST(sum(pass) AS BIGINT) AS n_pass,
+              CAST(count(*) - sum(pass) AS BIGINT) AS n_fail,
+              CAST(sum(CASE WHEN pass = 1 THEN toks ELSE 0 END)
+                AS BIGINT) AS delta_tokens
+            FROM g GROUP BY source)
+          SELECT c.source, c.n_delta, c.n_pass, c.n_fail, c.delta_tokens,
+            round(CAST(c.n_delta AS DOUBLE) / CAST(v2.n_v2 AS DOUBLE), 4)
+              AS delta_share
+          FROM c JOIN v2 ON c.source = v2.source ORDER BY c.source""",
     "c20_snapshot_diff" ->
       s"""WITH a AS (SELECT doc_id, source, md5(text) AS ha
             FROM documents WHERE doc_id % $snapPrevMod <> 0),

@@ -1007,6 +1007,54 @@ class PipelineSpec extends AnyFunSuite {
     // the fixture genuinely moves occupancy in both lifecycle steps
     assert(got(1)._5 > 0.0)
   }
+
+  test("c22 delta census ties to c20's diff and its gate to a brute replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val c22 = Pipeline.c22IncrementalRefresh(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // cross-operator identity: the delta c22 processes per source IS
+    // c20's added + changed census (same snapshot versions by
+    // construction)
+    val c20 = Pipeline.c20SnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) + r.getLong(3))).toMap
+    assert(c22.nonEmpty)
+    c22.foreach { case (src, nDelta, nPass, nFail, toks, share) =>
+      assert(nDelta == c20(src), s"$src delta != c20 added+changed")
+      assert(nPass + nFail == nDelta)
+      assert(share > 0.0 && share <= 1.0)
+      // every PASSING doc contributes at least one token
+      assert(toks >= nPass)
+    }
+    // brute gate replay: recompute the per-source pass counts from the
+    // raw fixture using the same membership/mutation rules
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the previous crawl keeps RAW text; only the current one mutates
+    val prevIds = docs.filter(_._1 % Pipeline.snapPrevMod != 0)
+      .map(d => d._1 -> d._3).toMap
+    val delta = docs.filter(_._1 % Pipeline.snapCurMod != 0)
+      .map(d => (d._1, d._2, mutText(d)))
+      .filter { case (id, _, txt) => !prevIds.get(id).contains(txt) }
+    // pass/fail via the engine's own (already spec-pinned) scorer, run
+    // over the mutated delta texts
+    val scored = delta.toSeq.toDF("doc_id", "source", "text")
+      .select($"source",
+        (graft.operators.TextAnalysis.qualityScore($"text") >= 0.5)
+          .cast("long").as("p"))
+      .groupBy($"source").agg(count(lit(1)).as("n"), sum($"p").as("np"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    c22.foreach { case (src, nDelta, nPass, _, _, _) =>
+      assert(scored(src) == ((nDelta, nPass)), s"$src gate mismatch")
+    }
+  }
+
+  private def mutText(d: (Long, String, String)): String =
+    if (d._1 % Pipeline.snapMutMod == 0) d._3.replaceFirst("^[^ ]+ ", "")
+    else d._3
 }
 
 object PipelineSpec {
