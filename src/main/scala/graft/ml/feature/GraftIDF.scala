@@ -34,10 +34,11 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   * rounded per the cross-engine float rule) via explode → join
   * against the idf table → partial-aggregated per-doc sum → one
   * id-keyed join back. The idf join follows the t6
-  * broadcast-vs-shuffle rule: BROADCAST while the configured cap is
-  * ≤ [[GraftIDF.broadcastMaxVocab]] (the table is then at most a few
-  * tens of MB by construction), a term-keyed SHUFFLE join above it
-  * (broadcasting a 10⁷⁺-term table would OOM the driver).
+  * broadcast-vs-shuffle rule, routed on the ACTUAL kept-term count
+  * recorded at fit: BROADCAST while it is ≤
+  * [[GraftIDF.broadcastMaxVocab]] (the table is then at most a few
+  * tens of MB), a term-keyed SHUFFLE join above it (broadcasting a
+  * 10⁷⁺-term table would OOM the driver).
   * Out-of-vocabulary terms contribute zero (the frozen-table
   * semantics scoring against drift wants — and, post-cap, the
   * semantics of dropping the long tail). */
@@ -123,6 +124,12 @@ class GraftIDF(override val uid: String)
       if (tieDf < 0) census // the whole vocabulary fits under the cap
       else census.filter($"df" > tieDf).unionAll(
         census.filter($"df" === tieDf).orderBy($"term").limit(tieRoom.toInt))
+    // the kept-term count falls out of the histogram walk for free:
+    // an untruncated walk covered the whole vocabulary (`before`), a
+    // capped one keeps exactly vocabSize terms (the tie slice always
+    // has ≥ tieRoom members). The model routes its transform join on
+    // this ACTUAL size, not the configured cap.
+    val vocabCount = if (tieDf < 0) before else $(vocabSize).toLong
     // Freeze the artifact so the model does not drag the fit corpus's
     // lineage into every scoring job: a RELIABLE checkpoint when the
     // session has one configured (survives executor loss — this table
@@ -135,7 +142,8 @@ class GraftIDF(override val uid: String)
       if (spark.sparkContext.getCheckpointDir.isDefined) idfRaw.checkpoint()
       else idfRaw.localCheckpoint()
     census.unpersist()
-    copyValues(new GraftIDFModel(uid, nDocs, idfDf).setParent(this))
+    copyValues(new GraftIDFModel(uid, nDocs, vocabCount, idfDf)
+      .setParent(this))
   }
 
   override def transformSchema(schema: StructType): StructType =
@@ -148,8 +156,8 @@ class GraftIDF(override val uid: String)
 
 /** Fitted IDF table: (term, ln(nDocs/df)) rows over the fit corpus's
   * capped vocabulary, held as a DataFrame artifact. */
-class GraftIDFModel private[feature] (override val uid: String,
-    val nDocs: Long, val idfTable: DataFrame)
+class GraftIDFModel private[graft] (override val uid: String,
+    val nDocs: Long, val vocabCount: Long, val idfTable: DataFrame)
     extends Model[GraftIDFModel] with GraftIDFParams with MLWritable {
 
   def setIdCol(value: String): this.type = set(idCol, value)
@@ -166,11 +174,13 @@ class GraftIDFModel private[feature] (override val uid: String,
     transformSchema(dataset.schema, logging = true)
     val spark = dataset.sparkSession
     import spark.implicits._
-    // t6 broadcast-vs-shuffle rule: the cap bounds the table size, so
-    // below broadcastMaxVocab a broadcast join skips the term shuffle;
-    // above it the join must stay a shuffle join keyed on the term
+    // t6 broadcast-vs-shuffle rule, routed on the ACTUAL kept-term
+    // count recorded at fit (a defensively-huge configured cap over a
+    // small corpus must not force the term shuffle): below
+    // broadcastMaxVocab a broadcast join skips it; above, the join
+    // must stay a shuffle join keyed on the term
     val idfSide =
-      if ($(vocabSize) <= GraftIDF.broadcastMaxVocab) broadcast(idfTable)
+      if (vocabCount <= GraftIDF.broadcastMaxVocab) broadcast(idfTable)
       else idfTable
     val mass = dataset.toDF()
       .select(col($(idCol)).as("__gid"),
@@ -189,7 +199,7 @@ class GraftIDFModel private[feature] (override val uid: String,
     validateAndTransformSchema(schema)
 
   override def copy(extra: ParamMap): GraftIDFModel =
-    copyValues(new GraftIDFModel(uid, nDocs, idfTable), extra)
+    copyValues(new GraftIDFModel(uid, nDocs, vocabCount, idfTable), extra)
       .setParent(parent)
 
   override def write: MLWriter = new GraftIDFModel.Writer(this)
@@ -200,7 +210,8 @@ private[feature] case class IdfParamsData(uid: String, idCol: Option[String],
     inputCol: Option[String], outputCol: Option[String], minDf: Option[Int],
     vocabSize: Option[Int])
 
-private[feature] case class IdfModelMeta(params: IdfParamsData, nDocs: Long)
+private[feature] case class IdfModelMeta(params: IdfParamsData, nDocs: Long,
+    vocabCount: Long)
 
 object GraftIDF extends MLReadable[GraftIDF] {
 
@@ -254,33 +265,39 @@ object GraftIDFModel extends MLReadable[GraftIDFModel] {
     private var staged: Option[String] = None
 
     /** Stage the idf table to a sibling temp dir BEFORE MLWriter's
-      * overwrite handling deletes the target: a LOADED model's table
-      * lazily reads from the very path an overwrite().save(samePath)
-      * is about to clear — without staging, the delete destroys the
-      * artifact and the re-save then reads from nothing. */
+      * overwrite handling deletes the target — but ONLY when the
+      * target already exists: a LOADED model's table lazily reads
+      * from the very path an overwrite().save(samePath) is about to
+      * clear, and without staging the delete would destroy the
+      * artifact mid-save. A fresh target has no such hazard, so the
+      * common fit→save cycle pays exactly one write. */
     override def save(path: String): Unit = {
-      val tmp = s"$path.__idf_staging_${java.util.UUID.randomUUID()}"
-      instance.idfTable.write.mode("overwrite").parquet(tmp)
-      staged = Some(tmp)
-      try super.save(path)
-      finally {
-        val p = new org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(
-          sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
-        staged = None
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) super.save(path)
+      else {
+        val tmp = s"$path.__idf_staging_${java.util.UUID.randomUUID()}"
+        instance.idfTable.write.mode("overwrite").parquet(tmp)
+        staged = Some(tmp)
+        try super.save(path)
+        finally {
+          val tp = new org.apache.hadoop.fs.Path(tmp)
+          fs.delete(tp, true)
+          staged = None
+        }
       }
     }
 
     override protected def saveImpl(path: String): Unit = {
       val spark = sparkSession
       import spark.implicits._
-      Seq(IdfModelMeta(GraftIDF.paramsData(instance), instance.nDocs)).toDS()
+      Seq(IdfModelMeta(GraftIDF.paramsData(instance), instance.nDocs,
+          instance.vocabCount)).toDS()
         .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
       // the idf table writes DISTRIBUTED (no driver round-trip); the
       // vocabSize cap bounds it, so the file count stays small
-      val src = staged.getOrElse(throw new IllegalStateException(
-        "GraftIDFModel.Writer.saveImpl called outside save()"))
-      spark.read.parquet(src).write.mode("overwrite").parquet(s"$path/idf")
+      staged.map(spark.read.parquet(_)).getOrElse(instance.idfTable)
+        .write.mode("overwrite").parquet(s"$path/idf")
       GraftPCA.writeMetadata(path, spark, instance)
     }
   }
@@ -294,7 +311,8 @@ object GraftIDFModel extends MLReadable[GraftIDFModel] {
       // usable without materializing the vocabulary anywhere
       val idfDf = spark.read.parquet(s"$path/idf")
         .select(col("term"), col("idf"))
-      val m = new GraftIDFModel(meta.params.uid, meta.nDocs, idfDf)
+      val m = new GraftIDFModel(meta.params.uid, meta.nDocs,
+        meta.vocabCount, idfDf)
       GraftIDF.restoreParams(m, meta.params)
       m
     }

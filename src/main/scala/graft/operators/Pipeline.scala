@@ -952,11 +952,17 @@ object Pipeline {
     * discipline); the diff is ONE id-keyed full-outer join of digest
     * frames + a partial-aggregated per-source census (≤ #sources
     * rows). The snapshot writes are one linear pass each. */
-  def c20SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  /** Build the shared two-version scratch table (crawl N as version 1,
+    * crawl N+1 — membership AND mutation rules above — as an
+    * overwriting version 2) and return its path. ONE definition so
+    * c20's diff and c22's delta are the same snapshots by
+    * construction, not by parallel edits. */
+  private def buildSnapshotPair(spark: SparkSession, dir: String,
+      suffix: String): String = {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"text")
-    val table = snapScratchPath(spark, dir)
+    val table = snapScratchPath(spark, dir) + suffix
     val tPath = new org.apache.hadoop.fs.Path(table)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tPath, true)
@@ -968,6 +974,12 @@ object Pipeline {
           when($"doc_id" % snapMutMod === 0,
               regexp_replace($"text", "^[^ ]+ ", ""))
             .otherwise($"text").as("text")), table)
+    table
+  }
+
+  def c20SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = buildSnapshotPair(spark, dir, "")
     val prev = graft.sources.SnapshotTable.readSnapshot(spark, table, 1)
       .select($"doc_id".as("ida"), $"source".as("sa"), md5($"text").as("ha"))
     val cur = graft.sources.SnapshotTable.readSnapshot(spark, table, 2)
@@ -1013,20 +1025,7 @@ object Pipeline {
     * committed versions, D249). */
   def c22IncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id", $"source", $"text")
-    val table = snapScratchPath(spark, dir) + "_c22"
-    val tPath = new org.apache.hadoop.fs.Path(table)
-    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tPath, true)
-    graft.sources.SnapshotTable.writeSnapshot(
-      docs.filter($"doc_id" % snapPrevMod =!= 0), table)
-    graft.sources.SnapshotTable.writeSnapshot(
-      docs.filter($"doc_id" % snapCurMod =!= 0)
-        .select($"doc_id", $"source",
-          when($"doc_id" % snapMutMod === 0,
-              regexp_replace($"text", "^[^ ]+ ", ""))
-            .otherwise($"text").as("text")), table)
+    val table = buildSnapshotPair(spark, dir, "_c22")
     val prev = graft.sources.SnapshotTable.readSnapshot(spark, table, 1)
       .select($"doc_id".as("ida"), md5($"text").as("ha"))
     val cur = graft.sources.SnapshotTable.readSnapshot(spark, table, 2)

@@ -206,10 +206,18 @@ object Avro {
           w.append(rec)
         }
       } finally w.close()
-      // last complete attempt wins atomically
-      if (fs.exists(file)) fs.delete(file, false)
-      if (!fs.rename(tmp, file))
-        throw new java.io.IOException(s"rename $tmp -> $file failed")
+      // FIRST complete attempt wins; later attempts produce
+      // byte-identical output (deterministic partition contents), so
+      // losing is not an error. Never delete an existing target: a
+      // zombie attempt that deleted-then-died would leave a
+      // _SUCCESS-blessed directory missing a partition.
+      if (fs.exists(file)) {
+        fs.delete(tmp, false); ()
+      } else if (!fs.rename(tmp, file)) {
+        fs.delete(tmp, false)
+        if (!fs.exists(file))
+          throw new java.io.IOException(s"rename $tmp -> $file failed")
+      }
     }
     // schema sidecar: lets readers infer the schema even when the
     // committed frame had zero partitions (no .avro part files)

@@ -228,18 +228,29 @@ object SnapshotTable {
     var committed = -1L
     while (committed < 0) {
       val latest = latestVersion(spark, path)
-      val (base, baseStats) =
-        if (overwrite || latest == 0) (Seq.empty[String], Map.empty: FileStats)
+      val prior =
+        if (latest == 0) None else Some(readManifest(fs, path, latest))
+      val (schema, base, baseStats) =
+        if (overwrite || latest == 0)
+          (df.schema, Seq.empty[String], Map.empty: FileStats)
         else {
-          val m = readManifest(fs, path, latest)
-          require(m.schema == df.schema,
+          val m = prior.get
+          // names + types must line up; nullability may differ (a
+          // parquet read-back is nullable even when the writing frame
+          // was not — the merge() tolerance, applied here too); the
+          // TABLE's recorded schema stays authoritative
+          require(m.schema.map(f => (f.name, f.dataType)) ==
+              df.schema.map(f => (f.name, f.dataType)),
             s"append schema mismatch: table has ${m.schema}, " +
               s"frame has ${df.schema}")
-          (m.files, m.stats)
+          (m.schema, m.files, m.stats)
         }
+      // carry the max seen batch tag forward through UNTAGGED commits:
+      // an operator's writeSnapshot/merge between a tagged commit and
+      // its foreachBatch retry must not blind the replay guard
+      val tag = (batchId.toSeq ++ prior.flatMap(_.batchId)).maxOption
       if (tryPublish(fs, path, latest + 1,
-          Manifest(df.schema, base ++ newFiles, batchId,
-            baseStats ++ newStats)))
+          Manifest(schema, base ++ newFiles, tag, baseStats ++ newStats)))
         committed = latest + 1
     }
     committed
@@ -248,7 +259,12 @@ object SnapshotTable {
   def appendSnapshot(df: DataFrame, path: String): Long =
     writeSnapshot(df, path, overwrite = false)
 
-  /** The streaming batch tag of the latest commit, if it has one. */
+  /** The highest streaming batch tag committed so far (untagged
+    * commits CARRY the previous tag forward, so an operator's
+    * writeSnapshot/merge interleaved between a tagged commit and its
+    * foreachBatch retry cannot blind the replay guard). Batch ids are
+    * per-query: one table is maintained by one stream (the D255
+    * contract). */
   def latestBatchId(spark: SparkSession, path: String): Option[Long] = {
     val vs = versions(spark, path)
     if (vs.isEmpty) None
@@ -270,6 +286,18 @@ object SnapshotTable {
   def appendBatch(df: DataFrame, path: String, batchId: Long): Option[Long] = {
     if (latestBatchId(df.sparkSession, path).exists(_ >= batchId)) None
     else Some(writeTagged(df, path, overwrite = false, Some(batchId)))
+  }
+
+  /** Exactly-once streaming OVERWRITE: commit `df` as the next version
+    * replacing the visible contents, tagged with the micro-batch id —
+    * [[appendBatch]]'s idempotence contract for view-refresh sinks,
+    * where each batch publishes the WHOLE refreshed view (no survivor
+    * anti-join needed: the new version's keys are a superset by
+    * construction). */
+  def overwriteBatch(df: DataFrame, path: String,
+      batchId: Long): Option[Long] = {
+    if (latestBatchId(df.sparkSession, path).exists(_ >= batchId)) None
+    else Some(writeTagged(df, path, overwrite = true, Some(batchId)))
   }
 
   /** Streaming sink: every micro-batch lands as one committed,
@@ -344,8 +372,12 @@ object SnapshotTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       else spark.read.schema(m.schema)
         .parquet(files.map(f => new HPath(path, f).toString): _*)
-    base.filter(org.apache.spark.sql.functions
-      .expr(s"$column >= $lo AND $column <= $hi"))
+    // typed column/literal comparison (not SQL-text interpolation):
+    // survives identifier-unfriendly column names, and a long column
+    // vs a decimal literal widens to DECIMAL — exact past 2^53, where
+    // a double literal would silently round
+    import org.apache.spark.sql.functions.{col, lit}
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** Copy-on-write upsert (MERGE-lite): commit a version whose
@@ -417,19 +449,33 @@ object SnapshotTable {
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
     val live = keep.flatMap(v => readManifest(fs, path, v).files).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
-    // delete old-enough unreferenced data files (then empty commit dirs)
+    // delete old-enough unreferenced data FILES (subdirectories — e.g.
+    // an in-flight write's _temporary — are left to their writer), then
+    // drained commit dirs; empty-dir races with a concurrent writer are
+    // benign, so the delete result is ignored rather than required
     val dataDir = new HPath(path, "data")
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).foreach { cd =>
         if (cd.isDirectory) {
           fs.listStatus(cd.getPath).foreach { f =>
             val rel = s"data/${cd.getPath.getName}/${f.getPath.getName}"
-            if (!live.contains(rel) && f.getModificationTime < cutoff)
+            if (f.isFile && !live.contains(rel) &&
+                f.getModificationTime < cutoff)
               fs.delete(f.getPath, false)
           }
-          if (fs.listStatus(cd.getPath).isEmpty) fs.delete(cd.getPath, false)
+          if (fs.listStatus(cd.getPath).isEmpty) {
+            fs.delete(cd.getPath, false); ()
+          }
         }
       }
+    }
+    // reclaim temp manifests orphaned by writer crashes (tryPublish
+    // deletes its temp only on a LOST race; a crash before rename
+    // leaves it forever otherwise)
+    fs.listStatus(manifestDir(path)).foreach { f =>
+      if (f.isFile && f.getPath.getName.startsWith(".v") &&
+          f.getModificationTime < cutoff)
+        fs.delete(f.getPath, false)
     }
     drop.foreach(v => fs.delete(manifestPath(path, v), false))
   }

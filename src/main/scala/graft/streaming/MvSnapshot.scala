@@ -63,7 +63,10 @@ object MvSnapshot {
             (coalesce($"c0", lit(0L)) + coalesce($"c1", lit(0L)))
               .as("cents"))
       }
-    SnapshotTable.mergeBatch(combined, path, Seq("event_type"), batchId)
+    // the refreshed view's keys are a superset of the current view's
+    // (full_outer above), so a MERGE's survivor anti-join is provably
+    // empty — publish the whole view as one tagged overwrite instead
+    SnapshotTable.overwriteBatch(combined, path, batchId)
   }
 
   /** Streaming sink: maintain the MV table from an events stream;

@@ -361,6 +361,19 @@ class SinksSpec extends AnyFunSuite {
       SnapshotTable.merge(Seq((9L, 1.5)).toDF("id", "z"), t, Seq("id"))
     }
     assert(SnapshotTable.latestVersion(spark, t) == 2L)
+    // tagged merge is exactly-once, and the tag CARRIES FORWARD through
+    // an interleaved untagged commit (a retry after it stays a no-op)
+    assert(SnapshotTable.mergeBatch(
+      Seq((4L, "d")).toDF("id", "v"), t, Seq("id"), 5L).contains(3L))
+    assert(SnapshotTable.writeSnapshot(
+      Seq((9L, "w")).toDF("id", "v"), t) == 4L)
+    assert(SnapshotTable.latestBatchId(spark, t).contains(5L))
+    assert(SnapshotTable.mergeBatch(
+      Seq((4L, "d")).toDF("id", "v"), t, Seq("id"), 5L).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, t) == 4L)
+    // append tolerates read-back nullability drift (the merge rule)
+    assert(SnapshotTable.appendSnapshot(
+      SnapshotTable.readSnapshot(spark, t), t) == 5L)
   }
 
   test("snapshot table: streaming batches land exactly-once as tagged versions") {

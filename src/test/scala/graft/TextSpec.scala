@@ -920,12 +920,25 @@ class TextSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(planB.contains("BroadcastHashJoin"),
         s"no hinted broadcast below the cap:\n${planB.take(1200)}")
-      val above = new GraftIDF()
+      // routing keys on the ACTUAL kept-term count recorded at fit, not
+      // the configured cap: a defensively-huge cap over a small corpus
+      // still broadcasts...
+      val bigCap = new GraftIDF()
         .setVocabSize(GraftIDF.broadcastMaxVocab + 1).fit(docs)
-      val planA = above.transform(docs)
+      assert(bigCap.vocabCount <= GraftIDF.broadcastMaxVocab)
+      val planA = bigCap.transform(docs)
         .queryExecution.executedPlan.toString
-      assert(!planA.contains("BroadcastHashJoin"),
-        s"idf join broadcast above the cap:\n${planA.take(1200)}")
+      assert(planA.contains("BroadcastHashJoin"),
+        s"small actual vocab must broadcast despite a huge cap:\n${planA.take(1200)}")
+      // ...and a model whose RECORDED size exceeds the bound shuffles
+      // (constructed directly with an over-bound count; default params
+      // match the fixture's column names)
+      val huge = new graft.ml.feature.GraftIDFModel(bigCap.uid,
+        bigCap.nDocs, GraftIDF.broadcastMaxVocab + 1L, bigCap.idfTable)
+      val planH = huge.transform(docs)
+        .queryExecution.executedPlan.toString
+      assert(!planH.contains("BroadcastHashJoin"),
+        s"idf join broadcast above the actual-size bound:\n${planH.take(1200)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
   }
 
