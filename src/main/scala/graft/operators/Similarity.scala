@@ -1612,7 +1612,85 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Shared per-dimension binary-quantization threshold over columns
+    * (mn, mx): the midrange — from exact float order statistics, so
+    * both engines derive the identical double. */
+  private val bqThrSql =
+    "((CAST(mn AS DOUBLE) + CAST(mx AS DOUBLE)) / 2.0)"
+
+  /** D269: binary (1-bit) quantization ANN — the 32× compression end
+    * of the quantizer family (PQ 8×, SQ8 4×): each dimension collapses
+    * to sign-vs-midrange, a 64-dim vector packs into two 32-bit code
+    * words, candidate ranking is the EXACT integer Hamming distance
+    * (XOR + popcount — the cheapest distance that exists), and the
+    * [[pqShortlist]] survivors get the exact cosine re-rank (the s7
+    * readout contract). Binary codes are what a memory-tight first
+    * pass uses when even SQ8 is too big — recall is bought back by the
+    * wide shortlist + re-rank.
+    *
+    * Determinism: per-dim min/max are exact float order statistics;
+    * the midrange threshold is one shared IEEE expression
+    * ([[bqThrSql]]); bits, packed code words (two non-negative ≤ 2³²
+    * sums — never touching the sign bit, so neither engine's overflow
+    * semantics is in play), and Hamming distances are exact integers;
+    * the re-rank reuses the s1 ascending-fold cosine.
+    *
+    * Scale shape: the stats census reduces to DIM rows; packing is a
+    * broadcast equi-join + one partial-aggregated groupBy; the corpus
+    * candidate scan carries TWO LONGS per row against a ≤|Q|-row
+    * broadcast (the s1 bounded-query-set shape) with the salted
+    * two-phase top-k; floats re-read for ≤ shortlist·|Q| rows. */
+  def s27KnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val ex = emb.select($"vec_id", posexplode($"embedding").as(Seq("i", "v")))
+    val stats = ex.groupBy($"i").agg(min($"v").as("mn"), max($"v").as("mx"))
+    val codes = ex.join(broadcast(stats), "i")
+      .select($"vec_id",
+        when(expr(s"CAST(v AS DOUBLE) > $bqThrSql"), 1L).otherwise(0L)
+          .as("bit"),
+        $"i")
+      .groupBy($"vec_id")
+      .agg(
+        sum(when($"bit" === 1L && $"i" < 32,
+          expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("lo"),
+        sum(when($"bit" === 1L && $"i" >= 32,
+          expr("shiftleft(CAST(1 AS BIGINT), i - 32)")).otherwise(0L))
+          .as("hi"))
+      .scopedPersist()
+    val qCodes = codes.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"lo".as("qlo"), $"hi".as("qhi"))
+    val dists = codes.select($"vec_id".as("neighbor_id"), $"lo", $"hi")
+      .crossJoin(broadcast(qCodes))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        expr("CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS BIGINT)")
+          .as("d"))
+      .withColumn("salt", pmod(crc32($"neighbor_id".cast("string")), lit(32)))
+    val wLocal = Window.partitionBy($"query_id", $"salt")
+      .orderBy($"d".asc, $"neighbor_id")
+    val wAll = Window.partitionBy($"query_id").orderBy($"d".asc, $"neighbor_id")
+    val shortlist = dists
+      .withColumn("rk_local", row_number().over(wLocal))
+      .filter($"rk_local" <= pqShortlist)
+      .withColumn("rk_bq", row_number().over(wAll))
+      .filter($"rk_bq" <= pqShortlist)
+      .select($"query_id", $"neighbor_id")
+    val qEmb = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    shortlist
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id")
+      .join(broadcast(qEmb), "query_id")
+      .withColumn("cos", cosineCol(spark, $"q_emb", $"embedding"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk", $"neighbor_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_knn_binary" -> s27KnnBinary,
     "s26_knn_sq8" -> s26KnnSq8,
     "s13_triplet_mining" -> s13TripletMining,
     "s14_kcenter_sample" -> s14KcenterSample,
@@ -2107,6 +2185,40 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "s27_knn_binary" ->
+      s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding) AS v FROM embeddings),
+          st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i),
+          b0 AS (SELECT e.vec_id, e.i - 1 AS i,
+              CASE WHEN CAST(e.v AS DOUBLE) >
+                ((CAST(s.mn AS DOUBLE) + CAST(s.mx AS DOUBLE)) / 2.0)
+                THEN 1 ELSE 0 END AS bit
+            FROM ex e JOIN st s USING (i)),
+          cc AS (SELECT vec_id,
+              CAST(sum(CASE WHEN bit = 1 AND i < 32
+                THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+              CAST(sum(CASE WHEN bit = 1 AND i >= 32
+                THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+            FROM b0 GROUP BY vec_id),
+          qc AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+            FROM cc WHERE vec_id < 5),
+          d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+              CAST(bit_count(xor(c.lo, q.qlo))
+                + bit_count(xor(c.hi, q.qhi)) AS BIGINT) AS d
+            FROM cc c CROSS JOIN qc q WHERE c.vec_id <> q.query_id),
+          sl AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+                  FROM d) WHERE rk <= $pqShortlist),
+          scored AS (SELECT s.query_id, s.neighbor_id, $cosSql AS cos
+                     FROM sl s JOIN embeddings a ON a.vec_id = s.query_id
+                               JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+          SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+            round(cos, 4) AS cos_sim
+          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "s26_knn_sq8" ->
       s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
               unnest(embedding) AS v FROM embeddings),

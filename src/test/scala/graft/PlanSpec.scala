@@ -294,7 +294,10 @@ class PlanSpec extends AnyFunSuite {
       // total frame (q43 shape); q112 crosses the |nation|-row test
       // census with its ONE-row totals frame (q43 shape); p18 crosses
       // the scoring scan with its ONE-row score-range frame (q43 shape)
-      "p17_stump", "q112_bh_fdr", "p18_calibration")
+      "p17_stump", "q112_bh_fdr", "p18_calibration",
+      // s27 crosses the two-long code scan with the broadcast ≤5-row
+      // query-code set (the s1 bounded-query-set shape)
+      "s27_knn_binary")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {

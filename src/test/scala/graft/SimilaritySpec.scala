@@ -212,6 +212,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codes.values.forall(_.forall(c => c >= 0L && c <= 255L)))
   }
 
+  test("s27 binary codes equal a brute pack/Hamming/re-rank replay") {
+    import TestSpark.spark.implicits._
+    val vecsF = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecsF.head._2.length
+    val mn = Array.tabulate(dim)(i => vecsF.values.map(_(i)).min)
+    val mx = Array.tabulate(dim)(i => vecsF.values.map(_(i)).max)
+    // the engines' shared midrange threshold, same operand order
+    def bits(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      v.indices.foreach { i =>
+        if (v(i).toDouble > (mn(i).toDouble + mx(i).toDouble) / 2.0) {
+          if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+        }
+      }
+      (lo, hi)
+    }
+    val codes = vecsF.view.mapValues(bits).toMap
+    val vecsD = vecsF.view.mapValues(_.map(_.toDouble)).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (0L until 5L).flatMap { qid =>
+      val (qlo, qhi) = codes(qid)
+      val short = codes.toSeq.filter(_._1 != qid)
+        .map { case (id, (lo, hi)) =>
+          (id, java.lang.Long.bitCount(lo ^ qlo).toLong +
+            java.lang.Long.bitCount(hi ^ qhi).toLong)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(Similarity.pqShortlist)
+        .map(_._1)
+      short.map { id =>
+        val (x, y) = (vecsD(qid), vecsD(id))
+        (id, dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y))))
+      }.sortBy { case (id, c) => (-c, id) }.take(5)
+        .zipWithIndex.map { case ((id, c), k) => (qid, k + 1, id, r4(c)) }
+    }.toSeq
+    val got = Similarity.s27KnnBinary(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // the packing is non-degenerate: codes differ across the corpus
+    assert(codes.values.toSet.size > 1)
+  }
+
   test("s9 MMR selection equals a driver greedy replay and is diverse") {
     import TestSpark.spark.implicits._
     val vecs = graft.sources.Tables.embeddings(spark, sf)
