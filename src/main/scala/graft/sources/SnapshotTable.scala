@@ -214,8 +214,34 @@ object SnapshotTable {
       overwrite: Boolean = true): Long =
     writeTagged(df, path, overwrite, batchId = None)
 
+  /** Schema-evolution union: the table's column order first, the
+    * frame's NEW columns appended. Same-name columns must agree on
+    * type; a column either side might not populate (new column — old
+    * files lack it; dropped-from-frame column — new files lack it)
+    * becomes nullable, which is exactly how the parquet reader fills
+    * the holes. */
+  private def unionSchema(table: StructType, frame: StructType): StructType = {
+    frame.fields.foreach { f =>
+      table.fields.find(_.name == f.name).foreach { tf =>
+        require(tf.dataType == f.dataType,
+          s"schema evolution type conflict on '${f.name}': " +
+            s"table has ${tf.dataType}, frame has ${f.dataType}")
+      }
+    }
+    val kept = table.fields.map { tf =>
+      frame.fields.find(_.name == tf.name) match {
+        case Some(f) => tf.copy(nullable = tf.nullable || f.nullable)
+        case None => tf.copy(nullable = true)
+      }
+    }
+    val extra = frame.fields
+      .filterNot(f => table.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(kept ++ extra)
+  }
+
   private def writeTagged(df: DataFrame, path: String, overwrite: Boolean,
-      batchId: Option[Long]): Long = {
+      batchId: Option[Long], evolve: Boolean = false): Long = {
     val spark = df.sparkSession
     val fs = new HPath(path).getFileSystem(conf(spark))
     fs.mkdirs(manifestDir(path))
@@ -233,6 +259,9 @@ object SnapshotTable {
       val (schema, base, baseStats) =
         if (overwrite || latest == 0)
           (df.schema, Seq.empty[String], Map.empty: FileStats)
+        else if (evolve)
+          (unionSchema(prior.get.schema, df.schema),
+            prior.get.files, prior.get.stats)
         else {
           val m = prior.get
           // names + types must line up; nullability may differ (a
@@ -258,6 +287,41 @@ object SnapshotTable {
 
   def appendSnapshot(df: DataFrame, path: String): Long =
     writeSnapshot(df, path, overwrite = false)
+
+  /** D270: schema-evolving append — commit `df` whose schema may ADD
+    * columns to the table (recorded schema becomes the union; old
+    * files read the new columns as null) or OMIT existing ones (new
+    * files read them as null). Same-name type conflicts are rejected
+    * before anything commits. This is the Delta `mergeSchema` move:
+    * at 100 TB a new feature column must not force a table rewrite —
+    * the manifest's recorded schema evolves, the immutable data files
+    * do not. */
+  def appendEvolve(df: DataFrame, path: String): Long =
+    writeTagged(df, path, overwrite = false, batchId = None, evolve = true)
+
+  /** Versions with their manifest commit times (ascending). */
+  def versionTimes(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val dir = manifestDir(path)
+    val fs = dir.getFileSystem(conf(spark))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath).map(_ -> s.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  /** TIMESTAMP AS OF: the newest version committed at or before
+    * `tsMillis` (manifest publication time — the rename is the commit
+    * instant). Fails loudly when the table did not exist yet. */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val eligible = versionTimes(spark, path).filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version committed at or before $tsMillis under $path")
+    eligible.map(_._1).max
+  }
+
+  def readSnapshotAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    readSnapshot(spark, path, versionAsOf(spark, path, tsMillis))
 
   /** The highest streaming batch tag committed so far (untagged
     * commits CARRY the previous tag forward, so an operator's

@@ -406,6 +406,55 @@ class SinksSpec extends AnyFunSuite {
     assert(SnapshotTable.readSnapshot(spark, t, 1).count() == 1L)
   }
 
+  test("snapshot table: schema evolution and timestamp time travel") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_evolve") + "/tbl"
+    SnapshotTable.writeSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    // adding a column evolves the recorded schema; old rows read null
+    assert(SnapshotTable.appendEvolve(
+      Seq((3L, "c", 9.5)).toDF("id", "v", "w"), t) == 2L)
+    val v2 = SnapshotTable.readSnapshot(spark, t, 2)
+    assert(v2.schema.fieldNames.toSeq == Seq("id", "v", "w"))
+    val rows2 = v2.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(rows2 == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(9.5))))
+    // a frame OMITTING an existing column appends too; its rows read
+    // null there, and the column order stays the table's
+    assert(SnapshotTable.appendEvolve(
+      Seq((4L, 7.25)).toDF("id", "w"), t) == 3L)
+    val rows3 = SnapshotTable.readSnapshot(spark, t, 3).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(rows3 == Seq((1L, Some("a"), None), (2L, Some("b"), None),
+      (3L, Some("c"), Some(9.5)), (4L, None, Some(7.25))))
+    // same-name type conflicts are rejected before anything commits
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendEvolve(Seq((5L, 1)).toDF("id", "v"), t)
+    }
+    assert(SnapshotTable.latestVersion(spark, t) == 3L)
+    // strict append still rejects new columns
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendSnapshot(
+        Seq((6L, "x", 1.0, 2.0)).toDF("id", "v", "w", "z"), t)
+    }
+    // TIMESTAMP AS OF resolves each commit boundary
+    val times = SnapshotTable.versionTimes(spark, t)
+    assert(times.map(_._1) == Seq(1L, 2L, 3L))
+    times.foreach { case (ver, ts) =>
+      assert(SnapshotTable.versionAsOf(spark, t, ts) >= ver)
+    }
+    assert(SnapshotTable.readSnapshotAsOf(spark, t, times.last._2)
+      .count() == 4L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(spark, t, times.head._2 - 1000L)
+    }
+  }
+
   test("streaming MV maintenance lands exactly-once versioned refreshes") {
     import spark.implicits._
     import graft.sources.SnapshotTable
