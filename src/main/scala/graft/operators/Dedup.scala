@@ -448,6 +448,77 @@ object Dedup {
     agg.select($"doc_id", fp.as("simhash")).orderBy($"doc_id")
   }
 
+  /** 16-bit bands over the d25 64-bit simhash: Hamming ≤
+    * [[simhashMaxHam]] = bands − 1 pairs are GUARANTEED to share a
+    * band (pigeonhole — the Manku/Jarvelin/Sarlós web-dedup recall
+    * argument). */
+  val simhashBands = 4
+  val simhashMaxHam = 3
+
+  /** 64-bit simhash per document (d6's construction widened: two
+    * 32-bit md5-derived token halves so no value ever exceeds the
+    * signed-long cast range; bit 63 rides the sign bit, which is just
+    * a bit pattern to XOR/popcount). */
+  private[operators] def simhash64(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("t"))
+      .withColumn("hlo", conv(substring(md5($"t"), 1, 8), 16, 10).cast("long"))
+      .withColumn("hhi", conv(substring(md5($"t"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { i =>
+      val h = if (i < 32) $"hlo" else $"hhi"
+      val off = if (i < 32) i else i - 32
+      sum(when(shiftright(h, off).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"bit$i")
+    }
+    val agg = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // ascending i keeps every partial sum ≤ 2^63−1 before the single
+    // negative (bit-63) term lands — no overflow in either engine
+    val fp = (0 until 64)
+      .map(i => when(col(s"bit$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select($"doc_id", fp.as("sim"))
+  }
+
+  /** D271: simhash Hamming near-dup pairs — the PAIRING stage d6's
+    * fingerprints exist for: band the 64-bit simhash into
+    * [[simhashBands]] 16-bit keys, bucket-join on any equal band
+    * (pigeonhole: every Hamming ≤ [[simhashMaxHam]] pair shares one),
+    * and verify candidates by the EXACT Hamming distance (XOR +
+    * popcount). Complements d3/d4's MinHash (token-SET similarity)
+    * with the bit-level signal that survives small token
+    * substitutions, and d19's winnowing (ordered n-grams).
+    *
+    * Scale shape: one token explode + partial-aggregated 64-column
+    * bit census per doc; the candidate join is banding + bucket
+    * self-join with the d4 [[maxBucket]] hot-bucket cap (a 16-bit
+    * band has 65,536 values — a boilerplate-heavy corpus WILL
+    * concentrate, and the cap is the same documented recall trade d4
+    * makes); verification touches candidate pairs only, carrying two
+    * longs each. Never all-pairs. */
+  def d25SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.CacheScope.ScopedPersist
+    val sims = simhash64(Tables.documents(spark, dir)
+      .select($"doc_id", $"text")).scopedPersist()
+    val banded = sims.select($"doc_id", $"sim",
+        explode(typedLit((0 until simhashBands).toArray)).as("b"))
+      .withColumn("bv", expr("shiftright(sim, b * 16) & 65535"))
+    val ok = banded.groupBy($"b", $"bv").agg(count(lit(1)).as("n"))
+      .filter($"n" <= maxBucket).select($"b", $"bv")
+    val keyed = banded.join(ok, Seq("b", "bv"))
+      .select($"b", $"bv", $"doc_id", $"sim")
+    val pairs = keyed.as("x").join(keyed.as("y"),
+        $"x.b" === $"y.b" && $"x.bv" === $"y.bv" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.sim".as("sa"), $"y.sim".as("sb"))
+      .distinct()
+    pairs.select($"doc_a", $"doc_b",
+        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+      .filter($"hamming" <= simhashMaxHam)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Deterministic train/test split modulus for d7 (test = 5%). */
   val testModulus = 20
   /** Test-side document-frequency cap per shingle for d7: an n-gram
@@ -1175,7 +1246,8 @@ object Dedup {
     "d13_contamination_score" -> d13ContaminationScore,
     "d17_minhash_fidelity" -> d17MinhashFidelity,
     "d18_lsh_tuning" -> d18LshTuning,
-    "d23_weighted_jaccard" -> d23WeightedJaccard)
+    "d23_weighted_jaccard" -> d23WeightedJaccard,
+    "d25_simhash_pairs" -> d25SimhashPairs)
 
   // ---- DuckDB oracle SQL (replays the identical hash pipeline) ----
 
@@ -1588,6 +1660,38 @@ object Dedup {
           SELECT doc_id, cluster_id,
             CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS INT) AS is_rep
           FROM assign ORDER BY doc_id""",
+    "d25_simhash_pairs" -> {
+      val bitCols = (0 until 64).map { i =>
+        if (i < 32)
+          s"sum(CASE WHEN (hlo >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bit$i"
+        else
+          s"sum(CASE WHEN (hhi >> ${i - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS bit$i"
+      }.mkString(", ")
+      val fp = (0 until 64)
+        .map(i => s"(CASE WHEN bit$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id,
+              unnest(string_split(lower(text), ' ')) AS t FROM documents),
+          h AS (SELECT doc_id,
+              CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS hlo,
+              CAST('0x' || substring(md5(t), 9, 8) AS BIGINT) AS hhi
+            FROM tok),
+          bits AS (SELECT doc_id, $bitCols FROM h GROUP BY doc_id),
+          sims AS (SELECT doc_id, CAST($fp AS BIGINT) AS sim FROM bits),
+          band AS (SELECT doc_id, sim, b, (sim >> (b * 16)) & 65535 AS bv
+            FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bl),
+          ok AS (SELECT b, bv FROM band GROUP BY b, bv
+                 HAVING count(*) <= $maxBucket),
+          keyed AS (SELECT band.* FROM band JOIN ok USING (b, bv)),
+          pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              x.sim AS sa, y.sim AS sb
+            FROM keyed x JOIN keyed y
+              ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+          FROM pairs WHERE bit_count(xor(sa, sb)) <= $simhashMaxHam
+          ORDER BY doc_a, doc_b"""
+    },
     "d6_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
           h AS (SELECT doc_id, CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS h FROM tok),

@@ -609,4 +609,50 @@ class DedupSpec extends AnyFunSuite {
     assert(reGot == got)
     CacheScope.drain()
   }
+
+  test("d25 simhash pairs equal a brute 64-bit pack/band/Hamming replay") {
+    import TestSpark.spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sim64(text: String): Long = {
+      val counts = Array.fill(64)(0)
+      text.toLowerCase.split(" ", -1).foreach { t =>
+        val hx = md5hex(t)
+        val hlo = java.lang.Long.parseLong(hx.substring(0, 8), 16)
+        val hhi = java.lang.Long.parseLong(hx.substring(8, 16), 16)
+        (0 until 32).foreach { i =>
+          counts(i) += (if (((hlo >> i) & 1L) == 1L) 1 else -1)
+          counts(i + 32) += (if (((hhi >> i) & 1L) == 1L) 1 else -1)
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (counts(i) > 0) acc | (1L << i) else acc)
+    }
+    val sims = docs.map { case (id, t) => id -> sim64(t) }.toMap
+    val banded = sims.toSeq.flatMap { case (id, s) =>
+      (0 until Dedup.simhashBands)
+        .map(b => ((b, (s >> (b * 16)) & 65535L), id, s))
+    }
+    val okKeys = banded.groupBy(_._1)
+      .filter(_._2.size <= Dedup.maxBucket).keySet
+    val cand = banded.filter(r => okKeys(r._1)).groupBy(_._1).values
+      .flatMap { rows =>
+        val ds = rows.map(r => (r._2, r._3))
+        for { a <- ds; b <- ds if a._1 < b._1 }
+          yield (a._1, b._1, a._2, b._2)
+      }.toSet
+    val expected = cand.toSeq
+      .map { case (a, b, sa, sb) =>
+        (a, b, java.lang.Long.bitCount(sa ^ sb))
+      }
+      .filter(_._3 <= Dedup.simhashMaxHam).sortBy(t => (t._1, t._2))
+    val got = Dedup.d25SimhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // pairs are canonical and within the verified Hamming radius
+    assert(got.forall(p => p._1 < p._2 && p._3 <= Dedup.simhashMaxHam))
+  }
 }
