@@ -574,7 +574,59 @@ object Multimodal {
       .orderBy($"modality")
   }
 
+  /** Smallest side kept in the m14 resize pyramid; levels halve until
+    * either side would fall below it. */
+  val pyrMinSide = 32
+  /** Upper bound on explored pyramid levels (dims are bounded, so the
+    * explode fan-out is a small constant, never data-dependent). */
+  val pyrMaxLevels = 8
+
+  /** D272: resize-pyramid storage planner — per image, the mipmap
+    * levels a multi-resolution training pipeline would materialize
+    * (halve until a side < [[pyrMinSide]]), rolled up per pyramid
+    * DEPTH: image count, source pixels, total pyramid pixels, and the
+    * storage overhead ratio. This is the budget table read before
+    * materializing thumbnails/pyramids for vision training — the m6
+    * padding-waste planner's sibling for the resize axis.
+    *
+    * Exactness: dims come from the stub decoder (hash-derived — the
+    * m1/m6 convention; the REAL decoder drops in behind the
+    * [[BlobDecoder]] SPI); level dims are integer shifts, so every
+    * pixel sum is an exact integer and the single ratio divides two
+    * exact sums, 4-dp.
+    *
+    * Scale shape: the decode rides the once-per-partition SPI stage;
+    * the level explode is a ≤ [[pyrMaxLevels]] constant fan-out; two
+    * partial-aggregated rollups (per image, then per depth — ≤ depth
+    * rows). */
+  def m14PyramidPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded: Dataset[DecodedMedia] = decodePartitions(
+      withPayload(spark, dir)
+        .filter($"modality" === "image")
+        .select($"doc_id", $"payload")
+        .as[(Long, Array[Byte])])
+    val lv = decoded.toDF()
+      .select($"docId".as("doc_id"), $"width".as("w"), $"height".as("h"),
+        explode(typedLit((0 until pyrMaxLevels).toArray)).as("l"))
+      .filter(expr(s"shiftright(w, l) >= $pyrMinSide AND " +
+        s"shiftright(h, l) >= $pyrMinSide"))
+    val per = lv.groupBy($"doc_id")
+      .agg(count(lit(1)).as("depth"),
+        (max($"w") * max($"h")).cast("long").as("spx"),
+        sum(expr("CAST(shiftright(w, l) * shiftright(h, l) AS BIGINT)"))
+          .as("ppx"))
+    per.groupBy($"depth")
+      .agg(count(lit(1)).as("n_images"),
+        sum($"spx").as("src_px"), sum($"ppx").as("pyr_px"))
+      .select($"depth", $"n_images", $"src_px", $"pyr_px",
+        round($"pyr_px".cast("double") / $"src_px".cast("double"), 4)
+          .as("overhead"))
+      .orderBy($"depth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_pyramid_plan" -> m14PyramidPlan,
     "m13_corrupt_audit" -> m13CorruptAudit,
     "m12_token_budget" -> m12TokenBudget,
     "m11_frame_dedup" -> m11FrameDedup,
@@ -792,6 +844,25 @@ object Multimodal {
             coalesce(runs.longest_voiced, 0) AS longest_voiced
           FROM base LEFT JOIN runs USING (doc_id)
           ORDER BY base.doc_id""",
+    "m14_pyramid_plan" ->
+      s"""WITH d AS (SELECT doc_id,
+              64 + (CAST('0x' || substring(md5(text), 1, 2) AS INT) % 192) AS w,
+              64 + (CAST('0x' || substring(md5(text), 3, 2) AS INT) % 192) AS h
+            FROM documents WHERE doc_id % 3 = 0),
+          lv AS (SELECT doc_id, w, h, l
+            FROM d CROSS JOIN (SELECT unnest([${(0 until pyrMaxLevels)
+              .mkString(", ")}]) AS l) ll
+            WHERE (w >> l) >= $pyrMinSide AND (h >> l) >= $pyrMinSide),
+          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS depth,
+              CAST(max(w) * max(h) AS BIGINT) AS spx,
+              CAST(sum((w >> l) * (h >> l)) AS BIGINT) AS ppx
+            FROM lv GROUP BY doc_id)
+          SELECT depth, CAST(count(*) AS BIGINT) AS n_images,
+            CAST(sum(spx) AS BIGINT) AS src_px,
+            CAST(sum(ppx) AS BIGINT) AS pyr_px,
+            round(CAST(sum(ppx) AS DOUBLE) / CAST(sum(spx) AS DOUBLE), 4)
+              AS overhead
+          FROM per GROUP BY depth ORDER BY depth""",
     "m6_aspect_buckets" ->
       s"""WITH d AS (SELECT doc_id,
               64 + (CAST('0x' || substring(md5(text), 1, 2) AS INT) % 192) AS w,

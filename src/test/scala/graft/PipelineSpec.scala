@@ -155,6 +155,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(x => x._5 >= 0.0 && x._5 < 1.0))
   }
 
+  test("m14 pyramid plan equals a driver stub replay; overhead bounded") {
+    import graft.operators.Multimodal
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 0)
+    val per = docs.map { case (id, t) =>
+      val d = Multimodal.decodeImageStub(id, t.getBytes("UTF-8"))
+      val levels = (0 until Multimodal.pyrMaxLevels).filter(l =>
+        (d.width >> l) >= Multimodal.pyrMinSide &&
+          (d.height >> l) >= Multimodal.pyrMinSide)
+      (levels.length.toLong, d.width.toLong * d.height,
+        levels.map(l => ((d.width >> l).toLong * (d.height >> l))).sum)
+    }
+    val expected = per.groupBy(_._1).toSeq.map { case (depth, xs) =>
+      val spx = xs.map(_._2).sum; val ppx = xs.map(_._3).sum
+      (depth, xs.length.toLong, spx, ppx, r4(ppx.toDouble / spx.toDouble))
+    }.sortBy(_._1)
+    val got = Multimodal.m14PyramidPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // a halving pyramid's total pixels sit in [1, 4/3) of the source
+    assert(got.forall(x => x._5 >= 1.0 && x._5 < 4.0 / 3.0 + 1e-9))
+  }
+
   test("m7 audio VAD equals a driver stub replay incl. longest-run islands") {
     import graft.operators.Multimodal
     def r4(v: Double) =
