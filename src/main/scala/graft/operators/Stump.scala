@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedPersist
 import graft.sources.Tables
 
 /** D260: decision stump by histogram split search — the depth-1 tree.
@@ -34,7 +35,7 @@ object Stump {
   private def d(x: String) = s"CAST($x AS DOUBLE)"
 
   /** Gini impurity of one side from its positive/negative/total counts. */
-  private def giniSql(p: String, q: String, m: String) =
+  private[operators] def giniSql(p: String, q: String, m: String) =
     s"""(1.0 - (${d(p)} / ${d(m)}) * (${d(p)} / ${d(m)})
         - (${d(q)} / ${d(m)}) * (${d(q)} / ${d(m)}))"""
 
@@ -75,10 +76,128 @@ object Stump {
         round($"pg_raw" - $"wg_raw", 4).as("gini_gain"))
   }
 
+  /** D273: depth-2 tree by recursive histogram split search — p17's
+    * root split, then the best split INSIDE each branch, each over the
+    * same bounded bin histogram: one more level of the GBT primitive,
+    * showing the histogram formulation recurses (a depth-k trainer is
+    * k passes over the SAME domain-bounded census — per-level cost
+    * never grows with data). Output: one row per node (root / left /
+    * right) with its population, pre-split Gini, split threshold,
+    * split Gini and gain; a pure branch (no valid split) simply emits
+    * no row.
+    *
+    * Determinism: every census is exact integers off ONE shared bin
+    * histogram; node/split Ginis are the p17 shared IEEE tree; each
+    * argmin orders on the raw double then bin (identical across
+    * engines); the root threshold joins back as a broadcast 1-row
+    * frame (the q43 shape). */
+  def p19Tree2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.lineitem(spark, dir).select(
+      floor($"l_extendedprice" / 100.0).cast("long").as("bin"),
+      ($"l_returnflag" === "R").cast("long").as("y"))
+    val hist = rows.groupBy($"bin")
+      .agg(count(lit(1)).as("cnt"), sum($"y").as("p"))
+      .scopedPersist()
+    def bestSplit(h: DataFrame, node: org.apache.spark.sql.Column) = {
+      val tot = h.groupBy(node.as("node"))
+        .agg(sum($"cnt").as("n"), sum($"p").as("pos"))
+      val w = Window.partitionBy("node").orderBy($"bin")
+      val aw = Window.partitionBy("node").orderBy($"wg_raw", $"bin")
+      h.withColumn("node", node)
+        .select($"node", $"bin",
+          sum($"cnt").over(w).as("nl"), sum($"p").over(w).as("pl"))
+        .join(broadcast(tot), "node")
+        .filter($"nl" < $"n")
+        .withColumn("ql", $"nl" - $"pl")
+        .withColumn("nr", $"n" - $"nl")
+        .withColumn("pr", $"pos" - $"pl")
+        .withColumn("qr", $"nr" - $"pr")
+        .withColumn("neg", $"n" - $"pos")
+        .withColumn("wg_raw", expr(wgSql))
+        .withColumn("pg_raw", expr(parentSql))
+        .withColumn("rk", row_number().over(aw))
+        .filter($"rk" === 1)
+        .select($"node", $"bin".as("threshold_bin"),
+          $"n".as("n_node"), $"pos".as("pos_node"),
+          round($"pg_raw", 4).as("gini_node"),
+          round($"wg_raw", 4).as("gini_split"),
+          round($"pg_raw" - $"wg_raw", 4).as("gini_gain"))
+    }
+    val root = bestSplit(hist, lit("root"))
+    val rt = root.select($"threshold_bin".as("rt"))
+    val children = bestSplit(
+      hist.crossJoin(broadcast(rt)),
+      when($"bin" <= $"rt", "left").otherwise("right"))
+    root.unionAll(children).orderBy($"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p17_stump" -> p17Stump)
+    "p17_stump" -> p17Stump,
+    "p19_tree2" -> p19Tree2)
 
   val oracle: Map[String, String] = Map(
+    "p19_tree2" ->
+      s"""WITH r AS (SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT)
+              AS bin,
+              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem),
+          h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(y) AS BIGINT) AS p
+            FROM r GROUP BY bin),
+          t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(sum(p) AS BIGINT) AS pos FROM h),
+          c0 AS (SELECT bin,
+              CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS nl,
+              CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS pl
+            FROM h),
+          f0 AS (SELECT c0.bin, c0.nl, c0.pl, c0.nl - c0.pl AS ql,
+              t0.n - c0.nl AS nr, t0.pos - c0.pl AS pr,
+              (t0.n - c0.nl) - (t0.pos - c0.pl) AS qr,
+              t0.n AS n, t0.pos AS pos, t0.n - t0.pos AS neg
+            FROM c0 CROSS JOIN t0 WHERE c0.nl < t0.n),
+          r0 AS (SELECT 'root' AS node, bin AS threshold_bin,
+              n AS n_node, pos AS pos_node,
+              round($parentSql, 4) AS gini_node,
+              round($wgSql, 4) AS gini_split,
+              round($parentSql - $wgSql, 4) AS gini_gain,
+              row_number() OVER (ORDER BY $wgSql, bin) AS rk
+            FROM f0),
+          rt AS (SELECT threshold_bin AS rt FROM r0 WHERE rk = 1),
+          hs AS (SELECT CASE WHEN h.bin <= rt.rt THEN 'left'
+                ELSE 'right' END AS node, h.bin, h.cnt, h.p
+            FROM h CROSS JOIN rt),
+          ts AS (SELECT node, CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(sum(p) AS BIGINT) AS pos FROM hs GROUP BY node),
+          cs AS (SELECT node, bin,
+              CAST(sum(cnt) OVER (PARTITION BY node ORDER BY bin)
+                AS BIGINT) AS nl,
+              CAST(sum(p) OVER (PARTITION BY node ORDER BY bin)
+                AS BIGINT) AS pl
+            FROM hs),
+          fs AS (SELECT cs.node, cs.bin, cs.nl, cs.pl,
+              cs.nl - cs.pl AS ql, ts.n - cs.nl AS nr,
+              ts.pos - cs.pl AS pr,
+              (ts.n - cs.nl) - (ts.pos - cs.pl) AS qr,
+              ts.n AS n, ts.pos AS pos, ts.n - ts.pos AS neg
+            FROM cs JOIN ts USING (node) WHERE cs.nl < ts.n),
+          rs AS (SELECT node, bin AS threshold_bin, n AS n_node,
+              pos AS pos_node,
+              round($parentSql, 4) AS gini_node,
+              round($wgSql, 4) AS gini_split,
+              round($parentSql - $wgSql, 4) AS gini_gain,
+              row_number() OVER (PARTITION BY node
+                ORDER BY $wgSql, bin) AS rk
+            FROM fs)
+          SELECT node, threshold_bin, n_node, pos_node, gini_node,
+            gini_split, gini_gain
+          FROM (SELECT node, threshold_bin, n_node, pos_node, gini_node,
+              gini_split, gini_gain FROM r0 WHERE rk = 1
+            UNION ALL
+            SELECT node, threshold_bin, n_node, pos_node, gini_node,
+              gini_split, gini_gain FROM rs WHERE rk = 1)
+          ORDER BY node""",
     "p17_stump" ->
       s"""WITH r AS (SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT)
               AS bin,

@@ -640,4 +640,54 @@ class OlsSpec extends AnyFunSuite {
     // a split can never be worse than the parent
     assert(g.getDouble(6) >= 0.0)
   }
+
+  test("p19 depth-2 tree equals a brute recursive split search") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sf)
+      .select(floor($"l_extendedprice" / 100.0).cast("long").as("bin"),
+        ($"l_returnflag" === "R").cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gini(p: Long, q: Long, m: Long) =
+      1.0 - (p.toDouble / m.toDouble) * (p.toDouble / m.toDouble) -
+        (q.toDouble / m.toDouble) * (q.toDouble / m.toDouble)
+    // best split over a subset: (threshold, n, pos, parentGini, wg)
+    def best(sub: Seq[(Long, Long)]): Option[(Long, Long, Long, Double, Double)] = {
+      val n = sub.length.toLong; val pos = sub.map(_._2).sum
+      val hist = sub.groupBy(_._1).view
+        .mapValues(v => (v.length.toLong, v.map(_._2).sum))
+        .toSeq.sortBy(_._1)
+      var nl = 0L; var pl = 0L
+      val cands = hist.map { case (bin, (c, p)) =>
+        nl += c; pl += p; (bin, nl, pl)
+      }.filter(_._2 < n)
+      if (cands.isEmpty) None
+      else {
+        def wg(nl: Long, pl: Long) = {
+          val nr = n - nl; val pr = pos - pl
+          (nl.toDouble * gini(pl, nl - pl, nl) +
+            nr.toDouble * gini(pr, nr - pr, nr)) / n.toDouble
+        }
+        val b = cands.minBy(c => (wg(c._2, c._3), c._1))
+        Some((b._1, n, pos, gini(pos, n - pos, n), wg(b._2, b._3)))
+      }
+    }
+    val Some(root) = best(rows.toSeq)
+    val expected = (Seq("root" -> best(rows.toSeq)) ++ Seq(
+      "left" -> best(rows.filter(_._1 <= root._1).toSeq),
+      "right" -> best(rows.filter(_._1 > root._1).toSeq)))
+      .collect { case (nm, Some((t, n, p, pg, wg))) =>
+        (nm, t, n, p, r4(pg), r4(wg), r4(pg - wg))
+      }.sortBy(_._1)
+    val got = graft.operators.Stump.p19Tree2(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+    // children partition the root's population
+    val byNode = got.map(g => g._1 -> g._3).toMap
+    if (byNode.contains("left") && byNode.contains("right"))
+      assert(byNode("left") + byNode("right") == byNode("root"))
+  }
 }

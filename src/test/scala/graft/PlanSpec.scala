@@ -297,7 +297,10 @@ class PlanSpec extends AnyFunSuite {
       "p17_stump", "q112_bh_fdr", "p18_calibration",
       // s27 crosses the two-long code scan with the broadcast ≤5-row
       // query-code set (the s1 bounded-query-set shape)
-      "s27_knn_binary")
+      "s27_knn_binary",
+      // p19 crosses the domain-bounded bin histogram with the 1-row
+      // root-threshold frame and per-node totals (q43 shape)
+      "p19_tree2")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {
