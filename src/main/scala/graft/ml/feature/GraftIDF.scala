@@ -306,7 +306,19 @@ object GraftIDFModel extends MLReadable[GraftIDFModel] {
     override def load(path: String): GraftIDFModel = {
       val spark = sparkSession
       import spark.implicits._
-      val meta = spark.read.parquet(s"$path/meta").as[IdfModelMeta].head()
+      val metaDf = spark.read.parquet(s"$path/meta")
+      // pre-vocabCount artifacts (the field landed after the first
+      // persisted models): fall back to the configured cap — routing
+      // is then conservative-by-cap exactly as those models were
+      val meta =
+        if (metaDf.columns.contains("vocabCount"))
+          metaDf.as[IdfModelMeta].head()
+        else {
+          val old = metaDf
+            .selectExpr("params", "nDocs").as[(IdfParamsData, Long)].head()
+          IdfModelMeta(old._1, old._2,
+            old._1.vocabSize.getOrElse(1 << 20).toLong)
+        }
       // loads as a DataFrame over the persisted parquet — the model is
       // usable without materializing the vocabulary anywhere
       val idfDf = spark.read.parquet(s"$path/idf")

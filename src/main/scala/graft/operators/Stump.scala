@@ -47,27 +47,46 @@ object Stump {
   /** Parent (unsplit) Gini over columns (pos, neg, n). */
   private val parentSql = giniSql("pos", "neg", "n")
 
-  def p17Stump(spark: SparkSession, dir: String): DataFrame = {
+  /** (bin, cnt, p) histogram of the stump design — the one census
+    * every split search reads. */
+  private def designHist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val rows = Tables.lineitem(spark, dir).select(
-      floor($"l_extendedprice" / 100.0).cast("long").as("bin"),
-      ($"l_returnflag" === "R").cast("long").as("y"))
-    val hist = rows.groupBy($"bin")
+    Tables.lineitem(spark, dir).select(
+        floor($"l_extendedprice" / 100.0).cast("long").as("bin"),
+        ($"l_returnflag" === "R").cast("long").as("y"))
+      .groupBy($"bin")
       .agg(count(lit(1)).as("cnt"), sum($"y").as("p"))
-    val tot = hist.agg(sum($"cnt").as("n"), sum($"p").as("pos"))
-    val w = Window.orderBy($"bin")
-    val cand = hist
-      .select($"bin", sum($"cnt").over(w).as("nl"), sum($"p").over(w).as("pl"))
-      .crossJoin(broadcast(tot))
+  }
+
+  /** Candidate frame shared by p17 and p19: per (node, threshold bin),
+    * the exact split census (nl/pl/nr/pr/… vs the node totals joined
+    * back as a broadcast) plus the raw shared-IEEE split and parent
+    * Ginis. One definition, so the two oracle-gated trainers cannot
+    * drift apart. */
+  private def splitCandidates(h: DataFrame,
+      node: org.apache.spark.sql.Column): DataFrame = {
+    import h.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tot = h.groupBy(node.as("node"))
+      .agg(sum($"cnt").as("n"), sum($"p").as("pos"))
+    val w = Window.partitionBy("node").orderBy($"bin")
+    h.withColumn("node", node)
+      .select($"node", $"bin",
+        sum($"cnt").over(w).as("nl"), sum($"p").over(w).as("pl"))
+      .join(broadcast(tot), "node")
       .filter($"nl" < $"n") // a split must leave something on the right
       .withColumn("ql", $"nl" - $"pl")
       .withColumn("nr", $"n" - $"nl")
       .withColumn("pr", $"pos" - $"pl")
       .withColumn("qr", $"nr" - $"pr")
       .withColumn("neg", $"n" - $"pos")
-    cand.select($"bin", $"nl", $"nr", $"pl", $"pr",
-        expr(wgSql).as("wg_raw"), expr(parentSql).as("pg_raw"))
+      .withColumn("wg_raw", expr(wgSql))
+      .withColumn("pg_raw", expr(parentSql))
+  }
+
+  def p17Stump(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    splitCandidates(designHist(spark, dir), lit("root"))
       .orderBy($"wg_raw", $"bin").limit(1)
       .select($"bin".as("threshold_bin"),
         $"nl".as("n_left"), $"nr".as("n_right"),
@@ -94,29 +113,10 @@ object Stump {
   def p19Tree2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val rows = Tables.lineitem(spark, dir).select(
-      floor($"l_extendedprice" / 100.0).cast("long").as("bin"),
-      ($"l_returnflag" === "R").cast("long").as("y"))
-    val hist = rows.groupBy($"bin")
-      .agg(count(lit(1)).as("cnt"), sum($"y").as("p"))
-      .scopedPersist()
+    val hist = designHist(spark, dir).scopedPersist()
     def bestSplit(h: DataFrame, node: org.apache.spark.sql.Column) = {
-      val tot = h.groupBy(node.as("node"))
-        .agg(sum($"cnt").as("n"), sum($"p").as("pos"))
-      val w = Window.partitionBy("node").orderBy($"bin")
       val aw = Window.partitionBy("node").orderBy($"wg_raw", $"bin")
-      h.withColumn("node", node)
-        .select($"node", $"bin",
-          sum($"cnt").over(w).as("nl"), sum($"p").over(w).as("pl"))
-        .join(broadcast(tot), "node")
-        .filter($"nl" < $"n")
-        .withColumn("ql", $"nl" - $"pl")
-        .withColumn("nr", $"n" - $"nl")
-        .withColumn("pr", $"pos" - $"pl")
-        .withColumn("qr", $"nr" - $"pr")
-        .withColumn("neg", $"n" - $"pos")
-        .withColumn("wg_raw", expr(wgSql))
-        .withColumn("pg_raw", expr(parentSql))
+      splitCandidates(h, node)
         .withColumn("rk", row_number().over(aw))
         .filter($"rk" === 1)
         .select($"node", $"bin".as("threshold_bin"),

@@ -206,10 +206,12 @@ object Avro {
           w.append(rec)
         }
       } finally w.close()
-      // FIRST complete attempt wins; later attempts produce
-      // byte-identical output (deterministic partition contents), so
-      // losing is not an error. Never delete an existing target: a
-      // zombie attempt that deleted-then-died would leave a
+      // FIRST complete attempt wins; a losing attempt wrote the same
+      // RECORDS (deterministic partition contents — the container
+      // bytes differ per attempt via Avro's time-derived sync marker,
+      // so do NOT content-compare), and exactly one complete file
+      // survives, so losing is not an error. Never delete an existing
+      // target: a zombie attempt that deleted-then-died would leave a
       // _SUCCESS-blessed directory missing a partition.
       if (fs.exists(file)) {
         fs.delete(tmp, false); ()

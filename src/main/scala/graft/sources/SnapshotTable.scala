@@ -209,10 +209,17 @@ object SnapshotTable {
   /** Commit `df` as the table's next version. `overwrite = true`
     * replaces the visible contents; `false` appends to them. Returns
     * the committed version number. Readers concurrent with this call
-    * see either the previous version or the new one, never a mix. */
+    * see either the previous version or the new one, never a mix.
+    *
+    * Batch-tag semantics: an untagged APPEND (or merge) coexists with
+    * a maintaining stream, so it carries the stream's replay tag
+    * forward; an untagged full OVERWRITE REPURPOSES the table (its
+    * contents no longer derive from the stream), so it resets the tag
+    * — a replacement stream with a fresh checkpoint starts clean. */
   def writeSnapshot(df: DataFrame, path: String,
       overwrite: Boolean = true): Long =
-    writeTagged(df, path, overwrite, batchId = None)
+    writeTagged(df, path, overwrite, batchId = None,
+      carryTag = !overwrite)
 
   /** Schema-evolution union: the table's column order first, the
     * frame's NEW columns appended. Same-name columns must agree on
@@ -241,13 +248,18 @@ object SnapshotTable {
   }
 
   private def writeTagged(df: DataFrame, path: String, overwrite: Boolean,
-      batchId: Option[Long], evolve: Boolean = false): Long = {
+      batchId: Option[Long], evolve: Boolean = false,
+      carryTag: Boolean = true): Long = {
     val spark = df.sparkSession
     val fs = new HPath(path).getFileSystem(conf(spark))
     fs.mkdirs(manifestDir(path))
     val commitId = java.util.UUID.randomUUID().toString
     val newFiles = landDataFiles(df, path, commitId)
     val newStats = collectStats(df, path, s"data/c-$commitId", newFiles)
+    // only commits that FOLD IN prior state (appends/evolution) or
+    // carry its tag open the prior manifest — a plain overwrite stays
+    // immune to concurrent vacuum retiring that manifest
+    val needsPrior = !overwrite || carryTag
     // publish loop: create-if-absent is the mutex; on a lost race,
     // re-resolve the latest version (appends must fold in the winner's
     // files and stats) and retry at the next number
@@ -255,32 +267,42 @@ object SnapshotTable {
     while (committed < 0) {
       val latest = latestVersion(spark, path)
       val prior =
-        if (latest == 0) None else Some(readManifest(fs, path, latest))
-      val (schema, base, baseStats) =
-        if (overwrite || latest == 0)
-          (df.schema, Seq.empty[String], Map.empty: FileStats)
-        else if (evolve)
-          (unionSchema(prior.get.schema, df.schema),
-            prior.get.files, prior.get.stats)
-        else {
-          val m = prior.get
-          // names + types must line up; nullability may differ (a
-          // parquet read-back is nullable even when the writing frame
-          // was not — the merge() tolerance, applied here too); the
-          // TABLE's recorded schema stays authoritative
-          require(m.schema.map(f => (f.name, f.dataType)) ==
-              df.schema.map(f => (f.name, f.dataType)),
-            s"append schema mismatch: table has ${m.schema}, " +
-              s"frame has ${df.schema}")
-          (m.schema, m.files, m.stats)
-        }
-      // carry the max seen batch tag forward through UNTAGGED commits:
-      // an operator's writeSnapshot/merge between a tagged commit and
-      // its foreachBatch retry must not blind the replay guard
-      val tag = (batchId.toSeq ++ prior.flatMap(_.batchId)).maxOption
-      if (tryPublish(fs, path, latest + 1,
-          Manifest(schema, base ++ newFiles, tag, baseStats ++ newStats)))
-        committed = latest + 1
+        if (latest == 0 || !needsPrior) None
+        else
+          // a concurrent vacuum can retire `latest` between the listing
+          // and this read — treat it as a lost race and re-resolve
+          try Some(readManifest(fs, path, latest))
+          catch { case _: java.io.FileNotFoundException => None }
+      if (latest == 0 || !needsPrior || prior.isDefined) {
+        val (schema, base, baseStats) =
+          if (overwrite || latest == 0)
+            (df.schema, Seq.empty[String], Map.empty: FileStats)
+          else if (evolve)
+            (unionSchema(prior.get.schema, df.schema),
+              prior.get.files, prior.get.stats)
+          else {
+            val m = prior.get
+            // names + types must line up; nullability may differ (a
+            // parquet read-back is nullable even when the writing frame
+            // was not — the merge() tolerance, applied here too); the
+            // TABLE's recorded schema stays authoritative
+            require(m.schema.map(f => (f.name, f.dataType)) ==
+                df.schema.map(f => (f.name, f.dataType)),
+              s"append schema mismatch: table has ${m.schema}, " +
+                s"frame has ${df.schema}")
+            (m.schema, m.files, m.stats)
+          }
+        // carry the max seen batch tag forward through untagged
+        // APPENDS/MERGES (an operator write between a tagged commit and
+        // its foreachBatch retry must not blind the replay guard);
+        // untagged OVERWRITES repurpose the table and reset it
+        val tag =
+          if (carryTag) (batchId.toSeq ++ prior.flatMap(_.batchId)).maxOption
+          else batchId
+        if (tryPublish(fs, path, latest + 1,
+            Manifest(schema, base ++ newFiles, tag, baseStats ++ newStats)))
+          committed = latest + 1
+      }
     }
     committed
   }
@@ -323,12 +345,13 @@ object SnapshotTable {
       tsMillis: Long): DataFrame =
     readSnapshot(spark, path, versionAsOf(spark, path, tsMillis))
 
-  /** The highest streaming batch tag committed so far (untagged
-    * commits CARRY the previous tag forward, so an operator's
-    * writeSnapshot/merge interleaved between a tagged commit and its
-    * foreachBatch retry cannot blind the replay guard). Batch ids are
-    * per-query: one table is maintained by one stream (the D255
-    * contract). */
+  /** The highest streaming batch tag committed so far. Untagged
+    * APPENDS/MERGES carry the previous tag forward, so an operator
+    * write interleaved between a tagged commit and its foreachBatch
+    * retry cannot blind the replay guard; an untagged full OVERWRITE
+    * repurposes the table and RESETS the tag, so a replacement stream
+    * with a fresh checkpoint starts clean. Batch ids are per-query:
+    * one table is maintained by one stream (the D255 contract). */
   def latestBatchId(spark: SparkSession, path: String): Option[Long] = {
     val vs = versions(spark, path)
     if (vs.isEmpty) None

@@ -362,11 +362,11 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(SnapshotTable.latestVersion(spark, t) == 2L)
     // tagged merge is exactly-once, and the tag CARRIES FORWARD through
-    // an interleaved untagged commit (a retry after it stays a no-op)
+    // an interleaved untagged merge (a retry after it stays a no-op)
     assert(SnapshotTable.mergeBatch(
       Seq((4L, "d")).toDF("id", "v"), t, Seq("id"), 5L).contains(3L))
-    assert(SnapshotTable.writeSnapshot(
-      Seq((9L, "w")).toDF("id", "v"), t) == 4L)
+    assert(SnapshotTable.merge(
+      Seq((9L, "w")).toDF("id", "v"), t, Seq("id")) == 4L)
     assert(SnapshotTable.latestBatchId(spark, t).contains(5L))
     assert(SnapshotTable.mergeBatch(
       Seq((4L, "d")).toDF("id", "v"), t, Seq("id"), 5L).isEmpty)
@@ -374,6 +374,14 @@ class SinksSpec extends AnyFunSuite {
     // append tolerates read-back nullability drift (the merge rule)
     assert(SnapshotTable.appendSnapshot(
       SnapshotTable.readSnapshot(spark, t), t) == 5L)
+    assert(SnapshotTable.latestBatchId(spark, t).contains(5L)) // carried
+    // an untagged full OVERWRITE repurposes the table: the tag resets,
+    // so a replacement stream restarting at batch 0 is not blinded
+    assert(SnapshotTable.writeSnapshot(
+      Seq((1L, "fresh")).toDF("id", "v"), t) == 6L)
+    assert(SnapshotTable.latestBatchId(spark, t).isEmpty)
+    assert(SnapshotTable.appendBatch(
+      Seq((2L, "b0")).toDF("id", "v"), t, 0L).contains(7L))
   }
 
   test("snapshot table: streaming batches land exactly-once as tagged versions") {

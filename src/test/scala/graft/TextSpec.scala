@@ -973,6 +973,31 @@ class TextSpec extends AnyFunSuite {
     assert(got.forall(g => g._3 > 0L && g._5 > 0L))
   }
 
+  test("GraftIDFModel loads pre-vocabCount artifacts with the cap fallback") {
+    import spark.implicits._
+    import graft.ml.feature.{GraftIDF, GraftIDFModel}
+    val crafted = Seq((1L, "alpha beta"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val m = new GraftIDF().fit(crafted)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_idf_legacy").toString + "/model"
+    m.write.save(dir)
+    // rewrite the meta WITHOUT vocabCount — the pre-field layout
+    val metaPath = s"$dir/meta"
+    val legacy = spark.read.parquet(metaPath).select("params", "nDocs")
+    val tmpMeta = s"$dir/meta_legacy"
+    legacy.write.parquet(tmpMeta)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(metaPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpMeta),
+      new org.apache.hadoop.fs.Path(metaPath))
+    val back = GraftIDFModel.load(dir)
+    // fallback = the configured cap (default 2^20), and the model scores
+    assert(back.vocabCount == (1L << 20))
+    assert(back.transform(crafted).count() == 2L)
+  }
+
   test("t41 Flesch readability equals a brute per-doc replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
