@@ -94,18 +94,33 @@ object Bench {
       val med = ts(ts.length / 2)
       if (med > 0) (ts.last - ts.head) / med else 0.0
     }
-    // fixed-cost calibration: full scan + aggregate of the largest
-    // fixture table; its before/after drift exposes mid-suite box load
+    // fixed-cost calibration: FOUR full scans + aggregate of the
+    // largest fixture table, so the probe runs long enough (~0.4 s at
+    // sf0.1) that GC/JIT jitter is small RELATIVE noise; measured as
+    // the MIN of 5 runs — min is the load-robust statistic
+    // (bench_detail's own queries_min rationale). Round-12 fix: the
+    // old ~0.1 s median-of-3 probe turned 18 ms of idle-box jitter
+    // into an 18% "drift" and stamped a genuinely quiet run
+    // contaminated.
     val calibFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-      (s, dir) => graft.sources.Tables.lineitem(s, dir)
-        .agg(org.apache.spark.sql.functions.count(
-               org.apache.spark.sql.functions.lit(1)),
-             org.apache.spark.sql.functions.sum(
-               org.apache.spark.sql.functions.col("l_extendedprice")))
+      (s, dir) => {
+        val li = graft.sources.Tables.lineitem(s, dir)
+        li.unionAll(li).unionAll(li).unionAll(li)
+          .agg(org.apache.spark.sql.functions.count(
+                 org.apache.spark.sql.functions.lit(1)),
+               org.apache.spark.sql.functions.sum(
+                 org.apache.spark.sql.functions.col("l_extendedprice")))
+      }
+    def calibSample(): Double =
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        run(calibFn)
+        (System.nanoTime() - t0) / 1e9
+      }.min
 
     def measure(): Attempt = {
       run(calibFn) // warm
-      val calibBefore = sample(calibFn)(repeats / 2)
+      val calibBefore = calibSample()
       val failed = scala.collection.mutable.ArrayBuffer.empty[String]
       val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -133,7 +148,7 @@ object Bench {
           CacheScope.drain()
         }
       }
-      val calibAfter = sample(calibFn)(repeats / 2)
+      val calibAfter = calibSample()
       Attempt(medians, mins, spreads, failed.toSeq, calibBefore, calibAfter)
     }
 
