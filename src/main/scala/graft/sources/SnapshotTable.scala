@@ -511,6 +511,75 @@ object SnapshotTable {
     else Some(mergeTagged(updates, path, keyCols, Some(batchId)))
   }
 
+  /** D274: stats-pruned copy-on-write MERGE — the file-level pruning
+    * [[merge]] documents as its scale extension, now that manifests
+    * carry per-file column stats (D264). Only data files whose
+    * recorded [min, max] on `keyCol` intersects the updates' key
+    * range are rewritten (survivor anti-join ∪ updates); every other
+    * file is carried into the new manifest VERBATIM, stats included —
+    * at 100 TB a CDC batch touching one day's keys rewrites a handful
+    * of files, not the table. Files without stats are conservatively
+    * treated as touched. The key-range rule is range-based, so sparse
+    * update keys inside a wide range still rewrite the whole range —
+    * the standard Delta-style trade (exactness would need per-key
+    * bloom pruning). Concurrency: last-commit-wins like [[merge]];
+    * on a lost publish race the WHOLE merge re-runs against the new
+    * latest (the losers' landed files become vacuum orphans). */
+  def mergePruned(updates: DataFrame, path: String, keyCol: String): Long = {
+    val spark = updates.sparkSession
+    if (versions(spark, path).isEmpty)
+      return writeSnapshot(updates, path)
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    import org.apache.spark.sql.functions.{col, max, min}
+    val r = updates.agg(min(col(keyCol)), max(col(keyCol))).head()
+    if (r.isNullAt(0)) return latestVersion(spark, path) // empty: no-op
+    val lo = BigDecimal(r.get(0).toString)
+    val hi = BigDecimal(r.get(1).toString)
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(spark, path)
+      val m =
+        try readManifest(fs, path, latest)
+        catch { case _: java.io.FileNotFoundException => null } // re-resolve
+      if (m != null) {
+        require(m.schema.map(f => (f.name, f.dataType)) ==
+            updates.schema.map(f => (f.name, f.dataType)),
+          s"merge schema mismatch: table has ${m.schema}, " +
+            s"updates have ${updates.schema}")
+        def touchedFile(f: String): Boolean =
+          m.stats.get(f).flatMap(_.get(keyCol)) match {
+            case Some((mn, mx)) =>
+              (try Some((BigDecimal(mn), BigDecimal(mx)))
+               catch { case _: NumberFormatException => None })
+                .forall { case (a, b) => b >= lo && a <= hi }
+            case None => true // no stats: conservatively rewrite
+          }
+        val (touched, untouched) = m.files.partition(touchedFile)
+        val touchedDf =
+          if (touched.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+          else spark.read.schema(m.schema)
+            .parquet(touched.map(f => new HPath(path, f).toString): _*)
+        val survivors = touchedDf.join(
+          updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        val rewritten = survivors.unionAll(
+          updates.select(m.schema.fieldNames.map(col): _*))
+        val commitId = java.util.UUID.randomUUID().toString
+        val newFiles = landDataFiles(rewritten, path, commitId)
+        val newStats =
+          collectStats(rewritten, path, s"data/c-$commitId", newFiles)
+        val untouchedSet = untouched.toSet
+        val keepStats = m.stats.filter { case (f, _) => untouchedSet(f) }
+        if (tryPublish(fs, path, latest + 1,
+            Manifest(m.schema, untouched ++ newFiles,
+              m.batchId, keepStats ++ newStats)))
+          committed = latest + 1
+      }
+    }
+    committed
+  }
+
   /** Default vacuum grace: unreferenced files younger than this are
     * presumed to belong to an IN-FLIGHT commit (landed but not yet
     * published) and are left alone — the Delta/Iceberg retention

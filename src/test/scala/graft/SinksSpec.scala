@@ -414,6 +414,46 @@ class SinksSpec extends AnyFunSuite {
     assert(SnapshotTable.readSnapshot(spark, t, 1).count() == 1L)
   }
 
+  test("snapshot table: stats-pruned MERGE rewrites only intersecting files") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_mergep") + "/tbl"
+    def frame(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "v").repartition(2)
+    // three id-clustered commits → disjoint per-file id ranges
+    SnapshotTable.writeSnapshot(frame(0, 100), t)
+    SnapshotTable.appendSnapshot(frame(100, 200), t)
+    SnapshotTable.appendSnapshot(frame(200, 300), t)
+    val before = SnapshotTable.readSnapshot(spark, t).inputFiles.toSet
+    // updates touch only the middle commit's key range
+    val updates = Seq((150L, "X"), (151L, "Y"), (350L, "new"))
+      .toDF("id", "v")
+    assert(SnapshotTable.mergePruned(updates, t, "id") == 4L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+    val afterFiles = after.inputFiles.toSet
+    // untouched files (commits 1 and 3) are carried VERBATIM; some of
+    // the old files survive and some were rewritten
+    assert((afterFiles intersect before).nonEmpty, "no files carried")
+    assert((before diff afterFiles).nonEmpty, "nothing was rewritten")
+    // row semantics identical to a full merge
+    val rows = after.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows(150L) == "X" && rows(151L) == "Y" && rows(350L) == "new")
+    assert(rows.size == 301 && rows(149L) == "r149" && rows(299L) == "r299")
+    // time travel: the pre-merge version is intact
+    assert(SnapshotTable.readSnapshot(spark, t, 3).count() == 300L)
+    // the carried stats still prune on the new version
+    val p = SnapshotTable.readSnapshotRange(spark, t, "id",
+      BigDecimal(0), BigDecimal(10))
+    assert(p.inputFiles.length < afterFiles.size && p.count() == 11L)
+    // empty updates are a no-op; schema drift is rejected
+    assert(SnapshotTable.mergePruned(
+      Seq.empty[(Long, String)].toDF("id", "v"), t, "id") == 4L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergePruned(Seq((1L, 2.0)).toDF("id", "z"), t, "id")
+    }
+    assert(SnapshotTable.latestVersion(spark, t) == 4L)
+  }
+
   test("snapshot table: schema evolution and timestamp time travel") {
     import spark.implicits._
     import graft.sources.SnapshotTable
