@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.CacheScope.ScopedPersist
 import graft.sources.Tables
 
 /** Advanced SQL surface (SURVEY.md §2.B D25): GROUPING SETS, correlated
@@ -624,7 +625,52 @@ object AdvancedSql {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** D275: drill-down ROLLUP with share-of-parent — the three-level
+    * revenue hierarchy (grand total → year → quarter) every OLAP
+    * report renders, with each row carrying its share of its PARENT
+    * level (the drill-down percentage q24's raw grouping sets leave
+    * to the reader). Levels come from ONE rollup aggregation; the
+    * share join runs on the rolled frame, which is bounded by the
+    * CALENDAR (#years + 4·#years + 1 rows), never by data.
+    *
+    * Exactness: revenue is exact integer cents at every level;
+    * share-of-parent is ONE double division per row, 4-dp; absent
+    * hierarchy slots print as −1 so the cross-engine hash never
+    * touches null-ordering. */
+  def q113Drilldown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select(
+      year(to_date($"o_orderdate")).as("y"),
+      quarter(to_date($"o_orderdate")).as("q"),
+      floor($"o_totalprice" * 100).cast("long").as("cents"))
+    val g = base.rollup($"y", $"q")
+      .agg(sum($"cents").as("cents"), grouping_id().as("gid"))
+      .scopedPersist()
+    val total = g.filter($"gid" === 3)
+      .select($"cents".as("p_cents"))
+    val years = g.filter($"gid" === 1)
+      .crossJoin(broadcast(total))
+      .select(lit("year").as("level"), $"y".as("year"),
+        lit(-1).as("quarter"), $"cents".as("revenue_cents"),
+        round($"cents".cast("double") / $"p_cents".cast("double"), 4)
+          .as("share_of_parent"))
+    val quarters = g.filter($"gid" === 0)
+      .join(broadcast(g.filter($"gid" === 1)
+        .select($"y".as("py"), $"cents".as("p_cents"))), $"y" === $"py")
+      .select(lit("quarter").as("level"), $"y".as("year"),
+        $"q".as("quarter"), $"cents".as("revenue_cents"),
+        round($"cents".cast("double") / $"p_cents".cast("double"), 4)
+          .as("share_of_parent"))
+    val grand = g.filter($"gid" === 3)
+      .select(lit("total").as("level"), lit(-1).as("year"),
+        lit(-1).as("quarter"), $"cents".as("revenue_cents"),
+        lit(1.0).as("share_of_parent"))
+    grand.unionAll(years).unionAll(quarters)
+      .orderBy($"level", $"year", $"quarter")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_drilldown" -> q113Drilldown,
     "q45_cohort_retention" -> q45CohortRetention,
     "q43_important_parts" -> q43ImportantParts,
     "q44_quantile_bins" -> q44QuantileBins,
@@ -671,6 +717,33 @@ object AdvancedSql {
         ${strOf(s"max($valueExpr)")} AS max_s FROM orders"""
 
   val oracle: Map[String, String] = Map(
+    "q113_drilldown" ->
+      """WITH b AS (SELECT year(CAST(o_orderdate AS DATE)) AS y,
+              quarter(CAST(o_orderdate AS DATE)) AS q,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+          g AS (SELECT y, q, CAST(sum(cents) AS BIGINT) AS cents,
+              CAST(grouping(y) * 2 + grouping(q) AS INT) AS gid
+            FROM b GROUP BY ROLLUP (y, q)),
+          total AS (SELECT cents AS p_cents FROM g WHERE gid = 3),
+          yr AS (SELECT 'year' AS level, g.y AS year, -1 AS quarter,
+              g.cents AS revenue_cents,
+              round(CAST(g.cents AS DOUBLE) / CAST(t.p_cents AS DOUBLE), 4)
+                AS share_of_parent
+            FROM g CROSS JOIN total t WHERE g.gid = 1),
+          qt AS (SELECT 'quarter' AS level, g.y AS year, g.q AS quarter,
+              g.cents AS revenue_cents,
+              round(CAST(g.cents AS DOUBLE) / CAST(p.cents AS DOUBLE), 4)
+                AS share_of_parent
+            FROM g JOIN g p ON p.gid = 1 AND p.y = g.y WHERE g.gid = 0),
+          gr AS (SELECT 'total' AS level, -1 AS year, -1 AS quarter,
+              cents AS revenue_cents, 1.0 AS share_of_parent
+            FROM g WHERE gid = 3)
+          SELECT CAST(level AS VARCHAR) AS level, CAST(year AS INT) AS year,
+            CAST(quarter AS INT) AS quarter, revenue_cents, share_of_parent
+          FROM (SELECT * FROM gr UNION ALL SELECT * FROM yr
+                UNION ALL SELECT * FROM qt)
+          ORDER BY level, year, quarter""",
     "q45_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
             FROM events),

@@ -429,4 +429,36 @@ class AdvancedSqlSpec extends AnyFunSuite {
         s"user $u: got ($n,$outliers) expected (${vs.length},$expOut)")
     }
   }
+
+  test("q113 drill-down equals a brute rollup replay; shares tile parents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .select(year(to_date($"o_orderdate")).as("y"),
+        quarter(to_date($"o_orderdate")).as("q"),
+        floor($"o_totalprice" * 100).cast("long").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val total = rows.map(_._3).sum
+    val byYear = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val byYQ = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val expected = (Seq(("total", -1, -1, total, 1.0)) ++
+      byYear.toSeq.map { case (y, c) =>
+        ("year", y, -1, c, r4(c.toDouble / total.toDouble))
+      } ++
+      byYQ.toSeq.map { case ((y, q), c) =>
+        ("quarter", y, q, c, r4(c.toDouble / byYear(y).toDouble))
+      }).sortBy(t => (t._1, t._2, t._3))
+    val got = graft.operators.AdvancedSql.q113Drilldown(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // exact integer tiling: each level's revenue sums to its parent
+    assert(got.filter(_._1 == "year").map(_._4).sum == total)
+    got.filter(_._1 == "quarter").groupBy(_._2).foreach { case (y, qs) =>
+      assert(qs.map(_._4).sum == byYear(y))
+    }
+  }
 }

@@ -300,7 +300,10 @@ class PlanSpec extends AnyFunSuite {
       "s27_knn_binary",
       // p19 crosses the domain-bounded bin histogram with the 1-row
       // root-threshold frame and per-node totals (q43 shape)
-      "p19_tree2")
+      "p19_tree2",
+      // q113 crosses the calendar-bounded rolled frame with its 1-row
+      // grand-total level (q43 shape)
+      "q113_drilldown")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {
