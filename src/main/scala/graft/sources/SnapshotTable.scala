@@ -79,15 +79,52 @@ object SnapshotTable {
   private type FileStats = Map[String, Map[String, (String, String)]]
 
   private final case class Manifest(schema: StructType, files: Seq[String],
-      batchId: Option[Long] = None, stats: FileStats = Map.empty)
+      batchId: Option[Long] = None, stats: FileStats = Map.empty,
+      partCol: Option[String] = None, dataChange: Boolean = true)
+
+  /** Column references by NAME must not re-parse as nested-field paths
+    * (a name with a dot) — backtick-quote everywhere a schema name
+    * feeds `col(...)`. */
+  private def qcol(name: String) =
+    org.apache.spark.sql.functions.col(s"`${name.replace("`", "``")}`")
+
+  /** Manifest-line field escaping: column names (any legal Spark
+    * identifier, `|`/`=`/`,` included) and stat VALUES (string
+    * partition keys since D276) travel inside delimiter-structured
+    * `#stats=` lines, so the delimiters, '%', and line breaks are
+    * %XX-escaped. Decoding a legacy un-escaped numeric value is the
+    * identity ('%' never appears in decimal strings), so pre-escape
+    * manifests stay readable. */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case c @ ('%' | '|' | '=' | ',' | '\n' | '\r') =>
+        sb.append(f"%%${c.toInt}%02X")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   /** One `#stats=` manifest line per file:
-    * `#stats=<rel>|<col>=<min>,<max>|...` — rel paths are
-    * writer-generated (UUID commit dirs + part names) and column names
-    * are schema identifiers, so the `|`/`=`/`,` delimiters are safe. */
+    * `#stats=<rel>|<col>=<min>,<max>|...`; rel paths are
+    * writer-generated (UUID commit dirs + part names) so they carry no
+    * delimiters, and names/values are %XX-escaped ([[esc]]). */
   private def statsLine(rel: String, cols: Map[String, (String, String)]) =
     s"#stats=$rel" + cols.toSeq.sortBy(_._1)
-      .map { case (c, (mn, mx)) => s"|$c=$mn,$mx" }.mkString
+      .map { case (c, (mn, mx)) => s"|${esc(c)}=${esc(mn)},${esc(mx)}" }
+      .mkString
 
   private def parseStatsLine(l: String): (String, Map[String, (String, String)]) = {
     val parts = l.stripPrefix("#stats=").split("\\|").toSeq
@@ -95,8 +132,8 @@ object SnapshotTable {
       val eq = p.indexOf('=')
       val comma = p.indexOf(',', eq + 1)
       if (eq < 0 || comma < 0) None
-      else Some(p.substring(0, eq) ->
-        (p.substring(eq + 1, comma), p.substring(comma + 1)))
+      else Some(unesc(p.substring(0, eq)) ->
+        (unesc(p.substring(eq + 1, comma)), unesc(p.substring(comma + 1))))
     }.toMap)
   }
 
@@ -114,8 +151,13 @@ object SnapshotTable {
     }
     val stats: FileStats = meta.filter(_.startsWith("#stats="))
       .map(parseStatsLine).toMap
+    val partCol = meta.collectFirst {
+      case l if l.startsWith("#partcol=") =>
+        unesc(l.stripPrefix("#partcol="))
+    }
     Manifest(DataType.fromJson(lines.head).asInstanceOf[StructType],
-      body, batch, stats)
+      body, batch, stats, partCol,
+      dataChange = !meta.contains("#nodatachange"))
   }
 
   /** Atomic publication; false = lost the race. The body is written
@@ -137,10 +179,12 @@ object SnapshotTable {
     val out = fs.create(tmp, false)
     try {
       val tag = m.batchId.map(b => s"#batch=$b").toSeq
+      val part = m.partCol.map(c => s"#partcol=${esc(c)}").toSeq
+      val change = if (m.dataChange) Seq.empty else Seq("#nodatachange")
       val statLines = m.files.flatMap(f =>
         m.stats.get(f).filter(_.nonEmpty).map(statsLine(f, _)))
-      val body = (m.schema.json +: (tag ++ statLines ++ m.files))
-        .mkString("\n")
+      val body = (m.schema.json +:
+        (tag ++ part ++ change ++ statLines ++ m.files)).mkString("\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     if (fs.exists(target) || !fs.rename(tmp, target)) {
@@ -149,17 +193,43 @@ object SnapshotTable {
     } else true
   }
 
+  /** The duplicated-partition-key directory column: partitioned
+    * commits write `data/c-<id>/__graft_pv=<v>/part-*.parquet` so
+    * every data file holds exactly ONE partition value, but the real
+    * column stays IN the files (the directory key is a write-side
+    * routing duplicate), so readers never depend on path inference. */
+  private val PvDir = "__graft_pv"
+
   /** Land one commit's data files; returns table-relative paths.
-    * An empty frame commits zero files (a valid, empty version). */
+    * An empty frame commits zero files (a valid, empty version).
+    * With `partitionBy`, files are split so each holds one partition
+    * value (the structural-pruning invariant D276 reads rely on). */
   private def landDataFiles(df: DataFrame, path: String,
-      commitId: String): Seq[String] = {
+      commitId: String, partitionBy: Option[String] = None): Seq[String] = {
     val rel = s"data/c-$commitId"
     val dataDir = new HPath(path, rel)
-    df.write.mode("errorifexists").parquet(dataDir.toString)
+    partitionBy match {
+      case Some(p) =>
+        df.withColumn(PvDir, qcol(p))
+          .write.mode("errorifexists").partitionBy(PvDir)
+          .parquet(dataDir.toString)
+      case None =>
+        df.write.mode("errorifexists").parquet(dataDir.toString)
+    }
     val fs = dataDir.getFileSystem(conf(df.sparkSession))
-    fs.listStatus(dataDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$rel/${s.getPath.getName}").sorted
+    val it = fs.listFiles(dataDir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val marker = s"/c-$commitId/"
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toUri.getPath
+      if (s.getPath.getName.endsWith(".parquet")) {
+        val i = p.indexOf(marker)
+        require(i >= 0, s"landed file $p escaped commit dir $rel")
+        buf += s"$rel/${p.substring(i + marker.length)}"
+      }
+    }
+    buf.toSeq.sorted
   }
 
   /** Column types with manifest min/max stats (the numeric atomics —
@@ -175,34 +245,75 @@ object SnapshotTable {
     case _ => false
   }
 
+  /** Conservative file-range vs query-range intersection test. For
+    * INTEGRAL columns the recorded decimal strings are exact, so the
+    * BigDecimal compare is too. For FLOAT/DOUBLE columns the compare
+    * runs in double space with the file bounds widened by one ulp
+    * each way — the residual filter also compares in double space, so
+    * a query bound falling strictly between the stats string's decimal
+    * value and the binary extremum can never prune a file whose rows
+    * would pass the filter (NaN extrema loosen to ±∞: Spark's max is
+    * NaN whenever ANY value is NaN, which says nothing about the
+    * rest). Unparseable stats keep the file. */
+  private def statsIntersect(mn: String, mx: String, lo: BigDecimal,
+      hi: BigDecimal, floating: Boolean): Boolean =
+    if (floating) {
+      try {
+        val mnD = mn.toDouble
+        val mxD = mx.toDouble
+        val fileLo =
+          if (mnD.isNaN) Double.NegativeInfinity else math.nextDown(mnD)
+        val fileHi =
+          if (mxD.isNaN) Double.PositiveInfinity else math.nextUp(mxD)
+        fileHi >= math.nextDown(lo.toDouble) &&
+          fileLo <= math.nextUp(hi.toDouble)
+      } catch { case _: NumberFormatException => true }
+    } else {
+      (try Some((BigDecimal(mn), BigDecimal(mx)))
+       catch { case _: NumberFormatException => None })
+        .forall { case (a, b) => b >= lo && a <= hi }
+    }
+
   /** One bounded job over the just-landed files computing per-file
     * min/max of every stat-typed column — the Delta-style write-side
     * stats pass (one row per landed file, grouped on
     * `input_file_name`; cost is a re-scan of THIS commit's files
-    * only, never the table). */
-  private def collectStats(df: DataFrame, path: String, rel: String,
-      files: Seq[String]): FileStats = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    val statCols = df.schema.fields.toSeq
-      .filter(f => isStatType(f.dataType)).map(_.name)
+    * only, never the table). `forceCols` (the partition column) is
+    * included whatever its type — its per-file min == max by the
+    * [[landDataFiles]] layout, which is what equality pruning reads.
+    * Files are read by EXPLICIT path (not the directory) so the
+    * partitioned `__graft_pv=` subdirs never trigger inference. */
+  private def collectStats(spark: SparkSession, schema: StructType,
+      path: String, commitRel: String, files: Seq[String],
+      forceCols: Seq[String] = Seq.empty): FileStats = {
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    val statCols = (schema.fields.toSeq
+      .filter(f => isStatType(f.dataType)).map(_.name) ++ forceCols)
+      .distinct.filter(schema.fieldNames.contains)
     if (statCols.isEmpty || files.isEmpty) return Map.empty
-    val dataDir = new HPath(path, rel)
-    val aggs = statCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))
-    val rows = df.sparkSession.read.schema(df.schema)
-      .parquet(dataDir.toString)
+    val aggs = statCols.zipWithIndex.flatMap { case (c, i) => Seq(
+      min(qcol(c)).cast("string").as(s"mn_$i"),
+      max(qcol(c)).cast("string").as(s"mx_$i")) }
+    val marker = "/" + commitRel.stripPrefix("data/") + "/"
+    val rows = spark.read.schema(schema)
+      .parquet(files.map(f => new HPath(path, f).toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.map { r =>
-      val name = r.getString(0).split('/').last
-      val cols = statCols.zipWithIndex.flatMap { case (c, i) =>
-        val mn = r.getString(1 + 2 * i)
-        val mx = r.getString(2 + 2 * i)
-        if (mn == null || mx == null) None else Some(c -> (mn, mx))
+      // key by the path suffix below the commit dir (partitioned
+      // commits may reuse a part file name across value dirs); the
+      // URI getPath decodes the %-encoding input_file_name applies
+      val p = new java.net.URI(r.getString(0)).getPath
+      val i = p.indexOf(marker)
+      require(i >= 0, s"stats row for $p outside commit $commitRel")
+      val cols = statCols.indices.flatMap { j =>
+        val mn = r.getString(1 + 2 * j)
+        val mx = r.getString(2 + 2 * j)
+        if (mn == null || mx == null) None
+        else Some(statCols(j) -> (mn, mx))
       }.toMap
-      s"$rel/$name" -> cols
+      s"$commitRel/${p.substring(i + marker.length)}" -> cols
     }.toMap
   }
 
@@ -249,17 +360,34 @@ object SnapshotTable {
 
   private def writeTagged(df: DataFrame, path: String, overwrite: Boolean,
       batchId: Option[Long], evolve: Boolean = false,
-      carryTag: Boolean = true): Long = {
+      carryTag: Boolean = true, partitionBy: Option[String] = None): Long = {
     val spark = df.sparkSession
     val fs = new HPath(path).getFileSystem(conf(spark))
     fs.mkdirs(manifestDir(path))
-    val commitId = java.util.UUID.randomUUID().toString
-    val newFiles = landDataFiles(df, path, commitId)
-    val newStats = collectStats(df, path, s"data/c-$commitId", newFiles)
     // only commits that FOLD IN prior state (appends/evolution) or
     // carry its tag open the prior manifest — a plain overwrite stays
     // immune to concurrent vacuum retiring that manifest
     val needsPrior = !overwrite || carryTag
+    // the commit's partition column: explicit beats inherited; a plain
+    // (tag-resetting) overwrite REPURPOSES the table and resets it,
+    // like the batch tag. Resolved best-effort before landing — on the
+    // rare race where a concurrent commit changes it, the landed files
+    // are merely less prunable, never wrong (pruning is stats-driven
+    // and conservative).
+    val partCol: Option[String] = partitionBy.orElse {
+      if (!needsPrior) None
+      else {
+        val l = latestVersion(spark, path)
+        if (l == 0) None
+        else try readManifest(fs, path, l).partCol
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+    }
+    val landPart = partCol.filter(df.schema.fieldNames.contains)
+    val commitId = java.util.UUID.randomUUID().toString
+    val newFiles = landDataFiles(df, path, commitId, landPart)
+    val newStats = collectStats(spark, df.schema, path, s"data/c-$commitId",
+      newFiles, forceCols = landPart.toSeq)
     // publish loop: create-if-absent is the mutex; on a lost race,
     // re-resolve the latest version (appends must fold in the winner's
     // files and stats) and retry at the next number
@@ -299,8 +427,11 @@ object SnapshotTable {
         val tag =
           if (carryTag) (batchId.toSeq ++ prior.flatMap(_.batchId)).maxOption
           else batchId
+        val mPart = partitionBy.orElse(
+          if (needsPrior) prior.flatMap(_.partCol) else None)
         if (tryPublish(fs, path, latest + 1,
-            Manifest(schema, base ++ newFiles, tag, baseStats ++ newStats)))
+            Manifest(schema, base ++ newFiles, tag,
+              baseStats ++ newStats, mPart)))
           committed = latest + 1
       }
     }
@@ -320,6 +451,174 @@ object SnapshotTable {
     * do not. */
   def appendEvolve(df: DataFrame, path: String): Long =
     writeTagged(df, path, overwrite = false, batchId = None, evolve = true)
+
+  /** D276: partitioned snapshot writes — commit `df` laid out so every
+    * data file holds exactly ONE value of `partitionCol` (hive-style
+    * `__graft_pv=` routing dirs inside the commit dir; the real column
+    * stays in the files). The manifest records the partition column
+    * and, via the forced per-file stats, each file's single value —
+    * so [[readSnapshotWhere]] prunes STRUCTURALLY from the manifest
+    * alone, the dominant warehouse layout for time-partitioned facts
+    * at 100 TB. Appends without an explicit partition column inherit
+    * the table's ([[writeTagged]]); a plain [[writeSnapshot]]
+    * overwrite resets it, like the batch tag. Works for any column
+    * type (dates and strings included — partition values are recorded
+    * as escaped strings, not numeric stats). */
+  def writeSnapshotPartitioned(df: DataFrame, path: String,
+      partitionCol: String, overwrite: Boolean = true): Long = {
+    require(df.schema.fieldNames.contains(partitionCol),
+      s"no partition column $partitionCol in " +
+        df.schema.fieldNames.mkString(", "))
+    writeTagged(df, path, overwrite, batchId = None,
+      carryTag = !overwrite, partitionBy = Some(partitionCol))
+  }
+
+  /** Partition-pruned (equality) read: plan only the data files whose
+    * recorded single value of `column` equals `value` (the Spark
+    * string form, i.e. `CAST(col AS STRING)`). Files without stats,
+    * or with a mixed [min, max] (unpartitioned files appended to a
+    * partitioned table), are kept — pruning is conservative, never
+    * lossy — and the exact filter still applies on top, so the result
+    * is IDENTICAL to filtering [[readSnapshot]]. Composes with
+    * [[readSnapshotRange]]-style stats skipping: both prune from the
+    * manifest with zero parquet footer reads. */
+  def readSnapshotWhere(spark: SparkSession, path: String, column: String,
+      value: String, version: Long = -1L): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    val m = readManifest(fs, path, v)
+    require(m.schema.fieldNames.contains(column),
+      s"no column $column in ${m.schema.fieldNames.mkString(", ")}")
+    def keep(f: String): Boolean =
+      m.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mn != mx || mn == value
+        case None => true
+      }
+    val files = m.files.filter(keep)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else spark.read.schema(m.schema)
+        .parquet(files.map(f => new HPath(path, f).toString): _*)
+    import org.apache.spark.sql.functions.lit
+    base.filter(qcol(column).cast("string") === lit(value))
+  }
+
+  /** D277: small-file compaction (OPTIMIZE) — bin-pack the current
+    * version's sub-`targetBytes` files into ~targetBytes files and
+    * commit the result as the next version with recomputed stats.
+    * The row set is UNCHANGED (`#nodatachange` in the manifest, so
+    * the change feed skips it); files already at or above the target
+    * are carried verbatim, stats included; on a partitioned table the
+    * repacking shuffles on the partition column so the
+    * one-value-per-file invariant survives. Prior versions stay
+    * readable (time travel) until [[vacuum]] reclaims the replaced
+    * files. This is the maintenance a streaming-append table needs at
+    * 100 TB: a day of micro-batches is thousands of manifest entries
+    * and tiny parquet files, and scan planning is O(files). Returns
+    * the committed version, or the current one when there is nothing
+    * to pack. Carries the batch tag, so a maintaining stream's replay
+    * guard is unaffected. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(spark, path)
+      if (latest == 0) return 0L
+      val m =
+        try readManifest(fs, path, latest)
+        catch { case _: java.io.FileNotFoundException => null } // re-resolve
+      if (m != null) {
+        val sized = m.files.map(f =>
+          f -> fs.getFileStatus(new HPath(path, f)).getLen)
+        val (big, small) = sized.partition(_._2 >= targetBytes)
+        val smallBytes = small.map(_._2).sum
+        val bins = math.max(1,
+          math.ceil(smallBytes.toDouble / targetBytes).toInt)
+        if (small.length <= bins) return latest // already packed
+        val landPart = m.partCol.filter(m.schema.fieldNames.contains)
+        val df = spark.read.schema(m.schema)
+          .parquet(small.map(f => new HPath(path, f._1).toString): _*)
+        val packed = landPart match {
+          case Some(p) => df.repartition(bins, qcol(p))
+          case None => df.repartition(bins)
+        }
+        val commitId = java.util.UUID.randomUUID().toString
+        val newFiles = landDataFiles(packed, path, commitId, landPart)
+        val newStats = collectStats(spark, m.schema, path,
+          s"data/c-$commitId", newFiles, forceCols = landPart.toSeq)
+        val bigSet = big.map(_._1).toSet
+        val keepStats = m.stats.filter { case (f, _) => bigSet(f) }
+        if (tryPublish(fs, path, latest + 1,
+            Manifest(m.schema, big.map(_._1) ++ newFiles, m.batchId,
+              keepStats ++ newStats, m.partCol, dataChange = false)))
+          committed = latest + 1
+        // lost race: a concurrent commit changed the file set — the
+        // landed pack is an orphan (vacuum reclaims it); re-plan
+        // against the new latest
+      }
+    }
+    committed
+  }
+
+  /** D278 (batch half): the table's change feed — rows ADDED by each
+    * data-changing commit in `(fromVersion, toVersion]`, each with a
+    * `_commit_version` column, in commit order. A version's additions
+    * are its manifest's files minus its predecessor's (data files are
+    * immutable, so file-set deltas ARE the row deltas for the
+    * append-only maintenance pattern the table is built for — D255
+    * streaming appends, D267 incremental MVs). Compaction commits
+    * (`#nodatachange`) rewrite files without changing rows and are
+    * skipped. COPY-ON-WRITE commits (merge) surface their rewritten
+    * files as additions — the upsert-as-append reading Delta's CDF
+    * calls out, documented not hidden. `fromVersion = 0` reads from
+    * the beginning; `toVersion = -1` means latest. Old versions must
+    * not have been vacuumed past `fromVersion`. */
+  def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val to = if (toVersion < 0) vs.last else toVersion
+    require(to <= vs.last, s"version $to not committed yet (latest ${vs.last})")
+    require(fromVersion == 0 || vs.contains(fromVersion),
+      s"change-feed base version $fromVersion is not committed " +
+        s"(vacuumed?); available: ${vs.headOption.getOrElse(0L)}..${vs.last}")
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    val range = vs.filter(v => v > fromVersion && v <= to)
+    val outSchema = StructType(
+      (if (range.nonEmpty) readManifest(fs, path, range.last).schema
+       else readManifest(fs, path, vs.last).schema).fields :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    if (range.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    var prev: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else readManifest(fs, path, fromVersion).files.toSet
+    val slices = range.flatMap { v =>
+      val mv = readManifest(fs, path, v)
+      val added = mv.files.filterNot(prev)
+      prev = mv.files.toSet
+      if (!mv.dataChange || added.isEmpty) None
+      else Some(
+        spark.read
+          .schema(StructType(outSchema.fields.dropRight(1)))
+          .parquet(added.map(f => new HPath(path, f).toString): _*)
+          .withColumn("_commit_version", lit(v)))
+    }
+    if (slices.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else slices.reduce(_.unionAll(_))
+  }
 
   /** Versions with their manifest commit times (ascending). */
   def versionTimes(spark: SparkSession, path: String): Seq[(Long, Long)] = {
@@ -444,12 +743,15 @@ object SnapshotTable {
     val m = readManifest(fs, path, v)
     require(m.schema.fieldNames.contains(column),
       s"no column $column in ${m.schema.fieldNames.mkString(", ")}")
+    val floating = m.schema(column).dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
     def keep(f: String): Boolean =
       m.stats.get(f).flatMap(_.get(column)) match {
         case Some((mn, mx)) =>
-          (try Some((BigDecimal(mn), BigDecimal(mx)))
-           catch { case _: NumberFormatException => None }) // NaN etc.
-            .forall { case (a, b) => b >= lo && a <= hi }
+          statsIntersect(mn, mx, lo, hi, floating)
         case None => true
       }
     val files = m.files.filter(keep)
@@ -460,11 +762,11 @@ object SnapshotTable {
       else spark.read.schema(m.schema)
         .parquet(files.map(f => new HPath(path, f).toString): _*)
     // typed column/literal comparison (not SQL-text interpolation):
-    // survives identifier-unfriendly column names, and a long column
-    // vs a decimal literal widens to DECIMAL — exact past 2^53, where
-    // a double literal would silently round
-    import org.apache.spark.sql.functions.{col, lit}
-    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    // survives identifier-unfriendly column names (backtick-quoted),
+    // and a long column vs a decimal literal widens to DECIMAL — exact
+    // past 2^53, where a double literal would silently round
+    import org.apache.spark.sql.functions.lit
+    base.filter(qcol(column) >= lit(lo) && qcol(column) <= lit(hi))
   }
 
   /** Copy-on-write upsert (MERGE-lite): commit a version whose
@@ -494,7 +796,7 @@ object SnapshotTable {
       s"merge schema mismatch: table has ${cur.schema}, " +
         s"updates have ${updates.schema}")
     val survivors = cur.join(
-      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+      updates.select(keyCols.map(k => qcol(k).as(k)): _*),
       keyCols, "left_anti")
     writeTagged(survivors.unionAll(updates), path, overwrite = true, batchId)
   }
@@ -527,14 +829,63 @@ object SnapshotTable {
     * latest (the losers' landed files become vacuum orphans). */
   def mergePruned(updates: DataFrame, path: String, keyCol: String): Long = {
     val spark = updates.sparkSession
+    require(updates.schema.fieldNames.contains(keyCol),
+      s"no key column $keyCol in ${updates.schema.fieldNames.mkString(", ")}")
+    val keyType = updates.schema(keyCol).dataType
+    require(isStatType(keyType),
+      s"mergePruned needs a numeric key column (stats-prunable); " +
+        s"$keyCol is $keyType — use merge() for non-numeric keys")
     if (versions(spark, path).isEmpty)
       return writeSnapshot(updates, path)
     val fs = new HPath(path).getFileSystem(conf(spark))
-    import org.apache.spark.sql.functions.{col, max, min}
-    val r = updates.agg(min(col(keyCol)), max(col(keyCol))).head()
-    if (r.isNullAt(0)) return latestVersion(spark, path) // empty: no-op
-    val lo = BigDecimal(r.get(0).toString)
-    val hi = BigDecimal(r.get(1).toString)
+    import org.apache.spark.sql.functions.{floor, lit, max, min, when}
+    // Bucketed update-key ranges, not one global envelope: two updated
+    // keys at opposite ends of the key space must rewrite only the
+    // files THEIR buckets touch, so the "CDC touches one day" promise
+    // survives sparse updates. One bounded pass: global [lo, hi], then
+    // per-equi-width-bucket ACTUAL [min, max] (empty buckets simply
+    // don't appear — the gaps between them are what saves the rewrite).
+    val kd = qcol(keyCol).cast("double")
+    val g = updates.agg(min(kd).as("lo"), max(kd).as("hi")).head()
+    if (g.isNullAt(0)) return latestVersion(spark, path) // empty: no-op
+    val gLo = g.getDouble(0)
+    val gHi = g.getDouble(1)
+    val buckets = 64
+    val width = math.max((gHi - gLo) / buckets, java.lang.Double.MIN_NORMAL)
+    val perBucket: Array[(String, String)] = updates
+      .groupBy(when(kd.isNaN, lit(buckets.toLong))
+        .otherwise(floor((kd - lit(gLo)) / lit(width))).as("b"))
+      .agg(min(qcol(keyCol)).cast("string").as("mn"),
+        max(qcol(keyCol)).cast("string").as("mx"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val floating = keyType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+    // per-bucket bounds stay strings so float NaN/Infinity buckets
+    // parse on the same path as file stats (they loosen to ±∞)
+    def intersectsBucket(fmn: String, fmx: String): Boolean =
+      perBucket.exists { case (blo, bhi) =>
+        if (floating) {
+          try {
+            def low(s: String) = {
+              val d = s.toDouble
+              if (d.isNaN) Double.NegativeInfinity else math.nextDown(d)
+            }
+            def high(s: String) = {
+              val d = s.toDouble
+              if (d.isNaN) Double.PositiveInfinity else math.nextUp(d)
+            }
+            high(fmx) >= low(blo) && low(fmn) <= high(bhi)
+          } catch { case _: NumberFormatException => true }
+        } else {
+          try statsIntersect(fmn, fmx, BigDecimal(blo), BigDecimal(bhi),
+            floating = false)
+          catch { case _: NumberFormatException => true }
+        }
+      }
     var committed = -1L
     while (committed < 0) {
       val latest = latestVersion(spark, path)
@@ -548,10 +899,7 @@ object SnapshotTable {
             s"updates have ${updates.schema}")
         def touchedFile(f: String): Boolean =
           m.stats.get(f).flatMap(_.get(keyCol)) match {
-            case Some((mn, mx)) =>
-              (try Some((BigDecimal(mn), BigDecimal(mx)))
-               catch { case _: NumberFormatException => None })
-                .forall { case (a, b) => b >= lo && a <= hi }
+            case Some((mn, mx)) => intersectsBucket(mn, mx)
             case None => true // no stats: conservatively rewrite
           }
         val (touched, untouched) = m.files.partition(touchedFile)
@@ -562,18 +910,19 @@ object SnapshotTable {
           else spark.read.schema(m.schema)
             .parquet(touched.map(f => new HPath(path, f).toString): _*)
         val survivors = touchedDf.join(
-          updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          updates.select(qcol(keyCol).as(keyCol)), Seq(keyCol), "left_anti")
         val rewritten = survivors.unionAll(
-          updates.select(m.schema.fieldNames.map(col): _*))
+          updates.select(m.schema.fieldNames.toSeq.map(qcol): _*))
         val commitId = java.util.UUID.randomUUID().toString
-        val newFiles = landDataFiles(rewritten, path, commitId)
-        val newStats =
-          collectStats(rewritten, path, s"data/c-$commitId", newFiles)
+        val landPart = m.partCol.filter(m.schema.fieldNames.contains)
+        val newFiles = landDataFiles(rewritten, path, commitId, landPart)
+        val newStats = collectStats(spark, m.schema, path,
+          s"data/c-$commitId", newFiles, forceCols = landPart.toSeq)
         val untouchedSet = untouched.toSet
         val keepStats = m.stats.filter { case (f, _) => untouchedSet(f) }
         if (tryPublish(fs, path, latest + 1,
             Manifest(m.schema, untouched ++ newFiles,
-              m.batchId, keepStats ++ newStats)))
+              m.batchId, keepStats ++ newStats, m.partCol)))
           committed = latest + 1
       }
     }

@@ -604,4 +604,198 @@ class SinksSpec extends AnyFunSuite {
     assert(xHits < spans.length, s"x in [0,32) hit all ${spans.length} files")
     assert(yHits < spans.length, s"y in [0,32) hit all ${spans.length} files")
   }
+
+  test("snapshot table: partitioned writes prune structurally on read") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_part") + "/tbl"
+    val langs = Seq("en", "de", "fr", "ja")
+    val df = (0 until 400).map(i => (i.toLong, langs(i % 4), s"doc$i"))
+      .toDF("id", "lang", "text").repartition(4)
+    assert(SnapshotTable.writeSnapshotPartitioned(df, t, "lang") == 1L)
+    val full = SnapshotTable.readSnapshot(spark, t)
+    assert(full.count() == 400L)
+    // partition column survives IN the data (no path inference)
+    assert(full.schema.fieldNames.toSeq == Seq("id", "lang", "text"))
+    // equality read plans a strict subset of files, result identical
+    // to the filtered full read
+    val en = SnapshotTable.readSnapshotWhere(spark, t, "lang", "en")
+    assert(en.inputFiles.length < full.inputFiles.length,
+      s"partition pruning planned ${en.inputFiles.length} of " +
+        s"${full.inputFiles.length} files")
+    val expectEn = full.filter($"lang" === "en")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(en.collect().map(_.getLong(0)).sorted.toSeq == expectEn)
+    // an APPEND without an explicit partition column inherits the
+    // table's layout — its files are prunable too
+    val more = Seq((1000L, "en", "x"), (1001L, "de", "y"))
+      .toDF("id", "lang", "text")
+    assert(SnapshotTable.appendSnapshot(more, t) == 2L)
+    val en2 = SnapshotTable.readSnapshotWhere(spark, t, "lang", "en")
+    val all2 = SnapshotTable.readSnapshot(spark, t)
+    assert(en2.inputFiles.length < all2.inputFiles.length)
+    assert(en2.collect().map(_.getLong(0)).sorted.toSeq ==
+      (expectEn :+ 1000L).sorted)
+    // numeric stats skipping still composes on the same table
+    val pruned = SnapshotTable.readSnapshotRange(spark, t, "id",
+      BigDecimal(1000), BigDecimal(2000))
+    assert(pruned.inputFiles.length < all2.inputFiles.length)
+    assert(pruned.count() == 2L)
+    // a plain overwrite REPURPOSES the table: partition layout resets
+    SnapshotTable.writeSnapshot(Seq((1L, "en", "z"))
+      .toDF("id", "lang", "text"), t)
+    val w = SnapshotTable.readSnapshotWhere(spark, t, "lang", "en")
+    assert(w.count() == 1L)
+  }
+
+  test("snapshot table: compaction bin-packs small files, data unchanged") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_compact") + "/tbl"
+    // a day of micro-batches: 6 tiny appends, 2 files each
+    (0 until 6).foreach { b =>
+      val df = (b * 100 until (b + 1) * 100)
+        .map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(2)
+      if (b == 0) SnapshotTable.writeSnapshot(df, t)
+      else assert(SnapshotTable.appendBatch(df, t, b.toLong).isDefined)
+    }
+    val before = SnapshotTable.readSnapshot(spark, t)
+    val beforeFiles = before.inputFiles.toSet
+    assert(beforeFiles.size == 12)
+    val rows = before.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    // OPTIMIZE: everything is tiny, so it packs into few files
+    val v = SnapshotTable.compact(spark, t, targetBytes = 64L << 20)
+    assert(v == 7L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+    assert(after.inputFiles.length < beforeFiles.size,
+      s"compaction planned ${after.inputFiles.length} files")
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == rows, "row set changed")
+    // time travel to the pre-compaction version is intact
+    assert(SnapshotTable.readSnapshot(spark, t, 6).inputFiles.toSet ==
+      beforeFiles)
+    // recomputed stats still prune
+    val p = SnapshotTable.readSnapshotRange(spark, t, "id",
+      BigDecimal(0), BigDecimal(10))
+    assert(p.count() == 11L)
+    // the batch tag carried through — the maintaining stream's replay
+    // guard is unaffected, and a retry of batch 5 stays a no-op
+    assert(SnapshotTable.latestBatchId(spark, t).contains(5L))
+    assert(SnapshotTable.appendBatch(
+      Seq((999L, "x")).toDF("id", "v"), t, 5L).isEmpty)
+    // compacting an already-packed table is a no-op
+    assert(SnapshotTable.compact(spark, t, targetBytes = 64L << 20) == 7L)
+    assert(SnapshotTable.latestVersion(spark, t) == 7L)
+    // vacuum reclaims the replaced small files
+    SnapshotTable.vacuum(spark, t, keepVersions = 1, minAgeMs = -1000L)
+    val live = SnapshotTable.readSnapshot(spark, t).inputFiles.toSet
+    assert((beforeFiles intersect live).isEmpty,
+      "replaced files must be reclaimed")
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 600L)
+  }
+
+  test("snapshot table: change feed reads version deltas in commit order") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_feed") + "/tbl"
+    SnapshotTable.writeSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    SnapshotTable.appendSnapshot(Seq((3L, "c")).toDF("id", "v"), t)
+    SnapshotTable.appendSnapshot(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), t)
+    def feed(from: Long, to: Long = -1L) =
+      SnapshotTable.changesBetween(spark, t, from, to)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(r.fieldIndex("_commit_version")))).sortBy(_._1).toSeq
+    // the full feed replays the whole append-only history
+    assert(feed(0) == Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L),
+      (4L, "d", 3L), (5L, "e", 3L)))
+    // an incremental consumer resumes mid-stream
+    assert(feed(1, 2) == Seq((3L, "c", 2L)))
+    assert(feed(2) == Seq((4L, "d", 3L), (5L, "e", 3L)))
+    // a caught-up consumer sees an empty (but well-typed) batch
+    val empty = SnapshotTable.changesBetween(spark, t, 3)
+    assert(empty.count() == 0L &&
+      empty.schema.fieldNames.last == "_commit_version")
+    // compaction commits do NOT re-emit their rewritten rows
+    val cv = SnapshotTable.compact(spark, t, targetBytes = 64L << 20)
+    assert(cv == 4L)
+    assert(SnapshotTable.changesBetween(spark, t, 3).count() == 0L)
+    // but a real append after the compaction flows through
+    SnapshotTable.appendSnapshot(Seq((6L, "f")).toDF("id", "v"), t)
+    assert(feed(3) == Seq((6L, "f", 5L)))
+    // a vacuumed base version fails loudly, not silently-wrong
+    SnapshotTable.vacuum(spark, t, keepVersions = 1, minAgeMs = -1000L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changesBetween(spark, t, 1)
+    }
+  }
+
+  test("snapshot table: sparse MERGE rewrites only bucket-touched files") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_sparse") + "/tbl"
+    def frame(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "v").repartition(2)
+    // three id-clustered commits → disjoint per-file id ranges
+    SnapshotTable.writeSnapshot(frame(0, 100), t)
+    SnapshotTable.appendSnapshot(frame(100, 200), t)
+    SnapshotTable.appendSnapshot(frame(200, 300), t)
+    val before = SnapshotTable.readSnapshot(spark, t).inputFiles.toSet
+    // updates at OPPOSITE key extremes: one global [5, 295] envelope
+    // would intersect every file and degrade to a full rewrite; the
+    // bucketed ranges must leave the middle commit untouched
+    val updates = Seq((5L, "X"), (295L, "Y")).toDF("id", "v")
+    assert(SnapshotTable.mergePruned(updates, t, "id") == 4L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+    val carried = after.inputFiles.toSet intersect before
+    // the middle commit's rows [100, 200) live only in carried files
+    val carriedRows =
+      spark.read.parquet(carried.toSeq: _*).select($"id")
+        .collect().map(_.getLong(0)).toSet
+    assert((100L until 200L).forall(carriedRows.contains),
+      "middle commit was rewritten despite no updates in its range")
+    // semantics identical to a full merge
+    val rows = after.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 300 && rows(5L) == "X" && rows(295L) == "Y" &&
+      rows(150L) == "r150")
+    // non-numeric merge keys are rejected UP FRONT with direction
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.mergePruned(
+        Seq(("k", 1L)).toDF("name", "n"), t, "name")
+    }
+    assert(err.getMessage.contains("merge()"))
+  }
+
+  test("snapshot table: delimiter-hostile column names keep stats safe") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_esc") + "/tbl"
+    // names carrying the manifest delimiters and a dot: the stats line
+    // must escape them and col() references must not re-parse them
+    val df = (0 until 100).map(i => (i.toLong, i * 2L, s"s$i"))
+      .toDF("a|b=c,d", "e.f", "v").repartition(2)
+    assert(SnapshotTable.writeSnapshot(df, t) == 1L)
+    val back = SnapshotTable.readSnapshot(spark, t)
+    assert(back.count() == 100L)
+    // both hostile columns must still RANGE-prune correctly
+    val p1 = SnapshotTable.readSnapshotRange(spark, t, "a|b=c,d",
+      BigDecimal(0), BigDecimal(10))
+    assert(p1.count() == 11L)
+    val p2 = SnapshotTable.readSnapshotRange(spark, t, "e.f",
+      BigDecimal(0), BigDecimal(10))
+    assert(p2.count() == 6L)
+    // appends (the write path ADVICE flagged as regressed) succeed
+    assert(SnapshotTable.appendSnapshot(
+      Seq((1000L, 2000L, "x")).toDF("a|b=c,d", "e.f", "v"), t) == 2L)
+    assert(SnapshotTable.readSnapshotRange(spark, t, "e.f",
+      BigDecimal(1999), BigDecimal(2001)).count() == 1L)
+    // a partitioned write on a hostile STRING value round-trips
+    val t2 = tmp("graft_snap_esc2") + "/tbl"
+    val weird = Seq((1L, "x|y=z,w"), (2L, "plain"), (3L, "x|y=z,w"))
+      .toDF("id", "k")
+    SnapshotTable.writeSnapshotPartitioned(weird, t2, "k")
+    val sel = SnapshotTable.readSnapshotWhere(spark, t2, "k", "x|y=z,w")
+    assert(sel.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
 }
