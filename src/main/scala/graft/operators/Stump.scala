@@ -84,6 +84,61 @@ object Stump {
       .withColumn("pg_raw", expr(parentSql))
   }
 
+  /** One fitted split: the node's path ("" = root, then 'L'/'R' per
+    * level), its population/positives, the chosen threshold bin, the
+    * exact child census, and the raw (unrounded) parent/split Ginis.
+    * Child leaf rates are derivable (left = pl/nl, right = pr/nr), so
+    * this is the complete model artifact. */
+  final case class TreeSplit(node: String, depth: Int, thresholdBin: Long,
+      n: Long, pos: Long, nl: Long, pl: Long, nr: Long, pr: Long,
+      wgRaw: Double, pgRaw: Double)
+
+  /** Depth-k histogram tree trainer — the p17/p19 recursion made
+    * configurable (round-12 verdict ask #4, the GBT door). Level d is
+    * ONE pass over the same domain-bounded bin histogram: rows are
+    * routed to their depth-d node by a literal threshold when-tree
+    * (pure codegen, ≤ 2^d leaves), the per-node best split is an
+    * exact-integer cumulative scan + argmin, and the ≤ 2^d winning
+    * rows come back to the driver to extend the routing tree — the
+    * XGBoost-`hist` architecture (distributed histograms, centralized
+    * split decisions; arXiv:1603.02754 §3.3). Per-level cost is
+    * bounded by the VALUE DOMAIN and 2^depth, never the data. A node
+    * with no valid split (pure/single-bin) simply stops splitting. */
+  private[graft] def fitTreeSplits(hist: DataFrame,
+      maxDepth: Int): Seq[TreeSplit] = {
+    import hist.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    var splits = Vector.empty[TreeSplit]
+    var d = 0
+    var open = true
+    while (d < maxDepth && open) {
+      val thr = splits.map(s => s.node -> s.thresholdBin).toMap
+      def walk(path: String, lvl: Int): org.apache.spark.sql.Column =
+        if (lvl == d) lit(path)
+        else thr.get(path) match {
+          case None => lit(path) // stopped early: keeps its short label
+          case Some(t) => when($"bin" <= lit(t), walk(path + "L", lvl + 1))
+            .otherwise(walk(path + "R", lvl + 1))
+        }
+      val aw = Window.partitionBy("node").orderBy($"wg_raw", $"bin")
+      val lvl = splitCandidates(hist, walk("", 0))
+        .filter(length($"node") === d)
+        .withColumn("rk", row_number().over(aw)).filter($"rk" === 1)
+        .select($"node", $"bin", $"n", $"pos", $"nl", $"pl", $"nr", $"pr",
+          $"wg_raw", $"pg_raw")
+        .collect() // ≤ 2^d rows — the bounded split-decision table
+      if (lvl.isEmpty) open = false
+      else {
+        splits ++= lvl.map(r => TreeSplit(r.getString(0), d, r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8), r.getDouble(9)))
+        d += 1
+      }
+    }
+    splits
+  }
+
   def p17Stump(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     splitCandidates(designHist(spark, dir), lit("root"))
@@ -133,11 +188,94 @@ object Stump {
     root.unionAll(children).orderBy($"node")
   }
 
+  /** D279: depth-3 tree by the generalized [[fitTreeSplits]] trainer —
+    * p19's recursion at configurable depth, emitting one row per SPLIT
+    * node (up to 7: root, L/R, LL…RR) with its path label, depth,
+    * population, pre-split Gini, threshold and gain. The oracle
+    * replays all three levels as chained CTE blocks off the same
+    * shared-IEEE Gini text, so every census integer and rounded double
+    * is hash-exact. (The [[graft.ml.feature.GraftTree]] estimator fits
+    * through this same trainer — protocol surface #11.) */
+  def p20Tree3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = designHist(spark, dir).scopedPersist()
+    val splits = fitTreeSplits(hist, 3)
+    splits.map(s => (if (s.node.isEmpty) "root" else s.node,
+        s.depth.toLong, s.thresholdBin, s.n, s.pos, s.wgRaw, s.pgRaw))
+      .toDF("node", "depth", "threshold_bin", "n_node", "pos_node",
+        "wg_raw", "pg_raw")
+      .select($"node", $"depth", $"threshold_bin", $"n_node", $"pos_node",
+        round($"pg_raw", 4).as("gini_node"),
+        round($"wg_raw", 4).as("gini_split"),
+        round($"pg_raw" - $"wg_raw", 4).as("gini_gain"))
+      .orderBy($"depth", $"node")
+  }
+
+  /** One oracle level block: census → cumulative → candidates → best
+    * split per node, off assignment CTE a<i>. */
+  private def oracleLevel(i: Int): String =
+    s"""t$i AS (SELECT node, CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(sum(p) AS BIGINT) AS pos FROM a$i GROUP BY node),
+        c$i AS (SELECT node, bin,
+            CAST(sum(cnt) OVER (PARTITION BY node ORDER BY bin)
+              AS BIGINT) AS nl,
+            CAST(sum(p) OVER (PARTITION BY node ORDER BY bin)
+              AS BIGINT) AS pl
+          FROM a$i),
+        f$i AS (SELECT c$i.node, c$i.bin, c$i.nl, c$i.pl,
+            c$i.nl - c$i.pl AS ql, t$i.n - c$i.nl AS nr,
+            t$i.pos - c$i.pl AS pr,
+            (t$i.n - c$i.nl) - (t$i.pos - c$i.pl) AS qr,
+            t$i.n AS n, t$i.pos AS pos, t$i.n - t$i.pos AS neg
+          FROM c$i JOIN t$i USING (node) WHERE c$i.nl < t$i.n),
+        b$i AS (SELECT node, bin AS threshold_bin, n, pos,
+            $parentSql AS pg, $wgSql AS wg,
+            row_number() OVER (PARTITION BY node
+              ORDER BY $wgSql, bin) AS rk
+          FROM f$i),
+        s$i AS (SELECT node, threshold_bin FROM b$i WHERE rk = 1)"""
+
+  /** Route level-i survivors one step deeper using level-(i-1)'s
+    * winning thresholds (inner join: unsplit nodes stop). */
+  private def oracleAssign(i: Int): String =
+    s"""a$i AS (SELECT a${i - 1}.node ||
+            CASE WHEN a${i - 1}.bin <= s${i - 1}.threshold_bin
+              THEN 'L' ELSE 'R' END AS node,
+            a${i - 1}.bin, a${i - 1}.cnt, a${i - 1}.p
+          FROM a${i - 1} JOIN s${i - 1} ON a${i - 1}.node = s${i - 1}.node)"""
+
+  private def oracleBest(i: Int): String =
+    s"""SELECT CASE WHEN node = '' THEN 'root' ELSE node END AS node,
+          CAST($i AS BIGINT) AS depth, threshold_bin,
+          n AS n_node, pos AS pos_node, round(pg, 4) AS gini_node,
+          round(wg, 4) AS gini_split, round(pg - wg, 4) AS gini_gain
+        FROM b$i WHERE rk = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p17_stump" -> p17Stump,
-    "p19_tree2" -> p19Tree2)
+    "p19_tree2" -> p19Tree2,
+    "p20_tree3" -> p20Tree3)
 
   val oracle: Map[String, String] = Map(
+    "p20_tree3" ->
+      s"""WITH r AS (SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT)
+              AS bin,
+              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem),
+          h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(y) AS BIGINT) AS p
+            FROM r GROUP BY bin),
+          a0 AS (SELECT '' AS node, bin, cnt, p FROM h),
+          ${oracleLevel(0)},
+          ${oracleAssign(1)},
+          ${oracleLevel(1)},
+          ${oracleAssign(2)},
+          ${oracleLevel(2)}
+          SELECT node, depth, threshold_bin, n_node, pos_node, gini_node,
+            gini_split, gini_gain
+          FROM (${oracleBest(0)} UNION ALL ${oracleBest(1)}
+            UNION ALL ${oracleBest(2)})
+          ORDER BY depth, node""",
     "p19_tree2" ->
       s"""WITH r AS (SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT)
               AS bin,

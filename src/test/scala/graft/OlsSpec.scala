@@ -690,4 +690,149 @@ class OlsSpec extends AnyFunSuite {
     if (byNode.contains("left") && byNode.contains("right"))
       assert(byNode("left") + byNode("right") == byNode("root"))
   }
+
+  /** Brute recursive split search shared by the p20 and GraftTree
+    * replays: path-labeled, depth-k, same IEEE operand order as the
+    * engines' shared Gini tree. */
+  private def bruteTree(rows: Seq[(Long, Long)], maxDepth: Int)
+      : Seq[(String, Int, Long, Long, Long, Double, Double)] = {
+    def gini(p: Long, q: Long, m: Long) =
+      1.0 - (p.toDouble / m.toDouble) * (p.toDouble / m.toDouble) -
+        (q.toDouble / m.toDouble) * (q.toDouble / m.toDouble)
+    def best(sub: Seq[(Long, Long)])
+        : Option[(Long, Long, Long, Double, Double)] = {
+      val n = sub.length.toLong; val pos = sub.map(_._2).sum
+      val hist = sub.groupBy(_._1).view
+        .mapValues(v => (v.length.toLong, v.map(_._2).sum))
+        .toSeq.sortBy(_._1)
+      var nl = 0L; var pl = 0L
+      val cands = hist.map { case (bin, (c, p)) =>
+        nl += c; pl += p; (bin, nl, pl)
+      }.filter(_._2 < n)
+      if (cands.isEmpty) None
+      else {
+        def wg(nl: Long, pl: Long) = {
+          val nr = n - nl; val pr = pos - pl
+          (nl.toDouble * gini(pl, nl - pl, nl) +
+            nr.toDouble * gini(pr, nr - pr, nr)) / n.toDouble
+        }
+        val b = cands.minBy(c => (wg(c._2, c._3), c._1))
+        Some((b._1, n, pos, gini(pos, n - pos, n), wg(b._2, b._3)))
+      }
+    }
+    def rec(path: String, sub: Seq[(Long, Long)], d: Int)
+        : Seq[(String, Int, Long, Long, Long, Double, Double)] =
+      if (d >= maxDepth) Seq.empty
+      else best(sub) match {
+        case None => Seq.empty
+        case Some((t, n, p, pg, wg)) =>
+          (path, d, t, n, p, pg, wg) +:
+            (rec(path + "L", sub.filter(_._1 <= t), d + 1) ++
+              rec(path + "R", sub.filter(_._1 > t), d + 1))
+      }
+    rec("", rows, 0)
+  }
+
+  test("p20 depth-3 tree equals a brute recursive split search") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sf)
+      .select(floor($"l_extendedprice" / 100.0).cast("long").as("bin"),
+        ($"l_returnflag" === "R").cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bruteTree(rows, 3)
+      .map { case (nm, d, t, n, p, pg, wg) =>
+        (if (nm.isEmpty) "root" else nm, d.toLong, t, n, p,
+          r4(pg), r4(wg), r4(pg - wg))
+      }.sortBy(e => (e._2, e._1))
+    val got = graft.operators.Stump.p20Tree3(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // child-partition identities at EVERY level: each split node's
+    // population equals its children's (or is a leaf)
+    val splits = graft.operators.Stump.fitTreeSplits(
+      rows.toDF("bin", "y").groupBy($"bin")
+        .agg(count(lit(1)).as("cnt"), sum($"y").as("p")), 3)
+    val byNode = splits.map(s => s.node -> s).toMap
+    splits.foreach { s =>
+      assert(s.nl + s.nr == s.n && s.pl + s.pr == s.pos,
+        s"split census of '${s.node}' does not partition the node")
+      byNode.get(s.node + "L").foreach(c =>
+        assert(c.n == s.nl && c.pos == s.pl,
+          s"left child census of '${s.node}' drifted"))
+      byNode.get(s.node + "R").foreach(c =>
+        assert(c.n == s.nr && c.pos == s.pr,
+          s"right child census of '${s.node}' drifted"))
+    }
+  }
+
+  test("GraftTree estimator: depth-k fit, codegen scoring, persistence round-trip") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ml.feature.{GraftTree, GraftTreeModel}
+    val design = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice".as("price"),
+        ($"l_returnflag" === "R").cast("long").as("label"))
+    val model = new GraftTree().setMaxDepth(3).setBinWidth(100.0)
+      .setFeaturesCol("price").setLabelCol("label")
+      .fit(design)
+    // the fitted split table IS the brute recursion's
+    val rows = design.select(floor($"price" / 100.0).cast("long"),
+        $"label").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = bruteTree(rows, 3).map(b => (b._1, b._3)).sortBy(_._1)
+    assert(model.splits.map(s => (s.node, s.thresholdBin)).sortBy(_._1)
+      .toSeq == brute)
+    // transform scores every row with its leaf's EXACT positive rate
+    val scored = model.transform(design)
+    assert(scored.schema.fieldNames.contains("probability") &&
+      scored.schema.fieldNames.contains("prediction"))
+    val byNode = model.splits.map(s => s.node -> s).toMap
+    def leafOf(bin: Long): String = {
+      var p = ""
+      while (byNode.contains(p))
+        p += (if (bin <= byNode(p).thresholdBin) "L" else "R")
+      p
+    }
+    def rateOf(path: String): Double = {
+      val s = byNode(path.dropRight(1))
+      if (path.last == 'L') s.pl.toDouble / s.nl.toDouble
+      else s.pr.toDouble / s.nr.toDouble
+    }
+    val sample = scored.select(floor($"price" / 100.0).cast("long"),
+        $"probability", $"prediction").limit(500).collect()
+    sample.foreach { r =>
+      val want = rateOf(leafOf(r.getLong(0)))
+      assert(r.getDouble(1) == want, s"bin ${r.getLong(0)} scored wrong")
+      assert(r.getLong(2) == (if (want >= 0.5) 1L else 0L))
+    }
+    // leaf rates aggregate back to the corpus positive rate
+    val agg = scored.agg(sum($"probability"), count(lit(1))).head()
+    val posTotal = rows.map(_._2).sum.toDouble
+    assert(math.abs(agg.getDouble(0) - posTotal) < 1e-6 * rows.length,
+      "leaf-rate mass must reproduce the total positives")
+    // persistence round-trip: params + split table + scoring identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_tree").toString
+    model.write.overwrite().save(dir)
+    val back = GraftTreeModel.load(dir)
+    assert(back.splits.toSeq == model.splits.toSeq &&
+      back.rootN == model.rootN && back.rootPos == model.rootPos)
+    assert(back.getOrDefault(back.maxDepth) == 3 &&
+      back.getOrDefault(back.binWidth) == 100.0)
+    val again = back.transform(design).select($"probability")
+      .limit(100).collect().map(_.getDouble(0)).toSeq
+    val orig = scored.select($"probability")
+      .limit(100).collect().map(_.getDouble(0)).toSeq
+    assert(again == orig)
+    // estimator (unfitted) round-trip keeps explicit params
+    val edir = java.nio.file.Files.createTempDirectory("graft_tree_e").toString
+    new GraftTree().setMaxDepth(2).setFeaturesCol("price")
+      .setLabelCol("label").write.overwrite().save(edir)
+    val eBack = GraftTree.load(edir)
+    assert(eBack.getOrDefault(eBack.maxDepth) == 2 &&
+      eBack.get(eBack.featuresCol).contains("price"))
+  }
 }
