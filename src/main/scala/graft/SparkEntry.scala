@@ -45,7 +45,8 @@ object SparkEntry {
       (streaming.ControlChart.queries, streaming.ControlChart.oracle),
       (streaming.GapAlerts.queries, streaming.GapAlerts.oracle),
       (streaming.FirstTouch.queries, streaming.FirstTouch.oracle),
-      (streaming.MvSnapshot.queries, streaming.MvSnapshot.oracle))
+      (streaming.MvSnapshot.queries, streaming.MvSnapshot.oracle),
+      (streaming.SnapshotFeed.queries, streaming.SnapshotFeed.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

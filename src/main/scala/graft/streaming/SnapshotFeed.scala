@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.StreamingShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.sources.{SnapshotTable, Tables}
+
+/** D278: the snapshot table's CHANGE FEED as a Structured Streaming
+  * SOURCE — the read twin of [[graft.sources.SnapshotTable.streamAppend]]
+  * (D255). Offsets are COMMITTED VERSION NUMBERS: each micro-batch is
+  * `changesBetween(lastVersion, latestVersion]` — the rows the
+  * data-changing commits in that range added (compaction commits are
+  * `#nodatachange` and emit nothing), each row carrying its
+  * `_commit_version`. This is what turns the table into a pipeline
+  * hub: one stream lands CDC into the table exactly-once, downstream
+  * streams consume the committed versions as ordered micro-batches —
+  * Delta's change-data-feed idea re-expressed over the manifest log.
+  *
+  * Exactly-once, both directions: upstream, a retried appendBatch
+  * commits nothing (manifest batch tag), so there is no version to
+  * re-emit; downstream, offsets are version numbers checkpointed by
+  * the engine, and manifests are immutable, so `getBatch` replays of
+  * a committed offset range are deterministic.
+  *
+  * Scale shape: `getOffset` is one manifest-directory listing;
+  * `getBatch` plans a parquet scan from the manifests' explicit added
+  * file lists — cost is proportional to the DELTA, never the table.
+  * At 100 TB the feed consumer does the same I/O the producing commit
+  * did, which is the floor. */
+object SnapshotFeed {
+
+  /** The feed schema: the table's recorded schema plus the commit
+    * version each row arrived in. */
+  def feedSchema(spark: SparkSession, path: String): StructType =
+    StructType(
+      SnapshotTable.readSnapshot(spark, path).schema.fields :+
+        StructField("_commit_version", LongType, nullable = false))
+
+  /** Open the change feed as a streaming DataFrame. The table must
+    * already have ≥1 committed version (the schema anchors the
+    * stream). `startingVersion` = last version ALREADY consumed
+    * (0 = replay from the beginning). */
+  def readStream(spark: SparkSession, path: String,
+      startingVersion: Long = 0L): DataFrame =
+    spark.readStream
+      .format(classOf[SnapshotFeedProvider].getName)
+      .option("path", path)
+      .option("startingVersion", startingVersion.toString)
+      .load()
+
+  /** Scratch path for e23's feed table (the c20 convention: stable
+    * per (application, input dir) so Bench warm+timed runs rebuild
+    * deterministically; app-scoped so concurrent sessions never share
+    * a table). */
+  private def scratchPath(spark: SparkSession, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val app = spark.sparkContext.applicationId
+    s"${sys.props("java.io.tmpdir")}/graft_snapshot_e23_${app}_$h"
+  }
+
+  /** e23: batch twin of the change feed — commit the orders fixture
+    * as THREE append versions (keyed `o_orderkey % 3`), then consume
+    * `changesBetween(0, latest)` and census each commit's payload.
+    * The oracle recomputes commit membership from the modulus, so the
+    * version column, counts, and cents are all hash-exact. The
+    * streaming half (same file-delta read through the V1 source, with
+    * checkpointed version offsets) is gated stream ≡ batch in
+    * StreamingSpec. */
+  def e23SnapshotFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+    val table = scratchPath(spark, dir)
+    val tPath = new org.apache.hadoop.fs.Path(table)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tPath, true)
+    SnapshotTable.writeSnapshot(orders.filter($"o_orderkey" % 3 === 0), table)
+    SnapshotTable.appendSnapshot(orders.filter($"o_orderkey" % 3 === 1), table)
+    SnapshotTable.appendSnapshot(orders.filter($"o_orderkey" % 3 === 2), table)
+    SnapshotTable.changesBetween(spark, table, 0L)
+      .groupBy($"_commit_version")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"_commit_version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_snapshot_feed" -> e23SnapshotFeed)
+
+  val oracle: Map[String, String] = Map(
+    "e23_snapshot_feed" ->
+      """SELECT (o_orderkey % 3) + 1 AS _commit_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders GROUP BY 1 ORDER BY 1""")
+}
+
+/** Version-number offset: the json form is the bare number (valid
+  * JSON), so checkpoint recovery hands back a parseable string
+  * whatever wrapper the engine used. */
+private[streaming] case class SnapshotFeedOffset(version: Long)
+    extends V1Offset {
+  override def json: String = version.toString
+}
+
+/** The V1 micro-batch source over one table's manifest log. V1 (not
+  * DataSource V2) is the right altitude here: `getBatch` returns a
+  * DataFrame, so the batch reader's whole parquet stack (vectorized
+  * scan, pushdown, schema reconciliation) is reused instead of
+  * re-implemented behind a `PartitionReaderFactory`. */
+private[streaming] class SnapshotFeedSource(sqlContext: SQLContext,
+    path: String, startingVersion: Long) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  override val schema: StructType = SnapshotFeed.feedSchema(spark, path)
+
+  /** Latest committed version, as the engine's target offset; None
+    * until there is something past the start point. */
+  override def getOffset: Option[V1Offset] = {
+    val latest = SnapshotTable.latestVersion(spark, path)
+    if (latest <= startingVersion) None else Some(SnapshotFeedOffset(latest))
+  }
+
+  private def versionOf(o: V1Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val batch = SnapshotTable.changesBetween(spark, path, from, versionOf(end))
+    StreamingShim.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(<this class>)` provider. Registered by
+  * class name (no service-loader file needed); `shortName` also
+  * answers to "graft-snapshot-feed". */
+class SnapshotFeedProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot-feed"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot-feed needs a 'path' option (the snapshot table)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      SnapshotFeed.feedSchema(sqlContext.sparkSession,
+        pathOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new SnapshotFeedSource(sqlContext, pathOf(parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+}

@@ -301,6 +301,13 @@ class PlanSpec extends AnyFunSuite {
       // p19 crosses the domain-bounded bin histogram with the 1-row
       // root-threshold frame and per-node totals (q43 shape)
       "p19_tree2",
+      // p20 joins the bin histogram with its ≤2^depth-row per-node
+      // totals frame per level (the p19 shape at depth 3); its output
+      // is a driver-assembled ≤7-row split table
+      "p20_tree3",
+      // e23 reads the feed of a scratch snapshot table built from
+      // bounded fixture commits (the c20 real-table-I/O shape)
+      "e23_snapshot_feed",
       // q113 crosses the calendar-bounded rolled frame with its 1-row
       // grand-total level (q43 shape)
       "q113_drilldown")

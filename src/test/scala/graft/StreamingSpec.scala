@@ -1136,6 +1136,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaArtifact.oldCensus == viaFit.oldCensus &&
       viaArtifact.oldCensus.nonEmpty)
   }
+
+  test("snapshot change feed streams committed versions and equals the batch feed") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.streaming.SnapshotFeed
+    val t = java.nio.file.Files.createTempDirectory("graft_feed").toString + "/tbl"
+    val ck = java.nio.file.Files.createTempDirectory("graft_feed_ck").toString
+    // ≥3 committed versions, one landed through the exactly-once path,
+    // with a replayed batch no-op in between
+    SnapshotTable.writeSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    assert(SnapshotTable.appendBatch(
+      Seq((3L, "c")).toDF("id", "v"), t, 1L).contains(2L))
+    assert(SnapshotTable.appendBatch(
+      Seq((3L, "c")).toDF("id", "v"), t, 1L).isEmpty) // retry: no version
+    SnapshotTable.appendSnapshot(Seq((4L, "d")).toDF("id", "v"), t)
+    // memory sinks cannot recover from a checkpoint, so the
+    // checkpointed consumers land through foreachBatch buffers
+    val buf1 = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+    val buf2 = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+    def sink(buf: scala.collection.mutable.ArrayBuffer[(Long, String, Long)])(
+        batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long): Unit = buf.synchronized {
+      buf ++= batch.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(r.fieldIndex("_commit_version"))))
+    }
+    val q = SnapshotFeed.readStream(spark, t)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(sink(buf1) _).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // stream ≡ batch over the committed history
+      val batchFeed = SnapshotTable.changesBetween(spark, t, 0L)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(r.fieldIndex("_commit_version")))).sortBy(_._1).toSeq
+      assert(buf1.synchronized(buf1.sortBy(_._1).toSeq) == batchFeed)
+      assert(batchFeed == Seq((1L, "a", 1L), (2L, "b", 1L),
+        (3L, "c", 2L), (4L, "d", 3L)))
+      // a LIVE append flows through as the next micro-batch
+      SnapshotTable.appendSnapshot(Seq((5L, "e")).toDF("id", "v"), t)
+      q.processAllAvailable()
+      assert(buf1.synchronized(buf1.map(_._1).contains(5L)))
+      // a compaction commit must NOT re-emit its rewritten rows
+      SnapshotTable.compact(spark, t, targetBytes = 64L << 20)
+      q.processAllAvailable()
+      assert(buf1.synchronized(buf1.length) == 5)
+    } finally q.stop()
+    // restart on the same checkpoint: version offsets recover, so only
+    // versions committed AFTER the stop are emitted (exactly-once)
+    SnapshotTable.appendSnapshot(Seq((6L, "f")).toDF("id", "v"), t)
+    val q2 = SnapshotFeed.readStream(spark, t)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(sink(buf2) _).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(buf2.synchronized(buf2.toSeq) == Seq((6L, "f", 6L)))
+    } finally q2.stop()
+    // startingVersion resumes an independent consumer mid-history
+    def drained(table: String) = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(r.fieldIndex("_commit_version")))).sortBy(_._1).toSeq
+    val mid = SnapshotFeed.readStream(spark, t, startingVersion = 2L)
+    val q3 = mid.writeStream.format("memory").queryName("snapfeed3")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      assert(drained("snapfeed3").map(_._1).sorted == Seq(4L, 5L, 6L))
+    } finally q3.stop()
+  }
 }
 
 /** Row type for the incremental-covariance stream. */
