@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProduct, LshBuckets, NearestCentroid, PqEncode, SumOfSquares}
+import graft.functions.{CosineSimilarity, DotProduct, LshBuckets, NearestCentroid, PqAdc, PqEncode, SumOfSquares}
 import graft.plans.RewriteHofDot
 
 /** Session extensions for the graft engine — the public plug-in point
@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_pq_encode expects 2 arguments, got ${children.length}")
         PqEncode(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"graft_pq_adc expects 3 arguments, got ${children.length}")
+        PqAdc(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_lsh_buckets"),

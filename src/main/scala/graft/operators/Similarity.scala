@@ -862,6 +862,29 @@ object Similarity {
         typedLit(books.map(_.map(_.toSeq).toSeq).toSeq))
     else pqEncode(books)(a)
 
+  /** Best-available ADC ranking: the codegen'd native expression
+    * ([[graft.functions.PqAdc]]) under the graft extensions — the
+    * bounded per-query distance tables ride as ONE foldable
+    * struct-array literal — else the compiled UDF. Bit-identical
+    * distances either way (FunctionsSpec). */
+  def pqAdcCol(spark: SparkSession, qid: Column, codes: Column,
+      tables: Map[Long, Array[Array[Double]]]): Column =
+    if (spark.catalog.functionExists("graft_pq_adc"))
+      call_function("graft_pq_adc", qid, codes,
+        typedLit(tables.toSeq.sortBy(_._1)
+          .map { case (id, t) => (id, t.map(_.toSeq).toSeq) }))
+    else pqAdc(tables)(qid, codes)
+
+  /** Compiled ADC ranking (ascending-subspace double adds — the exact
+    * arithmetic of the native expression). */
+  private[graft] def pqAdc(tables: Map[Long, Array[Array[Double]]]) =
+    udf { (qid: Long, codes: Seq[Int]) =>
+      val t = tables(qid)
+      var s = 0.0; var m = 0
+      while (m < t.length) { s += t(m)(codes(m)); m += 1 }
+      s
+    }
+
   /** Compiled PQ encoder: normalize, then per-subspace nearest-centroid
     * code (strict <, lowest index — the [[lloyd]] assignment rule). */
   private[graft] def pqEncode(books: Array[Array[Array[Double]]]) =
@@ -919,18 +942,12 @@ object Similarity {
         }
       }
     }.toMap
-    val adcU = udf { (qid: Long, codes: Seq[Int]) =>
-      val t = tables(qid)
-      var s = 0.0; var m = 0
-      while (m < t.length) { s += t(m)(codes(m)); m += 1 }
-      s
-    }
     val corpus = emb.select($"vec_id".as("neighbor_id"),
       pqEncodeCol(spark, $"embedding", books).as("codes"))
     val qIds = qRows.map(_._1).toSeq.toDF("query_id")
     val scored = corpus.crossJoin(broadcast(qIds))
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("adc", adcU($"query_id", $"codes"))
+      .withColumn("adc", pqAdcCol(spark, $"query_id", $"codes", tables))
       .withColumn("salt", pmod(crc32($"neighbor_id".cast("string")), lit(32)))
     val wLocal = Window.partitionBy($"query_id", $"salt")
       .orderBy($"adc".asc, $"neighbor_id")
@@ -999,15 +1016,9 @@ object Similarity {
         }
       }
     }.toMap
-    val adcU = udf { (qid: Long, codes: Seq[Int]) =>
-      val t = tables(qid)
-      var s = 0.0; var m = 0
-      while (m < t.length) { s += t(m)(codes(m)); m += 1 }
-      s
-    }
     val scored = corpus.join(broadcast(probeDf), Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("adc", adcU($"query_id", $"codes"))
+      .withColumn("adc", pqAdcCol(spark, $"query_id", $"codes", tables))
       .withColumn("salt", pmod(crc32($"neighbor_id".cast("string")), lit(32)))
     val wLocal = Window.partitionBy($"query_id", $"salt")
       .orderBy($"adc".asc, $"neighbor_id")

@@ -110,6 +110,52 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF("), s"UDF boundary in the encode plan:\n$plan")
   }
 
+  test("graft_pq_adc produces exactly the UDF's ADC distances") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb)
+    // bounded per-query ADC tables, the s7 construction
+    val qRows = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val sub = qRows.head._2.length / Similarity.pqSubspaces
+    val tables: Map[Long, Array[Array[Double]]] = qRows.map { case (id, q) =>
+      id -> Array.tabulate(Similarity.pqSubspaces) { m =>
+        books(m).map { ct =>
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = q(m * sub + i) - ct(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    }.toMap
+    val coded = emb.select($"vec_id",
+        Similarity.pqEncodeCol(spark, $"embedding", books).as("codes"))
+      .crossJoin(broadcast(qRows.map(_._1).toSeq.toDF("query_id")))
+    val rows = coded.select(
+        Similarity.pqAdcCol(spark, $"query_id", $"codes", tables).as("native"),
+        Similarity.pqAdc(tables)($"query_id", $"codes").as("viaUdf"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // the dispatch really planned the native expression under codegen
+    val plan = coded.select(
+        Similarity.pqAdcCol(spark, $"query_id", $"codes", tables))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_adc"), s"native expression not planned:\n$plan")
+    assert(!plan.contains("UDF("), s"UDF boundary in the ADC plan:\n$plan")
+    // an unknown query id fails loudly (the UDF's contract), never a
+    // silent wrong distance
+    val err = intercept[Exception] {
+      coded.limit(1).select(Similarity.pqAdcCol(spark, lit(99999L),
+        $"codes", tables)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("graft_lsh_buckets produces exactly the UDF closure's bucket ids") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, sf)
