@@ -211,7 +211,10 @@ object Bench {
         s""""total_min":${num(totalMin)},""" +
         s""""queries":${jmap2(qs)},"queries_stat":"min","repeats":$repeats,""" +
         s""""calib_drift":${num(att.drift)},""" +
-        (if (calibUnstable) s""""contaminated":true,""" else "") +
+        // explicit either way (round-12 verdict ask #1: "done =
+        // contaminated:false in the checked-in artifact" — absence
+        // should never need interpreting)
+        s""""contaminated":$calibUnstable,""" +
         (if (trunc) s""""queries_truncated":true,""" else "") +
         s""""failed":$failedJson,"sf":"$sfName"}"""
     val maxLine = 1800
