@@ -27,6 +27,7 @@ object SparkEntry {
       (operators.Ols.queries, operators.Ols.oracle),
       (operators.Logistic.queries, operators.Logistic.oracle),
       (operators.Stump.queries, operators.Stump.oracle),
+      (operators.Gbt.queries, operators.Gbt.oracle),
       (operators.Poisson.queries, operators.Poisson.oracle),
       (operators.TimeSeries.queries, operators.TimeSeries.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),

@@ -770,6 +770,76 @@ class OlsSpec extends AnyFunSuite {
     }
   }
 
+  test("p21 boosted stumps equal a brute residual-fitting replay, SSE non-increasing") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sf)
+      .select(floor($"l_extendedprice" / 100.0).cast("long").as("bin"),
+        ($"l_returnflag" === "R").cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val S = graft.operators.Gbt.gbtShift
+    val n = rows.length.toLong
+    val pos = rows.map(_._2).sum
+    val hist = rows.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum))
+      .toSeq.sortBy(_._1).toVector
+    val f0 = pos * 1000L / n
+    // independent derivation: per-BIN prediction map, residual moments
+    // accumulated bin-by-bin in plain Scala
+    var fOf: Map[Long, Long] = hist.map(h => h._1 -> f0).toMap
+    var expected = Vector.empty[(Long, Long, Long, Long, Long, Long, Long)]
+    for (t <- 1 to graft.operators.Gbt.gbtRounds) {
+      val moments = hist.map { case (bin, (cnt, p)) =>
+        val f = fOf(bin)
+        (bin, cnt, p * 1000L - cnt * f,
+          p * (1000L - f) * (1000L - f) + (cnt - p) * f * f)
+      }
+      val nT = moments.map(_._2).sum
+      val srT = moments.map(_._3).sum
+      val srrT = moments.map(_._4).sum
+      var nl = 0L; var srl = 0L; var srrl = 0L
+      val cands = moments.map { m =>
+        nl += m._2; srl += m._3; srrl += m._4; (m._1, nl, srl, srrl)
+      }.filter(_._2 < nT)
+      def sse(c: (Long, Long, Long, Long)): Double = {
+        val (_, cnl, csrl, csrrl) = c
+        val cnr = nT - cnl; val csrr = srT - csrl; val csrrr = srrT - csrrl
+        (csrrl.toDouble - csrl.toDouble * csrl.toDouble / cnl.toDouble) +
+          (csrrr.toDouble - csrr.toDouble * csrr.toDouble / cnr.toDouble)
+      }
+      val b = cands.minBy(c => (sse(c), c._1))
+      val (thr, bnl, bsrl, _) = b
+      val bnr = nT - bnl; val bsrr = srT - bsrl
+      val vl = (bsrl + bnl * S) / bnl - S
+      val vr = (bsrr + bnr * S) / bnr - S
+      val dl = (vl + S) / 2L - S / 2L
+      val dr = (vr + S) / 2L - S / 2L
+      fOf = fOf.map { case (bin, f) =>
+        bin -> (f + (if (bin <= thr) dl else dr))
+      }
+      val sseAfter = hist.map { case (bin, (cnt, p)) =>
+        val f = fOf(bin)
+        p * (1000L - f) * (1000L - f) + (cnt - p) * f * f
+      }.sum
+      expected :+= ((t.toLong, thr, bnl, bnr, vl, vr, sseAfter))
+    }
+    val got = graft.operators.Gbt.p21Gbt3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toVector
+    assert(got == expected)
+    // boosting must not make training SSE worse, round over round
+    val sses = got.map(_._7)
+    val sse0 = hist.map { case (_, (cnt, p)) =>
+      p * (1000L - f0) * (1000L - f0) + (cnt - p) * f0 * f0
+    }.sum
+    (sse0 +: sses).sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"SSE increased: ${w(0)} -> ${w(1)}")
+    }
+    // predictions stayed far inside the shift margin (the division
+    // correctness bound)
+    assert(fOf.values.forall(f => math.abs(f) < S / 2))
+  }
+
   test("GraftTree estimator: depth-k fit, codegen scoring, persistence round-trip") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions._
