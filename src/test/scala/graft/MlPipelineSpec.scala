@@ -166,4 +166,55 @@ class MlPipelineSpec extends AnyFunSuite {
     val out = cvm.transform(li.limit(10))
     assert(out.columns.contains("prediction") && out.count() == 10)
   }
+
+  test("Pipeline and CrossValidator compose GraftTree (protocol surface #11)") {
+    import spark.implicits._
+    import graft.ml.feature.{GraftTree, GraftTreeModel}
+    val design = Tables.lineitem(spark, sf).select(
+      (conv(substring(md5(concat_ws(":", $"l_orderkey", $"l_linenumber")),
+        1, 4), 16, 10).cast("long") % 3).cast("int").as("fold"),
+      $"l_extendedprice".as("price"),
+      ($"l_returnflag" === "R").cast("long").as("label"))
+    val treeStage = new GraftTree().setMaxDepth(2).setBinWidth(100.0)
+      .setFeaturesCol("price").setLabelCol("label")
+    // stock Pipeline: the fitted stage is ours, scoring matches a
+    // direct fit exactly
+    val pipe = new Pipeline().setStages(Array(treeStage))
+    val pm = pipe.fit(design)
+    val staged = pm.stages.last.asInstanceOf[GraftTreeModel]
+    val direct = new GraftTree().setMaxDepth(2).setBinWidth(100.0)
+      .setFeaturesCol("price").setLabelCol("label").fit(design)
+    assert(staged.splits.toSeq == direct.splits.toSeq)
+    val viaPipe = pm.transform(design).agg(sum($"probability")).head.getDouble(0)
+    val viaDirect = direct.transform(design).agg(sum($"probability")).head.getDouble(0)
+    assert(viaPipe == viaDirect)
+    // persistence THROUGH Pipeline's own machinery
+    val dir = tmp("graft_tree_pipe")
+    pm.write.overwrite().save(dir)
+    val back = org.apache.spark.ml.PipelineModel.load(dir)
+    val backTree = back.stages.last.asInstanceOf[GraftTreeModel]
+    assert(backTree.splits.toSeq == staged.splits.toSeq &&
+      backTree.rootN == staged.rootN)
+    // stock CrossValidator tunes maxDepth; deeper fits training data
+    // at least as well, and the chosen depth is the grid's argmin
+    val est = new GraftTree().setBinWidth(100.0)
+      .setFeaturesCol("price").setLabelCol("label")
+    val grid = new ParamGridBuilder()
+      .addGrid(est.maxDepth, Array(1, 2, 3)).build()
+    val cv = new CrossValidator()
+      .setEstimator(est)
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol("label").setPredictionCol("probability")
+        .setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3).setFoldCol("fold")
+    val cvm = cv.fit(design)
+    assert(cvm.avgMetrics.length == 3 &&
+      cvm.avgMetrics.forall(java.lang.Double.isFinite))
+    val bestIdx = cvm.avgMetrics.zipWithIndex.minBy(_._1)._2
+    val bestDepth = grid(bestIdx).apply(est.maxDepth)
+    val picked = cvm.bestModel.asInstanceOf[GraftTreeModel]
+    assert(picked.getOrDefault(picked.maxDepth) == bestDepth)
+    assert(cvm.transform(design.limit(5)).columns.contains("probability"))
+  }
 }

@@ -1204,6 +1204,68 @@ class StreamingSpec extends AnyFunSuite {
       assert(drained("snapfeed3").map(_._1).sorted == Seq(4L, 5L, 6L))
     } finally q3.stop()
   }
+
+  test("two-stage hub: CDC lands in T1, a feed consumer maintains T2 downstream") {
+    // The D278 claim end-to-end: stream 1 lands raw events into table
+    // T1 exactly-once; stream 2 consumes T1's CHANGE FEED (not the
+    // upstream source) and maintains the derived census table T2 —
+    // the composed shape a 100 TB pipeline actually runs, where every
+    // downstream stage reads committed versions, never the firehose.
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.streaming.{MvSnapshot, SnapshotFeed}
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t1 = java.nio.file.Files.createTempDirectory("graft_hub_t1").toString + "/tbl"
+    val t2 = java.nio.file.Files.createTempDirectory("graft_hub_t2").toString + "/tbl"
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_hub_ck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_hub_ck2").toString
+    val mem = MemoryStream[Ev]
+    val batch1 = Seq(Ev(1, ts("2026-01-01 00:00:00"), 1, "view", 1.5),
+      Ev(2, ts("2026-01-01 00:01:00"), 1, "purchase", 10.0))
+    val batch2 = Seq(Ev(3, ts("2026-01-01 00:02:00"), 2, "view", 2.5),
+      Ev(4, ts("2026-01-01 00:03:00"), 2, "purchase", 4.0))
+    val q1 = SnapshotTable.streamAppend(mem.toDF(), t1, ck1)
+    try {
+      mem.addData(batch1: _*)
+      q1.processAllAvailable() // T1 must exist before the feed opens
+      val q2 = SnapshotFeed.readStream(spark, t1)
+        .writeStream.option("checkpointLocation", ck2)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            MvSnapshot.applyBatch(b.drop("_commit_version").toDF(), t2, id)
+            ()
+        }
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        def mv2 = SnapshotTable.readSnapshot(spark, t2)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        def twin(evs: Seq[Ev]) = MvSnapshot.mvOf(evs.toDF())
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        assert(mv2 == twin(batch1))
+        // second CDC batch flows T1 → feed → T2
+        mem.addData(batch2: _*)
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        assert(mv2 == twin(batch1 ++ batch2))
+        // an upstream retry commits no T1 version, so the feed emits
+        // nothing and T2 cannot double-count
+        val replay = SnapshotTable.readSnapshot(spark, t1, 1)
+        assert(SnapshotTable.appendBatch(replay, t1, 1L).isEmpty)
+        q2.processAllAvailable()
+        assert(mv2 == twin(batch1 ++ batch2))
+        // both stages hold versioned history: T1 a version per CDC
+        // batch, T2 a version per feed refresh
+        assert(SnapshotTable.versions(spark, t1) == Seq(1L, 2L))
+        assert(SnapshotTable.versions(spark, t2) == Seq(1L, 2L))
+      } finally q2.stop()
+    } finally q1.stop()
+  }
 }
 
 /** Row type for the incremental-covariance stream. */
