@@ -1,0 +1,228 @@
+package graft.ml.feature
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, count, floor, lit, sum, when}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StructField, StructType}
+
+import graft.operators.Gbt
+
+/** Estimator/Model API over the exact-integer gradient-boosted stumps
+  * (SURVEY.md §2 D281) — protocol surface #12, completing the tree
+  * family [[GraftTree]] (#11) opened, behind the reference's
+  * fit/transform/persistence lifecycle (reference:
+  * /root/reference/src/main/scala/org/apache/spark/ml/feature/RapidsPCA.scala:81-137).
+  *
+  * Training is [[Gbt.fitGbt]]: T rounds of least-squares stumps on
+  * the residuals of the running per-mille-grid integer prediction,
+  * learning rate ½, every census an exact long off the same
+  * domain-bounded bin histogram (Friedman 2001; the histogram
+  * formulation is XGBoost-`hist`, arXiv:1603.02754 §3.3).
+  *
+  * Transform evaluates the additive model as a literal expression —
+  * the base floor-mean plus one `when(bin <= thr, dl, dr)` term per
+  * round (pure codegen, no shuffle, no join) — emitting the per-mille
+  * score as a [0-ish..1-ish] probability and a 0.5-threshold
+  * prediction. Scoring uses the integer adjustments training
+  * committed, so model output and fitted state can never disagree. */
+trait GraftGBTParams extends Params {
+  final val maxIter = new IntParam(this, "maxIter",
+    "boosting rounds (>= 1)", ParamValidators.gtEq(1))
+  final val binWidth = new DoubleParam(this, "binWidth",
+    "histogram bin width in feature units (> 0)", ParamValidators.gt(0.0))
+  final val featuresCol = new Param[String](this, "featuresCol",
+    "numeric feature column (binned by binWidth for the split search)")
+  final val labelCol = new Param[String](this, "labelCol",
+    "binary {0,1} label column")
+  final val predictionCol = new Param[String](this, "predictionCol",
+    "output {0,1} prediction column name")
+  final val probabilityCol = new Param[String](this, "probabilityCol",
+    "output boosted-score column name (per-mille grid / 1000)")
+
+  setDefault(maxIter -> Gbt.gbtRounds, binWidth -> 100.0,
+    predictionCol -> "prediction", probabilityCol -> "probability")
+
+  protected def validateFeatures(schema: StructType): Unit = {
+    require(schema.fieldNames.contains($(featuresCol)),
+      s"features column '${$(featuresCol)}' not in ${schema.fieldNames.mkString(",")}")
+    schema($(featuresCol)).dataType match {
+      case _: NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"features column '${$(featuresCol)}' must be numeric, got $other")
+    }
+  }
+
+  protected def validateAndTransformSchema(schema: StructType): StructType = {
+    validateFeatures(schema)
+    Seq($(predictionCol), $(probabilityCol)).foreach { c =>
+      require(!schema.fieldNames.contains(c),
+        s"output column '$c' already exists")
+    }
+    StructType(schema.fields ++ Seq(
+      StructField($(probabilityCol), DoubleType, nullable = false),
+      StructField($(predictionCol), LongType, nullable = false)))
+  }
+}
+
+class GraftGBT(override val uid: String)
+    extends Estimator[GraftGBTModel] with GraftGBTParams with MLWritable {
+
+  def this() = this(Identifiable.randomUID("graftGBT"))
+
+  def setMaxIter(value: Int): this.type = set(maxIter, value)
+  def setBinWidth(value: Double): this.type = set(binWidth, value)
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setLabelCol(value: String): this.type = set(labelCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+  def setProbabilityCol(value: String): this.type = set(probabilityCol, value)
+
+  override def fit(dataset: Dataset[_]): GraftGBTModel = {
+    transformSchema(dataset.schema, logging = true)
+    require(dataset.schema.fieldNames.contains($(labelCol)),
+      s"label column '${$(labelCol)}' not in ${dataset.schema.fieldNames.mkString(",")}")
+    val hist = dataset.toDF().select(
+        floor(col($(featuresCol)).cast("double") / $(binWidth))
+          .cast("long").as("bin"),
+        col($(labelCol)).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("p"))
+    import graft.CacheScope.ScopedPersist
+    val (f0, rounds) = Gbt.fitGbt(hist.scopedPersist(), $(maxIter))
+    copyValues(new GraftGBTModel(uid, f0, rounds.toArray).setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): GraftGBT = defaultCopy(extra)
+
+  override def write: MLWriter = new GraftGBT.Writer(this)
+}
+
+/** Fitted boosted-stump ensemble: the base per-mille prediction plus
+  * one (threshold, leaf values) round per boosting iteration. */
+class GraftGBTModel private[feature] (override val uid: String,
+    val baseF: Long, val rounds: Array[Gbt.GbtRound])
+    extends Model[GraftGBTModel] with GraftGBTParams with MLWritable {
+
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+  def setProbabilityCol(value: String): this.type = set(probabilityCol, value)
+
+  /** The additive per-mille score as a literal expression chain. */
+  private def scoreCol(bin: Column): Column =
+    rounds.foldLeft(lit(baseF)) { (f, r) =>
+      val (dl, dr) = Gbt.adjustments(r)
+      f + when(bin <= lit(r.thresholdBin), lit(dl)).otherwise(lit(dr))
+    }
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema, logging = true)
+    val bin = floor(col($(featuresCol)).cast("double") / $(binWidth))
+      .cast("long")
+    val f = scoreCol(bin)
+    dataset.toDF()
+      .withColumn($(probabilityCol), f.cast("double") / lit(1000.0))
+      .withColumn($(predictionCol), (f >= lit(500L)).cast("long"))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): GraftGBTModel =
+    copyValues(new GraftGBTModel(uid, baseF, rounds), extra)
+      .setParent(parent)
+
+  override def write: MLWriter = new GraftGBTModel.Writer(this)
+}
+
+/** Explicitly-set params, one parquet row (the GraftPCA layout). */
+private[feature] case class GBTParamsData(uid: String,
+    maxIter: Option[Int], binWidth: Option[Double],
+    featuresCol: Option[String], labelCol: Option[String],
+    predictionCol: Option[String], probabilityCol: Option[String])
+
+/** One persisted boosting round (Gbt.GbtRound, flattened). */
+private[feature] case class GBTRoundData(round: Int, thresholdBin: Long,
+    nLeft: Long, nRight: Long, vLeft: Long, vRight: Long, sseAfter: Long)
+
+/** Fitted-model artifact: params + base prediction + round table. */
+private[feature] case class GBTModelData(params: GBTParamsData,
+    baseF: Long, rounds: Seq[GBTRoundData])
+
+object GraftGBT extends MLReadable[GraftGBT] {
+
+  private[feature] def paramsData(
+      p: GraftGBTParams with Params): GBTParamsData =
+    GBTParamsData(p.uid, p.get(p.maxIter), p.get(p.binWidth),
+      p.get(p.featuresCol), p.get(p.labelCol), p.get(p.predictionCol),
+      p.get(p.probabilityCol))
+
+  private[feature] def restoreParams(t: GraftGBTParams,
+      d: GBTParamsData): Unit = {
+    d.maxIter.foreach(v => t.set(t.maxIter, v))
+    d.binWidth.foreach(v => t.set(t.binWidth, v))
+    d.featuresCol.foreach(v => t.set(t.featuresCol, v))
+    d.labelCol.foreach(v => t.set(t.labelCol, v))
+    d.predictionCol.foreach(v => t.set(t.predictionCol, v))
+    d.probabilityCol.foreach(v => t.set(t.probabilityCol, v))
+  }
+
+  private[feature] class Writer(instance: GraftGBT) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(paramsData(instance)).toDS()
+        .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+      GraftPCA.writeMetadata(path, spark, instance)
+    }
+  }
+
+  private class Reader extends MLReader[GraftGBT] {
+    override def load(path: String): GraftGBT = {
+      val spark = sparkSession
+      import spark.implicits._
+      val d = spark.read.parquet(s"$path/params").as[GBTParamsData].head()
+      val e = new GraftGBT(d.uid)
+      restoreParams(e, d)
+      e
+    }
+  }
+
+  override def read: MLReader[GraftGBT] = new Reader
+  override def load(path: String): GraftGBT = super.load(path)
+}
+
+object GraftGBTModel extends MLReadable[GraftGBTModel] {
+
+  private[feature] class Writer(instance: GraftGBTModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(GBTModelData(GraftGBT.paramsData(instance), instance.baseF,
+          instance.rounds.toSeq.map(r => GBTRoundData(r.round,
+            r.thresholdBin, r.nLeft, r.nRight, r.vLeft, r.vRight,
+            r.sseAfter)))).toDS()
+        .repartition(1).write.mode("overwrite").parquet(s"$path/data")
+      GraftPCA.writeMetadata(path, spark, instance)
+    }
+  }
+
+  private class Reader extends MLReader[GraftGBTModel] {
+    override def load(path: String): GraftGBTModel = {
+      val spark = sparkSession
+      import spark.implicits._
+      val d = spark.read.parquet(s"$path/data").as[GBTModelData].head()
+      val m = new GraftGBTModel(d.params.uid, d.baseF,
+        d.rounds.map(r => Gbt.GbtRound(r.round, r.thresholdBin, r.nLeft,
+          r.nRight, r.vLeft, r.vRight, r.sseAfter)).toArray)
+      GraftGBT.restoreParams(m, d.params)
+      m
+    }
+  }
+
+  override def read: MLReader[GraftGBTModel] = new Reader
+  override def load(path: String): GraftGBTModel = super.load(path)
+}

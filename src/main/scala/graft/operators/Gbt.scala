@@ -60,11 +60,22 @@ object Gbt {
   final case class GbtRound(round: Int, thresholdBin: Long, nLeft: Long,
       nRight: Long, vLeft: Long, vRight: Long, sseAfter: Long)
 
-  /** Fit T boosted stumps over a (bin, cnt, p) histogram. Per round:
-    * residual census under the CURRENT literal-expression prediction,
-    * cumulative-window split search, 1-row argmin collect, exact leaf
-    * math driver-side, exact integer SSE census. */
-  private[graft] def fitGbt(hist: DataFrame, rounds: Int): Seq[GbtRound] = {
+  /** ½-rate per-round prediction adjustments derived from a fitted
+    * round's leaf values — floor(v/2) via the shifted division, the
+    * exact arithmetic [[fitGbt]] trains with. */
+  def adjustments(r: GbtRound): (Long, Long) = {
+    val S = gbtShift
+    ((r.vLeft + S) / 2L - S / 2L, (r.vRight + S) / 2L - S / 2L)
+  }
+
+  /** Fit T boosted stumps over a (bin, cnt, p) histogram; returns the
+    * base (round-0 global floor-mean) prediction and the fitted
+    * rounds. Per round: residual census under the CURRENT
+    * literal-expression prediction, cumulative-window split search,
+    * 1-row argmin collect, exact leaf math driver-side, exact integer
+    * SSE census. */
+  private[graft] def fitGbt(hist: DataFrame,
+      rounds: Int): (Long, Seq[GbtRound]) = {
     import hist.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val S = gbtShift
@@ -122,7 +133,7 @@ object Gbt {
         .head().getLong(0)
       out :+= GbtRound(t, thr, nl, nr, vl, vr, sseAfter)
     }
-    out
+    (f0, out)
   }
 
   /** p21: three boosted stump rounds on the p17 design (price bins →
@@ -135,7 +146,7 @@ object Gbt {
       .groupBy($"bin")
       .agg(count(lit(1)).as("cnt"), sum($"y").as("p"))
       .scopedPersist()
-    fitGbt(hist, gbtRounds)
+    fitGbt(hist, gbtRounds)._2
       .map(r => (r.round.toLong, r.thresholdBin, r.nLeft, r.nRight,
         r.vLeft, r.vRight, r.sseAfter))
       .toDF("round", "threshold_bin", "n_left", "n_right",

@@ -840,6 +840,55 @@ class OlsSpec extends AnyFunSuite {
     assert(fOf.values.forall(f => math.abs(f) < S / 2))
   }
 
+  test("GraftGBT estimator: boosted fit, additive scoring, persistence round-trip") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ml.feature.{GraftGBT, GraftGBTModel}
+    val design = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice".as("price"),
+        ($"l_returnflag" === "R").cast("long").as("label"))
+    val model = new GraftGBT().setMaxIter(3).setBinWidth(100.0)
+      .setFeaturesCol("price").setLabelCol("label")
+      .fit(design)
+    // the fitted rounds ARE p21's oracle-gated output
+    val p21 = graft.operators.Gbt.p21Gbt3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(model.rounds.toSeq.map(r => (r.round.toLong, r.thresholdBin,
+      r.nLeft, r.nRight, r.vLeft, r.vRight, r.sseAfter)) == p21)
+    // transform scores every row with the exact additive integer chain
+    def walk(bin: Long): Long =
+      model.rounds.foldLeft(model.baseF) { (f, r) =>
+        val (dl, dr) = graft.operators.Gbt.adjustments(r)
+        f + (if (bin <= r.thresholdBin) dl else dr)
+      }
+    val scored = model.transform(design)
+      .select(floor($"price" / 100.0).cast("long"),
+        $"probability", $"prediction").limit(500).collect()
+    scored.foreach { r =>
+      val f = walk(r.getLong(0))
+      assert(r.getDouble(1) == f.toDouble / 1000.0)
+      assert(r.getLong(2) == (if (f >= 500L) 1L else 0L))
+    }
+    // persistence round-trip preserves rounds, base, params, scoring
+    val dir = java.nio.file.Files.createTempDirectory("graft_gbt").toString
+    model.write.overwrite().save(dir)
+    val back = GraftGBTModel.load(dir)
+    assert(back.baseF == model.baseF &&
+      back.rounds.toSeq == model.rounds.toSeq)
+    assert(back.getOrDefault(back.maxIter) == 3)
+    val a = model.transform(design).agg(sum($"probability")).head.getDouble(0)
+    val b = back.transform(design).agg(sum($"probability")).head.getDouble(0)
+    assert(a == b)
+    // estimator (unfitted) round-trip keeps explicit params
+    val edir = java.nio.file.Files.createTempDirectory("graft_gbt_e").toString
+    new GraftGBT().setMaxIter(2).setFeaturesCol("price")
+      .setLabelCol("label").write.overwrite().save(edir)
+    val eBack = GraftGBT.load(edir)
+    assert(eBack.getOrDefault(eBack.maxIter) == 2 &&
+      eBack.get(eBack.featuresCol).contains("price"))
+  }
+
   test("GraftTree estimator: depth-k fit, codegen scoring, persistence round-trip") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions._
