@@ -767,6 +767,57 @@ class SinksSpec extends AnyFunSuite {
     assert(err.getMessage.contains("merge()"))
   }
 
+  test("snapshot table: compaction preserves the partitioned one-value-per-file invariant") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_cpart") + "/tbl"
+    val langs = Seq("en", "de", "fr")
+    // five small partitioned appends — 15+ tiny files across 3 values
+    (0 until 5).foreach { b =>
+      val df = (b * 60 until (b + 1) * 60)
+        .map(i => (i.toLong, langs(i % 3), s"d$i")).toDF("id", "lang", "text")
+        .repartition(2)
+      if (b == 0) SnapshotTable.writeSnapshotPartitioned(df, t, "lang")
+      else SnapshotTable.appendSnapshot(df, t)
+    }
+    val beforeFiles = SnapshotTable.readSnapshot(spark, t).inputFiles.length
+    val rows = SnapshotTable.readSnapshot(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(SnapshotTable.compact(spark, t, targetBytes = 64L << 20) == 6L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+    assert(after.inputFiles.length < beforeFiles)
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == rows)
+    // the repacked files are still one-partition-value each: the
+    // equality read plans a strict subset AND still matches the filter
+    val en = SnapshotTable.readSnapshotWhere(spark, t, "lang", "en")
+    assert(en.inputFiles.length < after.inputFiles.length,
+      "compaction lost the partitioned layout (no pruning)")
+    assert(en.count() == rows.count(_._2 == "en").toLong)
+  }
+
+  test("snapshot table: sparse MERGE keeps the partition layout it rewrites") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_mpart") + "/tbl"
+    val langs = Seq("en", "de")
+    val base = (0 until 200)
+      .map(i => (i.toLong, langs(i % 2), s"d$i")).toDF("id", "lang", "text")
+    SnapshotTable.writeSnapshotPartitioned(base, t, "lang")
+    // a pruned merge rewrites through the table's partition layout
+    val updates = Seq((5L, "de", "X"), (6L, "en", "Y"))
+      .toDF("id", "lang", "text")
+    assert(SnapshotTable.mergePruned(updates, t, "id") == 2L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+    val m = after.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(m(5L) == "X" && m(6L) == "Y" && m(7L) == "d7" && m.size == 200)
+    // rewritten files are still single-valued: equality pruning works
+    // on the merged version
+    val en = SnapshotTable.readSnapshotWhere(spark, t, "lang", "en")
+    assert(en.inputFiles.length < after.inputFiles.length)
+    assert(en.count() == 100L)
+  }
+
   test("snapshot table: delimiter-hostile column names keep stats safe") {
     import spark.implicits._
     import graft.sources.SnapshotTable
@@ -797,5 +848,21 @@ class SinksSpec extends AnyFunSuite {
     SnapshotTable.writeSnapshotPartitioned(weird, t2, "k")
     val sel = SnapshotTable.readSnapshotWhere(spark, t2, "k", "x|y=z,w")
     assert(sel.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("snapshot table: change feed reads evolved history with the target schema") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_feedevo") + "/tbl"
+    SnapshotTable.writeSnapshot(Seq((1L, "a")).toDF("id", "v"), t)
+    // evolution adds a column mid-history; old files lack it
+    SnapshotTable.appendEvolve(Seq((2L, "b", 9.5)).toDF("id", "v", "w"), t)
+    val feed = SnapshotTable.changesBetween(spark, t, 0L)
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("id", "v", "w", "_commit_version"))
+    val rows = feed.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None, 1L), (2L, Some(9.5), 2L)))
   }
 }
