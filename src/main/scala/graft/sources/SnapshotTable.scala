@@ -522,9 +522,21 @@ object SnapshotTable {
     * and tiny parquet files, and scan planning is O(files). Returns
     * the committed version, or the current one when there is nothing
     * to pack. Carries the batch tag, so a maintaining stream's replay
-    * guard is unaffected. */
+    * guard is unaffected.
+    *
+    * `sortCol` is the Delta `OPTIMIZE … ZORDER BY` idea: without it,
+    * the repack shuffles rows arbitrarily, so every packed file spans
+    * the whole key range and the per-file stats that made range reads
+    * a seek stop pruning. With it, the repack RANGE-partitions (and
+    * sorts within files) on that column, so the packed files carry
+    * near-disjoint [min, max] ranges and D264 skipping survives the
+    * compaction — on a clustering key (event time, id) this is the
+    * difference between OPTIMIZE preserving and destroying the
+    * table's seek behavior. A multi-dimension clustering key is one
+    * `zorder8` column away (D40). */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Long = {
+      targetBytes: Long = 128L << 20,
+      sortCol: Option[String] = None): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = new HPath(path).getFileSystem(conf(spark))
     var committed = -1L
@@ -543,11 +555,22 @@ object SnapshotTable {
           math.ceil(smallBytes.toDouble / targetBytes).toInt)
         if (small.length <= bins) return latest // already packed
         val landPart = m.partCol.filter(m.schema.fieldNames.contains)
+        sortCol.foreach(c => require(m.schema.fieldNames.contains(c),
+          s"no sort column $c in ${m.schema.fieldNames.mkString(", ")}"))
         val df = spark.read.schema(m.schema)
           .parquet(small.map(f => new HPath(path, f._1).toString): _*)
-        val packed = landPart match {
-          case Some(p) => df.repartition(bins, qcol(p))
-          case None => df.repartition(bins)
+        // partition value first, then the clustering key: the
+        // partitioned landing splits per value anyway, so the range
+        // partitioning only has to keep each value's keys contiguous
+        val shuffleKeys = (landPart.toSeq ++ sortCol.toSeq).map(qcol)
+        val packed = (sortCol, shuffleKeys) match {
+          case (Some(_), ks) =>
+            df.repartitionByRange(bins, ks: _*)
+              .sortWithinPartitions(ks: _*)
+          case (None, _) => landPart match {
+            case Some(p) => df.repartition(bins, qcol(p))
+            case None => df.repartition(bins)
+          }
         }
         val commitId = java.util.UUID.randomUUID().toString
         val newFiles = landDataFiles(packed, path, commitId, landPart)

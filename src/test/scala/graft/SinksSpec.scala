@@ -767,6 +767,36 @@ class SinksSpec extends AnyFunSuite {
     assert(err.getMessage.contains("merge()"))
   }
 
+  test("snapshot table: sorted compaction keeps stats pruning a seek") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_csort") + "/tbl"
+    // id-clustered commits (disjoint per-file ranges), then compact
+    def frame(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "v").repartition(2)
+    SnapshotTable.writeSnapshot(frame(0, 100), t)
+    (1 until 6).foreach(b =>
+      SnapshotTable.appendSnapshot(frame(b * 100L, (b + 1) * 100L), t))
+    // SORTED compaction range-partitions on the clustering key, so the
+    // packed files keep near-disjoint [min,max] ranges (8 KB target →
+    // several packed files, each covering a narrow id band)
+    assert(SnapshotTable.compact(spark, t, targetBytes = 8192L,
+      sortCol = Some("id")) == 7L)
+    val all = SnapshotTable.readSnapshot(spark, t)
+    assert(all.count() == 600L && all.inputFiles.length < 12 &&
+      all.inputFiles.length > 1)
+    val narrow = SnapshotTable.readSnapshotRange(spark, t, "id",
+      BigDecimal(0), BigDecimal(10))
+    assert(narrow.count() == 11L)
+    assert(narrow.inputFiles.length < all.inputFiles.length,
+      s"sorted compaction lost stats pruning: " +
+        s"${narrow.inputFiles.length} of ${all.inputFiles.length} planned")
+    // unknown sort column fails upfront
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, t, 64L << 20, Some("nope"))
+    }
+  }
+
   test("snapshot table: compaction preserves the partitioned one-value-per-file invariant") {
     import spark.implicits._
     import graft.sources.SnapshotTable
