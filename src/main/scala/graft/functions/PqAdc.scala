@@ -85,6 +85,13 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
   override def nullSafeEval(q: Any, cd: Any, @annotation.unused t: Any): Any = {
     val table = tableFor(q.asInstanceOf[Long])
     val codes = cd.asInstanceOf[ArrayData]
+    // explicit length check: UnsafeArrayData.getInt does no bounds
+    // check, so a short codes array from direct SQL would otherwise
+    // read garbage where the replaced UDF threw
+    if (codes.numElements() < table.length)
+      throw new IndexOutOfBoundsException(
+        s"PQ codes array has ${codes.numElements()} elements, " +
+          s"ADC table expects ${table.length}")
     var s = 0.0
     var m = 0
     while (m < table.length) { s += table(m)(codes.getInt(m)); m += 1 }
@@ -110,6 +117,11 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
          |    "no ADC table for query id " + $q);
          |}
          |final double[][] $tb = $ts[$qi];
+         |if ($cd.numElements() < $tb.length) {
+         |  throw new IndexOutOfBoundsException(
+         |    "PQ codes array has " + $cd.numElements() +
+         |    " elements, ADC table expects " + $tb.length);
+         |}
          |double $s = 0.0;
          |for (int $m = 0; $m < $tb.length; $m++) {
          |  $s += $tb[$m][$cd.getInt($m)];

@@ -29,7 +29,10 @@ import graft.operators.Gbt
   * committed, so model output and fitted state can never disagree. */
 trait GraftGBTParams extends Params {
   final val maxIter = new IntParam(this, "maxIter",
-    "boosting rounds (>= 1)", ParamValidators.gtEq(1))
+    "boosting rounds (1 to Gbt.gbtMaxRounds): the exact-integer " +
+      "residual grid supports at most 25 rounds before the worst-case " +
+      "drift envelope could overflow the Long census",
+    ParamValidators.inRange(1, Gbt.gbtMaxRounds))
   final val binWidth = new DoubleParam(this, "binWidth",
     "histogram bin width in feature units (> 0)", ParamValidators.gt(0.0))
   final val featuresCol = new Param[String](this, "featuresCol",

@@ -46,6 +46,32 @@ object Gbt {
     * negative — where floor and truncation would disagree). */
   val gbtShift = 8000L
 
+  /** Most boosting rounds the exact-integer arithmetic supports: the
+    * worst-case drift envelope at 25 rounds (~5.0e7) keeps the squared
+    * residual census inside Long for any corpus that fits an int row
+    * count — requested rounds past this fail loudly at fit time (and
+    * [[graft.ml.feature.GraftGBT]] validates maxIter against it). */
+  val gbtMaxRounds = 25
+
+  /** Round-count-scaled shift (round-13 advisory: the fixed 8000 was
+    * sized for 3 rounds; a user-set round count past ~5 could trip the
+    * drift require even though the arithmetic has headroom). The leaf
+    * math is shift-INVARIANT for any even shift large enough —
+    * (sr + n·S)/n − S = floor(sr/n) and, for even S,
+    * (v + S)/2 − S/2 = floor(v/2) — so growing S with the worst-case
+    * drift bound |F_T| ≤ 2000·1.5^T − 1000 changes no fitted value;
+    * ≤ 3 rounds keep the historical 8000 (p21's oracle text). */
+  def shiftFor(rounds: Int): Long = {
+    require(rounds <= gbtMaxRounds,
+      s"boosting rounds $rounds exceed the exact-integer envelope " +
+        s"($gbtMaxRounds): the squared-residual census could overflow Long")
+    if (rounds <= 3) gbtShift
+    else {
+      val bound = 1000.0 + 2000.0 * math.pow(1.5, rounds)
+      (math.ceil(bound / 2.0).toLong + 1L) * 2L // even, with margin
+    }
+  }
+
   private def d(x: String) = s"CAST($x AS DOUBLE)"
 
   /** Split SSE over columns (srrl, srl, nl, srrr, srr2, nr) — the one
@@ -64,7 +90,11 @@ object Gbt {
     * round's leaf values — floor(v/2) via the shifted division, the
     * exact arithmetic [[fitGbt]] trains with. */
   def adjustments(r: GbtRound): (Long, Long) = {
-    val S = gbtShift
+    // any even shift ≥ |v| yields the same floor(v/2) — size it to the
+    // round's own leaf values so rounds fitted with a larger
+    // [[shiftFor]] (maxIter > 3) replay exactly
+    val need = math.max(math.abs(r.vLeft), math.abs(r.vRight))
+    val S = math.max(gbtShift, (need / 2L + 1L) * 2L)
     ((r.vLeft + S) / 2L - S / 2L, (r.vRight + S) / 2L - S / 2L)
   }
 
@@ -78,7 +108,7 @@ object Gbt {
       rounds: Int): (Long, Seq[GbtRound]) = {
     import hist.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val S = gbtShift
+    val S = shiftFor(rounds)
     // F0 = global mean label on the per-mille grid (floor)
     val t0 = hist.agg(sum($"cnt"), sum($"p")).head()
     val nAll = t0.getLong(0)
@@ -87,7 +117,9 @@ object Gbt {
     val f0 = posAll * 1000L / nAll
     var decisions = Vector.empty[(Long, Long, Long)] // (thr, dl, dr)
     var out = Vector.empty[GbtRound]
-    for (t <- 1 to rounds) {
+    var t = 1
+    var open = true
+    while (t <= rounds && open) {
       val fCol: Column = decisions.foldLeft(lit(f0)) {
         case (f, (thr, dl, dr)) =>
           f + when($"bin" <= lit(thr), lit(dl)).otherwise(lit(dr))
@@ -99,7 +131,7 @@ object Gbt {
       val tot = res.agg(sum($"cnt").as("n"), sum($"sr").as("srt"),
         sum($"srr").as("srrt"))
       val w = Window.orderBy($"bin")
-      val best = res
+      val bestRows = res
         .select($"bin", sum($"cnt").over(w).as("nl"),
           sum($"sr").over(w).as("srl"), sum($"srr").over(w).as("srrl"))
         .crossJoin(broadcast(tot))
@@ -110,28 +142,37 @@ object Gbt {
         .withColumn("sse_raw", expr(sseSql))
         .orderBy($"sse_raw", $"bin").limit(1)
         .select($"bin", $"nl", $"srl", $"nr", $"srr2")
-        .head()
-      val (thr, nl, srl, nr, srR) = (best.getLong(0), best.getLong(1),
-        best.getLong(2), best.getLong(3), best.getLong(4))
-      // shifted nonnegative floor-division (truncation == floor here;
-      // a negative numerator means the drift bound was violated — fail
-      // loudly, never divide wrong)
-      require(srl + nl * S >= 0 && srR + nr * S >= 0,
-        s"residual drift exceeded the ±$S shift at round $t")
-      val vl = (srl + nl * S) / nl - S
-      val vr = (srR + nr * S) / nr - S
-      val dl = (vl + S) / 2L - S / 2L // = floor(vl / 2), both engines
-      val dr = (vr + S) / 2L - S / 2L
-      decisions :+= ((thr, dl, dr))
-      val fAfter: Column = decisions.foldLeft(lit(f0)) {
-        case (f, (th, l, r)) =>
-          f + when($"bin" <= lit(th), lit(l)).otherwise(lit(r))
+        .collect()
+      if (bestRows.isEmpty) {
+        // single-bin histogram: no candidate leaves both sides
+        // populated — stop boosting like fitTreeSplits stops splitting
+        // (round-13 advisory: .head() here crashed context-free)
+        open = false
+      } else {
+        val best = bestRows.head
+        val (thr, nl, srl, nr, srR) = (best.getLong(0), best.getLong(1),
+          best.getLong(2), best.getLong(3), best.getLong(4))
+        // shifted nonnegative floor-division (truncation == floor here;
+        // a negative numerator means the drift bound was violated — fail
+        // loudly, never divide wrong)
+        require(srl + nl * S >= 0 && srR + nr * S >= 0,
+          s"residual drift exceeded the ±$S shift at round $t")
+        val vl = (srl + nl * S) / nl - S
+        val vr = (srR + nr * S) / nr - S
+        val dl = (vl + S) / 2L - S / 2L // = floor(vl / 2), both engines
+        val dr = (vr + S) / 2L - S / 2L
+        decisions :+= ((thr, dl, dr))
+        val fAfter: Column = decisions.foldLeft(lit(f0)) {
+          case (f, (th, l, r)) =>
+            f + when($"bin" <= lit(th), lit(l)).otherwise(lit(r))
+        }
+        val sseAfter = hist.withColumn("F", fAfter)
+          .agg(sum($"p" * (lit(1000L) - $"F") * (lit(1000L) - $"F")
+            + ($"cnt" - $"p") * $"F" * $"F"))
+          .head().getLong(0)
+        out :+= GbtRound(t, thr, nl, nr, vl, vr, sseAfter)
+        t += 1
       }
-      val sseAfter = hist.withColumn("F", fAfter)
-        .agg(sum($"p" * (lit(1000L) - $"F") * (lit(1000L) - $"F")
-          + ($"cnt" - $"p") * $"F" * $"F"))
-        .head().getLong(0)
-      out :+= GbtRound(t, thr, nl, nr, vl, vr, sseAfter)
     }
     (f0, out)
   }

@@ -78,9 +78,23 @@ object SnapshotTable {
     * strings (Long.toString / Double.toString — both round-trip). */
   private type FileStats = Map[String, Map[String, (String, String)]]
 
+  /** Per-file physical metadata recorded at commit (D283): byte size
+    * from the landing listing (no extra RPC) and row count from the
+    * same bounded stats pass — so [[compact]] plans entirely from the
+    * manifest instead of one driver `getFileStatus` round-trip per
+    * file (the round-13 "What's wrong #3" planning bottleneck).
+    * `rows = -1` means unknown (legacy manifests, stats-less commits). */
+  private[graft] final case class FileMeta(bytes: Long, rows: Long)
+
   private final case class Manifest(schema: StructType, files: Seq[String],
       batchId: Option[Long] = None, stats: FileStats = Map.empty,
-      partCol: Option[String] = None, dataChange: Boolean = true)
+      partCols: Seq[String] = Nil, dataChange: Boolean = true,
+      sizes: Map[String, FileMeta] = Map.empty,
+      changeFiles: Seq[String] = Nil,
+      // true = this commit's row-level changes are EXACTLY its change
+      // files, even when that list is empty (a merge touching zero
+      // rows must not fall back to the legacy additions view)
+      cdfComplete: Boolean = false)
 
   /** Column references by NAME must not re-parse as nested-field paths
     * (a name with a dot) — backtick-quote everywhere a schema name
@@ -118,23 +132,40 @@ object SnapshotTable {
   }
 
   /** One `#stats=` manifest line per file:
-    * `#stats=<rel>|<col>=<min>,<max>|...`; rel paths are
-    * writer-generated (UUID commit dirs + part names) so they carry no
-    * delimiters, and names/values are %XX-escaped ([[esc]]). */
+    * `#stats=<rel>|<col>=<min>,<max>|...`. The rel path is %XX-escaped
+    * too (round-13 advisory: a string partition value containing '|'
+    * lands in the `__graft_pv=` path segment and would truncate the
+    * parsed key, silently dropping that file's pruning); legacy
+    * unescaped paths contain no escapable chars, so [[unesc]] of them
+    * is the identity and old manifests parse unchanged. */
   private def statsLine(rel: String, cols: Map[String, (String, String)]) =
-    s"#stats=$rel" + cols.toSeq.sortBy(_._1)
+    s"#stats=${esc(rel)}" + cols.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"|${esc(c)}=${esc(mn)},${esc(mx)}" }
       .mkString
 
   private def parseStatsLine(l: String): (String, Map[String, (String, String)]) = {
     val parts = l.stripPrefix("#stats=").split("\\|").toSeq
-    (parts.head, parts.tail.flatMap { p =>
+    (unesc(parts.head), parts.tail.flatMap { p =>
       val eq = p.indexOf('=')
       val comma = p.indexOf(',', eq + 1)
       if (eq < 0 || comma < 0) None
       else Some(unesc(p.substring(0, eq)) ->
         (unesc(p.substring(eq + 1, comma)), unesc(p.substring(comma + 1))))
     }.toMap)
+  }
+
+  /** One `#file=` line per data file: `#file=<rel>|<bytes>|<rows>` —
+    * the physical metadata [[compact]] plans from (D283). */
+  private def fileLine(rel: String, fm: FileMeta) =
+    s"#file=${esc(rel)}|${fm.bytes}|${fm.rows}"
+
+  private def parseFileLine(l: String): Option[(String, FileMeta)] = {
+    val parts = l.stripPrefix("#file=").split("\\|")
+    if (parts.length != 3) None
+    else for {
+      b <- parts(1).toLongOption
+      r <- parts(2).toLongOption
+    } yield unesc(parts(0)) -> FileMeta(b, r)
   }
 
   private def readManifest(fs: FileSystem, path: String, v: Long): Manifest = {
@@ -151,13 +182,23 @@ object SnapshotTable {
     }
     val stats: FileStats = meta.filter(_.startsWith("#stats="))
       .map(parseStatsLine).toMap
-    val partCol = meta.collectFirst {
+    // multi-column layouts (D284) join escaped names with ',' (itself
+    // escaped inside a name); a legacy single-column line parses as a
+    // one-element list
+    val partCols = meta.collectFirst {
       case l if l.startsWith("#partcol=") =>
-        unesc(l.stripPrefix("#partcol="))
-    }
+        l.stripPrefix("#partcol=").split(",").toSeq
+          .filter(_.nonEmpty).map(unesc)
+    }.getOrElse(Nil)
+    val sizes = meta.filter(_.startsWith("#file="))
+      .flatMap(parseFileLine).toMap
+    val changeFiles = meta.filter(_.startsWith("#change="))
+      .map(l => unesc(l.stripPrefix("#change=")))
     Manifest(DataType.fromJson(lines.head).asInstanceOf[StructType],
-      body, batch, stats, partCol,
-      dataChange = !meta.contains("#nodatachange"))
+      body, batch, stats, partCols,
+      dataChange = !meta.contains("#nodatachange"),
+      sizes = sizes, changeFiles = changeFiles,
+      cdfComplete = meta.contains("#cdfcommit") || changeFiles.nonEmpty)
   }
 
   /** Atomic publication; false = lost the race. The body is written
@@ -179,12 +220,17 @@ object SnapshotTable {
     val out = fs.create(tmp, false)
     try {
       val tag = m.batchId.map(b => s"#batch=$b").toSeq
-      val part = m.partCol.map(c => s"#partcol=${esc(c)}").toSeq
+      val part = if (m.partCols.isEmpty) Seq.empty
+        else Seq(s"#partcol=${m.partCols.map(esc).mkString(",")}")
       val change = if (m.dataChange) Seq.empty else Seq("#nodatachange")
       val statLines = m.files.flatMap(f =>
         m.stats.get(f).filter(_.nonEmpty).map(statsLine(f, _)))
+      val sizeLines = m.files.flatMap(f => m.sizes.get(f).map(fileLine(f, _)))
+      val cdfLines = (if (m.cdfComplete) Seq("#cdfcommit") else Nil) ++
+        m.changeFiles.map(f => s"#change=${esc(f)}")
       val body = (m.schema.json +:
-        (tag ++ part ++ change ++ statLines ++ m.files)).mkString("\n")
+        (tag ++ part ++ change ++ statLines ++ sizeLines ++ cdfLines ++
+          m.files)).mkString("\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     if (fs.exists(target) || !fs.rename(tmp, target)) {
@@ -193,43 +239,48 @@ object SnapshotTable {
     } else true
   }
 
-  /** The duplicated-partition-key directory column: partitioned
-    * commits write `data/c-<id>/__graft_pv=<v>/part-*.parquet` so
-    * every data file holds exactly ONE partition value, but the real
-    * column stays IN the files (the directory key is a write-side
-    * routing duplicate), so readers never depend on path inference. */
-  private val PvDir = "__graft_pv"
+  /** The duplicated-partition-key directory columns: partitioned
+    * commits write `data/c-<id>/__graft_pv0=<v>/.../part-*.parquet`
+    * (one hive level per layout column; the legacy single-column name
+    * `__graft_pv` appears in pre-D284 tables) so every data file holds
+    * exactly ONE value combination, but the real columns stay IN the
+    * files (the directory keys are write-side routing duplicates), so
+    * readers never depend on path inference. */
+  private def pvDir(i: Int) = s"__graft_pv$i"
 
-  /** Land one commit's data files; returns table-relative paths.
-    * An empty frame commits zero files (a valid, empty version).
-    * With `partitionBy`, files are split so each holds one partition
-    * value (the structural-pruning invariant D276 reads rely on). */
+  /** Land one commit's data files under `dirRel`; returns
+    * table-relative paths with their byte sizes (captured from the
+    * landing listing — no extra RPCs). An empty frame commits zero
+    * files (a valid, empty version). With `partitionBy`, files are
+    * split so each holds one value per layout column (the
+    * structural-pruning invariant D276/D284 reads rely on). */
   private def landDataFiles(df: DataFrame, path: String,
-      commitId: String, partitionBy: Option[String] = None): Seq[String] = {
-    val rel = s"data/c-$commitId"
-    val dataDir = new HPath(path, rel)
-    partitionBy match {
-      case Some(p) =>
-        df.withColumn(PvDir, qcol(p))
-          .write.mode("errorifexists").partitionBy(PvDir)
-          .parquet(dataDir.toString)
-      case None =>
-        df.write.mode("errorifexists").parquet(dataDir.toString)
+      dirRel: String, partitionBy: Seq[String] = Nil): Seq[(String, Long)] = {
+    val dataDir = new HPath(path, dirRel)
+    if (partitionBy.isEmpty)
+      df.write.mode("errorifexists").parquet(dataDir.toString)
+    else {
+      val routed = partitionBy.zipWithIndex.foldLeft(df) {
+        case (d, (c, i)) => d.withColumn(pvDir(i), qcol(c))
+      }
+      routed.write.mode("errorifexists")
+        .partitionBy(partitionBy.indices.map(pvDir): _*)
+        .parquet(dataDir.toString)
     }
     val fs = dataDir.getFileSystem(conf(df.sparkSession))
     val it = fs.listFiles(dataDir, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    val marker = s"/c-$commitId/"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val marker = "/" + dirRel.stripPrefix("data/") + "/"
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath.toUri.getPath
       if (s.getPath.getName.endsWith(".parquet")) {
         val i = p.indexOf(marker)
-        require(i >= 0, s"landed file $p escaped commit dir $rel")
-        buf += s"$rel/${p.substring(i + marker.length)}"
+        require(i >= 0, s"landed file $p escaped commit dir $dirRel")
+        buf += (s"$dirRel/${p.substring(i + marker.length)}" -> s.getLen)
       }
     }
-    buf.toSeq.sorted
+    buf.toSeq.sortBy(_._1)
   }
 
   /** Column types with manifest min/max stats (the numeric atomics —
@@ -285,36 +336,44 @@ object SnapshotTable {
     * partitioned `__graft_pv=` subdirs never trigger inference. */
   private def collectStats(spark: SparkSession, schema: StructType,
       path: String, commitRel: String, files: Seq[String],
-      forceCols: Seq[String] = Seq.empty): FileStats = {
-    import org.apache.spark.sql.functions.{input_file_name, max, min}
+      forceCols: Seq[String] = Seq.empty): (FileStats, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
     val statCols = (schema.fields.toSeq
       .filter(f => isStatType(f.dataType)).map(_.name) ++ forceCols)
       .distinct.filter(schema.fieldNames.contains)
-    if (statCols.isEmpty || files.isEmpty) return Map.empty
-    val aggs = statCols.zipWithIndex.flatMap { case (c, i) => Seq(
-      min(qcol(c)).cast("string").as(s"mn_$i"),
-      max(qcol(c)).cast("string").as(s"mx_$i")) }
+    if (files.isEmpty) return (Map.empty, Map.empty)
+    // per-file row counts ride the same bounded pass (D283: compact
+    // and observability read them off the manifest)
+    val aggs = count(lit(1)).as("rc") +:
+      statCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(qcol(c)).cast("string").as(s"mn_$i"),
+        max(qcol(c)).cast("string").as(s"mx_$i")) }
     val marker = "/" + commitRel.stripPrefix("data/") + "/"
     val rows = spark.read.schema(schema)
       .parquet(files.map(f => new HPath(path, f).toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { r =>
+    val keyed = rows.map { r =>
       // key by the path suffix below the commit dir (partitioned
       // commits may reuse a part file name across value dirs); the
       // URI getPath decodes the %-encoding input_file_name applies
       val p = new java.net.URI(r.getString(0)).getPath
       val i = p.indexOf(marker)
       require(i >= 0, s"stats row for $p outside commit $commitRel")
+      (s"$commitRel/${p.substring(i + marker.length)}", r)
+    }
+    val stats = keyed.map { case (f, r) =>
       val cols = statCols.indices.flatMap { j =>
-        val mn = r.getString(1 + 2 * j)
-        val mx = r.getString(2 + 2 * j)
+        val mn = r.getString(2 + 2 * j)
+        val mx = r.getString(3 + 2 * j)
         if (mn == null || mx == null) None
         else Some(statCols(j) -> (mn, mx))
       }.toMap
-      s"$commitRel/${p.substring(i + marker.length)}" -> cols
+      f -> cols
     }.toMap
+    val counts = keyed.map { case (f, r) => f -> r.getLong(1) }.toMap
+    (stats, counts)
   }
 
   /** Commit `df` as the table's next version. `overwrite = true`
@@ -360,7 +419,8 @@ object SnapshotTable {
 
   private def writeTagged(df: DataFrame, path: String, overwrite: Boolean,
       batchId: Option[Long], evolve: Boolean = false,
-      carryTag: Boolean = true, partitionBy: Option[String] = None): Long = {
+      carryTag: Boolean = true, partitionBy: Seq[String] = Nil,
+      changeFiles: Seq[String] = Nil, cdfComplete: Boolean = false): Long = {
     val spark = df.sparkSession
     val fs = new HPath(path).getFileSystem(conf(spark))
     fs.mkdirs(manifestDir(path))
@@ -368,26 +428,29 @@ object SnapshotTable {
     // carry its tag open the prior manifest — a plain overwrite stays
     // immune to concurrent vacuum retiring that manifest
     val needsPrior = !overwrite || carryTag
-    // the commit's partition column: explicit beats inherited; a plain
+    // the commit's partition layout: explicit beats inherited; a plain
     // (tag-resetting) overwrite REPURPOSES the table and resets it,
     // like the batch tag. Resolved best-effort before landing — on the
     // rare race where a concurrent commit changes it, the landed files
     // are merely less prunable, never wrong (pruning is stats-driven
     // and conservative).
-    val partCol: Option[String] = partitionBy.orElse {
-      if (!needsPrior) None
+    val partCols: Seq[String] =
+      if (partitionBy.nonEmpty) partitionBy
+      else if (!needsPrior) Nil
       else {
         val l = latestVersion(spark, path)
-        if (l == 0) None
-        else try readManifest(fs, path, l).partCol
-        catch { case _: java.io.FileNotFoundException => None }
+        if (l == 0) Nil
+        else try readManifest(fs, path, l).partCols
+        catch { case _: java.io.FileNotFoundException => Nil }
       }
-    }
-    val landPart = partCol.filter(df.schema.fieldNames.contains)
+    val landPart = partCols.filter(df.schema.fieldNames.contains)
     val commitId = java.util.UUID.randomUUID().toString
-    val newFiles = landDataFiles(df, path, commitId, landPart)
-    val newStats = collectStats(spark, df.schema, path, s"data/c-$commitId",
-      newFiles, forceCols = landPart.toSeq)
+    val landed = landDataFiles(df, path, s"data/c-$commitId", landPart)
+    val newFiles = landed.map(_._1)
+    val (newStats, newRows) = collectStats(spark, df.schema, path,
+      s"data/c-$commitId", newFiles, forceCols = landPart)
+    val newSizes = landed.map { case (f, b) =>
+      f -> FileMeta(b, newRows.getOrElse(f, -1L)) }.toMap
     // publish loop: create-if-absent is the mutex; on a lost race,
     // re-resolve the latest version (appends must fold in the winner's
     // files and stats) and retry at the next number
@@ -402,12 +465,13 @@ object SnapshotTable {
           try Some(readManifest(fs, path, latest))
           catch { case _: java.io.FileNotFoundException => None }
       if (latest == 0 || !needsPrior || prior.isDefined) {
-        val (schema, base, baseStats) =
+        val (schema, base, baseStats, baseSizes) =
           if (overwrite || latest == 0)
-            (df.schema, Seq.empty[String], Map.empty: FileStats)
+            (df.schema, Seq.empty[String], Map.empty: FileStats,
+              Map.empty[String, FileMeta])
           else if (evolve)
             (unionSchema(prior.get.schema, df.schema),
-              prior.get.files, prior.get.stats)
+              prior.get.files, prior.get.stats, prior.get.sizes)
           else {
             val m = prior.get
             // names + types must line up; nullability may differ (a
@@ -418,7 +482,7 @@ object SnapshotTable {
                 df.schema.map(f => (f.name, f.dataType)),
               s"append schema mismatch: table has ${m.schema}, " +
                 s"frame has ${df.schema}")
-            (m.schema, m.files, m.stats)
+            (m.schema, m.files, m.stats, m.sizes)
           }
         // carry the max seen batch tag forward through untagged
         // APPENDS/MERGES (an operator write between a tagged commit and
@@ -427,11 +491,15 @@ object SnapshotTable {
         val tag =
           if (carryTag) (batchId.toSeq ++ prior.flatMap(_.batchId)).maxOption
           else batchId
-        val mPart = partitionBy.orElse(
-          if (needsPrior) prior.flatMap(_.partCol) else None)
+        val mPart =
+          if (partitionBy.nonEmpty) partitionBy
+          else if (needsPrior) prior.map(_.partCols).getOrElse(Nil)
+          else Nil
         if (tryPublish(fs, path, latest + 1,
             Manifest(schema, base ++ newFiles, tag,
-              baseStats ++ newStats, mPart)))
+              baseStats ++ newStats, mPart,
+              sizes = baseSizes ++ newSizes, changeFiles = changeFiles,
+              cdfComplete = cdfComplete || changeFiles.nonEmpty)))
           committed = latest + 1
       }
     }
@@ -465,39 +533,91 @@ object SnapshotTable {
     * type (dates and strings included — partition values are recorded
     * as escaped strings, not numeric stats). */
   def writeSnapshotPartitioned(df: DataFrame, path: String,
-      partitionCol: String, overwrite: Boolean = true): Long = {
-    require(df.schema.fieldNames.contains(partitionCol),
-      s"no partition column $partitionCol in " +
-        df.schema.fieldNames.mkString(", "))
+      partitionCol: String, overwrite: Boolean = true): Long =
+    writeSnapshotPartitionedMulti(df, path, Seq(partitionCol), overwrite)
+
+  /** D284: multi-column partitioned writes — hive-style nested
+    * `__graft_pv0=/__graft_pv1=/…` routing dirs, so every data file
+    * holds exactly one COMBINATION of the layout columns and each
+    * column prunes independently from its forced per-file stats (the
+    * classic (source, date) or (region, hour) warehouse layout). */
+  def writeSnapshotPartitionedMulti(df: DataFrame, path: String,
+      partitionCols: Seq[String], overwrite: Boolean = true): Long = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    partitionCols.foreach(c =>
+      require(df.schema.fieldNames.contains(c),
+        s"no partition column $c in ${df.schema.fieldNames.mkString(", ")}"))
     writeTagged(df, path, overwrite, batchId = None,
-      carryTag = !overwrite, partitionBy = Some(partitionCol))
+      carryTag = !overwrite, partitionBy = partitionCols)
   }
 
-  /** Partition-pruned (equality) read: plan only the data files whose
-    * recorded single value of `column` equals `value` (the Spark
-    * string form, i.e. `CAST(col AS STRING)`). Files without stats,
-    * or with a mixed [min, max] (unpartitioned files appended to a
-    * partitioned table), are kept — pruning is conservative, never
-    * lossy — and the exact filter still applies on top, so the result
-    * is IDENTICAL to filtering [[readSnapshot]]. Composes with
-    * [[readSnapshotRange]]-style stats skipping: both prune from the
-    * manifest with zero parquet footer reads. */
-  def readSnapshotWhere(spark: SparkSession, path: String, column: String,
-      value: String, version: Long = -1L): DataFrame = {
+  /** A manifest-prunable predicate (D285): what a warehouse WHERE
+    * clause pushes into scan planning. Values are Spark string forms
+    * (`CAST(col AS STRING)`) for Eq/In; Range compares numerically.
+    * Pruning is always conservative (no stats / mixed stats → keep)
+    * and the exact filter re-applies on top, so a filtered read is
+    * IDENTICAL to filtering [[readSnapshot]] — the stats only delete
+    * I/O. */
+  sealed trait SnapshotPredicate { def column: String }
+  final case class SnapshotEquals(column: String, value: String)
+      extends SnapshotPredicate
+  final case class SnapshotIn(column: String, values: Set[String])
+      extends SnapshotPredicate
+  final case class SnapshotRange(column: String, lo: BigDecimal,
+      hi: BigDecimal) extends SnapshotPredicate
+
+  /** Conjunctive manifest pruning: keep a file only if EVERY
+    * predicate's recorded stats admit it. Equality/IN prune on the
+    * partition-style min==max signature; Range prunes on interval
+    * intersection ([[statsIntersect]] — exact for integral stats,
+    * ulp-widened for floating). */
+  private def fileAdmitted(m: Manifest, f: String,
+      preds: Seq[SnapshotPredicate]): Boolean =
+    preds.forall { pred =>
+      m.stats.get(f).flatMap(_.get(pred.column)) match {
+        case None => true // no stats: conservative keep
+        case Some((mn, mx)) => pred match {
+          case SnapshotEquals(_, v) => mn != mx || mn == v
+          case SnapshotIn(_, vs) => mn != mx || vs.contains(mn)
+          case SnapshotRange(c, lo, hi) =>
+            val floating = m.schema.fields.find(_.name == c)
+              .map(_.dataType).exists {
+                case org.apache.spark.sql.types.FloatType |
+                     org.apache.spark.sql.types.DoubleType => true
+                case _ => false
+              }
+            statsIntersect(mn, mx, lo, hi, floating)
+        }
+      }
+    }
+
+  private[graft] def prunedFileList(spark: SparkSession, path: String,
+      preds: Seq[SnapshotPredicate], version: Long): Seq[String] = {
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    val m = readManifest(fs, path, version)
+    m.files.filter(f => fileAdmitted(m, f, preds))
+  }
+
+  /** D285: generalized pruned read — plan only the data files whose
+    * manifest stats can satisfy EVERY predicate (equality, IN-set,
+    * range — on any column, partition layout or plain data column:
+    * partition values are just forced min==max stats, so structural
+    * and stats pruning compose in one rule), then re-apply the exact
+    * filters so the result is IDENTICAL to filtering [[readSnapshot]].
+    * Multi-column layouts prune multiplicatively: a (source, date)
+    * layout with both predicates keeps ~1/(|sources|·|dates|) of the
+    * files, decided entirely from the manifest — zero footer reads. */
+  def readSnapshotFiltered(spark: SparkSession, path: String,
+      preds: Seq[SnapshotPredicate], version: Long = -1L): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions under $path")
     val v = if (version < 0) vs.last else version
     require(vs.contains(v), s"version $v not in committed set $vs")
     val fs = new HPath(path).getFileSystem(conf(spark))
     val m = readManifest(fs, path, v)
-    require(m.schema.fieldNames.contains(column),
-      s"no column $column in ${m.schema.fieldNames.mkString(", ")}")
-    def keep(f: String): Boolean =
-      m.stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mn != mx || mn == value
-        case None => true
-      }
-    val files = m.files.filter(keep)
+    preds.foreach(p => require(m.schema.fieldNames.contains(p.column),
+      s"no column ${p.column} in ${m.schema.fieldNames.mkString(", ")}"))
+    val files = m.files.filter(f => fileAdmitted(m, f, preds))
     val base =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -505,8 +625,23 @@ object SnapshotTable {
       else spark.read.schema(m.schema)
         .parquet(files.map(f => new HPath(path, f).toString): _*)
     import org.apache.spark.sql.functions.lit
-    base.filter(qcol(column).cast("string") === lit(value))
+    preds.foldLeft(base) { (df, p) =>
+      df.filter(p match {
+        case SnapshotEquals(c, value) => qcol(c).cast("string") === lit(value)
+        case SnapshotIn(c, values) =>
+          qcol(c).cast("string").isin(values.toSeq.sorted: _*)
+        // typed literal comparison (not SQL-text): exact past 2^53
+        case SnapshotRange(c, lo, hi) => qcol(c) >= lit(lo) && qcol(c) <= lit(hi)
+      })
+    }
   }
+
+  /** Partition-pruned (equality) read — see [[readSnapshotFiltered]],
+    * of which this is the single-equality form. */
+  def readSnapshotWhere(spark: SparkSession, path: String, column: String,
+      value: String, version: Long = -1L): DataFrame =
+    readSnapshotFiltered(spark, path, Seq(SnapshotEquals(column, value)),
+      version)
 
   /** D277: small-file compaction (OPTIMIZE) — bin-pack the current
     * version's sub-`targetBytes` files into ~targetBytes files and
@@ -534,6 +669,13 @@ object SnapshotTable {
     * difference between OPTIMIZE preserving and destroying the
     * table's seek behavior. A multi-dimension clustering key is one
     * `zorder8` column away (D40). */
+  /** Test hook (D283): how many times compaction planning had to fall
+    * back to a driver `getFileStatus` RPC because a file had no
+    * recorded `#file=` size — zero on any table written since sizes
+    * landed in the manifest. */
+  private[graft] val sizeFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20,
       sortCol: Option[String] = None): Long = {
@@ -547,40 +689,49 @@ object SnapshotTable {
         try readManifest(fs, path, latest)
         catch { case _: java.io.FileNotFoundException => null } // re-resolve
       if (m != null) {
+        // plan from the manifest's recorded sizes (D283); only legacy
+        // entries written before `#file=` lines pay the per-file RPC
         val sized = m.files.map(f =>
-          f -> fs.getFileStatus(new HPath(path, f)).getLen)
+          f -> m.sizes.get(f).map(_.bytes).getOrElse {
+            sizeFallbacks.incrementAndGet()
+            fs.getFileStatus(new HPath(path, f)).getLen
+          })
         val (big, small) = sized.partition(_._2 >= targetBytes)
         val smallBytes = small.map(_._2).sum
         val bins = math.max(1,
           math.ceil(smallBytes.toDouble / targetBytes).toInt)
         if (small.length <= bins) return latest // already packed
-        val landPart = m.partCol.filter(m.schema.fieldNames.contains)
+        val landPart = m.partCols.filter(m.schema.fieldNames.contains)
         sortCol.foreach(c => require(m.schema.fieldNames.contains(c),
           s"no sort column $c in ${m.schema.fieldNames.mkString(", ")}"))
         val df = spark.read.schema(m.schema)
           .parquet(small.map(f => new HPath(path, f._1).toString): _*)
-        // partition value first, then the clustering key: the
+        // partition values first, then the clustering key: the
         // partitioned landing splits per value anyway, so the range
         // partitioning only has to keep each value's keys contiguous
-        val shuffleKeys = (landPart.toSeq ++ sortCol.toSeq).map(qcol)
-        val packed = (sortCol, shuffleKeys) match {
-          case (Some(_), ks) =>
-            df.repartitionByRange(bins, ks: _*)
-              .sortWithinPartitions(ks: _*)
-          case (None, _) => landPart match {
-            case Some(p) => df.repartition(bins, qcol(p))
-            case None => df.repartition(bins)
-          }
+        val shuffleKeys = (landPart ++ sortCol.toSeq).map(qcol)
+        val packed = sortCol match {
+          case Some(_) =>
+            df.repartitionByRange(bins, shuffleKeys: _*)
+              .sortWithinPartitions(shuffleKeys: _*)
+          case None =>
+            if (landPart.nonEmpty) df.repartition(bins, landPart.map(qcol): _*)
+            else df.repartition(bins)
         }
         val commitId = java.util.UUID.randomUUID().toString
-        val newFiles = landDataFiles(packed, path, commitId, landPart)
-        val newStats = collectStats(spark, m.schema, path,
-          s"data/c-$commitId", newFiles, forceCols = landPart.toSeq)
+        val landed = landDataFiles(packed, path, s"data/c-$commitId", landPart)
+        val newFiles = landed.map(_._1)
+        val (newStats, newRows) = collectStats(spark, m.schema, path,
+          s"data/c-$commitId", newFiles, forceCols = landPart)
+        val newSizes = landed.map { case (f, b) =>
+          f -> FileMeta(b, newRows.getOrElse(f, -1L)) }.toMap
         val bigSet = big.map(_._1).toSet
         val keepStats = m.stats.filter { case (f, _) => bigSet(f) }
+        val keepSizes = m.sizes.filter { case (f, _) => bigSet(f) }
         if (tryPublish(fs, path, latest + 1,
             Manifest(m.schema, big.map(_._1) ++ newFiles, m.batchId,
-              keepStats ++ newStats, m.partCol, dataChange = false)))
+              keepStats ++ newStats, m.partCols, dataChange = false,
+              sizes = keepSizes ++ newSizes)))
           committed = latest + 1
         // lost race: a concurrent commit changed the file set — the
         // landed pack is an orphan (vacuum reclaims it); re-plan
@@ -590,19 +741,30 @@ object SnapshotTable {
     committed
   }
 
-  /** D278 (batch half): the table's change feed — rows ADDED by each
-    * data-changing commit in `(fromVersion, toVersion]`, each with a
-    * `_commit_version` column, in commit order. A version's additions
-    * are its manifest's files minus its predecessor's (data files are
-    * immutable, so file-set deltas ARE the row deltas for the
-    * append-only maintenance pattern the table is built for — D255
-    * streaming appends, D267 incremental MVs). Compaction commits
+  /** The change feed's row-level change-type column (D286): `insert`,
+    * `update_preimage` / `update_postimage` (merge commits), `delete`
+    * (deleteWhere commits) — Delta CDF's vocabulary. */
+  val changeTypeCol = "_change_type"
+
+  /** D278 (batch half): the table's change feed — the row-level
+    * changes each data-changing commit in `(fromVersion, toVersion]`
+    * made, in commit order, each row carrying `_change_type` (D286:
+    * insert / update_preimage / update_postimage / delete) and
+    * `_commit_version`. Append commits emit their added files' rows as
+    * `insert` (data files are immutable, so file-set deltas ARE the
+    * row deltas there). MERGE and DELETE commits write explicit
+    * change-data files at commit time (`#change=` manifest lines —
+    * Delta's CDF design), so a downstream incremental MV survives a
+    * copy-on-write commit: rewritten-but-unchanged rows do NOT appear
+    * in the feed, updated keys appear as a pre/post image pair, and
+    * deletes appear as `delete` rows. Compaction commits
     * (`#nodatachange`) rewrite files without changing rows and are
-    * skipped. COPY-ON-WRITE commits (merge) surface their rewritten
-    * files as additions — the upsert-as-append reading Delta's CDF
-    * calls out, documented not hidden. `fromVersion = 0` reads from
-    * the beginning; `toVersion = -1` means latest. Old versions must
-    * not have been vacuumed past `fromVersion`. */
+    * skipped. Pre-D286 merge commits (no recorded change files) fall
+    * back to surfacing their rewritten files as `insert` — the legacy
+    * upsert-as-append reading, now confined to legacy manifests.
+    * `fromVersion = 0` reads from the beginning; `toVersion = -1`
+    * means latest. Old versions must not have been vacuumed past
+    * `fromVersion`. */
   def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -615,14 +777,17 @@ object SnapshotTable {
         s"(vacuumed?); available: ${vs.headOption.getOrElse(0L)}..${vs.last}")
     val fs = new HPath(path).getFileSystem(conf(spark))
     val range = vs.filter(v => v > fromVersion && v <= to)
-    val outSchema = StructType(
-      (if (range.nonEmpty) readManifest(fs, path, range.last).schema
-       else readManifest(fs, path, vs.last).schema).fields :+
-        org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType, nullable = false))
-    if (range.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val tableSchema =
+      (if (range.nonEmpty) readManifest(fs, path, range.last)
+       else readManifest(fs, path, vs.last)).schema
+    val ctField = org.apache.spark.sql.types.StructField(changeTypeCol,
+      org.apache.spark.sql.types.StringType, nullable = false)
+    val outSchema = StructType(tableSchema.fields :+ ctField :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (range.isEmpty) return empty
     var prev: Set[String] =
       if (fromVersion == 0) Set.empty
       else readManifest(fs, path, fromVersion).files.toSet
@@ -630,16 +795,25 @@ object SnapshotTable {
       val mv = readManifest(fs, path, v)
       val added = mv.files.filterNot(prev)
       prev = mv.files.toSet
-      if (!mv.dataChange || added.isEmpty) None
+      if (!mv.dataChange) None
+      else if (mv.cdfComplete) {
+        // commit-time change-data files already carry _change_type;
+        // a CDF-complete commit with NO change files changed no rows
+        if (mv.changeFiles.isEmpty) None
+        else Some(spark.read
+          .schema(StructType(tableSchema.fields :+ ctField.copy(nullable = true)))
+          .parquet(mv.changeFiles.map(f => new HPath(path, f).toString): _*)
+          .withColumn("_commit_version", lit(v)))
+      }
+      else if (added.isEmpty) None
       else Some(
         spark.read
-          .schema(StructType(outSchema.fields.dropRight(1)))
+          .schema(tableSchema)
           .parquet(added.map(f => new HPath(path, f).toString): _*)
+          .withColumn(changeTypeCol, lit("insert"))
           .withColumn("_commit_version", lit(v)))
     }
-    if (slices.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (slices.isEmpty) empty
     else slices.reduce(_.unionAll(_))
   }
 
@@ -757,40 +931,9 @@ object SnapshotTable {
     * BigDecimal against the recorded decimal strings (exact past
     * 2⁵³ where a double round-trip would mis-prune). */
   def readSnapshotRange(spark: SparkSession, path: String, column: String,
-      lo: BigDecimal, hi: BigDecimal, version: Long = -1L): DataFrame = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions under $path")
-    val v = if (version < 0) vs.last else version
-    require(vs.contains(v), s"version $v not in committed set $vs")
-    val fs = new HPath(path).getFileSystem(conf(spark))
-    val m = readManifest(fs, path, v)
-    require(m.schema.fieldNames.contains(column),
-      s"no column $column in ${m.schema.fieldNames.mkString(", ")}")
-    val floating = m.schema(column).dataType match {
-      case org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType => true
-      case _ => false
-    }
-    def keep(f: String): Boolean =
-      m.stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) =>
-          statsIntersect(mn, mx, lo, hi, floating)
-        case None => true
-      }
-    val files = m.files.filter(keep)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else spark.read.schema(m.schema)
-        .parquet(files.map(f => new HPath(path, f).toString): _*)
-    // typed column/literal comparison (not SQL-text interpolation):
-    // survives identifier-unfriendly column names (backtick-quoted),
-    // and a long column vs a decimal literal widens to DECIMAL — exact
-    // past 2^53, where a double literal would silently round
-    import org.apache.spark.sql.functions.lit
-    base.filter(qcol(column) >= lit(lo) && qcol(column) <= lit(hi))
-  }
+      lo: BigDecimal, hi: BigDecimal, version: Long = -1L): DataFrame =
+    readSnapshotFiltered(spark, path, Seq(SnapshotRange(column, lo, hi)),
+      version)
 
   /** Copy-on-write upsert (MERGE-lite): commit a version whose
     * contents are the current snapshot with `updates` rows replacing
@@ -804,6 +947,34 @@ object SnapshotTable {
   def merge(updates: DataFrame, path: String,
       keyCols: Seq[String]): Long =
     mergeTagged(updates, path, keyCols, batchId = None)
+
+  /** Land a commit's change-data files (the commit's rows plus their
+    * [[changeTypeCol]]) under `data/cdf-<id>/` — referenced only by
+    * `#change=` manifest lines, never part of the table's file list,
+    * vacuumed with their version (D286). */
+  private def landChangeFiles(cdf: DataFrame, path: String): Seq[String] =
+    landDataFiles(cdf, path,
+      s"data/cdf-${java.util.UUID.randomUUID()}").map(_._1)
+
+  /** The pre/post-image change-data frame of one copy-on-write upsert:
+    * matched old rows as `update_preimage`, matched update rows as
+    * `update_postimage`, new-key update rows as `insert` (D286). `old`
+    * must cover every file that can hold an update key (full snapshot
+    * for [[merge]]; the stats-touched set for [[mergePruned]], whose
+    * conservative pruning guarantees coverage). */
+  private def upsertChanges(old: DataFrame, updates: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val updKeys = updates.select(keyCols.map(k => qcol(k).as(k)): _*)
+    val oldKeys = old.select(keyCols.map(k => qcol(k).as(k)): _*)
+    val pre = old.join(updKeys, keyCols, "left_semi")
+      .withColumn(changeTypeCol, lit("update_preimage"))
+    val post = updates.join(oldKeys, keyCols, "left_semi")
+      .withColumn(changeTypeCol, lit("update_postimage"))
+    val ins = updates.join(oldKeys, keyCols, "left_anti")
+      .withColumn(changeTypeCol, lit("insert"))
+    pre.unionAll(post).unionAll(ins)
+  }
 
   private def mergeTagged(updates: DataFrame, path: String,
       keyCols: Seq[String], batchId: Option[Long]): Long = {
@@ -821,7 +992,9 @@ object SnapshotTable {
     val survivors = cur.join(
       updates.select(keyCols.map(k => qcol(k).as(k)): _*),
       keyCols, "left_anti")
-    writeTagged(survivors.unionAll(updates), path, overwrite = true, batchId)
+    val cdfFiles = landChangeFiles(upsertChanges(cur, updates, keyCols), path)
+    writeTagged(survivors.unionAll(updates), path, overwrite = true, batchId,
+      changeFiles = cdfFiles, cdfComplete = true)
   }
 
   /** Exactly-once streaming MERGE: the [[appendBatch]] idempotence
@@ -932,20 +1105,102 @@ object SnapshotTable {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
           else spark.read.schema(m.schema)
             .parquet(touched.map(f => new HPath(path, f).toString): _*)
+        val ordered = updates.select(m.schema.fieldNames.toSeq.map(qcol): _*)
         val survivors = touchedDf.join(
           updates.select(qcol(keyCol).as(keyCol)), Seq(keyCol), "left_anti")
-        val rewritten = survivors.unionAll(
-          updates.select(m.schema.fieldNames.toSeq.map(qcol): _*))
+        val rewritten = survivors.unionAll(ordered)
         val commitId = java.util.UUID.randomUUID().toString
-        val landPart = m.partCol.filter(m.schema.fieldNames.contains)
-        val newFiles = landDataFiles(rewritten, path, commitId, landPart)
-        val newStats = collectStats(spark, m.schema, path,
-          s"data/c-$commitId", newFiles, forceCols = landPart.toSeq)
+        val landPart = m.partCols.filter(m.schema.fieldNames.contains)
+        val landed = landDataFiles(rewritten, path, s"data/c-$commitId",
+          landPart)
+        val newFiles = landed.map(_._1)
+        val (newStats, newRows) = collectStats(spark, m.schema, path,
+          s"data/c-$commitId", newFiles, forceCols = landPart)
+        val newSizes = landed.map { case (f, b) =>
+          f -> FileMeta(b, newRows.getOrElse(f, -1L)) }.toMap
         val untouchedSet = untouched.toSet
         val keepStats = m.stats.filter { case (f, _) => untouchedSet(f) }
+        val keepSizes = m.sizes.filter { case (f, _) => untouchedSet(f) }
+        // the touched set covers every file that can hold an update key
+        // (conservative stats pruning), so pre/post images off it are
+        // complete (D286)
+        val cdfFiles = landChangeFiles(
+          upsertChanges(touchedDf, ordered, Seq(keyCol)), path)
         if (tryPublish(fs, path, latest + 1,
             Manifest(m.schema, untouched ++ newFiles,
-              m.batchId, keepStats ++ newStats, m.partCol)))
+              m.batchId, keepStats ++ newStats, m.partCols,
+              sizes = keepSizes ++ newSizes, changeFiles = cdfFiles,
+              cdfComplete = true)))
+          committed = latest + 1
+      }
+    }
+    committed
+  }
+
+  /** D287: DELETE WHERE, stats-pruned copy-on-write — the other half
+    * of the table's mutation story (retention windows, GDPR erasure).
+    * Removes every row with `column ∈ [lo, hi]` (nulls are never in a
+    * range, so null-keyed rows are kept) by rewriting ONLY the data
+    * files whose recorded [min, max] on `column` intersects the range
+    * — every other file is carried into the new manifest verbatim,
+    * stats and sizes included, exactly the [[mergePruned]] file
+    * intersection. At 100 TB a 90-day retention sweep on a time-keyed
+    * table rewrites the expiring files, not the table. The deleted
+    * rows land as `delete` change-data rows (D286), so downstream
+    * incremental consumers subtract them; prior versions stay readable
+    * (time travel) until [[vacuum]] reclaims the replaced files.
+    * Files without stats are conservatively rewritten. Returns the
+    * committed version (the current one when nothing matched —
+    * an empty delete publishes no commit). */
+  def deleteWhere(spark: SparkSession, path: String, column: String,
+      lo: BigDecimal, hi: BigDecimal): Long = {
+    import org.apache.spark.sql.functions.lit
+    require(versions(spark, path).nonEmpty,
+      s"no committed versions under $path")
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(spark, path)
+      val m =
+        try readManifest(fs, path, latest)
+        catch { case _: java.io.FileNotFoundException => null } // re-resolve
+      if (m != null) {
+        require(m.schema.fieldNames.contains(column),
+          s"no column $column in ${m.schema.fieldNames.mkString(", ")}")
+        val pred = Seq(SnapshotRange(column, lo, hi))
+        val (touched, untouched) =
+          m.files.partition(f => fileAdmitted(m, f, pred))
+        if (touched.isEmpty) return latest // no file can hold the range
+        val touchedDf = spark.read.schema(m.schema)
+          .parquet(touched.map(f => new HPath(path, f).toString): _*)
+        val hit = qcol(column) >= lit(lo) && qcol(column) <= lit(hi)
+        // null-safe survivor predicate: NOT(hit) is null for null keys,
+        // which filter() would drop — null keys are not in the range
+        val kept = touchedDf.filter(qcol(column).isNull || !hit)
+        val deleted = touchedDf.filter(hit)
+        // conservative pruning can "touch" stats-less files the range
+        // never matches — confirm before rewriting anything, so a
+        // no-op delete publishes no commit (one short-circuiting scan
+        // of the touched files; it stops at the first match)
+        if (deleted.isEmpty) return latest
+        val commitId = java.util.UUID.randomUUID().toString
+        val landPart = m.partCols.filter(m.schema.fieldNames.contains)
+        val landed = landDataFiles(kept, path, s"data/c-$commitId", landPart)
+        val newFiles = landed.map(_._1)
+        val (newStats, newRows) = collectStats(spark, m.schema, path,
+          s"data/c-$commitId", newFiles, forceCols = landPart)
+        val newSizes = landed.map { case (f, b) =>
+          f -> FileMeta(b, newRows.getOrElse(f, -1L)) }.toMap
+        val untouchedSet = untouched.toSet
+        val keepStats = m.stats.filter { case (f, _) => untouchedSet(f) }
+        val keepSizes = m.sizes.filter { case (f, _) => untouchedSet(f) }
+        val cdfFiles = landChangeFiles(
+          deleted.withColumn(changeTypeCol, lit("delete")), path)
+        if (tryPublish(fs, path, latest + 1,
+            Manifest(m.schema, untouched ++ newFiles,
+              m.batchId, keepStats ++ newStats, m.partCols,
+              sizes = keepSizes ++ newSizes, changeFiles = cdfFiles,
+              cdfComplete = true)))
           committed = latest + 1
       }
     }
@@ -975,25 +1230,51 @@ object SnapshotTable {
     val vs = versions(spark, path)
     if (vs.isEmpty) return
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
-    val live = keep.flatMap(v => readManifest(fs, path, v).files).toSet
+    val live = keep.flatMap { v =>
+      val m = readManifest(fs, path, v)
+      m.files ++ m.changeFiles // kept versions' CDF files stay readable
+    }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
-    // delete old-enough unreferenced data FILES (subdirectories — e.g.
-    // an in-flight write's _temporary — are left to their writer), then
-    // drained commit dirs; empty-dir races with a concurrent writer are
-    // benign, so the delete result is ignored rather than required
+    // delete old-enough unreferenced data FILES — RECURSIVELY, because
+    // partitioned commits (D276/D284) land files under __graft_pv=*
+    // subdirs (round-13 advisory: the one-level walk never saw them,
+    // leaking every replaced partitioned file). Rel keys use the path
+    // suffix below data/, matching the manifest's file lines. Writer-
+    // temp subtrees (_temporary, dot-prefixed) are left to their
+    // writer; empty-dir races with a concurrent writer are benign, so
+    // delete results are ignored rather than required.
     val dataDir = new HPath(path, "data")
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).foreach { cd =>
         if (cd.isDirectory) {
-          fs.listStatus(cd.getPath).foreach { f =>
-            val rel = s"data/${cd.getPath.getName}/${f.getPath.getName}"
-            if (f.isFile && !live.contains(rel) &&
-                f.getModificationTime < cutoff)
-              fs.delete(f.getPath, false)
+          val base = cd.getPath.toUri.getPath
+          val it = fs.listFiles(cd.getPath, true)
+          while (it.hasNext) {
+            val f = it.next()
+            val p = f.getPath.toUri.getPath
+            val below = p.substring(math.min(base.length + 1, p.length))
+            val inWriterTemp = below.split("/").exists(seg =>
+              seg == "_temporary" || seg.startsWith("."))
+            if (f.isFile && !inWriterTemp) {
+              val rel = s"data/${cd.getPath.getName}/$below"
+              if (!live.contains(rel) && f.getModificationTime < cutoff)
+                fs.delete(f.getPath, false)
+            }
           }
-          if (fs.listStatus(cd.getPath).isEmpty) {
-            fs.delete(cd.getPath, false); ()
+          // drop drained partition-value subdirs bottom-up, then the
+          // commit dir itself; never touch writer-temp subtrees
+          def dropIfDrained(d: HPath): Boolean = {
+            if (d.getName == "_temporary" || d.getName.startsWith("."))
+              false
+            else {
+              val kids = fs.listStatus(d)
+              val drained =
+                kids.forall(k => k.isDirectory && dropIfDrained(k.getPath))
+              if (drained) { fs.delete(d, false); true } else false
+            }
           }
+          dropIfDrained(cd.getPath)
+          ()
         }
       }
     }

@@ -69,6 +69,51 @@ object MvSnapshot {
     SnapshotTable.overwriteBatch(combined, path, batchId)
   }
 
+  /** Signed per-type census of one CHANGE-FEED batch (D286): rows
+    * entering the view's input (insert / update_postimage) count +1,
+    * rows leaving it (update_preimage / delete) count −1 — the
+    * delta-algebra that lets an incremental MV survive a copy-on-write
+    * MERGE or DELETE commit upstream (a rewritten-but-unchanged row
+    * never appears in the feed; an updated key contributes its
+    * preimage negatively and its postimage positively). */
+  def mvDeltaOfChanges(feed: DataFrame): DataFrame = {
+    import feed.sparkSession.implicits._
+    val sgn = when(col(SnapshotTable.changeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+    feed.groupBy($"event_type")
+      .agg(sum(sgn).as("n_events"),
+        sum(sgn * floor($"value" * 100).cast("long")).as("cents"))
+  }
+
+  /** Fold one CHANGE-FEED micro-batch (rows carrying `_change_type`)
+    * into the MV table — [[applyBatch]]'s D286-aware twin. Event types
+    * whose census reaches zero drop out of the view, so the MV
+    * converges to the batch twin of the upstream table's CURRENT
+    * contents even across merges and deletes. */
+  def applyChangeBatch(batch: DataFrame, path: String,
+      batchId: Long): Option[Long] = {
+    import batch.sparkSession.implicits._
+    val spark = batch.sparkSession
+    if (SnapshotTable.latestBatchId(spark, path).exists(_ >= batchId))
+      return None
+    val delta = mvDeltaOfChanges(batch)
+    val combined =
+      if (SnapshotTable.versions(spark, path).isEmpty) delta
+      else {
+        val cur = SnapshotTable.readSnapshot(spark, path)
+        cur.select($"event_type", $"n_events".as("n0"), $"cents".as("c0"))
+          .join(delta.select($"event_type", $"n_events".as("n1"),
+            $"cents".as("c1")), Seq("event_type"), "full_outer")
+          .select($"event_type",
+            (coalesce($"n0", lit(0L)) + coalesce($"n1", lit(0L)))
+              .as("n_events"),
+            (coalesce($"c0", lit(0L)) + coalesce($"c1", lit(0L)))
+              .as("cents"))
+      }
+    SnapshotTable.overwriteBatch(combined.filter($"n_events" > 0L),
+      path, batchId)
+  }
+
   /** Streaming sink: maintain the MV table from an events stream;
     * caller owns the query lifecycle (the D255 contract). */
   def streamMv(events: DataFrame, path: String,

@@ -33,11 +33,14 @@ import graft.sources.{SnapshotTable, Tables}
   * did, which is the floor. */
 object SnapshotFeed {
 
-  /** The feed schema: the table's recorded schema plus the commit
-    * version each row arrived in. */
+  /** The feed schema: the table's recorded schema plus the row-level
+    * change type (D286: insert / update_preimage / update_postimage /
+    * delete) and the commit version each row arrived in. */
   def feedSchema(spark: SparkSession, path: String): StructType =
     StructType(
       SnapshotTable.readSnapshot(spark, path).schema.fields :+
+        StructField(SnapshotTable.changeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false) :+
         StructField("_commit_version", LongType, nullable = false))
 
   /** Open the change feed as a streaming DataFrame. The table must

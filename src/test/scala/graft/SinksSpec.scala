@@ -889,10 +889,198 @@ class SinksSpec extends AnyFunSuite {
     SnapshotTable.appendEvolve(Seq((2L, "b", 9.5)).toDF("id", "v", "w"), t)
     val feed = SnapshotTable.changesBetween(spark, t, 0L)
     assert(feed.schema.fieldNames.toSeq ==
-      Seq("id", "v", "w", "_commit_version"))
+      Seq("id", "v", "w", "_change_type", "_commit_version"))
     val rows = feed.collect().map(r => (r.getLong(0),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-        r.getLong(3))).sortBy(_._1).toSeq
-    assert(rows == Seq((1L, None, 1L), (2L, Some(9.5), 2L)))
+        r.getString(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None, "insert", 1L),
+      (2L, Some(9.5), "insert", 2L)))
+  }
+
+  test("snapshot table: DELETE WHERE rewrites only intersecting files and keeps history") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_del") + "/tbl"
+    // three id-clustered commits -> disjoint per-file id ranges, plus
+    // a null-keyed row (never inside a delete range)
+    def frame(lo: Long, hi: Long) =
+      (lo until hi).map(i => (Some(i), s"r$i")).toDF("id", "v")
+        .repartition(2)
+    SnapshotTable.writeSnapshot(frame(0, 200), t)
+    SnapshotTable.appendSnapshot(frame(200, 400), t)
+    SnapshotTable.appendSnapshot(
+      frame(400, 600).unionAll(Seq((Option.empty[Long], "null-key"))
+        .toDF("id", "v")), t)
+    val before = SnapshotTable.readSnapshot(spark, t)
+    assert(before.count() == 601L)
+    val beforeFiles = before.inputFiles.toSet
+    // delete one mid-table id band: only commit-2 files intersect
+    val v = SnapshotTable.deleteWhere(spark, t, "id",
+      BigDecimal(250), BigDecimal(299))
+    assert(v == 4L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+    assert(after.count() == 551L)
+    assert(after.filter($"id" >= 250L && $"id" <= 299L).count() == 0L)
+    // the null-keyed row survives (not in any range)
+    assert(after.filter($"id".isNull).count() == 1L)
+    // untouched files carried VERBATIM (commits 1 and 3 never rewritten)
+    val afterFiles = after.inputFiles.toSet
+    val carried = beforeFiles intersect afterFiles
+    assert(carried.nonEmpty, "disjoint commits must be carried, not rewritten")
+    assert((beforeFiles -- afterFiles).nonEmpty, "touched files replaced")
+    // pre-delete version intact under time travel
+    assert(SnapshotTable.readSnapshot(spark, t, 3).count() == 601L)
+    // the feed carries the deleted rows as explicit `delete` changes
+    val feed = SnapshotTable.changesBetween(spark, t, 3, 4)
+    assert(feed.count() == 50L)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    // a no-match delete publishes no commit
+    assert(SnapshotTable.deleteWhere(spark, t, "id",
+      BigDecimal(10000), BigDecimal(10001)) == 4L)
+    // vacuum reclaims the replaced files
+    SnapshotTable.vacuum(spark, t, keepVersions = 1, minAgeMs = -1000L)
+    val live = SnapshotTable.readSnapshot(spark, t).inputFiles.toSet
+    assert((beforeFiles -- afterFiles).forall(f =>
+      !live.contains(f)), "replaced files must be gone after vacuum")
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 551L)
+  }
+
+  test("snapshot table: multi-column layout prunes multiplicatively with equality, IN and range") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.sources.SnapshotTable.{SnapshotEquals, SnapshotIn, SnapshotRange}
+    val t = tmp("graft_snap_multi") + "/tbl"
+    val srcs = Seq("web", "books", "code")
+    val langs = Seq("en", "de", "fr", "ja")
+    val df = (0 until 360).map(i =>
+        (i.toLong, srcs(i % 3), langs((i / 3) % 4), s"doc$i"))
+      .toDF("id", "source", "lang", "text").repartition(4)
+    assert(SnapshotTable.writeSnapshotPartitionedMulti(df, t,
+      Seq("source", "lang")) == 1L)
+    val full = SnapshotTable.readSnapshot(spark, t)
+    assert(full.count() == 360L)
+    val nFull = full.inputFiles.length
+    // each predicate prunes independently; together they compose
+    val bySrc = SnapshotTable.readSnapshotFiltered(spark, t,
+      Seq(SnapshotEquals("source", "web")))
+    val byBoth = SnapshotTable.readSnapshotFiltered(spark, t,
+      Seq(SnapshotEquals("source", "web"), SnapshotEquals("lang", "en")))
+    assert(bySrc.inputFiles.length < nFull)
+    assert(byBoth.inputFiles.length < bySrc.inputFiles.length,
+      s"two-column pruning must beat one (${byBoth.inputFiles.length}" +
+        s" vs ${bySrc.inputFiles.length} of $nFull)")
+    val expect = full.filter($"source" === "web" && $"lang" === "en")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(byBoth.collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // IN-set pruning keeps only the named partitions
+    val inQ = SnapshotTable.readSnapshotFiltered(spark, t,
+      Seq(SnapshotIn("lang", Set("en", "de"))))
+    assert(inQ.inputFiles.length < nFull)
+    assert(inQ.count() ==
+      full.filter($"lang".isin("en", "de")).count())
+    // a range predicate composes with the layout predicates (result
+    // identical to the filtered full read, whatever it prunes)
+    val mix = SnapshotTable.readSnapshotFiltered(spark, t,
+      Seq(SnapshotEquals("source", "code"),
+        SnapshotRange("id", BigDecimal(0), BigDecimal(99))))
+    val expectMix = full.filter($"source" === "code" &&
+        $"id" >= 0L && $"id" <= 99L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(mix.collect().map(_.getLong(0)).sorted.toSeq == expectMix)
+    assert(mix.inputFiles.length <= bySrc.inputFiles.length)
+  }
+
+  test("snapshot table: compaction plans from manifest sizes (zero file-status RPCs)") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_planless") + "/tbl"
+    (0 until 5).foreach { b =>
+      val df = (b * 50 until (b + 1) * 50).map(i => (i.toLong, s"r$i"))
+        .toDF("id", "v").repartition(2)
+      if (b == 0) SnapshotTable.writeSnapshot(df, t)
+      else SnapshotTable.appendSnapshot(df, t)
+    }
+    SnapshotTable.sizeFallbacks.set(0L)
+    val v = SnapshotTable.compact(spark, t, targetBytes = 64L << 20)
+    assert(v == 6L)
+    assert(SnapshotTable.sizeFallbacks.get() == 0L,
+      "compaction planning must read sizes from the manifest, not the FS")
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 250L)
+    // compacting again is a no-op and still plans manifest-only
+    assert(SnapshotTable.compact(spark, t, targetBytes = 64L << 20) == 6L)
+    assert(SnapshotTable.sizeFallbacks.get() == 0L)
+  }
+
+  test("snapshot table: vacuum reclaims replaced PARTITIONED files (recursive walk)") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_pvac") + "/tbl"
+    val langs = Seq("en", "de")
+    def mk(b: Int) = (b * 60 until (b + 1) * 60)
+      .map(i => (i.toLong, langs(i % 2), s"d$i"))
+      .toDF("id", "lang", "text").repartition(2)
+    assert(SnapshotTable.writeSnapshotPartitioned(mk(0), t, "lang") == 1L)
+    (1 until 4).foreach(b => SnapshotTable.appendSnapshot(mk(b), t))
+    val replaced = SnapshotTable.readSnapshot(spark, t).inputFiles.toSet
+    // compaction rewrites the partitioned files; vacuum must then
+    // find the replaced ones UNDER the __graft_pv= subdirs
+    SnapshotTable.compact(spark, t, targetBytes = 64L << 20)
+    SnapshotTable.vacuum(spark, t, keepVersions = 1, minAgeMs = -1000L)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(t, "data"), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          buf += f.getPath.toUri.getPath
+      }
+      buf.toSet
+    }
+    val stillThere = replaced.map(u => new java.net.URI(u).getPath)
+      .intersect(onDisk)
+    assert(stillThere.isEmpty,
+      s"replaced partitioned files leaked past vacuum: $stillThere")
+    // the table still reads, partition-pruned, with full contents
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 240L)
+    assert(SnapshotTable.readSnapshotWhere(spark, t, "lang", "en")
+      .count() == 120L)
+  }
+
+  test("snapshot table: MERGE emits row-level pre/post-image change types") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_cdf") + "/tbl"
+    SnapshotTable.writeSnapshot(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t)
+    // full merge: update key 2, insert key 4 -> untouched keys 1/3
+    // must NOT appear in the feed (the round-13 double-count footgun)
+    SnapshotTable.merge(Seq((2L, "B"), (4L, "d")).toDF("id", "v"), t,
+      Seq("id"))
+    def feed(from: Long, to: Long) =
+      SnapshotTable.changesBetween(spark, t, from, to)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    assert(feed(1, 2) == Seq((2L, "B", "update_postimage"),
+      (2L, "b", "update_preimage"), (4L, "d", "insert")))
+    // stats-pruned merge emits the same row-level semantics
+    SnapshotTable.mergePruned(Seq((3L, "C")).toDF("id", "v"), t, "id")
+    assert(feed(2, 3) == Seq((3L, "C", "update_postimage"),
+      (3L, "c", "update_preimage")))
+    // a merge touching zero rows emits NOTHING (cdf-complete marker,
+    // not the legacy rewritten-files-as-inserts fallback)
+    SnapshotTable.merge(Seq.empty[(Long, String)].toDF("id", "v"), t,
+      Seq("id"))
+    assert(SnapshotTable.changesBetween(spark, t, 3, 4).count() == 0L)
+    // the first commit replays as plain inserts
+    assert(feed(0, 1) == Seq((1L, "a", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert")))
+    // table contents are the merged state
+    assert(SnapshotTable.readSnapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C"), (4L, "d")))
   }
 }

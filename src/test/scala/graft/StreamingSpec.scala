@@ -1266,6 +1266,65 @@ class StreamingSpec extends AnyFunSuite {
       } finally q2.stop()
     } finally q1.stop()
   }
+
+  test("change-type-aware MV survives upstream MERGE and DELETE commits") {
+    // The D286 claim end-to-end: a downstream incremental MV consuming
+    // the change feed across a copy-on-write MERGE (and a DELETE)
+    // converges to the batch twin of the upstream table's CURRENT
+    // contents — the round-13 double-count footgun, closed. Pre/post
+    // images subtract the old row and add the new one; rewritten-but-
+    // unchanged rows never reach the feed.
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.streaming.{MvSnapshot, SnapshotFeed}
+    val t1 = java.nio.file.Files.createTempDirectory("graft_cdfmv_t1").toString + "/tbl"
+    val t2 = java.nio.file.Files.createTempDirectory("graft_cdfmv_t2").toString + "/tbl"
+    val ck = java.nio.file.Files.createTempDirectory("graft_cdfmv_ck").toString
+    def rows(r: (Long, String, Double)*) =
+      r.toSeq.toDF("id", "event_type", "value")
+    SnapshotTable.writeSnapshot(rows((1L, "view", 1.5), (2L, "view", 2.5),
+      (3L, "purchase", 10.0)), t1)
+    def consume(): Unit = {
+      val q = SnapshotFeed.readStream(spark, t1)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            MvSnapshot.applyChangeBatch(
+              b.drop("_commit_version").toDF(), t2, id)
+            ()
+        }
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def mv = SnapshotTable.readSnapshot(spark, t2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    def twin = MvSnapshot.mvOf(SnapshotTable.readSnapshot(spark, t1))
+      .filter($"n_events" > 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    consume()
+    assert(mv == twin && mv.nonEmpty)
+    // copy-on-write MERGE: reclassify id 2 (view -> purchase, new
+    // value) and insert id 4 — the feed must subtract 2's preimage
+    SnapshotTable.merge(rows((2L, "purchase", 4.0), (4L, "view", 0.5)),
+      t1, Seq("id"))
+    consume()
+    assert(mv == twin)
+    // stats-pruned MERGE drives the same algebra
+    SnapshotTable.mergePruned(rows((1L, "click", 9.0)), t1, "id")
+    consume()
+    assert(mv == twin)
+    // DELETE WHERE: id 3 leaves; its census must come back out (and
+    // the now-empty type drops out of the view entirely)
+    SnapshotTable.deleteWhere(spark, t1, "id",
+      BigDecimal(3), BigDecimal(3))
+    consume()
+    assert(mv == twin)
+    assert(!mv.exists(_._1 == "purchase") ||
+      mv.filter(_._1 == "purchase").head._2 > 0L)
+  }
 }
 
 /** Row type for the incremental-covariance stream. */
