@@ -980,9 +980,13 @@ object Pipeline {
   def c20SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val table = buildSnapshotPair(spark, dir, "")
-    val prev = graft.sources.SnapshotTable.readSnapshot(spark, table, 1)
+    // both sides read through the registered batch format (D288) —
+    // the query twin of SinksSpec's format ≡ readSnapshot gate
+    def asOf(v: Int) = spark.read.format("graft-snapshot")
+      .option("versionAsOf", v.toString).load(table)
+    val prev = asOf(1)
       .select($"doc_id".as("ida"), $"source".as("sa"), md5($"text").as("ha"))
-    val cur = graft.sources.SnapshotTable.readSnapshot(spark, table, 2)
+    val cur = asOf(2)
       .select($"doc_id".as("idb"), $"source".as("sb"), md5($"text").as("hb"))
     prev.join(cur, $"ida" === $"idb", "full_outer")
       .select(coalesce($"sa", $"sb").as("source"),

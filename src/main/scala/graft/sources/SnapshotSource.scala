@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{ByteType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
+
+import graft.sources.SnapshotTable.{SnapshotEquals, SnapshotIn, SnapshotPredicate, SnapshotRange}
+
+/** D288: the snapshot table's BATCH read as a registered data source —
+  * `spark.read.format("graft-snapshot").load(path)` with `versionAsOf`
+  * / `timestampAsOf` options: the batch twin of
+  * [[graft.streaming.SnapshotFeedProvider]], and the first thing a
+  * warehouse user types. V1 `RelationProvider` returning a
+  * [[HadoopFsRelation]] is the right altitude (the
+  * [[graft.streaming.SnapshotFeedSource]] argument again): the
+  * relation reuses Spark's whole parquet stack — vectorized scan,
+  * predicate pushdown, column pruning, whole-stage codegen — while the
+  * [[SnapshotFileIndex]] replaces only the piece the manifest owns:
+  * WHICH files a query plans.
+  *
+  * That file index is where D264/D276/D284 pruning belongs: Spark's
+  * `FileSourceStrategy` hands the scan's pushed data filters to
+  * `FileIndex.listFiles`, so a `WHERE ts BETWEEN …` or
+  * `WHERE source = 'web'` prunes to the manifest-admitted files with
+  * ZERO parquet footer reads — the user writes a plain filter and gets
+  * the [[SnapshotTable.readSnapshotFiltered]] seek behavior without
+  * calling any Graft API. Unsupported predicates simply don't prune
+  * (the scan still evaluates them row-wise), so results are always
+  * identical to an unpruned read.
+  */
+class SnapshotSourceProvider extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot needs a 'path' option (or load(path))"))
+    val version: Long = parameters.get("versionAsOf").map(_.trim.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        SnapshotTable.versionAsOf(spark, path,
+          SnapshotSource.parseTimestampMillis(ts))))
+      .getOrElse(SnapshotTable.latestVersion(spark, path))
+    val index = new SnapshotFileIndex(spark, path, version)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = index.schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = parameters)(spark)
+  }
+}
+
+object SnapshotSource {
+
+  /** `timestampAsOf` accepts epoch millis or an ISO-8601 instant
+    * (`2026-01-01T00:00:00Z`) — an unambiguous UTC point either way;
+    * manifest commit times are epoch millis. */
+  private[sources] def parseTimestampMillis(ts: String): Long =
+    ts.trim.toLongOption.getOrElse(
+      java.time.Instant.parse(ts.trim).toEpochMilli)
+}
+
+/** Manifest-backed [[FileIndex]]: plans a scan from ONE version's
+  * explicit file list — no directory listing — and prunes it against
+  * the pushed data filters via the manifest's per-file stats
+  * (partition values being forced min==max stats, structural and
+  * stats pruning compose in the same rule). File sizes come from the
+  * manifest's `#file=` lines (D283), so planning a 100 TB scan costs
+  * zero filesystem metadata RPCs beyond the one manifest read. */
+private[graft] class SnapshotFileIndex(spark: SparkSession,
+    tablePath: String, version: Long) extends FileIndex {
+
+  private val fs = new HPath(tablePath)
+    .getFileSystem(SnapshotTable.conf(spark))
+
+  private val m: SnapshotTable.Manifest = {
+    val vs = SnapshotTable.versions(spark, tablePath)
+    require(vs.nonEmpty, s"no committed versions under $tablePath")
+    require(vs.contains(version),
+      s"version $version not in committed set $vs")
+    SnapshotTable.readManifest(fs, tablePath, version)
+  }
+
+  def schema: StructType = m.schema
+
+  /** Files the LAST listFiles call planned (test observability — the
+    * plan-guard twin of FileSourceScanExec's numFiles metric). */
+  @volatile private[graft] var lastPlanned: Seq[String] = m.files
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(tablePath))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def refresh(): Unit = ()
+
+  override def inputFiles: Array[String] =
+    m.files.map(f => new HPath(tablePath, f).toString).toArray
+
+  override def sizeInBytes: Long =
+    m.files.map(f => m.sizes.get(f).map(_.bytes).getOrElse {
+      fs.getFileStatus(new HPath(tablePath, f)).getLen // legacy manifest
+    }).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val preds = dataFilters.flatMap(SnapshotFileIndex.translate(_, m.schema))
+    val kept = m.files.filter(f => SnapshotTable.fileAdmitted(m, f, preds))
+    lastPlanned = kept
+    val statuses = kept.map { f =>
+      val p = new HPath(tablePath, f)
+      val len = m.sizes.get(f).map(_.bytes)
+        .getOrElse(fs.getFileStatus(p).getLen)
+      new FileStatus(len, false, 1, 128L << 20, 0L, p)
+    }
+    Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+  }
+}
+
+private[graft] object SnapshotFileIndex {
+
+  private def toDecimal(v: Any): Option[BigDecimal] = v match {
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case f: Float => Some(BigDecimal(f.toDouble))
+    case d: Double => Some(BigDecimal(d))
+    case d: Decimal => Some(d.toBigDecimal)
+    case _ => None
+  }
+
+  /** Wide-open sentinels for one-sided comparisons: far outside any
+    * Long/Double domain, and `1e6000`.toDouble overflows to ±Infinity
+    * so the floating stats path treats them as unbounded too. */
+  private val NegInf = BigDecimal("-1e6000")
+  private val PosInf = BigDecimal("1e6000")
+
+  /** Catalyst conjunct → manifest predicate, where expressible.
+    * Comparisons translate to (possibly one-sided) ranges — exact on
+    * integral stats, ulp-widened on floating ([[SnapshotTable]]'s
+    * conservative rule); string equality/IN translate to the
+    * min==max partition signature. Anything else returns Nil = no
+    * pruning from that conjunct (never wrong, just unpruned): Spark
+    * still evaluates every pushed filter row-wise. Strictness of
+    * `<` vs `<=` is deliberately dropped — a boundary file survives
+    * pruning and its rows are filtered by the scan. */
+  private[graft] def translate(e: Expression,
+      schema: StructType): Seq[SnapshotPredicate] = {
+    def isNumeric(name: String): Boolean =
+      schema.fields.find(_.name == name).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => true
+        case _ => false
+      }
+    def strForm(v: Any): String = v match {
+      case null => ""
+      case u => u.toString // UTF8String/number → Spark CAST-AS-STRING form
+    }
+    e match {
+      case And(l, r) => translate(l, schema) ++ translate(r, schema)
+      case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
+        if (isNumeric(a.name))
+          toDecimal(v).map(d => SnapshotRange(a.name, d, d)).toSeq
+        else if (schema.fields.exists(f =>
+            f.name == a.name && f.dataType == StringType))
+          Seq(SnapshotEquals(a.name, strForm(v)))
+        else Nil
+      case EqualTo(l: Literal, a: Attribute) =>
+        translate(EqualTo(a, l), schema)
+      case GreaterThan(a: Attribute, Literal(v, _)) if isNumeric(a.name) =>
+        toDecimal(v).map(d => SnapshotRange(a.name, d, PosInf)).toSeq
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _))
+          if isNumeric(a.name) =>
+        toDecimal(v).map(d => SnapshotRange(a.name, d, PosInf)).toSeq
+      case LessThan(a: Attribute, Literal(v, _)) if isNumeric(a.name) =>
+        toDecimal(v).map(d => SnapshotRange(a.name, NegInf, d)).toSeq
+      case LessThanOrEqual(a: Attribute, Literal(v, _))
+          if isNumeric(a.name) =>
+        toDecimal(v).map(d => SnapshotRange(a.name, NegInf, d)).toSeq
+      case GreaterThan(Literal(v, t), a: Attribute) =>
+        translate(LessThan(a, Literal(v, t)), schema)
+      case GreaterThanOrEqual(Literal(v, t), a: Attribute) =>
+        translate(LessThanOrEqual(a, Literal(v, t)), schema)
+      case LessThan(Literal(v, t), a: Attribute) =>
+        translate(GreaterThan(a, Literal(v, t)), schema)
+      case LessThanOrEqual(Literal(v, t), a: Attribute) =>
+        translate(GreaterThanOrEqual(a, Literal(v, t)), schema)
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } && schema.fields.exists(f =>
+            f.name == a.name && f.dataType == StringType) =>
+        Seq(SnapshotIn(a.name,
+          vs.map { case Literal(v, _) => strForm(v) }.toSet))
+      case InSet(a: Attribute, vs) if vs.nonEmpty && !vs.contains(null) &&
+          schema.fields.exists(f =>
+            f.name == a.name && f.dataType == StringType) =>
+        Seq(SnapshotIn(a.name, vs.map(strForm)))
+      case _ => Nil
+    }
+  }
+}

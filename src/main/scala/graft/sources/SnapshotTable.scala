@@ -47,7 +47,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object SnapshotTable {
 
-  private def conf(spark: SparkSession): Configuration =
+  private[sources] def conf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
 
   private def manifestDir(path: String) = new HPath(path, "_manifest")
@@ -86,7 +86,7 @@ object SnapshotTable {
     * `rows = -1` means unknown (legacy manifests, stats-less commits). */
   private[graft] final case class FileMeta(bytes: Long, rows: Long)
 
-  private final case class Manifest(schema: StructType, files: Seq[String],
+  private[sources] final case class Manifest(schema: StructType, files: Seq[String],
       batchId: Option[Long] = None, stats: FileStats = Map.empty,
       partCols: Seq[String] = Nil, dataChange: Boolean = true,
       sizes: Map[String, FileMeta] = Map.empty,
@@ -168,7 +168,7 @@ object SnapshotTable {
     } yield unesc(parts(0)) -> FileMeta(b, r)
   }
 
-  private def readManifest(fs: FileSystem, path: String, v: Long): Manifest = {
+  private[sources] def readManifest(fs: FileSystem, path: String, v: Long): Manifest = {
     val in = fs.open(manifestPath(path, v))
     val text = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
@@ -571,7 +571,7 @@ object SnapshotTable {
     * partition-style min==max signature; Range prunes on interval
     * intersection ([[statsIntersect]] — exact for integral stats,
     * ulp-widened for floating). */
-  private def fileAdmitted(m: Manifest, f: String,
+  private[sources] def fileAdmitted(m: Manifest, f: String,
       preds: Seq[SnapshotPredicate]): Boolean =
     preds.forall { pred =>
       m.stats.get(f).flatMap(_.get(pred.column)) match {

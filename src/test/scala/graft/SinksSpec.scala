@@ -1083,4 +1083,65 @@ class SinksSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
       Seq((1L, "a"), (2L, "B"), (3L, "C"), (4L, "d")))
   }
+
+  test("graft-snapshot format: batch reads with time travel and scan-level pruning") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_fmt") + "/tbl"
+    val srcs = Seq("web", "books")
+    def mk(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, srcs((i % 2).toInt), s"doc$i"))
+      .toDF("id", "source", "text").repartition(2)
+    SnapshotTable.writeSnapshotPartitioned(mk(0, 200), t, "source")
+    Thread.sleep(60) // distinct commit mtimes for timestampAsOf
+    val t1 = SnapshotTable.versionTimes(spark, t).last._2
+    SnapshotTable.appendSnapshot(mk(200, 400), t)
+    def fmt(opts: (String, String)*) = {
+      val r = spark.read.format("graft-snapshot")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load(t)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    // format-read == readSnapshot, bit for bit, schema included
+    val api = SnapshotTable.readSnapshot(spark, t)
+    val viaFmt = fmt()
+    assert(viaFmt.schema.fieldNames.toSeq == api.schema.fieldNames.toSeq)
+    assert(rows(viaFmt) == rows(api) && viaFmt.count() == 400L)
+    // versionAsOf / timestampAsOf time travel
+    assert(rows(fmt("versionAsOf" -> "1")) ==
+      rows(SnapshotTable.readSnapshot(spark, t, 1)))
+    assert(rows(fmt("timestampAsOf" -> t1.toString)) ==
+      rows(SnapshotTable.readSnapshot(spark, t, 1)))
+    // pushed filters prune the planned file list inside the scan
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case sc: FileSourceScanExec => sc }
+        case sc: FileSourceScanExec => Seq(sc)
+      }.flatten
+      assert(scans.nonEmpty, "no file scan in the plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val nAll = numFiles(fmt())
+    // partition-value equality prunes structurally
+    val bySrc = fmt().filter($"source" === "web")
+    val nSrc = numFiles(bySrc)
+    assert(nSrc < nAll, s"source= pruned nothing ($nSrc of $nAll)")
+    assert(rows(bySrc) == rows(api.filter($"source" === "web")))
+    // numeric range prunes via the per-file stats (id-clustered commits)
+    val byId = fmt().filter($"id" >= 250L && $"id" <= 299L)
+    val nId = numFiles(byId)
+    assert(nId < nAll, s"id range pruned nothing ($nId of $nAll)")
+    assert(rows(byId) ==
+      rows(api.filter($"id" >= 250L && $"id" <= 299L)))
+    // an unsupported predicate must not lose rows (prunes nothing)
+    val odd = fmt().filter($"id" % 2L === 1L)
+    assert(odd.count() == 200L)
+    // IN-set on the layout column prunes too, results identical
+    val inq = fmt().filter($"source".isin("books"))
+    assert(numFiles(inq) < nAll)
+    assert(rows(inq) == rows(api.filter($"source" === "books")))
+  }
 }
