@@ -37,6 +37,13 @@ trait GraftGBTParams extends Params {
     "histogram bin width in feature units (> 0)", ParamValidators.gt(0.0))
   final val featuresCol = new Param[String](this, "featuresCol",
     "numeric feature column (binned by binWidth for the split search)")
+  final val featureCols = new StringArrayParam(this, "featureCols",
+    "multi-feature mode (D290): numeric feature columns each round's " +
+      "split search argmins across; overrides featuresCol when set")
+  final val binWidths = new DoubleArrayParam(this, "binWidths",
+    "per-feature histogram bin widths for featureCols (same length); " +
+      "defaults to binWidth for every feature",
+    (ws: Array[Double]) => ws.forall(_ > 0.0))
   final val labelCol = new Param[String](this, "labelCol",
     "binary {0,1} label column")
   final val predictionCol = new Param[String](this, "predictionCol",
@@ -47,15 +54,29 @@ trait GraftGBTParams extends Params {
   setDefault(maxIter -> Gbt.gbtRounds, binWidth -> 100.0,
     predictionCol -> "prediction", probabilityCol -> "probability")
 
-  protected def validateFeatures(schema: StructType): Unit = {
-    require(schema.fieldNames.contains($(featuresCol)),
-      s"features column '${$(featuresCol)}' not in ${schema.fieldNames.mkString(",")}")
-    schema($(featuresCol)).dataType match {
-      case _: NumericType => ()
-      case other => throw new IllegalArgumentException(
-        s"features column '${$(featuresCol)}' must be numeric, got $other")
+  /** The (column, binWidth) pairs training and scoring bin by. */
+  protected def effectiveFeatures: Seq[(String, Double)] =
+    if (isSet(featureCols)) {
+      val cols = $(featureCols).toSeq
+      require(cols.nonEmpty, "featureCols must be non-empty")
+      val ws =
+        if (isSet(binWidths)) $(binWidths).toSeq
+        else Seq.fill(cols.length)($(binWidth))
+      require(ws.length == cols.length,
+        s"binWidths has ${ws.length} entries for ${cols.length} featureCols")
+      cols.zip(ws)
+    } else Seq(($(featuresCol), $(binWidth)))
+
+  protected def validateFeatures(schema: StructType): Unit =
+    effectiveFeatures.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"features column '$c' not in ${schema.fieldNames.mkString(",")}")
+      schema(c).dataType match {
+        case _: NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"features column '$c' must be numeric, got $other")
+      }
     }
-  }
 
   protected def validateAndTransformSchema(schema: StructType): StructType = {
     validateFeatures(schema)
@@ -77,6 +98,8 @@ class GraftGBT(override val uid: String)
   def setMaxIter(value: Int): this.type = set(maxIter, value)
   def setBinWidth(value: Double): this.type = set(binWidth, value)
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setFeatureCols(value: Array[String]): this.type = set(featureCols, value)
+  def setBinWidths(value: Array[Double]): this.type = set(binWidths, value)
   def setLabelCol(value: String): this.type = set(labelCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setProbabilityCol(value: String): this.type = set(probabilityCol, value)
@@ -85,14 +108,30 @@ class GraftGBT(override val uid: String)
     transformSchema(dataset.schema, logging = true)
     require(dataset.schema.fieldNames.contains($(labelCol)),
       s"label column '${$(labelCol)}' not in ${dataset.schema.fieldNames.mkString(",")}")
-    val hist = dataset.toDF().select(
-        floor(col($(featuresCol)).cast("double") / $(binWidth))
-          .cast("long").as("bin"),
-        col($(labelCol)).cast("long").as("y"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("p"))
     import graft.CacheScope.ScopedPersist
-    val (f0, rounds) = Gbt.fitGbt(hist.scopedPersist(), $(maxIter))
+    val feats = effectiveFeatures
+    val (f0, rounds) =
+      if (feats.length == 1) {
+        // single feature: one domain-bounded histogram serves every
+        // round (per-bin F is well-defined) — cheaper than re-censusing
+        val hist = dataset.toDF().select(
+            floor(col(feats.head._1).cast("double") / feats.head._2)
+              .cast("long").as("bin"),
+            col($(labelCol)).cast("long").as("y"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("cnt"), sum(col("y")).as("p"))
+        Gbt.fitGbt(hist.scopedPersist(), $(maxIter))
+      } else {
+        // multi-feature (D290): per-round re-census, argmin across
+        // the d residual histograms
+        val design = dataset.toDF().select(
+          feats.zipWithIndex.map { case ((c, w), i) =>
+            floor(col(c).cast("double") / w).cast("long").as(s"__f$i")
+          } :+ col($(labelCol)).cast("long").as("y"): _*)
+          .scopedPersist()
+        Gbt.fitGbtMulti(design, feats.indices.map(i => s"__f$i"),
+          $(maxIter))
+      }
     copyValues(new GraftGBTModel(uid, f0, rounds.toArray).setParent(this))
   }
 
@@ -111,21 +150,25 @@ class GraftGBTModel private[feature] (override val uid: String,
     extends Model[GraftGBTModel] with GraftGBTParams with MLWritable {
 
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setFeatureCols(value: Array[String]): this.type = set(featureCols, value)
+  def setBinWidths(value: Array[Double]): this.type = set(binWidths, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setProbabilityCol(value: String): this.type = set(probabilityCol, value)
 
-  /** The additive per-mille score as a literal expression chain. */
-  private def scoreCol(bin: Column): Column =
+  /** The additive per-mille score as a literal expression chain over
+    * the per-feature bin columns. */
+  private def scoreCol(bins: Seq[Column]): Column =
     rounds.foldLeft(lit(baseF)) { (f, r) =>
       val (dl, dr) = Gbt.adjustments(r)
-      f + when(bin <= lit(r.thresholdBin), lit(dl)).otherwise(lit(dr))
+      f + when(bins(r.feature) <= lit(r.thresholdBin), lit(dl))
+        .otherwise(lit(dr))
     }
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
-    val bin = floor(col($(featuresCol)).cast("double") / $(binWidth))
-      .cast("long")
-    val f = scoreCol(bin)
+    val bins = effectiveFeatures.map { case (c, w) =>
+      floor(col(c).cast("double") / w).cast("long") }
+    val f = scoreCol(bins)
     dataset.toDF()
       .withColumn($(probabilityCol), f.cast("double") / lit(1000.0))
       .withColumn($(predictionCol), (f >= lit(500L)).cast("long"))
@@ -145,11 +188,14 @@ class GraftGBTModel private[feature] (override val uid: String,
 private[feature] case class GBTParamsData(uid: String,
     maxIter: Option[Int], binWidth: Option[Double],
     featuresCol: Option[String], labelCol: Option[String],
-    predictionCol: Option[String], probabilityCol: Option[String])
+    predictionCol: Option[String], probabilityCol: Option[String],
+    featureCols: Option[Seq[String]] = None,
+    binWidths: Option[Seq[Double]] = None)
 
 /** One persisted boosting round (Gbt.GbtRound, flattened). */
 private[feature] case class GBTRoundData(round: Int, thresholdBin: Long,
-    nLeft: Long, nRight: Long, vLeft: Long, vRight: Long, sseAfter: Long)
+    nLeft: Long, nRight: Long, vLeft: Long, vRight: Long, sseAfter: Long,
+    feature: Int = 0)
 
 /** Fitted-model artifact: params + base prediction + round table. */
 private[feature] case class GBTModelData(params: GBTParamsData,
@@ -161,7 +207,8 @@ object GraftGBT extends MLReadable[GraftGBT] {
       p: GraftGBTParams with Params): GBTParamsData =
     GBTParamsData(p.uid, p.get(p.maxIter), p.get(p.binWidth),
       p.get(p.featuresCol), p.get(p.labelCol), p.get(p.predictionCol),
-      p.get(p.probabilityCol))
+      p.get(p.probabilityCol),
+      p.get(p.featureCols).map(_.toSeq), p.get(p.binWidths).map(_.toSeq))
 
   private[feature] def restoreParams(t: GraftGBTParams,
       d: GBTParamsData): Unit = {
@@ -171,6 +218,8 @@ object GraftGBT extends MLReadable[GraftGBT] {
     d.labelCol.foreach(v => t.set(t.labelCol, v))
     d.predictionCol.foreach(v => t.set(t.predictionCol, v))
     d.probabilityCol.foreach(v => t.set(t.probabilityCol, v))
+    d.featureCols.foreach(v => t.set(t.featureCols, v.toArray))
+    d.binWidths.foreach(v => t.set(t.binWidths, v.toArray))
   }
 
   private[feature] class Writer(instance: GraftGBT) extends MLWriter {
@@ -207,7 +256,7 @@ object GraftGBTModel extends MLReadable[GraftGBTModel] {
       Seq(GBTModelData(GraftGBT.paramsData(instance), instance.baseF,
           instance.rounds.toSeq.map(r => GBTRoundData(r.round,
             r.thresholdBin, r.nLeft, r.nRight, r.vLeft, r.vRight,
-            r.sseAfter)))).toDS()
+            r.sseAfter, r.feature)))).toDS()
         .repartition(1).write.mode("overwrite").parquet(s"$path/data")
       GraftPCA.writeMetadata(path, spark, instance)
     }
@@ -220,7 +269,7 @@ object GraftGBTModel extends MLReadable[GraftGBTModel] {
       val d = spark.read.parquet(s"$path/data").as[GBTModelData].head()
       val m = new GraftGBTModel(d.params.uid, d.baseF,
         d.rounds.map(r => Gbt.GbtRound(r.round, r.thresholdBin, r.nLeft,
-          r.nRight, r.vLeft, r.vRight, r.sseAfter)).toArray)
+          r.nRight, r.vLeft, r.vRight, r.sseAfter, r.feature)).toArray)
       GraftGBT.restoreParams(m, d.params)
       m
     }

@@ -37,6 +37,13 @@ trait GraftTreeParams extends Params {
     "histogram bin width in feature units (> 0)", ParamValidators.gt(0.0))
   final val featuresCol = new Param[String](this, "featuresCol",
     "numeric feature column (binned by binWidth for the split search)")
+  final val featureCols = new StringArrayParam(this, "featureCols",
+    "multi-feature mode (D289): numeric feature columns the split " +
+      "search argmins across; overrides featuresCol when set")
+  final val binWidths = new DoubleArrayParam(this, "binWidths",
+    "per-feature histogram bin widths for featureCols (same length); " +
+      "defaults to binWidth for every feature",
+    (ws: Array[Double]) => ws.forall(_ > 0.0))
   final val labelCol = new Param[String](this, "labelCol",
     "binary {0,1} label column")
   final val predictionCol = new Param[String](this, "predictionCol",
@@ -47,15 +54,31 @@ trait GraftTreeParams extends Params {
   setDefault(maxDepth -> 3, binWidth -> 100.0,
     predictionCol -> "prediction", probabilityCol -> "probability")
 
-  protected def validateFeatures(schema: StructType): Unit = {
-    require(schema.fieldNames.contains($(featuresCol)),
-      s"features column '${$(featuresCol)}' not in ${schema.fieldNames.mkString(",")}")
-    schema($(featuresCol)).dataType match {
-      case _: NumericType => ()
-      case other => throw new IllegalArgumentException(
-        s"features column '${$(featuresCol)}' must be numeric, got $other")
+  /** The (column, binWidth) pairs training and scoring bin by:
+    * featureCols×binWidths in multi-feature mode, the single
+    * featuresCol×binWidth otherwise. */
+  protected def effectiveFeatures: Seq[(String, Double)] =
+    if (isSet(featureCols)) {
+      val cols = $(featureCols).toSeq
+      require(cols.nonEmpty, "featureCols must be non-empty")
+      val ws =
+        if (isSet(binWidths)) $(binWidths).toSeq
+        else Seq.fill(cols.length)($(binWidth))
+      require(ws.length == cols.length,
+        s"binWidths has ${ws.length} entries for ${cols.length} featureCols")
+      cols.zip(ws)
+    } else Seq(($(featuresCol), $(binWidth)))
+
+  protected def validateFeatures(schema: StructType): Unit =
+    effectiveFeatures.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"features column '$c' not in ${schema.fieldNames.mkString(",")}")
+      schema(c).dataType match {
+        case _: NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"features column '$c' must be numeric, got $other")
+      }
     }
-  }
 
   protected def validateAndTransformSchema(schema: StructType): StructType = {
     validateFeatures(schema)
@@ -77,6 +100,8 @@ class GraftTree(override val uid: String)
   def setMaxDepth(value: Int): this.type = set(maxDepth, value)
   def setBinWidth(value: Double): this.type = set(binWidth, value)
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setFeatureCols(value: Array[String]): this.type = set(featureCols, value)
+  def setBinWidths(value: Array[Double]): this.type = set(binWidths, value)
   def setLabelCol(value: String): this.type = set(labelCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setProbabilityCol(value: String): this.type = set(probabilityCol, value)
@@ -85,22 +110,47 @@ class GraftTree(override val uid: String)
     transformSchema(dataset.schema, logging = true)
     require(dataset.schema.fieldNames.contains($(labelCol)),
       s"label column '${$(labelCol)}' not in ${dataset.schema.fieldNames.mkString(",")}")
-    val hist = dataset.toDF().select(
-        floor(col($(featuresCol)).cast("double") / $(binWidth))
-          .cast("long").as("bin"),
-        col($(labelCol)).cast("long").as("y"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("p"))
     import graft.CacheScope.ScopedPersist
-    val h = hist.scopedPersist()
-    val splits = Stump.fitTreeSplits(h, $(maxDepth))
+    val feats = effectiveFeatures
+    val (splits, rootCensus) =
+      if (feats.length == 1) {
+        // single feature: the domain-bounded histogram is computed
+        // ONCE and every level re-routes it — strictly cheaper than
+        // the multi-feature per-level re-census
+        val hist = dataset.toDF().select(
+            floor(col(feats.head._1).cast("double") / feats.head._2)
+              .cast("long").as("bin"),
+            col($(labelCol)).cast("long").as("y"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("cnt"), sum(col("y")).as("p"))
+          .scopedPersist()
+        val sp = Stump.fitTreeSplits(hist, $(maxDepth))
+        val census = () => {
+          val t = hist.agg(sum(col("cnt")), sum(col("p"))).head()
+          (if (t.isNullAt(0)) 0L else t.getLong(0),
+            if (t.isNullAt(1)) 0L else t.getLong(1))
+        }
+        (sp, census)
+      } else {
+        // multi-feature (D289): per-level re-census, argmin across
+        // the d feature histograms
+        val design = dataset.toDF().select(
+          feats.zipWithIndex.map { case ((c, w), i) =>
+            floor(col(c).cast("double") / w).cast("long").as(s"__f$i")
+          } :+ col($(labelCol)).cast("long").as("y"): _*)
+          .scopedPersist()
+        val sp = Stump.fitTreeSplitsMulti(design,
+          feats.indices.map(i => s"__f$i"), $(maxDepth))
+        val census = () => {
+          val t = design.agg(count(lit(1)), sum(col("y"))).head()
+          (t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1))
+        }
+        (sp, census)
+      }
     // root census even when the root is pure (no split to read it off)
     val (rootN, rootPos) = splits.headOption match {
       case Some(r) if r.node.isEmpty => (r.n, r.pos)
-      case _ =>
-        val t = h.agg(sum(col("cnt")), sum(col("p"))).head()
-        (if (t.isNullAt(0)) 0L else t.getLong(0),
-          if (t.isNullAt(1)) 0L else t.getLong(1))
+      case _ => rootCensus()
     }
     copyValues(new GraftTreeModel(uid, splits.toArray, rootN, rootPos)
       .setParent(this))
@@ -122,6 +172,8 @@ class GraftTreeModel private[feature] (override val uid: String,
     extends Model[GraftTreeModel] with GraftTreeParams with MLWritable {
 
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setFeatureCols(value: Array[String]): this.type = set(featureCols, value)
+  def setBinWidths(value: Array[Double]): this.type = set(binWidths, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setProbabilityCol(value: String): this.type = set(probabilityCol, value)
 
@@ -139,12 +191,12 @@ class GraftTreeModel private[feature] (override val uid: String,
       else s.pr.toDouble / s.nr.toDouble
     }
 
-  /** The literal routing when-tree over the bin column — pure codegen,
-    * ≤ 2^depth leaves, no join, no shuffle. */
-  private def probCol(bin: Column): Column = {
+  /** The literal routing when-tree over the per-feature bin columns —
+    * pure codegen, ≤ 2^depth leaves, no join, no shuffle. */
+  private def probCol(bins: Seq[Column]): Column = {
     def walk(path: String): Column = byNode.get(path) match {
-      case Some(s) => when(bin <= lit(s.thresholdBin), walk(path + "L"))
-        .otherwise(walk(path + "R"))
+      case Some(s) => when(bins(s.feature) <= lit(s.thresholdBin),
+        walk(path + "L")).otherwise(walk(path + "R"))
       case None => lit(leafRate(path))
     }
     walk("")
@@ -152,9 +204,9 @@ class GraftTreeModel private[feature] (override val uid: String,
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
-    val bin = floor(col($(featuresCol)).cast("double") / $(binWidth))
-      .cast("long")
-    val p = probCol(bin)
+    val bins = effectiveFeatures.map { case (c, w) =>
+      floor(col(c).cast("double") / w).cast("long") }
+    val p = probCol(bins)
     dataset.toDF()
       .withColumn($(probabilityCol), p)
       .withColumn($(predictionCol), (p >= lit(0.5)).cast("long"))
@@ -174,12 +226,15 @@ class GraftTreeModel private[feature] (override val uid: String,
 private[feature] case class TreeParamsData(uid: String,
     maxDepth: Option[Int], binWidth: Option[Double],
     featuresCol: Option[String], labelCol: Option[String],
-    predictionCol: Option[String], probabilityCol: Option[String])
+    predictionCol: Option[String], probabilityCol: Option[String],
+    featureCols: Option[Seq[String]] = None,
+    binWidths: Option[Seq[Double]] = None)
 
 /** One persisted split row (Stump.TreeSplit, flattened for parquet). */
 private[feature] case class TreeSplitData(node: String, depth: Int,
     thresholdBin: Long, n: Long, pos: Long, nl: Long, pl: Long,
-    nr: Long, pr: Long, wgRaw: Double, pgRaw: Double)
+    nr: Long, pr: Long, wgRaw: Double, pgRaw: Double,
+    feature: Int = 0)
 
 /** Fitted-model artifact: params + split table + root census. */
 private[feature] case class TreeModelData(params: TreeParamsData,
@@ -191,7 +246,8 @@ object GraftTree extends MLReadable[GraftTree] {
       p: GraftTreeParams with Params): TreeParamsData =
     TreeParamsData(p.uid, p.get(p.maxDepth), p.get(p.binWidth),
       p.get(p.featuresCol), p.get(p.labelCol), p.get(p.predictionCol),
-      p.get(p.probabilityCol))
+      p.get(p.probabilityCol),
+      p.get(p.featureCols).map(_.toSeq), p.get(p.binWidths).map(_.toSeq))
 
   private[feature] def restoreParams(t: GraftTreeParams,
       d: TreeParamsData): Unit = {
@@ -201,6 +257,8 @@ object GraftTree extends MLReadable[GraftTree] {
     d.labelCol.foreach(v => t.set(t.labelCol, v))
     d.predictionCol.foreach(v => t.set(t.predictionCol, v))
     d.probabilityCol.foreach(v => t.set(t.probabilityCol, v))
+    d.featureCols.foreach(v => t.set(t.featureCols, v.toArray))
+    d.binWidths.foreach(v => t.set(t.binWidths, v.toArray))
   }
 
   private[feature] class Writer(instance: GraftTree) extends MLWriter {
@@ -237,7 +295,7 @@ object GraftTreeModel extends MLReadable[GraftTreeModel] {
       Seq(TreeModelData(GraftTree.paramsData(instance),
           instance.splits.toSeq.map(s => TreeSplitData(s.node, s.depth,
             s.thresholdBin, s.n, s.pos, s.nl, s.pl, s.nr, s.pr,
-            s.wgRaw, s.pgRaw)),
+            s.wgRaw, s.pgRaw, s.feature)),
           instance.rootN, instance.rootPos)).toDS()
         .repartition(1).write.mode("overwrite").parquet(s"$path/data")
       GraftPCA.writeMetadata(path, spark, instance)
@@ -251,7 +309,8 @@ object GraftTreeModel extends MLReadable[GraftTreeModel] {
       val d = spark.read.parquet(s"$path/data").as[TreeModelData].head()
       val m = new GraftTreeModel(d.params.uid,
         d.splits.map(s => Stump.TreeSplit(s.node, s.depth, s.thresholdBin,
-          s.n, s.pos, s.nl, s.pl, s.nr, s.pr, s.wgRaw, s.pgRaw)).toArray,
+          s.n, s.pos, s.nl, s.pl, s.nr, s.pr, s.wgRaw, s.pgRaw,
+          s.feature)).toArray,
         d.rootN, d.rootPos)
       GraftTree.restoreParams(m, d.params)
       m

@@ -80,11 +80,14 @@ object Gbt {
     s"""((${d("srrl")} - ${d("srl")} * ${d("srl")} / ${d("nl")})
         + (${d("srrr")} - ${d("srr2")} * ${d("srr2")} / ${d("nr")}))"""
 
-  /** One fitted boosting round: threshold, child populations, leaf
-    * values (per-mille residual floor-means), and the exact integer
-    * SSE after applying the ½-rate update. */
+  /** One fitted boosting round: the chosen feature (index into the
+    * trainer's featureCols; always 0 for the single-feature trainer),
+    * threshold, child populations, leaf values (per-mille residual
+    * floor-means), and the exact integer SSE after applying the
+    * ½-rate update. */
   final case class GbtRound(round: Int, thresholdBin: Long, nLeft: Long,
-      nRight: Long, vLeft: Long, vRight: Long, sseAfter: Long)
+      nRight: Long, vLeft: Long, vRight: Long, sseAfter: Long,
+      feature: Int = 0)
 
   /** ½-rate per-round prediction adjustments derived from a fitted
     * round's leaf values — floor(v/2) via the shifted division, the
@@ -177,6 +180,108 @@ object Gbt {
     (f0, out)
   }
 
+  /** D290: multi-feature gradient-boosted stumps — [[fitGbt]]'s split
+    * search generalized to argmin over d per-feature residual
+    * histograms per round (the full XGBoost-`hist` round,
+    * arXiv:1603.02754 §3.3): the residual grid stays exact integers
+    * (rr = y·1000 − F per row, Σrr and Σrr² exact longs per (feature,
+    * bin) cell), each round is ONE routed pass over the data
+    * (posexplode over the binned features, partial-aggregated to a
+    * domain-bounded histogram), and the winner is chosen by the
+    * shared-IEEE SSE criterion with tie order sse → feature → bin.
+    * Unlike the single-feature form, the per-row F depends on earlier
+    * rounds' features, so each round must re-census the rows — the
+    * cost model every hist GBT pays. */
+  private[graft] def fitGbtMulti(design: DataFrame,
+      featureCols: Seq[String], rounds: Int): (Long, Seq[GbtRound]) = {
+    import design.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val S = shiftFor(rounds)
+    val t0 = design.agg(count(lit(1)), sum($"y")).head()
+    val nAll = t0.getLong(0)
+    require(nAll > 0, "empty design")
+    val posAll = t0.getLong(1)
+    val f0 = posAll * 1000L / nAll
+    var decisions = Vector.empty[(Int, Long, Long, Long)] // (ft, thr, dl, dr)
+    var out = Vector.empty[GbtRound]
+    var t = 1
+    var open = true
+    while (t <= rounds && open) {
+      val fCol: Column = decisions.foldLeft(lit(f0)) {
+        case (f, (ft, thr, dl, dr)) =>
+          f + when(col(featureCols(ft)) <= lit(thr), lit(dl))
+            .otherwise(lit(dr))
+      }
+      // exact per-row residual on the per-mille grid, censused per
+      // (feature, bin); cached: totals + candidates both read it
+      val hist = design.withColumn("F", fCol)
+        .withColumn("rr", $"y" * 1000L - $"F")
+        .select($"rr", posexplode(array(featureCols.map(col): _*))
+          .as(Seq("feature", "bin")))
+        .groupBy($"feature", $"bin")
+        .agg(count(lit(1)).as("cnt"), sum($"rr").as("sr"),
+          sum($"rr" * $"rr").as("srr"))
+        .scopedPersist()
+      val tot = hist.filter($"feature" === lit(0))
+        .agg(sum($"cnt").as("n"), sum($"sr").as("srt"),
+          sum($"srr").as("srrt"))
+      val w = Window.partitionBy($"feature").orderBy($"bin")
+      val bestRows = hist
+        .select($"feature", $"bin", sum($"cnt").over(w).as("nl"),
+          sum($"sr").over(w).as("srl"), sum($"srr").over(w).as("srrl"))
+        .crossJoin(broadcast(tot))
+        .filter($"nl" < $"n")
+        .withColumn("nr", $"n" - $"nl")
+        .withColumn("srr2", $"srt" - $"srl")
+        .withColumn("srrr", $"srrt" - $"srrl")
+        .withColumn("sse_raw", expr(sseSql))
+        .orderBy($"sse_raw", $"feature", $"bin").limit(1)
+        .select($"feature", $"bin", $"nl", $"srl", $"nr", $"srr2")
+        .collect()
+      if (bestRows.isEmpty) open = false
+      else {
+        val best = bestRows.head
+        val (ft, thr, nl, srl, nr, srR) = (best.getInt(0), best.getLong(1),
+          best.getLong(2), best.getLong(3), best.getLong(4),
+          best.getLong(5))
+        require(srl + nl * S >= 0 && srR + nr * S >= 0,
+          s"residual drift exceeded the ±$S shift at round $t")
+        val vl = (srl + nl * S) / nl - S
+        val vr = (srR + nr * S) / nr - S
+        val dl = (vl + S) / 2L - S / 2L
+        val dr = (vr + S) / 2L - S / 2L
+        decisions :+= ((ft, thr, dl, dr))
+        val fAfter: Column = decisions.foldLeft(lit(f0)) {
+          case (f, (ff, th, l, r)) =>
+            f + when(col(featureCols(ff)) <= lit(th), lit(l))
+              .otherwise(lit(r))
+        }
+        // exact integer SSE: y ∈ {0,1} makes (1000y − F)² the census
+        val sseAfter = design.withColumn("F", fAfter)
+          .agg(sum(($"y" * 1000L - $"F") * ($"y" * 1000L - $"F")))
+          .head().getLong(0)
+        out :+= GbtRound(t, thr, nl, nr, vl, vr, sseAfter, feature = ft)
+        t += 1
+      }
+    }
+    (f0, out)
+  }
+
+  /** D290 query binding: three multi-feature boosted rounds on the p22
+    * design (price/quantity/discount bins → returnflag), every output
+    * column an exact integer including the chosen feature. */
+  def p23GbtMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val design = Stump.multiDesign(spark, dir).scopedPersist()
+    fitGbtMulti(design, Stump.multiFeatures, gbtRounds)._2
+      .map(r => (r.round.toLong, r.feature.toLong, r.thresholdBin,
+        r.nLeft, r.nRight, r.vLeft, r.vRight, r.sseAfter))
+      .toDF("round", "feature", "threshold_bin", "n_left", "n_right",
+        "v_left", "v_right", "sse_after")
+      .orderBy($"round")
+  }
+
   /** p21: three boosted stump rounds on the p17 design (price bins →
     * returnflag), every output column an exact integer. */
   def p21Gbt3(spark: SparkSession, dir: String): DataFrame = {
@@ -235,10 +340,82 @@ object Gbt {
               + (cnt - p) * F * F) AS BIGINT) AS sse FROM h$t)"""
   }
 
+  /** One multi-feature oracle boosting-round block over row-level
+    * prediction CTE hg{t-1}: per-row residual, per-(feature, bin)
+    * censuses via UNION ALL, cumulative scan, shared-IEEE argmin
+    * (sse → feature → bin), shifted floor-division leaf math, routed
+    * prediction update, exact SSE. */
+  private def oracleRoundMulti(t: Int): String = {
+    val S = shiftFor(gbtRounds)
+    val h = s"hg${t - 1}"
+    val perFeature = graft.operators.Stump.multiFeatures.zipWithIndex
+      .map { case (f, j) =>
+        s"""SELECT $j AS feature, $f AS bin,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(rr) AS BIGINT) AS sr,
+              CAST(sum(rr * rr) AS BIGINT) AS srr
+            FROM sg$t GROUP BY $f"""
+      }.mkString("\n          UNION ALL ")
+    s"""sg$t AS (SELECT f0, f1, f2, y, F, y * 1000 - F AS rr FROM $h),
+        hr$t AS ($perFeature),
+        tr$t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(sum(sr) AS BIGINT) AS srt,
+            CAST(sum(srr) AS BIGINT) AS srrt
+          FROM (SELECT cnt, sr, srr FROM hr$t WHERE feature = 0)),
+        cr$t AS (SELECT feature, bin,
+            CAST(sum(cnt) OVER (PARTITION BY feature ORDER BY bin)
+              AS BIGINT) AS nl,
+            CAST(sum(sr) OVER (PARTITION BY feature ORDER BY bin)
+              AS BIGINT) AS srl,
+            CAST(sum(srr) OVER (PARTITION BY feature ORDER BY bin)
+              AS BIGINT) AS srrl
+          FROM hr$t),
+        fr$t AS (SELECT c.feature, c.bin, c.nl, c.srl, c.srrl,
+            t.n - c.nl AS nr, t.srt - c.srl AS srr2,
+            t.srrt - c.srrl AS srrr
+          FROM cr$t c CROSS JOIN tr$t t WHERE c.nl < t.n),
+        br$t AS (SELECT feature, bin AS thr, nl, nr,
+            ((srl + nl * $S) // nl) - $S AS vl,
+            ((srr2 + nr * $S) // nr) - $S AS vr,
+            row_number() OVER (ORDER BY $sseSql, feature, bin) AS rk
+          FROM fr$t),
+        sr$t AS (SELECT feature, thr, nl, nr, vl, vr,
+            ((vl + $S) // 2) - ${S / 2} AS dl,
+            ((vr + $S) // 2) - ${S / 2} AS dr
+          FROM br$t WHERE rk = 1),
+        hg$t AS (SELECT h.f0, h.f1, h.f2, h.y,
+            h.F + CASE WHEN (CASE s.feature WHEN 0 THEN h.f0
+                WHEN 1 THEN h.f1 ELSE h.f2 END) <= s.thr
+              THEN s.dl ELSE s.dr END AS F
+          FROM $h h CROSS JOIN sr$t s),
+        er$t AS (SELECT CAST(sum((y * 1000 - F) * (y * 1000 - F))
+            AS BIGINT) AS sse FROM hg$t)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p21_gbt3" -> p21Gbt3)
+    "p21_gbt3" -> p21Gbt3,
+    "p23_gbt_multi" -> p23GbtMulti)
 
   val oracle: Map[String, String] = Map(
+    "p23_gbt_multi" ->
+      s"""WITH r AS (SELECT
+              CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS f0,
+              CAST(l_quantity AS BIGINT) AS f1,
+              CAST(floor(l_discount * 100.0) AS BIGINT) AS f2,
+              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS pos FROM r),
+          hg0 AS (SELECT f0, f1, f2, y, (g.pos * 1000) // g.n AS F
+            FROM r CROSS JOIN g),
+          ${(1 to gbtRounds).map(oracleRoundMulti).mkString(",\n          ")}
+          ${(1 to gbtRounds).map(t =>
+            s"""SELECT CAST($t AS BIGINT) AS round,
+                CAST(feature AS BIGINT) AS feature, thr AS threshold_bin,
+                nl AS n_left, nr AS n_right, vl AS v_left, vr AS v_right,
+                (SELECT sse FROM er$t) AS sse_after FROM sr$t""")
+            .mkString("\n          UNION ALL\n          ")}
+          ORDER BY round""",
     "p21_gbt3" ->
       s"""WITH r AS (SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT)
               AS bin,

@@ -85,13 +85,15 @@ object Stump {
   }
 
   /** One fitted split: the node's path ("" = root, then 'L'/'R' per
-    * level), its population/positives, the chosen threshold bin, the
-    * exact child census, and the raw (unrounded) parent/split Ginis.
-    * Child leaf rates are derivable (left = pl/nl, right = pr/nr), so
-    * this is the complete model artifact. */
+    * level), its population/positives, the chosen feature (index into
+    * the trainer's featureCols; always 0 for the single-feature
+    * trainers) and threshold bin, the exact child census, and the raw
+    * (unrounded) parent/split Ginis. Child leaf rates are derivable
+    * (left = pl/nl, right = pr/nr), so this is the complete model
+    * artifact. */
   final case class TreeSplit(node: String, depth: Int, thresholdBin: Long,
       n: Long, pos: Long, nl: Long, pl: Long, nr: Long, pr: Long,
-      wgRaw: Double, pgRaw: Double)
+      wgRaw: Double, pgRaw: Double, feature: Int = 0)
 
   /** Depth-k histogram tree trainer — the p17/p19 recursion made
     * configurable (round-12 verdict ask #4, the GBT door). Level d is
@@ -133,6 +135,89 @@ object Stump {
         splits ++= lvl.map(r => TreeSplit(r.getString(0), d, r.getLong(1),
           r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
           r.getLong(6), r.getLong(7), r.getDouble(8), r.getDouble(9)))
+        d += 1
+      }
+    }
+    splits
+  }
+
+  /** D289: multi-feature depth-k histogram tree trainer — the true
+    * XGBoost-`hist` split search (arXiv:1603.02754 §3.3, Alg. 3):
+    * per level, ONE pass over the routed data builds a per-(node,
+    * feature, bin) censused histogram (`posexplode` over the binned
+    * feature columns — partial-aggregated, output bounded by
+    * 2^depth × d × |bin domain|, never the data), and each node's
+    * split is the ARGMIN OF THE WEIGHTED GINI ACROSS ALL d FEATURE
+    * HISTOGRAMS (tie order wg → feature → bin, replicated verbatim in
+    * the oracle). Unlike the single-feature [[fitTreeSplits]] — whose
+    * one histogram is computed once and re-routed level by level —
+    * the multi-feature recursion must re-census per level (a node's
+    * conditional distribution of feature j given earlier splits on
+    * feature i is not derivable from marginal histograms), which is
+    * exactly the per-iteration cost XGBoost's hist algorithm pays.
+    *
+    * `design`: one row per observation, `featureCols` already binned
+    * to longs, label `y` ∈ {0,1}. A node with no valid split
+    * (pure/single-bin on every feature) stops splitting. */
+  private[graft] def fitTreeSplitsMulti(design: DataFrame,
+      featureCols: Seq[String], maxDepth: Int): Seq[TreeSplit] = {
+    import design.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    var splits = Vector.empty[TreeSplit]
+    var d = 0
+    var open = true
+    while (d < maxDepth && open) {
+      val dec = splits.map(s => s.node -> (s.feature, s.thresholdBin)).toMap
+      def walk(path: String, lvl: Int): org.apache.spark.sql.Column =
+        if (lvl == d) lit(path)
+        else dec.get(path) match {
+          case None => lit(path) // stopped early: keeps its short label
+          case Some((f, t)) =>
+            when(col(featureCols(f)) <= lit(t), walk(path + "L", lvl + 1))
+              .otherwise(walk(path + "R", lvl + 1))
+        }
+      val routed = design.withColumn("node", walk("", 0))
+      // the level's whole data pass: route + explode + partial agg;
+      // cached because totals and candidates both read it (bounded:
+      // ≤ 2^d × d × |bin domain| rows)
+      val hist = routed
+        .select($"node", $"y", posexplode(array(featureCols.map(col): _*))
+          .as(Seq("feature", "bin")))
+        .groupBy($"node", $"feature", $"bin")
+        .agg(count(lit(1)).as("cnt"), sum($"y").as("p"))
+        .scopedPersist()
+      // node totals off ONE feature's slice (every row contributes one
+      // bin per feature, so any slice carries the full census)
+      val tot = hist.filter($"feature" === lit(0))
+        .groupBy($"node").agg(sum($"cnt").as("n"), sum($"p").as("pos"))
+      val w = Window.partitionBy($"node", $"feature").orderBy($"bin")
+      val aw = Window.partitionBy($"node")
+        .orderBy($"wg_raw", $"feature", $"bin")
+      val lvl = hist
+        .select($"node", $"feature", $"bin",
+          sum($"cnt").over(w).as("nl"), sum($"p").over(w).as("pl"))
+        .join(broadcast(tot), "node")
+        .filter($"nl" < $"n")
+        .withColumn("ql", $"nl" - $"pl")
+        .withColumn("nr", $"n" - $"nl")
+        .withColumn("pr", $"pos" - $"pl")
+        .withColumn("qr", $"nr" - $"pr")
+        .withColumn("neg", $"n" - $"pos")
+        .withColumn("wg_raw", expr(wgSql))
+        .withColumn("pg_raw", expr(parentSql))
+        .filter(length($"node") === d)
+        .withColumn("rk", row_number().over(aw)).filter($"rk" === 1)
+        .select($"node", $"feature", $"bin", $"n", $"pos", $"nl", $"pl",
+          $"nr", $"pr", $"wg_raw", $"pg_raw")
+        .collect() // ≤ 2^d rows — the bounded split-decision table
+      if (lvl.isEmpty) open = false
+      else {
+        splits ++= lvl.map(r => TreeSplit(r.getString(0), d, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getDouble(9), r.getDouble(10),
+          feature = r.getInt(1)))
         d += 1
       }
     }
@@ -211,6 +296,99 @@ object Stump {
       .orderBy($"depth", $"node")
   }
 
+  /** The p22/p23 multi-feature design: three binned lineitem features
+    * — price in $100 bins (f0), quantity units (f1), discount
+    * percentage points (f2) — against the p17 label. Three genuinely
+    * different value domains (~1.1k / 50 / 11 bins), so the argmin
+    * really arbitrates across feature histograms. */
+  private[graft] def multiDesign(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).select(
+      floor($"l_extendedprice" / 100.0).cast("long").as("f0"),
+      $"l_quantity".cast("long").as("f1"),
+      floor($"l_discount" * 100.0).cast("long").as("f2"),
+      ($"l_returnflag" === "R").cast("long").as("y"))
+  }
+
+  private[graft] val multiFeatures = Seq("f0", "f1", "f2")
+
+  /** D289 query binding: depth-3 multi-feature tree on (price,
+    * quantity, discount) — one row per split node with the CHOSEN
+    * FEATURE alongside the threshold. The oracle replays all three
+    * levels as chained row-level CTE blocks (per-feature censuses by
+    * UNION ALL, the same shared-IEEE Gini text, argmin tie order
+    * wg → feature → bin), so every census integer, the feature
+    * choices, and the rounded Ginis are hash-exact. */
+  def p22TreeMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val design = multiDesign(spark, dir).scopedPersist()
+    val splits = fitTreeSplitsMulti(design, multiFeatures, 3)
+    splits.map(s => (if (s.node.isEmpty) "root" else s.node,
+        s.depth.toLong, s.feature.toLong, s.thresholdBin, s.n, s.pos,
+        s.wgRaw, s.pgRaw))
+      .toDF("node", "depth", "feature", "threshold_bin", "n_node",
+        "pos_node", "wg_raw", "pg_raw")
+      .select($"node", $"depth", $"feature", $"threshold_bin",
+        $"n_node", $"pos_node",
+        round($"pg_raw", 4).as("gini_node"),
+        round($"wg_raw", 4).as("gini_split"),
+        round($"pg_raw" - $"wg_raw", 4).as("gini_gain"))
+      .orderBy($"depth", $"node")
+  }
+
+  /** One multi-feature oracle level block off row-level assignment CTE
+    * am<i>: per-(node, feature, bin) censuses via UNION ALL, node
+    * totals, cumulative scan, shared-IEEE candidates, argmin. */
+  private def oracleLevelMulti(i: Int): String = {
+    val perFeature = multiFeatures.zipWithIndex.map { case (f, j) =>
+      s"""SELECT node, $j AS feature, $f AS bin,
+            CAST(count(*) AS BIGINT) AS cnt,
+            CAST(sum(y) AS BIGINT) AS p
+          FROM am$i GROUP BY node, $f"""
+    }.mkString("\n          UNION ALL ")
+    s"""hm$i AS ($perFeature),
+        tm$i AS (SELECT node, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS pos FROM am$i GROUP BY node),
+        cm$i AS (SELECT node, feature, bin,
+            CAST(sum(cnt) OVER (PARTITION BY node, feature ORDER BY bin)
+              AS BIGINT) AS nl,
+            CAST(sum(p) OVER (PARTITION BY node, feature ORDER BY bin)
+              AS BIGINT) AS pl
+          FROM hm$i),
+        fm$i AS (SELECT c.node, c.feature, c.bin, c.nl, c.pl,
+            c.nl - c.pl AS ql, t.n - c.nl AS nr, t.pos - c.pl AS pr,
+            (t.n - c.nl) - (t.pos - c.pl) AS qr,
+            t.n AS n, t.pos AS pos, t.n - t.pos AS neg
+          FROM cm$i c JOIN tm$i t USING (node) WHERE c.nl < t.n),
+        bm$i AS (SELECT node, feature, bin AS threshold_bin, n, pos,
+            $parentSql AS pg, $wgSql AS wg,
+            row_number() OVER (PARTITION BY node
+              ORDER BY $wgSql, feature, bin) AS rk
+          FROM fm$i),
+        sm$i AS (SELECT node, feature, threshold_bin FROM bm$i
+          WHERE rk = 1)"""
+  }
+
+  /** Route level-i survivors one step deeper by each node's chosen
+    * (feature, threshold) — the CASE dereferences the row's value of
+    * THAT feature (inner join: unsplit nodes stop). */
+  private def oracleAssignMulti(i: Int): String =
+    s"""am$i AS (SELECT a.node ||
+            CASE WHEN (CASE s.feature WHEN 0 THEN a.f0
+                WHEN 1 THEN a.f1 ELSE a.f2 END) <= s.threshold_bin
+              THEN 'L' ELSE 'R' END AS node,
+            a.f0, a.f1, a.f2, a.y
+          FROM am${i - 1} a JOIN sm${i - 1} s ON a.node = s.node)"""
+
+  private def oracleBestMulti(i: Int): String =
+    s"""SELECT CASE WHEN node = '' THEN 'root' ELSE node END AS node,
+          CAST($i AS BIGINT) AS depth, CAST(feature AS BIGINT) AS feature,
+          threshold_bin, n AS n_node, pos AS pos_node,
+          round(pg, 4) AS gini_node, round(wg, 4) AS gini_split,
+          round(pg - wg, 4) AS gini_gain
+        FROM bm$i WHERE rk = 1"""
+
   /** One oracle level block: census → cumulative → candidates → best
     * split per node, off assignment CTE a<i>. */
   private def oracleLevel(i: Int): String =
@@ -254,9 +432,28 @@ object Stump {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p17_stump" -> p17Stump,
     "p19_tree2" -> p19Tree2,
-    "p20_tree3" -> p20Tree3)
+    "p20_tree3" -> p20Tree3,
+    "p22_tree_multi" -> p22TreeMulti)
 
   val oracle: Map[String, String] = Map(
+    "p22_tree_multi" ->
+      s"""WITH r AS (SELECT
+              CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS f0,
+              CAST(l_quantity AS BIGINT) AS f1,
+              CAST(floor(l_discount * 100.0) AS BIGINT) AS f2,
+              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem),
+          am0 AS (SELECT '' AS node, f0, f1, f2, y FROM r),
+          ${oracleLevelMulti(0)},
+          ${oracleAssignMulti(1)},
+          ${oracleLevelMulti(1)},
+          ${oracleAssignMulti(2)},
+          ${oracleLevelMulti(2)}
+          SELECT node, depth, feature, threshold_bin, n_node, pos_node,
+            gini_node, gini_split, gini_gain
+          FROM (${oracleBestMulti(0)} UNION ALL ${oracleBestMulti(1)}
+            UNION ALL ${oracleBestMulti(2)})
+          ORDER BY depth, node""",
     "p20_tree3" ->
       s"""WITH r AS (SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT)
               AS bin,

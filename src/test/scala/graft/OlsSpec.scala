@@ -954,4 +954,231 @@ class OlsSpec extends AnyFunSuite {
     assert(eBack.getOrDefault(eBack.maxDepth) == 2 &&
       eBack.get(eBack.featuresCol).contains("price"))
   }
+
+  /** Brute multi-feature recursive split search (independent of the
+    * engine's window/explode formulation): rows carry the FULL feature
+    * vector, each node argmins weighted Gini across every (feature,
+    * bin) candidate with tie order wg -> feature -> bin. */
+  private def bruteTreeMulti(rows: Seq[(IndexedSeq[Long], Long)],
+      maxDepth: Int)
+      : Seq[(String, Int, Int, Long, Long, Long, Double, Double)] = {
+    val k = rows.head._1.length
+    def gini(p: Long, q: Long, m: Long) =
+      1.0 - (p.toDouble / m.toDouble) * (p.toDouble / m.toDouble) -
+        (q.toDouble / m.toDouble) * (q.toDouble / m.toDouble)
+    def best(sub: Seq[(IndexedSeq[Long], Long)])
+        : Option[(Int, Long, Long, Long, Double, Double)] = {
+      val n = sub.length.toLong; val pos = sub.map(_._2).sum
+      def wg(nl: Long, pl: Long) = {
+        val nr = n - nl; val pr = pos - pl
+        (nl.toDouble * gini(pl, nl - pl, nl) +
+          nr.toDouble * gini(pr, nr - pr, nr)) / n.toDouble
+      }
+      val cands = (0 until k).flatMap { f =>
+        val hist = sub.groupBy(_._1(f)).view
+          .mapValues(v => (v.length.toLong, v.map(_._2).sum))
+          .toSeq.sortBy(_._1)
+        var nl = 0L; var pl = 0L
+        hist.map { case (bin, (c, p)) =>
+          nl += c; pl += p; (f, bin, nl, pl)
+        }.filter(_._3 < n)
+      }
+      if (cands.isEmpty) None
+      else {
+        val b = cands.minBy(c => (wg(c._3, c._4), c._1, c._2))
+        Some((b._1, b._2, n, pos, gini(pos, n - pos, n), wg(b._3, b._4)))
+      }
+    }
+    def rec(path: String, sub: Seq[(IndexedSeq[Long], Long)], d: Int)
+        : Seq[(String, Int, Int, Long, Long, Long, Double, Double)] =
+      if (d >= maxDepth) Seq.empty
+      else best(sub) match {
+        case None => Seq.empty
+        case Some((f, t, n, p, pg, wg)) =>
+          (path, d, f, t, n, p, pg, wg) +:
+            (rec(path + "L", sub.filter(_._1(f) <= t), d + 1) ++
+              rec(path + "R", sub.filter(_._1(f) > t), d + 1))
+      }
+    rec("", rows, 0)
+  }
+
+  private def multiRows(): Seq[(IndexedSeq[Long], Long)] = {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.operators.Stump.multiDesign(spark, sf).collect()
+      .map(r => (IndexedSeq(r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toSeq
+  }
+
+  test("p22 multi-feature tree equals a brute argmin across all feature histograms") {
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = multiRows()
+    val expected = bruteTreeMulti(rows, 3)
+      .map { case (nm, d, f, t, n, p, pg, wg) =>
+        (if (nm.isEmpty) "root" else nm, d.toLong, f.toLong, t, n, p,
+          r4(pg), r4(wg), r4(pg - wg))
+      }.sortBy(e => (e._2, e._1))
+    val got = graft.operators.Stump.p22TreeMulti(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the search genuinely arbitrates: at least two distinct features
+    // must be chosen somewhere in the depth-3 table (price/quantity/
+    // discount have very different Gini profiles on the fixture)
+    assert(got.map(_._3).distinct.length >= 2,
+      s"argmin never left one feature: ${got.map(_._3)}")
+    // census identities per split node
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val splits = graft.operators.Stump.fitTreeSplitsMulti(
+      graft.operators.Stump.multiDesign(spark, sf),
+      graft.operators.Stump.multiFeatures, 3)
+    val byNode = splits.map(x => x.node -> x).toMap
+    splits.foreach { x =>
+      assert(x.nl + x.nr == x.n && x.pl + x.pr == x.pos)
+      byNode.get(x.node + "L").foreach(c =>
+        assert(c.n == x.nl && c.pos == x.pl))
+      byNode.get(x.node + "R").foreach(c =>
+        assert(c.n == x.nr && c.pos == x.pr))
+    }
+  }
+
+  test("p23 multi-feature GBT equals a brute residual replay over the feature vectors") {
+    val rows = multiRows()
+    val S = graft.operators.Gbt.shiftFor(graft.operators.Gbt.gbtRounds)
+    val n = rows.length.toLong
+    val pos = rows.map(_._2).sum
+    val f0 = pos * 1000L / n
+    // per-ROW prediction (multi-feature routing makes per-bin F
+    // ill-defined — the very reason the engine re-censuses per round)
+    var fRow: IndexedSeq[Long] = IndexedSeq.fill(rows.length)(f0)
+    var expected = Vector.empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    for (t <- 1 to graft.operators.Gbt.gbtRounds) {
+      val rr = rows.indices.map(i => rows(i)._2 * 1000L - fRow(i))
+      val srT = rr.sum
+      val srrT = rr.map(x => x * x).sum
+      val cands = (0 until 3).flatMap { f =>
+        val byBin = rows.indices.groupBy(i => rows(i)._1(f)).toSeq
+          .sortBy(_._1)
+        var nl = 0L; var srl = 0L; var srrl = 0L
+        byBin.map { case (bin, idx) =>
+          nl += idx.length; srl += idx.map(rr).sum
+          srrl += idx.map(i => rr(i) * rr(i)).sum
+          (f, bin, nl, srl, srrl)
+        }.filter(_._3 < n)
+      }
+      def sse(c: (Int, Long, Long, Long, Long)): Double = {
+        val (_, _, cnl, csrl, csrrl) = c
+        val cnr = n - cnl; val csrr = srT - csrl; val csrrr = srrT - csrrl
+        (csrrl.toDouble - csrl.toDouble * csrl.toDouble / cnl.toDouble) +
+          (csrrr.toDouble - csrr.toDouble * csrr.toDouble / cnr.toDouble)
+      }
+      val b = cands.minBy(c => (sse(c), c._1, c._2))
+      val (bf, thr, bnl, bsrl, _) = b
+      val bnr = n - bnl; val bsrr = srT - bsrl
+      val vl = (bsrl + bnl * S) / bnl - S
+      val vr = (bsrr + bnr * S) / bnr - S
+      val dl = (vl + S) / 2L - S / 2L
+      val dr = (vr + S) / 2L - S / 2L
+      fRow = rows.indices.map(i =>
+        fRow(i) + (if (rows(i)._1(bf) <= thr) dl else dr))
+      val sseAfter = rows.indices.map { i =>
+        val d2 = rows(i)._2 * 1000L - fRow(i); d2 * d2 }.sum
+      expected :+= ((t.toLong, bf.toLong, thr, bnl, bnr, vl, vr, sseAfter))
+    }
+    val got = graft.operators.Gbt.p23GbtMulti(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toVector
+    assert(got == expected)
+    // SSE non-increasing round over round
+    val sse0 = rows.indices.map { i =>
+      val d2 = rows(i)._2 * 1000L - f0; d2 * d2 }.sum
+    (sse0 +: got.map(_._8)).sliding(2).foreach(w =>
+      assert(w(1) <= w(0), s"SSE increased: ${w(0)} -> ${w(1)}"))
+  }
+
+  test("GraftTree/GraftGBT featureCols: multi-feature fit, scoring, persistence") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ml.feature.{GraftGBT, GraftGBTModel, GraftTree, GraftTreeModel}
+    // raw columns pre-scaled so binWidths of (100, 1, 1) reproduce the
+    // p22/p23 design bins exactly (disc*100 floors identically)
+    val design = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice".as("price"),
+        $"l_quantity".cast("double").as("qty"),
+        ($"l_discount" * 100.0).as("disc100"),
+        ($"l_returnflag" === "R").cast("long").as("label"))
+    val feats = Array("price", "qty", "disc100")
+    val widths = Array(100.0, 1.0, 1.0)
+    val tree = new GraftTree().setMaxDepth(3).setFeatureCols(feats)
+      .setBinWidths(widths).setLabelCol("label").fit(design)
+    // the fitted split table IS p22's oracle-gated output
+    val p22 = graft.operators.Stump.p22TreeMulti(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      .toSeq
+    assert(tree.splits.map(s => (if (s.node.isEmpty) "root" else s.node,
+      s.feature.toLong, s.thresholdBin)).sortBy(_._1).toSeq == p22)
+    // codegen scoring routes on the CHOSEN feature per node
+    val byNode = tree.splits.map(s => s.node -> s).toMap
+    def leafRate(bins: IndexedSeq[Long]): Double = {
+      var p = ""
+      while (byNode.contains(p)) {
+        val s = byNode(p)
+        p += (if (bins(s.feature) <= s.thresholdBin) "L" else "R")
+      }
+      val s = byNode(p.dropRight(1))
+      if (p.last == 'L') s.pl.toDouble / s.nl.toDouble
+      else s.pr.toDouble / s.nr.toDouble
+    }
+    val sample = tree.transform(design)
+      .select(floor($"price" / 100.0).cast("long"),
+        floor($"qty").cast("long"), floor($"disc100").cast("long"),
+        $"probability").limit(300).collect()
+    sample.foreach { r =>
+      val want = leafRate(IndexedSeq(r.getLong(0), r.getLong(1),
+        r.getLong(2)))
+      assert(r.getDouble(3) == want)
+    }
+    // persistence keeps the feature indices and the array params
+    val tdir = java.nio.file.Files.createTempDirectory("graft_treem").toString
+    tree.write.overwrite().save(tdir)
+    val tBack = GraftTreeModel.load(tdir)
+    assert(tBack.splits.toSeq == tree.splits.toSeq)
+    assert(tBack.getOrDefault(tBack.featureCols).toSeq == feats.toSeq)
+    assert(tBack.getOrDefault(tBack.binWidths).toSeq == widths.toSeq)
+    val pa = tree.transform(design).agg(sum($"probability")).head.getDouble(0)
+    val pb = tBack.transform(design).agg(sum($"probability")).head.getDouble(0)
+    assert(pa == pb)
+    // GBT: fitted rounds ARE p23's oracle-gated output, scoring exact
+    val gbt = new GraftGBT().setMaxIter(3).setFeatureCols(feats)
+      .setBinWidths(widths).setLabelCol("label").fit(design)
+    val p23 = graft.operators.Gbt.p23GbtMulti(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(gbt.rounds.toSeq.map(r => (r.round.toLong, r.feature.toLong,
+      r.thresholdBin, r.nLeft, r.nRight, r.vLeft, r.vRight,
+      r.sseAfter)) == p23)
+    def walk(bins: IndexedSeq[Long]): Long =
+      gbt.rounds.foldLeft(gbt.baseF) { (f, r) =>
+        val (dl, dr) = graft.operators.Gbt.adjustments(r)
+        f + (if (bins(r.feature) <= r.thresholdBin) dl else dr)
+      }
+    val gsample = gbt.transform(design)
+      .select(floor($"price" / 100.0).cast("long"),
+        floor($"qty").cast("long"), floor($"disc100").cast("long"),
+        $"probability", $"prediction").limit(300).collect()
+    gsample.foreach { r =>
+      val f = walk(IndexedSeq(r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(r.getDouble(3) == f.toDouble / 1000.0)
+      assert(r.getLong(4) == (if (f >= 500L) 1L else 0L))
+    }
+    val gdir = java.nio.file.Files.createTempDirectory("graft_gbtm").toString
+    gbt.write.overwrite().save(gdir)
+    val gBack = GraftGBTModel.load(gdir)
+    assert(gBack.rounds.toSeq == gbt.rounds.toSeq &&
+      gBack.baseF == gbt.baseF)
+    assert(gBack.getOrDefault(gBack.featureCols).toSeq == feats.toSeq)
+  }
 }

@@ -310,7 +310,12 @@ class PlanSpec extends AnyFunSuite {
       "e23_snapshot_feed",
       // q113 crosses the calendar-bounded rolled frame with its 1-row
       // grand-total level (q43 shape)
-      "q113_drilldown")
+      "q113_drilldown",
+      // p22/p23 cross each level's/round's domain-bounded per-feature
+      // histogram with its ≤2^depth-row (resp. ONE-row) totals frame
+      // (the p20/p21 shape); their outputs are driver-assembled ≤7-
+      // and 3-row tables
+      "p22_tree_multi", "p23_gbt_multi")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (boundedByDesign(name)) None
       else {
