@@ -218,9 +218,9 @@ object Bench {
         (if (trunc) s""""queries_truncated":true,""" else "") +
         s""""failed":$failedJson,"sf":"$sfName"}"""
     val maxLine = 1800
-    val line = {
-      val full = lineFor(shortMins, trunc = false)
-      if (full.length <= maxLine) full
+    val fullLine = lineFor(shortMins, trunc = false)
+    val line =
+      if (fullLine.length <= maxLine) fullLine
       else {
         // drop fastest-first until the line fits
         var kept = shortMins.toSeq.sortBy(-_._2)
@@ -231,7 +231,13 @@ object Bench {
         }
         out
       }
-    }
+    // The COMPLETE artifact always goes to a file (round-13 verdict
+    // "What's wrong #1": the stdout keep-window clipped the per-query
+    // map to 149/301 entries, blinding round-over-round regression
+    // reads on half the surface) — BENCH_rN.json is copied from here,
+    // never parsed out of captured stdout.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""total_min":${num(totalMin)},""" +
       s""""queries":${jmap(att.medians)},"queries_min":${jmap(att.mins)},""" +
