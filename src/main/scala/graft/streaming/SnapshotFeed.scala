@@ -12,13 +12,16 @@ import graft.sources.{SnapshotTable, Tables}
 /** D278: the snapshot table's CHANGE FEED as a Structured Streaming
   * SOURCE — the read twin of [[graft.sources.SnapshotTable.streamAppend]]
   * (D255). Offsets are COMMITTED VERSION NUMBERS: each micro-batch is
-  * `changesBetween(lastVersion, latestVersion]` — the rows the
-  * data-changing commits in that range added (compaction commits are
-  * `#nodatachange` and emit nothing), each row carrying its
-  * `_commit_version`. This is what turns the table into a pipeline
-  * hub: one stream lands CDC into the table exactly-once, downstream
-  * streams consume the committed versions as ordered micro-batches —
-  * Delta's change-data-feed idea re-expressed over the manifest log.
+  * `changesBetween(lastVersion, latestVersion]` — the row-level
+  * changes the data-changing commits in that range made (compaction
+  * commits are `#nodatachange` and emit nothing), each row carrying
+  * its `_change_type` (D286: insert / update_preimage /
+  * update_postimage / delete) and `_commit_version`. This is what
+  * turns the table into a pipeline hub: one stream lands CDC into the
+  * table exactly-once, downstream streams consume the committed
+  * versions as ordered micro-batches — Delta's change-data-feed idea
+  * (CDF files written at merge/delete commit time) re-expressed over
+  * the manifest log.
   *
   * Exactly-once, both directions: upstream, a retried appendBatch
   * commits nothing (manifest batch tag), so there is no version to
