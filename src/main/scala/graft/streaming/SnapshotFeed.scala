@@ -95,10 +95,72 @@ object SnapshotFeed {
       .orderBy($"_commit_version")
   }
 
+  /** e24 (D286/D287's oracle anchor): row-level change-type census —
+    * build a scratch snapshot table from orders (v1 = keys ≢3 mod 4),
+    * apply a stats-pruned MERGE (v2: keys ≡0 mod 5 at half price —
+    * updates for keys already present, inserts for the rest) and a
+    * DELETE WHERE (v3: keys in [1000, 3000]), then census the change
+    * feed per (commit version, change type): exact row counts and
+    * cents. The oracle replays the same modular algebra relationally
+    * (join = update pre/post pair, anti-join = insert, post-merge
+    * state ∩ range = delete), so every count and cent — including the
+    * IEEE half-price postimages — is hash-exact. What this gates: the
+    * feed surfaces EXACTLY the changed rows of copy-on-write commits
+    * (no rewritten-survivor leakage — those would inflate the v2
+    * censuses), with the right images on each side. */
+  def e24CdfCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+    val table = scratchPath(spark, dir) + "_e24"
+    val tPath = new org.apache.hadoop.fs.Path(table)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tPath, true)
+    SnapshotTable.writeSnapshot(orders.filter($"o_orderkey" % 4 =!= 3),
+      table)
+    SnapshotTable.mergePruned(
+      orders.filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", ($"o_totalprice" * 0.5).as("o_totalprice")),
+      table, "o_orderkey")
+    SnapshotTable.deleteWhere(spark, table, "o_orderkey",
+      BigDecimal(1000), BigDecimal(3000))
+    SnapshotTable.changesBetween(spark, table, 0L)
+      .groupBy($"_commit_version", $"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"_commit_version", $"_change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e23_snapshot_feed" -> e23SnapshotFeed)
+    "e23_snapshot_feed" -> e23SnapshotFeed,
+    "e24_cdf_census" -> e24CdfCensus)
 
   val oracle: Map[String, String] = Map(
+    "e24_cdf_census" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
+             FROM orders WHERE o_orderkey % 4 <> 3),
+           upd AS (SELECT o_orderkey AS k, o_totalprice * 0.5 AS p
+             FROM orders WHERE o_orderkey % 5 = 0),
+           s2 AS (SELECT b.k, b.p FROM base b
+               WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = b.k)
+             UNION ALL SELECT k, p FROM upd),
+           feed AS (
+             SELECT CAST(1 AS BIGINT) AS v, 'insert' AS ct, p FROM base
+             UNION ALL
+             SELECT 2, 'update_preimage', b.p FROM base b
+               JOIN upd u ON u.k = b.k
+             UNION ALL
+             SELECT 2, 'update_postimage', u.p FROM upd u
+               JOIN base b ON b.k = u.k
+             UNION ALL
+             SELECT 2, 'insert', u.p FROM upd u
+               WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = u.k)
+             UNION ALL
+             SELECT 3, 'delete', p FROM s2 WHERE k BETWEEN 1000 AND 3000)
+           SELECT v AS _commit_version, ct AS _change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
     "e23_snapshot_feed" ->
       """SELECT (o_orderkey % 3) + 1 AS _commit_version,
            CAST(count(*) AS BIGINT) AS n_orders,
