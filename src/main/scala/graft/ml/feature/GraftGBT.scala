@@ -266,7 +266,23 @@ object GraftGBTModel extends MLReadable[GraftGBTModel] {
     override def load(path: String): GraftGBTModel = {
       val spark = sparkSession
       import spark.implicits._
-      val d = spark.read.parquet(s"$path/data").as[GBTModelData].head()
+      // artifacts persisted before the multi-feature round lack the
+      // nested `feature` field, and `.as[T]` does NOT apply Scala
+      // default values (round-14 advisory) — backfill feature = 0
+      // (the single-feature reading) before decoding
+      var raw = spark.read.parquet(s"$path/data")
+      val elem = raw.schema("rounds").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (!elem.fieldNames.contains("feature"))
+        raw = raw.withColumn("rounds",
+          org.apache.spark.sql.functions.expr(
+            "transform(rounds, r -> struct(r.round AS round, " +
+              "r.thresholdBin AS thresholdBin, r.nLeft AS nLeft, " +
+              "r.nRight AS nRight, r.vLeft AS vLeft, " +
+              "r.vRight AS vRight, r.sseAfter AS sseAfter, " +
+              "0 AS feature))"))
+      val d = raw.as[GBTModelData].head()
       val m = new GraftGBTModel(d.params.uid, d.baseF,
         d.rounds.map(r => Gbt.GbtRound(r.round, r.thresholdBin, r.nLeft,
           r.nRight, r.vLeft, r.vRight, r.sseAfter, r.feature)).toArray)

@@ -306,7 +306,23 @@ object GraftTreeModel extends MLReadable[GraftTreeModel] {
     override def load(path: String): GraftTreeModel = {
       val spark = sparkSession
       import spark.implicits._
-      val d = spark.read.parquet(s"$path/data").as[TreeModelData].head()
+      // artifacts persisted before the multi-feature round lack the
+      // nested `feature` field, and `.as[T]` does NOT apply Scala
+      // default values (round-14 advisory) — backfill feature = 0
+      // (the single-feature reading) before decoding
+      var raw = spark.read.parquet(s"$path/data")
+      val elem = raw.schema("splits").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[StructType]
+      if (!elem.fieldNames.contains("feature"))
+        raw = raw.withColumn("splits",
+          org.apache.spark.sql.functions.expr(
+            "transform(splits, s -> struct(s.node AS node, " +
+              "s.depth AS depth, s.thresholdBin AS thresholdBin, " +
+              "s.n AS n, s.pos AS pos, s.nl AS nl, s.pl AS pl, " +
+              "s.nr AS nr, s.pr AS pr, s.wgRaw AS wgRaw, " +
+              "s.pgRaw AS pgRaw, 0 AS feature))"))
+      val d = raw.as[TreeModelData].head()
       val m = new GraftTreeModel(d.params.uid,
         d.splits.map(s => Stump.TreeSplit(s.node, s.depth, s.thresholdBin,
           s.n, s.pos, s.nl, s.pl, s.nr, s.pr, s.wgRaw, s.pgRaw,

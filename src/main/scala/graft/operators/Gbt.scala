@@ -46,12 +46,32 @@ object Gbt {
     * negative — where floor and truncation would disagree). */
   val gbtShift = 8000L
 
-  /** Most boosting rounds the exact-integer arithmetic supports: the
-    * worst-case drift envelope at 25 rounds (~5.0e7) keeps the squared
-    * residual census inside Long for any corpus that fits an int row
-    * count — requested rounds past this fail loudly at fit time (and
-    * [[graft.ml.feature.GraftGBT]] validates maxIter against it). */
+  /** Most boosting rounds the SHIFT arithmetic supports (the ±S
+    * nonnegative-division margin, [[shiftFor]]). NOTE this is not by
+    * itself a Long-overflow guarantee for the squared-residual census:
+    * at the 25-round worst-case drift (~5.0e7) each row's rr² can
+    * reach ~2.5e15, so ~3.6k rows would already saturate Long.MaxValue
+    * (round-14 advisory — the old comment claimed int-row-count
+    * safety). The ROW-COUNT-AWARE envelope is enforced at fit time by
+    * [[requireSseEnvelope]]: at the default 3 rounds the worst-case
+    * |residual| is ≤ 8750, admitting ~1.2e11 rows — any realistic
+    * corpus — and the admissible row count shrinks as 1.5^-2T. */
   val gbtMaxRounds = 25
+
+  /** Fail-fast guard that the exact-integer Σrr² census cannot wrap
+    * Long at this (row count, rounds) pair — a wrapped (non-ANSI) sum
+    * would silently mis-select splits, unlike the loud drift require
+    * (round-14 advisory). Worst-case |F| drift after T ½-rate rounds
+    * is < 1000 + 2000·1.5^T (each round's adjustment is bounded by
+    * half the residual bound), so |rr| = |y·1000 − F| < 2000·1.5^T +
+    * 3000. */
+  private[graft] def requireSseEnvelope(n: Long, rounds: Int): Unit = {
+    val rrBound = 3000.0 + 2000.0 * math.pow(1.5, rounds)
+    require(n.toDouble * rrBound * rrBound < Long.MaxValue.toDouble * 0.98,
+      s"exact-integer SSE census could overflow Long: $n rows x " +
+        s"$rounds rounds (worst-case |residual| ~ ${rrBound.toLong}) — " +
+        "reduce the round count")
+  }
 
   /** Round-count-scaled shift (round-13 advisory: the fixed 8000 was
     * sized for 3 rounds; a user-set round count past ~5 could trip the
@@ -113,10 +133,18 @@ object Gbt {
     import org.apache.spark.sql.expressions.Window
     val S = shiftFor(rounds)
     // F0 = global mean label on the per-mille grid (floor)
+    // null bins (a null feature value) would census into the LEFT
+    // cumulative (nulls sort first) while `bin <= thr` routing sends
+    // those rows RIGHT — reject them up front rather than fit a model
+    // whose censuses disagree with its own routing (round-14 advisory)
+    require(hist.filter($"bin".isNull).isEmpty,
+      "null feature bins in the GBT design: feature columns must be " +
+        "non-null (filter or impute before fitting)")
     val t0 = hist.agg(sum($"cnt"), sum($"p")).head()
     val nAll = t0.getLong(0)
     val posAll = t0.getLong(1)
     require(nAll > 0, "empty histogram")
+    requireSseEnvelope(nAll, rounds)
     val f0 = posAll * 1000L / nAll
     var decisions = Vector.empty[(Long, Long, Long)] // (thr, dl, dr)
     var out = Vector.empty[GbtRound]
@@ -198,9 +226,16 @@ object Gbt {
     import org.apache.spark.sql.expressions.Window
     require(featureCols.nonEmpty, "need at least one feature column")
     val S = shiftFor(rounds)
+    // reject null feature bins up front: they'd census LEFT in the
+    // cumulative window but route RIGHT at scoring (round-14 advisory)
+    require(design.filter(featureCols.map(col(_).isNull)
+        .reduce(_ || _)).isEmpty,
+      "null feature bins in the GBT design: feature columns must be " +
+        "non-null (filter or impute before fitting)")
     val t0 = design.agg(count(lit(1)), sum($"y")).head()
     val nAll = t0.getLong(0)
     require(nAll > 0, "empty design")
+    requireSseEnvelope(nAll, rounds)
     val posAll = t0.getLong(1)
     val f0 = posAll * 1000L / nAll
     var decisions = Vector.empty[(Int, Long, Long, Long)] // (ft, thr, dl, dr)

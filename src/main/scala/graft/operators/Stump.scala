@@ -111,6 +111,14 @@ object Stump {
     import hist.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     require(maxDepth >= 1, "maxDepth must be >= 1")
+    // a null bin would census into the LEFT cumulative (nulls sort
+    // first in the window) while `bin <= thr` routing sends the row
+    // RIGHT — and a null winning the argmin would NPE at getLong.
+    // Fail fast instead (round-14 advisory); the check is one limit-1
+    // probe of the domain-bounded histogram.
+    require(hist.filter($"bin".isNull).isEmpty,
+      "null feature bins in the tree design: the feature column must " +
+        "be non-null (filter or impute before fitting)")
     var splits = Vector.empty[TreeSplit]
     var d = 0
     var open = true
@@ -165,6 +173,12 @@ object Stump {
     import org.apache.spark.sql.expressions.Window
     require(maxDepth >= 1, "maxDepth must be >= 1")
     require(featureCols.nonEmpty, "need at least one feature column")
+    // null feature bins census LEFT but route RIGHT (round-14
+    // advisory) — reject them before fitting anything
+    require(design.filter(featureCols.map(col(_).isNull)
+        .reduce(_ || _)).isEmpty,
+      "null feature bins in the tree design: feature columns must be " +
+        "non-null (filter or impute before fitting)")
     var splits = Vector.empty[TreeSplit]
     var d = 0
     var open = true

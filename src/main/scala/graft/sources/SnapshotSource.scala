@@ -132,6 +132,11 @@ private[graft] object SnapshotFileIndex {
     case l: Long => Some(BigDecimal(l))
     case s: Short => Some(BigDecimal(s.toInt))
     case b: Byte => Some(BigDecimal(b.toInt))
+    // non-finite float literals (WHERE x > CAST('Infinity' AS DOUBLE))
+    // have no BigDecimal form — degrade that conjunct to no-pruning
+    // instead of throwing inside listFiles (round-14 advisory)
+    case f: Float if f.isNaN || f.isInfinite => None
+    case d: Double if d.isNaN || d.isInfinite => None
     case f: Float => Some(BigDecimal(f.toDouble))
     case d: Double => Some(BigDecimal(d))
     case d: Decimal => Some(d.toBigDecimal)
