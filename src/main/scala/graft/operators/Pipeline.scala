@@ -1120,7 +1120,51 @@ object Pipeline {
       .toDF("stage", "n_vecs", "n_cells", "max_share", "drift")
   }
 
+  /** D291/D292: the graft-snapshot WRITE path + date-partitioned
+    * pruned reads, oracle-gated — the round-14 asks #1 and #7 landed
+    * as one query. Builds a MONTH-partitioned snapshot table from
+    * orders entirely through `df.write.format("graft-snapshot")`
+    * (pre-1995 months as the initial overwrite with an explicit
+    * layout, 1995+ as a plain append that INHERITS it), then reads
+    * 1994 back through the format with a plain
+    * `WHERE m BETWEEN DATE…` — which prunes to the 12 intersecting
+    * month partitions from the manifest's recorded ISO date stats,
+    * zero footer reads (SinksSpec gates the planned-file reduction;
+    * this query gates the VALUES against DuckDB re-aggregating
+    * orders directly, so a pruning bug that dropped or duplicated a
+    * file cannot hash-match).
+    *
+    * Scale shape: the writes are two linear passes landing one file
+    * per month value; the read plans 12 files out of ~80+ from ONE
+    * manifest read — the time-partitioned-fact seek that motivates
+    * the whole format (at 100 TB: a month of files out of a decade).
+    * Month strings (not DATE values) ride the output so the
+    * cross-engine hash never touches date encodings. */
+  def c23DateSeek(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice",
+        date_trunc("month", $"o_orderdate").cast("date").as("m"))
+    val table = snapScratchPath(spark, dir) + "_c23"
+    val tPath = new org.apache.hadoop.fs.Path(table)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tPath, true)
+    orders.filter(year($"m") < 1995)
+      .write.format("graft-snapshot").mode("overwrite")
+      .option("partitionCols", "m").save(table)
+    orders.filter(year($"m") >= 1995)
+      .write.format("graft-snapshot").mode("append").save(table)
+    spark.read.format("graft-snapshot").load(table)
+      .filter($"m".between(lit("1994-01-01").cast("date"),
+        lit("1994-12-01").cast("date")))
+      .groupBy(date_format($"m", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_date_seek" -> c23DateSeek,
     "c22_incremental_refresh" -> c22IncrementalRefresh,
     "c21_index_lifecycle" -> c21IndexLifecycle,
     "c20_snapshot_diff" -> c20SnapshotDiff,
@@ -1222,6 +1266,16 @@ object Pipeline {
           FROM v${r - 1} CROSS JOIN (SELECT x, y FROM b$r WHERE rn = 1))"""
 
   val oracle: Map[String, String] = Map(
+    "c23_date_seek" ->
+      """SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE),
+             '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders
+         WHERE CAST(date_trunc('month', o_orderdate) AS DATE)
+           BETWEEN DATE '1994-01-01' AND DATE '1994-12-01'
+         GROUP BY 1 ORDER BY 1""",
     "c21_index_lifecycle" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                 FROM embeddings),

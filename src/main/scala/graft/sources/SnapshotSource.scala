@@ -6,10 +6,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.{ByteType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
-import graft.sources.SnapshotTable.{SnapshotEquals, SnapshotIn, SnapshotPredicate, SnapshotRange}
+import graft.sources.SnapshotTable.{SnapshotEquals, SnapshotIn, SnapshotPredicate, SnapshotRange, SnapshotStrRange}
 
 /** D288: the snapshot table's BATCH read as a registered data source —
   * `spark.read.format("graft-snapshot").load(path)` with `versionAsOf`
@@ -33,9 +34,45 @@ import graft.sources.SnapshotTable.{SnapshotEquals, SnapshotIn, SnapshotPredicat
   * (the scan still evaluates them row-wise), so results are always
   * identical to an unpruned read.
   */
-class SnapshotSourceProvider extends RelationProvider with DataSourceRegister {
+class SnapshotSourceProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** The WRITE path through the format (round-14 verdict ask #7):
+    * `df.write.format("graft-snapshot").mode("append"/"overwrite")
+    * .save(path)` commits through the same atomic manifest protocol
+    * as the Scala API — append inherits the table's partition layout
+    * (like [[SnapshotTable.appendSnapshot]]); an explicit layout for
+    * a new/overwritten table rides the `partitionCols` option
+    * (comma-separated; the V1 writer interface has no partitioning
+    * slot). ErrorIfExists fails on any committed version; Ignore
+    * commits only when the table does not exist yet. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot needs a 'path' option (or save(path))"))
+    val partCols = parameters.get("partitionCols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val exists = SnapshotTable.versions(spark, path).nonEmpty
+    def write(overwrite: Boolean): Unit =
+      if (partCols.nonEmpty)
+        SnapshotTable.writeSnapshotPartitionedMulti(data, path, partCols,
+          overwrite = overwrite)
+      else SnapshotTable.writeSnapshot(data, path, overwrite = overwrite)
+    mode match {
+      case SaveMode.Append => write(overwrite = false)
+      case SaveMode.Overwrite => write(overwrite = true)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"snapshot table already exists at $path (ErrorIfExists)")
+        write(overwrite = true)
+      case SaveMode.Ignore => if (!exists) write(overwrite = true)
+    }
+    createRelation(sqlContext, parameters - "partitionCols")
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -149,48 +186,134 @@ private[graft] object SnapshotFileIndex {
   private val NegInf = BigDecimal("-1e6000")
   private val PosInf = BigDecimal("1e6000")
 
+  /** ISO `yyyy-MM-dd` form of a Catalyst DateType literal (an Int of
+    * days since epoch) — the manifest's recorded date stat form. */
+  private def isoDate(days: Int): String =
+    java.time.LocalDate.ofEpochDay(days.toLong).toString
+
+  /** Spark's zone-free cast-to-string form of a TimestampNTZType
+    * literal (a Long of epoch micros): seconds, then the micros
+    * fraction with trailing zeros trimmed — the manifest's recorded
+    * NTZ stat form, so lexicographic comparison against stats is
+    * order-consistent. */
+  private def ntzForm(micros: Long): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val frac = Math.floorMod(micros, 1000000L)
+    if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  /** One-sided string-range sentinels: "" sorts before every stat
+    * string, "￿" after every ISO date/timestamp form. */
+  private val StrMin = ""
+  private val StrMax = "￿"
+
   /** Catalyst conjunct → manifest predicate, where expressible.
     * Comparisons translate to (possibly one-sided) ranges — exact on
     * integral stats, ulp-widened on floating ([[SnapshotTable]]'s
     * conservative rule); string equality/IN translate to the
-    * min==max partition signature. Anything else returns Nil = no
-    * pruning from that conjunct (never wrong, just unpruned): Spark
-    * still evaluates every pushed filter row-wise. Strictness of
-    * `<` vs `<=` is deliberately dropped — a boundary file survives
-    * pruning and its rows are filtered by the scan. */
+    * min==max partition signature. DATE conjuncts translate to
+    * lexicographic ranges over the recorded ISO strings (exact —
+    * ISO order is date order); TIMESTAMP conjuncts to micros ranges
+    * (the zone-free recorded form); TIMESTAMP_NTZ to its zone-free
+    * string form. Anything else returns Nil = no pruning from that
+    * conjunct (never wrong, just unpruned): Spark still evaluates
+    * every pushed filter row-wise. Strictness of `<` vs `<=` is
+    * deliberately dropped — a boundary file survives pruning and its
+    * rows are filtered by the scan. */
   private[graft] def translate(e: Expression,
       schema: StructType): Seq[SnapshotPredicate] = {
-    def isNumeric(name: String): Boolean =
-      schema.fields.find(_.name == name).map(_.dataType).exists {
-        case ByteType | ShortType | IntegerType | LongType |
-             FloatType | DoubleType | _: DecimalType => true
-        case _ => false
-      }
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    def typeOf(name: String) =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def isNumeric(name: String): Boolean = typeOf(name).exists {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
     def strForm(v: Any): String = v match {
       case null => ""
       case u => u.toString // UTF8String/number → Spark CAST-AS-STRING form
     }
+    // the (lo, hi) form of one comparison against a literal, by the
+    // column's type; None = untranslatable (no pruning)
+    def range(name: String, v: Any, lo: Boolean,
+        hi: Boolean): Option[SnapshotPredicate] = typeOf(name) match {
+      case Some(DateType) => v match {
+        case days: Int => Some(SnapshotStrRange(name,
+          if (lo) isoDate(days) else StrMin,
+          if (hi) isoDate(days) else StrMax))
+        case _ => None
+      }
+      case Some(TimestampType) => v match {
+        case us: Long => Some(SnapshotRange(name,
+          if (lo) BigDecimal(us) else NegInf,
+          if (hi) BigDecimal(us) else PosInf))
+        case _ => None
+      }
+      case Some(TimestampNTZType) => v match {
+        case us: Long => Some(SnapshotStrRange(name,
+          if (lo) ntzForm(us) else StrMin,
+          if (hi) ntzForm(us) else StrMax))
+        case _ => None
+      }
+      case _ if isNumeric(name) => toDecimal(v).map(d =>
+        SnapshotRange(name, if (lo) d else NegInf, if (hi) d else PosInf))
+      case _ => None
+    }
+    // the recorded stat-string form of one IN-list literal, by type
+    def inForm(name: String, v: Any): Option[String] = typeOf(name) match {
+      case Some(StringType) => Some(strForm(v))
+      case Some(DateType) => v match {
+        case days: Int => Some(isoDate(days)); case _ => None }
+      case Some(TimestampType) => v match {
+        case us: Long => Some(us.toString); case _ => None }
+      case Some(TimestampNTZType) => v match {
+        case us: Long => Some(ntzForm(us)); case _ => None }
+      case _ => None
+    }
+    // IN prunes twice: the min==max partition signature (SnapshotIn)
+    // plus the enclosing [min, max] range, which also skips DATA files
+    // whose stats fall wholly outside the value set's span
+    def inPreds(name: String, vs: Set[Any]): Seq[SnapshotPredicate] = {
+      val forms = vs.map(v => inForm(name, v))
+      if (forms.exists(_.isEmpty)) Nil
+      else {
+        val fs = forms.flatten
+        val env: Seq[SnapshotPredicate] = typeOf(name) match {
+          case Some(DateType) | Some(TimestampNTZType) =>
+            Seq(SnapshotStrRange(name, fs.min, fs.max))
+          case Some(TimestampType) =>
+            Seq(SnapshotRange(name, BigDecimal(fs.map(_.toLong).min),
+              BigDecimal(fs.map(_.toLong).max)))
+          case _ => Nil
+        }
+        SnapshotIn(name, fs) +: env
+      }
+    }
     e match {
       case And(l, r) => translate(l, schema) ++ translate(r, schema)
       case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
-        if (isNumeric(a.name))
-          toDecimal(v).map(d => SnapshotRange(a.name, d, d)).toSeq
-        else if (schema.fields.exists(f =>
-            f.name == a.name && f.dataType == StringType))
-          Seq(SnapshotEquals(a.name, strForm(v)))
-        else Nil
+        typeOf(a.name) match {
+          case Some(StringType) => Seq(SnapshotEquals(a.name, strForm(v)))
+          case _ => range(a.name, v, lo = true, hi = true).toSeq
+        }
       case EqualTo(l: Literal, a: Attribute) =>
         translate(EqualTo(a, l), schema)
-      case GreaterThan(a: Attribute, Literal(v, _)) if isNumeric(a.name) =>
-        toDecimal(v).map(d => SnapshotRange(a.name, d, PosInf)).toSeq
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _))
-          if isNumeric(a.name) =>
-        toDecimal(v).map(d => SnapshotRange(a.name, d, PosInf)).toSeq
-      case LessThan(a: Attribute, Literal(v, _)) if isNumeric(a.name) =>
-        toDecimal(v).map(d => SnapshotRange(a.name, NegInf, d)).toSeq
-      case LessThanOrEqual(a: Attribute, Literal(v, _))
-          if isNumeric(a.name) =>
-        toDecimal(v).map(d => SnapshotRange(a.name, NegInf, d)).toSeq
+      case GreaterThan(a: Attribute, Literal(v, _)) if v != null =>
+        range(a.name, v, lo = true, hi = false).toSeq
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+        range(a.name, v, lo = true, hi = false).toSeq
+      case LessThan(a: Attribute, Literal(v, _)) if v != null =>
+        range(a.name, v, lo = false, hi = true).toSeq
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+        range(a.name, v, lo = false, hi = true).toSeq
       case GreaterThan(Literal(v, t), a: Attribute) =>
         translate(LessThan(a, Literal(v, t)), schema)
       case GreaterThanOrEqual(Literal(v, t), a: Attribute) =>
@@ -202,14 +325,10 @@ private[graft] object SnapshotFileIndex {
       case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
             case Literal(v, _) => v != null
             case _ => false
-          } && schema.fields.exists(f =>
-            f.name == a.name && f.dataType == StringType) =>
-        Seq(SnapshotIn(a.name,
-          vs.map { case Literal(v, _) => strForm(v) }.toSet))
-      case InSet(a: Attribute, vs) if vs.nonEmpty && !vs.contains(null) &&
-          schema.fields.exists(f =>
-            f.name == a.name && f.dataType == StringType) =>
-        Seq(SnapshotIn(a.name, vs.map(strForm)))
+          } =>
+        inPreds(a.name, vs.map { case Literal(v, _) => v }.toSet)
+      case InSet(a: Attribute, vs) if vs.nonEmpty && !vs.contains(null) =>
+        inPreds(a.name, vs)
       case _ => Nil
     }
   }

@@ -1144,4 +1144,123 @@ class SinksSpec extends AnyFunSuite {
     assert(numFiles(inq) < nAll)
     assert(rows(inq) == rows(api.filter($"source" === "books")))
   }
+
+  test("graft-snapshot format: date and timestamp predicates prune files") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_date") + "/tbl"
+    // a year of date-partitioned facts (the dominant warehouse layout),
+    // committed in two halves so both partition stats and data-file
+    // stats exist; ts is a zone-free NTZ event time clustered with d
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(1994, 1, 1).plusDays(i.toLong))
+    def ts(i: Int) = java.time.LocalDateTime.of(1994, 1, 1, 0, 0, 0)
+      .plusHours(i.toLong * 7L)
+    def mk(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, day(i % 60), ts(i), s"v$i"))
+      .toDF("id", "d", "ts", "v")
+    SnapshotTable.writeSnapshotPartitioned(mk(0, 120), t, "d")
+    SnapshotTable.appendSnapshot(mk(120, 240), t)
+    def fmt() = spark.read.format("graft-snapshot").load(t)
+    val api = SnapshotTable.readSnapshot(spark, t)
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case sc: FileSourceScanExec => sc }
+        case sc: FileSourceScanExec => Seq(sc)
+      }.flatten
+      assert(scans.nonEmpty, "no file scan in the plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    val nAll = numFiles(fmt())
+    // date EQUALITY on the layout column prunes structurally
+    val eq = fmt().filter($"d" === lit("1994-01-15").cast("date"))
+    assert(numFiles(eq) < nAll, "date equality pruned nothing")
+    assert(rows(eq) == rows(api.filter($"d" === lit("1994-01-15").cast("date"))))
+    assert(eq.count() == 4L) // ids 14, 74, 134, 194
+    // date BETWEEN prunes to the intersecting partitions
+    val rg = fmt().filter($"d".between(lit("1994-01-05").cast("date"),
+      lit("1994-01-10").cast("date")))
+    assert(numFiles(rg) < nAll, "date range pruned nothing")
+    assert(rows(rg) == rows(api.filter(
+      $"d".between(lit("1994-01-05").cast("date"),
+        lit("1994-01-10").cast("date")))))
+    // date IN-set prunes too
+    val din = fmt().filter($"d".isin(day(3), day(7)))
+    assert(numFiles(din) < nAll, "date IN pruned nothing")
+    assert(rows(din) == rows(api.filter($"d".isin(day(3), day(7)))))
+    // NTZ timestamp range prunes via the commit-clustered data stats:
+    // the second commit's ts values all exceed the first commit's
+    val tcut = ts(120)
+    val tq = fmt().filter($"ts" >= lit(tcut))
+    assert(numFiles(tq) < nAll, "ntz timestamp range pruned nothing")
+    assert(rows(tq) == rows(api.filter($"ts" >= lit(tcut))) &&
+      tq.count() == 120L)
+    // zoned TIMESTAMP columns prune through the micros stat form
+    val t2 = tmp("graft_snap_tstz") + "/tbl"
+    val zdf = (0 until 100).map(i => (i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+          .plusSeconds(i.toLong * 3600L))))
+      .toDF("id", "zts")
+    SnapshotTable.writeSnapshot(zdf.filter($"id" < 50), t2)
+    SnapshotTable.appendSnapshot(zdf.filter($"id" >= 50), t2)
+    def fmt2() = spark.read.format("graft-snapshot").load(t2)
+    val cut = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-03T02:00:00Z"))
+    val zq = fmt2().filter($"zts" >= lit(cut))
+    assert(numFiles(zq) < numFiles(fmt2()), "tz timestamp pruned nothing")
+    assert(zq.count() == 50L &&
+      rows(zq) == rows(SnapshotTable.readSnapshot(spark, t2)
+        .filter($"zts" >= lit(cut))))
+    // Scala-API filtered reads agree through the same predicates
+    val viaApi = SnapshotTable.readSnapshotFiltered(spark, t,
+      Seq(SnapshotTable.SnapshotStrRange("d", "1994-01-05", "1994-01-10")))
+    assert(rows(viaApi) == rows(rg))
+  }
+
+  test("graft-snapshot format: write path commits like the Scala API") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val base = tmp("graft_snap_write")
+    val tFmt = s"$base/fmt"
+    val tApi = s"$base/api"
+    def mk(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"s${i % 3}", s"v$i")).toDF("id", "source", "v")
+    // format write: explicit layout on overwrite, inherited on append
+    mk(0, 90).write.format("graft-snapshot").mode("overwrite")
+      .option("partitionCols", "source").save(tFmt)
+    mk(90, 120).write.format("graft-snapshot").mode("append").save(tFmt)
+    // API twin
+    SnapshotTable.writeSnapshotPartitioned(mk(0, 90), tApi, "source")
+    SnapshotTable.appendSnapshot(mk(90, 120), tApi)
+    // manifest-for-manifest: same versions, same per-version file
+    // counts, partition layout, stats column sets, and row counts
+    assert(SnapshotTable.versions(spark, tFmt) ==
+      SnapshotTable.versions(spark, tApi))
+    def rows(t: String, v: Long) =
+      SnapshotTable.readSnapshot(spark, t, v).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    Seq(1L, 2L).foreach(v => assert(rows(tFmt, v) == rows(tApi, v)))
+    // the appended commit inherited the partition layout: a partition
+    // equality prunes on BOTH tables identically
+    def pruned(t: String) = SnapshotTable.readSnapshotWhere(
+      spark, t, "source", "s1").inputFiles.length
+    assert(pruned(tFmt) == pruned(tApi) &&
+      pruned(tFmt) < SnapshotTable.readSnapshot(spark, tFmt)
+        .inputFiles.length)
+    // ErrorIfExists refuses a committed table; Ignore is a no-op
+    intercept[IllegalStateException] {
+      mk(0, 1).write.format("graft-snapshot")
+        .mode("error").save(tFmt)
+    }
+    mk(0, 1).write.format("graft-snapshot").mode("ignore").save(tFmt)
+    assert(SnapshotTable.latestVersion(spark, tFmt) == 2L)
+    // the write returns a readable relation: a fresh format read sees
+    // the appended state
+    assert(spark.read.format("graft-snapshot").load(tFmt).count() == 120L)
+  }
 }
