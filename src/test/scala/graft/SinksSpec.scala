@@ -1263,4 +1263,55 @@ class SinksSpec extends AnyFunSuite {
     // the appended state
     assert(spark.read.format("graft-snapshot").load(tFmt).count() == 120L)
   }
+
+  test("snapshot manifest-log checkpointing: O(1) version resolution") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val t = tmp("graft_snap_hint") + "/tbl"
+    def mk(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"v$i")).toDF("id", "v")
+    SnapshotTable.writeSnapshot(mk(0, 10), t)
+    (1 until 12).foreach(i =>
+      SnapshotTable.appendSnapshot(mk(i * 10L, i * 10L + 10L), t))
+    // steady state: every resolution rides the hint — ZERO directory
+    // listings across latestVersion polls, plain reads, pruned reads,
+    // the format, and the change feed (the getOffset poll path)
+    SnapshotTable.manifestListings.set(0L)
+    (1 to 5).foreach(_ =>
+      assert(SnapshotTable.latestVersion(spark, t) == 12L))
+    assert(SnapshotTable.readSnapshot(spark, t).count() == 120L)
+    assert(spark.read.format("graft-snapshot").load(t).count() == 120L)
+    assert(SnapshotTable.changesBetween(spark, t, 10L).count() == 20L)
+    assert(SnapshotTable.manifestListings.get() == 0L,
+      s"hinted resolution paid ${SnapshotTable.manifestListings.get()} listings")
+    // a deleted/corrupt hint falls back to ONE listing and self-repairs
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(t, "_manifest/_versionhint"),
+      false)
+    assert(SnapshotTable.versions(spark, t) == (1L to 12L))
+    assert(SnapshotTable.manifestListings.get() == 1L)
+    SnapshotTable.manifestListings.set(0L)
+    assert(SnapshotTable.latestVersion(spark, t) == 12L &&
+      SnapshotTable.manifestListings.get() == 0L) // repaired
+    // a STALE hint (new commits since) probes forward, no listing
+    SnapshotTable.appendSnapshot(mk(120, 130), t)
+    fs.create(new org.apache.hadoop.fs.Path(t, "_manifest/_versionhint"),
+      true) match { case o => o.write("1 11".getBytes("UTF-8")); o.close() }
+    SnapshotTable.manifestListings.set(0L)
+    assert(SnapshotTable.versions(spark, t) == (1L to 13L) &&
+      SnapshotTable.manifestListings.get() == 0L)
+    // vacuum retires manifests AND the hint window; time travel to the
+    // kept pre-checkpoint versions still works, retired ones fail loudly
+    SnapshotTable.vacuum(spark, t, keepVersions = 4, minAgeMs = 0L)
+    SnapshotTable.manifestListings.set(0L)
+    assert(SnapshotTable.versions(spark, t) == (10L to 13L))
+    assert(SnapshotTable.readSnapshot(spark, t, 10L).count() == 100L)
+    assert(SnapshotTable.manifestListings.get() == 0L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readSnapshot(spark, t, 5L)
+    }
+    // change-feed restart across the checkpointed log is unaffected
+    assert(SnapshotTable.changesBetween(spark, t, 10L).count() == 30L)
+  }
 }
