@@ -389,9 +389,26 @@ object SnapshotTable {
          org.apache.spark.sql.types.DoubleType |
          org.apache.spark.sql.types.DateType |
          org.apache.spark.sql.types.TimestampType |
-         org.apache.spark.sql.types.TimestampNTZType => true
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.StringType => true
     case _ => false
   }
+
+  /** Whether a recorded STRING stat pair is usable for ORDER-based
+    * pruning (lexicographic range tests). Spark records min/max in
+    * UTF8 binary (code-point) order while the JVM compares strings in
+    * UTF-16 code-unit order — the two agree on ASCII, so ordering
+    * prunes only engage when both endpoints are ASCII; and endpoints
+    * longer than 64 chars are not worth a manifest line (a business
+    * key is short; a text column's min/max is page-sized noise).
+    * An mn == mx SIGNATURE pair (partition values) is exact-match
+    * pruning, needs no ordering, and is always kept. */
+  private def strStatUsable(mn: String, mx: String): Boolean =
+    mn == mx ||
+      (mn.length <= 64 && mx.length <= 64 &&
+        mn.forall(_ < 128) && mx.forall(_ < 128))
+
+  private def isAscii(s: String): Boolean = s.forall(_ < 128)
 
   /** The recorded stat form of one column (see [[isStatType]]):
     * timestamps collapse to epoch micros (monotone, so min/max commute
@@ -476,7 +493,10 @@ object SnapshotTable {
       val cols = statCols.indices.flatMap { j =>
         val mn = r.getString(2 + 2 * j)
         val mx = r.getString(3 + 2 * j)
+        val isStr = schema(statCols(j)).dataType ==
+          org.apache.spark.sql.types.StringType
         if (mn == null || mx == null) None
+        else if (isStr && !strStatUsable(mn, mx)) None
         else Some(statCols(j) -> (mn, mx))
       }.toMap
       f -> cols
@@ -689,17 +709,38 @@ object SnapshotTable {
     * intersection ([[statsIntersect]] — exact for integral stats,
     * ulp-widened for floating). */
   private[sources] def fileAdmitted(m: Manifest, f: String,
-      preds: Seq[SnapshotPredicate]): Boolean =
+      preds: Seq[SnapshotPredicate]): Boolean = {
+    // stat-string lexicographic order equals VALUE order only for
+    // these types (ISO date / zone-free NTZ forms; strings when all
+    // compared endpoints are ASCII — UTF8 vs UTF-16 order diverges
+    // past it). Numeric stats are decimal strings ("9" > "10"
+    // lexicographically) and must never order-prune as strings.
+    def lexSafe(c: String, qs: Iterable[String]): Boolean =
+      m.schema.fields.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case org.apache.spark.sql.types.StringType => qs.forall(isAscii)
+        case _ => false
+      }
     preds.forall { pred =>
       m.stats.get(f).flatMap(_.get(pred.column)) match {
         case None => true // no stats: conservative keep
         case Some((mn, mx)) => pred match {
-          case SnapshotEquals(_, v) => mn != mx || mn == v
-          case SnapshotIn(_, vs) => mn != mx || vs.contains(mn)
+          // mn == mx is the exact-match partition signature (no
+          // ordering involved); real [mn, mx] intervals also prune
+          // equality/IN where the string order is value order
+          case SnapshotEquals(c, v) =>
+            if (mn == mx) mn == v
+            else !lexSafe(c, Seq(mn, mx, v)) || (v >= mn && v <= mx)
+          case SnapshotIn(c, vs) =>
+            if (mn == mx) vs.contains(mn)
+            else !lexSafe(c, vs ++ Seq(mn, mx)) ||
+              vs.exists(v => v >= mn && v <= mx)
           // lexicographic interval intersection; strictness of the
           // original comparison is dropped (boundary files survive,
           // the residual filter decides their rows)
-          case SnapshotStrRange(_, lo, hi) => mx >= lo && mn <= hi
+          case SnapshotStrRange(c, lo, hi) =>
+            !lexSafe(c, Seq(mn, mx, lo, hi)) || (mx >= lo && mn <= hi)
           case SnapshotRange(c, lo, hi) =>
             val floating = m.schema.fields.find(_.name == c)
               .map(_.dataType).exists {
@@ -711,6 +752,7 @@ object SnapshotTable {
         }
       }
     }
+  }
 
   private[graft] def prunedFileList(spark: SparkSession, path: String,
       preds: Seq[SnapshotPredicate], version: Long): Seq[String] = {
@@ -1180,33 +1222,63 @@ object SnapshotTable {
     require(updates.schema.fieldNames.contains(keyCol),
       s"no key column $keyCol in ${updates.schema.fieldNames.mkString(", ")}")
     val keyType = updates.schema(keyCol).dataType
-    require(isStatType(keyType),
-      s"mergePruned needs a numeric key column (stats-prunable); " +
-        s"$keyCol is $keyType — use merge() for non-numeric keys")
+    val stringKeyed = keyType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType => true
+      case _ =>
+        require(isStatType(keyType),
+          s"mergePruned needs a stats-prunable key column; " +
+            s"$keyCol is $keyType — use merge() for other keys")
+        false
+    }
     if (versions(spark, path).isEmpty)
       return writeSnapshot(updates, path)
     val fs = new HPath(path).getFileSystem(conf(spark))
-    import org.apache.spark.sql.functions.{floor, lit, max, min, when}
+    import org.apache.spark.sql.functions.{floor, lit, max, min, ntile, when}
     // Bucketed update-key ranges, not one global envelope: two updated
     // keys at opposite ends of the key space must rewrite only the
     // files THEIR buckets touch, so the "CDC touches one day" promise
-    // survives sparse updates. One bounded pass: global [lo, hi], then
-    // per-equi-width-bucket ACTUAL [min, max] (empty buckets simply
-    // don't appear — the gaps between them are what saves the rewrite).
-    val kd = qcol(keyCol).cast("double")
-    val g = updates.agg(min(kd).as("lo"), max(kd).as("hi")).head()
-    if (g.isNullAt(0)) return latestVersion(spark, path) // empty: no-op
-    val gLo = g.getDouble(0)
-    val gHi = g.getDouble(1)
+    // survives sparse updates. Numeric keys bucket by equi-width value
+    // ranges in one bounded pass (empty buckets simply don't appear —
+    // the gaps between them are what saves the rewrite). String/date
+    // keys (round-14 verdict ask #5) bucket by SORT QUANTILES of the
+    // distinct update keys (ntile over one global sort of a
+    // CDC-batch-bounded distinct set) in their recorded stat-string
+    // form, intersected lexicographically — which is value order for
+    // ISO dates, and for ASCII string keys ([[strStatUsable]]'s rule;
+    // files whose stats fall outside it are conservatively rewritten).
     val buckets = 64
-    val width = math.max((gHi - gLo) / buckets, java.lang.Double.MIN_NORMAL)
-    val perBucket: Array[(String, String)] = updates
-      .groupBy(when(kd.isNaN, lit(buckets.toLong))
-        .otherwise(floor((kd - lit(gLo)) / lit(width))).as("b"))
-      .agg(min(qcol(keyCol)).cast("string").as("mn"),
-        max(qcol(keyCol)).cast("string").as("mx"))
-      .collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    val perBucket: Array[(String, String)] =
+      if (stringKeyed) {
+        import org.apache.spark.sql.expressions.Window
+        val k = qcol(keyCol).cast("string").as("k")
+        updates.select(k).filter(qcol("k").isNotNull).distinct()
+          .withColumn("b", ntile(buckets).over(Window.orderBy(qcol("k"))))
+          .groupBy(qcol("b"))
+          .agg(min(qcol("k")).as("mn"), max(qcol("k")).as("mx"))
+          .collect()
+          .map(r => (r.getString(1), r.getString(2)))
+      } else {
+        val kd = qcol(keyCol).cast("double")
+        val g = updates.agg(min(kd).as("lo"), max(kd).as("hi")).head()
+        if (g.isNullAt(0)) Array.empty
+        else {
+          val gLo = g.getDouble(0)
+          val gHi = g.getDouble(1)
+          val width =
+            math.max((gHi - gLo) / buckets, java.lang.Double.MIN_NORMAL)
+          updates
+            .groupBy(when(kd.isNaN, lit(buckets.toLong))
+              .otherwise(floor((kd - lit(gLo)) / lit(width))).as("b"))
+            .agg(min(qcol(keyCol)).cast("string").as("mn"),
+              max(qcol(keyCol)).cast("string").as("mx"))
+            .collect()
+            // an all-null-key bucket has null bounds and matches no file
+            .flatMap(r => if (r.isNullAt(1) || r.isNullAt(2)) None
+              else Some((r.getString(1), r.getString(2))))
+        }
+      }
+    if (perBucket.isEmpty) return latestVersion(spark, path) // empty: no-op
     val floating = keyType match {
       case org.apache.spark.sql.types.FloatType |
            org.apache.spark.sql.types.DoubleType => true
@@ -1216,7 +1288,14 @@ object SnapshotTable {
     // parse on the same path as file stats (they loosen to ±∞)
     def intersectsBucket(fmn: String, fmx: String): Boolean =
       perBucket.exists { case (blo, bhi) =>
-        if (floating) {
+        if (stringKeyed) {
+          // lexicographic interval test — value order for ISO dates;
+          // for strings only when every endpoint is ASCII (UTF8 vs
+          // UTF-16 order diverges past it), else conservative rewrite
+          if (keyType == org.apache.spark.sql.types.StringType &&
+              !Seq(fmn, fmx, blo, bhi).forall(isAscii)) true
+          else fmx >= blo && fmn <= bhi
+        } else if (floating) {
           try {
             def low(s: String) = {
               val d = s.toDouble
@@ -1305,8 +1384,23 @@ object SnapshotTable {
     * committed version (the current one when nothing matched —
     * an empty delete publishes no commit). */
   def deleteWhere(spark: SparkSession, path: String, column: String,
-      lo: BigDecimal, hi: BigDecimal): Long = {
-    import org.apache.spark.sql.functions.lit
+      lo: BigDecimal, hi: BigDecimal): Long =
+    deleteWhereFiltered(spark, path, Seq(SnapshotRange(column, lo, hi)))
+
+  /** Generalized DELETE WHERE (round-14 verdict ask #4): remove every
+    * row matching ALL of `preds` — the same equality / IN-set / range
+    * vocabulary the read side prunes with (D285), so a GDPR erasure
+    * sweep `WHERE user_id IN (…)` on a STRING key rewrites only the
+    * files whose recorded stats can hold one of the keys, exactly like
+    * the numeric retention window. Pruning and row membership share
+    * one definition each ([[fileAdmitted]], [[residualFilter]]) with
+    * the filtered read, so a pruned delete removes EXACTLY the rows a
+    * pruned read would return. Rows with a null in any predicate
+    * column never match (SQL predicate semantics) and are kept. */
+  def deleteWhereFiltered(spark: SparkSession, path: String,
+      preds: Seq[SnapshotPredicate]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    require(preds.nonEmpty, "deleteWhereFiltered needs at least one predicate")
     require(versions(spark, path).nonEmpty,
       s"no committed versions under $path")
     val fs = new HPath(path).getFileSystem(conf(spark))
@@ -1317,18 +1411,18 @@ object SnapshotTable {
         try readManifest(fs, path, latest)
         catch { case _: java.io.FileNotFoundException => null } // re-resolve
       if (m != null) {
-        require(m.schema.fieldNames.contains(column),
-          s"no column $column in ${m.schema.fieldNames.mkString(", ")}")
-        val pred = Seq(SnapshotRange(column, lo, hi))
+        preds.foreach(p => require(m.schema.fieldNames.contains(p.column),
+          s"no column ${p.column} in ${m.schema.fieldNames.mkString(", ")}"))
         val (touched, untouched) =
-          m.files.partition(f => fileAdmitted(m, f, pred))
-        if (touched.isEmpty) return latest // no file can hold the range
+          m.files.partition(f => fileAdmitted(m, f, preds))
+        if (touched.isEmpty) return latest // no file can hold a match
         val touchedDf = spark.read.schema(m.schema)
           .parquet(touched.map(f => new HPath(path, f).toString): _*)
-        val hit = qcol(column) >= lit(lo) && qcol(column) <= lit(hi)
-        // null-safe survivor predicate: NOT(hit) is null for null keys,
-        // which filter() would drop — null keys are not in the range
-        val kept = touchedDf.filter(qcol(column).isNull || !hit)
+        val hit = preds.map(residualFilter(m.schema, _)).reduce(_ && _)
+        // null-safe survivor predicate: a null in any predicate column
+        // makes `hit` null, which filter() would drop on BOTH sides —
+        // such rows never match a predicate, so they are KEPT
+        val kept = touchedDf.filter(!coalesce(hit, lit(false)))
         val deleted = touchedDf.filter(hit)
         // conservative pruning can "touch" stats-less files the range
         // never matches — confirm before rewriting anything, so a

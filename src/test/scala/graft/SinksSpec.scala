@@ -759,10 +759,11 @@ class SinksSpec extends AnyFunSuite {
     val rows = after.collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(rows.size == 300 && rows(5L) == "X" && rows(295L) == "Y" &&
       rows(150L) == "r150")
-    // non-numeric merge keys are rejected UP FRONT with direction
+    // non-prunable merge keys (no stats form at all) are rejected UP
+    // FRONT with direction; string keys take the D293 pruned path
     val err = intercept[IllegalArgumentException] {
       SnapshotTable.mergePruned(
-        Seq(("k", 1L)).toDF("name", "n"), t, "name")
+        Seq((true, 1L)).toDF("flag", "n"), t, "flag")
     }
     assert(err.getMessage.contains("merge()"))
   }
@@ -1313,5 +1314,66 @@ class SinksSpec extends AnyFunSuite {
     }
     // change-feed restart across the checkpointed log is unaffected
     assert(SnapshotTable.changesBetween(spark, t, 10L).count() == 30L)
+  }
+
+  test("string-key DELETE WHERE and mergePruned prune files") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.sources.SnapshotTable.{SnapshotIn, SnapshotRange}
+    val t = tmp("graft_snap_strkey") + "/tbl"
+    // key-clustered commits: each commit's user-id range is disjoint,
+    // so the recorded string stats give per-file key envelopes
+    def mk(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (f"u$i%04d", i.toLong, s"v$i")).toDF("uid", "n", "v")
+    SnapshotTable.writeSnapshot(mk(0, 100), t)
+    SnapshotTable.appendSnapshot(mk(100, 200), t)
+    SnapshotTable.appendSnapshot(mk(200, 300), t)
+    val filesBefore = SnapshotTable.readSnapshot(spark, t).inputFiles.toSet
+    // GDPR-style IN-set erasure on the STRING key: only the commit
+    // holding those keys is rewritten; the other files carry verbatim
+    val v = SnapshotTable.deleteWhereFiltered(spark, t,
+      Seq(SnapshotIn("uid", Set("u0150", "u0160"))))
+    assert(v == 4L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+    assert(after.count() == 298L &&
+      after.filter($"uid".isin("u0150", "u0160")).count() == 0L)
+    val filesAfter = after.inputFiles.toSet
+    val carried = filesBefore.intersect(filesAfter)
+    assert(carried.nonEmpty, "delete rewrote every file (no pruning)")
+    // CDF delete rows are exactly the erased keys
+    val cdf = SnapshotTable.changesBetween(spark, t, 3L, 4L).collect()
+      .map(r => (r.getString(0), r.getString(r.length - 2))).sorted.toSeq
+    assert(cdf == Seq(("u0150", "delete"), ("u0160", "delete")))
+    // multi-conjunct delete: range on n AND equality on uid prefix
+    val v2 = SnapshotTable.deleteWhereFiltered(spark, t,
+      Seq(SnapshotRange("n", BigDecimal(250), BigDecimal(260)),
+        SnapshotIn("uid", Set("u0255"))))
+    assert(v2 == 5L &&
+      SnapshotTable.readSnapshot(spark, t).count() == 297L)
+    // time travel to the pre-delete version still works
+    assert(SnapshotTable.readSnapshot(spark, t, 3L).count() == 300L)
+    // string-key PRUNED MERGE: updates touch one commit's key range
+    val t2 = tmp("graft_snap_strmerge") + "/tbl"
+    SnapshotTable.writeSnapshot(mk(0, 100), t2)
+    SnapshotTable.appendSnapshot(mk(100, 200), t2)
+    SnapshotTable.appendSnapshot(mk(200, 300), t2)
+    val before2 = SnapshotTable.readSnapshot(spark, t2).inputFiles.toSet
+    val upd = Seq(("u0120", 9120L, "V120"), ("u0130", 9130L, "V130"),
+      ("u0999", 9999L, "VNEW")).toDF("uid", "n", "v")
+    SnapshotTable.mergePruned(upd, t2, "uid")
+    val m2 = SnapshotTable.readSnapshot(spark, t2)
+    assert(m2.count() == 301L)
+    assert(m2.filter($"uid" === "u0120").head().getLong(1) == 9120L)
+    assert(m2.filter($"uid" === "u0999").count() == 1L)
+    val after2 = m2.inputFiles.toSet
+    assert(before2.intersect(after2).nonEmpty,
+      "string-key merge rewrote every file (no pruning)")
+    // merge CDF: pre/post images for matched keys, insert for the new
+    val mcdf = SnapshotTable.changesBetween(spark, t2, 3L, 4L).collect()
+      .map(r => (r.getString(0), r.getString(r.length - 2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(mcdf == Seq(("u0120", "update_postimage"),
+      ("u0120", "update_preimage"), ("u0130", "update_postimage"),
+      ("u0130", "update_preimage"), ("u0999", "insert")))
   }
 }
