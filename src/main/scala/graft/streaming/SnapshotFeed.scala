@@ -49,14 +49,19 @@ object SnapshotFeed {
   /** Open the change feed as a streaming DataFrame. The table must
     * already have ≥1 committed version (the schema anchors the
     * stream). `startingVersion` = last version ALREADY consumed
-    * (0 = replay from the beginning). */
+    * (0 = replay from the beginning). `maxVersionsPerTrigger` caps
+    * each micro-batch at that many commits (backlog restarts drain
+    * bounded instead of as one giant batch); None = unthrottled. */
   def readStream(spark: SparkSession, path: String,
-      startingVersion: Long = 0L): DataFrame =
-    spark.readStream
+      startingVersion: Long = 0L,
+      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[SnapshotFeedProvider].getName)
       .option("path", path)
       .option("startingVersion", startingVersion.toString)
-      .load()
+    maxVersionsPerTrigger.fold(r)(m =>
+      r.option("maxVersionsPerTrigger", m.toString)).load()
+  }
 
   /** Scratch path for e23's feed table (the c20 convention: stable
     * per (application, input dir) so Bench warm+timed runs rebuild
@@ -181,26 +186,56 @@ private[streaming] case class SnapshotFeedOffset(version: Long)
   * DataSource V2) is the right altitude here: `getBatch` returns a
   * DataFrame, so the batch reader's whole parquet stack (vectorized
   * scan, pushdown, schema reconciliation) is reused instead of
-  * re-implemented behind a `PartitionReaderFactory`. */
+  * re-implemented behind a `PartitionReaderFactory`.
+  *
+  * `maxVersionsPerTrigger` (round-14 verdict ask #6 — Delta's
+  * `maxFilesPerTrigger` / Kafka's `maxOffsetsPerTrigger` idea): cap
+  * each micro-batch at that many commits past the last offset this
+  * source has seen, so a consumer restarted against a large backlog
+  * drains it as BOUNDED batches instead of replaying everything as
+  * one. Offsets stay exactly-once: the cap only changes WHERE the
+  * engine's checkpointed end offset lands, never what a committed
+  * (start, end] range replays. The base the cap counts from is safe
+  * on restart because MicroBatchExecution re-issues `getBatch` with
+  * the recovered offsets BEFORE the next `getOffset` (the documented
+  * V1 restart contract), which refreshes [[lastSeen]]. */
 private[streaming] class SnapshotFeedSource(sqlContext: SQLContext,
-    path: String, startingVersion: Long) extends Source {
+    path: String, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long]) extends Source {
 
   private val spark = sqlContext.sparkSession
 
+  maxVersionsPerTrigger.foreach(m => require(m >= 1L,
+    s"maxVersionsPerTrigger must be >= 1, got $m"))
+
   override val schema: StructType = SnapshotFeed.feedSchema(spark, path)
 
-  /** Latest committed version, as the engine's target offset; None
-    * until there is something past the start point. */
+  /** Highest version this source has handed to (or learned from) the
+    * engine — the rate-limit base. */
+  @volatile private var lastSeen: Long = startingVersion
+
+  /** Latest committed version, capped by the rate limit; None until
+    * there is something past the start point. */
   override def getOffset: Option[V1Offset] = {
     val latest = SnapshotTable.latestVersion(spark, path)
-    if (latest <= startingVersion) None else Some(SnapshotFeedOffset(latest))
+    val capped = maxVersionsPerTrigger match {
+      case Some(mx) => math.min(latest, math.max(lastSeen, startingVersion) + mx)
+      case None => latest
+    }
+    if (capped <= startingVersion) None
+    else {
+      lastSeen = math.max(lastSeen, capped)
+      Some(SnapshotFeedOffset(capped))
+    }
   }
 
   private def versionOf(o: V1Offset): Long = o.json.trim.toLong
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
-    val batch = SnapshotTable.changesBetween(spark, path, from, versionOf(end))
+    val to = versionOf(end)
+    lastSeen = math.max(lastSeen, math.max(from, to))
+    val batch = SnapshotTable.changesBetween(spark, path, from, to)
     StreamingShim.asStreamingBatch(batch)
   }
 
@@ -231,5 +266,6 @@ class SnapshotFeedProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new SnapshotFeedSource(sqlContext, pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 }
