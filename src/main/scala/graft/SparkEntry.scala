@@ -28,6 +28,7 @@ object SparkEntry {
       (operators.Logistic.queries, operators.Logistic.oracle),
       (operators.Stump.queries, operators.Stump.oracle),
       (operators.Gbt.queries, operators.Gbt.oracle),
+      (operators.RegTree.queries, operators.RegTree.oracle),
       (operators.Poisson.queries, operators.Poisson.oracle),
       (operators.TimeSeries.queries, operators.TimeSeries.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),

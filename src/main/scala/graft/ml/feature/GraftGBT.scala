@@ -45,13 +45,30 @@ trait GraftGBTParams extends Params {
       "defaults to binWidth for every feature",
     (ws: Array[Double]) => ws.forall(_ > 0.0))
   final val labelCol = new Param[String](this, "labelCol",
-    "binary {0,1} label column")
+    "label column: binary {0,1} for lossType=binary, an integer-grid " +
+      "numeric for lossType=variance")
   final val predictionCol = new Param[String](this, "predictionCol",
-    "output {0,1} prediction column name")
+    "output prediction column name ({0,1} for binary; the rounded " +
+      "predicted label for variance)")
   final val probabilityCol = new Param[String](this, "probabilityCol",
-    "output boosted-score column name (per-mille grid / 1000)")
+    "output boosted-score column name (per-mille grid / 1000 for " +
+      "binary; the predicted label value for variance)")
+  final val lossType = new Param[String](this, "lossType",
+    "loss (D295): 'binary' (binary {0,1} label on the fixed per-mille " +
+      "grid) or 'variance' (continuous integer-grid label, " +
+      "squared-error regression boosting)",
+    ParamValidators.inArray(Array("binary", "variance")))
+  final val labelGrid = new LongParam(this, "labelGrid",
+    "variance loss: integer grid multiplier applied to the label " +
+      "(yg = label * labelGrid; finer grids give finer leaf values)",
+    ParamValidators.gtEq(1))
+  final val labelBound = new LongParam(this, "labelBound",
+    "variance loss: declared bound on |label * labelGrid| — sizes the " +
+      "exact-arithmetic shift (fit fails loudly if data exceeds it)",
+    ParamValidators.gtEq(1))
 
   setDefault(maxIter -> Gbt.gbtRounds, binWidth -> 100.0,
+    lossType -> "binary", labelGrid -> 100L,
     predictionCol -> "prediction", probabilityCol -> "probability")
 
   /** The (column, binWidth) pairs training and scoring bin by. */
@@ -103,6 +120,9 @@ class GraftGBT(override val uid: String)
   def setLabelCol(value: String): this.type = set(labelCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setProbabilityCol(value: String): this.type = set(probabilityCol, value)
+  def setLossType(value: String): this.type = set(lossType, value)
+  def setLabelGrid(value: Long): this.type = set(labelGrid, value)
+  def setLabelBound(value: Long): this.type = set(labelBound, value)
 
   override def fit(dataset: Dataset[_]): GraftGBTModel = {
     transformSchema(dataset.schema, logging = true)
@@ -111,7 +131,20 @@ class GraftGBT(override val uid: String)
     import graft.CacheScope.ScopedPersist
     val feats = effectiveFeatures
     val (f0, rounds) =
-      if (feats.length == 1) {
+      if ($(lossType) == "variance") {
+        // D295: regression boosting on the declared integer grid
+        require(isSet(labelBound),
+          "lossType=variance needs labelBound (the declared bound on " +
+            "|label * labelGrid| that sizes the exact-arithmetic shift)")
+        val design = dataset.toDF().select(
+          feats.zipWithIndex.map { case ((c, w), i) =>
+            floor(col(c).cast("double") / w).cast("long").as(s"__f$i")
+          } :+ (col($(labelCol)).cast("long") * lit($(labelGrid)))
+            .as("yg"): _*)
+          .scopedPersist()
+        graft.operators.RegTree.fitRegGbtMulti(design,
+          feats.indices.map(i => s"__f$i"), $(maxIter), $(labelBound))
+      } else if (feats.length == 1) {
         // single feature: one domain-bounded histogram serves every
         // round (per-bin F is well-defined) — cheaper than re-censusing
         val hist = dataset.toDF().select(
@@ -169,9 +202,17 @@ class GraftGBTModel private[feature] (override val uid: String,
     val bins = effectiveFeatures.map { case (c, w) =>
       floor(col(c).cast("double") / w).cast("long") }
     val f = scoreCol(bins)
-    dataset.toDF()
-      .withColumn($(probabilityCol), f.cast("double") / lit(1000.0))
-      .withColumn($(predictionCol), (f >= lit(500L)).cast("long"))
+    if ($(lossType) == "variance") {
+      // the additive score lives on the labelGrid: surface the
+      // predicted label value and its half-up rounding
+      val score = f.cast("double") / lit($(labelGrid).toDouble)
+      dataset.toDF()
+        .withColumn($(probabilityCol), score)
+        .withColumn($(predictionCol), floor(score + lit(0.5)).cast("long"))
+    } else
+      dataset.toDF()
+        .withColumn($(probabilityCol), f.cast("double") / lit(1000.0))
+        .withColumn($(predictionCol), (f >= lit(500L)).cast("long"))
   }
 
   override def transformSchema(schema: StructType): StructType =
@@ -190,7 +231,10 @@ private[feature] case class GBTParamsData(uid: String,
     featuresCol: Option[String], labelCol: Option[String],
     predictionCol: Option[String], probabilityCol: Option[String],
     featureCols: Option[Seq[String]] = None,
-    binWidths: Option[Seq[Double]] = None)
+    binWidths: Option[Seq[Double]] = None,
+    lossType: Option[String] = None,
+    labelGrid: Option[Long] = None,
+    labelBound: Option[Long] = None)
 
 /** One persisted boosting round (Gbt.GbtRound, flattened). */
 private[feature] case class GBTRoundData(round: Int, thresholdBin: Long,
@@ -208,7 +252,8 @@ object GraftGBT extends MLReadable[GraftGBT] {
     GBTParamsData(p.uid, p.get(p.maxIter), p.get(p.binWidth),
       p.get(p.featuresCol), p.get(p.labelCol), p.get(p.predictionCol),
       p.get(p.probabilityCol),
-      p.get(p.featureCols).map(_.toSeq), p.get(p.binWidths).map(_.toSeq))
+      p.get(p.featureCols).map(_.toSeq), p.get(p.binWidths).map(_.toSeq),
+      p.get(p.lossType), p.get(p.labelGrid), p.get(p.labelBound))
 
   private[feature] def restoreParams(t: GraftGBTParams,
       d: GBTParamsData): Unit = {
@@ -220,6 +265,31 @@ object GraftGBT extends MLReadable[GraftGBT] {
     d.probabilityCol.foreach(v => t.set(t.probabilityCol, v))
     d.featureCols.foreach(v => t.set(t.featureCols, v.toArray))
     d.binWidths.foreach(v => t.set(t.binWidths, v.toArray))
+    d.lossType.foreach(v => t.set(t.lossType, v))
+    d.labelGrid.foreach(v => t.set(t.labelGrid, v))
+    d.labelBound.foreach(v => t.set(t.labelBound, v))
+  }
+
+  /** Pre-r15 artifacts lack the lossType/labelGrid/labelBound columns
+    * — add them as nulls before `.as[T]` (which does NOT apply Scala
+    * defaults). */
+  private[feature] def backfillParamCols(df: org.apache.spark.sql.DataFrame,
+      nested: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    if (nested) {
+      val pt = df.schema("params").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (pt.fieldNames.contains("lossType")) df
+      else df.withColumn("params", expr(
+        "struct(params.*, CAST(NULL AS STRING) AS lossType, " +
+          "CAST(NULL AS BIGINT) AS labelGrid, " +
+          "CAST(NULL AS BIGINT) AS labelBound)"))
+    } else {
+      if (df.schema.fieldNames.contains("lossType")) df
+      else df.withColumn("lossType", lit(null).cast("string"))
+        .withColumn("labelGrid", lit(null).cast("bigint"))
+        .withColumn("labelBound", lit(null).cast("bigint"))
+    }
   }
 
   private[feature] class Writer(instance: GraftGBT) extends MLWriter {
@@ -236,7 +306,8 @@ object GraftGBT extends MLReadable[GraftGBT] {
     override def load(path: String): GraftGBT = {
       val spark = sparkSession
       import spark.implicits._
-      val d = spark.read.parquet(s"$path/params").as[GBTParamsData].head()
+      val d = backfillParamCols(spark.read.parquet(s"$path/params"),
+        nested = false).as[GBTParamsData].head()
       val e = new GraftGBT(d.uid)
       restoreParams(e, d)
       e
@@ -282,6 +353,7 @@ object GraftGBTModel extends MLReadable[GraftGBTModel] {
               "r.nRight AS nRight, r.vLeft AS vLeft, " +
               "r.vRight AS vRight, r.sseAfter AS sseAfter, " +
               "0 AS feature))"))
+      raw = GraftGBT.backfillParamCols(raw, nested = true)
       val d = raw.as[GBTModelData].head()
       val m = new GraftGBTModel(d.params.uid, d.baseF,
         d.rounds.map(r => Gbt.GbtRound(r.round, r.thresholdBin, r.nLeft,

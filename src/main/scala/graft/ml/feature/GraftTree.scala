@@ -45,13 +45,25 @@ trait GraftTreeParams extends Params {
       "defaults to binWidth for every feature",
     (ws: Array[Double]) => ws.forall(_ > 0.0))
   final val labelCol = new Param[String](this, "labelCol",
-    "binary {0,1} label column")
+    "label column: binary {0,1} for lossType=gini, an integer-grid " +
+      "numeric for lossType=variance")
   final val predictionCol = new Param[String](this, "predictionCol",
-    "output {0,1} prediction column name")
+    "output prediction column name ({0,1} for gini; the rounded leaf " +
+      "mean for variance)")
   final val probabilityCol = new Param[String](this, "probabilityCol",
-    "output leaf-positive-rate probability column name")
+    "output leaf-value column name (positive rate for gini; exact " +
+      "leaf mean for variance)")
+  final val lossType = new Param[String](this, "lossType",
+    "split criterion (D294): 'gini' (binary label, weighted-Gini " +
+      "splits) or 'variance' (integer-grid label, squared-error splits)",
+    ParamValidators.inArray(Array("gini", "variance")))
+  final val numBins = new IntParam(this, "numBins",
+    "automatic quantile binning (D294): derive each feature's bin " +
+      "edges as its exact k/numBins quantiles at fit time (overrides " +
+      "binWidth/binWidths); the learned edges persist in the model so " +
+      "scoring bins identically", ParamValidators.gtEq(2))
 
-  setDefault(maxDepth -> 3, binWidth -> 100.0,
+  setDefault(maxDepth -> 3, binWidth -> 100.0, lossType -> "gini",
     predictionCol -> "prediction", probabilityCol -> "probability")
 
   /** The (column, binWidth) pairs training and scoring bin by:
@@ -105,6 +117,29 @@ class GraftTree(override val uid: String)
   def setLabelCol(value: String): this.type = set(labelCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setProbabilityCol(value: String): this.type = set(probabilityCol, value)
+  def setLossType(value: String): this.type = set(lossType, value)
+  def setNumBins(value: Int): this.type = set(numBins, value)
+
+  /** Learn per-feature quantile edges from the dataset (the D294 auto
+    * binning): one bounded min/max pass sizes each feature's histogram
+    * width, then exactPercentiles' two-phase machinery finds the
+    * k/numBins edges without buffering any value set. */
+  private def learnEdges(df: DataFrame,
+      feats: Seq[String]): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val b = $(numBins)
+    val aggs = feats.flatMap(c => Seq(min(col(c).cast("double")),
+      max(col(c).cast("double"))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    feats.indices.map { i =>
+      val (mn, mx) =
+        (if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i),
+          if (mm.isNullAt(2 * i + 1)) 0.0 else mm.getDouble(2 * i + 1))
+      val width = math.max((mx - mn) / 1024.0, java.lang.Double.MIN_NORMAL)
+      graft.operators.RegTree.quantileEdges(
+        df.select(col(feats(i)).cast("double").as("v")), b, width).toArray
+    }.toArray
+  }
 
   override def fit(dataset: Dataset[_]): GraftTreeModel = {
     transformSchema(dataset.schema, logging = true)
@@ -112,8 +147,31 @@ class GraftTree(override val uid: String)
       s"label column '${$(labelCol)}' not in ${dataset.schema.fieldNames.mkString(",")}")
     import graft.CacheScope.ScopedPersist
     val feats = effectiveFeatures
+    val edges: Array[Array[Double]] =
+      if (isSet(numBins)) learnEdges(dataset.toDF(), feats.map(_._1))
+      else Array.empty
+    def binCol(i: Int): Column =
+      if (edges.nonEmpty)
+        graft.operators.RegTree.quantileBin(
+          col(feats(i)._1).cast("double"), edges(i).toSeq)
+      else floor(col(feats(i)._1).cast("double") / feats(i)._2).cast("long")
     val (splits, rootCensus) =
-      if (feats.length == 1) {
+      if ($(lossType) == "variance") {
+        // D294: squared-error splits over the (possibly quantile-)
+        // binned design; TreeSplit's pos/pl/pr fields carry Σy, so
+        // leaf values are exact means through the same model shape
+        val design = dataset.toDF().select(
+          feats.indices.map(i => binCol(i).as(s"__f$i")) :+
+            col($(labelCol)).cast("long").as("y"): _*)
+          .scopedPersist()
+        val sp = graft.operators.RegTree.fitRegTreeSplitsMulti(design,
+          feats.indices.map(i => s"__f$i"), $(maxDepth))
+        val census = () => {
+          val t = design.agg(count(lit(1)), sum(col("y"))).head()
+          (t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1))
+        }
+        (sp, census)
+      } else if (feats.length == 1 && edges.isEmpty) {
         // single feature: the domain-bounded histogram is computed
         // ONCE and every level re-routes it — strictly cheaper than
         // the multi-feature per-level re-census
@@ -135,9 +193,8 @@ class GraftTree(override val uid: String)
         // multi-feature (D289): per-level re-census, argmin across
         // the d feature histograms
         val design = dataset.toDF().select(
-          feats.zipWithIndex.map { case ((c, w), i) =>
-            floor(col(c).cast("double") / w).cast("long").as(s"__f$i")
-          } :+ col($(labelCol)).cast("long").as("y"): _*)
+          feats.indices.map(i => binCol(i).as(s"__f$i")) :+
+            col($(labelCol)).cast("long").as("y"): _*)
           .scopedPersist()
         val sp = Stump.fitTreeSplitsMulti(design,
           feats.indices.map(i => s"__f$i"), $(maxDepth))
@@ -152,8 +209,8 @@ class GraftTree(override val uid: String)
       case Some(r) if r.node.isEmpty => (r.n, r.pos)
       case _ => rootCensus()
     }
-    copyValues(new GraftTreeModel(uid, splits.toArray, rootN, rootPos)
-      .setParent(this))
+    copyValues(new GraftTreeModel(uid, splits.toArray, rootN, rootPos,
+      edges).setParent(this))
   }
 
   override def transformSchema(schema: StructType): StructType =
@@ -165,10 +222,14 @@ class GraftTree(override val uid: String)
 }
 
 /** Fitted histogram tree: the complete split table (path-labeled
-  * nodes with exact censuses and thresholds) plus the root census for
-  * the pure-root edge. */
+  * nodes with exact censuses and thresholds), the root census for the
+  * pure-root edge, and — when fit with `numBins` — the learned
+  * per-feature quantile edges, so scoring bins exactly as training
+  * did. For lossType=variance the `pos`/`pl`/`pr` fields carry Σy and
+  * a leaf's value is its exact mean. */
 class GraftTreeModel private[feature] (override val uid: String,
-    val splits: Array[Stump.TreeSplit], val rootN: Long, val rootPos: Long)
+    val splits: Array[Stump.TreeSplit], val rootN: Long, val rootPos: Long,
+    val binEdges: Array[Array[Double]] = Array.empty)
     extends Model[GraftTreeModel] with GraftTreeParams with MLWritable {
 
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
@@ -180,8 +241,9 @@ class GraftTreeModel private[feature] (override val uid: String,
   private lazy val byNode: Map[String, Stump.TreeSplit] =
     splits.map(s => s.node -> s).toMap
 
-  /** Exact leaf positive rate for a region with no further split:
-    * read off the parent's recorded child census. */
+  /** Exact leaf value for a region with no further split — positive
+    * rate (gini) or mean (variance), read off the parent's recorded
+    * child census (one formula: pl/nl carries positives or Σy). */
   private def leafRate(path: String): Double =
     if (path.isEmpty) {
       if (rootN == 0L) 0.0 else rootPos.toDouble / rootN.toDouble
@@ -204,20 +266,28 @@ class GraftTreeModel private[feature] (override val uid: String,
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
-    val bins = effectiveFeatures.map { case (c, w) =>
-      floor(col(c).cast("double") / w).cast("long") }
+    val feats = effectiveFeatures
+    val bins = feats.indices.map { i =>
+      if (binEdges.nonEmpty)
+        graft.operators.RegTree.quantileBin(
+          col(feats(i)._1).cast("double"), binEdges(i).toSeq)
+      else floor(col(feats(i)._1).cast("double") / feats(i)._2).cast("long")
+    }
     val p = probCol(bins)
+    val pred =
+      if ($(lossType) == "variance") floor(p + lit(0.5)).cast("long")
+      else (p >= lit(0.5)).cast("long")
     dataset.toDF()
       .withColumn($(probabilityCol), p)
-      .withColumn($(predictionCol), (p >= lit(0.5)).cast("long"))
+      .withColumn($(predictionCol), pred)
   }
 
   override def transformSchema(schema: StructType): StructType =
     validateAndTransformSchema(schema)
 
   override def copy(extra: ParamMap): GraftTreeModel =
-    copyValues(new GraftTreeModel(uid, splits, rootN, rootPos), extra)
-      .setParent(parent)
+    copyValues(new GraftTreeModel(uid, splits, rootN, rootPos, binEdges),
+      extra).setParent(parent)
 
   override def write: MLWriter = new GraftTreeModel.Writer(this)
 }
@@ -228,7 +298,9 @@ private[feature] case class TreeParamsData(uid: String,
     featuresCol: Option[String], labelCol: Option[String],
     predictionCol: Option[String], probabilityCol: Option[String],
     featureCols: Option[Seq[String]] = None,
-    binWidths: Option[Seq[Double]] = None)
+    binWidths: Option[Seq[Double]] = None,
+    lossType: Option[String] = None,
+    numBins: Option[Int] = None)
 
 /** One persisted split row (Stump.TreeSplit, flattened for parquet). */
 private[feature] case class TreeSplitData(node: String, depth: Int,
@@ -236,9 +308,11 @@ private[feature] case class TreeSplitData(node: String, depth: Int,
     nr: Long, pr: Long, wgRaw: Double, pgRaw: Double,
     feature: Int = 0)
 
-/** Fitted-model artifact: params + split table + root census. */
+/** Fitted-model artifact: params + split table + root census +
+  * learned quantile edges (empty = width binning). */
 private[feature] case class TreeModelData(params: TreeParamsData,
-    splits: Seq[TreeSplitData], rootN: Long, rootPos: Long)
+    splits: Seq[TreeSplitData], rootN: Long, rootPos: Long,
+    binEdges: Option[Seq[Seq[Double]]] = None)
 
 object GraftTree extends MLReadable[GraftTree] {
 
@@ -247,7 +321,8 @@ object GraftTree extends MLReadable[GraftTree] {
     TreeParamsData(p.uid, p.get(p.maxDepth), p.get(p.binWidth),
       p.get(p.featuresCol), p.get(p.labelCol), p.get(p.predictionCol),
       p.get(p.probabilityCol),
-      p.get(p.featureCols).map(_.toSeq), p.get(p.binWidths).map(_.toSeq))
+      p.get(p.featureCols).map(_.toSeq), p.get(p.binWidths).map(_.toSeq),
+      p.get(p.lossType), p.get(p.numBins))
 
   private[feature] def restoreParams(t: GraftTreeParams,
       d: TreeParamsData): Unit = {
@@ -259,6 +334,29 @@ object GraftTree extends MLReadable[GraftTree] {
     d.probabilityCol.foreach(v => t.set(t.probabilityCol, v))
     d.featureCols.foreach(v => t.set(t.featureCols, v.toArray))
     d.binWidths.foreach(v => t.set(t.binWidths, v.toArray))
+    d.lossType.foreach(v => t.set(t.lossType, v))
+    d.numBins.foreach(v => t.set(t.numBins, v))
+  }
+
+  /** Pre-r15 artifacts lack the lossType/numBins columns (top level
+    * at $path/params, nested under `params` in $path/data) — add them
+    * as nulls before `.as[T]` (which does NOT apply Scala defaults). */
+  private[feature] def backfillParamCols(df: org.apache.spark.sql.DataFrame,
+      nested: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    if (nested) {
+      val pt = df.schema("params").dataType.asInstanceOf[StructType]
+      if (pt.fieldNames.contains("lossType")) df
+      else df.withColumn("params", expr(
+        "struct(params.*, CAST(NULL AS STRING) AS lossType, " +
+          "CAST(NULL AS INT) AS numBins)"))
+    } else {
+      if (df.schema.fieldNames.contains("lossType")) df
+      else df.withColumn("lossType",
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+        .withColumn("numBins",
+          org.apache.spark.sql.functions.lit(null).cast("int"))
+    }
   }
 
   private[feature] class Writer(instance: GraftTree) extends MLWriter {
@@ -275,7 +373,8 @@ object GraftTree extends MLReadable[GraftTree] {
     override def load(path: String): GraftTree = {
       val spark = sparkSession
       import spark.implicits._
-      val d = spark.read.parquet(s"$path/params").as[TreeParamsData].head()
+      val d = backfillParamCols(spark.read.parquet(s"$path/params"),
+        nested = false).as[TreeParamsData].head()
       val e = new GraftTree(d.uid)
       restoreParams(e, d)
       e
@@ -296,7 +395,9 @@ object GraftTreeModel extends MLReadable[GraftTreeModel] {
           instance.splits.toSeq.map(s => TreeSplitData(s.node, s.depth,
             s.thresholdBin, s.n, s.pos, s.nl, s.pl, s.nr, s.pr,
             s.wgRaw, s.pgRaw, s.feature)),
-          instance.rootN, instance.rootPos)).toDS()
+          instance.rootN, instance.rootPos,
+          if (instance.binEdges.isEmpty) None
+          else Some(instance.binEdges.toSeq.map(_.toSeq)))).toDS()
         .repartition(1).write.mode("overwrite").parquet(s"$path/data")
       GraftPCA.writeMetadata(path, spark, instance)
     }
@@ -309,7 +410,8 @@ object GraftTreeModel extends MLReadable[GraftTreeModel] {
       // artifacts persisted before the multi-feature round lack the
       // nested `feature` field, and `.as[T]` does NOT apply Scala
       // default values (round-14 advisory) — backfill feature = 0
-      // (the single-feature reading) before decoding
+      // (the single-feature reading) before decoding; pre-r15
+      // artifacts also lack lossType/numBins/binEdges
       var raw = spark.read.parquet(s"$path/data")
       val elem = raw.schema("splits").dataType
         .asInstanceOf[org.apache.spark.sql.types.ArrayType]
@@ -322,12 +424,18 @@ object GraftTreeModel extends MLReadable[GraftTreeModel] {
               "s.n AS n, s.pos AS pos, s.nl AS nl, s.pl AS pl, " +
               "s.nr AS nr, s.pr AS pr, s.wgRaw AS wgRaw, " +
               "s.pgRaw AS pgRaw, 0 AS feature))"))
+      raw = GraftTree.backfillParamCols(raw, nested = true)
+      if (!raw.schema.fieldNames.contains("binEdges"))
+        raw = raw.withColumn("binEdges",
+          org.apache.spark.sql.functions.lit(null)
+            .cast("array<array<double>>"))
       val d = raw.as[TreeModelData].head()
       val m = new GraftTreeModel(d.params.uid,
         d.splits.map(s => Stump.TreeSplit(s.node, s.depth, s.thresholdBin,
           s.n, s.pos, s.nl, s.pl, s.nr, s.pr, s.wgRaw, s.pgRaw,
           s.feature)).toArray,
-        d.rootN, d.rootPos)
+        d.rootN, d.rootPos,
+        d.binEdges.map(_.map(_.toArray).toArray).getOrElse(Array.empty))
       GraftTree.restoreParams(m, d.params)
       m
     }

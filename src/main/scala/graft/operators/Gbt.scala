@@ -95,8 +95,9 @@ object Gbt {
   private def d(x: String) = s"CAST($x AS DOUBLE)"
 
   /** Split SSE over columns (srrl, srl, nl, srrr, srr2, nr) — the one
-    * IEEE tree both engines evaluate. */
-  private val sseSql =
+    * IEEE tree both engines evaluate (shared with the regression
+    * trainers in [[RegTree]]). */
+  private[operators] val sseSql =
     s"""((${d("srrl")} - ${d("srl")} * ${d("srl")} / ${d("nl")})
         + (${d("srrr")} - ${d("srr2")} * ${d("srr2")} / ${d("nr")}))"""
 

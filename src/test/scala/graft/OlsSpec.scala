@@ -1181,4 +1181,223 @@ class OlsSpec extends AnyFunSuite {
       gBack.baseF == gbt.baseF)
     assert(gBack.getOrDefault(gBack.featureCols).toSeq == feats.toSeq)
   }
+
+  /** Independent quantile edges: brute sort + (n−1)p interpolation —
+    * the quantile_cont definition derived from scratch, not via the
+    * engine's two-phase exactPercentiles. */
+  private def bruteEdges(vals: Seq[Double], bins: Int): Seq[Double] = {
+    val v = vals.sorted.toIndexedSeq
+    (1 until bins).map { b =>
+      val k = (b.toDouble / bins) * (v.length - 1).toDouble
+      val lo = v(math.floor(k).toInt)
+      val hi = v(math.ceil(k).toInt)
+      lo + (k - math.floor(k)) * (hi - lo)
+    }
+  }
+
+  private def bruteBin(x: Double, edges: Seq[Double]): Long = {
+    val i = edges.indexWhere(x <= _)
+    if (i < 0) edges.length.toLong else i.toLong
+  }
+
+  /** The p24/p25 quantile-binned rows, derived entirely spec-side. */
+  private def regRows(): Seq[(IndexedSeq[Long], Long)] = {
+    import TestSpark.spark.implicits._
+    val raw = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice", $"l_discount",
+        $"l_quantity".cast("long")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    val pe = bruteEdges(raw.map(_._1), graft.operators.RegTree.priceBins)
+    val de = bruteEdges(raw.map(_._2), graft.operators.RegTree.discBins)
+    raw.map { case (p, d, y) =>
+      (IndexedSeq(bruteBin(p, pe), bruteBin(d, de)), y) }
+  }
+
+  test("p24 regression tree equals a brute variance split search " +
+      "over independently derived quantile bins") {
+    val rows = regRows()
+    // brute recursive squared-error split search, tie sse→feature→bin
+    def best(sub: Seq[(IndexedSeq[Long], Long)])
+        : Option[(Int, Long, Long, Long, Long, Long, Long, Long)] = {
+      val n = sub.length.toLong
+      val syt = sub.map(_._2).sum
+      val syyt = sub.map(r => r._2 * r._2).sum
+      def sse(nl: Long, syl: Long, syyl: Long) = {
+        val nr = n - nl; val syr = syt - syl; val syyr = syyt - syyl
+        (syyl.toDouble - syl.toDouble * syl.toDouble / nl.toDouble) +
+          (syyr.toDouble - syr.toDouble * syr.toDouble / nr.toDouble)
+      }
+      val cands = (0 until 2).flatMap { f =>
+        val hist = sub.groupBy(_._1(f)).view
+          .mapValues(v => (v.length.toLong, v.map(_._2).sum,
+            v.map(r => r._2 * r._2).sum)).toSeq.sortBy(_._1)
+        var nl = 0L; var syl = 0L; var syyl = 0L
+        hist.map { case (bin, (c, s, ss)) =>
+          nl += c; syl += s; syyl += ss; (f, bin, nl, syl, syyl)
+        }.filter(_._3 < n)
+      }
+      if (cands.isEmpty) None
+      else {
+        val b = cands.minBy(c => (sse(c._3, c._4, c._5), c._1, c._2))
+        val (f, t, nl, syl, _) = b
+        val nr = n - nl; val syr = syt - syl
+        Some((f, t, n, syt, nl, nr,
+          Math.floorDiv(1000L * syl, nl), Math.floorDiv(1000L * syr, nr)))
+      }
+    }
+    def rec(path: String, sub: Seq[(IndexedSeq[Long], Long)], d: Int)
+        : Seq[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)] =
+      if (d >= 3) Seq.empty
+      else best(sub) match {
+        case None => Seq.empty
+        case Some((f, t, n, syt, nl, nr, vl, vr)) =>
+          (if (path.isEmpty) "root" else path, d.toLong, f.toLong, t, n,
+            syt, nl, nr, vl, vr) +:
+            (rec(path + "L", sub.filter(_._1(f) <= t), d + 1) ++
+              rec(path + "R", sub.filter(_._1(f) > t), d + 1))
+      }
+    val expected = rec("", rows, 0).sortBy(e => (e._2, e._1))
+    val got = graft.operators.RegTree.p24RegTree(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // both features must be chosen somewhere (the argmin arbitrates)
+    assert(got.map(_._3).distinct.length == 2,
+      s"argmin never left one feature: ${got.map(_._3)}")
+  }
+
+  test("p25 regression GBT equals a brute residual replay on the " +
+      "integer grid") {
+    val rows = regRows()
+    val S = graft.operators.RegTree.regShiftFor(
+      graft.operators.RegTree.regGridBound, graft.operators.Gbt.gbtRounds)
+    val n = rows.length.toLong
+    val yg = rows.map(_._2 * 100L)
+    val f0 = Math.floorDiv(yg.sum, n)
+    var fRow: IndexedSeq[Long] = IndexedSeq.fill(rows.length)(f0)
+    var expected = Vector.empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    for (t <- 1 to graft.operators.Gbt.gbtRounds) {
+      val rr = rows.indices.map(i => yg(i) - fRow(i))
+      val srT = rr.sum
+      val srrT = rr.map(x => x * x).sum
+      val cands = (0 until 2).flatMap { f =>
+        val byBin = rows.indices.groupBy(i => rows(i)._1(f)).toSeq
+          .sortBy(_._1)
+        var nl = 0L; var srl = 0L; var srrl = 0L
+        byBin.map { case (bin, idx) =>
+          nl += idx.length; srl += idx.map(rr).sum
+          srrl += idx.map(i => rr(i) * rr(i)).sum
+          (f, bin, nl, srl, srrl)
+        }.filter(_._3 < n)
+      }
+      def sse(c: (Int, Long, Long, Long, Long)): Double = {
+        val (_, _, cnl, csrl, csrrl) = c
+        val cnr = n - cnl; val csrr = srT - csrl; val csrrr = srrT - csrrl
+        (csrrl.toDouble - csrl.toDouble * csrl.toDouble / cnl.toDouble) +
+          (csrrr.toDouble - csrr.toDouble * csrr.toDouble / cnr.toDouble)
+      }
+      val b = cands.minBy(c => (sse(c), c._1, c._2))
+      val (bf, thr, bnl, bsrl, _) = b
+      val bnr = n - bnl; val bsrr = srT - bsrl
+      val vl = (bsrl + bnl * S) / bnl - S
+      val vr = (bsrr + bnr * S) / bnr - S
+      val dl = (vl + S) / 2L - S / 2L
+      val dr = (vr + S) / 2L - S / 2L
+      fRow = rows.indices.map(i =>
+        fRow(i) + (if (rows(i)._1(bf) <= thr) dl else dr))
+      val sseAfter = rows.indices.map { i =>
+        val d2 = yg(i) - fRow(i); d2 * d2 }.sum
+      expected :+= ((t.toLong, bf.toLong, thr, bnl, bnr, vl, vr, sseAfter))
+    }
+    val got = graft.operators.RegTree.p25RegGbt(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toVector
+    assert(got == expected)
+    // SSE non-increasing round over round
+    val sse0 = rows.indices.map { i =>
+      val d2 = yg(i) - f0; d2 * d2 }.sum
+    (sse0 +: got.map(_._8)).sliding(2).foreach(w =>
+      assert(w(1) <= w(0), s"SSE increased: ${w(0)} -> ${w(1)}"))
+  }
+
+  test("GraftTree/GraftGBT variance loss: quantile binning, scoring, " +
+      "persistence round-trips") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ml.feature.{GraftGBT, GraftGBTModel, GraftTree, GraftTreeModel}
+    val raw = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice".as("price"), $"l_discount".as("disc"),
+        $"l_quantity".cast("long").as("qty"))
+    // variance tree with automatic quantile binning (numBins edges
+    // learned at fit, persisted, reused by transform)
+    val tree = new GraftTree().setMaxDepth(2).setLossType("variance")
+      .setNumBins(8).setFeatureCols(Array("price", "disc"))
+      .setLabelCol("qty").fit(raw)
+    assert(tree.binEdges.length == 2 &&
+      tree.binEdges.forall(_.length == 7))
+    // the fitted splits equal a direct reg-trainer run on the same
+    // engine-binned design (edges are width-invariant exact quantiles)
+    val pe = tree.binEdges(0).toSeq
+    val de = tree.binEdges(1).toSeq
+    val design = raw.select(
+      graft.operators.RegTree.quantileBin($"price", pe).as("f0"),
+      graft.operators.RegTree.quantileBin($"disc", de).as("f1"),
+      $"qty".as("y"))
+    val direct = graft.operators.RegTree.fitRegTreeSplitsMulti(design,
+      Seq("f0", "f1"), 2)
+    assert(tree.splits.toSeq == direct)
+    // transform: leaf value is the exact mean, prediction its half-up
+    // rounding
+    val scored = tree.transform(raw).select($"probability", $"prediction")
+      .limit(200).collect()
+    scored.foreach(r => assert(
+      r.getLong(1) == math.floor(r.getDouble(0) + 0.5).toLong))
+    // persistence: edges, loss, and scoring survive the round-trip
+    val tdir = java.nio.file.Files.createTempDirectory("graft_regt").toString
+    tree.write.overwrite().save(tdir)
+    val tBack = GraftTreeModel.load(tdir)
+    assert(tBack.binEdges.map(_.toSeq).toSeq ==
+      tree.binEdges.map(_.toSeq).toSeq)
+    assert(tBack.getOrDefault(tBack.lossType) == "variance")
+    assert(tBack.getOrDefault(tBack.numBins) == 8)
+    assert(tBack.splits.toSeq == tree.splits.toSeq)
+    val ta = tree.transform(raw).agg(sum($"probability")).head.getDouble(0)
+    val tb = tBack.transform(raw).agg(sum($"probability")).head.getDouble(0)
+    assert(ta == tb)
+    // estimator params round-trip too
+    val edir = java.nio.file.Files.createTempDirectory("graft_rege").toString
+    val est = new GraftTree().setLossType("variance").setNumBins(8)
+      .setFeatureCols(Array("price", "disc")).setLabelCol("qty")
+    est.write.overwrite().save(edir)
+    val eBack = GraftTree.load(edir)
+    assert(eBack.getOrDefault(eBack.lossType) == "variance" &&
+      eBack.getOrDefault(eBack.numBins) == 8)
+    // variance GBT: equals a direct fitRegGbtMulti on the same
+    // width-binned design; params round-trip
+    val gbt = new GraftGBT().setMaxIter(3).setLossType("variance")
+      .setLabelGrid(100L).setLabelBound(5000L)
+      .setFeatureCols(Array("price", "disc"))
+      .setBinWidths(Array(100.0, 0.01)).setLabelCol("qty").fit(raw)
+    val gdesign = raw.select(
+      floor($"price" / 100.0).cast("long").as("__f0"),
+      floor($"disc" / 0.01).cast("long").as("__f1"),
+      ($"qty" * 100L).as("yg"))
+    val (gf0, gdirect) = graft.operators.RegTree.fitRegGbtMulti(gdesign,
+      Seq("__f0", "__f1"), 3, 5000L)
+    assert(gbt.baseF == gf0 && gbt.rounds.toSeq == gdirect)
+    val gdir2 = java.nio.file.Files.createTempDirectory("graft_regg").toString
+    gbt.write.overwrite().save(gdir2)
+    val gBack = GraftGBTModel.load(gdir2)
+    assert(gBack.getOrDefault(gBack.lossType) == "variance" &&
+      gBack.getOrDefault(gBack.labelGrid) == 100L &&
+      gBack.getOrDefault(gBack.labelBound) == 5000L)
+    assert(gBack.rounds.toSeq == gbt.rounds.toSeq &&
+      gBack.baseF == gbt.baseF)
+    // variance scoring: probability is F/grid, prediction its rounding
+    val gscored = gbt.transform(raw).select($"probability", $"prediction")
+      .limit(200).collect()
+    gscored.foreach(r => assert(
+      r.getLong(1) == math.floor(r.getDouble(0) + 0.5).toLong))
+  }
 }
