@@ -448,10 +448,21 @@ object Pipeline {
         val best = bestRows(0)
         val (x, y, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
         merges += ((r, x, y, x + y, cnt))
+        // localCheckpoint is EAGER, so the new generation's blocks are
+        // fully materialized before the previous generation's are
+        // dropped — only the newest vocab frame is ever live.
+        // (Round-14 bench audit: retaining all 8 checkpoint
+        // generations held ~8× the vocabulary in block storage until
+        // an eventual GC, cache pressure the rest of the suite paid —
+        // Dataset.unpersist can't release checkpoint blocks, hence
+        // the shim.)
+        val prev = vocab
         vocab = vocab
           .withColumn("rep",
             expr(s"replace(rep, '<$x><$y>', '<$x$y>')"))
           .localCheckpoint()
+        org.apache.spark.sql.graftshim.StreamingShim
+          .unpersistLocalCheckpoint(prev)
         r += 1
       }
     }

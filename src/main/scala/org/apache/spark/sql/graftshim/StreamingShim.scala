@@ -22,4 +22,19 @@ object StreamingShim {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Drop a local-checkpointed frame's RDD blocks NOW. Iterative
+    * drivers that re-checkpoint per round (BPE merges, fixed-point
+    * graph loops) otherwise retain every generation's blocks until a
+    * GC happens to run — `Dataset.unpersist` only clears CacheManager
+    * entries, never checkpoint block storage, and the blocks behind
+    * the dead generations are pure cache pressure on the rest of the
+    * application. Safe on the CURRENT generation's ancestors because
+    * eager localCheckpoint already truncated the lineage. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }
