@@ -1135,9 +1135,9 @@ object Pipeline {
     * pruned reads, oracle-gated — the round-14 asks #1 and #7 landed
     * as one query. Builds a MONTH-partitioned snapshot table from
     * orders entirely through `df.write.format("graft-snapshot")`
-    * (pre-1995 months as the initial overwrite with an explicit
-    * layout, 1995+ as a plain append that INHERITS it), then reads
-    * 1994 back through the format with a plain
+    * (pre-1999 months as the initial overwrite with an explicit
+    * layout, 1999+ as a plain append that INHERITS it), then reads
+    * 1996 back through the format with a plain
     * `WHERE m BETWEEN DATE…` — which prunes to the 12 intersecting
     * month partitions from the manifest's recorded ISO date stats,
     * zero footer reads (SinksSpec gates the planned-file reduction;
@@ -1160,14 +1160,14 @@ object Pipeline {
     val tPath = new org.apache.hadoop.fs.Path(table)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tPath, true)
-    orders.filter(year($"m") < 1995)
+    orders.filter(year($"m") < 1999)
       .write.format("graft-snapshot").mode("overwrite")
       .option("partitionCols", "m").save(table)
-    orders.filter(year($"m") >= 1995)
+    orders.filter(year($"m") >= 1999)
       .write.format("graft-snapshot").mode("append").save(table)
     spark.read.format("graft-snapshot").load(table)
-      .filter($"m".between(lit("1994-01-01").cast("date"),
-        lit("1994-12-01").cast("date")))
+      .filter($"m".between(lit("1996-01-01").cast("date"),
+        lit("1996-12-01").cast("date")))
       .groupBy(date_format($"m", "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
@@ -1285,7 +1285,7 @@ object Pipeline {
              AS cents
          FROM orders
          WHERE CAST(date_trunc('month', o_orderdate) AS DATE)
-           BETWEEN DATE '1994-01-01' AND DATE '1994-12-01'
+           BETWEEN DATE '1996-01-01' AND DATE '1996-12-01'
          GROUP BY 1 ORDER BY 1""",
     "c21_index_lifecycle" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

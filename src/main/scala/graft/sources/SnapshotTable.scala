@@ -935,6 +935,205 @@ object SnapshotTable {
     committed
   }
 
+  /** OPTIMIZE ZORDER (D300): rewrite the table clustered on the
+    * Morton (Z-order) interleaving of `cols`, so a scan filtering on
+    * ANY subset of those columns prunes files — the multi-dimension
+    * answer to [[compact]]'s single `sortCol` (which serves the first
+    * column at the expense of every other). Delta's OPTIMIZE ZORDER
+    * idea over the manifest log.
+    *
+    * How: each clustering column is rank-bucketed into `2^bitsPerCol`
+    * quantile bins (edges from one bounded `approxQuantile` pass —
+    * rank space, not value space, so skew cannot collapse the key the
+    * way equi-width bucketing would), the per-column bucket indices
+    * are bit-interleaved into one integer Z-key, and the table is
+    * range-partitioned on that key into `ceil(bytes/targetBytes)`
+    * files. Each landed file then covers a CONTIGUOUS Z-range = a
+    * tight hyper-rectangle in rank space, so the recorded per-file
+    * min/max stats (D264) are narrow on EVERY clustering column and
+    * `fileAdmitted` prunes box queries on any of them. Null cluster
+    * values sort as bucket 0 (present, prunable at the origin tile).
+    *
+    * Rows are unchanged — the commit publishes `#nodatachange`, so
+    * the change feed skips it, exactly like [[compact]]. Lost publish
+    * races re-plan against the new latest (orphans vacuumed). */
+  def compactZorder(spark: SparkSession, path: String,
+      cols: Seq[String], targetBytes: Long = 128L << 20,
+      bitsPerCol: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{aggregate, array, col, lit,
+      shiftleft, shiftright, when}
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order needs 2..4 clustering columns, got ${cols.size}")
+    require(bitsPerCol >= 2 && bitsPerCol <= 12,
+      s"bitsPerCol must be in [2, 12], got $bitsPerCol")
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(spark, path)
+      if (latest == 0) return 0L
+      val m =
+        try readManifest(fs, path, latest)
+        catch { case _: java.io.FileNotFoundException => null } // re-resolve
+      if (m != null) {
+        cols.foreach(c => require(m.schema.fieldNames.contains(c),
+          s"no column $c in ${m.schema.fieldNames.mkString(", ")}"))
+        cols.foreach { c =>
+          val dt = m.schema(c).dataType
+          require(isStatType(dt),
+            s"z-order column $c: $dt records no file stats, clustering" +
+              " on it cannot prune — pick a stats-typed column")
+        }
+        val df = spark.read.schema(m.schema)
+          .parquet(m.files.map(f => new HPath(path, f).toString): _*)
+        // rank-space quantile edges, one bounded pass (≤ cols·2^bits
+        // doubles to the driver — the Delta OPTIMIZE sampling idea)
+        val nBins = 1 << bitsPerCol
+        val probes = (1 until nBins).map(_.toDouble / nBins).toArray
+        val proj = df.select(cols.zipWithIndex.map { case (c, i) =>
+          qcol(c).cast("double").as(s"_z$i") }: _*)
+        val edges = cols.indices.map(i =>
+          proj.stat.approxQuantile(s"_z$i", probes, 1e-3))
+        // per-column bucket = #edges ≤ v (a bounded runtime fold, not
+        // a 2^bits-branch codegen CASE); null → 0 (origin tile)
+        val buckets = cols.zipWithIndex.map { case (c, i) =>
+          val es = edges(i).distinct.sorted
+          if (es.isEmpty) lit(0) // all-null column: one tile
+          else {
+            val v = qcol(c).cast("double")
+            aggregate(array(es.toIndexedSeq.map(lit(_)): _*),
+              lit(0), (acc, e) => acc + when(v >= e, 1).otherwise(0))
+          }
+        }
+        // bit-interleave: z = Σ_b Σ_i ((bucket_i >> b) & 1) << (b·k+i)
+        val zkey = (0 until bitsPerCol).flatMap { b =>
+          buckets.zipWithIndex.map { case (bk, i) =>
+            shiftleft(shiftright(bk, b).bitwiseAND(lit(1)),
+              b * cols.size + i).cast("long") }
+        }.reduce(_ + _)
+        val totalBytes = m.files.map(f =>
+          m.sizes.get(f).map(_.bytes).getOrElse {
+            sizeFallbacks.incrementAndGet()
+            fs.getFileStatus(new HPath(path, f)).getLen
+          }).sum
+        val bins = math.max(1,
+          math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        val landPart = m.partCols.filter(m.schema.fieldNames.contains)
+        val zc = "_graft_zkey"
+        val shuffleKeys = landPart.map(qcol) :+ col(zc)
+        val packed = df.withColumn(zc, zkey)
+          .repartitionByRange(bins, shuffleKeys: _*)
+          .sortWithinPartitions(shuffleKeys: _*)
+          .drop(zc)
+        val commitId = java.util.UUID.randomUUID().toString
+        val landed = landDataFiles(packed, path, s"data/c-$commitId",
+          landPart)
+        val newFiles = landed.map(_._1)
+        val (newStats, newRows) = collectStats(spark, m.schema, path,
+          s"data/c-$commitId", newFiles, forceCols = landPart)
+        val newSizes = landed.map { case (f, b) =>
+          f -> FileMeta(b, newRows.getOrElse(f, -1L)) }.toMap
+        if (tryPublish(fs, path, latest + 1,
+            Manifest(m.schema, newFiles, m.batchId, newStats,
+              m.partCols, dataChange = false, sizes = newSizes)))
+          committed = latest + 1
+      }
+    }
+    committed
+  }
+
+  /** Shallow CLONE (D301, Delta's `CREATE TABLE … SHALLOW CLONE`):
+    * publish a NEW table at `dst` whose v1 manifest references the
+    * SOURCE's data files in place (absolute paths) — a zero-copy
+    * branch of `src` as of `versionAsOf` (default latest). Stats and
+    * recorded sizes carry over verbatim, so pruning and manifest-
+    * planned maintenance work at the clone immediately; subsequent
+    * commits to the clone land under the CLONE's directory and never
+    * touch the source, so the two evolve independently (copy-on-write
+    * makes divergence safe — referenced files are immutable). The
+    * clone's own [[vacuum]] only ever deletes below the clone
+    * (source-absolute entries are outside its data walk); vacuuming
+    * the SOURCE past the cloned version can retire shared files —
+    * the documented shallow-clone contract (Delta's caveat too). */
+  def cloneSnapshot(spark: SparkSession, src: String, dst: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val fs = new HPath(src).getFileSystem(conf(spark))
+    require(versions(spark, dst).isEmpty,
+      s"clone target $dst already has committed versions")
+    val v = versionAsOf.getOrElse(latestVersion(spark, src))
+    val m = readManifest(fs, src, v)
+    def abs(f: String): String =
+      if (new HPath(f).isAbsolute) f // re-clone of a clone
+      else new HPath(src, f).toString
+    val dfs = new HPath(dst).getFileSystem(conf(spark))
+    require(tryPublish(dfs, dst, 1L,
+      Manifest(m.schema, m.files.map(abs), batchId = None,
+        stats = m.stats.map { case (f, s) => abs(f) -> s },
+        partCols = m.partCols,
+        sizes = m.sizes.map { case (f, s) => abs(f) -> s })),
+      s"clone target $dst was committed concurrently")
+    1L
+  }
+
+  /** RESTORE (D301, Delta's `RESTORE TABLE … TO VERSION AS OF`): roll
+    * the table back to `toVersion`'s state as a NEW commit — history
+    * is never rewritten, so the bad versions stay readable (audit) and
+    * downstream consumers see the rollback as ordinary row-level
+    * changes. The commit's change-data files carry the file-set diff:
+    * rows of files the restore re-adds land as `insert`, rows of files
+    * it removes land as `delete` (files in both versions contribute
+    * nothing — copy-on-write means identical path ⇒ identical rows),
+    * so an incremental MV (D267) self-heals through a rollback with
+    * the same ±1 algebra as any other commit. Cost is O(changed
+    * files), never O(table). Restoring across a schema change is
+    * rejected (the feed cannot carry two schemas in one commit);
+    * restoring to a vacuumed version fails loudly on the missing
+    * manifest. */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    import org.apache.spark.sql.functions.lit
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(spark, path)
+      require(toVersion >= 1 && toVersion <= latest,
+        s"restore target $toVersion outside committed range [1, $latest]")
+      if (toVersion == latest) return latest
+      val tm = readManifest(fs, path, toVersion)
+      val m =
+        try readManifest(fs, path, latest)
+        catch { case _: java.io.FileNotFoundException => null } // re-resolve
+      if (m != null) {
+        require(m.schema == tm.schema,
+          s"restore across a schema change (v$toVersion ≠ v$latest) is " +
+            "not supported — the change feed carries one schema per commit")
+        val cur = m.files.toSet
+        val tgt = tm.files.toSet
+        val added = tm.files.filterNot(cur)
+        val removed = m.files.filterNot(tgt)
+        if (added.isEmpty && removed.isEmpty) return latest // same state
+        def rows(fsq: Seq[String]): Option[DataFrame] =
+          if (fsq.isEmpty) None
+          else Some(spark.read.schema(m.schema)
+            .parquet(fsq.map(f => new HPath(path, f).toString): _*))
+        val ins = rows(added).map(_.withColumn(changeTypeCol, lit("insert")))
+        val del = rows(removed).map(_.withColumn(changeTypeCol, lit("delete")))
+        val cdf = (ins, del) match {
+          case (Some(a), Some(d)) => a.unionAll(d)
+          case (Some(a), None) => a
+          case (None, Some(d)) => d
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        val cdfFiles = landChangeFiles(cdf, path)
+        if (tryPublish(fs, path, latest + 1,
+            Manifest(tm.schema, tm.files, m.batchId, tm.stats,
+              tm.partCols, sizes = tm.sizes, changeFiles = cdfFiles,
+              cdfComplete = true)))
+          committed = latest + 1
+      }
+    }
+    committed
+  }
+
   /** The change feed's row-level change-type column (D286): `insert`,
     * `update_preimage` / `update_postimage` (merge commits), `delete`
     * (deleteWhere commits) — Delta CDF's vocabulary. */
@@ -1442,6 +1641,89 @@ object SnapshotTable {
         val keepSizes = m.sizes.filter { case (f, _) => untouchedSet(f) }
         val cdfFiles = landChangeFiles(
           deleted.withColumn(changeTypeCol, lit("delete")), path)
+        if (tryPublish(fs, path, latest + 1,
+            Manifest(m.schema, untouched ++ newFiles,
+              m.batchId, keepStats ++ newStats, m.partCols,
+              sizes = keepSizes ++ newSizes, changeFiles = cdfFiles,
+              cdfComplete = true)))
+          committed = latest + 1
+      }
+    }
+    committed
+  }
+
+  /** UPDATE WHERE (D299) — the DML verb MERGE and DELETE left open:
+    * rewrite every row matching ALL of `preds` (the read side's
+    * equality / IN-set / range vocabulary, D285) with the `set`
+    * expressions applied, copy-on-write. Files whose recorded stats
+    * cannot hold a match carry verbatim (same pruning rule as the
+    * filtered read and [[deleteWhereFiltered]] — one definition,
+    * [[fileAdmitted]]); matched rows land as an `update_preimage` /
+    * `update_postimage` pair in the change feed (D286), so downstream
+    * incremental consumers apply the same ±1 algebra a MERGE update
+    * drives. SET expressions may reference any of the row's columns
+    * (`SET price = price * 2`) and are cast to the column's RECORDED
+    * type, so the table schema never drifts through an update (ANSI
+    * UPDATE semantics). Updating a partition-layout column is legal:
+    * rewritten rows re-route to their new value's directory and the
+    * forced min==max signature stats follow. Rows with a null in any
+    * predicate column never match (SQL semantics) and carry unchanged.
+    * Returns the committed version (the current one when nothing
+    * matched — an empty update publishes no commit). */
+  def updateWhere(spark: SparkSession, path: String,
+      preds: Seq[SnapshotPredicate],
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    require(preds.nonEmpty, "updateWhere needs at least one predicate")
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    require(versions(spark, path).nonEmpty,
+      s"no committed versions under $path")
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(spark, path)
+      val m =
+        try readManifest(fs, path, latest)
+        catch { case _: java.io.FileNotFoundException => null } // re-resolve
+      if (m != null) {
+        (preds.map(_.column) ++ set.keys).foreach(c =>
+          require(m.schema.fieldNames.contains(c),
+            s"no column $c in ${m.schema.fieldNames.mkString(", ")}"))
+        val (touched, untouched) =
+          m.files.partition(f => fileAdmitted(m, f, preds))
+        if (touched.isEmpty) return latest // no file can hold a match
+        val touchedDf = spark.read.schema(m.schema)
+          .parquet(touched.map(f => new HPath(path, f).toString): _*)
+        val hit = preds.map(residualFilter(m.schema, _)).reduce(_ && _)
+        val matched = touchedDf.filter(coalesce(hit, lit(false)))
+        // conservative pruning can "touch" stats-less files no row of
+        // which matches — confirm before rewriting (short-circuiting
+        // scan), so a no-op update publishes no commit
+        if (matched.isEmpty) return latest
+        // SET applied in declared column order, each expression cast
+        // to the column's recorded type: the schema cannot drift
+        val updated = matched.select(m.schema.fields.toSeq.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(qcol(f.name).as(f.name))
+        }: _*)
+        val kept = touchedDf.filter(!coalesce(hit, lit(false)))
+        val commitId = java.util.UUID.randomUUID().toString
+        val landPart = m.partCols.filter(m.schema.fieldNames.contains)
+        val landed = landDataFiles(kept.unionAll(updated), path,
+          s"data/c-$commitId", landPart)
+        val newFiles = landed.map(_._1)
+        val (newStats, newRows) = collectStats(spark, m.schema, path,
+          s"data/c-$commitId", newFiles, forceCols = landPart)
+        val newSizes = landed.map { case (f, b) =>
+          f -> FileMeta(b, newRows.getOrElse(f, -1L)) }.toMap
+        val untouchedSet = untouched.toSet
+        val keepStats = m.stats.filter { case (f, _) => untouchedSet(f) }
+        val keepSizes = m.sizes.filter { case (f, _) => untouchedSet(f) }
+        val cdfFiles = landChangeFiles(
+          matched.withColumn(changeTypeCol, lit("update_preimage"))
+            .unionAll(
+              updated.withColumn(changeTypeCol, lit("update_postimage"))),
+          path)
         if (tryPublish(fs, path, latest + 1,
             Manifest(m.schema, untouched ++ newFiles,
               m.batchId, keepStats ++ newStats, m.partCols,

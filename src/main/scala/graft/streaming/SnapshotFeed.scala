@@ -136,11 +136,65 @@ object SnapshotFeed {
       .orderBy($"_commit_version", $"_change_type")
   }
 
+  /** e25 (D299/D301's oracle anchor): UPDATE + RESTORE through the
+    * change feed — build a partitioned scratch table from orders
+    * (layout column `kb = o_orderkey % 8`), UPDATE WHERE `kb = 3`
+    * SET `o_totalprice *= 0.25` (exact in IEEE — a power-of-two
+    * scale), then RESTORE to v1, and census the feed per
+    * (commit version, change type). The update predicate is the
+    * partition signature, so the touched file set — and therefore the
+    * restore's file-level diff — is EXACTLY bucket 3 whatever Spark's
+    * file splits did: v2 emits the bucket's pre/post image pair, v3
+    * (the rollback) re-adds the original bucket files (`insert`) and
+    * drops the rewritten ones (`delete`), all replayable relationally.
+    * What this gates: UPDATE rewrites exactly the matched rows with
+    * the SET applied (no survivor leakage into the CDF), and RESTORE's
+    * diff algebra feeds downstream consumers the precise rollback. */
+  def e25UpdateRestore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice",
+        ($"o_orderkey" % 8).as("kb"))
+    val table = scratchPath(spark, dir) + "_e25"
+    val tPath = new org.apache.hadoop.fs.Path(table)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tPath, true)
+    SnapshotTable.writeSnapshotPartitioned(base, table, "kb")
+    SnapshotTable.updateWhere(spark, table,
+      Seq(SnapshotTable.SnapshotEquals("kb", "3")),
+      Map("o_totalprice" -> ($"o_totalprice" * 0.25)))
+    SnapshotTable.restore(spark, table, 1L)
+    SnapshotTable.changesBetween(spark, table, 0L)
+      .groupBy($"_commit_version", $"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"_commit_version", $"_change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e23_snapshot_feed" -> e23SnapshotFeed,
-    "e24_cdf_census" -> e24CdfCensus)
+    "e24_cdf_census" -> e24CdfCensus,
+    "e25_update_restore" -> e25UpdateRestore)
 
   val oracle: Map[String, String] = Map(
+    "e25_update_restore" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p,
+               o_orderkey % 8 AS kb FROM orders),
+           b3 AS (SELECT k, p FROM base WHERE kb = 3),
+           feed AS (
+             SELECT CAST(1 AS BIGINT) AS v, 'insert' AS ct, p FROM base
+             UNION ALL
+             SELECT 2, 'update_preimage', p FROM b3
+             UNION ALL
+             SELECT 2, 'update_postimage', p * 0.25 FROM b3
+             UNION ALL
+             SELECT 3, 'delete', p * 0.25 FROM b3
+             UNION ALL
+             SELECT 3, 'insert', p FROM b3)
+           SELECT v AS _commit_version, ct AS _change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
     "e24_cdf_census" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
              FROM orders WHERE o_orderkey % 4 <> 3),

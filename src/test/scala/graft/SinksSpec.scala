@@ -760,7 +760,7 @@ class SinksSpec extends AnyFunSuite {
     assert(rows.size == 300 && rows(5L) == "X" && rows(295L) == "Y" &&
       rows(150L) == "r150")
     // non-prunable merge keys (no stats form at all) are rejected UP
-    // FRONT with direction; string keys take the D293 pruned path
+    // FRONT with direction; string keys take the D297 pruned path
     val err = intercept[IllegalArgumentException] {
       SnapshotTable.mergePruned(
         Seq((true, 1L)).toDF("flag", "n"), t, "flag")
@@ -1375,5 +1375,196 @@ class SinksSpec extends AnyFunSuite {
     assert(mcdf == Seq(("u0120", "update_postimage"),
       ("u0120", "update_preimage"), ("u0130", "update_postimage"),
       ("u0130", "update_preimage"), ("u0999", "insert")))
+  }
+
+  test("snapshot table: UPDATE WHERE rewrites only matched rows in touched files") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.sources.SnapshotTable.{SnapshotIn, SnapshotRange}
+    val t = tmp("graft_snap_upd") + "/tbl"
+    // three id-clustered commits -> disjoint per-file id ranges, plus
+    // a null-keyed row (never matched by any predicate)
+    def frame(lo: Long, hi: Long) =
+      (lo until hi).map(i => (Some(i), 10L * i, s"r$i")).toDF("id", "n", "v")
+        .repartition(2)
+    SnapshotTable.writeSnapshot(frame(0, 200), t)
+    SnapshotTable.appendSnapshot(frame(200, 400), t)
+    SnapshotTable.appendSnapshot(
+      frame(400, 600).unionAll(
+        Seq((Option.empty[Long], 7L, "null-key")).toDF("id", "n", "v")), t)
+    val before = SnapshotTable.readSnapshot(spark, t)
+    val beforeFiles = before.inputFiles.toSet
+    // multi-conjunct update: id band ∧ string IN-set — only commit-2
+    // files intersect the band; SET references another column
+    val v = SnapshotTable.updateWhere(spark, t,
+      Seq(SnapshotRange("id", BigDecimal(250), BigDecimal(299)),
+        SnapshotIn("v", Set("r250", "r260", "r270"))),
+      Map("n" -> (col("n") * 2 + 1), "v" -> concat(col("v"), lit("!"))))
+    assert(v == 4L)
+    val after = SnapshotTable.readSnapshot(spark, t)
+    assert(after.count() == 601L, "UPDATE must not change the row count")
+    // exactly the 3 matched rows updated, SET semantics exact
+    val upd = after.filter($"v".endsWith("!")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(upd == Seq((250L, 5001L, "r250!"), (260L, 5201L, "r260!"),
+      (270L, 5401L, "r270!")))
+    // non-matching rows carried unchanged (incl. the null-keyed row)
+    assert(after.filter($"id" === 255L).head().getLong(1) == 2550L)
+    assert(after.filter($"id".isNull).head().getLong(1) == 7L)
+    // untouched files carried VERBATIM; touched commit replaced
+    val afterFiles = after.inputFiles.toSet
+    assert((beforeFiles intersect afterFiles).nonEmpty,
+      "disjoint commits must be carried, not rewritten")
+    assert((beforeFiles -- afterFiles).nonEmpty, "touched files replaced")
+    // pre-update version intact under time travel
+    assert(SnapshotTable.readSnapshot(spark, t, 3)
+      .filter($"id" === 250L).head().getString(2) == "r250")
+    // the feed carries exactly the pre/post image pairs
+    val feed = SnapshotTable.changesBetween(spark, t, 3, 4)
+      .collect().map(r => (r.getString(r.length - 2), r.getLong(0),
+        r.getLong(1))).sorted.toSeq
+    assert(feed == Seq(("update_postimage", 250L, 5001L),
+      ("update_postimage", 260L, 5201L), ("update_postimage", 270L, 5401L),
+      ("update_preimage", 250L, 2500L), ("update_preimage", 260L, 2600L),
+      ("update_preimage", 270L, 2700L)))
+    // a no-match update publishes no commit (pruned OR confirmed-empty)
+    assert(SnapshotTable.updateWhere(spark, t,
+      Seq(SnapshotRange("id", BigDecimal(10000), BigDecimal(10001))),
+      Map("n" -> lit(0L))) == 4L)
+    assert(SnapshotTable.updateWhere(spark, t,
+      Seq(SnapshotRange("id", BigDecimal(250), BigDecimal(299)),
+        SnapshotIn("v", Set("no-such-row"))),
+      Map("n" -> lit(0L))) == 4L)
+    // schema cannot drift: SET is cast to the recorded type
+    assert(SnapshotTable.readSnapshot(spark, t).schema ==
+      SnapshotTable.readSnapshot(spark, t, 1).schema)
+    // updating a PARTITION column re-routes rows to the new value
+    val tp = tmp("graft_snap_updp") + "/tbl"
+    val pdf = (0 until 90).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("id", "b")
+    SnapshotTable.writeSnapshotPartitioned(pdf, tp, "b")
+    SnapshotTable.updateWhere(spark, tp,
+      Seq(SnapshotTable.SnapshotEquals("b", "c")),
+      Map("b" -> lit("a")))
+    val ptab = SnapshotTable.readSnapshot(spark, tp)
+    assert(ptab.filter($"b" === "c").count() == 0L)
+    assert(ptab.filter($"b" === "a").count() == 60L)
+    // the moved rows' files prune structurally under the NEW value
+    val pruned = SnapshotTable.readSnapshotFiltered(spark, tp,
+      Seq(SnapshotTable.SnapshotEquals("b", "b")))
+    assert(pruned.inputFiles.length < ptab.inputFiles.length)
+    assert(pruned.count() == 30L)
+  }
+
+  test("snapshot table: OPTIMIZE ZORDER prunes box queries on every clustering dimension") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.sources.SnapshotTable.SnapshotRange
+    val t = tmp("graft_snap_zord") + "/tbl"
+    // a 64×64 grid in row-major order: x-sorted files prune x but
+    // every file spans ALL of y
+    val grid = (0 until 4096).map(i =>
+      (i.toLong, (i / 64).toLong, (i % 64).toLong)).toDF("id", "x", "y")
+      .repartition(1).sortWithinPartitions("x", "y")
+    SnapshotTable.writeSnapshot(grid, t)
+    // z-order into ~16 small files (force many output files)
+    val v = SnapshotTable.compactZorder(spark, t, Seq("x", "y"),
+      targetBytes = 4L << 10, bitsPerCol = 6)
+    assert(v == 2L)
+    val full = SnapshotTable.readSnapshot(spark, t)
+    assert(full.count() == 4096L, "zorder must not change the row set")
+    val nFull = full.inputFiles.length
+    assert(nFull > 4, s"need multiple z-files to show pruning, got $nFull")
+    // rows unchanged => the change feed SKIPS the zorder commit
+    assert(SnapshotTable.changesBetween(spark, t, 1L, 2L).count() == 0L)
+    // a box query on EACH dimension independently prunes files
+    def planned(c: String, lo: Int, hi: Int): Int =
+      SnapshotTable.readSnapshotFiltered(spark, t,
+        Seq(SnapshotRange(c, BigDecimal(lo), BigDecimal(hi))))
+        .inputFiles.length
+    assert(planned("x", 0, 7) < nFull, "x-box pruned nothing")
+    assert(planned("y", 0, 7) < nFull,
+      "y-box pruned nothing — single-column sort order, not z-order")
+    // results identical to the unpruned read
+    val box = SnapshotTable.readSnapshotFiltered(spark, t,
+      Seq(SnapshotRange("x", BigDecimal(10), BigDecimal(20)),
+        SnapshotRange("y", BigDecimal(30), BigDecimal(40))))
+    val expect = full.filter($"x".between(10, 20) && $"y".between(30, 40))
+    assert(box.count() == expect.count())
+    assert(box.collect().map(_.getLong(0)).sorted.toSeq ==
+      expect.collect().map(_.getLong(0)).sorted.toSeq)
+    // the 2-D box plans fewer files than either 1-D slab (the z-curve
+    // locality promise)
+    assert(box.inputFiles.length <= planned("x", 10, 20))
+    assert(box.inputFiles.length <= planned("y", 30, 40))
+    // time travel to the pre-zorder layout still works
+    assert(SnapshotTable.readSnapshot(spark, t, 1).count() == 4096L)
+  }
+
+  test("snapshot table: shallow CLONE branches zero-copy; RESTORE rolls back as a new commit") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val src = tmp("graft_snap_clsrc") + "/tbl"
+    def frame(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "v").repartition(2)
+    SnapshotTable.writeSnapshot(frame(0, 100), src)
+    SnapshotTable.appendSnapshot(frame(100, 200), src)
+    // shallow clone @ latest: reads equal, ZERO data files copied
+    val dst = tmp("graft_snap_cldst") + "/tbl"
+    assert(SnapshotTable.cloneSnapshot(spark, src, dst) == 1L)
+    val cl = SnapshotTable.readSnapshot(spark, dst)
+    assert(cl.count() == 200L)
+    assert(cl.inputFiles.toSet ==
+      SnapshotTable.readSnapshot(spark, src).inputFiles.toSet,
+      "shallow clone must reference the SOURCE files in place")
+    // stats carried: a pruned read at the clone plans fewer files
+    val pruned = SnapshotTable.readSnapshotFiltered(spark, dst,
+      Seq(SnapshotTable.SnapshotRange("id", BigDecimal(0), BigDecimal(50))))
+    assert(pruned.inputFiles.length < cl.inputFiles.length)
+    assert(pruned.count() == 51L)
+    // clone of an OLD version (time-travel branch)
+    val dst1 = tmp("graft_snap_cldst1") + "/tbl"
+    SnapshotTable.cloneSnapshot(spark, src, dst1, versionAsOf = Some(1L))
+    assert(SnapshotTable.readSnapshot(spark, dst1).count() == 100L)
+    // divergence: appending to the clone never touches the source
+    SnapshotTable.appendSnapshot(frame(500, 510), dst)
+    assert(SnapshotTable.readSnapshot(spark, dst).count() == 210L)
+    assert(SnapshotTable.readSnapshot(spark, src).count() == 200L)
+    assert(SnapshotTable.latestVersion(spark, src) == 2L)
+    // cloning onto an existing table is rejected
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cloneSnapshot(spark, src, dst)
+    }
+    // RESTORE the source to v1 — a NEW commit, history intact
+    val rv = SnapshotTable.restore(spark, src, 1L)
+    assert(rv == 3L)
+    assert(SnapshotTable.readSnapshot(spark, src).count() == 100L)
+    assert(SnapshotTable.readSnapshot(spark, src, 2).count() == 200L)
+    // the rollback rides the change feed as file-diff deletes (the
+    // v2 append's rows disappear; nothing was re-added)
+    val feed = SnapshotTable.changesBetween(spark, src, 2L, 3L)
+    assert(feed.count() == 100L)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    assert(feed.agg(min($"id"), max($"id")).head() ==
+      org.apache.spark.sql.Row(100L, 199L))
+    // restore FORWARD again (undo the rollback): re-adds as inserts
+    val rv2 = SnapshotTable.restore(spark, src, 2L)
+    assert(rv2 == 4L)
+    assert(SnapshotTable.readSnapshot(spark, src).count() == 200L)
+    val feed2 = SnapshotTable.changesBetween(spark, src, 3L, 4L)
+    assert(feed2.count() == 100L)
+    assert(feed2.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    // restore to the current state is a no-op (no commit)
+    assert(SnapshotTable.restore(spark, src, 2L) == 4L)
+    // an incremental MV applied over the feed self-heals through the
+    // rollback: net algebra of v1..v4 equals the final state
+    val net = SnapshotTable.changesBetween(spark, src, 0L)
+      .withColumn("sgn", when($"_change_type".isin(
+        "insert", "update_postimage"), 1).otherwise(-1))
+      .groupBy($"id").agg(sum($"sgn").as("alive"))
+      .filter($"alive" > 0)
+    assert(net.count() == 200L)
   }
 }
