@@ -347,47 +347,47 @@ object RegTree {
     * ar<i>: per-(node, feature, bin) (cnt, Σy, Σy²) censuses via
     * UNION ALL, node totals, cumulative scan, shared-IEEE SSE
     * candidates, argmin (sse → feature → bin). */
-  private def oracleLevelReg(i: Int): String = {
+  private def oracleLevelReg(i: Int, sfx: String = ""): String = {
     val perFeature = regFeatures.zipWithIndex.map { case (f, j) =>
       s"""SELECT node, $j AS feature, $f AS bin,
             CAST(count(*) AS BIGINT) AS cnt,
             CAST(sum(y) AS BIGINT) AS sy,
             CAST(sum(y * y) AS BIGINT) AS syy
-          FROM ar$i GROUP BY node, $f"""
+          FROM ar$i$sfx GROUP BY node, $f"""
     }.mkString("\n          UNION ALL ")
-    s"""hr$i AS ($perFeature),
-        tr$i AS (SELECT node, CAST(count(*) AS BIGINT) AS n,
+    s"""hr$i$sfx AS ($perFeature),
+        tr$i$sfx AS (SELECT node, CAST(count(*) AS BIGINT) AS n,
             CAST(sum(y) AS BIGINT) AS syt,
-            CAST(sum(y * y) AS BIGINT) AS syyt FROM ar$i GROUP BY node),
-        cr$i AS (SELECT node, feature, bin,
+            CAST(sum(y * y) AS BIGINT) AS syyt FROM ar$i$sfx GROUP BY node),
+        cr$i$sfx AS (SELECT node, feature, bin,
             CAST(sum(cnt) OVER (PARTITION BY node, feature ORDER BY bin)
               AS BIGINT) AS nl,
             CAST(sum(sy) OVER (PARTITION BY node, feature ORDER BY bin)
               AS BIGINT) AS syl,
             CAST(sum(syy) OVER (PARTITION BY node, feature ORDER BY bin)
               AS BIGINT) AS syyl
-          FROM hr$i),
-        fr$i AS (SELECT c.node, c.feature, c.bin, c.nl, c.syl, c.syyl,
+          FROM hr$i$sfx),
+        fr$i$sfx AS (SELECT c.node, c.feature, c.bin, c.nl, c.syl, c.syyl,
             t.n - c.nl AS nr, t.syt - c.syl AS syr2,
             t.syyt - c.syyl AS syyr,
             t.n AS n, t.syt AS syt, t.syyt AS syyt
-          FROM cr$i c JOIN tr$i t USING (node) WHERE c.nl < t.n),
-        br$i AS (SELECT node, feature, bin AS threshold_bin, n, syt,
+          FROM cr$i$sfx c JOIN tr$i$sfx t USING (node) WHERE c.nl < t.n),
+        br$i$sfx AS (SELECT node, feature, bin AS threshold_bin, n, syt,
             nl, nr, (1000 * syl) // nl AS vl, (1000 * syr2) // nr AS vr,
             row_number() OVER (PARTITION BY node
               ORDER BY $regSseSql, feature, bin) AS rk
-          FROM fr$i),
-        sr$i AS (SELECT node, feature, threshold_bin FROM br$i
+          FROM fr$i$sfx),
+        sr$i$sfx AS (SELECT node, feature, threshold_bin FROM br$i$sfx
           WHERE rk = 1)"""
   }
 
-  private def oracleAssignReg(i: Int): String =
-    s"""ar$i AS (SELECT a.node ||
+  private def oracleAssignReg(i: Int, sfx: String = ""): String =
+    s"""ar$i$sfx AS (SELECT a.node ||
             CASE WHEN (CASE s.feature WHEN 0 THEN a.f0 ELSE a.f1 END)
                 <= s.threshold_bin
               THEN 'L' ELSE 'R' END AS node,
             a.f0, a.f1, a.y
-          FROM ar${i - 1} a JOIN sr${i - 1} s ON a.node = s.node)"""
+          FROM ar${i - 1}$sfx a JOIN sr${i - 1}$sfx s ON a.node = s.node)"""
 
   private def oracleBestReg(i: Int): String =
     s"""SELECT CASE WHEN node = '' THEN 'root' ELSE node END AS node,
@@ -446,9 +446,107 @@ object RegTree {
           FROM hq$t)"""
   }
 
+  /** The p26 bagged-forest layout: three depth-2 variance trees, each
+    * trained on a DETERMINISTIC 2/3 hash-complement row bag (tree t
+    * drops the rows whose md5 bucket ≡ t mod 3 — the replayable
+    * analogue of bootstrap resampling: bags overlap pairwise in 1/3 of
+    * the corpus, exactly like bootstrap bags do in expectation) and a
+    * 2-of-3 feature SUBSPACE (the random-subspace half of Breiman
+    * 2001's randomness, enumerated instead of sampled so the oracle
+    * replays feature choices bit-for-bit). */
+  private[graft] val forestSubsets = Seq((0, 1), (1, 2), (0, 2))
+  private[graft] val taxBins = 4
+  private[graft] val forestTreeDepth = 2
+
+  /** D302 query binding: bagged random-forest regression — three
+    * depth-2 variance-reduction trees over quantile-binned
+    * (price, discount, tax), each on its own hash-complement row bag
+    * and 2-of-3 feature subspace; one row per (tree, split node) with
+    * the GLOBAL feature index, exact censuses and exact per-mille
+    * floor-mean leaf values (serving averages the per-tree leaf
+    * means — OlsSpec replays the ensemble prediction). Bin edges are
+    * computed ONCE on the full corpus (XGBoost's global proposal —
+    * arXiv:1603.02754 §3.1 — which is also what makes per-tree
+    * replays share one binned design).
+    *
+    * Scale shape: three bounded exactPercentiles passes for edges,
+    * then per (tree, level) ONE routed partial-aggregated pass over
+    * ~2/3 of the rows — 6 passes total, histogram state bounded by
+    * 2^depth × 2 features × bins; no per-row state, no value-set
+    * buffering, bags are WHERE clauses (never materialized copies). */
+  def p26Forest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val pe = quantileEdges(li.select($"l_extendedprice".as("v")),
+      priceBins, width = 64.0)
+    val de = quantileEdges(li.select($"l_discount".as("v")),
+      discBins, width = 0.01)
+    val te = quantileEdges(li.select($"l_tax".as("v")),
+      taxBins, width = 0.01)
+    val design = li.select(
+        quantileBin($"l_extendedprice", pe).as("f0"),
+        quantileBin($"l_discount", de).as("f1"),
+        quantileBin($"l_tax", te).as("f2"),
+        $"l_quantity".cast("long").as("y"),
+        pmod(conv(substring(md5(concat($"l_orderkey".cast("string"),
+            lit("#"), $"l_linenumber".cast("string"))), 1, 8), 16, 10)
+          .cast("long"), lit(3L)).as("h"))
+      .scopedPersist()
+    val rows = forestSubsets.zipWithIndex.flatMap { case ((a, b), t) =>
+      fitRegTreeSplitsMulti(design.filter($"h" =!= t.toLong),
+          Seq(s"f$a", s"f$b"), forestTreeDepth)
+        .map(s => (t.toLong,
+          if (s.node.isEmpty) "root" else s.node, s.depth.toLong,
+          (if (s.feature == 0) a else b).toLong, s.thresholdBin,
+          s.n, s.pos, s.nl, s.nr,
+          Math.floorDiv(1000L * s.pl, s.nl),
+          Math.floorDiv(1000L * s.pr, s.nr)))
+    }
+    rows.toDF("tree", "node", "depth", "feature", "threshold_bin",
+      "n_node", "sy_node", "n_left", "n_right", "v_left", "v_right")
+      .orderBy($"tree", $"depth", $"node")
+  }
+
+  /** The forest's shared design CTEs: global quantile edges for all
+    * THREE features plus the md5 bag-bucket, so each tree's replay is
+    * a WHERE clause over one frame (g0/g1/g2 = global feature bins). */
+  private def forestCtes: String = {
+    def edges(c: String, bins: Int, p: String) = (1 until bins)
+      .map(k => s"quantile_cont($c, ${k.toDouble / bins}) AS $p$k")
+      .mkString(", ")
+    def caseOf(c: String, bins: Int, p: String) = (1 until bins)
+      .map(k => s"WHEN $c <= $p$k THEN ${k - 1}")
+      .mkString(" ") + s" ELSE ${bins - 1}"
+    s"""feq AS (SELECT ${edges("l_extendedprice", priceBins, "p")},
+            ${edges("l_discount", discBins, "d")},
+            ${edges("l_tax", taxBins, "t")} FROM lineitem),
+        frq AS (SELECT
+            CAST(CASE ${caseOf("l_extendedprice", priceBins, "p")} END
+              AS BIGINT) AS g0,
+            CAST(CASE ${caseOf("l_discount", discBins, "d")} END
+              AS BIGINT) AS g1,
+            CAST(CASE ${caseOf("l_tax", taxBins, "t")} END
+              AS BIGINT) AS g2,
+            CAST(l_quantity AS BIGINT) AS y,
+            CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '#'
+              || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 3 AS h
+          FROM lineitem CROSS JOIN feq)"""
+  }
+
+  private def oracleBestForest(i: Int, t: Int, a: Int, b: Int): String =
+    s"""SELECT CAST($t AS BIGINT) AS tree,
+          CASE WHEN node = '' THEN 'root' ELSE node END AS node,
+          CAST($i AS BIGINT) AS depth,
+          CAST(CASE feature WHEN 0 THEN $a ELSE $b END AS BIGINT)
+            AS feature,
+          threshold_bin, n AS n_node, syt AS sy_node,
+          nl AS n_left, nr AS n_right, vl AS v_left, vr AS v_right
+        FROM br${i}_t$t WHERE rk = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p24_regtree" -> p24RegTree,
-    "p25_reggbt" -> p25RegGbt)
+    "p25_reggbt" -> p25RegGbt,
+    "p26_forest" -> p26Forest)
 
   val oracle: Map[String, String] = Map(
     "p24_regtree" ->
@@ -464,6 +562,22 @@ object RegTree {
           FROM (${oracleBestReg(0)} UNION ALL ${oracleBestReg(1)}
             UNION ALL ${oracleBestReg(2)})
           ORDER BY depth, node""",
+    "p26_forest" ->
+      s"""WITH $forestCtes,
+          ${forestSubsets.zipWithIndex.map { case ((a, b), t) =>
+            val sfx = s"_t$t"
+            s"""ar0$sfx AS (SELECT '' AS node, g$a AS f0, g$b AS f1, y
+                FROM frq WHERE h <> $t),
+              ${oracleLevelReg(0, sfx)},
+              ${oracleAssignReg(1, sfx)},
+              ${oracleLevelReg(1, sfx)}"""
+          }.mkString(",\n          ")}
+          SELECT tree, node, depth, feature, threshold_bin, n_node,
+            sy_node, n_left, n_right, v_left, v_right
+          FROM (${forestSubsets.zipWithIndex.flatMap { case ((a, b), t) =>
+            Seq(oracleBestForest(0, t, a, b), oracleBestForest(1, t, a, b))
+          }.mkString("\n            UNION ALL ")})
+          ORDER BY tree, depth, node""",
     "p25_reggbt" ->
       s"""WITH $designCtes,
           q AS (SELECT f0, f1, y * 100 AS yg FROM rq),

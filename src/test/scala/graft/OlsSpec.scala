@@ -1400,4 +1400,93 @@ class OlsSpec extends AnyFunSuite {
     gscored.foreach(r => assert(
       r.getLong(1) == math.floor(r.getDouble(0) + 0.5).toLong))
   }
+
+  test("p26 bagged forest equals per-tree brute replays on hash-complement bags") {
+    import TestSpark.spark.implicits._
+    import graft.operators.RegTree
+    val raw = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice", $"l_discount", $"l_tax",
+        $"l_quantity".cast("long"), $"l_orderkey", $"l_linenumber")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+    val pe = bruteEdges(raw.map(_._1), RegTree.priceBins)
+    val de = bruteEdges(raw.map(_._2), RegTree.discBins)
+    val te = bruteEdges(raw.map(_._3), RegTree.taxBins)
+    // independent bag-bucket derivation: JVM MessageDigest, not
+    // Spark's md5/conv chain
+    def bucket(ok: Long, ln: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$ok#$ln".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 3L
+    }
+    val rows = raw.map { case (p, d, x, y, ok, ln) =>
+      (IndexedSeq(bruteBin(p, pe), bruteBin(d, de), bruteBin(x, te)), y,
+        bucket(ok, ln)) }
+    // brute depth-2 recursion over an explicit GLOBAL feature subset
+    def best(sub: Seq[(IndexedSeq[Long], Long)], fs: Seq[Int])
+        : Option[(Int, Long, Long, Long, Long, Long, Long, Long)] = {
+      val n = sub.length.toLong
+      val syt = sub.map(_._2).sum
+      val syyt = sub.map(r => r._2 * r._2).sum
+      def sse(nl: Long, syl: Long, syyl: Long) = {
+        val nr = n - nl; val syr = syt - syl; val syyr = syyt - syyl
+        (syyl.toDouble - syl.toDouble * syl.toDouble / nl.toDouble) +
+          (syyr.toDouble - syr.toDouble * syr.toDouble / nr.toDouble)
+      }
+      val cands = fs.indices.flatMap { j =>
+        val f = fs(j)
+        val hist = sub.groupBy(_._1(f)).view
+          .mapValues(v => (v.length.toLong, v.map(_._2).sum,
+            v.map(r => r._2 * r._2).sum)).toSeq.sortBy(_._1)
+        var nl = 0L; var syl = 0L; var syyl = 0L
+        hist.map { case (bin, (c, s, ss)) =>
+          nl += c; syl += s; syyl += ss; (j, bin, nl, syl, syyl)
+        }.filter(_._3 < n)
+      }
+      if (cands.isEmpty) None
+      else {
+        // tie order is LOCAL feature index (the engine argmins over
+        // its two-column design), then bin
+        val b = cands.minBy(c => (sse(c._3, c._4, c._5), c._1, c._2))
+        val (j, t, nl, syl, _) = b
+        val nr = n - nl; val syr = syt - syl
+        Some((fs(j), t, n, syt, nl, nr,
+          Math.floorDiv(1000L * syl, nl), Math.floorDiv(1000L * syr, nr)))
+      }
+    }
+    def rec(tree: Int, fs: Seq[Int], path: String,
+        sub: Seq[(IndexedSeq[Long], Long)], d: Int): Seq[(Long, String,
+        Long, Long, Long, Long, Long, Long, Long, Long, Long)] =
+      if (d >= RegTree.forestTreeDepth) Seq.empty
+      else best(sub, fs) match {
+        case None => Seq.empty
+        case Some((f, t, n, syt, nl, nr, vl, vr)) =>
+          (tree.toLong, if (path.isEmpty) "root" else path, d.toLong,
+            f.toLong, t, n, syt, nl, nr, vl, vr) +:
+            (rec(tree, fs, path + "L", sub.filter(_._1(f) <= t), d + 1) ++
+              rec(tree, fs, path + "R", sub.filter(_._1(f) > t), d + 1))
+      }
+    val expected = RegTree.forestSubsets.zipWithIndex.flatMap {
+      case ((a, b), t) =>
+        rec(t, Seq(a, b), "",
+          rows.filter(_._3 != t.toLong).map(r => (r._1, r._2)), 0)
+    }.sortBy(e => (e._1, e._3, e._2))
+    val got = RegTree.p26Forest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // bagging is real: each tree's root population is its bag size
+    val bagSizes = (0 until 3).map(t => rows.count(_._3 != t.toLong).toLong)
+    val roots = got.filter(_._2 == "root").sortBy(_._1)
+    assert(roots.map(_._6) == bagSizes)
+    // the subspaces are real: every tree only ever splits on its two
+    // assigned global features
+    got.groupBy(_._1).foreach { case (t, g) =>
+      val (a, b) = RegTree.forestSubsets(t.toInt)
+      assert(g.map(_._4).toSet.subsetOf(Set(a.toLong, b.toLong)))
+    }
+  }
 }
