@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProduct, LshBuckets, NearestCentroid, PqAdc, PqEncode, SumOfSquares}
+import graft.functions.{CosineSimilarity, DotProduct, DotProductD, LshBuckets, NearestCentroid, PqAdc, PqEncode, SumOfSquares}
 import graft.plans.RewriteHofDot
 
 /** Session extensions for the graft engine — the public plug-in point
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_dot expects 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_d"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot_d"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_dot_d expects 2 arguments, got ${children.length}")
+        DotProductD(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

@@ -380,26 +380,39 @@ object Dedup {
       : Seq[(Int, Int, Long, Long, Double, Double)] = {
     val spark = docSh.sparkSession
     import spark.implicits._
-    def candFor(b: Int, r: Int): DataFrame = {
-      val bandCols = (0 until b).map { i =>
+    // ONE fused banded pass over every sweep configuration (round-15
+    // optimization, guide §2.4): the old per-config pipeline re-ran
+    // bands → bucket census → self-join → distinct once per (b, r)
+    // and paid two driver actions per config (2 + 2·|sweep| jobs,
+    // each multi-exchange). Keying the identical computation by a
+    // config ordinal `ci` runs the census/join/distinct ONCE over the
+    // union of all configs' bands (8+4+2 band hashes per doc vs 8,
+    // then 4, then 2) and reduces the readout to three aggregate
+    // actions total. Per-config semantics are unchanged: every
+    // grouping/join key carries `ci`, so buckets, the maxBucket skew
+    // cap, and pair dedup never mix configurations.
+    val entries = lshSweep.zipWithIndex.flatMap { case ((b, r), ci) =>
+      (0 until b).map { i =>
         val parts = (0 until r).map(j => col(s"sig${i * r + j}"))
-        md5(concat_ws("|", parts: _*)).as(s"band$i")
+        struct(lit(ci).as("ci"), lit(i).as("bi"),
+          md5(concat_ws("|", parts: _*)).as("bh"))
       }
-      val bands = sigs.select(col("doc_id") +: bandCols: _*)
-        .select($"doc_id",
-          posexplode(array((0 until b).map(i => col(s"band$i")): _*))
-            .as(Seq("bi", "bh")))
-      val ok = bands.groupBy($"bi", $"bh").agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" <= maxBucket).select($"bi", $"bh")
-      val keep = bands.join(ok, Seq("bi", "bh"))
-      keep.select($"bi", $"bh", $"doc_id".as("doc_a"))
-        .join(keep.select($"bi", $"bh", $"doc_id".as("doc_b")),
-          Seq("bi", "bh"))
-        .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b").distinct()
     }
-    val widest = candFor(8, 1)
+    val bands = sigs.select($"doc_id", explode(array(entries: _*)).as("e"))
+      .select($"doc_id", $"e.ci".as("ci"), $"e.bi".as("bi"), $"e.bh".as("bh"))
+    val ok = bands.groupBy($"ci", $"bi", $"bh").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" <= maxBucket).select($"ci", $"bi", $"bh")
+    val keep = bands.join(ok, Seq("ci", "bi", "bh"))
+    val pairs = keep.select($"ci", $"bi", $"bh", $"doc_id".as("doc_a"))
+      .join(keep.select($"ci", $"bi", $"bh", $"doc_id".as("doc_b")),
+        Seq("ci", "bi", "bh"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"ci", $"doc_a", $"doc_b").distinct()
       .scopedPersist()
+    // truth stays defined over the most permissive configuration's
+    // candidates, exactly as before
+    val widestCi = lshSweep.indexWhere { case (b, r) => b == 8 && r == 1 }
+    val widest = pairs.filter($"ci" === widestCi).select($"doc_a", $"doc_b")
     val candIds = widest
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val shCand = docSh.join(broadcast(candIds), "doc_id")
@@ -415,19 +428,22 @@ object Dedup {
       .select($"doc_a", $"doc_b")
       .scopedPersist()
     val nTruth = truth.count()
+    val nCand: Map[Int, Long] = pairs.groupBy($"ci")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nFound: Map[Int, Long] = pairs
+      .join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy($"ci").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     def r4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val rows = lshSweep.map { case (b, r) =>
-      val c = if (b == 8 && r == 1) widest else candFor(b, r)
-      val cp = c.scopedPersist()
-      val nCand = cp.count()
-      val nFound = cp.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
-      if (!(b == 8 && r == 1)) cp.unpersist()
-      (b, r, nCand, nFound,
-        if (nTruth > 0) r4(nFound.toDouble / nTruth.toDouble) else 0.0,
-        if (nCand > 0) r4(nFound.toDouble / nCand.toDouble) else 0.0)
+    lshSweep.zipWithIndex.map { case ((b, r), ci) =>
+      val c = nCand.getOrElse(ci, 0L)
+      val f = nFound.getOrElse(ci, 0L)
+      (b, r, c, f,
+        if (nTruth > 0) r4(f.toDouble / nTruth.toDouble) else 0.0,
+        if (c > 0) r4(f.toDouble / c.toDouble) else 0.0)
     }
-    rows
   }
 
   /** D18: 32-bit SimHash from md5-derived token hashes — explode

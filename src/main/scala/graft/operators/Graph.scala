@@ -46,6 +46,43 @@ object Graph {
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Session-scoped cache of the hop-reach census (u, c1..c[[khopMax]])
+    * over the strong-affinity graph — the [[edgeCache]] discipline one
+    * level up: g12 (k-hop census), g14 (distance distribution) and g16
+    * (harmonic centrality) are three READOUTS of the SAME HyperBall
+    * register fold over the same immutable fixture graph, so the
+    * superstep loop (the expensive part: [[khopMax]] join+fold rounds
+    * with per-round localCheckpoints) runs once per (session, dir)
+    * instead of once per query. `counts` is None for an edgeless
+    * support-pruned graph (each readout degrades to its zero shape,
+    * exactly as before); `wide` records the register mode so g12's
+    * raw-estimate HLL readout — which is NOT derivable from the
+    * monotone-clamped counts — can keep its own path. */
+  private case class Reach(counts: Option[DataFrame], wide: Boolean)
+  private val reachCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Reach]
+  private def cachedReach(spark: SparkSession, dir: String): Reach = {
+    reachCache.filterInPlace((_, v) =>
+      v.counts.forall(df => !df.sparkSession.sparkContext.isStopped))
+    reachCache.getOrElseUpdate(
+      (System.identityHashCode(spark).toString, dir), {
+        import spark.implicits._
+        val und = strongEdges(spark, dir)
+        val sym = und.select($"src".as("u"), $"dst".as("v"))
+          .unionAll(und.select($"dst".as("u"), $"src".as("v")))
+          .localCheckpoint()
+        val maxKeyOpt = Option(sym.agg(max($"v")).head().get(0))
+          .map(_.asInstanceOf[Long])
+        maxKeyOpt match {
+          case None => Reach(None, wide = false)
+          case Some(mk) =>
+            val wide = useWideRegisters(mk)
+            Reach(Some(monotoneReachCounts(sym, mk, wide)
+              .persist(StorageLevel.MEMORY_AND_DISK)), wide)
+        }
+      })
+  }
+
   /** Undirected co-purchase edges: two parts are linked iff some order
     * contains both. The self-join on o_orderkey explodes each order
     * into its line-item pairs — bounded by order width (≤ 7 lines in
@@ -757,44 +794,46 @@ object Graph {
     * result assembles driver-side (p11 pattern). */
   def g12KHop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = strongEdges(spark, dir)
-    val sym = und.select($"src".as("u"), $"dst".as("v"))
-      .unionAll(und.select($"dst".as("u"), $"src".as("v")))
-      .localCheckpoint()
-    // register geometry: one pre-loop scalar over the checkpointed
-    // edge frame (part keys are dense and bounded by the part table).
-    // max of an EMPTY frame is null — a support-pruned graph with no
-    // strong edges short-circuits to the all-zero census instead of
-    // an NPE (the old pair-frame path degraded gracefully too).
-    val maxKeyOpt = Option(sym.agg(max($"v")).head().get(0))
-      .map(_.asInstanceOf[Long])
-    if (maxKeyOpt.isEmpty) {
+    // round-15: the exact-mode census reads off the SHARED
+    // [[cachedReach]] register fold (one superstep loop per session
+    // for g12/g14/g16) — valid because exact bitset reach is monotone
+    // in h by construction, so the monotone-clamped (u, c1..c3) frame
+    // carries the identical per-hop counts the raw register frames
+    // did, and the vertex set is the same every hop. The readout is
+    // ONE seven-moment aggregate instead of three per-hop jobs.
+    val rc = cachedReach(spark, dir)
+    if (rc.counts.isEmpty) {
+      // max of an EMPTY frame is null — a support-pruned graph with no
+      // strong edges short-circuits to the all-zero census instead of
+      // an NPE (the old pair-frame path degraded gracefully too).
       return (1 to khopMax).map(h => (h.toLong, 0L, 0L, 0.0, 0L))
         .toDF("hop", "n_nodes", "n_pairs", "avg_reach", "max_reach")
         .orderBy($"hop")
     }
-    val maxKey = maxKeyOpt.get
     // unbounded-domain guard (round-10 verdict #1): past the exact
     // registers' width ceiling, run the SAME supersteps over
     // constant-width HLL registers instead — per-vertex state is 2^p
     // bytes regardless of maxKey, so the fold survives a key domain
     // the dense bitset cannot (~2.5 MB/vertex at a 20M-key domain).
-    if (useWideRegisters(maxKey)) {
+    // The HLL readout sums UNROUNDED per-vertex estimates, which the
+    // rounded monotone counts cannot reproduce — it keeps its own
+    // register loop.
+    if (rc.wide) {
+      val und = strongEdges(spark, dir)
+      val sym = und.select($"src".as("u"), $"dst".as("v"))
+        .unionAll(und.select($"dst".as("u"), $"src".as("v")))
+        .localCheckpoint()
       return khopCensusHll(spark, sym, graft.functions.HllReach.defaultP)
     }
-    val nWords = (maxKey >> 6).toInt + 1
-    val (nbrBits, orBits) = exactRegisterAggs(nWords)
-    def stats(reg: DataFrame, h: Int): (Long, Long, Long, Long) = {
-      val r = reg.select($"u", exactReachCnt.as("c"))
-        .agg(count(lit(1)), sum($"c"), max($"c")).head()
-      (h.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    val rows = hopRegisterFrames(sym, nbrBits, orBits)
-      .zipWithIndex.map { case (reg, i) => stats(reg, i + 1) }
+    val aggs = count(lit(1)) +:
+      (1 to khopMax).flatMap(h => Seq(sum(col(s"c$h")), max(col(s"c$h"))))
+    val r = rc.counts.get.agg(aggs.head, aggs.tail: _*).head()
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    rows.map { case (h, n, p, mx) =>
-      (h, n, p, r4(p.toDouble / n.toDouble), mx)
+    val n = r.getLong(0)
+    (1 to khopMax).map { h =>
+      val p = r.getLong(2 * h - 1); val mx = r.getLong(2 * h)
+      (h.toLong, n, p, r4(p.toDouble / n.toDouble), mx)
     }.toDF("hop", "n_nodes", "n_pairs", "avg_reach", "max_reach")
       .orderBy($"hop")
   }
@@ -896,11 +935,17 @@ object Graph {
     * cancels); the fixture domain stays exact/oracle-gated. */
   def g14DistanceDist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = strongEdges(spark, dir)
-    val sym = und.select($"src".as("u"), $"dst".as("v"))
-      .unionAll(und.select($"dst".as("u"), $"src".as("v")))
-      .localCheckpoint()
-    distanceDistFrom(spark, sym)
+    // round-15: readout over the shared [[cachedReach]] census — one
+    // register fold per session for g12/g14/g16
+    val rc = cachedReach(spark, dir)
+    rc.counts match {
+      case None =>
+        (1 to khopMax).map(h => (h.toLong, 0L, 0.0, 0.0, 0L))
+          .toDF("hop", "n_new_pairs", "pct_pairs", "cum_share",
+            "n_radius_nodes")
+          .orderBy($"hop")
+      case Some(cu) => distanceDistReadout(spark, cu)
+    }
   }
 
   /** Per-vertex cumulative reach counts (u, c1, c2, c3) at hops
@@ -966,7 +1011,16 @@ object Graph {
     // the effective radius a RATIO of a vertex's own estimates (the
     // shared-universe collision bias largely cancels)
     val wide = forceHll || useWideRegisters(maxKeyOpt.get)
-    val cu = monotoneReachCounts(sym, maxKeyOpt.get, wide)
+    distanceDistReadout(spark, monotoneReachCounts(sym, maxKeyOpt.get, wide))
+  }
+
+  /** The g14 aggregation + assembly over a (u, c1..c[[khopMax]])
+    * monotone reach-count frame — shared by the cached-census entry
+    * and the spec-facing [[distanceDistFrom]]. */
+  private def distanceDistReadout(spark: SparkSession,
+      counts: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cu = counts
       .withColumn("eff",
         when($"c1" * 10 >= $"c3" * 9, 1)
           .when($"c2" * 10 >= $"c3" * 9, 2).otherwise(3))
@@ -1013,17 +1067,13 @@ object Graph {
     * top-k. */
   def g16Harmonic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = strongEdges(spark, dir)
-    val sym = und.select($"src".as("u"), $"dst".as("v"))
-      .unionAll(und.select($"dst".as("u"), $"src".as("v")))
-      .localCheckpoint()
-    val maxKeyOpt = Option(sym.agg(max($"v")).head().get(0))
-      .map(_.asInstanceOf[Long])
-    if (maxKeyOpt.isEmpty)
+    // round-15: readout over the shared [[cachedReach]] census — one
+    // register fold per session for g12/g14/g16
+    val rc = cachedReach(spark, dir)
+    if (rc.counts.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("part_key", "reach1", "reach3", "harmonic6")
-    val wide = useWideRegisters(maxKeyOpt.get)
-    monotoneReachCounts(sym, maxKeyOpt.get, wide)
+    rc.counts.get
       .select($"u".as("part_key"), $"c1".as("reach1"), $"c3".as("reach3"),
         (lit(6L) * $"c1" + lit(3L) * ($"c2" - $"c1")
           + lit(2L) * ($"c3" - $"c2")).as("harmonic6"))
@@ -1102,10 +1152,15 @@ object Graph {
     * TakeOrdered. */
   def g13Hits(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint the distinct edge list ONCE (round-15): ec and
+    // ep below each materialize a persisted layout of it, and without
+    // the checkpoint each materialization re-ran the orders⋈lineitem
+    // join + distinct from the scan
     val e = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("c"), $"l_partkey".as("p"))
       .distinct()
+      .localCheckpoint()
     // the g1 cached-layout trick, once per join key: each half-step's
     // sort-merge join reuses the cached exchange+sort of the (large)
     // edge side — only the score frames move per round

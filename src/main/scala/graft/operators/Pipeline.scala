@@ -1097,8 +1097,11 @@ object Pipeline {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val old = emb.filter($"vec_id" % Similarity.ingestMod =!= 0)
-    val centsOld = Similarity.ivfCentroids(old, lifecycleK, iters = 2)
-    val centsNew = Similarity.ivfCentroids(emb, lifecycleK, iters = 2)
+    // lifecycleK == 16, the s6 codebook family: reuse the session
+    // memo (round-15 — same deterministic trainer, same inputs)
+    require(lifecycleK == 16, "lifecycle codebooks reuse the k=16 memo")
+    val centsOld = Similarity.oldCents(spark, dir)
+    val centsNew = Similarity.fullCents(spark, dir)
     def census(df: DataFrame, cents: Array[Array[Double]]): Map[Int, Long] =
       df.select(Similarity.nearestCentroidCol(spark, $"embedding", cents)
           .as("c"))

@@ -502,6 +502,31 @@ object Similarity {
     * must not grow with the corpus. */
   val ivfTrainSize = 4096
 
+  /** One codebook fit per (fixture dir, variant) per JVM — the
+    * PcaQueries statsCache discipline: the trainers are deterministic
+    * functions of the immutable fixture (bounded hash-ordered sample +
+    * driver-local Lloyd), and the s-family re-derived the identical
+    * codebooks in up to ten queries per run (round-15 measurement:
+    * one sampling TakeOrdered job per call). Values are plain driver
+    * arrays, eagerly computed, valid across sessions. The Estimator
+    * paths (GraftIVF/GraftPQ) fit USER frames and stay uncached. */
+  private val centsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Array[Array[Double]]]
+  private[operators] def fullCents(spark: SparkSession, dir: String)
+      : Array[Array[Double]] =
+    centsCache.getOrElseUpdate((dir, "full-16-2"),
+      ivfCentroids(Tables.embeddings(spark, dir), k = 16, iters = 2))
+  private[operators] def oldCents(spark: SparkSession, dir: String)
+      : Array[Array[Double]] =
+    centsCache.getOrElseUpdate((dir, "old-16-2"),
+      ivfCentroids(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % ingestMod =!= 0), k = 16, iters = 2))
+  private val booksCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private def fullBooks(spark: SparkSession, dir: String)
+      : Array[Array[Array[Double]]] =
+    booksCache.getOrElseUpdate(dir, pqCodebooks(Tables.embeddings(spark, dir)))
+
   /** Deterministic fixed-size training sample: hash-ordered top-N
     * (TakeOrderedAndProject — one corpus pass, per-partition top-N,
     * no global sort shuffle), reproducible on any cluster layout.
@@ -524,7 +549,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     // training cost is corpus-size-independent: one sampling pass, then
     // driver-local Lloyd over the bounded sample (see ivfCentroids)
-    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val cents = fullCents(spark, dir)
     val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding",
       nearestCentroidCol(spark, $"embedding", cents).as("cell"))
     val qs = emb.filter($"vec_id" < 5)
@@ -603,8 +628,7 @@ object Similarity {
   def s21IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(emb.filter($"vec_id" % ingestMod =!= 0),
-      k = 16, iters = 2)
+    val cents = oldCents(spark, dir)
     val cells = emb
       .select(nearestCentroidCol(spark, $"embedding", cents).as("cell_id"),
         ($"vec_id" % ingestMod === 0).cast("long").as("isnew"))
@@ -649,8 +673,7 @@ object Similarity {
   def s22IndexIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(emb.filter($"vec_id" % ingestMod =!= 0),
-      k = 16, iters = 2)
+    val cents = oldCents(spark, dir)
     // one corpus pass: (cell, old|batch) census, ≤ k·(batches+1) rows
     val census = emb
       .select(nearestCentroidCol(spark, $"embedding", cents).as("cell_id"),
@@ -712,7 +735,7 @@ object Similarity {
   def s23NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val cents = fullCents(spark, dir)
     val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding",
       nearestCentroidCol(spark, $"embedding", cents).as("cell"))
     val qs = emb.filter($"vec_id" < 5)
@@ -768,9 +791,8 @@ object Similarity {
   def s24CodebookStability(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val centsOld = ivfCentroids(emb.filter($"vec_id" % ingestMod =!= 0),
-      k = 16, iters = 2)
-    val centsNew = ivfCentroids(emb, k = 16, iters = 2)
+    val centsOld = oldCents(spark, dir)
+    val centsNew = fullCents(spark, dir)
     def sq(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
@@ -796,7 +818,7 @@ object Similarity {
   def s20FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val cents = fullCents(spark, dir)
     val corpus = emb.select($"vec_id".as("neighbor_id"),
       $"label".as("n_label"), $"embedding",
       nearestCentroidCol(spark, $"embedding", cents).as("cell"))
@@ -926,7 +948,7 @@ object Similarity {
   def s7KnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val books = pqCodebooks(emb)
+    val books = fullBooks(spark, dir)
     // bounded query set → driver-side ADC tables (5 × 4×16 doubles)
     val qRows = emb.filter($"vec_id" < 5)
       .select($"vec_id", $"embedding").collect()
@@ -987,8 +1009,8 @@ object Similarity {
   def s15KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(emb, k = 16, iters = 2)
-    val books = pqCodebooks(emb)
+    val cents = fullCents(spark, dir)
+    val books = fullBooks(spark, dir)
     val corpus = emb.select($"vec_id".as("neighbor_id"),
       nearestCentroidCol(spark, $"embedding", cents).as("cell"),
       pqEncodeCol(spark, $"embedding", books).as("codes"))
@@ -1059,7 +1081,7 @@ object Similarity {
   def s16IvfStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val cents = fullCents(spark, dir)
     val cells = emb
       .select(nearestCentroidCol(spark, $"embedding", cents).as("cell"))
       .groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
@@ -1097,7 +1119,7 @@ object Similarity {
   def s17PqDistortion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val books = pqCodebooks(emb)
+    val books = fullBooks(spark, dir)
     val errU = udf { (embv: Seq[Float]) =>
       val v = normalized(embv.map(_.toDouble).toArray)
       val sub = v.length / books.length
@@ -1479,7 +1501,7 @@ object Similarity {
   def s25NswIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(emb, k = 16, iters = 2)
+    val cents = fullCents(spark, dir)
     val cells = emb.select($"vec_id", $"embedding",
       nearestCentroidCol(spark, $"embedding", cents).as("cell"))
       .scopedPersist()

@@ -5,13 +5,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, DotProductD}
 
 /** Optimizer rule: rewrite the idiomatic-but-interpreted higher-order
   * dot product
   * {{{ aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v) }}}
   * over two `array<float>` columns into the codegen'd native
-  * [[graft.functions.DotProduct]].
+  * [[graft.functions.DotProduct]] — and the same shape over two
+  * `array<double>` columns into [[graft.functions.DotProductD]] (the
+  * k-means/SemDeDup hot loop, which keeps doubles end-to-end for
+  * DuckDB `list_inner_product` bit-parity).
   *
   * Why a rule and not just the `graft_dot` function: Spark's
   * higher-order array expressions are CodegenFallback — every row pays
@@ -38,6 +41,11 @@ object RewriteHofDot extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   /** The expression is `v` itself, optionally under a cast to double. */
   private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
     case nlv: NamedLambdaVariable => nlv.exprId == v.exprId
@@ -55,12 +63,13 @@ object RewriteHofDot extends Rule[LogicalPlan] {
           LambdaFunction(add: Add,
             Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _))
-          if isFloatArray(a) && isFloatArray(b) &&
+          if (isFloatArray(a) && isFloatArray(b) ||
+              isDoubleArray(a) && isDoubleArray(b)) &&
             ((isVar(mul.left, x) && isVar(mul.right, y)) ||
               (isVar(mul.left, y) && isVar(mul.right, x))) &&
             ((isVar(add.left, acc) && isVar(add.right, el)) ||
               (isVar(add.left, el) && isVar(add.right, acc))) &&
             isVar(fin, facc) =>
-        DotProduct(a, b)
+        if (isFloatArray(a)) DotProduct(a, b) else DotProductD(a, b)
     }
 }

@@ -69,6 +69,36 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("RewriteHofDot double case: HOF dot over array<double> becomes graft_dot_d, bit-identical") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    // the exact declarative shape KMeans.dotD builds (the d14/p8 hot loop)
+    val hofDot = aggregate(zip_with($"e", $"e",
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val q = emb.select($"vec_id", hofDot.as("d"))
+    val opt = q.queryExecution.optimizedPlan
+    val fired = opt.exists(_.expressions.exists(_.exists {
+      case _: graft.functions.DotProductD => true
+      case _ => false
+    }))
+    assert(fired, s"double-case rule did not fire:\n$opt")
+    assert(!opt.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => true
+      case _ => false
+    })), "interpreted ArrayAggregate survived the rewrite")
+    // bit-equality vs a driver-side loop with the same summation order
+    q.collect().foreach { r =>
+      val v = emb.filter($"vec_id" === r.getLong(0))
+        .head.getSeq[Double](1)
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * v(i); i += 1 }
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"vec ${r.getLong(0)}: $d != ${r.getDouble(1)}")
+    }
+  }
+
   test("graft_sumsq is bit-identical to the interpreted HOF norm") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, sf)
