@@ -23,9 +23,18 @@ object ProfileOne {
     val jobs = new AtomicInteger(0); val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0); val taskMs = new AtomicLong(0L)
     val shufRead = new AtomicLong(0L); val shufWrite = new AtomicLong(0L)
+    val verbose = sys.env.get("PROFILE_JOBS").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        jobStart.put(js.jobId, System.nanoTime())
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStart.remove(je.jobId)
+        if (verbose && t0 != 0L)
+          println(f"  job ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {

@@ -19,6 +19,9 @@ object TimeOne {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"$name%s median=${ts(1)}%.2fs min=${ts.head}%.2fs max=${ts.last}%.2fs")
+      // mirror Bench's per-query cache release so timings match the
+      // official protocol (session-scoped shared caches stay live)
+      CacheScope.drain()
     }
     spark.stop()
   }

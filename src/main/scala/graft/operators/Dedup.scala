@@ -197,6 +197,22 @@ object Dedup {
     * are scored, so the quadratic step never touches the full corpus. */
   def d5Jaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    jaccardPairsBuild(spark, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The unsorted d5 pair set — c1/c11/c17/c18 and the component
+    * assignment consume it under semi-joins, where d5's presentation
+    * sort is wasted work. NOT a session-persisted view: round-15
+    * measured that a cached pairs InMemoryRelation gets plan-matched
+    * INTO c17's large composed tree by the CacheManager and costs c17
+    * ~4.5 s of wall (the cache boundary blocks the semi-join pushdown
+    * the uncached subtree enjoys), more than the ~1 s it saves across
+    * the smaller consumers. */
+  private[operators] def sharedJaccardPairs(spark: SparkSession,
+      dir: String): DataFrame = jaccardPairsBuild(spark, dir)
+
+  private[operators] def jaccardPairsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val (docSh, sigs) = sharedSigs(spark, dir)
     val cand = candidates(sigs)
       .scopedPersist() // id filter + intersection + output
@@ -217,7 +233,6 @@ object Dedup {
       .select($"doc_a", $"doc_b",
         round($"n_inter" / ($"n_a" + $"n_b" - $"n_inter"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.5)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** D171: idf-WEIGHTED Jaccard over the d4 LSH candidate pairs —
@@ -886,7 +901,7 @@ object Dedup {
 
   private def computeComponentAssignment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = d5Jaccard(spark, dir).select($"doc_a", $"doc_b")
+    val pairs = sharedJaccardPairs(spark, dir).select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
       .toDF("u", "v").localCheckpoint()
     var labels = edges.select($"u").distinct()

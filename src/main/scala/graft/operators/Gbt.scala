@@ -138,10 +138,13 @@ object Gbt {
     // cumulative (nulls sort first) while `bin <= thr` routing sends
     // those rows RIGHT — reject them up front rather than fit a model
     // whose censuses disagree with its own routing (round-14 advisory)
-    require(hist.filter($"bin".isNull).isEmpty,
+    // null-bin fence + totals in ONE aggregate (round-15: the
+    // separate isEmpty pre-check was its own job)
+    val t0 = hist.agg(sum($"cnt"), sum($"p"),
+      count(when($"bin".isNull, 1))).head()
+    require(t0.getLong(2) == 0L,
       "null feature bins in the GBT design: feature columns must be " +
         "non-null (filter or impute before fitting)")
-    val t0 = hist.agg(sum($"cnt"), sum($"p")).head()
     val nAll = t0.getLong(0)
     val posAll = t0.getLong(1)
     require(nAll > 0, "empty histogram")
@@ -149,6 +152,10 @@ object Gbt {
     val f0 = posAll * 1000L / nAll
     var decisions = Vector.empty[(Long, Long, Long)] // (thr, dl, dr)
     var out = Vector.empty[GbtRound]
+    // round t's census already sums rr^2 under the CURRENT model —
+    // exactly round t-1's post-update SSE — so each round's collect
+    // closes the previous round and only the last pays an SSE pass
+    var pending: Option[GbtRound] = None
     var t = 1
     var open = true
     while (t <= rounds && open) {
@@ -173,7 +180,7 @@ object Gbt {
         .withColumn("srrr", $"srrt" - $"srrl")
         .withColumn("sse_raw", expr(sseSql))
         .orderBy($"sse_raw", $"bin").limit(1)
-        .select($"bin", $"nl", $"srl", $"nr", $"srr2")
+        .select($"bin", $"nl", $"srl", $"nr", $"srr2", $"srrt")
         .collect()
       if (bestRows.isEmpty) {
         // single-bin histogram: no candidate leaves both sides
@@ -182,6 +189,7 @@ object Gbt {
         open = false
       } else {
         val best = bestRows.head
+        pending.foreach(pr => out :+= pr.copy(sseAfter = best.getLong(5)))
         val (thr, nl, srl, nr, srR) = (best.getLong(0), best.getLong(1),
           best.getLong(2), best.getLong(3), best.getLong(4))
         // shifted nonnegative floor-division (truncation == floor here;
@@ -194,17 +202,20 @@ object Gbt {
         val dl = (vl + S) / 2L - S / 2L // = floor(vl / 2), both engines
         val dr = (vr + S) / 2L - S / 2L
         decisions :+= ((thr, dl, dr))
-        val fAfter: Column = decisions.foldLeft(lit(f0)) {
-          case (f, (th, l, r)) =>
-            f + when($"bin" <= lit(th), lit(l)).otherwise(lit(r))
-        }
-        val sseAfter = hist.withColumn("F", fAfter)
-          .agg(sum($"p" * (lit(1000L) - $"F") * (lit(1000L) - $"F")
-            + ($"cnt" - $"p") * $"F" * $"F"))
-          .head().getLong(0)
-        out :+= GbtRound(t, thr, nl, nr, vl, vr, sseAfter)
+        pending = Some(GbtRound(t, thr, nl, nr, vl, vr, -1L))
         t += 1
       }
+    }
+    pending.foreach { pr =>
+      val fAfter: Column = decisions.foldLeft(lit(f0)) {
+        case (f, (th, l, r)) =>
+          f + when($"bin" <= lit(th), lit(l)).otherwise(lit(r))
+      }
+      val sseAfter = hist.withColumn("F", fAfter)
+        .agg(sum($"p" * (lit(1000L) - $"F") * (lit(1000L) - $"F")
+          + ($"cnt" - $"p") * $"F" * $"F"))
+        .head().getLong(0)
+      out :+= pr.copy(sseAfter = sseAfter)
     }
     (f0, out)
   }
@@ -227,13 +238,15 @@ object Gbt {
     import org.apache.spark.sql.expressions.Window
     require(featureCols.nonEmpty, "need at least one feature column")
     val S = shiftFor(rounds)
-    // reject null feature bins up front: they'd census LEFT in the
-    // cumulative window but route RIGHT at scoring (round-14 advisory)
-    require(design.filter(featureCols.map(col(_).isNull)
-        .reduce(_ || _)).isEmpty,
+    // null-bin fence (they'd census LEFT in the cumulative window but
+    // route RIGHT at scoring — round-14 advisory) + totals in ONE
+    // aggregate (round-15: the separate isEmpty pre-check was a full
+    // pass)
+    val t0 = design.agg(count(lit(1)), sum($"y"),
+      count(when(featureCols.map(col(_).isNull).reduce(_ || _), 1))).head()
+    require(t0.getLong(2) == 0L,
       "null feature bins in the GBT design: feature columns must be " +
         "non-null (filter or impute before fitting)")
-    val t0 = design.agg(count(lit(1)), sum($"y")).head()
     val nAll = t0.getLong(0)
     require(nAll > 0, "empty design")
     requireSseEnvelope(nAll, rounds)
@@ -241,6 +254,10 @@ object Gbt {
     val f0 = posAll * 1000L / nAll
     var decisions = Vector.empty[(Int, Long, Long, Long)] // (ft, thr, dl, dr)
     var out = Vector.empty[GbtRound]
+    // each round's collect closes the previous round (its census Σrr²
+    // IS the previous round's post-update SSE); only the last round
+    // pays a dedicated SSE pass (round-15)
+    var pending: Option[GbtRound] = None
     var t = 1
     var open = true
     while (t <= rounds && open) {
@@ -273,11 +290,12 @@ object Gbt {
         .withColumn("srrr", $"srrt" - $"srrl")
         .withColumn("sse_raw", expr(sseSql))
         .orderBy($"sse_raw", $"feature", $"bin").limit(1)
-        .select($"feature", $"bin", $"nl", $"srl", $"nr", $"srr2")
+        .select($"feature", $"bin", $"nl", $"srl", $"nr", $"srr2", $"srrt")
         .collect()
       if (bestRows.isEmpty) open = false
       else {
         val best = bestRows.head
+        pending.foreach(pr => out :+= pr.copy(sseAfter = best.getLong(6)))
         val (ft, thr, nl, srl, nr, srR) = (best.getInt(0), best.getLong(1),
           best.getLong(2), best.getLong(3), best.getLong(4),
           best.getLong(5))
@@ -288,18 +306,21 @@ object Gbt {
         val dl = (vl + S) / 2L - S / 2L
         val dr = (vr + S) / 2L - S / 2L
         decisions :+= ((ft, thr, dl, dr))
-        val fAfter: Column = decisions.foldLeft(lit(f0)) {
-          case (f, (ff, th, l, r)) =>
-            f + when(col(featureCols(ff)) <= lit(th), lit(l))
-              .otherwise(lit(r))
-        }
-        // exact integer SSE: y ∈ {0,1} makes (1000y − F)² the census
-        val sseAfter = design.withColumn("F", fAfter)
-          .agg(sum(($"y" * 1000L - $"F") * ($"y" * 1000L - $"F")))
-          .head().getLong(0)
-        out :+= GbtRound(t, thr, nl, nr, vl, vr, sseAfter, feature = ft)
+        pending = Some(GbtRound(t, thr, nl, nr, vl, vr, -1L, feature = ft))
         t += 1
       }
+    }
+    pending.foreach { pr =>
+      val fAfter: Column = decisions.foldLeft(lit(f0)) {
+        case (f, (ff, th, l, r)) =>
+          f + when(col(featureCols(ff)) <= lit(th), lit(l))
+            .otherwise(lit(r))
+      }
+      // exact integer SSE: y ∈ {0,1} makes (1000y − F)² the census
+      val sseAfter = design.withColumn("F", fAfter)
+        .agg(sum(($"y" * 1000L - $"F") * ($"y" * 1000L - $"F")))
+        .head().getLong(0)
+      out :+= pr.copy(sseAfter = sseAfter)
     }
     (f0, out)
   }

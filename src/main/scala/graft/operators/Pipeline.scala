@@ -38,20 +38,19 @@ object Pipeline {
 
   def c1CleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val s1 = Tables.documents(spark, dir)
-      .withColumn("quality", TextAnalysis.qualityScore($"text"))
-      .filter($"quality" >= 0.5)
-    // exact dedup among survivors: content_hash is near-unique, so the
+    // round-15: quality/hash columns come off the shared
+    // TextAnalysis.docFacts session frame (same expressions, computed
+    // once per session for the whole c-family)
+    val s1 = TextAnalysis.docFacts(spark, dir).filter($"quality" >= 0.5)
+    // exact dedup among survivors: content hash is near-unique, so the
     // window min is a regular hash-partitioned shuffle, no hot keys
     val s2 = s1
-      .withColumn("content_hash",
-        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
       .withColumn("keep_id",
-        min($"doc_id").over(Window.partitionBy($"content_hash")))
+        min($"doc_id").over(Window.partitionBy($"ch")))
       .filter($"doc_id" === $"keep_id")
       .select($"doc_id", $"lang", $"source", $"quality")
     val ids = s2.select($"doc_id")
-    val livePairs = Dedup.d5Jaccard(spark, dir)
+    val livePairs = Dedup.sharedJaccardPairs(spark, dir)
       .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
       .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     val s3 = s2.join(livePairs.select($"doc_b".as("doc_id")).distinct(),
@@ -83,8 +82,7 @@ object Pipeline {
     * parallelizes with the cluster; no q9-style low-cardinality trap. */
   def c2ComponentDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gated = Tables.documents(spark, dir)
-      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+    val gated = TextAnalysis.docFacts(spark, dir)
       .filter($"quality" >= 0.5)
       .select($"doc_id", $"lang", $"source", $"quality")
     val assigned = gated
@@ -301,8 +299,8 @@ object Pipeline {
     * when the schedule is written partitioned-by-stage). */
   def c7Curriculum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = Tables.documents(spark, dir)
-      .select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+    val scored = TextAnalysis.docFacts(spark, dir)
+      .select($"doc_id", $"quality".as("q"))
       .withColumn("stage",
         when($"q" >= currHi, 0).when($"q" >= currLo, 1).otherwise(2))
       .withColumn("salt", pmod($"doc_id", lit(currSalts)).cast("int"))
@@ -336,11 +334,9 @@ object Pipeline {
     * no extra scan). */
   def c8DatasetCard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .withColumn("content_hash",
-        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
-      .withColumn("quality", TextAnalysis.qualityScore($"text"))
-      .withColumn("n_tokens", size(TextAnalysis.tokens($"text")).cast("long"))
+    TextAnalysis.docFacts(spark, dir)
+      .withColumnRenamed("ch", "content_hash")
+      .withColumnRenamed("nt", "n_tokens")
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct($"lang").as("n_langs"),
@@ -568,21 +564,16 @@ object Pipeline {
     * each adds one operator to the previous). */
   def c11StageFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val s0 = Tables.documents(spark, dir)
-      .withColumn("nt", size(split(lower($"text"), " ")).cast("long"))
-      .withColumn("quality", TextAnalysis.qualityScore($"text"))
-      .scopedPersist()
+    val s0 = TextAnalysis.docFacts(spark, dir)
     val s1 = s0.filter($"quality" >= 0.5)
     val s2 = s1
-      .withColumn("content_hash",
-        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
       .withColumn("keep_id",
-        min($"doc_id").over(Window.partitionBy($"content_hash")))
+        min($"doc_id").over(Window.partitionBy($"ch")))
       .filter($"doc_id" === $"keep_id")
       .select($"doc_id", $"nt")
       .scopedPersist()
     val ids = s2.select($"doc_id")
-    val livePairs = Dedup.d5Jaccard(spark, dir)
+    val livePairs = Dedup.sharedJaccardPairs(spark, dir)
       .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
       .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     val s3 = s2.join(livePairs.select($"doc_b".as("doc_id")).distinct(),
@@ -834,12 +825,9 @@ object Pipeline {
   def c17PretrainRun(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // stages 1+2: quality gate, then exact dedup among survivors
-    val qual = Tables.documents(spark, dir)
-      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+    val qual = TextAnalysis.docFacts(spark, dir)
       .filter($"quality" >= 0.5)
-      .select($"doc_id", $"source",
-        size(TextAnalysis.tokens($"text")).cast("long").as("nt"),
-        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("ch"))
+      .select($"doc_id", $"source", $"nt", $"ch")
     val g2 = qual
       .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"ch")))
       .filter($"doc_id" === $"keep_id")
@@ -847,7 +835,7 @@ object Pipeline {
       .scopedPersist() // near-dup semi-joins + stage-4 carry
     // stage 3: near dedup (c1's single-pass drop-doc_b rule)
     val ids2 = g2.select($"doc_id")
-    val livePairs = Dedup.d5Jaccard(spark, dir)
+    val livePairs = Dedup.jaccardPairsBuild(spark, dir)
       .join(ids2.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
       .join(ids2.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     val g3 = g2.join(livePairs.select($"doc_b".as("doc_id")).distinct(),
@@ -908,10 +896,9 @@ object Pipeline {
         packFold(it, packBudget)
       }
       .toDF()
-    val hashes = Tables.documents(spark, dir)
+    val hashes = TextAnalysis.docFacts(spark, dir)
       .select($"doc_id",
-        conv(substring(md5(regexp_replace(trim(lower($"text")),
-          "\\s+", " ")), 1, 15), 16, 10).cast("long").as("hv"))
+        conv(substring($"ch", 1, 15), 16, 10).cast("long").as("hv"))
     packed.join(hashes, "doc_id")
       .groupBy($"bucket", $"seq_id".as("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
@@ -1224,12 +1211,9 @@ object Pipeline {
     * row; the 4-row output explodes from that one row driver-free. */
   def c18FilterAblation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nd = Dedup.d5Jaccard(spark, dir)
+    val nd = Dedup.sharedJaccardPairs(spark, dir)
       .select($"doc_b".as("doc_id")).distinct()
-    val flags = Tables.documents(spark, dir)
-      .withColumn("quality", TextAnalysis.qualityScore($"text"))
-      .withColumn("ch",
-        md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
+    val flags = TextAnalysis.docFacts(spark, dir)
       .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"ch")))
       .join(nd.withColumn("nd", lit(1)), Seq("doc_id"), "left")
       .select($"quality",

@@ -82,11 +82,13 @@ object RegTree {
     import org.apache.spark.sql.expressions.Window
     require(maxDepth >= 1, "maxDepth must be >= 1")
     require(featureCols.nonEmpty, "need at least one feature column")
-    require(design.filter(featureCols.map(col(_).isNull)
-        .reduce(_ || _)).isEmpty,
+    // the null-bin fence and the envelope scan share ONE aggregate
+    // (round-15: the separate isEmpty pre-check was a full pass)
+    val t0 = design.agg(count(lit(1)), max(abs($"y")),
+      count(when(featureCols.map(col(_).isNull).reduce(_ || _), 1))).head()
+    require(t0.getLong(2) == 0L,
       "null feature bins in the tree design: feature columns must be " +
         "non-null (filter or impute before fitting)")
-    val t0 = design.agg(count(lit(1)), max(abs($"y"))).head()
     if (t0.getLong(0) == 0L) return Seq.empty
     requireRegEnvelope(t0.getLong(0), math.max(t0.getLong(1).toDouble, 1.0))
     var splits = Vector.empty[Stump.TreeSplit]
@@ -168,12 +170,13 @@ object RegTree {
     import org.apache.spark.sql.expressions.Window
     require(featureCols.nonEmpty, "need at least one feature column")
     require(gridBound >= 1L, "gridBound must be >= 1")
-    require(design.filter(featureCols.map(col(_).isNull)
-        .reduce(_ || _)).isEmpty,
+    val S = regShiftFor(gridBound, rounds)
+    // null-bin fence + label scan in ONE aggregate (round-15)
+    val t0 = design.agg(count(lit(1)), sum($"yg"), max(abs($"yg")),
+      count(when(featureCols.map(col(_).isNull).reduce(_ || _), 1))).head()
+    require(t0.getLong(3) == 0L,
       "null feature bins in the GBT design: feature columns must be " +
         "non-null (filter or impute before fitting)")
-    val S = regShiftFor(gridBound, rounds)
-    val t0 = design.agg(count(lit(1)), sum($"yg"), max(abs($"yg"))).head()
     val nAll = t0.getLong(0)
     require(nAll > 0, "empty design")
     require(t0.getLong(2) <= gridBound,
@@ -184,6 +187,12 @@ object RegTree {
     val f0 = Math.floorDiv(t0.getLong(1), nAll)
     var decisions = Vector.empty[(Int, Long, Long, Long)] // (ft, thr, dl, dr)
     var out = Vector.empty[Gbt.GbtRound]
+    // round t's histogram already sums rr^2 under the CURRENT model —
+    // exactly round t-1's post-update SSE — so each round's single
+    // collect also closes out the previous round, and only the LAST
+    // round pays a dedicated SSE pass (round-15: was one extra full
+    // aggregate per round)
+    var pending: Option[Gbt.GbtRound] = None
     var t = 1
     var open = true
     while (t <= rounds && open) {
@@ -214,11 +223,12 @@ object RegTree {
         .withColumn("srrr", $"srrt" - $"srrl")
         .withColumn("sse_raw", expr(Gbt.sseSql))
         .orderBy($"sse_raw", $"feature", $"bin").limit(1)
-        .select($"feature", $"bin", $"nl", $"srl", $"nr", $"srr2")
+        .select($"feature", $"bin", $"nl", $"srl", $"nr", $"srr2", $"srrt")
         .collect()
       if (bestRows.isEmpty) open = false
       else {
         val best = bestRows.head
+        pending.foreach(pr => out :+= pr.copy(sseAfter = best.getLong(6)))
         val (ft, thr, nl, srl, nr, srR) = (best.getInt(0), best.getLong(1),
           best.getLong(2), best.getLong(3), best.getLong(4),
           best.getLong(5))
@@ -229,17 +239,20 @@ object RegTree {
         val dl = (vl + S) / 2L - S / 2L
         val dr = (vr + S) / 2L - S / 2L
         decisions :+= ((ft, thr, dl, dr))
-        val fAfter: Column = decisions.foldLeft(lit(f0)) {
-          case (f, (ff, th, l, r)) =>
-            f + when(col(featureCols(ff)) <= lit(th), lit(l))
-              .otherwise(lit(r))
-        }
-        val sseAfter = design.withColumn("F", fAfter)
-          .agg(sum(($"yg" - $"F") * ($"yg" - $"F")))
-          .head().getLong(0)
-        out :+= Gbt.GbtRound(t, thr, nl, nr, vl, vr, sseAfter, feature = ft)
+        pending = Some(Gbt.GbtRound(t, thr, nl, nr, vl, vr, -1L, feature = ft))
         t += 1
       }
+    }
+    pending.foreach { pr =>
+      val fAfter: Column = decisions.foldLeft(lit(f0)) {
+        case (f, (ff, th, l, r)) =>
+          f + when(col(featureCols(ff)) <= lit(th), lit(l))
+            .otherwise(lit(r))
+      }
+      val sseAfter = design.withColumn("F", fAfter)
+        .agg(sum(($"yg" - $"F") * ($"yg" - $"F")))
+        .head().getLong(0)
+      out :+= pr.copy(sseAfter = sseAfter)
     }
     (f0, out)
   }
@@ -262,6 +275,21 @@ object RegTree {
     AdvancedSql.exactPercentiles(vals,
       (1 until bins).map(_.toDouble / bins), width)
 
+  /** One quantile-edge set per (dir, column, bins) per JVM — the
+    * PcaQueries statsCache discipline: exactPercentiles is a
+    * deterministic two-pass function of the immutable fixture, and
+    * p24/p25/p26 re-derived identical edges (two bounded collects per
+    * feature) on every run. Values are a handful of driver doubles. */
+  private val edgeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), Seq[Double]]
+  private def cachedEdges(spark: SparkSession, dir: String, colName: String,
+      bins: Int, width: Double): Seq[Double] =
+    edgeCache.getOrElseUpdate((dir, colName, bins), {
+      import spark.implicits._
+      quantileEdges(Tables.lineitem(spark, dir).select(col(colName).as("v")),
+        bins, width)
+    })
+
   /** The shared p24/p25 design: quantile-binned (price, discount)
     * features + the integer quantity label. Edge computation is two
     * bounded exactPercentiles passes (histogram widths sized so bucket
@@ -269,10 +297,8 @@ object RegTree {
   private[graft] def regDesign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-    val pe = quantileEdges(li.select($"l_extendedprice".as("v")),
-      priceBins, width = 64.0)
-    val de = quantileEdges(li.select($"l_discount".as("v")),
-      discBins, width = 0.01)
+    val pe = cachedEdges(spark, dir, "l_extendedprice", priceBins, 64.0)
+    val de = cachedEdges(spark, dir, "l_discount", discBins, 0.01)
     li.select(
       quantileBin($"l_extendedprice", pe).as("f0"),
       quantileBin($"l_discount", de).as("f1"),
@@ -477,12 +503,9 @@ object RegTree {
   def p26Forest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-    val pe = quantileEdges(li.select($"l_extendedprice".as("v")),
-      priceBins, width = 64.0)
-    val de = quantileEdges(li.select($"l_discount".as("v")),
-      discBins, width = 0.01)
-    val te = quantileEdges(li.select($"l_tax".as("v")),
-      taxBins, width = 0.01)
+    val pe = cachedEdges(spark, dir, "l_extendedprice", priceBins, 64.0)
+    val de = cachedEdges(spark, dir, "l_discount", discBins, 0.01)
+    val te = cachedEdges(spark, dir, "l_tax", taxBins, 0.01)
     val design = li.select(
         quantileBin($"l_extendedprice", pe).as("f0"),
         quantileBin($"l_discount", de).as("f1"),
@@ -492,19 +515,116 @@ object RegTree {
             lit("#"), $"l_linenumber".cast("string"))), 1, 8), 16, 10)
           .cast("long"), lit(3L)).as("h"))
       .scopedPersist()
-    val rows = forestSubsets.zipWithIndex.flatMap { case ((a, b), t) =>
-      fitRegTreeSplitsMulti(design.filter($"h" =!= t.toLong),
-          Seq(s"f$a", s"f$b"), forestTreeDepth)
-        .map(s => (t.toLong,
-          if (s.node.isEmpty) "root" else s.node, s.depth.toLong,
-          (if (s.feature == 0) a else b).toLong, s.thresholdBin,
-          s.n, s.pos, s.nl, s.nr,
-          Math.floorDiv(1000L * s.pl, s.nl),
-          Math.floorDiv(1000L * s.pr, s.nr)))
+    val rows = fitForestSplits(design).map { case (t, s) =>
+      val (a, b) = forestSubsets(t)
+      (t.toLong,
+        if (s.node.isEmpty) "root" else s.node, s.depth.toLong,
+        (if (s.feature == 0) a else b).toLong, s.thresholdBin,
+        s.n, s.pos, s.nl, s.nr,
+        Math.floorDiv(1000L * s.pl, s.nl),
+        Math.floorDiv(1000L * s.pr, s.nr))
     }
     rows.toDF("tree", "node", "depth", "feature", "threshold_bin",
       "n_node", "sy_node", "n_left", "n_right", "v_left", "v_right")
       .orderBy($"tree", $"depth", $"node")
+  }
+
+  /** All-bags-at-once forest fit (round-15, guide §2.4): the per-tree
+    * loop re-scanned the shared design once per (tree, level) — six
+    * routed passes plus three envelope pre-checks. Keying every
+    * census/argmin row by the tree id runs each LEVEL as ONE routed
+    * pass over the design (each row fans out to its 2 features × the
+    * 2 trees whose bag holds it) and ONE bounded collect for all
+    * trees. Bit-identical to fitting each tree separately: the bag
+    * predicates (h ≠ t), the per-tree decision walks, and the argmin
+    * tie order (sse → LOCAL feature index → bin) are unchanged —
+    * every grouping and window key simply carries `tree`. */
+  private def fitForestSplits(design: DataFrame)
+      : Seq[(Int, Stump.TreeSplit)] = {
+    import design.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val trees = forestSubsets.zipWithIndex
+    // per-bag envelope pre-checks, folded into one aggregate
+    val preAggs = trees.flatMap { case (_, t) =>
+      Seq(sum(when($"h" =!= t.toLong, 1L).otherwise(0L)),
+        max(when($"h" =!= t.toLong, abs($"y"))))
+    }
+    val pre = design.agg(preAggs.head, preAggs.tail: _*).head()
+    def bagN(t: Int): Long = pre.getLong(2 * t)
+    trees.foreach { case (_, t) =>
+      if (bagN(t) > 0L)
+        requireRegEnvelope(bagN(t),
+          math.max(pre.getLong(2 * t + 1).toDouble, 1.0))
+    }
+    var splits = Map.empty[Int, Vector[Stump.TreeSplit]]
+    var openTrees = trees.collect { case (_, t) if bagN(t) > 0L => t }.toSet
+    var dep = 0
+    while (dep < forestTreeDepth && openTrees.nonEmpty) {
+      val entries = trees.filter(tt => openTrees(tt._2)).flatMap {
+        case ((a, b), t) =>
+          val feats = Seq(a, b)
+          val dec = splits.getOrElse(t, Vector.empty)
+            .map(s => s.node -> (s.feature, s.thresholdBin)).toMap
+          def walk(path: String, lvl: Int): Column =
+            if (lvl == dep) lit(path)
+            else dec.get(path) match {
+              case None => lit(path)
+              case Some((f, thr)) =>
+                when(col(s"f${feats(f)}") <= lit(thr),
+                  walk(path + "L", lvl + 1))
+                  .otherwise(walk(path + "R", lvl + 1))
+            }
+          feats.zipWithIndex.map { case (fc, fi) =>
+            struct(lit(t).as("tree"), walk("", 0).as("node"),
+              lit(fi).as("feature"), col(s"f$fc").as("bin"))
+          }
+      }
+      val hist = design
+        .select($"y", $"h", explode(array(entries: _*)).as("e"))
+        .filter($"h" =!= $"e.tree")
+        .select($"e.tree".as("tree"), $"e.node".as("node"),
+          $"e.feature".as("feature"), $"e.bin".as("bin"), $"y")
+        .groupBy($"tree", $"node", $"feature", $"bin")
+        .agg(count(lit(1)).as("cnt"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("syy"))
+        .scopedPersist()
+      val tot = hist.filter($"feature" === lit(0))
+        .groupBy($"tree", $"node").agg(sum($"cnt").as("n"),
+          sum($"sy").as("syt"), sum($"syy").as("syyt"))
+      val w = Window.partitionBy($"tree", $"node", $"feature")
+        .orderBy($"bin")
+      val aw = Window.partitionBy($"tree", $"node")
+        .orderBy($"sse_raw", $"feature", $"bin")
+      val lvl = hist
+        .select($"tree", $"node", $"feature", $"bin",
+          sum($"cnt").over(w).as("nl"), sum($"sy").over(w).as("syl"),
+          sum($"syy").over(w).as("syyl"))
+        .join(broadcast(tot), Seq("tree", "node"))
+        .filter($"nl" < $"n")
+        .withColumn("nr", $"n" - $"nl")
+        .withColumn("syr2", $"syt" - $"syl")
+        .withColumn("syyr", $"syyt" - $"syyl")
+        .withColumn("sse_raw", expr(regSseSql))
+        .withColumn("pg_raw", expr(parentSseSql))
+        .filter(length($"node") === dep)
+        .withColumn("rk", row_number().over(aw)).filter($"rk" === 1)
+        .select($"tree", $"node", $"feature", $"bin", $"n", $"syt",
+          $"nl", $"syl", $"nr", $"syr2", $"sse_raw", $"pg_raw")
+        .collect() // ≤ 3 · 2^depth rows — the bounded decision table
+      val byTree = lvl.groupBy(_.getInt(0))
+      openTrees = openTrees.filter(byTree.contains)
+      byTree.foreach { case (t, rows) =>
+        splits += t -> (splits.getOrElse(t, Vector.empty) ++ rows.map(r =>
+          Stump.TreeSplit(r.getString(1), dep, r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+            r.getLong(9), r.getDouble(10), r.getDouble(11),
+            feature = r.getInt(2))))
+      }
+      dep += 1
+    }
+    trees.flatMap { case (_, t) =>
+      splits.getOrElse(t, Vector.empty).map(t -> _)
+    }
   }
 
   /** The forest's shared design CTEs: global quantile edges for all

@@ -173,12 +173,6 @@ object Stump {
     import org.apache.spark.sql.expressions.Window
     require(maxDepth >= 1, "maxDepth must be >= 1")
     require(featureCols.nonEmpty, "need at least one feature column")
-    // null feature bins census LEFT but route RIGHT (round-14
-    // advisory) — reject them before fitting anything
-    require(design.filter(featureCols.map(col(_).isNull)
-        .reduce(_ || _)).isEmpty,
-      "null feature bins in the tree design: feature columns must be " +
-        "non-null (filter or impute before fitting)")
     var splits = Vector.empty[TreeSplit]
     var d = 0
     var open = true
@@ -202,6 +196,15 @@ object Stump {
         .groupBy($"node", $"feature", $"bin")
         .agg(count(lit(1)).as("cnt"), sum($"y").as("p"))
         .scopedPersist()
+      // null feature bins census LEFT but route RIGHT (round-14
+      // advisory) — reject them before fitting anything. Checked on
+      // the BOUNDED persisted histogram (round-15: the old
+      // design-level isEmpty pre-check was its own full pass; the
+      // materialization this check forces is reused by the collect
+      // below)
+      if (d == 0) require(hist.filter($"bin".isNull).isEmpty,
+        "null feature bins in the tree design: feature columns must " +
+          "be non-null (filter or impute before fitting)")
       // node totals off ONE feature's slice (every row contributes one
       // bin per feature, so any slice carries the full census)
       val tot = hist.filter($"feature" === lit(0))
