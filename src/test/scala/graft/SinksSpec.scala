@@ -17,6 +17,63 @@ class SinksSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("footer-based commit stats are bit-identical to the scan path") {
+    import spark.implicits._
+    // adversarial stat shapes: negative longs, doubles that render in
+    // scientific notation, float extremes, dates, equal-valued strings,
+    // >64-char ASCII strings (strStatUsable fence), non-ASCII
+    // endpoints (must be DROPPED by both paths), and an all-null column
+    val longAscii = "z" * 80
+    val rows = Seq(
+      (-5L, 3, 1.0e7, 1.5f, java.sql.Date.valueOf("1996-01-15"),
+        "alpha", longAscii, "café", Option(2.0)),
+      (42L, -7, -0.25, -3.5f, java.sql.Date.valueOf("2001-12-31"),
+        "omega", longAscii, "zürich", Option.empty[Double]),
+      (0L, 0, 123456.789, 0.0f, java.sql.Date.valueOf("1996-01-15"),
+        "mid", longAscii, "plain", Option.empty[Double]))
+    val df = rows.toDF("l", "i", "d", "f", "dt", "s", "longs", "uni", "n")
+      .withColumn("alln", lit(null).cast("double"))
+    val out = tmp("graft_footer_stats")
+    val landed = graft.sources.SnapshotTable
+      .landDataFiles(df, out, "data/c-statgate")
+    val files = landed.map(_._1)
+    val statCols = df.schema.fields.toSeq.map(_.name)
+    val (fStats, fCounts) = graft.sources.SnapshotTable
+      .collectStatsFooter(spark, df.schema, out, files, statCols)
+    val (sStats, sCounts) = graft.sources.SnapshotTable
+      .collectStatsScan(spark, df.schema, out, "data/c-statgate", files,
+        statCols)
+    assert(fCounts == sCounts, s"row counts differ: $fCounts vs $sCounts")
+    assert(fStats.keySet == sStats.keySet)
+    fStats.keySet.foreach { file =>
+      assert(fStats(file) == sStats(file),
+        s"stats differ for $file:\nfooter=${fStats(file)}\nscan=${sStats(file)}")
+    }
+    // and the gate is not vacuous: numeric + date + usable-string stats
+    // present in every file; the all-null column records none anywhere;
+    // at least one file's non-ASCII endpoint was dropped by BOTH paths
+    fStats.values.foreach { m =>
+      Seq("l", "i", "d", "f", "dt", "s", "longs").foreach(c =>
+        assert(m.contains(c), s"no footer stats for $c in $m"))
+      assert(!m.contains("alln"), "all-null column must record no stats")
+    }
+    // non-ASCII min != max endpoints must be dropped by BOTH paths:
+    // land a single file holding two different non-ASCII strings
+    val df2 = Seq(("café", 1L), ("zürich", 2L)).toDF("uni", "l").coalesce(1)
+    val landed2 = graft.sources.SnapshotTable
+      .landDataFiles(df2, out, "data/c-statgate2")
+    val files2 = landed2.map(_._1)
+    val (fs2, _) = graft.sources.SnapshotTable
+      .collectStatsFooter(spark, df2.schema, out, files2, Seq("uni", "l"))
+    val (ss2, _) = graft.sources.SnapshotTable
+      .collectStatsScan(spark, df2.schema, out, "data/c-statgate2",
+        files2, Seq("uni", "l"))
+    assert(fs2 == ss2, s"footer=$fs2 scan=$ss2")
+    assert(fs2.values.forall(!_.contains("uni")),
+      "non-ASCII min != max endpoints must be dropped")
+    assert(fs2.values.forall(_.contains("l")))
+  }
+
   test("partitioned parquet write round-trips and prunes partitions on read") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
